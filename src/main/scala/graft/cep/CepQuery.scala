@@ -1,0 +1,197 @@
+package graft.cep
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model._
+
+/** Compiles [[graft.model.Rule]]s into Spark logical plans.
+  *
+  * This is the heart of the rebuild: where the reference hand-rolls a
+  * per-event interpreter (reference: engine/CEPEngine.java:36-64 and
+  * the engine/window classes), we emit a declarative DataFrame plan and let
+  * Catalyst/Tungsten pick the physical strategy. The same plan works on
+  * a batch frame (oracle-testable) and a streaming frame (Structured
+  * Streaming batch/stream parity).
+  *
+  * Expected metrics schema (see [[Metrics.eventsAsMetrics]]):
+  * {{{ eventTime TIMESTAMP, tags MAP<STRING,STRING>, metrics MAP<STRING,DOUBLE> }}}
+  *
+  * Two compilation modes:
+  *
+  *  - [[planRule]]: one rule → one static plan using built-in
+  *    `window()`/`groupBy`. Best per-query plan (whole-stage codegen,
+  *    static window expansion); use when rules are few and known.
+  *  - [[planAll]]: N rules → ONE pass over the metric stream. The rule
+  *    set is broadcast (reference: CEPTaskRunner.java:41,
+  *    PartitionEngine.java:26-51), the metric×rule theta-join performs
+  *    the reference's 1→N fan-out, windows are computed arithmetically
+  *    (width is per-rule *data*, so the built-in `window()` cannot be
+  *    used), and agg/comparator dispatch is a `CASE` expression. At
+  *    100 TB this is the plan you want: one scan + one shuffle for the
+  *    whole rule set, instead of N scans.
+  *
+  * Scale posture: the only shuffle is the final hash aggregation on
+  * (ruleId, groupValues, windowStart) — exactly the reference's
+  * `keyBy(groupId)` (CEPTaskRunner.java:46) — and Spark performs
+  * partial (map-side) aggregation before it. Rules are broadcast, never
+  * shuffled. No per-group driver state, threads, or collect().
+  */
+object CepQuery {
+
+  /** Decimal type used for exact, order-independent SUM/AVG.
+    * Summing doubles is order-dependent across partitions; summing
+    * decimals is exact, so results are deterministic under any
+    * parallelism — required both for the DuckDB oracle hash-match and
+    * for run-to-run stability on a real cluster. */
+  val SumDecimal = "decimal(38,6)"
+
+  /** `metrics['field']` as a double column. */
+  def measure(field: String): Column = element_at(col("metrics"), field)
+
+  /** Reference rule-match predicate (Rule.java:63-66): rule is ACTIVE
+    * and every grouping key is present in the event's tag map. */
+  def matchPredicate(ruleState: Column, groupingKeyNames: Column, tags: Column): Column =
+    (ruleState === RuleState.Active.name) &&
+      forall(groupingKeyNames, k => map_contains_key(tags, k))
+
+  /** The aggregate column for a given agg type over value column `v`
+    * (pre-cast to decimal for SUM/AVG exactness; result is DOUBLE). */
+  def aggColumn(agg: AggType, v: Column): Column = agg match {
+    case AggType.Sum => sum(v.cast(SumDecimal)).cast("double")
+    case AggType.Avg => sum(v.cast(SumDecimal)).cast("double") / count(v)
+    case AggType.Min => min(v)
+    case AggType.Max => max(v)
+  }
+
+  /** HAVING comparison (reference: Rule.java:39-56). */
+  def cmpColumn(op: CmpOp, result: Column, limit: Column): Column = op match {
+    case CmpOp.Eq => result === limit
+    case CmpOp.Ne => result =!= limit
+    case CmpOp.Gt => result > limit
+    case CmpOp.Lt => result < limit
+    case CmpOp.Ge => result >= limit
+    case CmpOp.Le => result <= limit
+  }
+
+  /** One rule → one static DataFrame plan (SURVEY §2.2 template).
+    *
+    * Output: one column per grouping key (named after the key), plus
+    * `window_start`/`window_end` (absent for global windows), plus
+    * `result` (DOUBLE).
+    */
+  def planRule(metricFrame: DataFrame, rule: Rule): DataFrame = {
+    // A non-ACTIVE rule matches nothing (Rule.java:63-66); resolve that
+    // statically rather than emitting a constant predicate.
+    val stateOk = rule.ruleState == RuleState.Active
+    val matched = metricFrame.filter(
+      lit(stateOk) &&
+        forall(array(rule.groupingKeyNames.map(lit): _*),
+          k => map_contains_key(col("tags"), k)))
+    val keyCols = rule.groupingKeyNames.map(k => element_at(col("tags"), k).as(k))
+    val v = measure(rule.aggregateFieldName)
+    val agg = aggColumn(rule.aggregatorFunctionType, v).as("result")
+
+    val grouped = rule.windowType match {
+      case WindowType.Tumbling =>
+        matched
+          .groupBy(keyCols :+ window(col("eventTime"), s"${rule.windowMinutes} minutes"): _*)
+          .agg(agg)
+      case WindowType.Sliding =>
+        matched
+          .groupBy(keyCols :+ window(col("eventTime"),
+            s"${rule.windowMinutes} minutes", s"${rule.windowSlideMinute} minutes"): _*)
+          .agg(agg)
+      case WindowType.Global =>
+        matched.groupBy(keyCols: _*).agg(agg)
+    }
+    val flat = rule.windowType match {
+      case WindowType.Global => grouped
+      case _ =>
+        grouped
+          .withColumn("window_start", col("window.start"))
+          .withColumn("window_end", col("window.end"))
+          .drop("window")
+    }
+    flat.filter(cmpColumn(rule.limitOperatorType, col("result"),
+      lit(rule.limit.underlying)))
+  }
+
+  /** N rules → ONE pass: broadcast theta-join fan-out + arithmetic
+    * windows + CASE-dispatched agg and comparator.
+    *
+    * `ruleFrame` must have [[Metrics.RuleRowSchema]] columns (see
+    * [[Rules.toDF]]). Output:
+    * {{{ rule_id INT, group_id STRING, window_start TIMESTAMP,
+    *     window_end TIMESTAMP, result DOUBLE }}}
+    * Global windows emit NULL window bounds. `group_id` is the
+    * reference's `ruleId_tagVal1_tagVal2…` (PartitionEngine.java:72-81).
+    */
+  def planAll(metricFrame: DataFrame, ruleFrame: DataFrame): DataFrame = {
+    // 1. Rule match: broadcast inner theta-join; 1 metric → N matched copies.
+    val joined = metricFrame.join(
+      broadcast(ruleFrame),
+      matchPredicate(col("rule_state"), col("grouping_key_names"), col("tags")))
+
+    // 2. Per-(metric,rule) derived columns: group values, event millis, value.
+    val prepared = joined.select(
+      col("rule_id"),
+      col("agg_type"), col("cmp_op"), col("limit"),
+      col("window_type"),
+      (col("window_minutes").cast("long") * 60000L).as("w_ms"),
+      (col("window_slide_minute").cast("long") * 60000L).as("s_ms"),
+      transform(col("grouping_key_names"), k => element_at(col("tags"), k))
+        .as("group_vals"),
+      unix_millis(col("eventTime")).as("ev_ms"),
+      element_at(col("metrics"), col("agg_field")).as("v"))
+
+    // 3. Window assignment, arithmetically (width/slide are per-rule data):
+    //    tumbling → floor-align to w_ms; sliding → one row per covering
+    //    window, starts aligned to s_ms (reference fan-out semantics,
+    //    SlidingWindowAssigner.java:23-55, epoch-aligned per SURVEY §7.4);
+    //    global → NULL window (single unbounded bucket).
+    val windowed = prepared.withColumn("ws_ms",
+      when(col("window_type") === WindowType.Tumbling.name,
+        array(floor(col("ev_ms") / col("w_ms")) * col("w_ms")))
+      .when(col("window_type") === WindowType.Sliding.name,
+        transform(
+          sequence(lit(0L), floor(col("w_ms") / col("s_ms")).cast("long") - 1L),
+          i => floor(col("ev_ms") / col("s_ms")) * col("s_ms") - i * col("s_ms")))
+      .otherwise(array(lit(null).cast("long"))))
+      .withColumn("ws_ms", explode(col("ws_ms")))
+
+    // 4. One hash aggregation — the single shuffle of the whole plan,
+    //    keyed exactly like the reference's keyBy(groupId). Rule
+    //    attributes ride along in the key (constant per rule_id).
+    val agged = windowed
+      .groupBy(col("rule_id"), col("group_vals"), col("ws_ms"),
+        col("agg_type"), col("cmp_op"), col("limit"), col("w_ms"))
+      .agg(
+        sum(col("v").cast(SumDecimal)).cast("double").as("sum_v"),
+        count(col("v")).as("cnt_v"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+
+    // 5. CASE-dispatch the aggregate + HAVING comparator (both are data).
+    val result = agged.withColumn("result",
+      when(col("agg_type") === AggType.Sum.name, col("sum_v"))
+        .when(col("agg_type") === AggType.Avg.name, col("sum_v") / col("cnt_v"))
+        .when(col("agg_type") === AggType.Min.name, col("min_v"))
+        .otherwise(col("max_v")))
+
+    val kept = result.filter(
+      when(col("cmp_op") === CmpOp.Gt.symbol, col("result") > col("limit"))
+        .when(col("cmp_op") === CmpOp.Lt.symbol, col("result") < col("limit"))
+        .when(col("cmp_op") === CmpOp.Ge.symbol, col("result") >= col("limit"))
+        .when(col("cmp_op") === CmpOp.Le.symbol, col("result") <= col("limit"))
+        .when(col("cmp_op") === CmpOp.Eq.symbol, col("result") === col("limit"))
+        .otherwise(col("result") =!= col("limit")))
+
+    kept.select(
+      col("rule_id"),
+      concat_ws("_", col("rule_id").cast("string"), col("group_vals"))
+        .as("group_id"),
+      timestamp_millis(col("ws_ms")).as("window_start"),
+      timestamp_millis(col("ws_ms") + col("w_ms")).as("window_end"),
+      col("result"))
+  }
+}

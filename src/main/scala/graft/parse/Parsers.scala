@@ -1,0 +1,87 @@
+package graft.parse
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, MapType, StringType}
+
+/** JSON-line → metric / rule parsing with the reference's routing
+  * semantics, expressed as declarative (codegen-friendly) column
+  * expressions — no UDFs, no driver-side loops.
+  *
+  * Reference behavior reproduced (CEPTaskRunner.java:58-72):
+  *  - a key `== "eventTime"` is the epoch-millis event time;
+  *  - a key that CONTAINS "t_" (not merely starts with) is a tag;
+  *  - every other key is a measure, parsed as an INTEGER — any
+  *    non-integer measure value drops the whole event;
+  *  - unparseable lines (bad JSON / missing or bad eventTime) drop.
+  */
+object Parsers {
+
+  /** Parse a frame with a string `line` column into the engine metric
+    * schema (eventTime TIMESTAMP, tags MAP<STRING,STRING>,
+    * metrics MAP<STRING,DOUBLE>). Invalid lines are filtered out
+    * (reference O4 null-filter, CEPTaskRunner.java:34). */
+  def parseMetrics(lines: DataFrame, lineCol: String = "line"): DataFrame = {
+    // from_json to MAP<STRING,STRING> keeps unknown keys and renders
+    // scalar values as their literal JSON text.
+    val m = from_json(col(lineCol), MapType(StringType, StringType))
+    val tags = map_filter(m, (k, _) => k.contains("t_"))
+    val measuresRaw = map_filter(m, (k, _) => !k.contains("t_") && k =!= "eventTime")
+    val evMs = try_element_at(m, lit("eventTime")).try_cast("long")
+    // Reference parses measures with Integer.parseInt: any non-integer
+    // value throws and the whole metric is dropped (CEPTaskRunner.java:67-70).
+    val allMeasuresIntegral =
+      forall(map_values(measuresRaw), v => v.try_cast("long").isNotNull)
+    lines
+      .select(
+        timestamp_millis(evMs).as("eventTime"),
+        tags.as("tags"),
+        transform_values(measuresRaw, (_, v) => v.try_cast("long").cast("double"))
+          .as("metrics"),
+        allMeasuresIntegral.as("_ok"))
+      .filter(col("eventTime").isNotNull && col("_ok"))
+      .drop("_ok")
+  }
+
+  /** Parse a frame with a string `line` column into [[graft.cep.Metrics.RuleRow]]
+    * shape. Mirrors fastjson leniency the reference relies on
+    * (SURVEY §1.3): field-name matching is case-insensitive, and
+    * `groupingKeyNames` may be either a JSON array or a bare string
+    * (coerced to a one-element list). Comparator accepts both word and
+    * symbol spellings and is normalized to the symbol. Invalid lines drop. */
+  def parseRules(lines: DataFrame, lineCol: String = "line"): DataFrame = {
+    // Case-insensitive field access: parse to a map and lower-case keys.
+    val m0 = from_json(col(lineCol), MapType(StringType, StringType))
+    val m = transform_keys(m0, (k, _) => lower(k))
+    def f(name: String): Column = try_element_at(m, lit(name.toLowerCase))
+
+    val gk = f("groupingKeyNames")
+    val gkArr = when(gk.startsWith("["), from_json(gk, ArrayType(StringType)))
+      .otherwise(array(gk))
+
+    val cmpRaw = upper(f("limitOperatorType"))
+    val cmp = when(cmpRaw === "EQUAL" || cmpRaw === "=", "=")
+      .when(cmpRaw === "NOT_EQUAL" || cmpRaw === "!=", "!=")
+      .when(cmpRaw === "GREATER" || cmpRaw === ">", ">")
+      .when(cmpRaw === "LESS" || cmpRaw === "<", "<")
+      .when(cmpRaw === "GREATER_EQUAL" || cmpRaw === ">=", ">=")
+      .when(cmpRaw === "LESS_EQUAL" || cmpRaw === "<=", "<=")
+
+    val wt = lower(f("windowType"))
+    lines
+      .select(
+        f("ruleId").try_cast("int").as("rule_id"),
+        upper(f("ruleState")).as("rule_state"),
+        when(wt === "tumbling" || wt === "sliding", wt).otherwise("global")
+          .as("window_type"),
+        coalesce(f("windowMinutes").try_cast("int"), lit(0)).as("window_minutes"),
+        coalesce(f("windowSlideMinute").try_cast("int"), lit(0))
+          .as("window_slide_minute"),
+        gkArr.as("grouping_key_names"),
+        upper(f("aggregatorFunctionType")).as("agg_type"),
+        f("aggregateFieldName").as("agg_field"),
+        cmp.as("cmp_op"),
+        f("limit").try_cast("double").as("limit"))
+      .filter(col("rule_id").isNotNull && col("rule_state").isNotNull)
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cep.{CepQuery, Metrics}
+import graft.model._
+
+/** Engine semantics against the reference's own fixtures:
+  * the resources/rules + resources/metrics demo (SURVEY §7.2) and the
+  * WindowTest vectors (FIXTURES §A3). */
+class CepQuerySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** (epochMillis, group, cpu) → engine metric frame. */
+  private def metricFrame(rows: Seq[(Long, String, Int)]): DataFrame =
+    rows.toDF("ms", "g", "cpu").select(
+      timestamp_millis(col("ms")).as("eventTime"),
+      map(lit("t_group"), col("g")).as("tags"),
+      map(lit("cpu_usage"), col("cpu").cast("double")).as("metrics"))
+
+  // Reference demo fixture (resources/metrics:1-6, resources/rules:1):
+  // SUM(cpu_usage) per t_group over 2-minute tumbling windows, emit > 11.
+  private val t0 = 1650557501028L
+  private val demoEvents = Seq(
+    (t0, "business", 9), (t0 + 1000, "work", 1), (t0 + 2000, "business", 2),
+    (t0 + 3000, "work", 5), (t0 + 4000, "business", 5), (t0 + 5000, "work", 10))
+  private val demoRule = Rule(1, RuleState.Active, WindowType.Tumbling, 2, 0,
+    Seq("t_group"), AggType.Sum, "cpu_usage", CmpOp.Gt, BigDecimal(11))
+
+  test("reference demo: SUM per group over 2-min tumbling window, both groups emit 16") {
+    val out = CepQuery.planRule(metricFrame(demoEvents), demoRule)
+      .select("t_group", "result").as[(String, Double)].collect().toMap
+    assert(out == Map("business" -> 16.0, "work" -> 16.0))
+  }
+
+  test("threshold filters: > 16 emits nothing, >= 16 emits both") {
+    val none = CepQuery.planRule(metricFrame(demoEvents),
+      demoRule.copy(limit = BigDecimal(16)))
+    assert(none.count() == 0)
+    val both = CepQuery.planRule(metricFrame(demoEvents),
+      demoRule.copy(limitOperatorType = CmpOp.Ge, limit = BigDecimal(16)))
+    assert(both.count() == 2)
+  }
+
+  test("window membership is half-open [begin, end): boundary event starts a new window") {
+    // Window containing t0 is [1650557400000, 1650557520000); an event at
+    // exactly the end boundary must land in the NEXT window (Window.java:66-68).
+    val boundary = 1650557520000L
+    val out = CepQuery.planRule(
+      metricFrame(Seq((boundary - 1, "g", 1), (boundary, "g", 2))),
+      demoRule.copy(limitOperatorType = CmpOp.Gt, limit = BigDecimal(0)))
+    val byStart = out
+      .select(unix_millis(col("window_start")), col("result"))
+      .as[(Long, Double)].collect().toMap
+    assert(byStart == Map((boundary - 120000L) -> 1.0, boundary -> 2.0))
+  }
+
+  test("WindowTest vectors: SUM(5,7)=12 and AVG(5,7)=6 (global window)") {
+    val frame = metricFrame(Seq((1L, "g", 5), (5L, "g", 7)))
+    val sumR = CepQuery.planRule(frame,
+      Rule(1, RuleState.Active, WindowType.Global, 0, 0, Seq("t_group"),
+        AggType.Sum, "cpu_usage", CmpOp.Gt, BigDecimal(0)))
+      .select("result").as[Double].head()
+    assert(sumR == 12.0)
+    val avgR = CepQuery.planRule(frame,
+      Rule(1, RuleState.Active, WindowType.Global, 0, 0, Seq("t_group"),
+        AggType.Avg, "cpu_usage", CmpOp.Gt, BigDecimal(0)))
+      .select("result").as[Double].head()
+    assert(avgR == 6.0)
+  }
+
+  test("MIN/MAX handle all-negative windows correctly (intended semantics, not the reference's MAX-identity-0 bug)") {
+    val frame = metricFrame(Seq((1L, "g", -5), (5L, "g", -7)))
+    def agg(a: AggType): Double = CepQuery.planRule(frame,
+      Rule(1, RuleState.Active, WindowType.Global, 0, 0, Seq("t_group"),
+        a, "cpu_usage", CmpOp.Lt, BigDecimal(0))).select("result").as[Double].head()
+    assert(agg(AggType.Max) == -5.0) // reference bug would return 0
+    assert(agg(AggType.Min) == -7.0)
+  }
+
+  test("PAUSE and DELETE rules match nothing; sliding fan-out covers W/S windows") {
+    val frame = metricFrame(demoEvents)
+    val paused = CepQuery.planRule(frame, demoRule.copy(ruleState = RuleState.Pause))
+    assert(paused.count() == 0)
+
+    val sliding = CepQuery.planRule(frame,
+      demoRule.copy(windowType = WindowType.Sliding, windowMinutes = 4,
+        windowSlideMinute = 1, limitOperatorType = CmpOp.Gt, limit = BigDecimal(0)))
+    // Each event covers 4 windows; all 6 events share the same 1-min slide
+    // bucket, so the group sees exactly 4 distinct windows.
+    assert(sliding.select("window_start").distinct().count() == 4)
+  }
+
+  test("planAll one-pass == per-rule plans, PAUSE rule contributes nothing") {
+    val frame = metricFrame(demoEvents)
+    val rules = Seq(
+      demoRule,
+      demoRule.copy(ruleId = 2, aggregatorFunctionType = AggType.Avg,
+        limitOperatorType = CmpOp.Gt, limit = BigDecimal(0)),
+      demoRule.copy(ruleId = 3, ruleState = RuleState.Pause))
+    val out = CepQuery.planAll(frame, Metrics.rulesToDF(spark, rules))
+      .select("rule_id", "group_id", "result")
+      .as[(Int, String, Double)].collect().toSet
+    assert(out == Set(
+      (1, "1_business", 16.0), (1, "1_work", 16.0),
+      (2, "2_business", 16.0 / 3), (2, "2_work", 16.0 / 3)))
+  }
+
+  test("rule match requires ALL grouping keys present in tags (fan-out join predicate)") {
+    val frame = metricFrame(demoEvents) // tags: only t_group
+    val needsMissingTag = demoRule.copy(groupingKeyNames = Seq("t_group", "t_host"))
+    assert(CepQuery.planRule(frame, needsMissingTag).count() == 0)
+    val rules = Metrics.rulesToDF(spark, Seq(demoRule, needsMissingTag.copy(ruleId = 9)))
+    val all = CepQuery.planAll(frame, rules)
+    assert(all.select("rule_id").distinct().as[Int].collect().toSet == Set(1))
+  }
+}

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Dev-only self-check mimicking the driver's t2 gate.
+
+Run after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
+
+    python3 tools/check_oracle.py <sfDir> <outDir>
+
+For each query: load our parquet result and the DuckDB-oracle result,
+sort columns by name, sort rows, normalize values, and diff. Not part
+of the shipped library (the Scala build never depends on this).
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision repr: exact-match check
+    return str(v)
+
+
+def table_rows(rel):
+    cols = sorted(rel.columns)
+    idx = [rel.columns.index(c) for c in cols]
+    rows = [tuple(norm_cell(r[i]) for i in idx) for r in rel.fetchall()]
+    return cols, sorted(rows)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failed = []
+    for name, sql in sorted(oracle.items()):
+        try:
+            got_cols, got = table_rows(
+                con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
+        except Exception as e:
+            print(f"FAIL {name}: cannot read result: {e}")
+            failed.append(name)
+            continue
+        try:
+            exp_cols, exp = table_rows(con.sql(sql))
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            failed.append(name)
+            continue
+        if got_cols != exp_cols:
+            print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
+            failed.append(name)
+        elif got != exp:
+            print(f"FAIL {name}: {len(got)} rows vs {len(exp)} rows")
+            only_got = [r for r in got if r not in set(exp)][:3]
+            only_exp = [r for r in exp if r not in set(got)][:3]
+            for r in only_got:
+                print(f"   only-ours: {r}")
+            for r in only_exp:
+                print(f"   only-oracle: {r}")
+            failed.append(name)
+        else:
+            print(f"OK   {name}: {len(got)} rows")
+    print(f"\n{len(oracle) - len(failed)}/{len(oracle)} queries match")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
