@@ -44,6 +44,12 @@ object Metrics {
     r.aggregatorFunctionType.name, r.aggregateFieldName,
     r.limitOperatorType.symbol, r.limit.toDouble)
 
+  def fromRow(r: RuleRow): Rule = Rule(
+    r.rule_id, RuleState.parse(r.rule_state), WindowType.parse(r.window_type),
+    r.window_minutes, r.window_slide_minute, r.grouping_key_names,
+    AggType.parse(r.agg_type), r.agg_field, CmpOp.parse(r.cmp_op),
+    BigDecimal(r.limit))
+
   def rulesToDF(spark: SparkSession, rules: Seq[Rule]): DataFrame = {
     import spark.implicits._
     rules.map(toRow).toDF()

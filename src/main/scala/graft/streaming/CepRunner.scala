@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.parse.Parsers
+
+/** End-to-end runner mirroring the reference's topology
+  * (reference: CEPTaskRunner.java:28-49): newline-delimited JSON
+  * metrics on one socket, rule updates on another, results to the
+  * console sink.
+  *
+  * {{{ sbt "runMain graft.streaming.CepRunner localhost 9999 8888" }}}
+  *
+  * Feed it exactly like the reference's netcat demo:
+  * `nc -lk 9999 < metrics.jsonl` and `nc -lk 8888 < rules.jsonl`.
+  */
+object CepRunner {
+
+  def socketLines(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+      .withColumnRenamed("value", "line")
+
+  /** Streaming text-file source (each file = JSON lines) — the
+    * production-shaped alternative to sockets. */
+  def fileLines(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.text(dir).withColumnRenamed("value", "line")
+
+  def main(args: Array[String]): Unit = {
+    val host = args.headOption.getOrElse("localhost")
+    val metricPort = args.lift(1).map(_.toInt).getOrElse(9999)
+    val rulePort = args.lift(2).map(_.toInt).getOrElse(8888)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val book = new RuleBook
+    val engine = new StreamingEngine(
+      spark,
+      () => Parsers.parseMetrics(socketLines(spark, host, metricPort)),
+      book,
+      StreamingEngine.SinkConfig(format = "console", outputMode = "update"))
+    val control = engine.attachRuleStream(socketLines(spark, host, rulePort))
+    control.awaitTermination()
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cep.CepQuery
+import graft.model._
+import graft.streaming.{RuleBook, StreamingEngine}
+import graft.cep.Metrics.RuleRow
+
+/** Streaming rebuild semantics: batch/stream parity of the rule plan,
+  * and the reference's dynamic rule lifecycle (add / pause / delete at
+  * runtime, PartitionEngine.java:54-63) driven through MemoryStream. */
+class StreamingEngineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val t0 = 1650557501028L
+  private case class Ev(ms: Long, g: String, cpu: Int)
+  private val demoEvents = Seq(
+    Ev(t0, "business", 9), Ev(t0 + 1000, "work", 1), Ev(t0 + 2000, "business", 2),
+    Ev(t0 + 3000, "work", 5), Ev(t0 + 4000, "business", 5), Ev(t0 + 5000, "work", 10))
+  private val demoRule = Rule(1, RuleState.Active, WindowType.Tumbling, 2, 0,
+    Seq("t_group"), AggType.Sum, "cpu_usage", CmpOp.Gt, BigDecimal(11))
+
+  private def toMetricFrame(df: DataFrame): DataFrame =
+    df.select(
+      timestamp_millis(col("ms")).as("eventTime"),
+      map(lit("t_group"), col("g")).as("tags"),
+      map(lit("cpu_usage"), col("cpu").cast("double")).as("metrics"))
+
+  test("streaming per-rule query emits the same results as the batch plan") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(demoEvents: _*)
+    val book = new RuleBook
+    val engine = new StreamingEngine(spark, () => toMetricFrame(mem.toDF()), book)
+    book.applyChanges(Seq(graft.cep.Metrics.toRow(demoRule)))
+    engine.sync()
+    assert(engine.runningRuleIds == Set(1))
+    engine.awaitQuiescence()
+    val got = spark.table("cep_rule_1")
+      .select("t_group", "result").as[(String, Double)].collect().toMap
+    assert(got == Map("business" -> 16.0, "work" -> 16.0))
+    engine.shutdown()
+  }
+
+  test("dynamic rule lifecycle via rule stream: add, add, delete, pause") {
+    implicit val sqlCtx = spark.sqlContext
+    val metricMem = MemoryStream[Ev]
+    metricMem.addData(demoEvents: _*)
+    val ruleMem = MemoryStream[String]
+    val book = new RuleBook
+    val engine = new StreamingEngine(spark, () => toMetricFrame(metricMem.toDF()), book)
+    val control = engine.attachRuleStream(ruleMem.toDF().withColumnRenamed("value", "line"))
+
+    def ruleJson(id: Int, state: String): String =
+      s"""{"ruleId":$id,"ruleState":"$state","windowType":"tumbling","windowMinutes":2,"windowSlideMinute":0,"groupingKeyNames":["t_group"],"aggregatorFunctionType":"SUM","aggregateFieldName":"cpu_usage","limitOperatorType":">","limit":11}"""
+
+    ruleMem.addData(ruleJson(1, "ACTIVE"))
+    control.processAllAvailable()
+    assert(engine.runningRuleIds == Set(1))
+
+    ruleMem.addData(ruleJson(2, "ACTIVE"))
+    control.processAllAvailable()
+    assert(engine.runningRuleIds == Set(1, 2))
+    engine.awaitQuiescence()
+    assert(spark.table("cep_rule_2").count() == 2) // both groups sum 16 > 11
+
+    ruleMem.addData(ruleJson(1, "DELETE"))
+    control.processAllAvailable()
+    assert(engine.runningRuleIds == Set(2))
+    assert(book.snapshot.keySet == Set(2))
+
+    ruleMem.addData(ruleJson(2, "PAUSE"))
+    control.processAllAvailable()
+    assert(engine.runningRuleIds == Set.empty[Int])
+    assert(book.snapshot.keySet == Set(2)) // PAUSE keeps identity
+
+    control.stop(); engine.shutdown()
+  }
+
+  test("one-pass streaming snapshot plan (planAll) runs in update mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(demoEvents: _*)
+    val book = new RuleBook
+    book.applyChanges(Seq(
+      graft.cep.Metrics.toRow(demoRule),
+      graft.cep.Metrics.toRow(demoRule.copy(ruleId = 3, ruleState = RuleState.Pause))))
+    val engine = new StreamingEngine(spark, () => toMetricFrame(mem.toDF()), book)
+    val q = engine.onePassQuery().writeStream
+      .queryName("cep_one_pass").format("memory").outputMode("update").start()
+    q.processAllAvailable()
+    val got = spark.table("cep_one_pass")
+      .select("rule_id", "group_id", "result")
+      .as[(Int, String, Double)].collect().toSet
+    assert(got == Set((1, "1_business", 16.0), (1, "1_work", 16.0)))
+    q.stop()
+  }
+}
