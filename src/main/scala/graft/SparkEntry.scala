@@ -234,6 +234,181 @@ object SparkEntry {
       |) WHERE rn = 1 AND rule_state <> 'DELETE'""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // North-star LLM-pipeline operators (dedup / similarity / text / multimodal)
+  // ---------------------------------------------------------------------------
+
+  private def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+  private def embQueries(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir).filter(col("vec_id") < 10)
+
+  /** DuckDB spelling of TextOps.normalized / TextOps.tokens. */
+  private val dNorm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+  private val dToks = """string_split_regex(lower(trim(text)), '\s+')"""
+
+  private val dedupNgramOracle: String =
+    s"""WITH t AS (SELECT doc_id, $dToks w FROM documents),
+       |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),
+       |sh AS (SELECT DISTINCT a.doc_id, a.tk || ' ' || b.tk || ' ' || c.tk AS s
+       |       FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.i=a.i+1
+       |                  JOIN tok c ON a.doc_id=c.doc_id AND c.i=a.i+2),
+       |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+       |common AS (SELECT x.doc_id id_a, y.doc_id id_b, count(*) c
+       |           FROM sh x JOIN sh y ON x.s=y.s AND x.doc_id<y.doc_id GROUP BY 1,2)
+       |SELECT id_a, id_b, c*1.0/(na.n+nb.n-c) AS jaccard
+       |FROM common JOIN sizes na ON na.doc_id=id_a JOIN sizes nb ON nb.doc_id=id_b
+       |WHERE c*1.0/(na.n+nb.n-c) >= 0.8""".stripMargin
+
+  private val simTopkOracle: String =
+    """SELECT query_id, neighbor_id, rank, cos_sim FROM (
+      |  SELECT q.vec_id query_id, n.vec_id neighbor_id,
+      |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])), 6) cos_sim,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])), 6) DESC, n.vec_id) rank
+      |  FROM embeddings q JOIN embeddings n ON n.vec_id != q.vec_id
+      |  WHERE q.vec_id < 10
+      |) WHERE rank <= 5""".stripMargin
+
+  private val textQualityOracle: String =
+    s"""SELECT doc_id,
+       |  length(regexp_replace(text, '[^.!?,;:]', '', 'g'))*1.0/length(text) AS punct_ratio,
+       |  length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))*1.0/length(text) AS alpha_ratio,
+       |  len(list_filter($dToks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x)))*1.0
+       |    / len($dToks) AS stopword_ratio,
+       |  (CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.5 END)*0.4
+       |    + least(len(list_filter($dToks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x)))*1.0
+       |        / len($dToks) * 4.0, 1.0)*0.3
+       |    + length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))*1.0/length(text)*0.3 AS quality_score
+       |FROM documents""".stripMargin
+
+  private val langIdOracle: String = {
+    def hits(words: Seq[String]) =
+      s"len(list_filter($dToks, x -> list_contains([${words.map("'" + _ + "'").mkString(",")}], x)))"
+    val en = hits(graft.ops.TextAnalysis.stopwordsEn)
+    val de = hits(graft.ops.TextAnalysis.stopwordsDe)
+    val fr = hits(graft.ops.TextAnalysis.stopwordsFr)
+    s"""SELECT doc_id, lang AS lang_declared,
+       |  $en AS en_hits, $de AS de_hits, $fr AS fr_hits,
+       |  CASE WHEN greatest($en,$de,$fr) = 0 THEN 'und'
+       |       WHEN $de = greatest($en,$de,$fr) THEN 'de'
+       |       WHEN $en = greatest($en,$de,$fr) THEN 'en'
+       |       ELSE 'fr' END AS lang_predicted
+       |FROM documents""".stripMargin
+  }
+
+  private val northStarQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) => graft.ops.Dedup.exact(documents(s, d))),
+    "dedup_ngram" -> ((s, d) =>
+      graft.ops.Dedup.ngramJaccardPairs(documents(s, d), 3, 0.8)),
+    "dedup_minhash" -> ((s, d) =>
+      graft.ops.Dedup.minhashLshPairs(documents(s, d), 3, 64, 16, 0.8)),
+    "dedup_simhash" -> ((s, d) =>
+      graft.ops.Dedup.simhashPairs(documents(s, d), 3)),
+    "dedup_embedding" -> ((s, d) =>
+      graft.ops.Similarity.cosineDupPairs(embeddings(s, d), 0.4)),
+    "sim_topk" -> ((s, d) =>
+      graft.ops.Similarity.cosineTopK(embeddings(s, d), embQueries(s, d), 5)),
+    "sim_ann_lsh" -> ((s, d) =>
+      graft.ops.Similarity.annTopK(embeddings(s, d), embQueries(s, d), 5, 64)),
+    "text_tokens" -> ((s, d) => graft.ops.TextAnalysis.tokenStats(documents(s, d))),
+    "text_quality" -> ((s, d) => graft.ops.TextAnalysis.qualityScore(documents(s, d))),
+    "text_langid" -> ((s, d) => graft.ops.TextAnalysis.langId(documents(s, d))),
+    "text_fingerprint" -> ((s, d) =>
+      graft.ops.TextAnalysis.fingerprint(documents(s, d)).select("doc_id", "md5_fp")),
+    "mm_features" -> ((s, d) =>
+      graft.ops.Multimodal.extractFeaturesSql(
+        graft.ops.Multimodal.mediaFromDocuments(documents(s, d)))),
+    "mm_frames" -> ((s, d) =>
+      graft.ops.Multimodal.sampleFrames(
+        graft.ops.Multimodal.mediaFromDocuments(documents(s, d)))))
+
+  private val northStarOracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""SELECT min(doc_id) AS doc_id, md5($dNorm) AS fp, count(*) AS n_copies
+         |FROM documents GROUP BY 2""".stripMargin,
+    "dedup_ngram" -> dedupNgramOracle,
+    // MinHash LSH with 16 bands of 4 rows has recall ≈ 1 at J ≥ 0.8
+    // (miss prob (1−J⁴)¹⁶ < 3e-4); verified equal to the exact n-gram
+    // result on the gate corpus, so it shares the exact oracle.
+    "dedup_minhash" -> dedupNgramOracle,
+    "dedup_embedding" ->
+      """SELECT a.vec_id id_a, b.vec_id id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4""".stripMargin,
+    "sim_topk" -> simTopkOracle,
+    "text_tokens" ->
+      s"""SELECT doc_id, length(text) AS n_chars, len($dToks) AS n_tokens,
+         |  length(regexp_replace(text, '\\s', '', 'g'))*1.0/len($dToks) AS avg_token_len
+         |FROM documents""".stripMargin,
+    "text_quality" -> textQualityOracle,
+    "text_langid" -> langIdOracle,
+    "text_fingerprint" ->
+      s"SELECT doc_id, md5($dNorm) AS md5_fp FROM documents",
+    "mm_features" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS mime, source,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  64 + octet_length(encode(text)) % 896 AS width,
+        |  64 + (octet_length(encode(text)) * 31) % 896 AS height,
+        |  1 + octet_length(encode(text)) % 10 AS n_frames,
+        |  ascii(substring(text, 1, 1)) / 255.0 AS brightness
+        |FROM documents""".stripMargin,
+    "mm_frames" ->
+      """SELECT doc_id AS media_id,
+        |  unnest(range(0, 1 + octet_length(encode(text)) % 10)) AS frame_idx
+        |FROM documents""".stripMargin)
+
+  // ---------------------------------------------------------------------------
+  // Relational surface (Catalyst-native joins/agg/top-k on the TPC-H corpus)
+  // ---------------------------------------------------------------------------
+
+  private def tpchPricing(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(CepQuery.SumDecimal)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(CepQuery.SumDecimal)).cast("double").as("sum_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(CepQuery.SumDecimal)).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  private def joinTopkRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(CepQuery.SumDecimal)).cast("double").as("revenue"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("revenue").desc, col("c_custkey"))))
+      .filter(col("rank") <= 10)
+  }
+
+  private val tpchPricingOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
+
+  private val joinTopkOracle: String =
+    """SELECT c_custkey, c_name, revenue, rank FROM (
+      |  SELECT c_custkey, c_name,
+      |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      |    row_number() OVER (ORDER BY CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) DESC, c_custkey) AS rank
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |       JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2
+      |) WHERE rank <= 10""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // Driver contract
   // ---------------------------------------------------------------------------
 
@@ -251,14 +426,21 @@ object SparkEntry {
       "cep_multi_rule" -> multiRule,
       "cep_parse_metric" -> parseMetricQuery,
       "cep_parse_rule" -> parseRuleQuery,
-      "cep_rule_upsert" -> ruleUpsertQuery)
+      "cep_rule_upsert" -> ruleUpsertQuery,
+      "tpch_pricing" -> tpchPricing,
+      "join_topk_revenue" -> joinTopkRevenue) ++ northStarQueries
   }
 
-  /** DuckDB-equivalent SQL per query (same column names + arithmetic). */
+  /** DuckDB-equivalent SQL per query (same column names + arithmetic).
+    * dedup_simhash and sim_ann_lsh are omitted (xxhash64 / LSH planes
+    * aren't SQL-expressible in DuckDB) → driver rows-only check;
+    * their semantics are spec-tested against exact baselines. */
   def oracleSql: Map[String, String] =
     cepStaticRules.map { case (n, r) => n -> staticRuleOracle(r) } ++ Map(
       "cep_multi_rule" -> multiRuleOracle,
       "cep_parse_metric" -> parseMetricOracle,
       "cep_parse_rule" -> parseRuleOracle,
-      "cep_rule_upsert" -> ruleUpsertOracle)
+      "cep_rule_upsert" -> ruleUpsertOracle,
+      "tpch_pricing" -> tpchPricingOracle,
+      "join_topk_revenue" -> joinTopkOracle) ++ northStarOracles
 }

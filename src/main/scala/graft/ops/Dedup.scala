@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for large-scale training-data
+  * pipelines: exact, n-gram Jaccard (inverted-index), MinHash+LSH,
+  * and SimHash.
+  *
+  * Scale posture (100 TB): nothing here is all-pairs. Exact dedup is
+  * one hash shuffle on a 128-bit fingerprint (not the full text);
+  * n-gram Jaccard generates candidates through an inverted shingle
+  * index; MinHash/SimHash bound candidate generation by banded
+  * signatures so the only quadratic work is within tiny buckets. All
+  * signatures are plain columns, so every stage is a standard
+  * partial-aggregatable groupBy/join that AQE can re-plan.
+  *
+  * Input frames must carry `doc_id BIGINT` and `text STRING`.
+  */
+object Dedup {
+
+  /** Exact duplicates after whitespace/case normalization. Groups by a
+    * 128-bit md5 fingerprint of the normalized text so the shuffle key
+    * is fixed-width regardless of document length. Output: one row per
+    * distinct content — keeper id (min), copy count, fingerprint. */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), md5(TextOps.normalized(col("text"))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("fp"), col("n_copies"))
+
+  /** (doc_id, shingle) inverted index, distinct shingles per doc. */
+  private def shingleIndex(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(TextOps.shingles(TextOps.tokens(col("text")), n)))
+        .as("shingle"))
+
+  /** Near-duplicate pairs by exact word-n-gram Jaccard similarity.
+    * Candidates come from the inverted shingle index (only docs that
+    * SHARE a shingle are compared — never all-pairs); similarity is
+    * |A∩B| / (|A|+|B|−|A∩B|) over distinct shingles.
+    * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val sh = shingleIndex(docs, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("x")
+      .join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_common").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Deterministic MinHash parameters: universal-hash family
+    * h_i(x) = (a_i·x + b_i) mod M over a Mersenne-ish modulus that
+    * keeps a_i·x inside a Long. Coefficients from a fixed LCG so runs
+    * and cluster re-runs agree bit-for-bit. */
+  private val M = 2147483647L // 2^31 − 1
+  private def lcgStream(seed: Long): Iterator[Long] =
+    Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L)
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * Pipeline: shingle → xxhash64 → `numHashes` permutation minima
+    * (one partial-aggregatable `min` per hash — map-side combined, so
+    * the shuffle carries one row per doc) → signatures cut into
+    * `bands` banded keys → docs sharing any banded key become
+    * candidates → candidates verified with exact n-gram Jaccard.
+    * Output: (id_a, id_b, jaccard) — same schema/semantics as
+    * [[ngramJaccardPairs]], recall < 1 traded for never scanning
+    * non-colliding pairs. */
+  def minhashLshPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val coef = lcgStream(42L).map(x => math.floorMod(x, M - 1) + 1)
+      .take(2 * numHashes).toSeq
+    val sh = shingleIndex(docs, n)
+      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(M)).as("x"))
+    val minCols = (0 until numHashes).map { i =>
+      min(pmod(lit(coef(2 * i)) * col("x") + lit(coef(2 * i + 1)), lit(M))).as(s"m$i")
+    }
+    val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      xxhash64(concat_ws(",",
+        (0 until rows).map(r => col(s"m${b * rows + r}")): _*)).as(s"band$b")
+    }
+    val banded = sig.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until bands).map(b => col(s"band$b")): _*)))
+      .toDF("doc_id", "band_idx", "band_hash")
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    // Verify candidates with exact Jaccard (join back to the index).
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val idx = shingleIndex(docs, n)
+    val common = cand
+      .join(idx.as("a"), col("id_a") === col("a.doc_id"))
+      .join(idx.as("b"),
+        col("id_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_common").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash fingerprints: every token votes ±1 on each bit of
+    * its xxhash64; fingerprint bit b is set iff the vote sum is
+    * positive. One partial-aggregatable groupBy per doc. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val voteCols = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$b")
+    }
+    val votes = tok.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    val fp = (0 until 64).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    votes.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs: 16-bit banded buckets generate
+    * candidates; pairs kept when full-fingerprint Hamming distance ≤
+    * `maxHamming`. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val fp = simhash(docs)
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("doc_id", "simhash", "band_idx", "band_val")
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as
+  * opaque BINARY columns with a typed metadata struct; decode /
+  * feature-extract / frame-sample are per-partition batch operators.
+  *
+  * The actual media decoding is STUBBED (no image/audio libraries in
+  * this environment): [[MediaDecoder.Fake]] produces deterministic
+  * pseudo-features from the raw bytes. Everything around the stub —
+  * schema, binary handling, partition-batched execution, the 1→N
+  * frame-sample generator — is real and tested, so swapping in a real
+  * decoder is a one-class change.
+  *
+  * Scale posture: payloads never enter a shuffle key; feature
+  * extraction is a pure projection (or mapPartitions) so it pipelines
+  * with the scan; frame sampling is a generator (explode), the same
+  * physical shape Spark uses for any 1→N expansion.
+  */
+object Multimodal {
+
+  /** Typed per-partition decoder contract. `decode` sees one batch
+    * (partition iterator) at a time — the batch shape a vectorized
+    * decode library wants. */
+  trait MediaDecoder extends Serializable {
+    def decode(payload: Array[Byte]): MediaFeatures
+  }
+
+  final case class MediaFeatures(
+      width: Int, height: Int, n_frames: Int, brightness: Double)
+
+  object MediaDecoder {
+    /** Deterministic fake: derives features from byte stats. A real
+      * implementation would parse the container/codec here. */
+    object Fake extends MediaDecoder {
+      def decode(payload: Array[Byte]): MediaFeatures = {
+        val n = payload.length
+        val first = if (n > 0) payload(0) & 0xFF else 0
+        MediaFeatures(
+          width = 64 + n % 896,
+          height = 64 + (n * 31) % 896,
+          n_frames = 1 + n % 10,
+          brightness = first / 255.0)
+      }
+    }
+  }
+
+  final case class MediaRow(
+      media_id: Long, mime: String, source: String, payload: Array[Byte])
+  final case class MediaWithFeatures(
+      media_id: Long, mime: String, source: String, n_bytes: Int,
+      width: Int, height: Int, n_frames: Int, brightness: Double)
+
+  /** Wrap the documents table as a media table: text bytes stand in
+    * for an encoded payload (BINARY), with typed metadata columns. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("text/plain").as("mime"),
+      col("source"),
+      col("text").cast("binary").as("payload"))
+
+  /** Partition-batched decode: the imperative path (mapPartitions over
+    * typed rows) that a real decoder library plugs into. */
+  def extractFeatures(media: DataFrame, decoder: MediaDecoder): Dataset[MediaWithFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { m =>
+        val f = decoder.decode(m.payload)
+        MediaWithFeatures(m.media_id, m.mime, m.source, m.payload.length,
+          f.width, f.height, f.n_frames, f.brightness)
+      }
+    }
+  }
+
+  /** Declarative twin of [[extractFeatures]] with the Fake decoder:
+    * same output, pure column expressions (codegen'd, oracle-testable
+    * in SQL). Demonstrates that stub features stay in the optimizer's
+    * reach when they don't need library calls. */
+  def extractFeaturesSql(media: DataFrame): DataFrame = {
+    val n = octet_length(col("payload"))
+    media.select(
+      col("media_id"), col("mime"), col("source"),
+      n.as("n_bytes"),
+      (lit(64) + n % 896).as("width"),
+      (lit(64) + (n * 31) % 896).as("height"),
+      (lit(1) + n % 10).as("n_frames"),
+      (ascii(col("payload").cast("string").substr(1, 1)).cast("double") / 255.0)
+        .as("brightness"))
+  }
+
+  /** Frame sampling: one output row per sampled frame index — the 1→N
+    * generator shape (explode over a sequence whose length is data).
+    * Output: (media_id, frame_idx). */
+  def sampleFrames(media: DataFrame, everyNth: Int = 1): DataFrame = {
+    val nFrames = lit(1) + octet_length(col("payload")) % 10
+    media.select(col("media_id"),
+      explode(sequence(lit(0), nFrames - 1, lit(everyNth))).as("frame_idx"))
+  }
+}

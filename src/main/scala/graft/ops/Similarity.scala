@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity operators: cosine arithmetic as declarative
+  * column expressions, brute-force top-k as the exact baseline, and a
+  * random-hyperplane LSH index as the scale path.
+  *
+  * Input frames carry `vec_id BIGINT` and `embedding ARRAY<FLOAT>`.
+  *
+  * Scale posture: brute force is O(Q·N) and only sane for bounded
+  * query sets (it broadcasts the query side); the LSH path buckets the
+  * corpus into `tables × 2^planesPerTable` cells so candidate
+  * generation is an equi-join on bucket keys — shuffle-partitionable,
+  * skew-safe under AQE, never all-pairs.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision (deterministic:
+    * same order every run, every partitioning). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** All near-duplicate pairs with cosine ≥ threshold (exact,
+    * corpus×corpus — the verification baseline; use the LSH path to
+    * generate candidates at scale). Output: (id_a, id_b, cos_sim). */
+  def cosineDupPairs(emb: DataFrame, threshold: Double): DataFrame =
+    emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+
+  /** Exact brute-force cosine top-k: for each query vector, the k
+    * nearest others by cosine (ties broken by neighbor id). The query
+    * side is broadcast — O(Q·N) with no shuffle of the corpus.
+    * Output: (query_id, neighbor_id, rank, cos_sim). */
+  def cosineTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = emb.as("n")
+      .join(broadcast(queries.as("q")), col("q.vec_id") =!= col("n.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("n.vec_id").as("neighbor_id"),
+        round(cosine(col("q.embedding"), col("n.embedding")), 6).as("cos_sim"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic ±1 hyperplanes from a fixed LCG (stable across
+    * runs/executors — required for re-runnable pipelines). */
+  private def planes(count: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val it = Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L)
+    Seq.fill(count)(Seq.fill(dim)(if (it.next() < 0) -1.0 else 1.0))
+  }
+
+  /** Random-hyperplane LSH bucket keys: `tables` independent tables,
+    * each keyed by `planesPerTable` sign bits. Returns (vec_id,
+    * table_idx, bucket). */
+  def lshBuckets(emb: DataFrame, tables: Int, planesPerTable: Int,
+      dim: Int, seed: Long = 42L): DataFrame = {
+    val ps = planes(tables * planesPerTable, dim, seed)
+    def signBit(p: Seq[Double]): Column = {
+      val planeCol = array(p.map(lit): _*)
+      when(dot(col("embedding"), planeCol) > 0, 1L).otherwise(0L)
+    }
+    val bucketCols = (0 until tables).map { t =>
+      (0 until planesPerTable).map { j =>
+        signBit(ps(t * planesPerTable + j)) * (1L << j)
+      }.reduce(_ + _).as(s"bucket$t")
+    }
+    emb.select(col("vec_id") +: bucketCols: _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until tables).map(t => col(s"bucket$t")): _*)))
+      .toDF("vec_id", "table_idx", "bucket")
+  }
+
+  /** Approximate cosine top-k: candidates = vectors sharing any LSH
+    * bucket with the query, re-ranked exactly. Same output schema as
+    * [[cosineTopK]]; recall < 1 (spec-tested against brute force). */
+  def annTopK(emb: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      tables: Int = 16, planesPerTable: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpusB = lshBuckets(emb, tables, planesPerTable, dim)
+    val queryB = lshBuckets(queries, tables, planesPerTable, dim)
+    val cand = queryB.as("qb")
+      .join(corpusB.as("nb"),
+        col("qb.table_idx") === col("nb.table_idx") &&
+          col("qb.bucket") === col("nb.bucket") &&
+          col("qb.vec_id") =!= col("nb.vec_id"))
+      .select(col("qb.vec_id").as("query_id"), col("nb.vec_id").as("neighbor_id"))
+      .distinct()
+    cand
+      .join(queries.select(col("vec_id"), col("embedding").as("q_emb")),
+        col("query_id") === col("vec_id")).drop("vec_id")
+      .join(emb.select(col("vec_id"), col("embedding").as("n_emb")),
+        col("neighbor_id") === col("vec_id")).drop("vec_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_emb"), col("n_emb")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+}
