@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.sqrt
+import org.apache.spark.sql.graft.VecDotColumns
+
+/** Public column-function surface for graft's native Catalyst
+  * expressions (implementations under org.apache.spark.sql.graft). */
+package object functions {
+  object VecMath {
+    /** Dot product of two float/double array columns (codegen'd —
+      * see [[org.apache.spark.sql.graft.VecDot]]). */
+    def vec_dot(a: Column, b: Column): Column = VecDotColumns.vecDot(a, b)
+
+    /** L2 norm of an array column. */
+    def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
+  }
+}

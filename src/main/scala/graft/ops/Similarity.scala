@@ -18,22 +18,32 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Sequential-fold dot product in double precision (deterministic:
-    * same order every run, every partitioning). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    * same order every run, every partitioning). Backed by the native
+    * codegen'd [[graft.functions.VecDot]] expression — bit-identical
+    * to `aggregate(zip_with(...))` but a primitive loop inside
+    * WholeStageCodegen instead of per-element lambda interpretation. */
+  def dot(a: Column, b: Column): Column = graft.functions.VecMath.vec_dot(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** (vec_id, embedding, norm): L2 norm computed ONCE per vector, so
+    * pairwise stages do one dot per pair instead of three. */
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      graft.functions.VecMath.vec_norm(col("embedding")).as("norm"))
+
   /** All near-duplicate pairs with cosine ≥ threshold (exact,
     * corpus×corpus — the verification baseline; use the LSH path to
     * generate candidates at scale). Output: (id_a, id_b, cos_sim). */
-  def cosineDupPairs(emb: DataFrame, threshold: Double): DataFrame =
-    emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+  def cosineDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val e = withNorm(emb)
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
+        round(dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.norm") * col("b.norm")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+  }
 
   /** Exact brute-force cosine top-k: for each query vector, the k
     * nearest others by cosine (ties broken by neighbor id). The query
@@ -41,10 +51,12 @@ object Similarity {
     * Output: (query_id, neighbor_id, rank, cos_sim). */
   def cosineTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = emb.as("n")
-      .join(broadcast(queries.as("q")), col("q.vec_id") =!= col("n.vec_id"))
+    val scored = withNorm(emb).as("n")
+      .join(broadcast(withNorm(queries).as("q")),
+        col("q.vec_id") =!= col("n.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("n.vec_id").as("neighbor_id"),
-        round(cosine(col("q.embedding"), col("n.embedding")), 6).as("cos_sim"))
+        round(dot(col("q.embedding"), col("n.embedding")) /
+          (col("q.norm") * col("n.norm")), 6).as("cos_sim"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
@@ -95,13 +107,16 @@ object Similarity {
           col("qb.vec_id") =!= col("nb.vec_id"))
       .select(col("qb.vec_id").as("query_id"), col("nb.vec_id").as("neighbor_id"))
       .distinct()
+    val qn = withNorm(queries)
+    val nn = withNorm(emb)
     cand
-      .join(queries.select(col("vec_id"), col("embedding").as("q_emb")),
-        col("query_id") === col("vec_id")).drop("vec_id")
-      .join(emb.select(col("vec_id"), col("embedding").as("n_emb")),
-        col("neighbor_id") === col("vec_id")).drop("vec_id")
+      .join(qn.select(col("vec_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm")), col("query_id") === col("vec_id")).drop("vec_id")
+      .join(nn.select(col("vec_id"), col("embedding").as("n_emb"),
+        col("norm").as("n_norm")), col("neighbor_id") === col("vec_id")).drop("vec_id")
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("q_emb"), col("n_emb")), 6).as("cos_sim"))
+        round(dot(col("q_emb"), col("n_emb")) /
+          (col("q_norm") * col("n_norm")), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cos_sim").desc, col("neighbor_id"))))
