@@ -30,11 +30,33 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("fp"), col("n_copies"))
 
-  /** (doc_id, shingle) inverted index, distinct shingles per doc. */
+  /** (doc_id, shingle) inverted index, distinct shingles per doc.
+    *
+    * Tokens are materialized in their own projection so the regex
+    * `split` runs once per document — inlining it into the shingle
+    * lambda re-evaluates the split at every shingle position (~tokens×
+    * slower). The input is first hash-repartitioned by doc_id: text
+    * corpora often arrive as few large files, and shingling is the
+    * CPU-dense stage, so it must be spread across all cores/executors
+    * rather than inherit the file-split parallelism; downstream
+    * per-doc window counts reuse this exact partitioning (no second
+    * shuffle). */
   private def shingleIndex(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"),
-      explode(array_distinct(TextOps.shingles(TextOps.tokens(col("text")), n)))
-        .as("shingle"))
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.shingles(col("toks"), n))).as("shingle"))
+
+  /** Inverted index with the per-doc distinct-shingle count attached to
+    * every row (window count over the already-doc_id-partitioned index:
+    * sort-only, shuffle-free). Carrying n_sh through the candidate join
+    * removes the two size-lookup joins — and their full re-shingling
+    * branches — from the pair pipeline. */
+  private def shingleIndexWithSize(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    shingleIndex(docs, n)
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+  }
 
   /** Near-duplicate pairs by exact word-n-gram Jaccard similarity.
     * Candidates come from the inverted shingle index (only docs that
@@ -42,19 +64,16 @@ object Dedup {
     * |A∩B| / (|A|+|B|−|A∩B|) over distinct shingles.
     * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold. */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val sh = shingleIndex(docs, n)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = sh.as("x")
+    val sh = shingleIndexWithSize(docs, n)
+    sh.as("x")
       .join(sh.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .agg(count(lit(1)).as("n_common"),
+        first(col("x.n_sh")).as("n_a"), first(col("y.n_sh")).as("n_b"))
       .select(col("id_a"), col("id_b"),
         (col("n_common").cast("double") /
-          (col("sa.n_sh") + col("sb.n_sh") - col("n_common"))).as("jaccard"))
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -107,21 +126,19 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    // Verify candidates with exact Jaccard (join back to the index).
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val idx = shingleIndex(docs, n)
-    val common = cand
+    // Verify candidates with exact Jaccard (join back to the index;
+    // n_sh rides on the index rows — no separate size branches).
+    val idx = shingleIndexWithSize(docs, n)
+    cand
       .join(idx.as("a"), col("id_a") === col("a.doc_id"))
       .join(idx.as("b"),
         col("id_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .agg(count(lit(1)).as("n_common"),
+        first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"))
       .select(col("id_a"), col("id_b"),
         (col("n_common").cast("double") /
-          (col("sa.n_sh") + col("sb.n_sh") - col("n_common"))).as("jaccard"))
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -129,8 +146,8 @@ object Dedup {
     * its xxhash64; fingerprint bit b is set iff the vote sum is
     * positive. One partial-aggregatable groupBy per doc. */
   def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-      explode(TextOps.tokens(col("text"))).as("token"))
+    val tok = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
       .withColumn("h", xxhash64(col("token")))
     val voteCols = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
