@@ -306,6 +306,8 @@ object SparkEntry {
       graft.ops.Dedup.minhashLshPairs(documents(s, d), 3, 64, 16, 0.8)),
     "dedup_simhash" -> ((s, d) =>
       graft.ops.Dedup.simhashPairs(documents(s, d), 3)),
+    "dedup_fingerprint" -> ((s, d) =>
+      graft.ops.Dedup.fingerprintPairs(documents(s, d))),
     "dedup_embedding" -> ((s, d) =>
       graft.ops.Similarity.cosineDupPairs(embeddings(s, d), 0.4)),
     "sim_topk" -> ((s, d) =>
@@ -339,10 +341,13 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4""".stripMargin,
     "sim_topk" -> simTopkOracle,
-    "text_tokens" ->
+    "text_tokens" -> {
+      val bpeSql = graft.ops.TextAnalysis.bpePattern.replace("'", "''")
       s"""SELECT doc_id, length(text) AS n_chars, len($dToks) AS n_tokens,
+         |  len(regexp_extract_all(text, '$bpeSql')) AS n_bpe_tokens,
          |  length(regexp_replace(text, '\\s', '', 'g'))*1.0/len($dToks) AS avg_token_len
-         |FROM documents""".stripMargin,
+         |FROM documents""".stripMargin
+    },
     "text_quality" -> textQualityOracle,
     "text_langid" -> langIdOracle,
     "text_fingerprint" ->

@@ -160,6 +160,36 @@ object Dedup {
     votes.select(col("doc_id"), fp.as("simhash"))
   }
 
+  /** Near-duplicate pairs by winnowed rolling-hash fingerprint overlap
+    * (MOSS-style): docs sharing any fingerprint become candidates via
+    * an inverted fingerprint index (never all-pairs); a pair is kept
+    * when the containment  |FP(a) ∩ FP(b)| / min(|FP(a)|,|FP(b)|)  is
+    * ≥ `threshold`. Robust to local edits (any shared run of
+    * `window + winnow − 1` normalized chars guarantees a shared
+    * print). Output: (id_a, id_b, containment) with id_a < id_b. */
+  def fingerprintPairs(
+      docs: DataFrame,
+      window: Int = 16,
+      winnow: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.rolling_fingerprint(
+          TextOps.normalized(col("text")), window, winnow))).as("fp"))
+      .withColumn("n_fp", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    fp.as("x")
+      .join(fp.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        first(col("x.n_fp")).as("n_a"), first(col("y.n_fp")).as("n_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_shared").cast("double") / least(col("n_a"), col("n_b")))
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** SimHash near-duplicate pairs: 16-bit banded buckets generate
     * candidates; pairs kept when full-fingerprint Hamming distance ≤
     * `maxHamming`. */

@@ -9,13 +9,23 @@ import org.apache.spark.sql.functions._
   * shuffles, fully codegen'd. */
 object TextAnalysis {
 
-  /** Token/char statistics per document. */
+  /** BPE-style pre-tokenizer regex (GPT-2 shape, minus the lookahead so
+    * Java regex and RE2/DuckDB agree): contractions, space-prefixed
+    * letter runs, digit runs, punctuation runs, whitespace runs. Counts
+    * from this pattern track BPE token counts closely enough for
+    * length-based curation without shipping a vocab. */
+  val bpePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+"
+
+  /** Token/char statistics per document (whitespace tokens + BPE-ish
+    * regex token count). */
   def tokenStats(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     docs.select(
       col("doc_id"),
       char_length(col("text")).as("n_chars"),
       size(toks).as("n_tokens"),
+      regexp_count(col("text"), lit(bpePattern)).as("n_bpe_tokens"),
       (char_length(regexp_replace(col("text"), "\\s", ""))
         .cast("double") / size(toks)).as("avg_token_len"))
   }
@@ -67,11 +77,15 @@ object TextAnalysis {
         .otherwise("fr").as("lang_predicted"))
   }
 
-  /** Content fingerprints: md5 of the normalized text (128-bit, hex)
-    * plus xxhash64 (cheap 64-bit engine-side key). */
-  def fingerprint(docs: DataFrame): DataFrame =
+  /** Content fingerprints: md5 of the normalized text (128-bit, hex),
+    * xxhash64 (cheap 64-bit engine-side key), and winnowed rolling-hash
+    * fingerprints (ARRAY<BIGINT>, MOSS scheme — robust to local edits,
+    * powers [[Dedup.fingerprintPairs]]). */
+  def fingerprint(docs: DataFrame, window: Int = 16, winnow: Int = 8): DataFrame =
     docs.select(
       col("doc_id"),
       md5(TextOps.normalized(col("text"))).as("md5_fp"),
-      xxhash64(TextOps.normalized(col("text"))).as("xx_fp"))
+      xxhash64(TextOps.normalized(col("text"))).as("xx_fp"),
+      graft.functions.rolling_fingerprint(
+        TextOps.normalized(col("text")), window, winnow).as("rolling_fp"))
 }

@@ -82,4 +82,51 @@ class OpsSpec extends AnyFunSuite {
       .filter(col("count") =!= col("n_frames"))
     assert(joined.count() == 0)
   }
+
+  test("rolling fingerprint: winnowing guarantee — shared run of window+winnow-1 chars shares a print") {
+    val w = 16; val k = 8
+    val shared = "z" * 0 + "the quick brown fox jumps over it" // 33 >= w+k-1=23
+    val df = Seq(
+      (1L, s"AAAA unrelated prefix $shared"),
+      (2L, s"$shared totally different suffix BBBB"),
+      (3L, "no overlap with the others at all, none whatsoever"))
+      .toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+      graft.functions.rolling_fingerprint(lower(col("text")), w, k).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1).toSet.intersect(fps(2).toSet).nonEmpty)
+    assert(fps(1).toSet.intersect(fps(3).toSet).isEmpty)
+    // winnowing compresses: far fewer prints than grams
+    assert(fps(1).size < fps(1).distinct.size + 40)
+  }
+
+  test("rolling fingerprint: identical text yields identical prints; short text hashes whole string") {
+    val df = Seq((1L, "same content here"), (2L, "same content here"), (3L, "tiny"))
+      .toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+      graft.functions.rolling_fingerprint(col("text"), 16, 8).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1) == fps(2))
+    assert(fps(3).size == 1) // "tiny" < window -> single whole-string hash
+  }
+
+  test("fingerprintPairs finds planted near-duplicate (shared majority substring)") {
+    val core = "spark structured streaming window aggregation over event time with watermarks"
+    val df = Seq(
+      (1L, s"$core plus a small suffix"),
+      (2L, s"prefix then $core"),
+      (3L, "completely different document about nothing relevant at all"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.fingerprintPairs(df, 16, 8, 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("bpe-ish token count: sane bounds vs whitespace tokens") {
+    val stats = TextAnalysis.tokenStats(docs)
+    val bad = stats.filter(col("n_bpe_tokens") < col("n_tokens") ||
+      col("n_bpe_tokens") > col("n_chars"))
+    assert(bad.count() == 0)
+  }
 }
