@@ -314,6 +314,8 @@ object SparkEntry {
       graft.ops.Similarity.cosineTopK(embeddings(s, d), embQueries(s, d), 5)),
     "sim_ann_lsh" -> ((s, d) =>
       graft.ops.Similarity.annTopK(embeddings(s, d), embQueries(s, d), 5, 64)),
+    "sim_ann_ivf" -> ((s, d) =>
+      graft.ops.Similarity.ivfTopK(embeddings(s, d), embQueries(s, d), 5)),
     "text_tokens" -> ((s, d) => graft.ops.TextAnalysis.tokenStats(documents(s, d))),
     "text_quality" -> ((s, d) => graft.ops.TextAnalysis.qualityScore(documents(s, d))),
     "text_langid" -> ((s, d) => graft.ops.TextAnalysis.langId(documents(s, d))),

@@ -64,6 +64,104 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  // -------------------------------------------------------------------------
+  // IVF (inverted-file) index: spherical k-means coarse quantizer.
+  // -------------------------------------------------------------------------
+
+  /** Train `nClusters` spherical k-means centroids over the corpus.
+    *
+    * Deterministic: init = the `nClusters` vectors with the smallest
+    * xxhash64(vec_id) (a seeded, order-free sample); each Lloyd
+    * iteration assigns by max dot against broadcast centroids and
+    * recomputes per-dimension means via a (cluster, dim) partial-agg
+    * groupBy — the only shuffle, k×dim keys, independent of corpus
+    * size. The model (k×dim doubles) is collected to the driver: it is
+    * an index artifact, not a data path.
+    *
+    * Vectors are unit-normalized first, so max-dot = max-cosine and
+    * centroid means are renormalized (spherical k-means). */
+  def trainIvfCentroids(
+      emb: DataFrame, nClusters: Int, iters: Int = 3): Array[Array[Double]] = {
+    val unit = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => x.cast("double") / graft.functions.VecMath.vec_norm(col("embedding")))
+        .as("e"))
+    var centroids: Array[Array[Double]] = unit
+      .orderBy(xxhash64(col("vec_id").cast("string")))
+      .limit(nClusters)
+      .select(col("e")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    (1 to iters).foreach { _ =>
+      val assigned = unit.withColumn("cid", nearestCentroid(col("e"), centroids))
+      val means = assigned
+        .select(col("cid"), posexplode(col("e")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim")).agg(avg(col("x")).as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        byCluster.get(c) match {
+          case Some(rows) =>
+            val v = new Array[Double](rows.length)
+            rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+            val n = math.sqrt(v.map(x => x * x).sum)
+            if (n > 0) v.map(_ / n) else centroids(c)
+          case None => centroids(c) // empty cluster keeps its centroid
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  /** Index of the nearest centroid by dot product (vectors should be
+    * unit-normalized). Ties break toward the lower cluster id. */
+  private def nearestCentroid(unitVec: Column, centroids: Array[Array[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(dot(unitVec, array(c.map(lit).toIndexedSeq: _*)).as("d"),
+        lit(-i).as("negid"))
+    }
+    -array_max(array(scored.toIndexedSeq: _*)).getField("negid")
+  }
+
+  /** IVF approximate cosine top-k: corpus vectors are bucketed by
+    * nearest centroid; each query probes its `nProbe` closest clusters
+    * and exactly re-ranks only those buckets. Candidate generation is
+    * an equi-join on cluster id — shuffle-partitionable, never
+    * all-pairs; expected work per query is `nProbe/nClusters` of the
+    * corpus. Same output schema as [[cosineTopK]]; recall < 1
+    * (spec-tested against brute force). */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
+      nClusters: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = trainIvfCentroids(emb, nClusters, iters)
+    def unitized(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
+      transform(col("embedding"),
+        x => x.cast("double") / graft.functions.VecMath.vec_norm(col("embedding")))
+        .as("e"))
+    val corpus = unitized(emb)
+      .withColumn("cid", nearestCentroid(col("e"), centroids))
+      .drop("e")
+    // nProbe nearest centroids per query: k small, so rank centroid
+    // dots in an array expression and explode the top slice.
+    val probeCols = centroids.zipWithIndex.map { case (c, i) =>
+      struct(dot(col("e"), array(c.map(lit).toIndexedSeq: _*)).as("d"),
+        lit(i).as("cid"))
+    }
+    val probed = unitized(queries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(slice(reverse(array_sort(array(probeCols.toIndexedSeq: _*))),
+          1, nProbe).getField("cid")).as("cid"))
+    val qn = graft.functions.VecMath.vec_norm(col("q_emb"))
+    val nn = graft.functions.VecMath.vec_norm(col("embedding"))
+    probed.join(corpus, Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("q_emb"), col("embedding")) / (qn * nn), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic ±1 hyperplanes from a fixed LCG (stable across
     * runs/executors — required for re-runnable pipelines). */
   private def planes(count: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {

@@ -63,6 +63,16 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"ann recall $recall")
   }
 
+  test("IVF top-k achieves >=0.6 recall@5 against brute force") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 5, nClusters = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"ivf recall $recall")
+  }
+
   test("multimodal: imperative (mapPartitions+decoder) equals declarative twin") {
     val media = Multimodal.mediaFromDocuments(docs)
     val imp = Multimodal.extractFeatures(media, Multimodal.MediaDecoder.Fake)
