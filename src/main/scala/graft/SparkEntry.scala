@@ -63,6 +63,23 @@ object SparkEntry {
     "cep_min_global_eq" ->
       rule(8, WindowType.Global, 0, 0, Seq("t_type"), AggType.Min, CmpOp.Eq, 0.01))
 
+  /** First-event-aligned tumbling rule (reference alignment semantics,
+    * TumblingWindowAssigner.java:22-46): windows tile from each group's
+    * earliest event rather than the epoch. */
+  private val firstAlignedRule =
+    rule(9, WindowType.Tumbling, 360, 0, Seq("t_type"), AggType.Sum, CmpOp.Gt, 800.0)
+
+  private val firstAlignedOracle: String = {
+    val w = firstAlignedRule.windowMillis
+    s"""WITH g AS (SELECT event_type, epoch_ms(ts) AS ms, value,
+       |  min(epoch_ms(ts)) OVER (PARTITION BY event_type) AS t0 FROM events)
+       |SELECT event_type AS t_type,
+       |  make_timestamp((t0 + ((ms-t0)//$w)*$w)*1000) AS window_start,
+       |  make_timestamp((t0 + ((ms-t0)//$w)*$w + $w)*1000) AS window_end,
+       |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS result
+       |FROM g GROUP BY 1, 2, 3 HAVING result > 800.0""".stripMargin
+  }
+
   /** DuckDB oracle for one static rule (mirrors CepQuery.planRule). */
   private def staticRuleOracle(r: Rule): String = {
     val keyExprs = r.groupingKeyNames.map {
@@ -430,6 +447,8 @@ object SparkEntry {
         CepQuery.planRule(metricsFrame(s, dir), r))
     }
     statics ++ Map[String, (SparkSession, String) => DataFrame](
+      "cep_sum_tumbling_first_aligned" -> ((s, dir) =>
+        CepQuery.planRuleFirstAligned(metricsFrame(s, dir), firstAlignedRule)),
       "cep_multi_rule" -> multiRule,
       "cep_parse_metric" -> parseMetricQuery,
       "cep_parse_rule" -> parseRuleQuery,
@@ -444,6 +463,7 @@ object SparkEntry {
     * their semantics are spec-tested against exact baselines. */
   def oracleSql: Map[String, String] =
     cepStaticRules.map { case (n, r) => n -> staticRuleOracle(r) } ++ Map(
+      "cep_sum_tumbling_first_aligned" -> firstAlignedOracle,
       "cep_multi_rule" -> multiRuleOracle,
       "cep_parse_metric" -> parseMetricOracle,
       "cep_parse_rule" -> parseRuleOracle,

@@ -116,6 +116,46 @@ object CepQuery {
       lit(rule.limit.underlying)))
   }
 
+  /** One rule → first-event-aligned tumbling windows — the reference's
+    * exact alignment (TumblingWindowAssigner.java:22-46: windows start
+    * at the group's earliest event time and tile forward in W steps),
+    * where [[planRule]] uses Spark's epoch-aligned `window()` (declared
+    * deviation, SURVEY §7.4 #3).
+    *
+    * Declarative two-phase plan: per-group `min(eventTime)` via a
+    * window function, then arithmetic bucketing — so it stays
+    * oracle-testable and codegen'd. Costs one extra shuffle (the
+    * partition-by for the running min) over the epoch-aligned plan;
+    * both shuffles hash on the same grouping keys, so at scale the
+    * second is a cheap re-use of an already co-located layout. */
+  def planRuleFirstAligned(metricFrame: DataFrame, rule: Rule): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rule.windowType == WindowType.Tumbling,
+      "first-event alignment applies to tumbling windows")
+    val stateOk = rule.ruleState == RuleState.Active
+    val matched = metricFrame.filter(
+      lit(stateOk) &&
+        forall(array(rule.groupingKeyNames.map(lit): _*),
+          k => map_contains_key(col("tags"), k)))
+    val keyCols = rule.groupingKeyNames.map(k => element_at(col("tags"), k).as(k))
+    val keyNames = rule.groupingKeyNames.map(col)
+    val w = rule.windowMillis
+    val prepared = matched
+      .select(keyCols :+ unix_millis(col("eventTime")).as("ev_ms")
+        :+ measure(rule.aggregateFieldName).as("v"): _*)
+      .withColumn("t0", min(col("ev_ms")).over(Window.partitionBy(keyNames: _*)))
+      .withColumn("ws_ms",
+        col("t0") + floor((col("ev_ms") - col("t0")) / w) * w)
+    prepared
+      .groupBy(keyNames :+ col("ws_ms"): _*)
+      .agg(aggColumn(rule.aggregatorFunctionType, col("v")).as("result"))
+      .withColumn("window_start", timestamp_millis(col("ws_ms")))
+      .withColumn("window_end", timestamp_millis(col("ws_ms") + w))
+      .drop("ws_ms")
+      .filter(cmpColumn(rule.limitOperatorType, col("result"),
+        lit(rule.limit.underlying)))
+  }
+
   /** N rules → ONE pass: broadcast theta-join fan-out + arithmetic
     * windows + CASE-dispatched agg and comparator.
     *

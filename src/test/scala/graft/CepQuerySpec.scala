@@ -57,6 +57,20 @@ class CepQuerySpec extends AnyFunSuite {
     assert(byStart == Map((boundary - 120000L) -> 1.0, boundary -> 2.0))
   }
 
+  test("first-event-aligned tumbling matches TumblingWindowAssignerTest vectors: [1, 240001) then [240001, 480001)") {
+    // Reference vectors (TumblingWindowAssignerTest.java:17-59): 4-min
+    // window, first event at t=1 → window [1, 240001); event at
+    // t=240001 opens [240001, 480001).
+    val frame = metricFrame(Seq((1L, "g", 5), (2L, "g", 7), (240001L, "g", 3)))
+    val r = Rule(1, RuleState.Active, WindowType.Tumbling, 4, 0,
+      Seq("t_group"), AggType.Sum, "cpu_usage", CmpOp.Ge, BigDecimal(0))
+    val out = CepQuery.planRuleFirstAligned(frame, r)
+      .select(unix_millis(col("window_start")), unix_millis(col("window_end")),
+        col("result"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 240001L, 12.0), (240001L, 480001L, 3.0)))
+  }
+
   test("WindowTest vectors: SUM(5,7)=12 and AVG(5,7)=6 (global window)") {
     val frame = metricFrame(Seq((1L, "g", 5), (5L, "g", 7)))
     val sumR = CepQuery.planRule(frame,
