@@ -1,0 +1,189 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.model._
+
+/** Per-event, per-(rule,group) stateful window engine on
+  * `flatMapGroupsWithState` — the faithful rebuild of the reference's
+  * imperative processing model (reference: engine/CEPEngine.java:36-64:
+  * one `WindowAssigner` per groupId owning open windows;
+  * engine/window/Window.java:40-47: per-event fold into running
+  * aggregates; engine/trigger: fire + evict when a window's time
+  * passes).
+  *
+  * The declarative plans in [[graft.cep.CepQuery]] are the scale
+  * default — Catalyst optimizes them and the state store handles the
+  * windows. This operator exists for the semantics the declarative
+  * path cannot express per-event:
+  *
+  *  - **emission timing**: results emit exactly when the watermark
+  *    passes a window's end (append-style finality per window), not on
+  *    every update;
+  *  - **late-data drop**: an event for an already-closed window is
+  *    silently discarded — the reference's observable behavior
+  *    (SURVEY §2.3 "late data": re-created windows never re-fire);
+  *  - **global windows never emit** here, exactly like the reference
+  *    (its AllWindow trigger can never fire, SURVEY §2.4 #5) — use the
+  *    declarative path in update mode for correct global results.
+  *
+  * State per key is bounded: one (sum, count, min, max) quadruple per
+  * OPEN window — never the raw events (AVG divides sum by count, so no
+  * `originValues` buffer; the reference's unbounded TreeMap leak,
+  * SURVEY §2.4 #1, is structurally impossible here). Keys are
+  * (rule_id, group values), identical to the reference's
+  * `keyBy(groupId)` partitioning.
+  */
+object StatefulCep {
+
+  /** One fanned-out event: metric × matched rule (the output of the
+    * broadcast rule-match join, CepQuery.planAll steps 1-2).
+    * `eventTime` carries the watermark into the stateful operator
+    * (Spark's event-time-timeout check requires the watermarked column
+    * to reach it); `ev_ms` is its millisecond twin for arithmetic. */
+  final case class CepEvent(
+      rule_id: Int, group_id: String, eventTime: java.sql.Timestamp,
+      ev_ms: Long, v: Double,
+      window_type: String, w_ms: Long, s_ms: Long,
+      agg_type: String, cmp_op: String, limit: Double)
+
+  /** Running aggregate of one open window. */
+  final case class WindowAgg(
+      ws_ms: Long, sum: Double, cnt: Long, mn: Double, mx: Double)
+
+  /** Open windows of one (rule, group) key, plus the rule's constant
+    * parameters (needed on timeout invocations, which carry no
+    * events). `closedBelow` is the eviction frontier: windows ending
+    * at or below it have fired and must never be re-created
+    * (late-data drop). */
+  final case class KeyState(
+      w_ms: Long, agg_type: String, cmp_op: String, limit: Double,
+      windows: List[WindowAgg], closedBelow: Long)
+
+  /** Emitted result row (same shape as CepQuery.planAll output). */
+  final case class CepResult(
+      rule_id: Int, group_id: String, window_start: Long, window_end: Long,
+      result: Double)
+
+  /** Window starts covering `ev_ms` (arithmetic twin of the reference's
+    * assigners, epoch-aligned per SURVEY §7.4 #3). */
+  private[streaming] def windowStarts(e: CepEvent): Seq[Long] = e.window_type match {
+    case "tumbling" => Seq(Math.floorDiv(e.ev_ms, e.w_ms) * e.w_ms)
+    case "sliding" =>
+      val n = (e.w_ms / e.s_ms).toInt
+      val top = Math.floorDiv(e.ev_ms, e.s_ms) * e.s_ms
+      (0 until n).map(i => top - i.toLong * e.s_ms)
+    case _ => Seq.empty // global: never windows, never fires (see Scaladoc)
+  }
+
+  private def fold(w: WindowAgg, v: Double): WindowAgg =
+    WindowAgg(w.ws_ms, w.sum + v, w.cnt + 1, math.min(w.mn, v), math.max(w.mx, v))
+
+  private def result(aggType: String, w: WindowAgg): Double = aggType match {
+    case "SUM" => w.sum
+    case "AVG" => w.sum / w.cnt
+    case "MIN" => w.mn
+    case _ => w.mx
+  }
+
+  private def passes(cmp: String, r: Double, limit: Double): Boolean = cmp match {
+    case ">" => r > limit
+    case "<" => r < limit
+    case ">=" => r >= limit
+    case "<=" => r <= limit
+    case "=" => r == limit
+    case _ => r != limit
+  }
+
+  private[streaming] def processKey(
+      key: (Int, String),
+      events: Iterator[CepEvent],
+      state: GroupState[KeyState]): Iterator[CepResult] = {
+    // 0 = "no watermark yet"; real event times dwarf it, so a plain
+    // <=/> comparison does the right thing in every phase.
+    val wm = state.getCurrentWatermarkMs()
+    var st = state.getOption.orNull
+
+    // 1. Fold new events into open windows (reference Window.receive,
+    //    Window.java:40-47). Late events — window end at or below the
+    //    watermark or the eviction frontier — are silently dropped,
+    //    the reference's observable late-data behavior (SURVEY §2.3).
+    events.foreach { e =>
+      if (st == null)
+        st = KeyState(e.w_ms, e.agg_type, e.cmp_op, e.limit, Nil, Long.MinValue)
+      windowStarts(e).foreach { ws =>
+        val we = ws + e.w_ms
+        if (we > st.closedBelow && we > wm) {
+          val updated = st.windows.find(_.ws_ms == ws) match {
+            case Some(w) => fold(w, e.v) :: st.windows.filterNot(_.ws_ms == ws)
+            case None => WindowAgg(ws, e.v, 1, e.v, e.v) :: st.windows
+          }
+          st = st.copy(windows = updated)
+        }
+      }
+    }
+    if (st == null) { state.remove(); return Iterator.empty }
+
+    // 2. Fire every window whose end the watermark has passed
+    //    (reference Trigger.trigger + evict, Trigger.java:14-19), in
+    //    window order; apply the threshold (HAVING) at fire time.
+    val (toFire, open) = st.windows.partition(w => w.ws_ms + st.w_ms <= wm)
+    val out = for {
+      w <- toFire.sortBy(_.ws_ms)
+      r = result(st.agg_type, w)
+      if passes(st.cmp_op, r, st.limit)
+    } yield CepResult(key._1, key._2, w.ws_ms, w.ws_ms + st.w_ms, r)
+    val closedBelow =
+      if (toFire.isEmpty) st.closedBelow
+      else math.max(st.closedBelow, toFire.map(_.ws_ms + st.w_ms).max)
+
+    // 3. Keep only open windows; wake up when the earliest can fire.
+    if (open.isEmpty) {
+      state.remove()
+    } else {
+      state.update(st.copy(windows = open, closedBelow = closedBelow))
+      state.setTimeoutTimestamp(open.map(_.ws_ms + st.w_ms).min)
+    }
+    out.iterator
+  }
+
+  /** Metric frame × rule frame → fanned-out [[CepEvent]] columns: the
+    * broadcast rule-match theta-join (CepQuery.planAll steps 1-2) with
+    * the watermark applied on `eventTime` BEFORE the join, so the
+    * event-time timeout sees it. */
+  def fanOut(metricFrame: DataFrame, ruleFrame: DataFrame,
+      watermarkDelay: String = "0 seconds"): DataFrame =
+    metricFrame
+      .join(broadcast(ruleFrame),
+        graft.cep.CepQuery.matchPredicate(
+          col("rule_state"), col("grouping_key_names"), col("tags")))
+      .select(
+        col("rule_id"),
+        concat_ws("_", col("rule_id").cast("string"),
+          transform(col("grouping_key_names"), k => element_at(col("tags"), k)))
+          .as("group_id"),
+        col("eventTime"),
+        unix_millis(col("eventTime")).as("ev_ms"),
+        element_at(col("metrics"), col("agg_field")).as("v"),
+        col("window_type"),
+        (col("window_minutes").cast("long") * 60000L).as("w_ms"),
+        (col("window_slide_minute").cast("long") * 60000L).as("s_ms"),
+        col("agg_type"), col("cmp_op"), col("limit"))
+      .withWatermark("eventTime", watermarkDelay)
+
+  /** Wire the stateful engine over a fanned-out event stream.
+    * `fannedOut` must be watermarked on an `eventTime` timestamp column
+    * and carry the [[CepEvent]] columns. Output mode: Append. */
+  def run(fannedOut: DataFrame): Dataset[CepResult] = {
+    implicit val eEnc = Encoders.product[CepEvent]
+    implicit val sEnc = Encoders.product[KeyState]
+    implicit val rEnc = Encoders.product[CepResult]
+    implicit val kEnc = Encoders.tuple(Encoders.scalaInt, Encoders.STRING)
+    fannedOut
+      .as[CepEvent]
+      .groupByKey(e => (e.rule_id, e.group_id))
+      .flatMapGroupsWithState[KeyState, CepResult](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(processKey)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cep.Metrics
+import graft.model._
+import graft.streaming.StatefulCep
+
+/** Per-event stateful engine (flatMapGroupsWithState): windows emit
+  * exactly once when the watermark passes their end, late events are
+  * silently dropped (the reference's observable behavior), and results
+  * agree with the declarative batch plan on closed windows. */
+case class StatefulCepEv(ms: Long, g: String, cpu: Int)
+
+class StatefulCepSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val t0 = 1650557501028L
+  private type Ev = StatefulCepEv
+  private val Ev = StatefulCepEv
+
+  private def toMetricFrame(df: DataFrame): DataFrame =
+    df.select(
+      timestamp_millis(col("ms")).as("eventTime"),
+      map(lit("t_group"), col("g")).as("tags"),
+      map(lit("cpu_usage"), col("cpu").cast("double")).as("metrics"))
+
+  private val demoRule = Rule(1, RuleState.Active, WindowType.Tumbling, 2, 0,
+    Seq("t_group"), AggType.Sum, "cpu_usage", CmpOp.Gt, BigDecimal(11))
+
+  test("stateful engine: watermark-driven exactly-once window emission + late-data drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val rules = Metrics.rulesToDF(spark, Seq(demoRule))
+    val out = StatefulCep.run(StatefulCep.fanOut(toMetricFrame(mem.toDF()), rules))
+    val q = out.writeStream.format("memory").queryName("stateful_cep")
+      .outputMode("append").start()
+    try {
+      // Batch 1: six demo events inside one 2-minute window.
+      mem.addData(
+        Ev(t0, "business", 9), Ev(t0 + 1000, "work", 1), Ev(t0 + 2000, "business", 2),
+        Ev(t0 + 3000, "work", 5), Ev(t0 + 4000, "business", 5), Ev(t0 + 5000, "work", 10))
+      q.processAllAvailable()
+      assert(spark.table("stateful_cep").count() == 0) // window still open
+
+      // Batch 2: an event 10 minutes later advances the watermark past
+      // the first window's end -> both groups fire exactly once.
+      mem.addData(Ev(t0 + 600000, "business", 1))
+      q.processAllAvailable()
+      val fired = spark.table("stateful_cep")
+        .select("group_id", "result").as[(String, Double)].collect().toMap
+      assert(fired == Map("1_business" -> 16.0, "1_work" -> 16.0))
+
+      // Batch 3: a LATE event for the already-fired window — silently
+      // dropped, no re-emission, no new row.
+      mem.addData(Ev(t0 + 6000, "business", 100))
+      q.processAllAvailable()
+      assert(spark.table("stateful_cep").count() == 2)
+    } finally q.stop()
+  }
+
+  test("stateful engine agrees with the declarative batch plan on closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val events = Seq(
+      Ev(t0, "a", 3), Ev(t0 + 30000, "a", 12), Ev(t0 + 50000, "b", 20),
+      Ev(t0 + 130000, "a", 7), Ev(t0 + 140000, "b", 5))
+    val rule = demoRule.copy(limitOperatorType = CmpOp.Gt, limit = BigDecimal(-1))
+    val rules = Metrics.rulesToDF(spark, Seq(rule))
+    val out = StatefulCep.run(StatefulCep.fanOut(toMetricFrame(mem.toDF()), rules))
+    val q = out.writeStream.format("memory").queryName("stateful_parity")
+      .outputMode("append").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      mem.addData(Ev(t0 + 3600000, "a", 0)) // advance watermark far ahead
+      q.processAllAvailable()
+      val streamed = spark.table("stateful_parity")
+        .select("group_id", "window_start", "result")
+        .as[(String, Long, Double)].collect().toSet
+      val batch = graft.cep.CepQuery.planAll(
+        toMetricFrame(events.toDF()), rules)
+        .select(col("group_id"), unix_millis(col("window_start")), col("result"))
+        .as[(String, Long, Double)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
