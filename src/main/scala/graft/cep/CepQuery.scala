@@ -197,7 +197,13 @@ object CepQuery {
           sequence(lit(0L), floor(col("w_ms") / col("s_ms")).cast("long") - 1L),
           i => floor(col("ev_ms") / col("s_ms")) * col("s_ms") - i * col("s_ms")))
       .otherwise(array(lit(null).cast("long"))))
-      .withColumn("ws_ms", explode(col("ws_ms")))
+      // explode_outer, deliberately: plain explode makes the optimizer
+      // infer a `size(ws_ms) > 0` filter and push the whole window-array
+      // CASE expression into the broadcast join condition, evaluating it
+      // twice per (metric, rule) pair. The arrays here are never empty
+      // (every branch yields >= 1 element), so outer semantics are
+      // identical and the join condition stays just the rule match.
+      .withColumn("ws_ms", explode_outer(col("ws_ms")))
 
     // 4. One hash aggregation — the single shuffle of the whole plan,
     //    keyed exactly like the reference's keyBy(groupId). Rule
