@@ -68,7 +68,7 @@ object StatefulCep {
 
   /** Window starts covering `ev_ms` (arithmetic twin of the reference's
     * assigners, epoch-aligned per SURVEY §7.4 #3). */
-  private[streaming] def windowStarts(e: CepEvent): Seq[Long] = e.window_type match {
+  private[graft] def windowStarts(e: CepEvent): Seq[Long] = e.window_type match {
     case "tumbling" => Seq(Math.floorDiv(e.ev_ms, e.w_ms) * e.w_ms)
     case "sliding" =>
       val n = (e.w_ms / e.s_ms).toInt
@@ -96,7 +96,7 @@ object StatefulCep {
     case _ => r != limit
   }
 
-  private[streaming] def processKey(
+  private[graft] def processKey(
       key: (Int, String),
       events: Iterator[CepEvent],
       state: GroupState[KeyState]): Iterator[CepResult] = {
@@ -149,9 +149,10 @@ object StatefulCep {
   }
 
   /** Metric frame × rule frame → fanned-out [[CepEvent]] columns: the
-    * broadcast rule-match theta-join (CepQuery.planAll steps 1-2) with
-    * the watermark applied on `eventTime` BEFORE the join, so the
-    * event-time timeout sees it. */
+    * broadcast rule-match theta-join (CepQuery.planAll steps 1-2). The
+    * watermark is applied on the retained `eventTime` column AFTER the
+    * projection, so the event-time-timeout check finds the watermarked
+    * attribute in the stateful operator's input. */
   def fanOut(metricFrame: DataFrame, ruleFrame: DataFrame,
       watermarkDelay: String = "0 seconds"): DataFrame =
     metricFrame

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import graft.streaming.StatefulCep
+import graft.streaming.StatefulCep.CepEvent
+
+/** Property-based window-assignment laws (SURVEY §5 test plan): the
+  * arithmetic window assigner used by the one-pass plan and the
+  * stateful engine must satisfy, for every (event time, width, slide):
+  *
+  *  - membership: every assigned window half-open-contains the event;
+  *  - tumbling uniqueness: exactly ONE window, aligned to the width;
+  *  - sliding coverage: exactly W/S windows, consecutive, S apart —
+  *    the reference's fan-out multiplicity (SlidingWindowAssigner);
+  *  - global: no windows (the unbounded bucket is handled separately).
+  */
+object WindowLawsSpec extends Properties("WindowLaws") {
+
+  private def ev(ms: Long, wt: String, wMin: Long, sMin: Long): CepEvent =
+    CepEvent(1, "g", new java.sql.Timestamp(ms), ms, 1.0,
+      wt, wMin * 60000L, sMin * 60000L, "SUM", ">", 0.0)
+
+  private val tsGen = Gen.choose(0L, 4102444800000L) // 1970..2100
+  private val minutesGen = Gen.choose(1L, 10080L)    // 1 min .. 1 week
+
+  property("tumbling: one aligned half-open window containing the event") =
+    forAll(tsGen, minutesGen) { (ms: Long, wMin: Long) =>
+      val e = ev(ms, "tumbling", wMin, 0)
+      val ws = StatefulCep.windowStarts(e)
+      Prop(ws.size == 1) :| "exactly one window" &&
+        Prop(ws.head % e.w_ms == 0) :| "width-aligned" &&
+        Prop(ws.head <= ms && ms < ws.head + e.w_ms) :| "half-open membership"
+    }
+
+  private val slideGen = for {
+    s <- Gen.choose(1L, 120L)
+    k <- Gen.choose(1L, 16L) // W = k*S keeps the reference's W/S integrality
+  } yield (s, k * s)
+
+  property("sliding: exactly W/S slide-aligned windows, S apart, all containing the event") =
+    forAll(tsGen, slideGen) { (ms: Long, p: (Long, Long)) =>
+      val (sMin, wMin) = p
+      val e = ev(ms, "sliding", wMin, sMin)
+      val ws = StatefulCep.windowStarts(e)
+      Prop(ws.size == (e.w_ms / e.s_ms).toInt) :| "W/S multiplicity" &&
+        Prop(ws.forall(s => s <= ms && ms < s + e.w_ms)) :| "membership" &&
+        Prop(ws.sliding(2).forall {
+          case Seq(a, b) => a - b == e.s_ms
+          case _ => true
+        }) :| "consecutive, S apart" &&
+        Prop(ws.forall(s => math.floorMod(s, e.s_ms) == 0)) :| "slide-aligned"
+    }
+
+  property("global: no arithmetic windows") =
+    forAll(tsGen) { (ms: Long) =>
+      StatefulCep.windowStarts(ev(ms, "global", 0, 0)).isEmpty
+    }
+}
