@@ -81,6 +81,48 @@ class StreamingEngineSpec extends AnyFunSuite {
     control.stop(); engine.shutdown()
   }
 
+  test("window state survives a rule pause/resume via the per-rule checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val mem = MemoryStream[Ev]
+    val book = new RuleBook
+    val engine = new StreamingEngine(
+      spark, () => toMetricFrame(mem.toDF()), book,
+      StreamingEngine.SinkConfig(
+        format = "parquet", outputMode = "append",
+        checkpointRoot = Some(s"$tmp/ckpt"), pathRoot = Some(s"$tmp/out")))
+    val row = graft.cep.Metrics.toRow(demoRule)
+
+    // Phase 1: rule active, first half of window A arrives (sum so far
+    // would NOT pass the >11 threshold on its own: 9+1+2 per group? no —
+    // business 9+2=11, work 1+5=6; neither passes without phase 2).
+    book.applyChanges(Seq(row))
+    engine.sync()
+    mem.addData(Ev(t0, "business", 9), Ev(t0 + 1000, "work", 1),
+      Ev(t0 + 2000, "business", 2), Ev(t0 + 3000, "work", 5))
+    engine.awaitQuiescence()
+
+    // Pause: query stops, checkpoint (offsets + window state) remains.
+    book.applyChanges(Seq(row.copy(rule_state = "PAUSE")))
+    engine.sync()
+    assert(engine.runningRuleIds.isEmpty)
+
+    // Resume: same checkpoint dir -> continues where it left off. The
+    // second half of window A plus a far-future event to close it.
+    book.applyChanges(Seq(row.copy(rule_state = "ACTIVE")))
+    engine.sync()
+    mem.addData(Ev(t0 + 4000, "business", 5), Ev(t0 + 5000, "work", 10),
+      Ev(t0 + 600000, "business", 1))
+    engine.awaitQuiescence()
+    engine.shutdown()
+
+    // Both groups must total 16 — phase-1 events counted exactly once,
+    // which requires the pre-pause window state to have survived.
+    val out = spark.read.parquet(s"$tmp/out/cep_rule_1")
+      .select("t_group", "result").as[(String, Double)].collect().toMap
+    assert(out == Map("business" -> 16.0, "work" -> 16.0))
+  }
+
   test("one-pass streaming snapshot plan (planAll) runs in update mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
