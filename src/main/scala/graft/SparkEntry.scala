@@ -409,9 +409,15 @@ object SparkEntry {
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
         .cast(CepQuery.SumDecimal)).cast("double").as("revenue"))
+      // Distributed top-k: orderBy+limit plans as TakeOrderedAndProject
+      // (each partition keeps its top 10, the driver merges 10×P rows).
+      // A bare row_number() over an unpartitioned window would instead
+      // sort ALL customers in one task. Rank is then assigned on just
+      // the 10 surviving rows.
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("revenue").desc, col("c_custkey"))))
-      .filter(col("rank") <= 10)
   }
 
   private val tpchPricingOracle: String =
