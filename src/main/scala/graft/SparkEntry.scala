@@ -327,6 +327,8 @@ object SparkEntry {
       graft.ops.Dedup.fingerprintPairs(documents(s, d))),
     "dedup_embedding" -> ((s, d) =>
       graft.ops.Similarity.cosineDupPairs(embeddings(s, d), 0.4)),
+    "dedup_embedding_lsh" -> ((s, d) =>
+      graft.ops.Similarity.lshDupPairs(embeddings(s, d), 0.4, 64)),
     "sim_topk" -> ((s, d) =>
       graft.ops.Similarity.cosineTopK(embeddings(s, d), embQueries(s, d), 5)),
     "sim_ann_lsh" -> ((s, d) =>

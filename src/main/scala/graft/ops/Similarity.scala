@@ -64,6 +64,33 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Near-duplicate pairs with cosine ≥ threshold, at scale: candidate
+    * pairs come from shared random-hyperplane LSH buckets (equi-join on
+    * bucket keys — never all-pairs), then are verified with the exact
+    * cosine. Same output schema as [[cosineDupPairs]]; recall < 1,
+    * rising with `tables` (spec-tested against the exact baseline). */
+  def lshDupPairs(emb: DataFrame, threshold: Double, dim: Int,
+      tables: Int = 16, planesPerTable: Int = 4): DataFrame = {
+    val b = lshBuckets(emb, tables, planesPerTable, dim)
+    val cand = b.as("x")
+      .join(b.as("y"),
+        col("x.table_idx") === col("y.table_idx") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    val e = withNorm(emb)
+    cand
+      .join(e.select(col("vec_id"), col("embedding").as("a_emb"),
+        col("norm").as("a_norm")), col("id_a") === col("vec_id")).drop("vec_id")
+      .join(e.select(col("vec_id"), col("embedding").as("b_emb"),
+        col("norm").as("b_norm")), col("id_b") === col("vec_id")).drop("vec_id")
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("a_emb"), col("b_emb")) /
+          (col("a_norm") * col("b_norm")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   // -------------------------------------------------------------------------
   // IVF (inverted-file) index: spherical k-means coarse quantizer.
   // -------------------------------------------------------------------------

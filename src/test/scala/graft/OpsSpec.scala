@@ -63,6 +63,17 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"ann recall $recall")
   }
 
+  test("LSH dup pairs: every reported pair is exact-verified; recall >=0.6 vs exact at 0.4") {
+    val exact = Similarity.cosineDupPairs(emb, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshDupPairs(emb, 0.4, 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact)) // exact verification: no false positives
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"lsh dup recall $recall over ${exact.size} pairs")
+  }
+
   test("IVF top-k achieves >=0.6 recall@5 against brute force") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.cosineTopK(emb, queries, 5)
