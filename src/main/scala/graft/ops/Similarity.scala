@@ -100,8 +100,9 @@ object Similarity {
     * Deterministic: init = the `nClusters` vectors with the smallest
     * xxhash64(vec_id) (a seeded, order-free sample); each Lloyd
     * iteration assigns by max dot against broadcast centroids and
-    * recomputes per-dimension means via a (cluster, dim) partial-agg
-    * groupBy — the only shuffle, k×dim keys, independent of corpus
+    * recomputes means with the [[graft.functions.VectorAgg.vec_avg]]
+    * partial-aggregatable vector aggregator — the only shuffle carries
+    * ONE (sum-vector, count) buffer per cluster, independent of corpus
     * size. The model (k×dim doubles) is collected to the driver: it is
     * an index artifact, not a data path.
     *
@@ -119,17 +120,16 @@ object Similarity {
       .select(col("e")).collect()
       .map(_.getSeq[Double](0).toArray)
     (1 to iters).foreach { _ =>
-      val assigned = unit.withColumn("cid", nearestCentroid(col("e"), centroids))
-      val means = assigned
-        .select(col("cid"), posexplode(col("e")).as(Seq("dim", "x")))
-        .groupBy(col("cid"), col("dim")).agg(avg(col("x")).as("m"))
+      val means = unit
+        .withColumn("cid", nearestCentroid(col("e"), centroids))
+        .groupBy(col("cid"))
+        .agg(graft.functions.VectorAgg.vec_avg(col("e")).as("m"))
         .collect()
-      val byCluster = means.groupBy(_.getInt(0))
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .toMap
       centroids = centroids.indices.map { c =>
-        byCluster.get(c) match {
-          case Some(rows) =>
-            val v = new Array[Double](rows.length)
-            rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+        means.get(c) match {
+          case Some(v) =>
             val n = math.sqrt(v.map(x => x * x).sum)
             if (n > 0) v.map(_ / n) else centroids(c)
           case None => centroids(c) // empty cluster keeps its centroid

@@ -144,6 +144,20 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("vec_avg aggregator equals the explode-based element-wise mean") {
+    val unit = emb.select(col("vec_id") % 7 as "k",
+      expr("transform(embedding, x -> cast(x as double))").as("e"))
+    val viaAgg = unit.groupBy(col("k"))
+      .agg(graft.functions.VectorAgg.vec_avg(col("e")).as("m"))
+      .select(col("k"), posexplode(col("m")).as(Seq("dim", "m")))
+    val viaExplode = unit
+      .select(col("k"), posexplode(col("e")).as(Seq("dim", "x")))
+      .groupBy(col("k"), col("dim")).agg(avg(col("x")).as("m2"))
+    val joined = viaAgg.join(viaExplode, Seq("k", "dim"))
+      .filter(abs(col("m") - col("m2")) > 1e-12)
+    assert(joined.count() == 0)
+  }
+
   test("bpe-ish token count: sane bounds vs whitespace tokens") {
     val stats = TextAnalysis.tokenStats(docs)
     val bad = stats.filter(col("n_bpe_tokens") < col("n_tokens") ||
