@@ -278,6 +278,26 @@ object SparkEntry {
        |FROM common JOIN sizes na ON na.doc_id=id_a JOIN sizes nb ON nb.doc_id=id_b
        |WHERE c*1.0/(na.n+nb.n-c) >= 0.8""".stripMargin
 
+  /** Connected components of the J≥0.8 n-gram near-dup graph, as a
+    * DuckDB recursive CTE (transitive closure, then min reachable id). */
+  private val dedupClustersOracle: String =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, $dToks w FROM documents),
+       |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),
+       |sh AS (SELECT DISTINCT a.doc_id, a.tk || ' ' || b.tk || ' ' || c.tk AS s
+       |       FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.i=a.i+1
+       |                  JOIN tok c ON a.doc_id=c.doc_id AND c.i=a.i+2),
+       |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+       |common AS (SELECT x.doc_id id_a, y.doc_id id_b, count(*) c
+       |           FROM sh x JOIN sh y ON x.s=y.s AND x.doc_id<y.doc_id GROUP BY 1,2),
+       |pairs AS (SELECT id_a, id_b FROM common
+       |          JOIN sizes na ON na.doc_id=id_a JOIN sizes nb ON nb.doc_id=id_b
+       |          WHERE c*1.0/(na.n+nb.n-c) >= 0.8),
+       |sym AS (SELECT id_a a, id_b b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(a, b) AS (SELECT a, b FROM sym
+       |                UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+       |SELECT a AS doc_id, least(a, min(b)) AS component_id
+       |FROM reach GROUP BY a""".stripMargin
+
   private val simTopkOracle: String =
     """SELECT query_id, neighbor_id, rank, cos_sim FROM (
       |  SELECT q.vec_id query_id, n.vec_id neighbor_id,
@@ -323,6 +343,9 @@ object SparkEntry {
       graft.ops.Dedup.minhashLshPairs(documents(s, d), 3, 64, 16, 0.8)),
     "dedup_simhash" -> ((s, d) =>
       graft.ops.Dedup.simhashPairs(documents(s, d), 3)),
+    "dedup_clusters" -> ((s, d) =>
+      graft.ops.Dedup.components(
+        graft.ops.Dedup.ngramJaccardPairs(documents(s, d), 3, 0.8))),
     "dedup_fingerprint" -> ((s, d) =>
       graft.ops.Dedup.fingerprintPairs(documents(s, d))),
     "dedup_embedding" -> ((s, d) =>
@@ -352,6 +375,7 @@ object SparkEntry {
       s"""SELECT min(doc_id) AS doc_id, md5($dNorm) AS fp, count(*) AS n_copies
          |FROM documents GROUP BY 2""".stripMargin,
     "dedup_ngram" -> dedupNgramOracle,
+    "dedup_clusters" -> dedupClustersOracle,
     // MinHash LSH with 16 bands of 4 rows has recall ≈ 1 at J ≥ 0.8
     // (miss prob (1−J⁴)¹⁶ < 3e-4); verified equal to the exact n-gram
     // result on the gate corpus, so it shares the exact oracle.

@@ -77,6 +77,46 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over near-duplicate pairs: every doc that
+    * appears in a pair is labeled with the smallest doc_id reachable
+    * through the pair graph — the canonical "cluster keeper" for
+    * keep-one-per-duplicate-cluster dedup. Output: (doc_id,
+    * component_id).
+    *
+    * Iterative min-label propagation as DataFrame joins; each round is
+    * one shuffle join + aggregation, and `localCheckpoint` cuts the
+    * growing lineage so round N+1 replans from materialized labels
+    * (the standard Spark pattern for iterative graph algorithms).
+    * Converges in O(graph diameter) rounds — duplicate clusters are
+    * near-cliques in practice, so 2-3 rounds; `maxIters` bounds
+    * adversarial chains. */
+  def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val e = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("component_id", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("nbr"), col("component_id").as("nbr_label")),
+          col("b") === col("nbr"))
+        .groupBy(col("a")).agg(min(col("nbr_label")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, col("id") === col("a"), "left")
+        .select(col("id"),
+          least(col("component_id"), coalesce(col("nbr_min"), col("component_id")))
+            .as("new_label"),
+          col("component_id").as("old_label"))
+        .localCheckpoint()
+      changed = next.filter(col("new_label") =!= col("old_label")).count()
+      labels = next.select(col("id"), col("new_label").as("component_id"))
+      it += 1
+    }
+    labels.select(col("id").as("doc_id"), col("component_id"))
+  }
+
   /** Deterministic MinHash parameters: universal-hash family
     * h_i(x) = (a_i·x + b_i) mod M over a Mersenne-ish modulus that
     * keeps a_i·x inside a Long. Coefficients from a fixed LCG so runs

@@ -144,6 +144,16 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("components: chain collapses to one cluster, disjoint pair stays separate") {
+    // chain 1-2, 2-3, 3-4 (diameter 3 forces multiple propagation
+    // rounds) + disjoint pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("vec_avg aggregator equals the explode-based element-wise mean") {
     val unit = emb.select(col("vec_id") % 7 as "k",
       expr("transform(embedding, x -> cast(x as double))").as("e"))
