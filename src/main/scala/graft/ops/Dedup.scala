@@ -92,7 +92,11 @@ object Dedup {
     * adversarial chains. */
   def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val e = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+    // Materialize the edge list once: every propagation round joins
+    // against it, and without the checkpoint each round would re-derive
+    // the (possibly expensive) pair-generation pipeline behind `pairs`.
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("component_id", col("id"))
       .localCheckpoint()
