@@ -335,6 +335,23 @@ object SparkEntry {
        |FROM documents""".stripMargin
   }
 
+  private val langIdNgramOracle: String = {
+    def score(tris: Seq[String]) = tris.map { t =>
+      val esc = t.replace("'", "''")
+      s"(length($dNorm)-length(replace($dNorm, '$esc', '')))//${t.length}"
+    }.mkString(" + ")
+    val en = score(graft.ops.TextAnalysis.trigramsEn)
+    val de = score(graft.ops.TextAnalysis.trigramsDe)
+    val fr = score(graft.ops.TextAnalysis.trigramsFr)
+    s"""SELECT doc_id, lang AS lang_declared,
+       |  $en AS en_score, $de AS de_score, $fr AS fr_score,
+       |  CASE WHEN greatest($en,$de,$fr) = 0 THEN 'und'
+       |       WHEN $de = greatest($en,$de,$fr) THEN 'de'
+       |       WHEN $en = greatest($en,$de,$fr) THEN 'en'
+       |       ELSE 'fr' END AS lang_predicted
+       |FROM documents""".stripMargin
+  }
+
   private val northStarQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => graft.ops.Dedup.exact(documents(s, d))),
     "dedup_ngram" -> ((s, d) =>
@@ -361,6 +378,8 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => graft.ops.TextAnalysis.tokenStats(documents(s, d))),
     "text_quality" -> ((s, d) => graft.ops.TextAnalysis.qualityScore(documents(s, d))),
     "text_langid" -> ((s, d) => graft.ops.TextAnalysis.langId(documents(s, d))),
+    "text_langid_ngram" -> ((s, d) =>
+      graft.ops.TextAnalysis.langIdNgram(documents(s, d))),
     "text_fingerprint" -> ((s, d) =>
       graft.ops.TextAnalysis.fingerprint(documents(s, d)).select("doc_id", "md5_fp")),
     "mm_features" -> ((s, d) =>
@@ -395,6 +414,7 @@ object SparkEntry {
     },
     "text_quality" -> textQualityOracle,
     "text_langid" -> langIdOracle,
+    "text_langid_ngram" -> langIdNgramOracle,
     "text_fingerprint" ->
       s"SELECT doc_id, md5($dNorm) AS md5_fp FROM documents",
     "mm_features" ->

@@ -77,6 +77,45 @@ object TextAnalysis {
         .otherwise("fr").as("lang_predicted"))
   }
 
+  /** Character-trigram profiles for the n-gram language-ID variant:
+    * high-frequency trigrams (with word-boundary spaces) per language.
+    * Tiny embedded model — the operator shape (per-row scoring against
+    * a constant profile) is the point. */
+  val trigramsEn = Seq("the", " th", "he ", "ing", "and", " an", "nd ",
+    " of", "of ", "ed ", " to", "to ", "er ", " in", "ion")
+  val trigramsDe = Seq("en ", "er ", "ch ", "der", " de", "ie ", "sch",
+    "ein", " ei", "und", " un", "die", " di", "cht", "ung")
+  val trigramsFr = Seq(" de", "de ", "es ", "le ", " le", "ent", "nt ",
+    " la", "la ", "ais", " et", "et ", "que", " qu", "eur")
+
+  /** Occurrences of literal `needle` in `s`: length-delta over replace —
+    * pure codegen'd string arithmetic, no regex, no explode. */
+  private def countOccurrences(s: Column, needle: String): Column =
+    ((char_length(s) - char_length(replace(s, lit(needle), lit("")))) /
+      needle.length).cast("long")
+
+  private def trigramScore(s: Column, tris: Seq[String]): Column =
+    tris.map(countOccurrences(s, _)).reduce(_ + _)
+
+  /** Character-n-gram language ID over {en, de, fr}: score = total
+    * occurrences of each language's high-frequency trigrams in the
+    * normalized text; highest score wins (zero everywhere → "und";
+    * ties break de, en, fr — same order as [[langId]]). */
+  def langIdNgram(docs: DataFrame): DataFrame = {
+    val norm = TextOps.normalized(col("text"))
+    val en = trigramScore(norm, trigramsEn)
+    val de = trigramScore(norm, trigramsDe)
+    val fr = trigramScore(norm, trigramsFr)
+    val best = greatest(en, de, fr)
+    docs.select(
+      col("doc_id"), col("lang").as("lang_declared"),
+      en.as("en_score"), de.as("de_score"), fr.as("fr_score"),
+      when(best === 0, "und")
+        .when(de === best, "de")
+        .when(en === best, "en")
+        .otherwise("fr").as("lang_predicted"))
+  }
+
   /** Content fingerprints: md5 of the normalized text (128-bit, hex),
     * xxhash64 (cheap 64-bit engine-side key), and winnowed rolling-hash
     * fingerprints (ARRAY<BIGINT>, MOSS scheme — robust to local edits,
