@@ -12,12 +12,15 @@ import graft.cep.Metrics.RuleRow
 /** Streaming rebuild semantics: batch/stream parity of the rule plan,
   * and the reference's dynamic rule lifecycle (add / pause / delete at
   * runtime, PartitionEngine.java:54-63) driven through MemoryStream. */
+case class StreamingEv(ms: Long, g: String, cpu: Int)
+
 class StreamingEngineSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
   private val t0 = 1650557501028L
-  private case class Ev(ms: Long, g: String, cpu: Int)
+  private type Ev = StreamingEv
+  private val Ev = StreamingEv
   private val demoEvents = Seq(
     Ev(t0, "business", 9), Ev(t0 + 1000, "work", 1), Ev(t0 + 2000, "business", 2),
     Ev(t0 + 3000, "work", 5), Ev(t0 + 4000, "business", 5), Ev(t0 + 5000, "work", 10))
@@ -121,6 +124,27 @@ class StreamingEngineSpec extends AnyFunSuite {
     val out = spark.read.parquet(s"$tmp/out/cep_rule_1")
       .select("t_group", "result").as[(String, Double)].collect().toMap
     assert(out == Map("business" -> 16.0, "work" -> 16.0))
+  }
+
+  test("file source e2e: JSON-line files -> parseMetrics -> rule query (reference wire format)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_files_").toString
+    // The reference's own sample metric shape (resources/metrics).
+    val lines = demoEvents.map(e =>
+      s"""{"eventTime":${e.ms},"t_group":"${e.g}","cpu_usage":${e.cpu}}""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/part-0.jsonl"),
+      String.join("\n", lines: _*).getBytes)
+    val metricStream = graft.parse.Parsers.parseMetrics(
+      graft.streaming.CepRunner.fileLines(spark, dir))
+    val q = CepQuery.planRule(
+      metricStream.withWatermark("eventTime", "0 seconds"), demoRule)
+      .writeStream.format("memory").queryName("cep_file_src")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    val got = spark.table("cep_file_src")
+      .select("t_group", "result").as[(String, Double)].collect().toMap
+    assert(got == Map("business" -> 16.0, "work" -> 16.0))
+    q.stop()
   }
 
   test("one-pass streaming snapshot plan (planAll) runs in update mode") {
