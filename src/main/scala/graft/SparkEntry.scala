@@ -387,7 +387,13 @@ object SparkEntry {
         graft.ops.Multimodal.mediaFromDocuments(documents(s, d)))),
     "mm_frames" -> ((s, d) =>
       graft.ops.Multimodal.sampleFrames(
-        graft.ops.Multimodal.mediaFromDocuments(documents(s, d)))))
+        graft.ops.Multimodal.mediaFromDocuments(documents(s, d)))),
+    "mm_resize" -> ((s, d) =>
+      graft.ops.Multimodal.resize(
+        graft.ops.Multimodal.mediaFromDocuments(documents(s, d)), 256, 256)
+        .toDF().select(col("media_id"), col("width"), col("height"),
+          col("out_width"), col("out_height"),
+          octet_length(col("payload")).as("out_bytes"))))
 
   private val northStarOracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -425,6 +431,18 @@ object SparkEntry {
         |  1 + octet_length(encode(text)) % 10 AS n_frames,
         |  ascii(substring(text, 1, 1)) / 255.0 AS brightness
         |FROM documents""".stripMargin,
+    "mm_resize" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  octet_length(encode(text)) AS n,
+        |  64 + octet_length(encode(text)) % 896 AS width,
+        |  64 + (octet_length(encode(text)) * 31) % 896 AS height
+        |FROM documents),
+        |s AS (SELECT *, least(1.0, least(256.0/width, 256.0/height)) AS sc FROM m)
+        |SELECT media_id, width, height,
+        |  greatest(1, CAST(round(width*sc) AS INT)) AS out_width,
+        |  greatest(1, CAST(round(height*sc) AS INT)) AS out_height,
+        |  greatest(1, least(CAST(floor(n*sc*sc) AS INT), n)) AS out_bytes
+        |FROM s""".stripMargin,
     "mm_frames" ->
       """SELECT doc_id AS media_id,
         |  unnest(range(0, 1 + octet_length(encode(text)) % 10)) AS frame_idx

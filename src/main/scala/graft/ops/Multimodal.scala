@@ -92,6 +92,37 @@ object Multimodal {
         .as("brightness"))
   }
 
+  final case class ResizedMedia(
+      media_id: Long, width: Int, height: Int,
+      out_width: Int, out_height: Int, payload: Array[Byte])
+
+  /** Resize to fit a bounding box, preserving aspect ratio. The
+    * geometry (output dims from the decoded dims) is exact and
+    * declarative; the pixel work is the stubbed per-partition decoder
+    * path (a real implementation swaps the payload transform). Output
+    * payload here is a deterministic fake: the input truncated
+    * proportionally to the area ratio — enough to test that bytes flow
+    * through mapPartitions untouched by shuffles. */
+  def resize(media: DataFrame, maxW: Int, maxH: Int,
+      decoder: MediaDecoder = MediaDecoder.Fake): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("mime"), col("source"), col("payload"))
+      .as[MediaRow].mapPartitions { it =>
+        it.map { m =>
+          val f = decoder.decode(m.payload)
+          val scale = math.min(1.0,
+            math.min(maxW.toDouble / f.width, maxH.toDouble / f.height))
+          val ow = math.max(1, math.round(f.width * scale).toInt)
+          val oh = math.max(1, math.round(f.height * scale).toInt)
+          val outLen = math.max(1,
+            (m.payload.length * (scale * scale)).toInt.min(m.payload.length))
+          ResizedMedia(m.media_id, f.width, f.height, ow, oh,
+            java.util.Arrays.copyOf(m.payload, outLen))
+        }
+      }
+  }
+
   /** Frame sampling: one output row per sampled frame index — the 1→N
     * generator shape (explode over a sequence whose length is data).
     * Output: (media_id, frame_idx). */
