@@ -51,11 +51,19 @@ object Dedup {
     * every row (window count over the already-doc_id-partitioned index:
     * sort-only, shuffle-free). Carrying n_sh through the candidate join
     * removes the two size-lookup joins — and their full re-shingling
-    * branches — from the pair pipeline. */
+    * branches — from the pair pipeline.
+    *
+    * The result is materialized (`localCheckpoint`): every caller uses
+    * it in 2-3 plan branches (self-join sides, signature derivation),
+    * and without materialization Spark re-runs the whole
+    * tokenize→shingle pipeline per branch. At corpus scale this is the
+    * intermediate you would persist (or write) anyway — shingling is
+    * the CPU-dense stage. */
   private def shingleIndexWithSize(docs: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     shingleIndex(docs, n)
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .localCheckpoint()
   }
 
   /** Near-duplicate pairs by exact word-n-gram Jaccard similarity.
@@ -149,8 +157,10 @@ object Dedup {
     val rows = numHashes / bands
     val coef = lcgStream(42L).map(x => math.floorMod(x, M - 1) + 1)
       .take(2 * numHashes).toSeq
-    val sh = shingleIndex(docs, n)
-      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(M)).as("x"))
+    // ONE materialized shingle index feeds signature generation AND
+    // both sides of the verification join.
+    val idx = shingleIndexWithSize(docs, n)
+    val sh = idx.select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(M)).as("x"))
     val minCols = (0 until numHashes).map { i =>
       min(pmod(lit(coef(2 * i)) * col("x") + lit(coef(2 * i + 1)), lit(M))).as(s"m$i")
     }
@@ -172,7 +182,6 @@ object Dedup {
       .distinct()
     // Verify candidates with exact Jaccard (join back to the index;
     // n_sh rides on the index rows — no separate size branches).
-    val idx = shingleIndexWithSize(docs, n)
     cand
       .join(idx.as("a"), col("id_a") === col("a.doc_id"))
       .join(idx.as("b"),
@@ -222,6 +231,7 @@ object Dedup {
         explode(array_distinct(graft.functions.rolling_fingerprint(
           TextOps.normalized(col("text")), window, winnow))).as("fp"))
       .withColumn("n_fp", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .localCheckpoint() // both self-join sides reuse it
     fp.as("x")
       .join(fp.as("y"),
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
