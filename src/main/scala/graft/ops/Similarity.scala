@@ -71,7 +71,10 @@ object Similarity {
     * rising with `tables` (spec-tested against the exact baseline). */
   def lshDupPairs(emb: DataFrame, threshold: Double, dim: Int,
       tables: Int = 16, planesPerTable: Int = 4): DataFrame = {
-    val b = lshBuckets(emb, tables, planesPerTable, dim)
+    // Materialized once: both self-join sides reuse the bucket frame,
+    // which otherwise re-hashes every vector against all hyperplanes
+    // per side.
+    val b = lshBuckets(emb, tables, planesPerTable, dim).localCheckpoint()
     val cand = b.as("x")
       .join(b.as("y"),
         col("x.table_idx") === col("y.table_idx") &&
