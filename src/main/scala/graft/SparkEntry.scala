@@ -363,6 +363,12 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) =>
       graft.ops.Dedup.components(
         graft.ops.Dedup.ngramJaccardPairs(documents(s, d), 3, 0.8))),
+    "dedup_keep_one" -> ((s, d) => {
+      val docs = documents(s, d)
+      graft.ops.Dedup.keepOnePerCluster(docs,
+        graft.ops.Dedup.ngramJaccardPairs(docs, 3, 0.8))
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
     "dedup_fingerprint" -> ((s, d) =>
       graft.ops.Dedup.fingerprintPairs(documents(s, d))),
     "dedup_embedding" -> ((s, d) =>
@@ -401,6 +407,11 @@ object SparkEntry {
          |FROM documents GROUP BY 2""".stripMargin,
     "dedup_ngram" -> dedupNgramOracle,
     "dedup_clusters" -> dedupClustersOracle,
+    "dedup_keep_one" -> (dedupClustersOracle.replace(
+      "SELECT a AS doc_id, least(a, min(b)) AS component_id\nFROM reach GROUP BY a",
+      """, comp AS (SELECT a AS did, least(a, min(b)) AS cid FROM reach GROUP BY a)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT did FROM comp WHERE cid <> did)""".stripMargin)),
     // MinHash LSH with 16 bands of 4 rows has recall ≈ 1 at J ≥ 0.8
     // (miss prob (1−J⁴)¹⁶ < 3e-4); verified equal to the exact n-gram
     // result on the gate corpus, so it shares the exact oracle.

@@ -129,6 +129,16 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("component_id"))
   }
 
+  /** The dedup decision applied: keep each cluster's keeper (smallest
+    * reachable doc_id) and every document that appears in no pair.
+    * This is the frame a training pipeline actually consumes. */
+  def keepOnePerCluster(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val losers = components(pairs)
+      .filter(col("component_id") =!= col("doc_id"))
+      .select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Deterministic MinHash parameters: universal-hash family
     * h_i(x) = (a_i·x + b_i) mod M over a Mersenne-ish modulus that
     * keeps a_i·x inside a Long. Coefficients from a fixed LCG so runs
