@@ -63,22 +63,33 @@ class StatefulCepSpec extends AnyFunSuite {
   }
 
   test("stateful engine agrees with the declarative batch plan on closed windows") {
+    parityCheck(demoRule.copy(limitOperatorType = CmpOp.Gt, limit = BigDecimal(-1)),
+      "stateful_parity")
+  }
+
+  test("stateful engine sliding-window parity with the batch plan") {
+    parityCheck(
+      Rule(2, RuleState.Active, WindowType.Sliding, 2, 1, Seq("t_group"),
+        AggType.Max, "cpu_usage", CmpOp.Gt, BigDecimal(-1)),
+      "stateful_parity_sliding")
+  }
+
+  private def parityCheck(rule: Rule, table: String): Unit = {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
     val events = Seq(
       Ev(t0, "a", 3), Ev(t0 + 30000, "a", 12), Ev(t0 + 50000, "b", 20),
       Ev(t0 + 130000, "a", 7), Ev(t0 + 140000, "b", 5))
-    val rule = demoRule.copy(limitOperatorType = CmpOp.Gt, limit = BigDecimal(-1))
     val rules = Metrics.rulesToDF(spark, Seq(rule))
     val out = StatefulCep.run(StatefulCep.fanOut(toMetricFrame(mem.toDF()), rules))
-    val q = out.writeStream.format("memory").queryName("stateful_parity")
+    val q = out.writeStream.format("memory").queryName(table)
       .outputMode("append").start()
     try {
       mem.addData(events: _*)
       q.processAllAvailable()
       mem.addData(Ev(t0 + 3600000, "a", 0)) // advance watermark far ahead
       q.processAllAvailable()
-      val streamed = spark.table("stateful_parity")
+      val streamed = spark.table(table)
         .select("group_id", "window_start", "result")
         .as[(String, Long, Double)].collect().toSet
       val batch = graft.cep.CepQuery.planAll(
