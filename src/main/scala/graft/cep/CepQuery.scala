@@ -167,10 +167,18 @@ object CepQuery {
     * reference's `ruleId_tagVal1_tagVal2…` (PartitionEngine.java:72-81).
     */
   def planAll(metricFrame: DataFrame, ruleFrame: DataFrame): DataFrame = {
-    // 1. Rule match: broadcast inner theta-join; 1 metric → N matched copies.
-    val joined = metricFrame.join(
+    // 1. Rule match: broadcast inner theta-join; 1 metric → N matched
+    //    copies. The tag-key array is materialized per METRIC before
+    //    the join — inlining map_keys(tags) into the join condition
+    //    would re-extract (and re-allocate) it per (metric, rule) pair
+    //    in the nested-loop join.
+    val withKeys = metricFrame.withColumn("_tag_keys", map_keys(col("tags")))
+    val joined = withKeys.join(
       broadcast(ruleFrame),
-      matchPredicate(col("rule_state"), col("grouping_key_names"), col("tags")))
+      (col("rule_state") === RuleState.Active.name) &&
+        forall(col("grouping_key_names"),
+          k => array_contains(col("_tag_keys"), k)))
+      .drop("_tag_keys")
 
     // 2. Per-(metric,rule) derived columns: group values, event millis, value.
     val prepared = joined.select(
