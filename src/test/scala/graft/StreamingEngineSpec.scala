@@ -147,6 +147,42 @@ class StreamingEngineSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("socket source e2e: the reference's netcat topology against a real TCP socket") {
+    // Stand-in for `nc -lk 9999 < metrics`: a one-shot server that
+    // writes the demo metric lines to the first client.
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val feeder = new Thread(() => {
+      val sock = server.accept()
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      demoEvents.foreach(e =>
+        out.println(s"""{"eventTime":${e.ms},"t_group":"${e.g}","cpu_usage":${e.cpu}}"""))
+      out.flush()
+      Thread.sleep(60000) // keep the connection open while the query drains
+      sock.close()
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val metricStream = graft.parse.Parsers.parseMetrics(
+      graft.streaming.CepRunner.socketLines(spark, "localhost", port))
+    val q = CepQuery.planRule(metricStream, demoRule)
+      .writeStream.format("memory").queryName("cep_socket_src")
+      .outputMode("update").start()
+    try {
+      // Drain until both groups appear (socket sources deliver
+      // asynchronously; processAllAvailable alone can race the feeder).
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var got = Map.empty[String, Double]
+      while (got.size < 2 && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        got = spark.table("cep_socket_src")
+          .select("t_group", "result").as[(String, Double)].collect().toMap
+        if (got.size < 2) Thread.sleep(200)
+      }
+      assert(got == Map("business" -> 16.0, "work" -> 16.0))
+    } finally { q.stop(); server.close() }
+  }
+
   test("one-pass streaming snapshot plan (planAll) runs in update mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
