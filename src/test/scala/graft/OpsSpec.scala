@@ -168,6 +168,35 @@ class OpsSpec extends AnyFunSuite {
     assert(joined.count() == 0)
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    def cleanup(): Unit = Seq("bkt_orders", "bkt_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        loc.listFiles().foreach(_.delete()); loc.delete()
+      }
+    }
+    cleanup()
+    try {
+      val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+      Bucketing.writeBucketed(o, "bkt_orders", 4, Seq("o_orderkey"))
+      Bucketing.writeBucketed(li, "bkt_lineitem", 4, Seq("o_orderkey"))
+      val joined = Bucketing.coLocatedJoin(spark, "bkt_orders", "bkt_lineitem",
+        Seq("o_orderkey"))
+      joined.count() // force execution so AQE finalizes the plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
+      // and the join is still correct
+      val expected = o.join(li, "o_orderkey").count()
+      assert(joined.count() == expected)
+    } finally cleanup()
+  }
+
   test("bpe-ish token count: sane bounds vs whitespace tokens") {
     val stats = TextAnalysis.tokenStats(docs)
     val bad = stats.filter(col("n_bpe_tokens") < col("n_tokens") ||
