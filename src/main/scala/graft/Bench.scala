@@ -23,20 +23,31 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-    def lap(): Seq[(String, Double)] = queries.map { case (name, fn) =>
+    // A failing query must not bench as fast: its error is carried into
+    // the JSON ("errors" map) instead of being swallowed into a small
+    // elapsed time.
+    def lap(): Seq[(String, Double, Option[String])] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
     lap() // warm-up: JIT, codegen cache, parquet footers
     // Two timed laps, min per query: the shared VM shows sporadic
     // external CPU interference (±10s spikes on sub-2s queries); the
     // min is the faithful engine cost.
-    val results = lap().zip(lap()).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = lap().zip(lap()).map { case ((n, a, e1), (_, b, e2)) =>
+      (n, math.min(a, b), e1.orElse(e2)) }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", " ") + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    if (results.exists(_._3.isDefined)) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
 }

@@ -58,6 +58,11 @@ object SparkEntry {
       rule(5, WindowType.Sliding, 120, 30, Seq("t_type"), AggType.Sum, CmpOp.Gt, 250.0),
     "cep_max_sliding_lt" ->
       rule(6, WindowType.Sliding, 360, 120, Seq("t_type"), AggType.Max, CmpOp.Lt, 300.0),
+    // Non-divisible slide (100 % 30 != 0): events near a slide boundary
+    // are covered by floor(w/s)=3 windows, others by 4 — exercises the
+    // ceil-then-filter window arithmetic end to end.
+    "cep_sum_sliding_nondiv" ->
+      rule(10, WindowType.Sliding, 100, 30, Seq("t_type"), AggType.Sum, CmpOp.Gt, 250.0),
     "cep_avg_global_ne" ->
       rule(7, WindowType.Global, 0, 0, Seq("t_type"), AggType.Avg, CmpOp.Ne, 0.0),
     "cep_min_global_eq" ->
@@ -106,12 +111,16 @@ object SparkEntry {
            |$aggExpr AS result
            |FROM events GROUP BY ${(1 to keyExprs.size + 2).mkString(", ")} $having""".stripMargin
       case WindowType.Sliding =>
-        val w = r.windowMillis; val s = r.slideMillis; val n = w / s - 1
+        // ceil(w/s) candidate starts; the WHERE keeps only windows that
+        // actually cover the event (a no-op when s divides w).
+        val w = r.windowMillis; val s = r.slideMillis
+        val n = (w + s - 1) / s - 1
         s"""SELECT ${keyExprs.mkString(", ")},
            |make_timestamp(((epoch_ms(ts)//$s)-i)*$s*1000) AS window_start,
            |make_timestamp((((epoch_ms(ts)//$s)-i)*$s+$w)*1000) AS window_end,
            |$aggExpr AS result
            |FROM events, generate_series(0, $n) g(i)
+           |WHERE ((epoch_ms(ts)//$s)-i)*$s > epoch_ms(ts) - $w
            |GROUP BY ${(1 to keyExprs.size + 2).mkString(", ")} $having""".stripMargin
     }
   }

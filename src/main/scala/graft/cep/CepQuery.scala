@@ -197,21 +197,32 @@ object CepQuery {
     //    window, starts aligned to s_ms (reference fan-out semantics,
     //    SlidingWindowAssigner.java:23-55, epoch-aligned per SURVEY §7.4);
     //    global → NULL window (single unbounded bucket).
+    // Sliding: ceil(w/s) candidate starts, then drop starts whose
+    // window ends at or before the event (`ws > ev − w`). When s does
+    // not divide w, coverage alternates between floor(w/s) and
+    // floor(w/s)+1 windows per event — a fixed floor(w/s) count loses
+    // rows; the filter is a no-op in the divisible case.
     val windowed = prepared.withColumn("ws_ms",
       when(col("window_type") === WindowType.Tumbling.name,
         array(floor(col("ev_ms") / col("w_ms")) * col("w_ms")))
       .when(col("window_type") === WindowType.Sliding.name,
-        transform(
-          sequence(lit(0L), floor(col("w_ms") / col("s_ms")).cast("long") - 1L),
-          i => floor(col("ev_ms") / col("s_ms")) * col("s_ms") - i * col("s_ms")))
+        filter(
+          transform(
+            sequence(lit(0L),
+              ceil(col("w_ms") / col("s_ms")).cast("long") - 1L),
+            i => floor(col("ev_ms") / col("s_ms")) * col("s_ms") - i * col("s_ms")),
+          ws => ws > col("ev_ms") - col("w_ms")))
       .otherwise(array(lit(null).cast("long"))))
       // explode_outer, deliberately: plain explode makes the optimizer
       // infer a `size(ws_ms) > 0` filter and push the whole window-array
       // CASE expression into the broadcast join condition, evaluating it
-      // twice per (metric, rule) pair. The arrays here are never empty
-      // (every branch yields >= 1 element), so outer semantics are
-      // identical and the join condition stays just the rule match.
+      // twice per (metric, rule) pair. For w ≥ s every branch yields
+      // ≥ 1 element so outer semantics are identical; the filter below
+      // drops the null row a degenerate w < s sliding rule would emit
+      // (an event covered by no window must contribute to no window).
       .withColumn("ws_ms", explode_outer(col("ws_ms")))
+      .filter(col("window_type") =!= WindowType.Sliding.name ||
+        col("ws_ms").isNotNull)
 
     // 4. One hash aggregation — the single shuffle of the whole plan,
     //    keyed exactly like the reference's keyBy(groupId). Rule

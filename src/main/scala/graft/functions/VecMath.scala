@@ -22,9 +22,13 @@ import org.apache.spark.sql.types._
   * double-precision summation order, so results are bit-identical to
   * the higher-order-function spelling on every run and partitioning.
   *
-  * Null handling: null array → null (nullIntolerant); null *elements*
-  * are read as 0.0 (the corpus schema carries none — containsNull is
-  * metadata-only from parquet).
+  * Null handling: null array → null (nullIntolerant); mismatched
+  * lengths → null (same as the zip_with spelling, which pads with null
+  * and poisons the sum — a malformed embedding must not dot to a
+  * plausible finite number). The bit-identical claim is for non-null
+  * *elements*: the loop reads a null element as 0.0, where the
+  * higher-order spelling yields null (the corpus schema carries none —
+  * containsNull is metadata-only from parquet).
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -35,6 +39,9 @@ case class VecDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // Nullable even over non-null inputs: mismatched lengths yield null,
+  // so codegen must own a real isNull slot.
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
   private def elemType(e: Expression): DataType =
@@ -43,7 +50,8 @@ case class VecDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val leftFloat = elemType(left) == FloatType
     val rightFloat = elemType(right) == FloatType
     var s = 0.0
@@ -65,12 +73,16 @@ case class VecDot(left: Expression, right: Expression)
       def get(arr: String, t: DataType) =
         if (t == FloatType) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${get(a, elemType(left))} * ${get(b, elemType(right))};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ${get(a, elemType(left))} * ${get(b, elemType(right))};
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -126,6 +126,13 @@ object Dedup {
       labels = next.select(col("id"), col("new_label").as("component_id"))
       it += 1
     }
+    // Unconverged labels are WRONG labels (split clusters → extra
+    // copies kept downstream); failing loudly beats returning them.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIters rounds " +
+          s"($changed labels still changing); raise maxIters — duplicate " +
+          "chains longer than the iteration bound are present")
     labels.select(col("id").as("doc_id"), col("component_id"))
   }
 

@@ -33,6 +33,16 @@ object Similarity {
     emb.select(col("vec_id"), col("embedding"),
       graft.functions.VecMath.vec_norm(col("embedding")).as("norm"))
 
+  /** (vec_id, embedding, e): unit-normalized double copy of the
+    * embedding. The norm is projected once and referenced inside the
+    * transform lambda — inlining `vec_norm` in the lambda would
+    * recompute the O(dim) norm per element (O(dim²) per row). */
+  private def unitized(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding"),
+        graft.functions.VecMath.vec_norm(col("embedding")).as("nrm"))
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding"), x => x.cast("double") / col("nrm")).as("e"))
+
   /** All near-duplicate pairs with cosine ≥ threshold (exact,
     * corpus×corpus — the verification baseline; use the LSH path to
     * generate candidates at scale). Output: (id_a, id_b, cos_sim). */
@@ -113,10 +123,7 @@ object Similarity {
     * centroid means are renormalized (spherical k-means). */
   def trainIvfCentroids(
       emb: DataFrame, nClusters: Int, iters: Int = 3): Array[Array[Double]] = {
-    val unit = emb.select(col("vec_id"),
-      transform(col("embedding"),
-        x => x.cast("double") / graft.functions.VecMath.vec_norm(col("embedding")))
-        .as("e"))
+    val unit = unitized(emb).drop("embedding")
     var centroids: Array[Array[Double]] = unit
       .orderBy(xxhash64(col("vec_id").cast("string")))
       .limit(nClusters)
@@ -163,10 +170,6 @@ object Similarity {
       nClusters: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val centroids = trainIvfCentroids(emb, nClusters, iters)
-    def unitized(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
-      transform(col("embedding"),
-        x => x.cast("double") / graft.functions.VecMath.vec_norm(col("embedding")))
-        .as("e"))
     val corpus = unitized(emb)
       .withColumn("cid", nearestCentroid(col("e"), centroids))
       .drop("e")

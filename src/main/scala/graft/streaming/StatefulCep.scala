@@ -48,9 +48,14 @@ object StatefulCep {
       window_type: String, w_ms: Long, s_ms: Long,
       agg_type: String, cmp_op: String, limit: Double)
 
-  /** Running aggregate of one open window. */
+  /** Running aggregate of one open window. `sum` is a BigDecimal of
+    * the per-event values rounded to 6 decimal places — exactly
+    * [[graft.cep.CepQuery.SumDecimal]]'s cast-then-sum — so SUM/AVG
+    * are order-independent and bit-equal to the declarative plans
+    * (double accumulation would make threshold comparisons at the
+    * limit boundary fold-order-dependent). */
   final case class WindowAgg(
-      ws_ms: Long, sum: Double, cnt: Long, mn: Double, mx: Double)
+      ws_ms: Long, sum: BigDecimal, cnt: Long, mn: Double, mx: Double)
 
   /** Open windows of one (rule, group) key, plus the rule's constant
     * parameters (needed on timeout invocations, which carry no
@@ -71,18 +76,28 @@ object StatefulCep {
   private[graft] def windowStarts(e: CepEvent): Seq[Long] = e.window_type match {
     case "tumbling" => Seq(Math.floorDiv(e.ev_ms, e.w_ms) * e.w_ms)
     case "sliding" =>
-      val n = (e.w_ms / e.s_ms).toInt
+      // ceil(w/s) candidate starts, then drop those whose window ends
+      // at or before the event: when s does not divide w, events near a
+      // slide boundary are covered by floor(w/s) windows, others by
+      // floor(w/s)+1 — a fixed floor(w/s) count silently loses rows.
+      val n = ((e.w_ms + e.s_ms - 1) / e.s_ms).toInt
       val top = Math.floorDiv(e.ev_ms, e.s_ms) * e.s_ms
-      (0 until n).map(i => top - i.toLong * e.s_ms)
+      (0 until n).map(i => top - i.toLong * e.s_ms).filter(_ > e.ev_ms - e.w_ms)
     case _ => Seq.empty // global: never windows, never fires (see Scaladoc)
   }
 
+  /** `v` rounded the way CepQuery.SumDecimal's cast rounds (HALF_UP to
+    * 6 decimal places) before entering the running sum. */
+  private def dec6(v: Double): BigDecimal =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+
   private def fold(w: WindowAgg, v: Double): WindowAgg =
-    WindowAgg(w.ws_ms, w.sum + v, w.cnt + 1, math.min(w.mn, v), math.max(w.mx, v))
+    WindowAgg(w.ws_ms, w.sum + dec6(v), w.cnt + 1,
+      math.min(w.mn, v), math.max(w.mx, v))
 
   private def result(aggType: String, w: WindowAgg): Double = aggType match {
-    case "SUM" => w.sum
-    case "AVG" => w.sum / w.cnt
+    case "SUM" => w.sum.toDouble
+    case "AVG" => w.sum.toDouble / w.cnt
     case "MIN" => w.mn
     case _ => w.mx
   }
@@ -110,14 +125,21 @@ object StatefulCep {
     //    watermark or the eviction frontier — are silently dropped,
     //    the reference's observable late-data behavior (SURVEY §2.3).
     events.foreach { e =>
-      if (st == null)
-        st = KeyState(e.w_ms, e.agg_type, e.cmp_op, e.limit, Nil, Long.MinValue)
+      // Rules are upsertable at runtime: adopt the latest event's rule
+      // parameters, so firing/eviction (st.w_ms below) agrees with
+      // window assignment (e.w_ms) after a rule's width changes.
+      st =
+        if (st == null)
+          KeyState(e.w_ms, e.agg_type, e.cmp_op, e.limit, Nil, Long.MinValue)
+        else
+          st.copy(w_ms = e.w_ms, agg_type = e.agg_type,
+            cmp_op = e.cmp_op, limit = e.limit)
       windowStarts(e).foreach { ws =>
         val we = ws + e.w_ms
         if (we > st.closedBelow && we > wm) {
           val updated = st.windows.find(_.ws_ms == ws) match {
             case Some(w) => fold(w, e.v) :: st.windows.filterNot(_.ws_ms == ws)
-            case None => WindowAgg(ws, e.v, 1, e.v, e.v) :: st.windows
+            case None => WindowAgg(ws, dec6(e.v), 1, e.v, e.v) :: st.windows
           }
           st = st.copy(windows = updated)
         }

@@ -107,6 +107,22 @@ class CepQuerySpec extends AnyFunSuite {
     assert(sliding.select("window_start").distinct().count() == 4)
   }
 
+  test("non-divisible sliding (w % s != 0): planAll arithmetic == planRule's built-in window(w,s)") {
+    // 3-min window, 2-min slide: events alternate between 1 and 2
+    // covering windows; the two independent spellings must agree row
+    // for row (Spark's window() is the semantic authority here).
+    val frame = metricFrame(demoEvents)
+    val r = demoRule.copy(windowType = WindowType.Sliding, windowMinutes = 3,
+      windowSlideMinute = 2, limitOperatorType = CmpOp.Gt, limit = BigDecimal(0))
+    def rows(df: DataFrame) = df
+      .select(unix_millis(col("window_start")), unix_millis(col("window_end")),
+        col("result"))
+      .as[(Long, Long, Double)].collect().toSet
+    val fromBuiltin = rows(CepQuery.planRule(frame, r))
+    val fromArith = rows(CepQuery.planAll(frame, Metrics.rulesToDF(spark, Seq(r))))
+    assert(fromBuiltin.nonEmpty && fromArith == fromBuiltin)
+  }
+
   test("planAll one-pass == per-rule plans, PAUSE rule contributes nothing") {
     val frame = metricFrame(demoEvents)
     val rules = Seq(

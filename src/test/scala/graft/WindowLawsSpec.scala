@@ -35,21 +35,23 @@ object WindowLawsSpec extends Properties("WindowLaws") {
 
   private val slideGen = for {
     s <- Gen.choose(1L, 120L)
-    k <- Gen.choose(1L, 16L) // W = k*S keeps the reference's W/S integrality
-  } yield (s, k * s)
+    w <- Gen.choose(1L, 16L * s) // divisibility NOT assumed; w < s allowed
+  } yield (s, w)
 
-  property("sliding: exactly W/S slide-aligned windows, S apart, all containing the event") =
+  property("sliding: exactly the slide-aligned covering windows (w % s and w < s free)") =
     forAll(tsGen, slideGen) { (ms: Long, p: (Long, Long)) =>
       val (sMin, wMin) = p
       val e = ev(ms, "sliding", wMin, sMin)
       val ws = StatefulCep.windowStarts(e)
-      Prop(ws.size == (e.w_ms / e.s_ms).toInt) :| "W/S multiplicity" &&
+      // Ground truth, spelled the obvious way: walk slide-aligned starts
+      // down from the event's slide bucket while they still cover it.
+      val expected = Iterator.iterate(Math.floorDiv(ms, e.s_ms) * e.s_ms)(_ - e.s_ms)
+        .takeWhile(st => st > ms - e.w_ms).toSeq
+      Prop(ws == expected) :| s"exact covering set (got $ws want $expected)" &&
         Prop(ws.forall(s => s <= ms && ms < s + e.w_ms)) :| "membership" &&
-        Prop(ws.sliding(2).forall {
-          case Seq(a, b) => a - b == e.s_ms
-          case _ => true
-        }) :| "consecutive, S apart" &&
-        Prop(ws.forall(s => math.floorMod(s, e.s_ms) == 0)) :| "slide-aligned"
+        Prop(ws.forall(s => math.floorMod(s, e.s_ms) == 0)) :| "slide-aligned" &&
+        Prop(ws.size >= (e.w_ms / e.s_ms).toInt &&
+          ws.size <= ((e.w_ms + e.s_ms - 1) / e.s_ms).toInt) :| "floor/ceil multiplicity"
     }
 
   property("global: no arithmetic windows") =
