@@ -261,23 +261,133 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
-  /** SimHash near-duplicate pairs: 16-bit banded buckets generate
-    * candidates; pairs kept when full-fingerprint Hamming distance ≤
-    * `maxHamming`. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val fp = simhash(docs)
-    val banded = fp.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .toDF("doc_id", "simhash", "band_idx", "band_val")
-    banded.as("x")
+  /** Per-doc bit-vote columns v0..v63 → per-doc 16-bit band values
+    * band0..band3 (band k bit j = sign of vote 16k+j — the simhash
+    * fingerprint cut into the four banded bucket keys). */
+  private def bandsFromVotes(votes: DataFrame): DataFrame = {
+    val bandCols = (0 until 4).map { k =>
+      (0 until 16).map { j =>
+        when(col(s"v${16 * k + j}") > 0, lit(1 << j)).otherwise(0)
+      }.reduce(_ + _).as(s"band$k")
+    }
+    votes.select(col("doc_id") +: bandCols: _*)
+  }
+
+  /** (doc_id, band0..band3) → near-duplicate pairs: docs sharing any
+    * band become candidates (equi-join on the banded key — never
+    * all-pairs), kept when the full-fingerprint Hamming distance
+    * (= Σ per-band popcount of XOR) is ≤ `maxHamming`. The fingerprint
+    * frame is materialized once — candidate generation and both
+    * verification joins reuse it. */
+  private def bandedHammingPairs(fp4: DataFrame, maxHamming: Int): DataFrame = {
+    val f = fp4.localCheckpoint()
+    val banded = f.select(col("doc_id"),
+      posexplode(array((0 until 4).map(k => col(s"band$k")): _*)))
+      .toDF("doc_id", "band_idx", "band_val")
+    val cand = banded.as("x")
       .join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
+    val hamming = (0 until 4).map(k =>
+      bit_count(col(s"a.band$k").bitwiseXOR(col(s"b.band$k")))).reduce(_ + _)
+    cand
+      .join(f.as("a"), col("id_a") === col("a.doc_id"))
+      .join(f.as("b"), col("id_b") === col("b.doc_id"))
+      .select(col("id_a"), col("id_b"), hamming.cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash near-duplicate pairs: 16-bit banded buckets generate
+    * candidates; pairs kept when full-fingerprint Hamming distance ≤
+    * `maxHamming`. Production path — tokens hashed with xxhash64. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val tok = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val voteCols = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$b")
+    }
+    bandedHammingPairs(
+      bandsFromVotes(tok.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)),
+      maxHamming)
+  }
+
+  /** [[simhashPairs]] with an oracle-portable token hash: the 64 hash
+    * bits come from the first 16 hex chars of md5(token), read as four
+    * 16-bit big-endian chunks — an arithmetic any ANSI-SQL engine can
+    * reproduce (`('0x' || substring(md5(t), 1+4k, 4))::INT`), unlike
+    * xxhash64. Same vote/band/Hamming pipeline as the production
+    * variant (both go through [[bandsFromVotes]]/[[bandedHammingPairs]]),
+    * so an external oracle hash-matching this twin verifies the whole
+    * simhash semantics; xxhash64 stays the production hash (faster,
+    * no hex round-trip). */
+  def simhashPairsPortable(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val tok = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .withColumn("hx", md5(col("token")))
+    val chunkCols = (0 until 4).map { k =>
+      conv(substring(col("hx"), 1 + 4 * k, 4), 16, 10).cast("int").as(s"c$k")
+    }
+    val chunks = tok.select(col("doc_id") +: chunkCols: _*)
+    val voteCols = (0 until 64).map { b =>
+      sum(when(shiftright(col(s"c${b / 16}"), b % 16).bitwiseAND(lit(1)) === 1, 1)
+        .otherwise(-1)).as(s"v$b")
+    }
+    bandedHammingPairs(
+      bandsFromVotes(chunks.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)),
+      maxHamming)
+  }
+
+  /** [[fingerprintPairs]] with an oracle-portable gram hash and a
+    * declarative winnow: grams are hashed as the first 16 hex chars of
+    * md5 (lexicographically min-comparable in any engine), and the
+    * winnowing rule — each `winnow`-wide window keeps its minimum,
+    * rightmost on ties — is expressed as a window-function `min` over
+    * `hash || zero-padded(MAX-pos)` (ties on hash resolve to the
+    * larger position = smaller suffix), evaluated at every window
+    * start `p ≤ max(0, nGrams − winnow)`. Selection semantics are
+    * identical to [[graft.functions.rolling_fingerprint]] (the
+    * consecutive-pick dedup there is absorbed by the distinct); the
+    * native rolling hash stays the production path (O(n) vs
+    * O(n·window) hashing). */
+  def fingerprintPairsPortable(
+      docs: DataFrame,
+      window: Int = 16,
+      winnow: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val grams = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), TextOps.normalized(col("text")).as("s"))
+      .select(col("doc_id"),
+        greatest(lit(1), length(col("s")) - (window - 1)).as("n_g"),
+        posexplode(transform(
+          sequence(lit(1), greatest(lit(1), length(col("s")) - (window - 1))),
+          i => substring(md5(col("s").substr(i, lit(window))), 1, 16))))
+      .toDF("doc_id", "n_g", "p", "h")
+    val forward = W.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(0, winnow - 1)
+    val picked = grams
+      .withColumn("mk", min(concat(col("h"),
+        lpad((lit(99999999) - col("p")).cast("string"), 8, "0"))).over(forward))
+      .filter(col("p") <= greatest(lit(0), col("n_g") - winnow))
+      .select(col("doc_id"), substring(col("mk"), 1, 16).as("fp"))
+      .distinct()
+    val fp = picked
+      .withColumn("n_fp", count(lit(1)).over(W.partitionBy(col("doc_id"))))
+      .localCheckpoint() // both self-join sides reuse it
+    fp.as("x")
+      .join(fp.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        first(col("x.n_fp")).as("n_a"), first(col("y.n_fp")).as("n_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_shared").cast("double") / least(col("n_a"), col("n_b")))
+          .as("containment"))
+      .filter(col("containment") >= threshold)
   }
 }

@@ -53,6 +53,33 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"simhash recall $recall over ${exact.size} pairs")
   }
 
+  test("portable simhash twin behaves like the production variant (hamming-0 collision, corpus recall)") {
+    val df = Seq((1L, "spark window agg join"), (2L, "spark window agg join"))
+      .toDF("doc_id", "text")
+    val pair = Dedup.simhashPairsPortable(df, 0)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pair.toSeq == Seq((1L, 2L, 0)))
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sim = Dedup.simhashPairsPortable(docs, 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val recall = exact.count(sim.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"portable simhash recall $recall over ${exact.size} pairs")
+  }
+
+  test("portable fingerprint twin finds the planted near-duplicate, not the unrelated doc") {
+    val core = "spark structured streaming window aggregation over event time with watermarks"
+    val df = Seq(
+      (1L, s"$core plus a small suffix"),
+      (2L, s"prefix then $core"),
+      (3L, "completely different document about nothing relevant at all"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.fingerprintPairsPortable(df, 16, 8, 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("ANN LSH top-k achieves >=0.6 recall@5 against brute force") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.cosineTopK(emb, queries, 5)
@@ -82,6 +109,30 @@ class OpsSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = exact.count(ivf.contains).toDouble / exact.size
     assert(recall >= 0.6, s"ivf recall $recall")
+  }
+
+  test("gate-parameterized LSH/IVF reach recall 1 at gate scale (sf0.01)") {
+    // The hyperplanes/centroid-init are deterministic functions of the
+    // fixed seed, so recall on the fixed gate corpus is a reproducible
+    // fact — these assertions are what licenses dedup_embedding_lsh /
+    // sim_ann_lsh / sim_ann_ivf to share their exact baselines'
+    // DuckDB oracles in SparkEntry.
+    val e01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q01 = e01.filter(col("vec_id") < 10)
+    val exactPairs = Similarity.cosineDupPairs(e01, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lshPairs = Similarity.lshDupPairs(e01, 0.4, 64, tables = 40, planesPerTable = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exactPairs.nonEmpty && lshPairs == exactPairs)
+
+    val exactTopk = Similarity.cosineTopK(e01, q01, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val annTopk = Similarity.annTopK(e01, q01, 5, 64, tables = 48, planesPerTable = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(annTopk == exactTopk)
+    val ivfTopk = Similarity.ivfTopK(e01, q01, 5, nClusters = 16, nProbe = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivfTopk == exactTopk)
   }
 
   test("multimodal: imperative (mapPartitions+decoder) equals declarative twin") {
