@@ -348,13 +348,13 @@ object SparkEntry {
        |pos AS (SELECT doc_id, s, greatest(1, length(s) - 15) AS n_g,
        |          unnest(generate_series(1, greatest(1, length(s) - 15))) AS i FROM n),
        |g AS (SELECT doc_id, i - 1 AS p, n_g,
-       |        substring(md5(substring(s, CAST(i AS INT), 16)), 1, 16) AS h FROM pos),
+       |        md5(substring(s, CAST(i AS INT), 16)) AS h FROM pos),
        |mk AS (SELECT doc_id, p, n_g,
        |         min(h || lpad(CAST(99999999 - p AS VARCHAR), 8, '0'))
        |           OVER (PARTITION BY doc_id ORDER BY p
        |                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mk
        |       FROM g),
-       |fps AS (SELECT DISTINCT doc_id, substring(mk, 1, 16) AS fp FROM mk
+       |fps AS (SELECT DISTINCT doc_id, substring(mk, 1, 32) AS fp FROM mk
        |        WHERE p <= greatest(0, n_g - 8)),
        |sizes AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY 1),
        |shared AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS c

@@ -112,4 +112,120 @@ object RollingHashColumns {
   def rollingFingerprint(text: Column, window: Int, winnow: Int): Column =
     ExpressionUtils.column(
       RollingHashFingerprint(ExpressionUtils.expression(text), window, winnow))
+
+  def md5WinnowFingerprint(text: Column, window: Int, winnow: Int): Column =
+    ExpressionUtils.column(
+      Md5WinnowFingerprint(ExpressionUtils.expression(text), window, winnow))
+}
+
+/** [[RollingHashFingerprint]]'s oracle-portable twin: gram hashes are
+  * the md5 hex of each `window`-CHARACTER gram (code-point semantics,
+  * matching ANSI SQL `substring`), compared lexicographically — an
+  * arithmetic any SQL engine reproduces with `md5(substring(s, i, w))`
+  * plus a windowed `min`. Selection rule is identical to
+  * [[RollingHashImpl.winnowed]] (min per winnow window, rightmost on
+  * ties, consecutive picks deduplicated); only the hash family and
+  * therefore WHICH grams win differs. The rolling hash stays the
+  * production path — O(n) hashing vs O(n·window) here.
+  *
+  * Evaluating this per document in one native pass replaces the
+  * declarative spelling (explode 1 row per gram + window-function min
+  * over a 24-byte key) that made the fingerprint gate query sort and
+  * shuffle ~2000 rows per document.
+  */
+case class Md5WinnowFingerprint(child: Expression, window: Int, winnow: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "md5_winnow_fingerprint"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5WinnowImpl.winnowed(input.asInstanceOf[UTF8String], window, winnow)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.Md5WinnowImpl.winnowed($c, $window, $winnow)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5WinnowFingerprint =
+    copy(child = newChild)
+}
+
+object Md5WinnowImpl {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private final val HexChars = "0123456789abcdef".toCharArray
+
+  private def md5Hex(md: java.security.MessageDigest,
+      bytes: Array[Byte], from: Int, len: Int): String = {
+    md.reset()
+    md.update(bytes, from, len)
+    val d = md.digest()
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** See [[Md5WinnowFingerprint]]. Static so generated code can call
+    * it without captured references. */
+  def winnowed(s: UTF8String, window: Int, winnow: Int): GenericArrayData = {
+    val bytes = s.getBytes
+    val n = s.numChars()
+    // Byte offset of each code point: grams are CHARACTER windows
+    // (ANSI substring semantics) hashed over their UTF-8 bytes.
+    val starts = new Array[Int](n + 1)
+    var b = 0
+    var c = 0
+    while (c < n) {
+      starts(c) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      c += 1
+    }
+    starts(n) = bytes.length
+    val md = digest.get()
+    val nGrams = math.max(1, n - window + 1)
+    val grams = new Array[String](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      val from = starts(i)
+      val to = starts(math.min(i + window, n))
+      grams(i) = md5Hex(md, bytes, from, to - from)
+      i += 1
+    }
+    if (winnow <= 1)
+      return new GenericArrayData(
+        grams.map(g => UTF8String.fromString(g): AnyRef))
+    // Winnow: min of each winnow-window (rightmost wins ties), emit
+    // when the picked position changes — identical control flow to
+    // RollingHashImpl.winnowed, with lexicographic hash comparison.
+    val picks = new Array[AnyRef](nGrams)
+    var nPicks = 0
+    var lastPos = -1
+    var w = 0
+    val limit = math.max(1, nGrams - winnow + 1)
+    while (w < limit) {
+      var minPos = w
+      var j = w + 1
+      val end = math.min(w + winnow, nGrams)
+      while (j < end) {
+        if (grams(j).compareTo(grams(minPos)) <= 0) minPos = j
+        j += 1
+      }
+      if (minPos != lastPos) {
+        picks(nPicks) = UTF8String.fromString(grams(minPos))
+        nPicks += 1
+        lastPos = minPos
+      }
+      w += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(picks, nPicks))
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.graft.{RollingHashColumns, VecDotColumns}
+import org.apache.spark.sql.graft.{LshBucketsColumns, RollingHashColumns, VecDotColumns}
 
 /** Public column-function surface for graft's native Catalyst
   * expressions (implementations under org.apache.spark.sql.graft). */
@@ -20,4 +20,16 @@ package object functions {
     * see [[org.apache.spark.sql.graft.RollingHashFingerprint]]. */
   def rolling_fingerprint(text: Column, window: Int = 16, winnow: Int = 8): Column =
     RollingHashColumns.rollingFingerprint(text, window, winnow)
+
+  /** Oracle-portable md5 winnowed fingerprints (ARRAY<STRING> of hex
+    * gram hashes) — see [[org.apache.spark.sql.graft.Md5WinnowFingerprint]]. */
+  def md5_winnow_fingerprint(text: Column, window: Int = 16, winnow: Int = 8): Column =
+    RollingHashColumns.md5WinnowFingerprint(text, window, winnow)
+
+  /** All LSH table bucket keys of a vector (ARRAY<BIGINT>, one element
+    * per table) — see [[org.apache.spark.sql.graft.LshBuckets]].
+    * `planes` is flattened row-major (plane p at [p·dim, (p+1)·dim)). */
+  def lsh_buckets(emb: Column, planes: IndexedSeq[Double],
+      tables: Int, planesPerTable: Int): Column =
+    LshBucketsColumns.lshBuckets(emb, planes, tables, planesPerTable)
 }

@@ -241,14 +241,23 @@ object Dedup {
       docs: DataFrame,
       window: Int = 16,
       winnow: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val fp = docs.repartition(col("doc_id"))
+      threshold: Double = 0.5): DataFrame =
+    containmentPairs(docs.repartition(col("doc_id"))
       .select(col("doc_id"),
         explode(array_distinct(graft.functions.rolling_fingerprint(
-          TextOps.normalized(col("text")), window, winnow))).as("fp"))
+          TextOps.normalized(col("text")), window, winnow))).as("fp")),
+      threshold)
+
+  /** (doc_id, fp) distinct fingerprints → near-dup pairs by containment
+    * |∩| / min(|FP(a)|, |FP(b)|) ≥ threshold, candidates via the
+    * inverted fingerprint index (docs sharing any print — never
+    * all-pairs). The print frame is materialized once; both self-join
+    * sides reuse it. */
+  private def containmentPairs(prints: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = prints
       .withColumn("n_fp", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .localCheckpoint() // both self-join sides reuse it
+      .localCheckpoint()
     fp.as("x")
       .join(fp.as("y"),
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
@@ -342,52 +351,22 @@ object Dedup {
       maxHamming)
   }
 
-  /** [[fingerprintPairs]] with an oracle-portable gram hash and a
-    * declarative winnow: grams are hashed as the first 16 hex chars of
-    * md5 (lexicographically min-comparable in any engine), and the
-    * winnowing rule — each `winnow`-wide window keeps its minimum,
-    * rightmost on ties — is expressed as a window-function `min` over
-    * `hash || zero-padded(MAX-pos)` (ties on hash resolve to the
-    * larger position = smaller suffix), evaluated at every window
-    * start `p ≤ max(0, nGrams − winnow)`. Selection semantics are
-    * identical to [[graft.functions.rolling_fingerprint]] (the
-    * consecutive-pick dedup there is absorbed by the distinct); the
-    * native rolling hash stays the production path (O(n) vs
-    * O(n·window) hashing). */
+  /** [[fingerprintPairs]] with the oracle-portable md5 gram hash
+    * ([[graft.functions.md5_winnow_fingerprint]]): same winnowing
+    * selection rule as the rolling-hash production path, but the hash
+    * arithmetic — `md5(substring(s, i, window))`, lexicographic min
+    * per winnow window with rightmost ties — is reproducible by any
+    * ANSI-SQL engine, so this twin carries a full DuckDB oracle. The
+    * rolling hash stays the production path (O(n) vs O(n·window)
+    * hashing). */
   def fingerprintPairsPortable(
       docs: DataFrame,
       window: Int = 16,
       winnow: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.{Window => W}
-    val grams = docs.repartition(col("doc_id"))
-      .select(col("doc_id"), TextOps.normalized(col("text")).as("s"))
+      threshold: Double = 0.5): DataFrame =
+    containmentPairs(docs.repartition(col("doc_id"))
       .select(col("doc_id"),
-        greatest(lit(1), length(col("s")) - (window - 1)).as("n_g"),
-        posexplode(transform(
-          sequence(lit(1), greatest(lit(1), length(col("s")) - (window - 1))),
-          i => substring(md5(col("s").substr(i, lit(window))), 1, 16))))
-      .toDF("doc_id", "n_g", "p", "h")
-    val forward = W.partitionBy(col("doc_id")).orderBy(col("p"))
-      .rowsBetween(0, winnow - 1)
-    val picked = grams
-      .withColumn("mk", min(concat(col("h"),
-        lpad((lit(99999999) - col("p")).cast("string"), 8, "0"))).over(forward))
-      .filter(col("p") <= greatest(lit(0), col("n_g") - winnow))
-      .select(col("doc_id"), substring(col("mk"), 1, 16).as("fp"))
-      .distinct()
-    val fp = picked
-      .withColumn("n_fp", count(lit(1)).over(W.partitionBy(col("doc_id"))))
-      .localCheckpoint() // both self-join sides reuse it
-    fp.as("x")
-      .join(fp.as("y"),
-        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_shared"),
-        first(col("x.n_fp")).as("n_a"), first(col("y.n_fp")).as("n_b"))
-      .select(col("id_a"), col("id_b"),
-        (col("n_shared").cast("double") / least(col("n_a"), col("n_b")))
-          .as("containment"))
-      .filter(col("containment") >= threshold)
-  }
+        explode(array_distinct(graft.functions.md5_winnow_fingerprint(
+          TextOps.normalized(col("text")), window, winnow))).as("fp")),
+      threshold)
 }

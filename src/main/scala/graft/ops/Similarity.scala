@@ -204,22 +204,18 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket keys: `tables` independent tables,
     * each keyed by `planesPerTable` sign bits. Returns (vec_id,
-    * table_idx, bucket). */
+    * table_idx, bucket). All buckets of a vector are computed by ONE
+    * native expression pass over the plane matrix
+    * ([[org.apache.spark.sql.graft.LshBuckets]]) — the per-plane
+    * declarative spelling built a ~tables×planesPerTable expression
+    * forest of array literals that outgrew codegen and dominated the
+    * ANN queries' runtime. Bucket values are bit-identical. */
   def lshBuckets(emb: DataFrame, tables: Int, planesPerTable: Int,
       dim: Int, seed: Long = 42L): DataFrame = {
-    val ps = planes(tables * planesPerTable, dim, seed)
-    def signBit(p: Seq[Double]): Column = {
-      val planeCol = array(p.map(lit): _*)
-      when(dot(col("embedding"), planeCol) > 0, 1L).otherwise(0L)
-    }
-    val bucketCols = (0 until tables).map { t =>
-      (0 until planesPerTable).map { j =>
-        signBit(ps(t * planesPerTable + j)) * (1L << j)
-      }.reduce(_ + _).as(s"bucket$t")
-    }
-    emb.select(col("vec_id") +: bucketCols: _*)
-      .select(col("vec_id"),
-        posexplode(array((0 until tables).map(t => col(s"bucket$t")): _*)))
+    val flat = planes(tables * planesPerTable, dim, seed).flatten.toIndexedSeq
+    emb.select(col("vec_id"),
+        posexplode(graft.functions.lsh_buckets(
+          col("embedding"), flat, tables, planesPerTable)))
       .toDF("vec_id", "table_idx", "bucket")
   }
 
