@@ -74,6 +74,29 @@ object SparkEntry {
   private val firstAlignedRule =
     rule(9, WindowType.Tumbling, 360, 0, Seq("t_type"), AggType.Sum, CmpOp.Gt, 800.0)
 
+  /** First-event-aligned sliding rule (reference alignment semantics,
+    * SlidingWindowAssigner.java:26-55: the slide grid anchors at the
+    * group's first event minus the window width). 100/30 minutes also
+    * exercises the non-divisible coverage arithmetic on the shifted
+    * grid. */
+  private val firstAlignedSlidingRule =
+    rule(11, WindowType.Sliding, 100, 30, Seq("t_type"), AggType.Sum, CmpOp.Gt, 250.0)
+
+  private val firstAlignedSlidingOracle: String = {
+    val w = firstAlignedSlidingRule.windowMillis
+    val s = firstAlignedSlidingRule.slideMillis
+    val n = (w + s - 1) / s - 1
+    s"""WITH g AS (SELECT event_type, epoch_ms(ts) AS ms, value,
+       |  min(epoch_ms(ts)) OVER (PARTITION BY event_type) - $w AS a0 FROM events),
+       |x AS (SELECT event_type, value, a0 + ((ms - a0)//$s - i)*$s AS ws
+       |      FROM g, generate_series(0, $n) t(i)
+       |      WHERE a0 + ((ms - a0)//$s - i)*$s > ms - $w)
+       |SELECT event_type AS t_type, make_timestamp(ws*1000) AS window_start,
+       |  make_timestamp((ws+$w)*1000) AS window_end,
+       |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS result
+       |FROM x GROUP BY 1, 2, 3 HAVING result > 250.0""".stripMargin
+  }
+
   private val firstAlignedOracle: String = {
     val w = firstAlignedRule.windowMillis
     s"""WITH g AS (SELECT event_type, epoch_ms(ts) AS ms, value,
@@ -624,6 +647,8 @@ object SparkEntry {
     statics ++ Map[String, (SparkSession, String) => DataFrame](
       "cep_sum_tumbling_first_aligned" -> ((s, dir) =>
         CepQuery.planRuleFirstAligned(metricsFrame(s, dir), firstAlignedRule)),
+      "cep_sum_sliding_first_aligned" -> ((s, dir) =>
+        CepQuery.planRuleFirstAligned(metricsFrame(s, dir), firstAlignedSlidingRule)),
       "cep_multi_rule" -> multiRule,
       "cep_parse_metric" -> parseMetricQuery,
       "cep_parse_rule" -> parseRuleQuery,
@@ -640,6 +665,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     cepStaticRules.map { case (n, r) => n -> staticRuleOracle(r) } ++ Map(
       "cep_sum_tumbling_first_aligned" -> firstAlignedOracle,
+      "cep_sum_sliding_first_aligned" -> firstAlignedSlidingOracle,
       "cep_multi_rule" -> multiRuleOracle,
       "cep_parse_metric" -> parseMetricOracle,
       "cep_parse_rule" -> parseRuleOracle,

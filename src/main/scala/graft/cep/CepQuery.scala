@@ -116,22 +116,33 @@ object CepQuery {
       lit(rule.limit.underlying)))
   }
 
-  /** One rule → first-event-aligned tumbling windows — the reference's
-    * exact alignment (TumblingWindowAssigner.java:22-46: windows start
-    * at the group's earliest event time and tile forward in W steps),
-    * where [[planRule]] uses Spark's epoch-aligned `window()` (declared
-    * deviation, SURVEY §7.4 #3).
+  /** One rule → first-event-aligned windows — the reference's exact
+    * alignment, where [[planRule]] uses Spark's epoch-aligned
+    * `window()` (declared deviation, SURVEY §7.4 #3):
+    *
+    *  - tumbling (TumblingWindowAssigner.java:22-46): windows start at
+    *    the group's earliest event time and tile forward in W steps;
+    *  - sliding (SlidingWindowAssigner.java:26-55): the slide grid is
+    *    anchored at `firstEvent − W` (the assigner's initial
+    *    `doCreateWindowList(t0 − W, t0, W, S)`) and extends forward in
+    *    S steps; an event belongs to every grid window covering it.
+    *    Grid windows holding no events emit nothing here — the
+    *    reference would fire them as empty aggregates, one of its
+    *    catalogued defects (SURVEY §2.4), deliberately not replicated.
     *
     * Declarative two-phase plan: per-group `min(eventTime)` via a
-    * window function, then arithmetic bucketing — so it stays
-    * oracle-testable and codegen'd. Costs one extra shuffle (the
-    * partition-by for the running min) over the epoch-aligned plan;
-    * both shuffles hash on the same grouping keys, so at scale the
-    * second is a cheap re-use of an already co-located layout. */
+    * window function, then arithmetic bucketing (relative to the
+    * anchor, sliding coverage is the same ceil(W/S)-then-filter
+    * arithmetic as [[planAll]]) — so it stays oracle-testable and
+    * codegen'd. Costs one extra shuffle (the partition-by for the
+    * running min) over the epoch-aligned plan; both shuffles hash on
+    * the same grouping keys, so at scale the second is a cheap re-use
+    * of an already co-located layout. */
   def planRuleFirstAligned(metricFrame: DataFrame, rule: Rule): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(rule.windowType == WindowType.Tumbling,
-      "first-event alignment applies to tumbling windows")
+    require(rule.windowType == WindowType.Tumbling ||
+      rule.windowType == WindowType.Sliding,
+      "first-event alignment applies to tumbling/sliding windows")
     val stateOk = rule.ruleState == RuleState.Active
     val matched = metricFrame.filter(
       lit(stateOk) &&
@@ -140,12 +151,25 @@ object CepQuery {
     val keyCols = rule.groupingKeyNames.map(k => element_at(col("tags"), k).as(k))
     val keyNames = rule.groupingKeyNames.map(col)
     val w = rule.windowMillis
-    val prepared = matched
+    val withT0 = matched
       .select(keyCols :+ unix_millis(col("eventTime")).as("ev_ms")
         :+ measure(rule.aggregateFieldName).as("v"): _*)
       .withColumn("t0", min(col("ev_ms")).over(Window.partitionBy(keyNames: _*)))
-      .withColumn("ws_ms",
-        col("t0") + floor((col("ev_ms") - col("t0")) / w) * w)
+    val prepared = rule.windowType match {
+      case WindowType.Tumbling =>
+        withT0.withColumn("ws_ms",
+          col("t0") + floor((col("ev_ms") - col("t0")) / w) * w)
+      case _ =>
+        val s = rule.slideMillis
+        val n = (w + s - 1) / s // ceil(w/s) candidate starts
+        withT0
+          .withColumn("anchor", col("t0") - w)
+          .withColumn("ws_ms", explode(filter(
+            transform(sequence(lit(0L), lit(n - 1)),
+              i => col("anchor") +
+                (floor((col("ev_ms") - col("anchor")) / s) - i) * s),
+            ws => ws > col("ev_ms") - w)))
+    }
     prepared
       .groupBy(keyNames :+ col("ws_ms"): _*)
       .agg(aggColumn(rule.aggregatorFunctionType, col("v")).as("result"))

@@ -71,6 +71,27 @@ class CepQuerySpec extends AnyFunSuite {
     assert(out == Set((1L, 240001L, 12.0), (240001L, 480001L, 3.0)))
   }
 
+  test("first-event-aligned sliding: grid anchors at t0 - w (SlidingWindowAssigner semantics)") {
+    // w=4min, s=2min, first event at t=1 → grid −239999 + k·120000.
+    // The assigner's initial window [−239999, 1) half-open-EXCLUDES the
+    // first event; coverage per event derived by hand:
+    //   ev 1      → starts {−119999, 1}
+    //   ev 120001 → starts {1, 120001}
+    //   ev 240001 → starts {120001, 240001}
+    val frame = metricFrame(Seq((1L, "g", 5), (120001L, "g", 7), (240001L, "g", 3)))
+    val r = Rule(1, RuleState.Active, WindowType.Sliding, 4, 2,
+      Seq("t_group"), AggType.Sum, "cpu_usage", CmpOp.Ge, BigDecimal(0))
+    val out = CepQuery.planRuleFirstAligned(frame, r)
+      .select(unix_millis(col("window_start")), unix_millis(col("window_end")),
+        col("result"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      (-119999L, 120001L, 5.0),
+      (1L, 240001L, 12.0),
+      (120001L, 360001L, 10.0),
+      (240001L, 480001L, 3.0)))
+  }
+
   test("WindowTest vectors: SUM(5,7)=12 and AVG(5,7)=6 (global window)") {
     val frame = metricFrame(Seq((1L, "g", 5), (5L, "g", 7)))
     val sumR = CepQuery.planRule(frame,
