@@ -449,8 +449,12 @@ object SparkEntry {
 
   private val northStarQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => graft.ops.Dedup.exact(documents(s, d))),
+    // maxShingleDf=10 exercises the hot-shingle candidate cap (the
+    // 100 TB skew guard): a no-op at the sf0.01 gate (max df there is
+    // 7, so the exact oracle still matches by construction) while
+    // genuinely pruning ~37% of shingles at the sf0.1 bench scale.
     "dedup_ngram" -> ((s, d) =>
-      graft.ops.Dedup.ngramJaccardPairs(documents(s, d), 3, 0.8)),
+      graft.ops.Dedup.ngramJaccardPairs(documents(s, d), 3, 0.8, maxShingleDf = 10)),
     "dedup_minhash" -> ((s, d) =>
       graft.ops.Dedup.minhashLshPairs(documents(s, d), 3, 64, 16, 0.8)),
     // Oracle-portable twin (md5-chunk token hash, same vote/band/

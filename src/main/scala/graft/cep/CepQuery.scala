@@ -49,10 +49,13 @@ object CepQuery {
   def measure(field: String): Column = element_at(col("metrics"), field)
 
   /** Reference rule-match predicate (Rule.java:63-66): rule is ACTIVE
-    * and every grouping key is present in the event's tag map. */
+    * and every grouping key is present in the event's tag map. The
+    * key-subset test is the native codegen'd
+    * [[graft.functions.array_contains_all]] — a `forall` lambda here
+    * would be interpreted per (metric, rule) pair of the fan-out join. */
   def matchPredicate(ruleState: Column, groupingKeyNames: Column, tags: Column): Column =
     (ruleState === RuleState.Active.name) &&
-      forall(groupingKeyNames, k => map_contains_key(tags, k))
+      graft.functions.array_contains_all(map_keys(tags), groupingKeyNames)
 
   /** The aggregate column for a given agg type over value column `v`
     * (pre-cast to decimal for SUM/AVG exactness; result is DOUBLE). */
@@ -200,8 +203,8 @@ object CepQuery {
     val joined = withKeys.join(
       broadcast(ruleFrame),
       (col("rule_state") === RuleState.Active.name) &&
-        forall(col("grouping_key_names"),
-          k => array_contains(col("_tag_keys"), k)))
+        graft.functions.array_contains_all(col("_tag_keys"),
+          col("grouping_key_names")))
       .drop("_tag_keys")
 
     // 2. Per-(metric,rule) derived columns: group values, event millis, value.
@@ -211,7 +214,7 @@ object CepQuery {
       col("window_type"),
       (col("window_minutes").cast("long") * 60000L).as("w_ms"),
       (col("window_slide_minute").cast("long") * 60000L).as("s_ms"),
-      transform(col("grouping_key_names"), k => element_at(col("tags"), k))
+      graft.functions.map_values_for_keys(col("tags"), col("grouping_key_names"))
         .as("group_vals"),
       unix_millis(col("eventTime")).as("ev_ms"),
       element_at(col("metrics"), col("agg_field")).as("v"))
@@ -221,22 +224,15 @@ object CepQuery {
     //    window, starts aligned to s_ms (reference fan-out semantics,
     //    SlidingWindowAssigner.java:23-55, epoch-aligned per SURVEY §7.4);
     //    global → NULL window (single unbounded bucket).
-    // Sliding: ceil(w/s) candidate starts, then drop starts whose
-    // window ends at or before the event (`ws > ev − w`). When s does
-    // not divide w, coverage alternates between floor(w/s) and
-    // floor(w/s)+1 windows per event — a fixed floor(w/s) count loses
-    // rows; the filter is a no-op in the divisible case.
+    // One native call per fanned-out row computes the covering starts
+    // (ceil(w/s) candidates for sliding with non-covering starts
+    // dropped — exact non-divisible semantics; single aligned start
+    // for tumbling; a null start for global's unbounded bucket). The
+    // CASE-over-HOFs spelling this replaces was evaluated interpreted
+    // per row and dominated the one-pass plan's runtime.
     val windowed = prepared.withColumn("ws_ms",
-      when(col("window_type") === WindowType.Tumbling.name,
-        array(floor(col("ev_ms") / col("w_ms")) * col("w_ms")))
-      .when(col("window_type") === WindowType.Sliding.name,
-        filter(
-          transform(
-            sequence(lit(0L),
-              ceil(col("w_ms") / col("s_ms")).cast("long") - 1L),
-            i => floor(col("ev_ms") / col("s_ms")) * col("s_ms") - i * col("s_ms")),
-          ws => ws > col("ev_ms") - col("w_ms")))
-      .otherwise(array(lit(null).cast("long"))))
+      graft.functions.window_starts(col("window_type"), col("ev_ms"),
+        col("w_ms"), col("s_ms")))
       // explode_outer, deliberately: plain explode makes the optimizer
       // infer a `size(ws_ms) > 0` filter and push the whole window-array
       // CASE expression into the broadcast join condition, evaluating it

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.graft.{LshBucketsColumns, RollingHashColumns, VecDotColumns}
+import org.apache.spark.sql.graft.{CepExprColumns, LshBucketsColumns, RollingHashColumns, VecDotColumns}
 
 /** Public column-function surface for graft's native Catalyst
   * expressions (implementations under org.apache.spark.sql.graft). */
@@ -20,6 +20,21 @@ package object functions {
     * see [[org.apache.spark.sql.graft.RollingHashFingerprint]]. */
   def rolling_fingerprint(text: Column, window: Int = 16, winnow: Int = 8): Column =
     RollingHashColumns.rollingFingerprint(text, window, winnow)
+
+  /** Every element of `needles` present in `haystack` (codegen'd) —
+    * see [[org.apache.spark.sql.graft.ArrayContainsAll]]. */
+  def array_contains_all(haystack: Column, needles: Column): Column =
+    CepExprColumns.arrayContainsAll(haystack, needles)
+
+  /** Epoch-aligned covering window starts (codegen'd) — see
+    * [[org.apache.spark.sql.graft.WindowStartsExpr]]. */
+  def window_starts(windowType: Column, evMs: Column, wMs: Column, sMs: Column): Column =
+    CepExprColumns.windowStarts(windowType, evMs, wMs, sMs)
+
+  /** Map values for an array of keys, in key order (codegen'd) — see
+    * [[org.apache.spark.sql.graft.MapValuesForKeys]]. */
+  def map_values_for_keys(m: Column, keys: Column): Column =
+    CepExprColumns.mapValuesForKeys(m, keys)
 
   /** Oracle-portable md5 winnowed fingerprints (ARRAY<STRING> of hex
     * gram hashes) — see [[org.apache.spark.sql.graft.Md5WinnowFingerprint]]. */

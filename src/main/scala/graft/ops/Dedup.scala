@@ -70,20 +70,66 @@ object Dedup {
     * Candidates come from the inverted shingle index (only docs that
     * SHARE a shingle are compared — never all-pairs); similarity is
     * |A∩B| / (|A|+|B|−|A∩B|) over distinct shingles.
-    * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold. */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    *
+    * `maxShingleDf` caps the document frequency of shingles used for
+    * CANDIDATE GENERATION: a shingle appearing in more than that many
+    * documents contributes ~df²/2 candidate pairs — one boilerplate
+    * header shared by 1M documents turns the self-join quadratic
+    * inside that shingle's bucket, the one skew path that would not
+    * survive 100 TB. Near-dup pairs at meaningful thresholds share
+    * plenty of RARE shingles, so dropping hot shingles from candidate
+    * generation loses (almost) no recall — and verification always
+    * runs on the FULL index, so reported Jaccard values stay exact
+    * regardless of the cap. Uncapped, the single-pass join+count plan
+    * is used (no separate verification pass). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val sh = shingleIndexWithSize(docs, n)
-    sh.as("x")
-      .join(sh.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+    if (maxShingleDf == Int.MaxValue) {
+      sh.as("x")
+        .join(sh.as("y"),
+          col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_common"),
+          first(col("x.n_sh")).as("n_a"), first(col("y.n_sh")).as("n_b"))
+        .select(col("id_a"), col("id_b"),
+          (col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    } else {
+      // Hot-shingle list is tiny by construction (only df > cap);
+      // anti-join prunes them from candidate generation only.
+      val hot = sh.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxShingleDf)
+        .select(col("shingle"))
+      val candIdx = sh.join(hot, Seq("shingle"), "left_anti")
+      val cand = candIdx.as("x")
+        .join(candIdx.as("y"),
+          col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      verifyJaccard(cand, sh, threshold)
+    }
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the full
+    * shingle index (n_sh rides on the index rows — no separate size
+    * branches). Shared by the MinHash-LSH and df-capped n-gram paths. */
+  private def verifyJaccard(
+      cand: DataFrame, idx: DataFrame, threshold: Double): DataFrame =
+    cand
+      .join(idx.as("a"), col("id_a") === col("a.doc_id"))
+      .join(idx.as("b"),
+        col("id_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_common"),
-        first(col("x.n_sh")).as("n_a"), first(col("y.n_sh")).as("n_b"))
+        first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"))
       .select(col("id_a"), col("id_b"),
         (col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
 
   /** Connected components over near-duplicate pairs: every doc that
     * appears in a pair is labeled with the smallest doc_id reachable
@@ -197,19 +243,8 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    // Verify candidates with exact Jaccard (join back to the index;
-    // n_sh rides on the index rows — no separate size branches).
-    cand
-      .join(idx.as("a"), col("id_a") === col("a.doc_id"))
-      .join(idx.as("b"),
-        col("id_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_common"),
-        first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"))
-      .select(col("id_a"), col("id_b"),
-        (col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    // Verify candidates with exact Jaccard against the full index.
+    verifyJaccard(cand, idx, threshold)
   }
 
   /** 64-bit SimHash fingerprints: every token votes ±1 on each bit of

@@ -184,7 +184,7 @@ object StatefulCep {
       .select(
         col("rule_id"),
         concat_ws("_", col("rule_id").cast("string"),
-          transform(col("grouping_key_names"), k => element_at(col("tags"), k)))
+          graft.functions.map_values_for_keys(col("tags"), col("grouping_key_names")))
           .as("group_id"),
         col("eventTime"),
         unix_millis(col("eventTime")).as("ev_ms"),

@@ -27,6 +27,17 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("shingle df-cap: capped candidate generation leaves the corpus pairs unchanged, with exact jaccard") {
+    // Cap 5 genuinely drops shingles here (max df on this corpus is 9)
+    // yet near-dup pairs survive on their rare shingles, and
+    // verification against the full index keeps jaccard values exact.
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val capped = Dedup.ngramJaccardPairs(docs, 3, 0.8, maxShingleDf = 5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty && capped == exact)
+  }
+
   test("minhash+LSH pairs equal the exact n-gram Jaccard pairs on the corpus (recall 1 at J>=0.8)") {
     val exact = Dedup.ngramJaccardPairs(docs, 3, 0.8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -58,4 +58,18 @@ object WindowLawsSpec extends Properties("WindowLaws") {
     forAll(tsGen) { (ms: Long) =>
       StatefulCep.windowStarts(ev(ms, "global", 0, 0)).isEmpty
     }
+
+  property("native WindowStartsExpr mirrors StatefulCep.windowStarts (tumbling + sliding)") =
+    forAll(tsGen, slideGen) { (ms: Long, p: (Long, Long)) =>
+      val (sMin, wMin) = p
+      import org.apache.spark.unsafe.types.UTF8String
+      def native(wt: String, e: CepEvent): Seq[Long] =
+        org.apache.spark.sql.graft.CepExprImpl
+          .windowStarts(UTF8String.fromString(wt), e.ev_ms, e.w_ms, e.s_ms)
+          .toLongArray().toSeq
+      val se = ev(ms, "sliding", wMin, sMin)
+      val te = ev(ms, "tumbling", wMin, 0)
+      Prop(native("sliding", se) == StatefulCep.windowStarts(se)) :| "sliding parity" &&
+        Prop(native("tumbling", te) == StatefulCep.windowStarts(te)) :| "tumbling parity"
+    }
 }
