@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guard: the physical plans of every gate query
+  * are built (not run) against sf0.001 and checked for the shapes that
+  * must not silently regress at 100 TB:
+  *
+  *  - no CartesianProduct anywhere;
+  *  - BroadcastNestedLoopJoin only where it is the declared design:
+  *    cep_multi_rule (theta-join of the metric stream against the
+  *    BROADCAST rule set — the build side is the bounded rule table),
+  *    sim_topk (broadcast bounded query vectors against the corpus),
+  *    dedup_embedding (the exact all-pairs verification baseline; the
+  *    LSH twin is the scale path);
+  *  - every one-pass/static CEP plan shuffles exactly once (the hash
+  *    aggregation keyed like the reference's keyBy(groupId)); the
+  *    stateless parse queries shuffle zero times. This pins both the
+  *    single-shuffle promise AND that first-event alignment's window
+  *    function reuses the aggregation's partitioning instead of adding
+  *    an exchange.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sfDir).queryExecution.executedPlan.toString
+    }
+
+  private val declaredBnlj = Set("cep_multi_rule", "sim_topk", "dedup_embedding")
+
+  test("no gate query plans a CartesianProduct") {
+    val offenders = plans.collect {
+      case (n, p) if p.contains("CartesianProduct") => n
+    }
+    assert(offenders.isEmpty, s"cartesian plans: $offenders")
+  }
+
+  test("BroadcastNestedLoopJoin appears exactly in the declared bounded-build queries") {
+    val actual = plans.collect {
+      case (n, p) if p.contains("BroadcastNestedLoopJoin") => n
+    }.toSet
+    assert(actual == declaredBnlj,
+      s"BNLJ set drifted: got $actual, declared $declaredBnlj")
+  }
+
+  test("CEP plans shuffle exactly once (parse queries: zero)") {
+    val shuffleCounts = plans.view.filterKeys(_.startsWith("cep_")).mapValues(p =>
+      "Exchange hashpartitioning".r.findAllIn(p).size).toMap
+    shuffleCounts.foreach { case (name, n) =>
+      val expected = if (name.startsWith("cep_parse")) 0 else 1
+      assert(n == expected, s"$name: $n shuffle exchanges, expected $expected")
+    }
+  }
+}
