@@ -111,23 +111,21 @@ object StatefulCep {
     case _ => r != limit
   }
 
-  private[graft] def processKey(
-      key: (Int, String),
-      events: Iterator[CepEvent],
-      state: GroupState[KeyState]): Iterator[CepResult] = {
-    // 0 = "no watermark yet"; real event times dwarf it, so a plain
-    // <=/> comparison does the right thing in every phase.
-    val wm = state.getCurrentWatermarkMs()
-    var st = state.getOption.orNull
-
-    // 1. Fold new events into open windows (reference Window.receive,
-    //    Window.java:40-47). Late events — window end at or below the
-    //    watermark or the eviction frontier — are silently dropped,
-    //    the reference's observable late-data behavior (SURVEY §2.3).
+  /** Fold one batch of events into open windows (reference
+    * Window.receive, Window.java:40-47). Late events — window end at or
+    * below the watermark or the eviction frontier — are silently
+    * dropped, the reference's observable late-data behavior
+    * (SURVEY §2.3). Rules are upsertable at runtime: the state adopts
+    * the latest event's rule parameters, so firing/eviction agrees
+    * with window assignment after a rule's width changes. Returns null
+    * when no state existed and no event survived.
+    *
+    * Pure state transition — shared by the flatMapGroupsWithState and
+    * transformWithState engines, which must stay semantically twins. */
+  private[graft] def foldEvents(
+      st0: KeyState, events: Iterator[CepEvent], wm: Long): KeyState = {
+    var st = st0
     events.foreach { e =>
-      // Rules are upsertable at runtime: adopt the latest event's rule
-      // parameters, so firing/eviction (st.w_ms below) agrees with
-      // window assignment (e.w_ms) after a rule's width changes.
       st =
         if (st == null)
           KeyState(e.w_ms, e.agg_type, e.cmp_op, e.limit, Nil, Long.MinValue)
@@ -145,11 +143,16 @@ object StatefulCep {
         }
       }
     }
-    if (st == null) { state.remove(); return Iterator.empty }
+    st
+  }
 
-    // 2. Fire every window whose end the watermark has passed
-    //    (reference Trigger.trigger + evict, Trigger.java:14-19), in
-    //    window order; apply the threshold (HAVING) at fire time.
+  /** Fire every window whose end the watermark has passed (reference
+    * Trigger.trigger + evict, Trigger.java:14-19), in window order,
+    * applying the threshold (HAVING) at fire time. Returns the
+    * emissions and the surviving state (open windows only, eviction
+    * frontier advanced). Pure — shared by both stateful engines. */
+  private[graft] def fireReady(
+      key: (Int, String), st: KeyState, wm: Long): (List[CepResult], KeyState) = {
     val (toFire, open) = st.windows.partition(w => w.ws_ms + st.w_ms <= wm)
     val out = for {
       w <- toFire.sortBy(_.ws_ms)
@@ -159,13 +162,27 @@ object StatefulCep {
     val closedBelow =
       if (toFire.isEmpty) st.closedBelow
       else math.max(st.closedBelow, toFire.map(_.ws_ms + st.w_ms).max)
+    (out, st.copy(windows = open, closedBelow = closedBelow))
+  }
 
-    // 3. Keep only open windows; wake up when the earliest can fire.
-    if (open.isEmpty) {
+  private[graft] def processKey(
+      key: (Int, String),
+      events: Iterator[CepEvent],
+      state: GroupState[KeyState]): Iterator[CepResult] = {
+    // 0 = "no watermark yet"; real event times dwarf it, so a plain
+    // <=/> comparison does the right thing in every phase.
+    val wm = state.getCurrentWatermarkMs()
+    val st = foldEvents(state.getOption.orNull, events, wm)
+    if (st == null) { state.remove(); return Iterator.empty }
+
+    val (out, kept) = fireReady(key, st, wm)
+
+    // Keep only open windows; wake up when the earliest can fire.
+    if (kept.windows.isEmpty) {
       state.remove()
     } else {
-      state.update(st.copy(windows = open, closedBelow = closedBelow))
-      state.setTimeoutTimestamp(open.map(_.ws_ms + st.w_ms).min)
+      state.update(kept)
+      state.setTimeoutTimestamp(kept.windows.map(_.ws_ms + kept.w_ms).min)
     }
     out.iterator
   }

@@ -64,24 +64,76 @@ class StatefulCepSpec extends AnyFunSuite {
 
   test("stateful engine agrees with the declarative batch plan on closed windows") {
     parityCheck(demoRule.copy(limitOperatorType = CmpOp.Gt, limit = BigDecimal(-1)),
-      "stateful_parity")
+      "stateful_parity", StatefulCep.run(_))
   }
 
   test("stateful engine sliding-window parity with the batch plan") {
     parityCheck(
       Rule(2, RuleState.Active, WindowType.Sliding, 2, 1, Seq("t_group"),
         AggType.Max, "cpu_usage", CmpOp.Gt, BigDecimal(-1)),
-      "stateful_parity_sliding")
+      "stateful_parity_sliding", StatefulCep.run(_))
   }
 
-  private def parityCheck(rule: Rule, table: String): Unit = {
+  test("transformWithState twin: watermark emission + late-data drop (RocksDB state store)") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Ev]
+      val rules = Metrics.rulesToDF(spark, Seq(demoRule))
+      val out = graft.streaming.TransformCep.run(
+        StatefulCep.fanOut(toMetricFrame(mem.toDF()), rules))
+      val q = out.writeStream.format("memory").queryName("tws_cep")
+        .outputMode("append").start()
+      try {
+        mem.addData(
+          Ev(t0, "business", 9), Ev(t0 + 1000, "work", 1), Ev(t0 + 2000, "business", 2),
+          Ev(t0 + 3000, "work", 5), Ev(t0 + 4000, "business", 5), Ev(t0 + 5000, "work", 10))
+        q.processAllAvailable()
+        assert(spark.table("tws_cep").count() == 0) // window still open
+        mem.addData(Ev(t0 + 600000, "business", 1)) // watermark passes window end
+        q.processAllAvailable()
+        val fired = spark.table("tws_cep")
+          .select("group_id", "result").as[(String, Double)].collect().toMap
+        assert(fired == Map("1_business" -> 16.0, "1_work" -> 16.0))
+        mem.addData(Ev(t0 + 6000, "business", 100)) // late: silently dropped
+        q.processAllAvailable()
+        assert(spark.table("tws_cep").count() == 2)
+      } finally q.stop()
+    }
+  }
+
+  test("transformWithState twin: sliding-window parity with the batch plan") {
+    withRocksDb {
+      parityCheck(
+        Rule(3, RuleState.Active, WindowType.Sliding, 2, 1, Seq("t_group"),
+          AggType.Max, "cpu_usage", CmpOp.Gt, BigDecimal(-1)),
+        "tws_parity_sliding", graft.streaming.TransformCep.run(_))
+    }
+  }
+
+  /** transformWithState requires the RocksDB state store; scope the
+    * provider override to the test so the rest of the suite keeps the
+    * default HDFS-backed store. */
+  private def withRocksDb(body: => Unit): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def parityCheck(rule: Rule, table: String,
+      run: DataFrame => org.apache.spark.sql.Dataset[StatefulCep.CepResult]): Unit = {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
     val events = Seq(
       Ev(t0, "a", 3), Ev(t0 + 30000, "a", 12), Ev(t0 + 50000, "b", 20),
       Ev(t0 + 130000, "a", 7), Ev(t0 + 140000, "b", 5))
     val rules = Metrics.rulesToDF(spark, Seq(rule))
-    val out = StatefulCep.run(StatefulCep.fanOut(toMetricFrame(mem.toDF()), rules))
+    val out = run(StatefulCep.fanOut(toMetricFrame(mem.toDF()), rules))
     val q = out.writeStream.format("memory").queryName(table)
       .outputMode("append").start()
     try {
