@@ -82,6 +82,12 @@ object Parsers {
         f("aggregateFieldName").as("agg_field"),
         cmp.as("cmp_op"),
         f("limit").try_cast("double").as("limit"))
-      .filter(col("rule_id").isNotNull && col("rule_state").isNotNull)
+      // A rule with an unknown comparator or aggregator can never
+      // apply (the reference's enum valueOf throws at apply time,
+      // Rule.java:99-107) — dropping it at parse time is the same
+      // observable behavior, surfaced earlier.
+      .filter(col("rule_id").isNotNull && col("rule_state").isNotNull &&
+        col("cmp_op").isNotNull &&
+        col("agg_type").isin("SUM", "AVG", "MIN", "MAX"))
   }
 }

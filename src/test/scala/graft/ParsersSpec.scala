@@ -59,6 +59,16 @@ class ParsersSpec extends AnyFunSuite {
     assert(r.getAs[Double]("limit") == 0.5)
   }
 
+  test("rule parse: unknown comparator or aggregator drops the rule (reference rejects at apply time)") {
+    val lines = Seq(
+      """{"ruleId":1,"ruleState":"ACTIVE","windowType":"tumbling","windowMinutes":1,"windowSlideMinute":0,"groupingKeyNames":["t_a"],"aggregatorFunctionType":"SUM","aggregateFieldName":"v","limitOperatorType":"APPROXIMATELY","limit":1}""",
+      """{"ruleId":2,"ruleState":"ACTIVE","windowType":"tumbling","windowMinutes":1,"windowSlideMinute":0,"groupingKeyNames":["t_a"],"aggregatorFunctionType":"MEDIAN","aggregateFieldName":"v","limitOperatorType":">","limit":1}""",
+      """{"ruleId":3,"ruleState":"ACTIVE","windowType":"tumbling","windowMinutes":1,"windowSlideMinute":0,"groupingKeyNames":["t_a"],"aggregatorFunctionType":"MAX","aggregateFieldName":"v","limitOperatorType":">","limit":1}""")
+      .toDF("line")
+    val kept = Parsers.parseRules(lines).select("rule_id").as[Int].collect().toSeq
+    assert(kept == Seq(3))
+  }
+
   test("rule parse: unknown window type → global; word comparators normalize to symbols") {
     val lines = Seq(
       """{"ruleId":3,"ruleState":"PAUSE","windowType":"session","windowMinutes":0,"windowSlideMinute":0,"groupingKeyNames":["t_a"],"aggregatorFunctionType":"MIN","aggregateFieldName":"lat","limitOperatorType":"LESS_EQUAL","limit":99}""")
