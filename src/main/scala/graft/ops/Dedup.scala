@@ -98,6 +98,7 @@ object Dedup {
             (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
         .filter(col("jaccard") >= threshold)
     } else {
+      import org.apache.spark.sql.expressions.Window
       // Hot-shingle list is tiny by construction (only df > cap);
       // anti-join prunes them from candidate generation only.
       val hot = sh.groupBy(col("shingle"))
@@ -105,11 +106,30 @@ object Dedup {
         .filter(col("df") > maxShingleDf)
         .select(col("shingle"))
       val candIdx = sh.join(hot, Seq("shingle"), "left_anti")
-      val cand = candIdx.as("x")
+        .withColumn("n_cap", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      // Candidate scoring doubles as pruning: the capped join already
+      // yields the capped-common count cc, and the true common count
+      // can exceed it by at most min(hot_a, hot_b) (a shared hot
+      // shingle is still one shingle in each doc) — so
+      //   J ≤ (cc + min(h_a, h_b)) / (n_a + n_b − (cc + min(h_a, h_b)))
+      // is a sound upper bound from capped data alone. Pruning on it
+      // cuts candidates from "shares ANY rare shingle" (~n²-ish on
+      // template-heavy corpora) to near the true pair count before the
+      // exact verification join; survivors are verified on the FULL
+      // index, so reported Jaccard stays exact.
+      val scored = candIdx.as("x")
         .join(candIdx.as("y"),
           col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-        .distinct()
+        .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("cc"),
+          first(col("x.n_sh")).as("n_a"), first(col("y.n_sh")).as("n_b"),
+          first(col("x.n_cap")).as("ca"), first(col("y.n_cap")).as("cb"))
+      val ubCommon = col("cc") +
+        least(col("n_a") - col("ca"), col("n_b") - col("cb"))
+      val cand = scored
+        .filter(ubCommon.cast("double") /
+          (col("n_a") + col("n_b") - ubCommon) >= threshold)
+        .select(col("id_a"), col("id_b"))
       verifyJaccard(cand, sh, threshold)
     }
   }
