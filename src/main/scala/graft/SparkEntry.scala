@@ -464,11 +464,11 @@ object SparkEntry {
       graft.ops.Dedup.simhashPairsPortable(documents(s, d), 3)),
     "dedup_clusters" -> ((s, d) =>
       graft.ops.Dedup.components(
-        graft.ops.Dedup.ngramJaccardPairs(documents(s, d), 3, 0.8))),
+        graft.ops.Dedup.ngramJaccardPairs(documents(s, d), 3, 0.8, maxShingleDf = 10))),
     "dedup_keep_one" -> ((s, d) => {
       val docs = documents(s, d)
       graft.ops.Dedup.keepOnePerCluster(docs,
-        graft.ops.Dedup.ngramJaccardPairs(docs, 3, 0.8))
+        graft.ops.Dedup.ngramJaccardPairs(docs, 3, 0.8, maxShingleDf = 10))
         .select(col("doc_id"), col("lang"), col("source"))
     }),
     // Oracle-portable twin (md5 gram hash + window-function winnow,

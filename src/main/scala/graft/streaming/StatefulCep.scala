@@ -57,33 +57,58 @@ object StatefulCep {
   final case class WindowAgg(
       ws_ms: Long, sum: BigDecimal, cnt: Long, mn: Double, mx: Double)
 
+  /** Window-grid alignment of the stateful engines. [[Epoch]] matches
+    * the declarative [[graft.cep.CepQuery.planAll]]/planRule plans;
+    * [[FirstEvent]] matches the reference assigners — tumbling windows
+    * tile from the group's first event, the sliding grid anchors at
+    * `firstEvent − w` (SlidingWindowAssigner.java:26-33), mirroring
+    * [[graft.cep.CepQuery.planRuleFirstAligned]]. In a stream, "first"
+    * is the first event PROCESSED for the key; an even-earlier late
+    * event lands on the same grid extended backward (the reference's
+    * backward extension has a negative-modulo bug there — declared
+    * deviation, SURVEY §2.4). */
+  sealed trait Alignment
+  case object Epoch extends Alignment
+  case object FirstEvent extends Alignment
+
   /** Open windows of one (rule, group) key, plus the rule's constant
     * parameters (needed on timeout invocations, which carry no
     * events). `closedBelow` is the eviction frontier: windows ending
     * at or below it have fired and must never be re-created
-    * (late-data drop). */
+    * (late-data drop). `anchor` is the window-grid origin: 0 for
+    * epoch alignment, the first event's grid origin otherwise. */
   final case class KeyState(
       w_ms: Long, agg_type: String, cmp_op: String, limit: Double,
-      windows: List[WindowAgg], closedBelow: Long)
+      windows: List[WindowAgg], closedBelow: Long, anchor: Long)
 
   /** Emitted result row (same shape as CepQuery.planAll output). */
   final case class CepResult(
       rule_id: Int, group_id: String, window_start: Long, window_end: Long,
       result: Double)
 
-  /** Window starts covering `ev_ms` (arithmetic twin of the reference's
-    * assigners, epoch-aligned per SURVEY §7.4 #3). */
-  private[graft] def windowStarts(e: CepEvent): Seq[Long] = e.window_type match {
-    case "tumbling" => Seq(Math.floorDiv(e.ev_ms, e.w_ms) * e.w_ms)
-    case "sliding" =>
-      // ceil(w/s) candidate starts, then drop those whose window ends
-      // at or before the event: when s does not divide w, events near a
-      // slide boundary are covered by floor(w/s) windows, others by
-      // floor(w/s)+1 — a fixed floor(w/s) count silently loses rows.
-      val n = ((e.w_ms + e.s_ms - 1) / e.s_ms).toInt
-      val top = Math.floorDiv(e.ev_ms, e.s_ms) * e.s_ms
-      (0 until n).map(i => top - i.toLong * e.s_ms).filter(_ > e.ev_ms - e.w_ms)
-    case _ => Seq.empty // global: never windows, never fires (see Scaladoc)
+  /** Window starts covering `ev_ms` on the grid with origin `anchor`
+    * (0 = epoch alignment — the arithmetic twin of the reference's
+    * assigners, see [[Alignment]]). */
+  private[graft] def windowStarts(e: CepEvent, anchor: Long = 0L): Seq[Long] =
+    e.window_type match {
+      case "tumbling" =>
+        Seq(anchor + Math.floorDiv(e.ev_ms - anchor, e.w_ms) * e.w_ms)
+      case "sliding" =>
+        // ceil(w/s) candidate starts, then drop those whose window ends
+        // at or before the event: when s does not divide w, events near a
+        // slide boundary are covered by floor(w/s) windows, others by
+        // floor(w/s)+1 — a fixed floor(w/s) count silently loses rows.
+        val n = ((e.w_ms + e.s_ms - 1) / e.s_ms).toInt
+        val top = anchor + Math.floorDiv(e.ev_ms - anchor, e.s_ms) * e.s_ms
+        (0 until n).map(i => top - i.toLong * e.s_ms).filter(_ > e.ev_ms - e.w_ms)
+      case _ => Seq.empty // global: never windows, never fires (see Scaladoc)
+    }
+
+  /** Grid origin a new key adopts for its first event. */
+  private def anchorFor(align: Alignment, e: CepEvent): Long = align match {
+    case Epoch => 0L
+    case FirstEvent =>
+      if (e.window_type == "sliding") e.ev_ms - e.w_ms else e.ev_ms
   }
 
   /** `v` rounded the way CepQuery.SumDecimal's cast rounds (HALF_UP to
@@ -122,17 +147,18 @@ object StatefulCep {
     *
     * Pure state transition — shared by the flatMapGroupsWithState and
     * transformWithState engines, which must stay semantically twins. */
-  private[graft] def foldEvents(
-      st0: KeyState, events: Iterator[CepEvent], wm: Long): KeyState = {
+  private[graft] def foldEvents(st0: KeyState, events: Iterator[CepEvent],
+      wm: Long, align: Alignment = Epoch): KeyState = {
     var st = st0
     events.foreach { e =>
       st =
         if (st == null)
-          KeyState(e.w_ms, e.agg_type, e.cmp_op, e.limit, Nil, Long.MinValue)
+          KeyState(e.w_ms, e.agg_type, e.cmp_op, e.limit, Nil, Long.MinValue,
+            anchorFor(align, e))
         else
           st.copy(w_ms = e.w_ms, agg_type = e.agg_type,
             cmp_op = e.cmp_op, limit = e.limit)
-      windowStarts(e).foreach { ws =>
+      windowStarts(e, st.anchor).foreach { ws =>
         val we = ws + e.w_ms
         if (we > st.closedBelow && we > wm) {
           val updated = st.windows.find(_.ws_ms == ws) match {
@@ -165,14 +191,14 @@ object StatefulCep {
     (out, st.copy(windows = open, closedBelow = closedBelow))
   }
 
-  private[graft] def processKey(
+  private[graft] def processKey(align: Alignment)(
       key: (Int, String),
       events: Iterator[CepEvent],
       state: GroupState[KeyState]): Iterator[CepResult] = {
     // 0 = "no watermark yet"; real event times dwarf it, so a plain
     // <=/> comparison does the right thing in every phase.
     val wm = state.getCurrentWatermarkMs()
-    val st = foldEvents(state.getOption.orNull, events, wm)
+    val st = foldEvents(state.getOption.orNull, events, wm, align)
     if (st == null) { state.remove(); return Iterator.empty }
 
     val (out, kept) = fireReady(key, st, wm)
@@ -214,8 +240,9 @@ object StatefulCep {
 
   /** Wire the stateful engine over a fanned-out event stream.
     * `fannedOut` must be watermarked on an `eventTime` timestamp column
-    * and carry the [[CepEvent]] columns. Output mode: Append. */
-  def run(fannedOut: DataFrame): Dataset[CepResult] = {
+    * and carry the [[CepEvent]] columns. Output mode: Append.
+    * `align` picks the window grid (see [[Alignment]]). */
+  def run(fannedOut: DataFrame, align: Alignment = Epoch): Dataset[CepResult] = {
     implicit val eEnc = Encoders.product[CepEvent]
     implicit val sEnc = Encoders.product[KeyState]
     implicit val rEnc = Encoders.product[CepResult]
@@ -224,6 +251,6 @@ object StatefulCep {
       .as[CepEvent]
       .groupByKey(e => (e.rule_id, e.group_id))
       .flatMapGroupsWithState[KeyState, CepResult](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(processKey)
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(processKey(align))
   }
 }

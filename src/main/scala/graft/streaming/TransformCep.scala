@@ -33,7 +33,7 @@ object TransformCep {
   /** One per-key timer at the earliest open window end: timers fire
     * when the EVENT-TIME watermark passes them (TimeMode.EventTime),
     * exactly the old engine's setTimeoutTimestamp contract. */
-  private class CepProcessor(ttl: TTLConfig)
+  private class CepProcessor(ttl: TTLConfig, align: StatefulCep.Alignment)
       extends StatefulProcessor[(Int, String), CepEvent, CepResult] {
 
     @transient private var state: ValueState[KeyState] = _
@@ -67,7 +67,7 @@ object TransformCep {
         tv: TimerValues): Iterator[CepResult] = {
       val wm = tv.getCurrentWatermarkInMs()
       val oldTimer = existingTimer
-      val st = StatefulCep.foldEvents(currentOrNull, rows, wm)
+      val st = StatefulCep.foldEvents(currentOrNull, rows, wm, align)
       if (st == null) return Iterator.empty
       val (out, kept) = StatefulCep.fireReady(key, st, wm)
       commit(kept, oldTimer)
@@ -89,14 +89,15 @@ object TransformCep {
   /** Wire the transformWithState engine over a fanned-out event stream
     * (same input contract as [[StatefulCep.run]]: watermarked
     * `eventTime` + [[CepEvent]] columns). Output mode: Append. */
-  def run(fannedOut: DataFrame, ttl: TTLConfig = TTLConfig.NONE): Dataset[CepResult] = {
+  def run(fannedOut: DataFrame, ttl: TTLConfig = TTLConfig.NONE,
+      align: StatefulCep.Alignment = StatefulCep.Epoch): Dataset[CepResult] = {
     implicit val eEnc = Encoders.product[CepEvent]
     implicit val rEnc = Encoders.product[CepResult]
     implicit val kEnc = Encoders.tuple(Encoders.scalaInt, Encoders.STRING)
     fannedOut
       .as[CepEvent]
       .groupByKey(e => (e.rule_id, e.group_id))
-      .transformWithState(new CepProcessor(ttl),
+      .transformWithState(new CepProcessor(ttl, align),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -59,6 +59,19 @@ object WindowLawsSpec extends Properties("WindowLaws") {
       StatefulCep.windowStarts(ev(ms, "global", 0, 0)).isEmpty
     }
 
+  private val anchorGen = Gen.choose(-4102444800000L, 4102444800000L)
+
+  property("anchored grids are shifted epoch grids (alignment is a pure translation)") =
+    forAll(tsGen, slideGen, anchorGen) { (ms: Long, p: (Long, Long), anchor: Long) =>
+      val (sMin, wMin) = p
+      val se = ev(ms, "sliding", wMin, sMin)
+      val te = ev(ms, "tumbling", wMin, 0)
+      def shifted(e: CepEvent): Seq[Long] =
+        StatefulCep.windowStarts(e.copy(ev_ms = e.ev_ms - anchor)).map(_ + anchor)
+      Prop(StatefulCep.windowStarts(se, anchor) == shifted(se)) :| "sliding" &&
+        Prop(StatefulCep.windowStarts(te, anchor) == shifted(te)) :| "tumbling"
+    }
+
   property("native WindowStartsExpr mirrors StatefulCep.windowStarts (tumbling + sliding)") =
     forAll(tsGen, slideGen) { (ms: Long, p: (Long, Long)) =>
       val (sMin, wMin) = p
