@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.graft.{CepExprColumns, LshBucketsColumns, RollingHashColumns, VecDotColumns}
+import org.apache.spark.sql.graft.{CepExprColumns, LshBucketsColumns, MetricRouteColumns, RollingHashColumns, VecDotColumns}
 
 /** Public column-function surface for graft's native Catalyst
   * expressions (implementations under org.apache.spark.sql.graft). */
@@ -20,6 +20,10 @@ package object functions {
     * see [[org.apache.spark.sql.graft.RollingHashFingerprint]]. */
   def rolling_fingerprint(text: Column, window: Int = 16, winnow: Int = 8): Column =
     RollingHashColumns.rollingFingerprint(text, window, winnow)
+
+  /** Reference metric key routing over a parsed JSON map, one native
+    * pass (codegen'd) — see [[org.apache.spark.sql.graft.MetricRoute]]. */
+  def metric_route(m: Column): Column = MetricRouteColumns.metricRoute(m)
 
   /** Every element of `needles` present in `haystack` (codegen'd) —
     * see [[org.apache.spark.sql.graft.ArrayContainsAll]]. */

@@ -23,22 +23,22 @@ object Parsers {
     * (reference O4 null-filter, CEPTaskRunner.java:34). */
   def parseMetrics(lines: DataFrame, lineCol: String = "line"): DataFrame = {
     // from_json to MAP<STRING,STRING> keeps unknown keys and renders
-    // scalar values as their literal JSON text.
-    val m = from_json(col(lineCol), MapType(StringType, StringType))
-    val tags = map_filter(m, (k, _) => k.contains("t_"))
-    val measuresRaw = map_filter(m, (k, _) => !k.contains("t_") && k =!= "eventTime")
-    val evMs = try_element_at(m, lit("eventTime")).try_cast("long")
-    // Reference parses measures with Integer.parseInt: any non-integer
-    // value throws and the whole metric is dropped (CEPTaskRunner.java:67-70).
-    val allMeasuresIntegral =
-      forall(map_values(measuresRaw), v => v.try_cast("long").isNotNull)
+    // scalar values as their literal JSON text; the key routing —
+    // `t_`-containing → tag, `eventTime` → time, rest → integer
+    // measure, any non-integer measure drops the event
+    // (CEPTaskRunner.java:67-70) — is ONE native pass over the map
+    // (graft.functions.metric_route), not a stack of interpreted
+    // higher-order functions: routing cost matched the JSON parse
+    // itself, and ingest parsing is the engine's hot path.
+    val routed = graft.functions.metric_route(
+      from_json(col(lineCol), MapType(StringType, StringType)))
     lines
+      .select(routed.as("_r"))
       .select(
-        timestamp_millis(evMs).as("eventTime"),
-        tags.as("tags"),
-        transform_values(measuresRaw, (_, v) => v.try_cast("long").cast("double"))
-          .as("metrics"),
-        allMeasuresIntegral.as("_ok"))
+        timestamp_millis(col("_r.ev_ms")).as("eventTime"),
+        col("_r.tags").as("tags"),
+        col("_r.metrics").as("metrics"),
+        col("_r.ok").as("_ok"))
       .filter(col("eventTime").isNotNull && col("_ok"))
       .drop("_ok")
   }
