@@ -47,6 +47,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"BNLJ set drifted: got $actual, declared $declaredBnlj")
   }
 
+  test("scans are column-pruned (projection reaches the parquet ReadSchema)") {
+    def readSchemas(name: String): Seq[String] =
+      "ReadSchema: ([^\\n]*)".r.findAllMatchIn(plans(name)).map(_.group(1)).toSeq
+    // A 2-column projection must scan 2 columns, not the whole table.
+    assert(readSchemas("text_tokens").forall(_.startsWith("struct<doc_id:bigint,text:string>")))
+    assert(readSchemas("dedup_exact").forall(_.startsWith("struct<doc_id:bigint,text:string>")))
+    assert(readSchemas("sim_topk").forall(_.startsWith("struct<vec_id:bigint,embedding:array<float>>")))
+    // Wide tables: the unused columns must not reach the scan.
+    assert(readSchemas("tpch_pricing").forall(s =>
+      !s.contains("l_comment") && !s.contains("l_shipdate") && !s.contains("l_orderkey")))
+    assert(readSchemas("join_topk_revenue").forall(s =>
+      !s.contains("l_comment") && !s.contains("o_orderdate") && !s.contains("c_address")))
+    // The metric adapter needs ts/event_type/user_id/value — but never
+    // event_id, which must be pruned through the tag/measure maps.
+    assert(readSchemas("cep_sum_tumbling_gt").forall(!_.contains("event_id")))
+  }
+
   test("CEP plans shuffle exactly once (parse queries: zero)") {
     val shuffleCounts = plans.view.filterKeys(_.startsWith("cep_")).mapValues(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size).toMap
