@@ -159,6 +159,46 @@ class CepQuerySpec extends AnyFunSuite {
       (2, "2_business", 16.0 / 3), (2, "2_work", 16.0 / 3)))
   }
 
+  test("randomized battery: planAll one-pass == per-rule planRule across the rule space") {
+    // The two compilation modes are independent implementations
+    // (built-in window() vs native arithmetic; per-rule static filters
+    // vs broadcast fan-out + CASE dispatch). A seeded battery across
+    // {tumbling, sliding (divisible + not), global} × {SUM,AVG,MIN,MAX}
+    // × all six comparators must agree row for row.
+    val rnd = new scala.util.Random(7)
+    val frame = metricFrame((1 to 60).map { _ =>
+      (t0 + rnd.nextInt(600000).toLong,
+        if (rnd.nextBoolean()) "a" else "b", rnd.nextInt(100) - 20)
+    })
+    val wts = Seq(WindowType.Tumbling, WindowType.Sliding, WindowType.Global)
+    val aggs = Seq(AggType.Sum, AggType.Avg, AggType.Min, AggType.Max)
+    val ops = Seq(CmpOp.Gt, CmpOp.Lt, CmpOp.Ge, CmpOp.Le, CmpOp.Eq, CmpOp.Ne)
+    val rules = (1 to 12).map { id =>
+      val wt = wts(rnd.nextInt(wts.size))
+      val w = 1 + rnd.nextInt(10)
+      val s = if (wt == WindowType.Sliding) 1 + rnd.nextInt(w) else 0
+      Rule(id, RuleState.Active, wt, if (wt == WindowType.Global) 0 else w, s,
+        Seq("t_group"), aggs(rnd.nextInt(aggs.size)), "cpu_usage",
+        ops(rnd.nextInt(ops.size)), BigDecimal(rnd.nextInt(60) - 10))
+    }
+    val fromAll = CepQuery.planAll(frame, Metrics.rulesToDF(spark, rules))
+      .select(col("rule_id"), col("group_id"),
+        unix_millis(col("window_start")), col("result"))
+      .as[(Int, String, Option[Long], Double)].collect().toSet
+    val fromSingles = rules.flatMap { r =>
+      val single = CepQuery.planRule(frame, r)
+      val rows = r.windowType match {
+        case WindowType.Global =>
+          single.select(col("t_group"), lit(null).cast("long"), col("result"))
+        case _ =>
+          single.select(col("t_group"), unix_millis(col("window_start")), col("result"))
+      }
+      rows.as[(String, Option[Long], Double)].collect()
+        .map { case (g, ws, res) => (r.ruleId, s"${r.ruleId}_$g", ws, res) }
+    }.toSet
+    assert(fromAll.nonEmpty && fromAll == fromSingles)
+  }
+
   test("rule match requires ALL grouping keys present in tags (fan-out join predicate)") {
     val frame = metricFrame(demoEvents) // tags: only t_group
     val needsMissingTag = demoRule.copy(groupingKeyNames = Seq("t_group", "t_host"))

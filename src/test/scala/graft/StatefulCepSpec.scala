@@ -144,6 +144,29 @@ class StatefulCepSpec extends AnyFunSuite {
     }
   }
 
+  test("FirstEvent alignment: an out-of-order earlier event lands on the same grid, extended backward") {
+    import graft.streaming.StatefulCep.CepEvent
+    def e(ms: Long) = CepEvent(1, "g", new java.sql.Timestamp(ms), ms, 1.0,
+      "sliding", 240000L, 120000L, "SUM", ">", -1.0)
+    // First processed event t=500000, w=4min, s=2min → grid anchor
+    // t0 − w = 260000; covering starts {380000, 500000} (the
+    // assigner's initial window [260000, 500000) half-open-excludes
+    // its own first event).
+    val st1 = StatefulCep.foldEvents(null, Iterator(e(500000L)), 0L,
+      StatefulCep.FirstEvent)
+    assert(st1.anchor == 260000L)
+    assert(st1.windows.map(_.ws_ms).sorted == List(380000L, 500000L))
+    // An event EARLIER than the anchor extends the same grid backward
+    // (starts stay ≡ anchor mod s): covering starts for t=100000 are
+    // {−100000, 20000}, both half-open-containing the event.
+    val st2 = StatefulCep.foldEvents(st1, Iterator(e(100000L)), 0L,
+      StatefulCep.FirstEvent)
+    val backStarts = st2.windows.map(_.ws_ms).filter(_ <= 100000L).sorted
+    assert(backStarts == List(-100000L, 20000L))
+    assert(backStarts.forall(ws => math.floorMod(ws - st2.anchor, 120000L) == 0))
+    assert(backStarts.forall(ws => ws <= 100000L && 100000L < ws + 240000L))
+  }
+
   /** transformWithState requires the RocksDB state store; scope the
     * provider override to the test so the rest of the suite keeps the
     * default HDFS-backed store. */
