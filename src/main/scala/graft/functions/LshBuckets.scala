@@ -66,9 +66,14 @@ object LshBucketsImpl {
   def compute(v: ArrayData, planes: Array[Double], tables: Int,
       planesPerTable: Int, isFloat: Boolean): GenericArrayData = {
     val dim = v.numElements()
-    val x = new Array[Double](dim)
+    // Plane stride is the DECLARED dim (the matrix layout), never the
+    // incoming vector's length: a short/long malformed vector must not
+    // silently shift every subsequent plane.
+    val planeDim = planes.length / (tables * planesPerTable)
+    val n = math.min(dim, planeDim)
+    val x = new Array[Double](n)
     var i = 0
-    while (i < dim) {
+    while (i < n) {
       x(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
       i += 1
     }
@@ -81,9 +86,9 @@ object LshBucketsImpl {
       while (j < planesPerTable) {
         var s = 0.0
         var d = 0
-        while (d < dim) { s += x(d) * planes(pOff + d); d += 1 }
+        while (d < n) { s += x(d) * planes(pOff + d); d += 1 }
         if (s > 0) b |= 1L << j
-        pOff += dim
+        pOff += planeDim
         j += 1
       }
       out(t) = b

@@ -85,9 +85,14 @@ object Parsers {
       // A rule with an unknown comparator or aggregator can never
       // apply (the reference's enum valueOf throws at apply time,
       // Rule.java:99-107) — dropping it at parse time is the same
-      // observable behavior, surfaced earlier.
+      // observable behavior, surfaced earlier. Likewise a windowed
+      // rule with a non-positive width/slide (the reference's
+      // assigners divide by them; missing JSON fields default to 0)
+      // could only ever divide-by-zero — reject it here.
       .filter(col("rule_id").isNotNull && col("rule_state").isNotNull &&
         col("cmp_op").isNotNull &&
-        col("agg_type").isin("SUM", "AVG", "MIN", "MAX"))
+        col("agg_type").isin("SUM", "AVG", "MIN", "MAX") &&
+        (col("window_type") === "global" || col("window_minutes") > 0) &&
+        (col("window_type") =!= "sliding" || col("window_slide_minute") > 0))
   }
 }

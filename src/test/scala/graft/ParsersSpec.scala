@@ -69,6 +69,18 @@ class ParsersSpec extends AnyFunSuite {
     assert(kept == Seq(3))
   }
 
+  test("rule parse: windowed rules with non-positive width/slide drop (assigners would divide by zero)") {
+    val lines = Seq(
+      """{"ruleId":1,"ruleState":"ACTIVE","windowType":"tumbling","windowSlideMinute":0,"groupingKeyNames":["t_a"],"aggregatorFunctionType":"SUM","aggregateFieldName":"v","limitOperatorType":">","limit":1}""",
+      """{"ruleId":2,"ruleState":"ACTIVE","windowType":"sliding","windowMinutes":10,"windowSlideMinute":0,"groupingKeyNames":["t_a"],"aggregatorFunctionType":"SUM","aggregateFieldName":"v","limitOperatorType":">","limit":1}""",
+      """{"ruleId":3,"ruleState":"ACTIVE","windowType":"global","groupingKeyNames":["t_a"],"aggregatorFunctionType":"SUM","aggregateFieldName":"v","limitOperatorType":">","limit":1}""")
+      .toDF("line")
+    // 1: tumbling with missing windowMinutes (defaults 0) — drop;
+    // 2: sliding with zero slide — drop; 3: global needs no width — keep.
+    val kept = Parsers.parseRules(lines).select("rule_id").as[Int].collect().toSeq
+    assert(kept == Seq(3))
+  }
+
   test("rule parse: unknown window type → global; word comparators normalize to symbols") {
     val lines = Seq(
       """{"ruleId":3,"ruleState":"PAUSE","windowType":"session","windowMinutes":0,"windowSlideMinute":0,"groupingKeyNames":["t_a"],"aggregatorFunctionType":"MIN","aggregateFieldName":"lat","limitOperatorType":"LESS_EQUAL","limit":99}""")
