@@ -197,6 +197,48 @@ object SparkEntry {
        |FROM e GROUP BY 2,3,4 HAVING result < 5.0""".stripMargin
   }
 
+  private def multiRuleFirstAligned(spark: SparkSession, dir: String): DataFrame =
+    CepQuery.planAllFirstAligned(metricsFrame(spark, dir),
+      Metrics.rulesToDF(spark, flagshipRules))
+
+  /** The flagship rule set under the reference's first-event window
+    * alignment: tumbling grids anchor at each (rule, group)'s earliest
+    * event, the sliding grid at t0 − w; global is alignment-free. */
+  private val multiRuleFirstAlignedOracle: String = {
+    val d = 86400000L // 1440 min
+    val s6 = 21600000L // 360 min
+    s"""WITH e AS (SELECT *, epoch_ms(ts) AS ms FROM events),
+       |t1 AS (SELECT event_type, ms, value,
+       |         min(ms) OVER (PARTITION BY event_type) AS t0 FROM e),
+       |s2 AS (SELECT event_type, ms, value,
+       |         min(ms) OVER (PARTITION BY event_type) - $d AS a0 FROM e),
+       |t5 AS (SELECT event_type, user_id, ms, value,
+       |         min(ms) OVER (PARTITION BY event_type, user_id) AS t0 FROM e)
+       |SELECT 1 AS rule_id, concat_ws('_', '1', event_type) AS group_id,
+       |  make_timestamp((t0 + ((ms-t0)//$d)*$d)*1000) AS window_start,
+       |  make_timestamp((t0 + ((ms-t0)//$d)*$d + $d)*1000) AS window_end,
+       |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS result
+       |FROM t1 GROUP BY 2, 3, 4 HAVING result > 100.0
+       |UNION ALL
+       |SELECT 2, concat_ws('_', '2', event_type),
+       |  make_timestamp(ws*1000), make_timestamp((ws+$d)*1000),
+       |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)/COUNT(value) AS result
+       |FROM (SELECT event_type, value, a0 + ((ms-a0)//$s6 - i)*$s6 AS ws
+       |      FROM s2, generate_series(0, 3) g(i)
+       |      WHERE a0 + ((ms-a0)//$s6 - i)*$s6 > ms - $d)
+       |GROUP BY 2, 3, 4 HAVING result <= 60.0
+       |UNION ALL
+       |SELECT 3, concat_ws('_', '3', CAST(user_id AS VARCHAR)),
+       |  CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP), MAX(value) AS result
+       |FROM e GROUP BY 2 HAVING result >= 200.0
+       |UNION ALL
+       |SELECT 5, concat_ws('_', '5', event_type, CAST(user_id AS VARCHAR)),
+       |  make_timestamp((t0 + ((ms-t0)//$d)*$d)*1000),
+       |  make_timestamp((t0 + ((ms-t0)//$d)*$d + $d)*1000),
+       |  MIN(value) AS result
+       |FROM t5 GROUP BY 2, 3, 4 HAVING result < 5.0""".stripMargin
+  }
+
   // ---------------------------------------------------------------------------
   // Parsing operators (reference O2/O3/O5): JSON-line metric parse with
   // tag/measure key routing; lenient rule parse; rule-stream upsert
@@ -654,6 +696,7 @@ object SparkEntry {
       "cep_sum_sliding_first_aligned" -> ((s, dir) =>
         CepQuery.planRuleFirstAligned(metricsFrame(s, dir), firstAlignedSlidingRule)),
       "cep_multi_rule" -> multiRule,
+      "cep_multi_rule_first_aligned" -> multiRuleFirstAligned,
       "cep_parse_metric" -> parseMetricQuery,
       "cep_parse_rule" -> parseRuleQuery,
       "cep_rule_upsert" -> ruleUpsertQuery,
@@ -671,6 +714,7 @@ object SparkEntry {
       "cep_sum_tumbling_first_aligned" -> firstAlignedOracle,
       "cep_sum_sliding_first_aligned" -> firstAlignedSlidingOracle,
       "cep_multi_rule" -> multiRuleOracle,
+      "cep_multi_rule_first_aligned" -> multiRuleFirstAlignedOracle,
       "cep_parse_metric" -> parseMetricOracle,
       "cep_parse_rule" -> parseRuleOracle,
       "cep_rule_upsert" -> ruleUpsertOracle,

@@ -194,42 +194,17 @@ object CepQuery {
     * reference's `ruleId_tagVal1_tagVal2…` (PartitionEngine.java:72-81).
     */
   def planAll(metricFrame: DataFrame, ruleFrame: DataFrame): DataFrame = {
-    // 1. Rule match: broadcast inner theta-join; 1 metric → N matched
-    //    copies. The tag-key array is materialized per METRIC before
-    //    the join — inlining map_keys(tags) into the join condition
-    //    would re-extract (and re-allocate) it per (metric, rule) pair
-    //    in the nested-loop join.
-    val withKeys = metricFrame.withColumn("_tag_keys", map_keys(col("tags")))
-    val joined = withKeys.join(
-      broadcast(ruleFrame),
-      (col("rule_state") === RuleState.Active.name) &&
-        graft.functions.array_contains_all(col("_tag_keys"),
-          col("grouping_key_names")))
-      .drop("_tag_keys")
+    val prepared = fanOutPrepared(metricFrame, ruleFrame)
 
-    // 2. Per-(metric,rule) derived columns: group values, event millis, value.
-    val prepared = joined.select(
-      col("rule_id"),
-      col("agg_type"), col("cmp_op"), col("limit"),
-      col("window_type"),
-      (col("window_minutes").cast("long") * 60000L).as("w_ms"),
-      (col("window_slide_minute").cast("long") * 60000L).as("s_ms"),
-      graft.functions.map_values_for_keys(col("tags"), col("grouping_key_names"))
-        .as("group_vals"),
-      unix_millis(col("eventTime")).as("ev_ms"),
-      element_at(col("metrics"), col("agg_field")).as("v"))
-
-    // 3. Window assignment, arithmetically (width/slide are per-rule data):
-    //    tumbling → floor-align to w_ms; sliding → one row per covering
-    //    window, starts aligned to s_ms (reference fan-out semantics,
-    //    SlidingWindowAssigner.java:23-55, epoch-aligned per SURVEY §7.4);
-    //    global → NULL window (single unbounded bucket).
-    // One native call per fanned-out row computes the covering starts
-    // (ceil(w/s) candidates for sliding with non-covering starts
-    // dropped — exact non-divisible semantics; single aligned start
-    // for tumbling; a null start for global's unbounded bucket). The
-    // CASE-over-HOFs spelling this replaces was evaluated interpreted
-    // per row and dominated the one-pass plan's runtime.
+    // Window assignment, arithmetically (width/slide are per-rule
+    // data): one native call per fanned-out row computes the covering
+    // starts (ceil(w/s) candidates for sliding with non-covering
+    // starts dropped — exact non-divisible semantics; single aligned
+    // start for tumbling; a null start for global's unbounded bucket).
+    // The CASE-over-HOFs spelling this replaces was evaluated
+    // interpreted per row and dominated the one-pass plan's runtime.
+    // Epoch-aligned (SURVEY §7.4); see [[planAllFirstAligned]] for the
+    // reference's first-event grids.
     val windowed = prepared.withColumn("ws_ms",
       graft.functions.window_starts(col("window_type"), col("ev_ms"),
         col("w_ms"), col("s_ms")))
@@ -244,9 +219,69 @@ object CepQuery {
       .filter(col("window_type") =!= WindowType.Sliding.name ||
         col("ws_ms").isNotNull)
 
-    // 4. One hash aggregation — the single shuffle of the whole plan,
-    //    keyed exactly like the reference's keyBy(groupId). Rule
-    //    attributes ride along in the key (constant per rule_id).
+    aggregateAndEmit(windowed)
+  }
+
+  /** [[planAll]] with the reference's first-event window alignment
+    * (see [[planRuleFirstAligned]]): each (rule, group) derives its
+    * grid origin from its earliest event — tumbling anchors at t0,
+    * sliding at t0 − w; global is unchanged. One window function
+    * computes the per-(rule, group) min, and its hash partitioning is
+    * reused by the final aggregation (a subset of the grouping keys),
+    * so the plan still shuffles exactly once. */
+  def planAllFirstAligned(metricFrame: DataFrame, ruleFrame: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prepared = fanOutPrepared(metricFrame, ruleFrame)
+      .withColumn("t0", min(col("ev_ms")).over(
+        Window.partitionBy(col("rule_id"), col("group_vals"))))
+      .withColumn("anchor",
+        when(col("window_type") === WindowType.Sliding.name,
+          col("t0") - col("w_ms"))
+        .when(col("window_type") === WindowType.Tumbling.name, col("t0")))
+    // Anchored grids are translated epoch grids (WindowLaws property):
+    // shift the event into anchor space, assign, shift back. Global
+    // rows have a null anchor, which nulls the array and explode_outer
+    // emits exactly the one null-window row global needs.
+    val windowed = prepared
+      .withColumn("ws_ms", explode_outer(transform(
+        graft.functions.window_starts(col("window_type"),
+          col("ev_ms") - col("anchor"), col("w_ms"), col("s_ms")),
+        ws => ws + col("anchor"))))
+      .filter(col("window_type") =!= WindowType.Sliding.name ||
+        col("ws_ms").isNotNull)
+      .drop("t0", "anchor")
+    aggregateAndEmit(windowed)
+  }
+
+  /** planAll steps 1-2 — broadcast rule-match fan-out + per-(metric,
+    * rule) derived columns. The tag-key array is materialized per
+    * METRIC before the join: inlining map_keys(tags) into the join
+    * condition would re-extract (and re-allocate) it per (metric,
+    * rule) pair in the nested-loop join. */
+  private def fanOutPrepared(metricFrame: DataFrame, ruleFrame: DataFrame): DataFrame =
+    metricFrame.withColumn("_tag_keys", map_keys(col("tags")))
+      .join(
+        broadcast(ruleFrame),
+        (col("rule_state") === RuleState.Active.name) &&
+          graft.functions.array_contains_all(col("_tag_keys"),
+            col("grouping_key_names")))
+      .drop("_tag_keys")
+      .select(
+        col("rule_id"),
+        col("agg_type"), col("cmp_op"), col("limit"),
+        col("window_type"),
+        (col("window_minutes").cast("long") * 60000L).as("w_ms"),
+        (col("window_slide_minute").cast("long") * 60000L).as("s_ms"),
+        graft.functions.map_values_for_keys(col("tags"), col("grouping_key_names"))
+          .as("group_vals"),
+        unix_millis(col("eventTime")).as("ev_ms"),
+        element_at(col("metrics"), col("agg_field")).as("v"))
+
+  /** planAll steps 4-5 — the single hash-aggregation shuffle keyed
+    * like the reference's keyBy(groupId) (rule attributes ride along,
+    * constant per rule_id), then CASE-dispatched aggregate + HAVING
+    * comparator (both are data) and the output projection. */
+  private def aggregateAndEmit(windowed: DataFrame): DataFrame = {
     val agged = windowed
       .groupBy(col("rule_id"), col("group_vals"), col("ws_ms"),
         col("agg_type"), col("cmp_op"), col("limit"), col("w_ms"))
@@ -256,7 +291,6 @@ object CepQuery {
         min(col("v")).as("min_v"),
         max(col("v")).as("max_v"))
 
-    // 5. CASE-dispatch the aggregate + HAVING comparator (both are data).
     val result = agged.withColumn("result",
       when(col("agg_type") === AggType.Sum.name, col("sum_v"))
         .when(col("agg_type") === AggType.Avg.name, col("sum_v") / col("cnt_v"))

@@ -159,6 +159,29 @@ class CepQuerySpec extends AnyFunSuite {
       (2, "2_business", 16.0 / 3), (2, "2_work", 16.0 / 3)))
   }
 
+  test("planAllFirstAligned == per-rule planRuleFirstAligned (+ global passthrough)") {
+    val frame = metricFrame(demoEvents)
+    val tumb = demoRule.copy(ruleId = 1, limitOperatorType = CmpOp.Gt, limit = BigDecimal(-99))
+    val slid = Rule(2, RuleState.Active, WindowType.Sliding, 3, 2, Seq("t_group"),
+      AggType.Avg, "cpu_usage", CmpOp.Gt, BigDecimal(-99))
+    val glob = Rule(3, RuleState.Active, WindowType.Global, 0, 0, Seq("t_group"),
+      AggType.Max, "cpu_usage", CmpOp.Gt, BigDecimal(-99))
+    val fromAll = CepQuery.planAllFirstAligned(frame,
+      Metrics.rulesToDF(spark, Seq(tumb, slid, glob)))
+      .select(col("rule_id"), col("group_id"),
+        unix_millis(col("window_start")), col("result"))
+      .as[(Int, String, Option[Long], Double)].collect().toSet
+    val fromSingles = (Seq(tumb, slid).flatMap { r =>
+      CepQuery.planRuleFirstAligned(frame, r)
+        .select(col("t_group"), unix_millis(col("window_start")), col("result"))
+        .as[(String, Option[Long], Double)].collect()
+        .map { case (g, ws, res) => (r.ruleId, s"${r.ruleId}_$g", ws, res) }
+    } ++ CepQuery.planRule(frame, glob)
+      .select(col("t_group"), col("result")).as[(String, Double)].collect()
+      .map { case (g, res) => (glob.ruleId, s"${glob.ruleId}_$g", None, res) }).toSet
+    assert(fromAll.nonEmpty && fromAll == fromSingles)
+  }
+
   test("randomized battery: planAll one-pass == per-rule planRule across the rule space") {
     // The two compilation modes are independent implementations
     // (built-in window() vs native arithmetic; per-rule static filters

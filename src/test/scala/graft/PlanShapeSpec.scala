@@ -8,8 +8,9 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   *  - no CartesianProduct anywhere;
   *  - BroadcastNestedLoopJoin only where it is the declared design:
-  *    cep_multi_rule (theta-join of the metric stream against the
-  *    BROADCAST rule set — the build side is the bounded rule table),
+  *    cep_multi_rule and its first-aligned twin (theta-join of the
+  *    metric stream against the BROADCAST rule set — the build side
+  *    is the bounded rule table),
   *    sim_topk (broadcast bounded query vectors against the corpus),
   *    dedup_embedding (the exact all-pairs verification baseline; the
   *    LSH twin is the scale path);
@@ -30,7 +31,8 @@ class PlanShapeSpec extends AnyFunSuite {
       name -> fn(spark, sfDir).queryExecution.executedPlan.toString
     }
 
-  private val declaredBnlj = Set("cep_multi_rule", "sim_topk", "dedup_embedding")
+  private val declaredBnlj =
+    Set("cep_multi_rule", "cep_multi_rule_first_aligned", "sim_topk", "dedup_embedding")
 
   test("no gate query plans a CartesianProduct") {
     val offenders = plans.collect {
