@@ -228,7 +228,12 @@ object CepQuery {
     * sliding at t0 − w; global is unchanged. One window function
     * computes the per-(rule, group) min, and its hash partitioning is
     * reused by the final aggregation (a subset of the grouping keys),
-    * so the plan still shuffles exactly once. */
+    * so the plan still shuffles exactly once.
+    *
+    * Batch path (streaming forbids plain window functions): on streams,
+    * first-event alignment lives in the stateful engines —
+    * [[graft.streaming.StatefulCep]] / TransformCep with
+    * `Alignment.FirstEvent`, whose per-key anchor is the same grid. */
   def planAllFirstAligned(metricFrame: DataFrame, ruleFrame: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val prepared = fanOutPrepared(metricFrame, ruleFrame)
