@@ -1,0 +1,92 @@
+// Hosted under org.apache.spark.sql for access to the private[sql]
+// sessionState/FunctionRegistry of the public Spark jars.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL-facing registration of graft's native expressions, so every
+  * operator is reachable from pure `spark.sql(...)` text as well as
+  * the Column API:
+  *
+  * {{{
+  *   // spark-submit --conf spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions
+  *   spark.sql("SELECT vec_dot(a.embedding, b.embedding) FROM ...")
+  *   spark.sql("SELECT explode(window_starts('sliding', ev, 6000000, 1800000))")
+  *   spark.sql("SELECT md5_winnow_fingerprint(text, 16, 8) FROM documents")
+  * }}}
+  *
+  * Two entry points, same function set: [[GraftExtensions]] for the
+  * `spark.sql.extensions` conf (applies at session build), and
+  * [[GraftFunctions.register]] for an already-running session (e.g.
+  * tests, notebooks). Fixed parameters (fingerprint window/winnow)
+  * are taken from integer literals at resolution time.
+  */
+object GraftFunctions {
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
+
+  private def expectArgs(name: String, args: Seq[Expression], n: Int): Unit =
+    if (args.size != n) throw new IllegalArgumentException(
+      s"$name expects $n arguments, got ${args.size}")
+
+  /** (name, builder) for every SQL-exposed graft function. */
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> { args =>
+      expectArgs("vec_dot", args, 2); VecDot(args(0), args(1))
+    },
+    "array_contains_all" -> { args =>
+      expectArgs("array_contains_all", args, 2)
+      ArrayContainsAll(args(0), args(1))
+    },
+    "map_values_for_keys" -> { args =>
+      expectArgs("map_values_for_keys", args, 2)
+      MapValuesForKeys(args(0), args(1))
+    },
+    "window_starts" -> { args =>
+      expectArgs("window_starts", args, 4)
+      WindowStartsExpr(args(0), args(1), args(2), args(3))
+    },
+    "metric_route" -> { args =>
+      expectArgs("metric_route", args, 1); MetricRoute(args(0))
+    },
+    "rolling_fingerprint" -> { args =>
+      expectArgs("rolling_fingerprint", args, 3)
+      RollingHashFingerprint(args(0),
+        litInt(args(1), "window"), litInt(args(2), "winnow"))
+    },
+    "md5_winnow_fingerprint" -> { args =>
+      expectArgs("md5_winnow_fingerprint", args, 3)
+      Md5WinnowFingerprint(args(0),
+        litInt(args(1), "window"), litInt(args(2), "winnow"))
+    })
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo("graft", name)
+
+  /** Register into a live session's function registry. */
+  def register(spark: SparkSession): Unit = {
+    val registry: FunctionRegistry = spark.sessionState.functionRegistry
+    builders.foreach { case (name, builder) =>
+      registry.registerFunction(FunctionIdentifier(name), info(name), builder)
+    }
+  }
+
+  private[graft] def inject(extensions: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, builder) =>
+      extensions.injectFunction((FunctionIdentifier(name), info(name), builder))
+    }
+}
+
+/** `--conf spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions` */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    GraftFunctions.inject(extensions)
+}

@@ -18,6 +18,26 @@ class OpsSpec extends AnyFunSuite {
   private def emb: DataFrame =
     spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
+  test("SQL-registered graft functions work from pure spark.sql text") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |  array_contains_all(array('a','b','c'), array('b','a')) AS sub,
+        |  window_starts('sliding', 250L, 200L, 100L) AS ws,
+        |  metric_route(map('eventTime','1000','t_g','x','cpu','5')) AS m,
+        |  md5_winnow_fingerprint('the quick brown fox jumps over it', 16, 8) AS fp
+        |""".stripMargin).collect().head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getBoolean(1))
+    assert(r.getSeq[Long](2) == Seq(250L - 50L, 250L - 150L)) // covering starts, top-down
+    val m = r.getStruct(3)
+    assert(m.getAs[Long]("ev_ms") == 1000L && m.getAs[Boolean]("ok"))
+    assert(m.getAs[Map[String, String]]("tags") == Map("t_g" -> "x"))
+    assert(m.getAs[Map[String, Double]]("metrics") == Map("cpu" -> 5.0))
+    assert(r.getSeq[String](4).nonEmpty)
+  }
+
   test("exact dedup groups identical normalized texts under one keeper id") {
     val df = Seq(
       (1L, "Hello  World"), (2L, "hello world"), (3L, "other text"))
