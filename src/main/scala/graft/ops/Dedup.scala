@@ -161,9 +161,13 @@ object Dedup {
     * one shuffle join + aggregation, and `localCheckpoint` cuts the
     * growing lineage so round N+1 replans from materialized labels
     * (the standard Spark pattern for iterative graph algorithms).
-    * Converges in O(graph diameter) rounds — duplicate clusters are
-    * near-cliques in practice, so 2-3 rounds; `maxIters` bounds
-    * adversarial chains. */
+    * Duplicate clusters are near-cliques in practice, so the plain
+    * propagation converges in 2-3 rounds; from round 3 on, each round
+    * also path-halves (label ← label[label], pointer jumping), so an
+    * adversarial chain of length L converges in O(log L) further
+    * rounds instead of O(L) — `maxIters` rounds reach chains of
+    * ~2^(maxIters−3) without paying the extra join on the easy
+    * corpora that never get there. */
   def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val e = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
     // Materialize the edge list once: every propagation round joins
@@ -181,13 +185,24 @@ object Dedup {
         .join(labels.select(col("id").as("nbr"), col("component_id").as("nbr_label")),
           col("b") === col("nbr"))
         .groupBy(col("a")).agg(min(col("nbr_label")).as("nbr_min"))
-      val next = labels
+      val propagated = labels
         .join(nbrMin, col("id") === col("a"), "left")
         .select(col("id"),
           least(col("component_id"), coalesce(col("nbr_min"), col("component_id")))
             .as("new_label"),
           col("component_id").as("old_label"))
-        .localCheckpoint()
+      val next = (if (it < 2) propagated else {
+        // Path halving: labels always point to smaller ids, so
+        // label[label] is defined and ≤ label — one extra join
+        // shortcuts chains exponentially.
+        propagated
+          .join(labels.select(col("id").as("pid"), col("component_id").as("plabel")),
+            col("new_label") === col("pid"), "left")
+          .select(col("id"),
+            least(col("new_label"), coalesce(col("plabel"), col("new_label")))
+              .as("new_label"),
+            col("old_label"))
+      }).localCheckpoint()
       changed = next.filter(col("new_label") =!= col("old_label")).count()
       labels = next.select(col("id"), col("new_label").as("component_id"))
       it += 1

@@ -226,6 +226,15 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("components: a 50-hop duplicate chain converges within maxIters via pointer jumping") {
+    // Plain min-label propagation needs O(diameter) = 49 rounds here —
+    // beyond the 20-round bound; path halving from round 3 closes it
+    // in O(log L).
+    val pairs = (1L to 49L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(comp.size == 50 && comp.values.forall(_ == 1L))
+  }
+
   test("components: chain collapses to one cluster, disjoint pair stays separate") {
     // chain 1-2, 2-3, 3-4 (diameter 3 forces multiple propagation
     // rounds) + disjoint pair 10-11
