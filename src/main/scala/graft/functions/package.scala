@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.graft.{CepExprColumns, LshBucketsColumns, MetricRouteColumns, RollingHashColumns, VecDotColumns}
+import org.apache.spark.sql.graft.{CepExprColumns, LshBucketsColumns, MetricRouteColumns, RollingHashColumns, VecDotColumns, WordShinglesColumns}
 
 /** Public column-function surface for graft's native Catalyst
   * expressions (implementations under org.apache.spark.sql.graft). */
@@ -20,6 +20,12 @@ package object functions {
     * see [[org.apache.spark.sql.graft.RollingHashFingerprint]]. */
   def rolling_fingerprint(text: Column, window: Int = 16, winnow: Int = 8): Column =
     RollingHashColumns.rollingFingerprint(text, window, winnow)
+
+  /** Word n-gram shingles of a document, one native pass (codegen'd;
+    * byte-identical to the trim/lower/split/array_join spelling) — see
+    * [[org.apache.spark.sql.graft.WordShingles]]. */
+  def word_shingles(text: Column, n: Int): Column =
+    WordShinglesColumns.wordShingles(text, n)
 
   /** Reference metric key routing over a parsed JSON map, one native
     * pass (codegen'd) — see [[org.apache.spark.sql.graft.MetricRoute]]. */

@@ -32,20 +32,20 @@ object Dedup {
 
   /** (doc_id, shingle) inverted index, distinct shingles per doc.
     *
-    * Tokens are materialized in their own projection so the regex
-    * `split` runs once per document — inlining it into the shingle
-    * lambda re-evaluates the split at every shingle position (~tokens×
-    * slower). The input is first hash-repartitioned by doc_id: text
-    * corpora often arrive as few large files, and shingling is the
-    * CPU-dense stage, so it must be spread across all cores/executors
-    * rather than inherit the file-split parallelism; downstream
-    * per-doc window counts reuse this exact partitioning (no second
-    * shuffle). */
+    * Shingling runs as ONE native pass per document
+    * ([[graft.functions.word_shingles]] — byte-identical to the
+    * declarative tokens+transform spelling, which paid an interpreted
+    * lambda per shingle position). The input is first
+    * hash-repartitioned by doc_id: text corpora often arrive as few
+    * large files, and shingling is the CPU-dense stage, so it must be
+    * spread across all cores/executors rather than inherit the
+    * file-split parallelism; downstream per-doc window counts reuse
+    * this exact partitioning (no second shuffle). */
   private def shingleIndex(docs: DataFrame, n: Int): DataFrame =
     docs.repartition(col("doc_id"))
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(array_distinct(TextOps.shingles(col("toks"), n))).as("shingle"))
+        explode(array_distinct(
+          graft.functions.word_shingles(col("text"), n))).as("shingle"))
 
   /** Inverted index with the per-doc distinct-shingle count attached to
     * every row (window count over the already-doc_id-partitioned index:

@@ -47,6 +47,14 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("native word_shingles is byte-identical to the declarative tokens+transform spelling") {
+    val mismatches = docs.select(col("doc_id"),
+        graft.functions.word_shingles(col("text"), 3).as("native"),
+        TextOps.shingles(TextOps.tokens(col("text")), 3).as("declarative"))
+      .filter(col("native") =!= col("declarative"))
+    assert(mismatches.count() == 0)
+  }
+
   test("shingle df-cap: capped candidate generation leaves the corpus pairs unchanged, with exact jaccard") {
     // Cap 5 genuinely drops shingles here (max df on this corpus is 9)
     // yet near-dup pairs survive on their rare shingles, and
