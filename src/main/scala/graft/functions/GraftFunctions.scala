@@ -42,6 +42,14 @@ object GraftFunctions {
     "vec_dot" -> { args =>
       expectArgs("vec_dot", args, 2); VecDot(args(0), args(1))
     },
+    "vec_norm" -> { args =>
+      expectArgs("vec_norm", args, 1)
+      org.apache.spark.sql.catalyst.expressions.Sqrt(VecDot(args(0), args(0)))
+    },
+    "word_shingles" -> { args =>
+      expectArgs("word_shingles", args, 2)
+      WordShingles(args(0), litInt(args(1), "n"))
+    },
     "array_contains_all" -> { args =>
       expectArgs("array_contains_all", args, 2)
       ArrayContainsAll(args(0), args(1))

@@ -36,6 +36,11 @@ class OpsSpec extends AnyFunSuite {
     assert(m.getAs[Map[String, String]]("tags") == Map("t_g" -> "x"))
     assert(m.getAs[Map[String, Double]]("metrics") == Map("cpu" -> 5.0))
     assert(r.getSeq[String](4).nonEmpty)
+    val r2 = spark.sql(
+      """SELECT word_shingles('a b c d', 3) AS sh,
+        |       vec_norm(array(3.0d, 4.0d)) AS nrm""".stripMargin).collect().head
+    assert(r2.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(r2.getDouble(1) == 5.0)
   }
 
   test("exact dedup groups identical normalized texts under one keeper id") {
