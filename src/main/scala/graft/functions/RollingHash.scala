@@ -159,11 +159,7 @@ object Md5WinnowImpl {
   }
   private final val HexChars = "0123456789abcdef".toCharArray
 
-  private def md5Hex(md: java.security.MessageDigest,
-      bytes: Array[Byte], from: Int, len: Int): String = {
-    md.reset()
-    md.update(bytes, from, len)
-    val d = md.digest()
+  private def hex(d: Array[Byte]): UTF8String = {
     val out = new Array[Char](32)
     var i = 0
     while (i < 16) {
@@ -171,7 +167,21 @@ object Md5WinnowImpl {
       out(2 * i + 1) = HexChars(d(i) & 0xf)
       i += 1
     }
-    new String(out)
+    UTF8String.fromString(new String(out))
+  }
+
+  /** Unsigned lexicographic digest compare — the same order as
+    * comparing the hex renderings (hex is monotone per unsigned
+    * byte), so the winnow picks exactly the grams the SQL oracle's
+    * string-min picks. */
+  private def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < 16) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    0
   }
 
   /** See [[Md5WinnowFingerprint]]. Static so generated code can call
@@ -192,20 +202,22 @@ object Md5WinnowImpl {
     starts(n) = bytes.length
     val md = digest.get()
     val nGrams = math.max(1, n - window + 1)
-    val grams = new Array[String](nGrams)
+    val grams = new Array[Array[Byte]](nGrams)
     var i = 0
     while (i < nGrams) {
       val from = starts(i)
       val to = starts(math.min(i + window, n))
-      grams(i) = md5Hex(md, bytes, from, to - from)
+      md.reset()
+      md.update(bytes, from, to - from)
+      grams(i) = md.digest()
       i += 1
     }
     if (winnow <= 1)
-      return new GenericArrayData(
-        grams.map(g => UTF8String.fromString(g): AnyRef))
+      return new GenericArrayData(grams.map(g => hex(g): AnyRef))
     // Winnow: min of each winnow-window (rightmost wins ties), emit
     // when the picked position changes — identical control flow to
-    // RollingHashImpl.winnowed, with lexicographic hash comparison.
+    // RollingHashImpl.winnowed; only the ~1/winnow picked digests are
+    // rendered to hex.
     val picks = new Array[AnyRef](nGrams)
     var nPicks = 0
     var lastPos = -1
@@ -216,11 +228,11 @@ object Md5WinnowImpl {
       var j = w + 1
       val end = math.min(w + winnow, nGrams)
       while (j < end) {
-        if (grams(j).compareTo(grams(minPos)) <= 0) minPos = j
+        if (cmp(grams(j), grams(minPos)) <= 0) minPos = j
         j += 1
       }
       if (minPos != lastPos) {
-        picks(nPicks) = UTF8String.fromString(grams(minPos))
+        picks(nPicks) = hex(grams(minPos))
         nPicks += 1
         lastPos = minPos
       }
