@@ -25,6 +25,23 @@ object CepRunner {
   def fileLines(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.text(dir).withColumnRenamed("value", "line")
 
+  /** Synthetic metric stream from the rate source — soak/throughput
+    * testing without external feeders: each tick becomes a metric in
+    * the engine's canonical shape (`nGroups` round-robin tag groups,
+    * value cycling 0..99), directly consumable by CepQuery plans and
+    * the stateful engines. */
+  def rateMetrics(spark: SparkSession, rowsPerSecond: Int,
+      nGroups: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+      .select(
+        col("timestamp").as("eventTime"),
+        map(lit("t_group"),
+          concat(lit("g"), (col("value") % nGroups).cast("string"))).as("tags"),
+        map(lit("cpu_usage"), (col("value") % 100).cast("double")).as("metrics"))
+  }
+
   def main(args: Array[String]): Unit = {
     val host = args.headOption.getOrElse("localhost")
     val metricPort = args.lift(1).map(_.toInt).getOrElse(9999)

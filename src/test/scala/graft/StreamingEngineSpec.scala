@@ -183,6 +183,30 @@ class StreamingEngineSpec extends AnyFunSuite {
     } finally { q.stop(); server.close() }
   }
 
+  test("rate source: synthetic metric stream drives a rule query end to end") {
+    val rule = demoRule.copy(limitOperatorType = CmpOp.Ge, limit = BigDecimal(0))
+    val q = CepQuery.planRule(
+      graft.streaming.CepRunner.rateMetrics(spark, rowsPerSecond = 500), rule)
+      .writeStream.format("memory").queryName("cep_rate_src")
+      .outputMode("update").start()
+    try {
+      // The rate source ticks in wall-clock time: drain until the
+      // first window aggregates appear (bounded wait).
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var rows = 0L
+      while (rows == 0 && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        rows = spark.table("cep_rate_src").count()
+        if (rows == 0) Thread.sleep(200)
+      }
+      assert(rows > 0)
+      // Groups are the synthetic g0..g7 round-robin tags.
+      val groups = spark.table("cep_rate_src")
+        .select("t_group").distinct().as[String].collect().toSet
+      assert(groups.nonEmpty && groups.forall(_.startsWith("g")))
+    } finally q.stop()
+  }
+
   test("one-pass streaming snapshot plan (planAll) runs in update mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
