@@ -110,37 +110,44 @@ class StatefulCepSpec extends AnyFunSuite {
     }
   }
 
-  test("first-event-aligned stateful engine matches planRuleFirstAligned (tumbling + sliding)") {
+  test("first-event-aligned stateful engines match planRuleFirstAligned (tumbling + sliding, both engines)") {
     implicit val sqlCtx = spark.sqlContext
-    val cases = Seq(
-      demoRule.copy(limitOperatorType = CmpOp.Gt, limit = BigDecimal(-1)) -> "fa_tumb",
-      Rule(2, RuleState.Active, WindowType.Sliding, 2, 1, Seq("t_group"),
-        AggType.Sum, "cpu_usage", CmpOp.Gt, BigDecimal(-1)) -> "fa_slid")
-    for ((rule, table) <- cases) {
-      val mem = MemoryStream[Ev]
-      val events = Seq(
-        Ev(t0, "a", 3), Ev(t0 + 30000, "a", 12), Ev(t0 + 50000, "b", 20),
-        Ev(t0 + 130000, "a", 7), Ev(t0 + 140000, "b", 5))
-      val rules = Metrics.rulesToDF(spark, Seq(rule))
-      val out = StatefulCep.run(
-        StatefulCep.fanOut(toMetricFrame(mem.toDF()), rules), StatefulCep.FirstEvent)
-      val q = out.writeStream.format("memory").queryName(table)
-        .outputMode("append").start()
-      try {
-        mem.addData(events: _*)
-        q.processAllAvailable()
-        mem.addData(Ev(t0 + 3600000, "a", 0)) // advance watermark far ahead
-        q.processAllAvailable()
-        val streamed = spark.table(table)
-          .select("group_id", "window_start", "result")
-          .as[(String, Long, Double)].collect().toSet
-        val batch = graft.cep.CepQuery.planRuleFirstAligned(
-          toMetricFrame(events.toDF()), rule)
-          .select(concat(lit(s"${rule.ruleId}_"), col("t_group")),
-            unix_millis(col("window_start")), col("result"))
-          .as[(String, Long, Double)].collect().toSet
-        assert(streamed == batch, s"$table drifted from the batch plan")
-      } finally q.stop()
+    val tumb = demoRule.copy(limitOperatorType = CmpOp.Gt, limit = BigDecimal(-1))
+    val slid = Rule(2, RuleState.Active, WindowType.Sliding, 2, 1, Seq("t_group"),
+      AggType.Sum, "cpu_usage", CmpOp.Gt, BigDecimal(-1))
+    val engines: Seq[(String, DataFrame => org.apache.spark.sql.Dataset[StatefulCep.CepResult])] = Seq(
+      "fmgws" -> (f => StatefulCep.run(f, StatefulCep.FirstEvent)),
+      "tws" -> (f => graft.streaming.TransformCep.run(f,
+        align = StatefulCep.FirstEvent)))
+    for ((rule, shape) <- Seq(tumb -> "tumb", slid -> "slid");
+         (engName, run) <- engines) {
+      val table = s"fa_${shape}_$engName"
+      def body(): Unit = {
+        val mem = MemoryStream[Ev]
+        val events = Seq(
+          Ev(t0, "a", 3), Ev(t0 + 30000, "a", 12), Ev(t0 + 50000, "b", 20),
+          Ev(t0 + 130000, "a", 7), Ev(t0 + 140000, "b", 5))
+        val rules = Metrics.rulesToDF(spark, Seq(rule))
+        val out = run(StatefulCep.fanOut(toMetricFrame(mem.toDF()), rules))
+        val q = out.writeStream.format("memory").queryName(table)
+          .outputMode("append").start()
+        try {
+          mem.addData(events: _*)
+          q.processAllAvailable()
+          mem.addData(Ev(t0 + 3600000, "a", 0)) // advance watermark far ahead
+          q.processAllAvailable()
+          val streamed = spark.table(table)
+            .select("group_id", "window_start", "result")
+            .as[(String, Long, Double)].collect().toSet
+          val batch = graft.cep.CepQuery.planRuleFirstAligned(
+            toMetricFrame(events.toDF()), rule)
+            .select(concat(lit(s"${rule.ruleId}_"), col("t_group")),
+              unix_millis(col("window_start")), col("result"))
+            .as[(String, Long, Double)].collect().toSet
+          assert(streamed == batch, s"$table drifted from the batch plan")
+        } finally q.stop()
+      }
+      if (engName == "tws") withRocksDb(body()) else body()
     }
   }
 
