@@ -22,7 +22,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Gate queries plus the bench-only production-hash twins (no
+    // DuckDB oracle possible, but regressions must stay visible).
+    val queries = (SparkEntry.queries ++ SparkEntry.benchOnly).toSeq.sortBy(_._1)
     // A failing query must not bench as fast: its error is carried into
     // the JSON ("errors" map) instead of being swallowed into a small
     // elapsed time.
@@ -41,9 +43,17 @@ object Bench {
       (n, math.min(a, b), e1.orElse(e2)) }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Full JSON string escaping: any control char < 0x20 (tabs, CRs,
+    // ANSI escapes in exception messages) must not leak raw into the
+    // one-line contract output.
+    def jstr(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val errs = results.collect { case (k, _, Some(e)) =>
-      s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", " ") + "\"" }
+      s"\"" + k + "\":\"" + jstr(e) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")

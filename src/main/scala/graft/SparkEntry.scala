@@ -704,6 +704,19 @@ object SparkEntry {
       "join_topk_revenue" -> joinTopkRevenue) ++ northStarQueries
   }
 
+  /** Production-hash twins, benched but not oracle-gated: xxhash64 /
+    * Rabin–Karp rolling-hash arithmetic is not reproducible in ANSI
+    * SQL, so these cannot carry a DuckDB oracle — their SEMANTICS are
+    * covered by the gated md5-portable twins (identical pipelines
+    * under a hash flag, spec-proven), and these rows exist so a
+    * performance regression in the shipping paths is visible in every
+    * BENCH_r{N}.json. Bench runs `queries ++ benchOnly`. */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_simhash_prod" -> ((s, d) =>
+      graft.ops.Dedup.simhashPairs(documents(s, d), 3)),
+    "dedup_fingerprint_prod" -> ((s, d) =>
+      graft.ops.Dedup.fingerprintPairs(documents(s, d))))
+
   /** DuckDB-equivalent SQL per query (same column names + arithmetic).
     * Every query carries an oracle: the approximate-index queries
     * (LSH/IVF) run at recall-1 gate parameters and share their exact

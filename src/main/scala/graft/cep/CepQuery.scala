@@ -258,19 +258,46 @@ object CepQuery {
     aggregateAndEmit(windowed)
   }
 
-  /** planAll steps 1-2 — broadcast rule-match fan-out + per-(metric,
-    * rule) derived columns. The tag-key array is materialized per
-    * METRIC before the join: inlining map_keys(tags) into the join
-    * condition would re-extract (and re-allocate) it per (metric,
-    * rule) pair in the nested-loop join. */
-  private def fanOutPrepared(metricFrame: DataFrame, ruleFrame: DataFrame): DataFrame =
+  /** Pivot-key sentinel for rules with no grouping keys (they match
+    * every metric; the sentinel gives them a hash-joinable key). A tag
+    * named "" cannot collide: the exploded key list is de-duplicated. */
+  private val KeylessPivot = ""
+
+  /** planAll steps 1-2 — rule-match fan-out + per-(metric, rule)
+    * derived columns, as a broadcast HASH join.
+    *
+    * The naive spelling is a broadcast nested-loop theta-join on
+    * `containsAll(tag_keys, grouping_key_names)`: every metric row
+    * evaluates the subset predicate against EVERY rule — O(M·R), the
+    * term that explodes when the rule book grows to thousands. Instead
+    * each rule is keyed by its FIRST grouping key and each metric
+    * explodes its (few, distinct) tag keys, so a (metric, rule)
+    * candidate is produced by one hash-table probe — O(M·keys-per-tag-
+    * map + matches) — and only candidates pay the full containsAll
+    * verification. Map keys are distinct, and a rule has one pivot, so
+    * no candidate is produced twice. Keyless rules (match everything)
+    * pivot on a sentinel appended to every metric's key list.
+    *
+    * The tag-key array is materialized per METRIC before the join:
+    * inlining map_keys(tags) into the join input would re-extract it
+    * per exploded row. Shared with the stateful engines' fan-out
+    * ([[graft.streaming.StatefulCep.fanOut]]). */
+  private[graft] def fanOutJoin(metricFrame: DataFrame, ruleFrame: DataFrame): DataFrame =
     metricFrame.withColumn("_tag_keys", map_keys(col("tags")))
+      .withColumn("_pivot",
+        explode(array_distinct(array_append(col("_tag_keys"), lit(KeylessPivot)))))
       .join(
-        broadcast(ruleFrame),
-        (col("rule_state") === RuleState.Active.name) &&
-          graft.functions.array_contains_all(col("_tag_keys"),
-            col("grouping_key_names")))
-      .drop("_tag_keys")
+        broadcast(ruleFrame
+          .filter(col("rule_state") === RuleState.Active.name)
+          .withColumn("_pivot",
+            coalesce(element_at(col("grouping_key_names"), 1), lit(KeylessPivot)))),
+        "_pivot")
+      .filter(graft.functions.array_contains_all(col("_tag_keys"),
+        col("grouping_key_names")))
+      .drop("_pivot", "_tag_keys")
+
+  private def fanOutPrepared(metricFrame: DataFrame, ruleFrame: DataFrame): DataFrame =
+    fanOutJoin(metricFrame, ruleFrame)
       .select(
         col("rule_id"),
         col("agg_type"), col("cmp_op"), col("limit"),

@@ -149,11 +149,20 @@ object CepExprImpl {
     true
   }
 
-  /** See [[WindowStartsExpr]]. Static for codegen. */
+  private val NoStarts = new GenericArrayData(Array.emptyLongArray)
+
+  /** See [[WindowStartsExpr]]. Static for codegen. Non-positive w/s on
+    * a windowed type yields NO covering windows (empty array) rather
+    * than an ArithmeticException inside generated code — matching the
+    * degraded no-rows behavior of the old declarative spelling for
+    * rule frames built directly, bypassing Parsers.parseRules'
+    * positivity filter. */
   def windowStarts(wt: UTF8String, ev: Long, w: Long, s: Long): GenericArrayData = {
     if (wt.equals(Tumbling)) {
+      if (w <= 0) return NoStarts
       new GenericArrayData(Array(Math.floorDiv(ev, w) * w))
     } else if (wt.equals(Sliding)) {
+      if (w <= 0 || s <= 0) return NoStarts
       val n = ((w + s - 1) / s).toInt // ceil(w/s) candidate starts
       val top = Math.floorDiv(ev, s) * s
       val out = new Array[Long](n)

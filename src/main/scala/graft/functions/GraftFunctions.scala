@@ -6,7 +6,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{BooleanType, IntegerType}
 
 /** SQL-facing registration of graft's native expressions, so every
   * operator is reachable from pure `spark.sql(...)` text as well as
@@ -74,6 +74,14 @@ object GraftFunctions {
       expectArgs("md5_winnow_fingerprint", args, 3)
       Md5WinnowFingerprint(args(0),
         litInt(args(1), "window"), litInt(args(2), "winnow"))
+    },
+    "simhash_bands" -> { args =>
+      expectArgs("simhash_bands", args, 2)
+      SimhashBands(args(0), args(1) match {
+        case Literal(b: Boolean, BooleanType) => b
+        case other => throw new IllegalArgumentException(
+          s"portable must be a boolean literal, got: $other")
+      })
     })
 
   private def info(name: String): ExpressionInfo =

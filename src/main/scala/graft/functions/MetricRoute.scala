@@ -76,6 +76,10 @@ object MetricRoute {
     // integer (UTF8String.toLong would truncate it, legacy-cast style,
     // and silently keep an event the reference's Integer.parseInt
     // drops). The exception path only fires on malformed values.
+    // Declared deviation (SURVEY §2.4 #7): the accepted range is
+    // 64-bit where the reference's Integer.parseInt is 32-bit — a
+    // measure in (2^31, 2^63) is kept here but drops the whole event
+    // there. Same behavior as the pre-native try_cast('long') path.
     def parseLong(v: UTF8String): java.lang.Long =
       if (v == null) null
       else try java.lang.Long.valueOf(v.toLongExact)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.graft.{CepExprColumns, LshBucketsColumns, MetricRouteColumns, RollingHashColumns, VecDotColumns, WordShinglesColumns}
+import org.apache.spark.sql.graft.{CepExprColumns, LshBucketsColumns, MetricRouteColumns, RollingHashColumns, SimhashColumns, VecDotColumns, WordShinglesColumns}
 
 /** Public column-function surface for graft's native Catalyst
   * expressions (implementations under org.apache.spark.sql.graft). */
@@ -50,6 +50,13 @@ package object functions {
     * gram hashes) — see [[org.apache.spark.sql.graft.Md5WinnowFingerprint]]. */
   def md5_winnow_fingerprint(text: Column, window: Int = 16, winnow: Int = 8): Column =
     RollingHashColumns.md5WinnowFingerprint(text, window, winnow)
+
+  /** The four 16-bit SimHash band keys of a token array (ARRAY<INT>,
+    * one native pass) — see [[org.apache.spark.sql.graft.SimhashBands]].
+    * `portable = true` uses the md5-chunk hash an ANSI-SQL oracle can
+    * recompute; `false` the faster xxhash64. */
+  def simhash_bands(tokens: Column, portable: Boolean = false): Column =
+    SimhashColumns.simhashBands(tokens, portable)
 
   /** All LSH table bucket keys of a vector (ARRAY<BIGINT>, one element
     * per table) — see [[org.apache.spark.sql.graft.LshBuckets]].

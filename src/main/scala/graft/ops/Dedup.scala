@@ -58,12 +58,12 @@ object Dedup {
     * and without materialization Spark re-runs the whole
     * tokenize→shingle pipeline per branch. At corpus scale this is the
     * intermediate you would persist (or write) anyway — shingling is
-    * the CPU-dense stage. */
-  private def shingleIndexWithSize(docs: DataFrame, n: Int): DataFrame = {
+    * the CPU-dense stage. [[Persistence]] picks local vs reliable. */
+  private def shingleIndexWithSize(docs: DataFrame, n: Int,
+      persist: Persistence): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    shingleIndex(docs, n)
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .localCheckpoint()
+    persist(shingleIndex(docs, n)
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id")))))
   }
 
   /** Near-duplicate pairs by exact word-n-gram Jaccard similarity.
@@ -78,14 +78,19 @@ object Dedup {
     * header shared by 1M documents turns the self-join quadratic
     * inside that shingle's bucket, the one skew path that would not
     * survive 100 TB. Near-dup pairs at meaningful thresholds share
-    * plenty of RARE shingles, so dropping hot shingles from candidate
-    * generation loses (almost) no recall — and verification always
-    * runs on the FULL index, so reported Jaccard values stay exact
-    * regardless of the cap. Uncapped, the single-pass join+count plan
-    * is used (no separate verification pass). */
+    * plenty of RARE shingles, so the cap costs little recall — but a
+    * pair whose overlap is EXCLUSIVELY hot shingles generates no
+    * candidate and is missed entirely. Reported Jaccard values are
+    * exact (verification runs on the FULL index); the PAIR SET is
+    * complete only when every near-dup pair shares at least one
+    * below-cap shingle (OpsSpec pins the gate corpus' max df below
+    * the gate cap, so the gate's shared exact oracle holds by
+    * construction, not by luck). Uncapped, the single-pass
+    * join+count plan is used (no separate verification pass). */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
-      maxShingleDf: Int = Int.MaxValue): DataFrame = {
-    val sh = shingleIndexWithSize(docs, n)
+      maxShingleDf: Int = Int.MaxValue,
+      persist: Persistence = Persistence.Local): DataFrame = {
+    val sh = shingleIndexWithSize(docs, n, persist)
     if (maxShingleDf == Int.MaxValue) {
       sh.as("x")
         .join(sh.as("y"),
@@ -168,16 +173,15 @@ object Dedup {
     * rounds instead of O(L) — `maxIters` rounds reach chains of
     * ~2^(maxIters−3) without paying the extra join on the easy
     * corpora that never get there. */
-  def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def components(pairs: DataFrame, maxIters: Int = 20,
+      persist: Persistence = Persistence.Local): DataFrame = {
     val e = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
     // Materialize the edge list once: every propagation round joins
     // against it, and without the checkpoint each round would re-derive
     // the (possibly expensive) pair-generation pipeline behind `pairs`.
-    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("component_id", col("id"))
-      .localCheckpoint()
+    val sym = persist(e.union(e.select(col("b").as("a"), col("a").as("b"))))
+    var labels = persist(sym.select(col("a").as("id")).distinct()
+      .withColumn("component_id", col("id")))
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -191,7 +195,7 @@ object Dedup {
           least(col("component_id"), coalesce(col("nbr_min"), col("component_id")))
             .as("new_label"),
           col("component_id").as("old_label"))
-      val next = (if (it < 2) propagated else {
+      val next = persist(if (it < 2) propagated else {
         // Path halving: labels always point to smaller ids, so
         // label[label] is defined and ≤ label — one extra join
         // shortcuts chains exponentially.
@@ -202,7 +206,7 @@ object Dedup {
             least(col("new_label"), coalesce(col("plabel"), col("new_label")))
               .as("new_label"),
             col("old_label"))
-      }).localCheckpoint()
+      })
       changed = next.filter(col("new_label") =!= col("old_label")).count()
       labels = next.select(col("id"), col("new_label").as("component_id"))
       it += 1
@@ -220,8 +224,9 @@ object Dedup {
   /** The dedup decision applied: keep each cluster's keeper (smallest
     * reachable doc_id) and every document that appears in no pair.
     * This is the frame a training pipeline actually consumes. */
-  def keepOnePerCluster(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val losers = components(pairs)
+  def keepOnePerCluster(docs: DataFrame, pairs: DataFrame,
+      persist: Persistence = Persistence.Local): DataFrame = {
+    val losers = components(pairs, persist = persist)
       .filter(col("component_id") =!= col("doc_id"))
       .select(col("doc_id"))
     docs.join(losers, Seq("doc_id"), "left_anti")
@@ -250,14 +255,15 @@ object Dedup {
       n: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      persist: Persistence = Persistence.Local): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val coef = lcgStream(42L).map(x => math.floorMod(x, M - 1) + 1)
       .take(2 * numHashes).toSeq
     // ONE materialized shingle index feeds signature generation AND
     // both sides of the verification join.
-    val idx = shingleIndexWithSize(docs, n)
+    val idx = shingleIndexWithSize(docs, n, persist)
     val sh = idx.select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(M)).as("x"))
     val minCols = (0 until numHashes).map { i =>
       min(pmod(lit(coef(2 * i)) * col("x") + lit(coef(2 * i + 1)), lit(M))).as(s"m$i")
@@ -311,23 +317,24 @@ object Dedup {
       docs: DataFrame,
       window: Int = 16,
       winnow: Int = 8,
-      threshold: Double = 0.5): DataFrame =
+      threshold: Double = 0.5,
+      persist: Persistence = Persistence.Local): DataFrame =
     containmentPairs(docs.repartition(col("doc_id"))
       .select(col("doc_id"),
         explode(array_distinct(graft.functions.rolling_fingerprint(
           TextOps.normalized(col("text")), window, winnow))).as("fp")),
-      threshold)
+      threshold, persist)
 
   /** (doc_id, fp) distinct fingerprints → near-dup pairs by containment
     * |∩| / min(|FP(a)|, |FP(b)|) ≥ threshold, candidates via the
     * inverted fingerprint index (docs sharing any print — never
     * all-pairs). The print frame is materialized once; both self-join
     * sides reuse it. */
-  private def containmentPairs(prints: DataFrame, threshold: Double): DataFrame = {
+  private def containmentPairs(prints: DataFrame, threshold: Double,
+      persist: Persistence): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val fp = prints
-      .withColumn("n_fp", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .localCheckpoint()
+    val fp = persist(prints
+      .withColumn("n_fp", count(lit(1)).over(Window.partitionBy(col("doc_id")))))
     fp.as("x")
       .join(fp.as("y"),
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
@@ -340,26 +347,15 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
-  /** Per-doc bit-vote columns v0..v63 → per-doc 16-bit band values
-    * band0..band3 (band k bit j = sign of vote 16k+j — the simhash
-    * fingerprint cut into the four banded bucket keys). */
-  private def bandsFromVotes(votes: DataFrame): DataFrame = {
-    val bandCols = (0 until 4).map { k =>
-      (0 until 16).map { j =>
-        when(col(s"v${16 * k + j}") > 0, lit(1 << j)).otherwise(0)
-      }.reduce(_ + _).as(s"band$k")
-    }
-    votes.select(col("doc_id") +: bandCols: _*)
-  }
-
   /** (doc_id, band0..band3) → near-duplicate pairs: docs sharing any
     * band become candidates (equi-join on the banded key — never
     * all-pairs), kept when the full-fingerprint Hamming distance
     * (= Σ per-band popcount of XOR) is ≤ `maxHamming`. The fingerprint
     * frame is materialized once — candidate generation and both
     * verification joins reuse it. */
-  private def bandedHammingPairs(fp4: DataFrame, maxHamming: Int): DataFrame = {
-    val f = fp4.localCheckpoint()
+  private def bandedHammingPairs(fp4: DataFrame, maxHamming: Int,
+      persist: Persistence): DataFrame = {
+    val f = persist(fp4)
     val banded = f.select(col("doc_id"),
       posexplode(array((0 until 4).map(k => col(s"band$k")): _*)))
       .toDF("doc_id", "band_idx", "band_val")
@@ -379,47 +375,40 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Per-doc band0..band3 from the one-pass native
+    * [[graft.functions.simhash_bands]] expression: votes never leave
+    * the stack, so there is no explode and no per-doc 64-column
+    * aggregate — hashing happens inside the scan projection. The
+    * repartition spreads the CPU-dense hashing across all cores
+    * (corpora often arrive as few large files); null-text docs drop,
+    * matching the old explode behavior. */
+  private def simhashBandCols(docs: DataFrame, portable: Boolean): DataFrame =
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.simhash_bands(TextOps.tokens(col("text")), portable)
+          .as("bands"))
+      .filter(col("bands").isNotNull)
+      .select(col("doc_id") +:
+        (0 until 4).map(k => element_at(col("bands"), k + 1).as(s"band$k")): _*)
+
   /** SimHash near-duplicate pairs: 16-bit banded buckets generate
     * candidates; pairs kept when full-fingerprint Hamming distance ≤
     * `maxHamming`. Production path — tokens hashed with xxhash64. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val tok = docs.repartition(col("doc_id"))
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
-      .withColumn("h", xxhash64(col("token")))
-    val voteCols = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"v$b")
-    }
-    bandedHammingPairs(
-      bandsFromVotes(tok.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)),
-      maxHamming)
-  }
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 6,
+      persist: Persistence = Persistence.Local): DataFrame =
+    bandedHammingPairs(simhashBandCols(docs, portable = false), maxHamming, persist)
 
   /** [[simhashPairs]] with an oracle-portable token hash: the 64 hash
-    * bits come from the first 16 hex chars of md5(token), read as four
-    * 16-bit big-endian chunks — an arithmetic any ANSI-SQL engine can
+    * bits come from the first 8 md5 bytes, read as four 16-bit
+    * big-endian chunks — an arithmetic any ANSI-SQL engine can
     * reproduce (`('0x' || substring(md5(t), 1+4k, 4))::INT`), unlike
     * xxhash64. Same vote/band/Hamming pipeline as the production
-    * variant (both go through [[bandsFromVotes]]/[[bandedHammingPairs]]),
-    * so an external oracle hash-matching this twin verifies the whole
-    * simhash semantics; xxhash64 stays the production hash (faster,
-    * no hex round-trip). */
-  def simhashPairsPortable(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val tok = docs.repartition(col("doc_id"))
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
-      .withColumn("hx", md5(col("token")))
-    val chunkCols = (0 until 4).map { k =>
-      conv(substring(col("hx"), 1 + 4 * k, 4), 16, 10).cast("int").as(s"c$k")
-    }
-    val chunks = tok.select(col("doc_id") +: chunkCols: _*)
-    val voteCols = (0 until 64).map { b =>
-      sum(when(shiftright(col(s"c${b / 16}"), b % 16).bitwiseAND(lit(1)) === 1, 1)
-        .otherwise(-1)).as(s"v$b")
-    }
-    bandedHammingPairs(
-      bandsFromVotes(chunks.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)),
-      maxHamming)
-  }
+    * variant (both are [[graft.functions.simhash_bands]] under a hash
+    * flag), so an external oracle hash-matching this twin verifies the
+    * whole simhash semantics; xxhash64 stays the production hash. */
+  def simhashPairsPortable(docs: DataFrame, maxHamming: Int = 6,
+      persist: Persistence = Persistence.Local): DataFrame =
+    bandedHammingPairs(simhashBandCols(docs, portable = true), maxHamming, persist)
 
   /** [[fingerprintPairs]] with the oracle-portable md5 gram hash
     * ([[graft.functions.md5_winnow_fingerprint]]): same winnowing
@@ -433,10 +422,11 @@ object Dedup {
       docs: DataFrame,
       window: Int = 16,
       winnow: Int = 8,
-      threshold: Double = 0.5): DataFrame =
+      threshold: Double = 0.5,
+      persist: Persistence = Persistence.Local): DataFrame =
     containmentPairs(docs.repartition(col("doc_id"))
       .select(col("doc_id"),
         explode(array_distinct(graft.functions.md5_winnow_fingerprint(
           TextOps.normalized(col("text")), window, winnow))).as("fp")),
-      threshold)
+      threshold, persist)
 }

@@ -1,0 +1,32 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** How the dedup/similarity pipelines materialize intermediates that
+  * feed multiple plan branches or iterative rounds (shingle index,
+  * edge lists, LSH bucket frames).
+  *
+  * [[Persistence.Local]] (default) truncates lineage with
+  * `localCheckpoint()`: fast, but blocks live on executor-local
+  * storage — losing an executor loses blocks whose lineage is gone,
+  * failing the job. Right for single-node and gate runs.
+  *
+  * [[Persistence.Reliable]] writes the intermediate to the cluster's
+  * checkpoint directory (`SparkContext.setCheckpointDir`, HDFS/object
+  * store in production) via `checkpoint()`: an executor loss recomputes
+  * nothing and loses nothing. At 100 TB the shingle/bucket index is
+  * exactly the artifact you would persist to reliable storage anyway —
+  * this knob is that decision, made explicit per call. */
+sealed trait Persistence {
+  def apply(df: DataFrame): DataFrame
+}
+
+object Persistence {
+  case object Local extends Persistence {
+    override def apply(df: DataFrame): DataFrame = df.localCheckpoint()
+  }
+  /** Requires `spark.sparkContext.setCheckpointDir(...)` to be set. */
+  case object Reliable extends Persistence {
+    override def apply(df: DataFrame): DataFrame = df.checkpoint()
+  }
+}

@@ -80,11 +80,12 @@ object Similarity {
     * cosine. Same output schema as [[cosineDupPairs]]; recall < 1,
     * rising with `tables` (spec-tested against the exact baseline). */
   def lshDupPairs(emb: DataFrame, threshold: Double, dim: Int,
-      tables: Int = 16, planesPerTable: Int = 4): DataFrame = {
+      tables: Int = 16, planesPerTable: Int = 4,
+      persist: Persistence = Persistence.Local): DataFrame = {
     // Materialized once: both self-join sides reuse the bucket frame,
     // which otherwise re-hashes every vector against all hyperplanes
     // per side.
-    val b = lshBuckets(emb, tables, planesPerTable, dim).localCheckpoint()
+    val b = persist(lshBuckets(emb, tables, planesPerTable, dim))
     val cand = b.as("x")
       .join(b.as("y"),
         col("x.table_idx") === col("y.table_idx") &&

@@ -25,6 +25,37 @@ object CepRunner {
   def fileLines(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.text(dir).withColumnRenamed("value", "line")
 
+  /** Kafka wire frame (binary `value` + topic/partition/offset/
+    * timestamp metadata) → the engine's `line` frame. Split from
+    * [[kafkaLines]] so the projection is unit-testable without a
+    * broker: the cast is the whole contract (metric/rule payloads are
+    * UTF-8 JSON lines, one event per record; keys/headers unused,
+    * matching the reference's value-only socket framing). */
+  def kafkaFrameToLines(kafkaFrame: DataFrame): DataFrame =
+    kafkaFrame.select(
+      org.apache.spark.sql.functions.col("value").cast("string").as("line"))
+
+  /** Kafka source for the production topology (SURVEY §2.1 O1 names
+    * Kafka as the prod ingress): one topic of JSON-line metrics (or
+    * rules) → the same `line` frame the socket/file sources produce,
+    * ready for `Parsers.parseMetrics` / `attachRuleStream`.
+    *
+    * `startingOffsets=latest` mirrors the reference's socket behavior
+    * (a restarted job with a checkpoint resumes from the checkpointed
+    * offsets regardless). Requires the `spark-sql-kafka-0-10`
+    * connector on the classpath — not present in this sandbox (no
+    * broker either), so e2e coverage here is the frame-shape spec on
+    * [[kafkaFrameToLines]]; the reader wiring below is the standard
+    * connector surface. */
+  def kafkaLines(spark: SparkSession, bootstrapServers: String,
+      topic: String, startingOffsets: String = "latest"): DataFrame =
+    kafkaFrameToLines(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", startingOffsets)
+        .load())
+
   /** Synthetic metric stream from the rate source — soak/throughput
     * testing without external feeders: each tick becomes a metric in
     * the engine's canonical shape (`nGroups` round-robin tag groups,

@@ -76,7 +76,15 @@ object StatefulCep {
     * events). `closedBelow` is the eviction frontier: windows ending
     * at or below it have fired and must never be re-created
     * (late-data drop). `anchor` is the window-grid origin: 0 for
-    * epoch alignment, the first event's grid origin otherwise. */
+    * epoch alignment, the first event's grid origin otherwise.
+    *
+    * STATE FORMAT v2 (breaking): [[WindowAgg.sum]] went Double →
+    * BigDecimal and `anchor` was added. A streaming job restarted from
+    * a v1 (pre-change) checkpoint fails state-schema validation —
+    * there is no migration path; drop the old checkpoint and replay,
+    * or drain the old job before upgrading. Any future field change
+    * here is the same operational event: call it out in the release
+    * note, never reuse a checkpoint across state shapes. */
   final case class KeyState(
       w_ms: Long, agg_type: String, cmp_op: String, limit: Double,
       windows: List[WindowAgg], closedBelow: Long, anchor: Long)
@@ -214,16 +222,14 @@ object StatefulCep {
   }
 
   /** Metric frame × rule frame → fanned-out [[CepEvent]] columns: the
-    * broadcast rule-match theta-join (CepQuery.planAll steps 1-2). The
-    * watermark is applied on the retained `eventTime` column AFTER the
-    * projection, so the event-time-timeout check finds the watermarked
-    * attribute in the stateful operator's input. */
+    * broadcast rule-match join (CepQuery.planAll steps 1-2 — the
+    * hash-joinable pivot-key fan-out, shared via CepQuery.fanOutJoin).
+    * The watermark is applied on the retained `eventTime` column AFTER
+    * the projection, so the event-time-timeout check finds the
+    * watermarked attribute in the stateful operator's input. */
   def fanOut(metricFrame: DataFrame, ruleFrame: DataFrame,
       watermarkDelay: String = "0 seconds"): DataFrame =
-    metricFrame
-      .join(broadcast(ruleFrame),
-        graft.cep.CepQuery.matchPredicate(
-          col("rule_state"), col("grouping_key_names"), col("tags")))
+    graft.cep.CepQuery.fanOutJoin(metricFrame, ruleFrame)
       .select(
         col("rule_id"),
         concat_ws("_", col("rule_id").cast("string"),

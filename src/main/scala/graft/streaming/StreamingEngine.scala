@@ -1,8 +1,8 @@
 package graft.streaming
 
 import scala.collection.concurrent.TrieMap
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, TTLConfig}
 import graft.cep.{CepQuery, Metrics}
 import graft.cep.Metrics.RuleRow
 import graft.model._
@@ -82,6 +82,20 @@ final class StreamingEngine(
     }
   }
 
+  /** Rule rows of one parsed control micro-batch (rules are small by
+    * contract — this is a control path, not a data path). */
+  private def parseRuleRows(batch: DataFrame): Seq[RuleRow] =
+    Parsers.parseRules(batch)
+      .collect()
+      .map(r => RuleRow(
+        r.getAs[Int]("rule_id"), r.getAs[String]("rule_state"),
+        r.getAs[String]("window_type"), r.getAs[Int]("window_minutes"),
+        r.getAs[Int]("window_slide_minute"),
+        r.getAs[scala.collection.Seq[String]]("grouping_key_names").toSeq,
+        r.getAs[String]("agg_type"), r.getAs[String]("agg_field"),
+        r.getAs[String]("cmp_op"), r.getAs[Double]("limit")))
+      .toSeq
+
   /** Consume a streaming frame of rule JSON lines into the book and
     * re-sync after every micro-batch — the rebuild of the reference's
     * rule socket + broadcast (CEPTaskRunner.java:37-41). */
@@ -90,29 +104,24 @@ final class StreamingEngine(
       .queryName("cep_rule_control")
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val rows = Parsers.parseRules(batch)
-          .collect()
-          .map(r => RuleRow(
-            r.getAs[Int]("rule_id"), r.getAs[String]("rule_state"),
-            r.getAs[String]("window_type"), r.getAs[Int]("window_minutes"),
-            r.getAs[Int]("window_slide_minute"),
-            r.getAs[scala.collection.Seq[String]]("grouping_key_names").toSeq,
-            r.getAs[String]("agg_type"), r.getAs[String]("agg_field"),
-            r.getAs[String]("cmp_op"), r.getAs[Double]("limit")))
-        book.applyChanges(rows.toSeq)
+        book.applyChanges(parseRuleRows(batch))
         sync()
       }
       .start()
 
   /** Test/ops helper: block until every running rule query has
     * processed all available input. */
-  def awaitQuiescence(): Unit =
+  def awaitQuiescence(): Unit = {
     running.values.toSeq.foreach(_._2.processAllAvailable())
+    onePass.foreach(_.processAllAvailable())
+  }
 
   /** Stop every rule query (state survives in checkpoints). */
   def shutdown(): Unit = synchronized {
     running.values.foreach(_._2.stop())
     running.clear()
+    onePass.foreach(_.stop())
+    onePass = None
   }
 
   def runningRuleIds: Set[Int] = running.keySet.toSet
@@ -121,11 +130,82 @@ final class StreamingEngine(
     * streaming aggregation (CepQuery.planAll). Update output mode;
     * restart with the same checkpoint to pick up rule changes (the
     * plan keeps exactly one unchanged stateful operator, so state
-    * carries across restarts). */
+    * carries across restarts). For append-mode finality use the
+    * stateful production default, [[onePassStatefulQuery]]. */
   def onePassQuery(): DataFrame =
     CepQuery.planAll(
       metricStream(),
       Metrics.rulesToDF(spark, book.activeRules.map(Metrics.fromRow)))
+
+  // ---------------------------------------------------------------------------
+  // One-pass stateful production mode
+  // ---------------------------------------------------------------------------
+
+  private var onePass: Option[StreamingQuery] = None
+
+  /** PRODUCTION DEFAULT for large rule sets: the entire ACTIVE rule
+    * snapshot through ONE append-mode stateful engine — the broadcast
+    * rule-match fan-out ([[StatefulCep.fanOut]]) into the
+    * `transformWithState` window processor ([[TransformCep.run]]).
+    * One metric scan, one shuffle, and append-style finality: every
+    * window emits exactly once when the watermark passes its end,
+    * late events are dropped — the reference's observable semantics.
+    *
+    * Rule changes are picked up by RESTARTING the query on its stable
+    * checkpoint: the plan keeps exactly one stateful operator whose
+    * state schema ([[StatefulCep.KeyState]]) is rule-independent, so
+    * open windows survive the restart — including across a NEW
+    * SparkSession / JVM (StreamingEngineSpec proves session-crossing
+    * recovery). Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`). */
+  def onePassStatefulQuery(
+      align: StatefulCep.Alignment = StatefulCep.Epoch,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[StatefulCep.CepResult] =
+    TransformCep.run(
+      StatefulCep.fanOut(
+        metricStream(),
+        Metrics.rulesToDF(spark, book.activeRules.map(Metrics.fromRow)),
+        sink.watermarkDelay),
+      ttl, align)
+
+  /** Start (or restart, picking up the current rule book) the one-pass
+    * stateful query under `<checkpointRoot>/cep_one_pass`. Output mode
+    * is always append — the engine only ever emits final windows. */
+  def startOnePassStateful(
+      align: StatefulCep.Alignment = StatefulCep.Epoch,
+      ttl: TTLConfig = TTLConfig.NONE): StreamingQuery = synchronized {
+    onePass.foreach(_.stop())
+    var w = onePassStatefulQuery(align, ttl).writeStream
+      .queryName("cep_one_pass")
+      .format(sink.format)
+      .outputMode("append")
+    sink.checkpointRoot.foreach(r => w = w.option("checkpointLocation", s"$r/cep_one_pass"))
+    sink.pathRoot.foreach(r => w = w.option("path", s"$r/cep_one_pass"))
+    val q = w.start()
+    onePass = Some(q)
+    q
+  }
+
+  /** Rule control stream for the one-pass production mode: each rule
+    * micro-batch updates the book and restarts the single query on its
+    * stable checkpoint — the restart IS the rule-change pickup, and
+    * open-window state survives it (see [[startOnePassStateful]]). */
+  def attachRuleStreamOnePass(
+      ruleLines: DataFrame,
+      align: StatefulCep.Alignment = StatefulCep.Epoch,
+      ttl: TTLConfig = TTLConfig.NONE): StreamingQuery =
+    ruleLines.writeStream
+      .queryName("cep_rule_control_one_pass")
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = parseRuleRows(batch)
+        if (rows.nonEmpty) {
+          book.applyChanges(rows)
+          startOnePassStateful(align, ttl)
+          ()
+        }
+      }
+      .start()
 }
 
 object StreamingEngine {

@@ -43,6 +43,48 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.getDouble(1) == 5.0)
   }
 
+  test("native simhash_bands matches the declarative vote/band spelling, both hash families") {
+    // The oracle-semantics guarantee: the one-pass native expression
+    // must produce exactly the band keys the old explode + 64-column
+    // vote aggregate produced (portable = the arithmetic the DuckDB
+    // oracle recomputes; production = xxhash64).
+    def declarativeBands(portable: Boolean): DataFrame = {
+      val tok = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      val bits = if (portable) {
+        val chunks = tok.withColumn("hx", md5(col("token")))
+          .select(col("doc_id") +: (0 until 4).map(k =>
+            conv(substring(col("hx"), 1 + 4 * k, 4), 16, 10).cast("int").as(s"c$k")): _*)
+        (0 until 64).map { b =>
+          sum(when(shiftright(col(s"c${b / 16}"), b % 16)
+            .bitwiseAND(lit(1)) === 1, 1).otherwise(-1)).as(s"v$b") } -> chunks
+      } else {
+        val h = tok.withColumn("h", xxhash64(col("token")))
+        (0 until 64).map { b =>
+          sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+            .otherwise(-1)).as(s"v$b") } -> h
+      }
+      val votes = bits._2.groupBy(col("doc_id")).agg(bits._1.head, bits._1.tail: _*)
+      val bandCols = (0 until 4).map { k =>
+        (0 until 16).map { j =>
+          when(col(s"v${16 * k + j}") > 0, lit(1 << j)).otherwise(0)
+        }.reduce(_ + _).as(s"band$k")
+      }
+      votes.select(col("doc_id") +: bandCols: _*)
+    }
+    for (portable <- Seq(true, false)) {
+      val native = docs.select(col("doc_id"),
+          graft.functions.simhash_bands(TextOps.tokens(col("text")), portable).as("b"))
+        .select(col("doc_id") +: (0 until 4).map(k =>
+          element_at(col("b"), k + 1).as(s"band$k")): _*)
+      val joined = native.as("n").join(declarativeBands(portable).as("d"), Seq("doc_id"), "full")
+      val bad = joined.filter((0 until 4).map(k =>
+        col(s"n.band$k") =!= col(s"d.band$k") ||
+          col(s"n.band$k").isNull || col(s"d.band$k").isNull).reduce(_ || _))
+      assert(bad.count() == 0, s"portable=$portable band mismatch")
+    }
+  }
+
   test("exact dedup groups identical normalized texts under one keeper id") {
     val df = Seq(
       (1L, "Hello  World"), (2L, "hello world"), (3L, "other text"))
@@ -69,6 +111,51 @@ class OpsSpec extends AnyFunSuite {
     val capped = Dedup.ngramJaccardPairs(docs, 3, 0.8, maxShingleDf = 5)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
     assert(exact.nonEmpty && capped == exact)
+  }
+
+  test("reliable persistence: pipelines produce identical results via checkpoint-dir materialization") {
+    // The 100 TB knob: materialization points can write to reliable
+    // checkpoint storage instead of executor-local blocks (an executor
+    // loss then recomputes nothing). Results must be bit-identical to
+    // the localCheckpoint default, and checkpoint files must actually
+    // land in the configured dir.
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_reliable_").toString
+    val prev = Option(spark.sparkContext.getCheckpointDir).flatten
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    try {
+      val local = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      val reliable = Dedup.ngramJaccardPairs(docs, 3, 0.8,
+          persist = Persistence.Reliable)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(local.nonEmpty && reliable == local)
+      val comps = Dedup.components(
+          Dedup.ngramJaccardPairs(docs, 3, 0.8, persist = Persistence.Reliable),
+          persist = Persistence.Reliable)
+        .as[(Long, Long)].collect().toSet
+      assert(comps == Dedup.components(Dedup.ngramJaccardPairs(docs, 3, 0.8))
+        .as[(Long, Long)].collect().toSet)
+      // The reliable path really wrote to the checkpoint dir.
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "no checkpoint files written by Persistence.Reliable")
+    } finally prev.foreach(spark.sparkContext.setCheckpointDir)
+  }
+
+  test("gate corpus max shingle df stays below the gate df-cap (oracle-sharing invariant)") {
+    // dedup_ngram/clusters/keep_one share the EXACT DuckDB oracle while
+    // running with maxShingleDf=10 — sound only while no shingle in the
+    // sf0.01 gate corpus reaches the cap (a capped-out shingle could
+    // drop a pair whose overlap is exclusively hot). Pin the invariant
+    // so regenerated gate data fails here instead of silently breaking
+    // the oracle contract.
+    val gateDocs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val maxDf = gateDocs.select(col("doc_id"),
+        explode(array_distinct(graft.functions.word_shingles(col("text"), 3))).as("sh"))
+      .groupBy(col("sh")).agg(countDistinct(col("doc_id")).as("df"))
+      .agg(max(col("df"))).as[Long].head()
+    assert(maxDf < 10, s"gate corpus max shingle df $maxDf reached the gate cap 10; " +
+      "the shared exact oracle for dedup_ngram is no longer guaranteed")
   }
 
   test("minhash+LSH pairs equal the exact n-gram Jaccard pairs on the corpus (recall 1 at J>=0.8)") {

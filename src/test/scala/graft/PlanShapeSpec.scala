@@ -8,12 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   *  - no CartesianProduct anywhere;
   *  - BroadcastNestedLoopJoin only where it is the declared design:
-  *    cep_multi_rule and its first-aligned twin (theta-join of the
-  *    metric stream against the BROADCAST rule set — the build side
-  *    is the bounded rule table),
   *    sim_topk (broadcast bounded query vectors against the corpus),
   *    dedup_embedding (the exact all-pairs verification baseline; the
-  *    LSH twin is the scale path);
+  *    LSH twin is the scale path). The CEP rule fan-out is NOT in this
+  *    set anymore: the pivot-key spelling makes it a BroadcastHashJoin
+  *    (O(M·R) predicate loop → O(M + matches) hash probes);
   *  - every one-pass/static CEP plan shuffles exactly once (the hash
   *    aggregation keyed like the reference's keyBy(groupId)); the
   *    stateless parse queries shuffle zero times. This pins both the
@@ -31,8 +30,14 @@ class PlanShapeSpec extends AnyFunSuite {
       name -> fn(spark, sfDir).queryExecution.executedPlan.toString
     }
 
-  private val declaredBnlj =
-    Set("cep_multi_rule", "cep_multi_rule_first_aligned", "sim_topk", "dedup_embedding")
+  private val declaredBnlj = Set("sim_topk", "dedup_embedding")
+
+  test("the CEP rule fan-out is a broadcast HASH join on the pivot key") {
+    for (q <- Seq("cep_multi_rule", "cep_multi_rule_first_aligned")) {
+      assert(plans(q).contains("BroadcastHashJoin"),
+        s"$q lost the hash-joinable pivot-key fan-out")
+    }
+  }
 
   test("no gate query plans a CartesianProduct") {
     val offenders = plans.collect {

@@ -147,6 +147,27 @@ class StreamingEngineSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("kafka frame shape: binary value records -> line frame -> parsed metrics -> rule results") {
+    // No broker/connector in this sandbox, so the testable half of the
+    // Kafka source is the wire-frame projection: records shaped
+    // exactly like the connector's output (binary value + metadata
+    // columns) must flow through kafkaFrameToLines -> parseMetrics ->
+    // the rule plan unchanged.
+    val kafkaShaped = demoEvents.zipWithIndex.map { case (e, i) =>
+      (Array.emptyByteArray,
+        s"""{"eventTime":${e.ms},"t_group":"${e.g}","cpu_usage":${e.cpu}}"""
+          .getBytes("UTF-8"),
+        "metrics", 0, i.toLong,
+        new java.sql.Timestamp(e.ms), 0)
+    }.toDF("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+    val lines = graft.streaming.CepRunner.kafkaFrameToLines(kafkaShaped)
+    assert(lines.columns.toSeq == Seq("line"))
+    val got = CepQuery.planRule(
+      graft.parse.Parsers.parseMetrics(lines), demoRule)
+      .select("t_group", "result").as[(String, Double)].collect().toMap
+    assert(got == Map("business" -> 16.0, "work" -> 16.0))
+  }
+
   test("socket source e2e: the reference's netcat topology against a real TCP socket") {
     // Stand-in for `nc -lk 9999 < metrics`: a one-shot server that
     // writes the demo metric lines to the first client.
@@ -205,6 +226,144 @@ class StreamingEngineSpec extends AnyFunSuite {
         .select("t_group").distinct().as[String].collect().toSet
       assert(groups.nonEmpty && groups.forall(_.startsWith("g")))
     } finally q.stop()
+  }
+
+  test("one-pass stateful engine recovers open-window state across a NEW SparkSession (same checkpoint)") {
+    // The fault-tolerance claim behind "restart to pick up rule
+    // changes": a one-pass transformWithState query stopped mid-window
+    // and rebuilt in a FRESH SparkSession (new session state, new
+    // engine, new RuleBook) on the same checkpoint must resume with
+    // the open-window aggregates intact — phase-1 events counted
+    // exactly once in the final emission.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_onepass_").toString
+    val srcDir = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    def writeLines(name: String, evs: Seq[Ev]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$srcDir/$name"),
+        evs.map(e => s"""{"eventTime":${e.ms},"t_group":"${e.g}","cpu_usage":${e.cpu}}""")
+          .mkString("\n").getBytes)
+    def engineFor(sess: org.apache.spark.sql.SparkSession): StreamingEngine = {
+      val book = new RuleBook
+      book.applyChanges(Seq(graft.cep.Metrics.toRow(demoRule)))
+      new StreamingEngine(
+        sess,
+        () => graft.parse.Parsers.parseMetrics(
+          graft.streaming.CepRunner.fileLines(sess, srcDir)),
+        book,
+        StreamingEngine.SinkConfig(
+          format = "parquet", outputMode = "append",
+          checkpointRoot = Some(s"$tmp/ckpt"), pathRoot = Some(s"$tmp/out")))
+    }
+    val rocksKey = "spark.sql.streaming.stateStore.providerClass"
+    val rocksVal =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+    // Phase 1 (session A): first half of the 2-minute window — sums
+    // are business 11 / work 6, neither passes the >11 threshold yet,
+    // so nothing emits and everything rides in state.
+    writeLines("a.jsonl", Seq(
+      Ev(t0, "business", 9), Ev(t0 + 1000, "work", 1),
+      Ev(t0 + 2000, "business", 2), Ev(t0 + 3000, "work", 5)))
+    val prev = spark.conf.getOption(rocksKey)
+    spark.conf.set(rocksKey, rocksVal)
+    try {
+      val e1 = engineFor(spark)
+      val q1 = e1.startOnePassStateful()
+      q1.processAllAvailable()
+      e1.shutdown()
+    } finally prev match {
+      case Some(v) => spark.conf.set(rocksKey, v)
+      case None => spark.conf.unset(rocksKey)
+    }
+
+    // Phase 2: a NEW SparkSession (fresh session state over the shared
+    // context), a NEW engine + book, the SAME checkpoint. Second half
+    // of the window plus a far-future event to push the watermark past
+    // the window end.
+    val spark2 = spark.newSession()
+    spark2.conf.set(rocksKey, rocksVal)
+    writeLines("b.jsonl", Seq(
+      Ev(t0 + 4000, "business", 5), Ev(t0 + 5000, "work", 10),
+      Ev(t0 + 600000, "business", 1)))
+    val e2 = engineFor(spark2)
+    val q2 = e2.startOnePassStateful()
+    q2.processAllAvailable()
+    e2.shutdown()
+
+    // Totals require phase-1 state: without recovery business/work
+    // would be 6/10 (below threshold) and nothing would emit.
+    val out = spark.read.parquet(s"$tmp/out/cep_one_pass")
+      .select("group_id", "result").as[(String, Double)].collect().toMap
+    assert(out == Map("1_business" -> 16.0, "1_work" -> 16.0))
+  }
+
+  test("one-pass production mode: a rule-stream change restarts the single query and takes effect") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_onepass_rules_").toString
+    val srcDir = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    def writeLines(name: String, evs: Seq[(Long, String, Int)]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$srcDir/$name"),
+        evs.map { case (ms, g, cpu) =>
+          s"""{"eventTime":$ms,"t_group":"$g","cpu_usage":$cpu}""" }
+          .mkString("\n").getBytes)
+    def ruleJson(id: Int): String =
+      s"""{"ruleId":$id,"ruleState":"ACTIVE","windowType":"tumbling","windowMinutes":2,"windowSlideMinute":0,"groupingKeyNames":["t_group"],"aggregatorFunctionType":"SUM","aggregateFieldName":"cpu_usage","limitOperatorType":">","limit":11}"""
+    val sixteen = Seq(("business", 9), ("work", 1), ("business", 2),
+      ("work", 5), ("business", 5), ("work", 10))
+    def window(at: Long): Seq[(Long, String, Int)] =
+      sixteen.zipWithIndex.map { case ((g, v), i) => (at + i * 1000L, g, v) }
+
+    val rocksKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(rocksKey)
+    spark.conf.set(rocksKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ruleMem = MemoryStream[String]
+    val book = new RuleBook
+    val engine = new StreamingEngine(
+      spark,
+      () => graft.parse.Parsers.parseMetrics(
+        graft.streaming.CepRunner.fileLines(spark, srcDir)),
+      book,
+      StreamingEngine.SinkConfig(
+        format = "parquet", outputMode = "append",
+        checkpointRoot = Some(s"$tmp/ckpt"), pathRoot = Some(s"$tmp/out")))
+    val control = engine.attachRuleStreamOnePass(
+      ruleMem.toDF().withColumnRenamed("value", "line"))
+    try {
+      // Rule 1 arrives -> query starts; window A + closer fires it.
+      ruleMem.addData(ruleJson(1))
+      control.processAllAvailable()
+      val run1 = spark.streams.active.find(_.name == "cep_one_pass").get.runId
+      writeLines("a.jsonl", window(t0) :+ (t0 + 600000L, "business", 1))
+      engine.awaitQuiescence()
+
+      // Rule 2 arrives -> the single query RESTARTS on its checkpoint;
+      // window B (10 min later, same shape) now feeds BOTH rules.
+      ruleMem.addData(ruleJson(2))
+      control.processAllAvailable()
+      val run2 = spark.streams.active.find(_.name == "cep_one_pass").get.runId
+      assert(run1 != run2, "rule change must restart the one-pass query")
+      writeLines("b.jsonl", window(t0 + 720000L) :+ (t0 + 1320000L, "business", 1))
+      engine.awaitQuiescence()
+
+      val wsA = Math.floorDiv(t0, 120000L) * 120000L
+      val got = spark.read.parquet(s"$tmp/out/cep_one_pass")
+        .select("rule_id", "group_id", "window_start", "result")
+        .as[(Int, String, Long, Double)].collect().toSet
+      assert(got == Set(
+        (1, "1_business", wsA, 16.0), (1, "1_work", wsA, 16.0),
+        (1, "1_business", wsA + 720000L, 16.0), (1, "1_work", wsA + 720000L, 16.0),
+        (2, "2_business", wsA + 720000L, 16.0), (2, "2_work", wsA + 720000L, 16.0)))
+    } finally {
+      control.stop(); engine.shutdown()
+      prev match {
+        case Some(v) => spark.conf.set(rocksKey, v)
+        case None => spark.conf.unset(rocksKey)
+      }
+    }
   }
 
   test("one-pass streaming snapshot plan (planAll) runs in update mode") {

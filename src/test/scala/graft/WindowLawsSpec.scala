@@ -72,6 +72,22 @@ object WindowLawsSpec extends Properties("WindowLaws") {
         Prop(StatefulCep.windowStarts(te, anchor) == shifted(te)) :| "tumbling"
     }
 
+  property("native WindowStartsExpr: non-positive width/slide yields no windows, not a throw") =
+    forAll(tsGen, Gen.choose(-5L, 0L), Gen.choose(-5L, 0L)) { (ms: Long, w: Long, s: Long) =>
+      import org.apache.spark.unsafe.types.UTF8String
+      // A rule frame built directly (bypassing Parsers.parseRules'
+      // positivity filter) must degrade to zero covering windows, the
+      // old declarative spelling's behavior — never an
+      // ArithmeticException inside generated code.
+      def n(wt: String, wMs: Long, sMs: Long): Int =
+        org.apache.spark.sql.graft.CepExprImpl
+          .windowStarts(UTF8String.fromString(wt), ms, wMs, sMs)
+          .numElements()
+      Prop(n("tumbling", w, 60000L) == 0) :| "tumbling w<=0" &&
+        Prop(n("sliding", w, s) == 0) :| "sliding w<=0, s<=0" &&
+        Prop(n("sliding", 60000L, s) == 0) :| "sliding s<=0"
+    }
+
   property("native WindowStartsExpr mirrors StatefulCep.windowStarts (tumbling + sliding)") =
     forAll(tsGen, slideGen) { (ms: Long, p: (Long, Long)) =>
       val (sMin, wMin) = p
