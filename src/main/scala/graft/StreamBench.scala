@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.cep.Metrics
+import graft.model._
+import graft.streaming.StatefulCep
+
+/** Streaming throughput bench: drives N synthetic metric events
+  * through BOTH one-pass engines — the declarative planAll aggregation
+  * (update mode) and the stateful transformWithState engine (append
+  * mode) — over a realistic multi-rule book, and prints one JSON line
+  * with events/second per engine.
+  *
+  * Events come from `Metrics.eventsAsMetrics`-shaped frames built in
+  * memory (a MemoryStream fed in `batches` micro-batches), so the
+  * number is engine throughput, not source parsing. Usage:
+  *
+  * {{{ sbt "runMain graft.StreamBench [nEvents] [batches] [nRules]" }}}
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val nEvents = args.headOption.map(_.toInt).getOrElse(2000000)
+    val batches = args.lift(1).map(_.toInt).getOrElse(4)
+    val nRules = args.lift(2).map(_.toInt).getOrElse(8)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // Rule book: SUM/AVG/MIN/MAX × tumbling/sliding over cpu_usage,
+    // always-passing thresholds (emission included in the cost).
+    val aggs = Seq(AggType.Sum, AggType.Avg, AggType.Min, AggType.Max)
+    val rules = (1 to nRules).map { i =>
+      Rule(i, RuleState.Active,
+        if (i % 2 == 0) WindowType.Sliding else WindowType.Tumbling,
+        2, if (i % 2 == 0) 1 else 0, Seq("t_group"),
+        aggs(i % aggs.size), "cpu_usage", CmpOp.Gt,
+        BigDecimal(-1))
+    }
+    val ruleDF = Metrics.rulesToDF(spark, rules)
+    val t0 = 1650557501028L
+
+    // MemoryStream of batch indices; each micro-batch expands its id
+    // into nEvents/batches metric rows via a join-free explode of a
+    // range, so the measured cost is the engine, not a feeder.
+    implicit val sqlCtx = spark.sqlContext
+    def run(engine: String): Double = {
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+      val per = nEvents / batches
+      val metricFrame = mem.toDF()
+        .select(explode(sequence(col("value") * per,
+          (col("value") + 1) * per - 1)).as("id"))
+        .select(
+          timestamp_millis(lit(t0) + col("id") * 10).as("eventTime"),
+          map(lit("t_group"), concat(lit("g"), pmod(col("id"), lit(64)))).as("tags"),
+          map(lit("cpu_usage"), pmod(col("id"), lit(100)).cast("double")).as("metrics"))
+      val out = engine match {
+        case "planAll" =>
+          graft.cep.CepQuery.planAll(metricFrame, ruleDF)
+            .writeStream.format("noop").outputMode("update")
+        case _ =>
+          graft.streaming.TransformCep.run(
+            StatefulCep.fanOut(metricFrame, ruleDF))
+            .toDF()
+            .writeStream.format("noop").outputMode("append")
+      }
+      val q = out.start()
+      val start = System.nanoTime()
+      try {
+        (0 until batches).foreach { b => mem.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      nEvents / ((System.nanoTime() - start) / 1e9)
+    }
+
+    // Warm-up lap (JIT, codegen cache, state-store init) — streaming
+    // micro-benchmarks are meaningless cold.
+    run("planAll"); run("stateful")
+    val declarative = run("planAll")
+    val stateful = run("stateful")
+    println(f"""{"metric":"stream_throughput","unit":"events_per_sec","n_events":$nEvents,"n_rules":$nRules,"planAll_update":${declarative}%.0f,"stateful_append":${stateful}%.0f}""")
+    spark.stop()
+  }
+}

@@ -75,6 +75,10 @@ object GraftFunctions {
       Md5WinnowFingerprint(args(0),
         litInt(args(1), "window"), litInt(args(2), "winnow"))
     },
+    "minhash_signature" -> { args =>
+      expectArgs("minhash_signature", args, 2)
+      MinhashSignature(args(0), litInt(args(1), "numHashes"))
+    },
     "simhash_bands" -> { args =>
       expectArgs("simhash_bands", args, 2)
       SimhashBands(args(0), args(1) match {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.graft.{CepExprColumns, LshBucketsColumns, MetricRouteColumns, RollingHashColumns, SimhashColumns, VecDotColumns, WordShinglesColumns}
+import org.apache.spark.sql.graft.{CepExprColumns, LshBucketsColumns, MetricRouteColumns, MinhashColumns, RollingHashColumns, SimhashColumns, VecDotColumns, WordShinglesColumns}
 
 /** Public column-function surface for graft's native Catalyst
   * expressions (implementations under org.apache.spark.sql.graft). */
@@ -57,6 +57,13 @@ package object functions {
     * recompute; `false` the faster xxhash64. */
   def simhash_bands(tokens: Column, portable: Boolean = false): Column =
     SimhashColumns.simhashBands(tokens, portable)
+
+  /** MinHash signature of a shingle array (ARRAY<BIGINT> of
+    * `numHashes` permutation minima, one native pass; null for an
+    * empty array) — see
+    * [[org.apache.spark.sql.graft.MinhashSignature]]. */
+  def minhash_signature(shingles: Column, numHashes: Int): Column =
+    MinhashColumns.minhashSignature(shingles, numHashes)
 
   /** All LSH table bucket keys of a vector (ARRAY<BIGINT>, one element
     * per table) — see [[org.apache.spark.sql.graft.LshBuckets]].

@@ -30,6 +30,23 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("fp"), col("n_copies"))
 
+  /** Streaming twin of [[exact]] for ingest-time dedup of a document
+    * firehose: emit the FIRST occurrence of each normalized-content
+    * fingerprint, drop duplicates arriving within the watermark
+    * horizon (`dropDuplicatesWithinWatermark` — state is one 128-bit
+    * fingerprint per distinct content, expired by the watermark, so
+    * state size is bounded by the horizon, not the corpus). Exact
+    * global dedup of the accumulated corpus remains the batch
+    * [[exact]]'s job; this bounds what reaches storage in the first
+    * place. Input must carry an `eventTime` TIMESTAMP column
+    * alongside `doc_id`/`text`. */
+  def exactStreaming(docs: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp", md5(TextOps.normalized(col("text"))))
+      .withWatermark("eventTime", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** (doc_id, shingle) inverted index, distinct shingles per doc.
     *
     * Shingling runs as ONE native pass per document
@@ -179,8 +196,10 @@ object Dedup {
     // Materialize the edge list once: every propagation round joins
     // against it, and without the checkpoint each round would re-derive
     // the (possibly expensive) pair-generation pipeline behind `pairs`.
-    val sym = persist(e.union(e.select(col("b").as("a"), col("a").as("b"))))
-    var labels = persist(sym.select(col("a").as("id")).distinct()
+    // Lazy: round 1's convergence count materializes edge list and
+    // initial labels inside its own job (no separate upfront jobs).
+    val sym = persist.lazily(e.union(e.select(col("b").as("a"), col("a").as("b"))))
+    var labels = persist.lazily(sym.select(col("a").as("id")).distinct()
       .withColumn("component_id", col("id")))
     var changed = 1L
     var it = 0
@@ -195,7 +214,9 @@ object Dedup {
           least(col("component_id"), coalesce(col("nbr_min"), col("component_id")))
             .as("new_label"),
           col("component_id").as("old_label"))
-      val next = persist(if (it < 2) propagated else {
+      // Lazy checkpoint: the convergence count below is the action
+      // that materializes the round — one job per round, not two.
+      val next = persist.lazily(if (it < 2) propagated else {
         // Path halving: labels always point to smaller ids, so
         // label[label] is defined and ≤ label — one extra join
         // shortcuts chains exponentially.
@@ -232,24 +253,18 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
-  /** Deterministic MinHash parameters: universal-hash family
-    * h_i(x) = (a_i·x + b_i) mod M over a Mersenne-ish modulus that
-    * keeps a_i·x inside a Long. Coefficients from a fixed LCG so runs
-    * and cluster re-runs agree bit-for-bit. */
-  private val M = 2147483647L // 2^31 − 1
-  private def lcgStream(seed: Long): Iterator[Long] =
-    Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L)
-
   /** MinHash + LSH near-duplicate pairs.
     *
-    * Pipeline: shingle → xxhash64 → `numHashes` permutation minima
-    * (one partial-aggregatable `min` per hash — map-side combined, so
-    * the shuffle carries one row per doc) → signatures cut into
-    * `bands` banded keys → docs sharing any banded key become
-    * candidates → candidates verified with exact n-gram Jaccard.
-    * Output: (id_a, id_b, jaccard) — same schema/semantics as
-    * [[ngramJaccardPairs]], recall < 1 traded for never scanning
-    * non-colliding pairs. */
+    * Pipeline: per-doc signature in ONE native pass
+    * ([[graft.functions.minhash_signature]]: `numHashes` permutation
+    * minima of `(a_i·x + b_i) mod (2^31−1)` over xxhash64'd shingles,
+    * fixed-LCG coefficients — bit-identical to the old explode +
+    * 64-`min`-aggregate spelling, spec-pinned, but with no signature
+    * shuffle at all) → signatures cut into `bands` banded keys → docs
+    * sharing any banded key become candidates → candidates verified
+    * with exact n-gram Jaccard. Output: (id_a, id_b, jaccard) — same
+    * schema/semantics as [[ngramJaccardPairs]], recall < 1 traded for
+    * never scanning non-colliding pairs. */
   def minhashLshPairs(
       docs: DataFrame,
       n: Int = 3,
@@ -259,19 +274,20 @@ object Dedup {
       persist: Persistence = Persistence.Local): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val coef = lcgStream(42L).map(x => math.floorMod(x, M - 1) + 1)
-      .take(2 * numHashes).toSeq
-    // ONE materialized shingle index feeds signature generation AND
-    // both sides of the verification join.
+    // The materialized shingle index feeds BOTH sides of the
+    // verification join; signatures are recomputed from the raw text
+    // (one native pass/doc beats re-aggregating the exploded index).
     val idx = shingleIndexWithSize(docs, n, persist)
-    val sh = idx.select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(M)).as("x"))
-    val minCols = (0 until numHashes).map { i =>
-      min(pmod(lit(coef(2 * i)) * col("x") + lit(coef(2 * i + 1)), lit(M))).as(s"m$i")
-    }
-    val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val sig = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.minhash_signature(
+          array_distinct(graft.functions.word_shingles(col("text"), n)),
+          numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
     val bandCols = (0 until bands).map { b =>
       xxhash64(concat_ws(",",
-        (0 until rows).map(r => col(s"m${b * rows + r}")): _*)).as(s"band$b")
+        (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*))
+        .as(s"band$b")
     }
     val banded = sig.select(col("doc_id") +: bandCols: _*)
       .select(col("doc_id"),
@@ -290,21 +306,18 @@ object Dedup {
 
   /** 64-bit SimHash fingerprints: every token votes ±1 on each bit of
     * its xxhash64; fingerprint bit b is set iff the vote sum is
-    * positive. One partial-aggregatable groupBy per doc. */
-  def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs.repartition(col("doc_id"))
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
-      .withColumn("h", xxhash64(col("token")))
-    val voteCols = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"v$b")
-    }
-    val votes = tok.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
-    val fp = (0 until 64).map { b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
-    votes.select(col("doc_id"), fp.as("simhash"))
-  }
+    * positive. One native pass per document
+    * ([[graft.functions.simhash_bands]]); the four 16-bit band keys
+    * ARE the fingerprint, reassembled little-endian — no groupBy, no
+    * shuffle at all. */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.simhash_bands(TextOps.tokens(col("text"))).as("b"))
+      .filter(col("b").isNotNull)
+      .select(col("doc_id"),
+        (0 until 4).map(k =>
+          shiftleft(element_at(col("b"), k + 1).cast("long"), 16 * k))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
 
   /** Near-duplicate pairs by winnowed rolling-hash fingerprint overlap
     * (MOSS-style): docs sharing any fingerprint become candidates via

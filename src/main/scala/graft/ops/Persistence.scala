@@ -18,15 +18,24 @@ import org.apache.spark.sql.DataFrame
   * exactly the artifact you would persist to reliable storage anyway —
   * this knob is that decision, made explicit per call. */
 sealed trait Persistence {
+  /** Eager: materializes now (its own job), returns the truncated frame. */
   def apply(df: DataFrame): DataFrame
+
+  /** Lazy: marks for materialization; the caller's NEXT action on the
+    * returned frame both materializes and computes — one job instead
+    * of two. Use inside iterative loops whose convergence check is
+    * itself an action. */
+  def lazily(df: DataFrame): DataFrame
 }
 
 object Persistence {
   case object Local extends Persistence {
     override def apply(df: DataFrame): DataFrame = df.localCheckpoint()
+    override def lazily(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
   }
   /** Requires `spark.sparkContext.setCheckpointDir(...)` to be set. */
   case object Reliable extends Persistence {
     override def apply(df: DataFrame): DataFrame = df.checkpoint()
+    override def lazily(df: DataFrame): DataFrame = df.checkpoint(eager = false)
   }
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{StreamingQuery, TTLConfig}
+import org.apache.spark.sql.streaming.StreamingQuery
 import graft.cep.{CepQuery, Metrics}
 import graft.cep.Metrics.RuleRow
 import graft.model._
@@ -159,23 +159,21 @@ final class StreamingEngine(
     * recovery). Requires the RocksDB state store provider
     * (`spark.sql.streaming.stateStore.providerClass`). */
   def onePassStatefulQuery(
-      align: StatefulCep.Alignment = StatefulCep.Epoch,
-      ttl: TTLConfig = TTLConfig.NONE): Dataset[StatefulCep.CepResult] =
+      align: StatefulCep.Alignment = StatefulCep.Epoch): Dataset[StatefulCep.CepResult] =
     TransformCep.run(
       StatefulCep.fanOut(
         metricStream(),
         Metrics.rulesToDF(spark, book.activeRules.map(Metrics.fromRow)),
         sink.watermarkDelay),
-      ttl, align)
+      align)
 
   /** Start (or restart, picking up the current rule book) the one-pass
     * stateful query under `<checkpointRoot>/cep_one_pass`. Output mode
     * is always append — the engine only ever emits final windows. */
   def startOnePassStateful(
-      align: StatefulCep.Alignment = StatefulCep.Epoch,
-      ttl: TTLConfig = TTLConfig.NONE): StreamingQuery = synchronized {
+      align: StatefulCep.Alignment = StatefulCep.Epoch): StreamingQuery = synchronized {
     onePass.foreach(_.stop())
-    var w = onePassStatefulQuery(align, ttl).writeStream
+    var w = onePassStatefulQuery(align).writeStream
       .queryName("cep_one_pass")
       .format(sink.format)
       .outputMode("append")
@@ -192,8 +190,7 @@ final class StreamingEngine(
     * open-window state survives it (see [[startOnePassStateful]]). */
   def attachRuleStreamOnePass(
       ruleLines: DataFrame,
-      align: StatefulCep.Alignment = StatefulCep.Epoch,
-      ttl: TTLConfig = TTLConfig.NONE): StreamingQuery =
+      align: StatefulCep.Alignment = StatefulCep.Epoch): StreamingQuery =
     ruleLines.writeStream
       .queryName("cep_rule_control_one_pass")
       .outputMode("append")
@@ -201,7 +198,7 @@ final class StreamingEngine(
         val rows = parseRuleRows(batch)
         if (rows.nonEmpty) {
           book.applyChanges(rows)
-          startOnePassStateful(align, ttl)
+          startOnePassStateful(align)
           ()
         }
       }

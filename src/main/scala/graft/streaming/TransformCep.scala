@@ -1,16 +1,14 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, ValueState}
 import graft.streaming.StatefulCep.{CepEvent, CepResult, KeyState}
 
 /** Spark 4 `transformWithState` twin of [[StatefulCep]] — same
   * per-(rule, group) window engine (reference engine/CEPEngine.java:
   * 36-64 processing model), on the current-generation state API:
   *
-  *  - state lives in a named, typed [[ValueState]] with an optional
-  *    native TTL ([[TTLConfig]]) — the state store itself expires
-  *    abandoned groups, where the old API needed the timeout dance;
+  *  - state lives in a named, typed [[ValueState]];
   *  - firing is explicitly timer-driven: each key keeps ONE event-time
   *    timer at its earliest open window end; `handleExpiredTimer`
   *    fires and re-arms. Events arriving after the watermark already
@@ -23,24 +21,30 @@ import graft.streaming.StatefulCep.{CepEvent, CepResult, KeyState}
   * semantically identical by construction; the parity spec runs one
   * scenario through both and diffs the outputs.
   *
-  * TTL note: a TTL shorter than the watermark delay plus the widest
-  * open window can evict still-open windows (they then never fire) —
-  * it is an operational retention bound, not a semantic knob; default
-  * is no TTL.
+  * Retention note: Spark's native state TTL (`TTLConfig`) is
+  * processing-time based and is REJECTED in `TimeMode.EventTime`
+  * ([STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL]), so this
+  * engine deliberately exposes no TTL knob. It does not need one for
+  * boundedness: state is one quadruple per OPEN window, every window's
+  * end carries a timer, and `commit` clears a key's state entirely
+  * once no window remains open — a group's state cannot outlive the
+  * watermark passing its last window. The residual operational case
+  * (a permanently stalled watermark) stalls ALL event-time processing,
+  * not just state cleanup.
   */
 object TransformCep {
 
   /** One per-key timer at the earliest open window end: timers fire
     * when the EVENT-TIME watermark passes them (TimeMode.EventTime),
     * exactly the old engine's setTimeoutTimestamp contract. */
-  private class CepProcessor(ttl: TTLConfig, align: StatefulCep.Alignment)
+  private class CepProcessor(align: StatefulCep.Alignment)
       extends StatefulProcessor[(Int, String), CepEvent, CepResult] {
 
     @transient private var state: ValueState[KeyState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[KeyState](
-        "cepWindows", Encoders.product[KeyState], ttl)
+        "cepWindows", Encoders.product[KeyState], org.apache.spark.sql.streaming.TTLConfig.NONE)
 
     private def currentOrNull: KeyState =
       if (state.exists()) state.get() else null
@@ -89,7 +93,7 @@ object TransformCep {
   /** Wire the transformWithState engine over a fanned-out event stream
     * (same input contract as [[StatefulCep.run]]: watermarked
     * `eventTime` + [[CepEvent]] columns). Output mode: Append. */
-  def run(fannedOut: DataFrame, ttl: TTLConfig = TTLConfig.NONE,
+  def run(fannedOut: DataFrame,
       align: StatefulCep.Alignment = StatefulCep.Epoch): Dataset[CepResult] = {
     implicit val eEnc = Encoders.product[CepEvent]
     implicit val rEnc = Encoders.product[CepResult]
@@ -97,7 +101,7 @@ object TransformCep {
     fannedOut
       .as[CepEvent]
       .groupByKey(e => (e.rule_id, e.group_id))
-      .transformWithState(new CepProcessor(ttl, align),
+      .transformWithState(new CepProcessor(align),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -83,6 +83,14 @@ class OpsSpec extends AnyFunSuite {
           col(s"n.band$k").isNull || col(s"d.band$k").isNull).reduce(_ || _))
       assert(bad.count() == 0, s"portable=$portable band mismatch")
     }
+    // The 64-bit fingerprint API is the same bands reassembled
+    // little-endian — pin it to the declarative band frame too.
+    val fpNative = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    val fpDecl = declarativeBands(portable = false).select(col("doc_id"),
+        (0 until 4).map(k => shiftleft(col(s"band$k").cast("long"), 16 * k))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    assert(fpNative.nonEmpty && fpNative == fpDecl)
   }
 
   test("exact dedup groups identical normalized texts under one keeper id") {
@@ -140,6 +148,34 @@ class OpsSpec extends AnyFunSuite {
         .filter(p => java.nio.file.Files.isRegularFile(p)).count()
       assert(wrote > 0, "no checkpoint files written by Persistence.Reliable")
     } finally prev.foreach(spark.sparkContext.setCheckpointDir)
+  }
+
+  test("native minhash_signature is bit-identical to the explode + min-aggregate spelling") {
+    // The LSH-candidate guarantee: identical signatures -> identical
+    // band hashes -> identical candidate pairs, so the gate's shared
+    // exact oracle (recall-1 parameters) is untouched by the one-pass
+    // rewrite.
+    val M = 2147483647L
+    val numHashes = 64
+    val coef = Iterator.iterate(42L)(x =>
+        x * 6364136223846793005L + 1442695040888963407L)
+      .map(x => math.floorMod(x, M - 1) + 1).take(2 * numHashes).toSeq
+    val sh = docs.select(col("doc_id"),
+        explode(array_distinct(graft.functions.word_shingles(col("text"), 3))).as("shingle"))
+      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(M)).as("x"))
+    val minCols = (0 until numHashes).map { i =>
+      min(pmod(lit(coef(2 * i)) * col("x") + lit(coef(2 * i + 1)), lit(M))).as(s"m$i")
+    }
+    val declarative = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    val native = docs.select(col("doc_id"),
+        graft.functions.minhash_signature(
+          array_distinct(graft.functions.word_shingles(col("text"), 3)), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+    val joined = native.as("n").join(declarative.as("d"), Seq("doc_id"), "full")
+    val bad = joined.filter(col("n.sig").isNull || col("d.sig").isNull ||
+      col("n.sig") =!= col("d.sig"))
+    assert(native.count() > 0 && bad.count() == 0)
   }
 
   test("gate corpus max shingle df stays below the gate df-cap (oracle-sharing invariant)") {

@@ -26,7 +26,7 @@ class PlanShapeSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
 
   private lazy val plans: Map[String, String] =
-    SparkEntry.queries.map { case (name, fn) =>
+    (SparkEntry.queries ++ SparkEntry.benchOnly).map { case (name, fn) =>
       name -> fn(spark, sfDir).queryExecution.executedPlan.toString
     }
 

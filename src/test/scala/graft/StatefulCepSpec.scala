@@ -110,6 +110,71 @@ class StatefulCepSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState exposes no TTL knob: Spark rejects TTL state in event-time mode") {
+    // Documents WHY TransformCep has no TTL parameter: Spark's state
+    // TTL is processing-time based and throws
+    // STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL under
+    // TimeMode.EventTime — the mode the engine's event-time timers
+    // require. Pin the platform behavior so a future Spark that lifts
+    // the restriction shows up as a failing expectation here.
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Ev]
+      val probe = new org.apache.spark.sql.streaming.StatefulProcessor[
+          Int, StatefulCepEv, Int] {
+        @transient private var s: org.apache.spark.sql.streaming.ValueState[Int] = _
+        override def init(om: org.apache.spark.sql.streaming.OutputMode,
+            tm: org.apache.spark.sql.streaming.TimeMode): Unit =
+          s = getHandle.getValueState[Int]("probe",
+            org.apache.spark.sql.Encoders.scalaInt,
+            org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofMinutes(1)))
+        override def handleInputRows(key: Int, rows: Iterator[StatefulCepEv],
+            tv: org.apache.spark.sql.streaming.TimerValues): Iterator[Int] =
+          Iterator.empty
+      }
+      val q = mem.toDF().withColumn("eventTime", timestamp_millis(col("ms")))
+        .withWatermark("eventTime", "0 seconds")
+        .as[Ev]
+        .groupByKey(_ => 1)
+        .transformWithState(probe,
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .writeStream.format("memory").queryName("tws_ttl_probe")
+        .outputMode("append").start()
+      try {
+        mem.addData(Ev(t0, "business", 1))
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        assert(e.getMessage.contains("INCORRECT_TIME_MODE_TO_ASSIGN_TTL"))
+      } finally q.stop()
+    }
+  }
+
+  test("streaming exact dedup: first occurrence kept, in-horizon duplicates dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val docs = mem.toDF().toDF("ms", "doc_id", "text")
+      .withColumn("eventTime", timestamp_millis(col("ms")))
+    val q = graft.ops.Dedup.exactStreaming(docs, "10 minutes")
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      // doc 2 is a whitespace/case duplicate of doc 1 (same normalized
+      // fingerprint); doc 3 is distinct content.
+      mem.addData((t0, 1L, "Hello  World"), (t0 + 1000, 2L, "hello world"),
+        (t0 + 2000, 3L, "other text"))
+      q.processAllAvailable()
+      val kept = spark.table("stream_dedup")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 3L))
+      // A later duplicate still inside the horizon is dropped too.
+      mem.addData((t0 + 5000, 4L, "HELLO world"))
+      q.processAllAvailable()
+      assert(spark.table("stream_dedup").count() == 2)
+    } finally q.stop()
+  }
+
   test("first-event-aligned stateful engines match planRuleFirstAligned (tumbling + sliding, both engines)") {
     implicit val sqlCtx = spark.sqlContext
     val tumb = demoRule.copy(limitOperatorType = CmpOp.Gt, limit = BigDecimal(-1))
