@@ -58,6 +58,10 @@ object StreamBench {
       val metricFrame = mem.toDF()
         .select(explode(sequence(col("value") * per,
           (col("value") + 1) * per - 1)).as("id"))
+        // The generator emits each micro-batch as ONE exploded
+        // partition; spread it like a real multi-partition source so
+        // the measured number is the parallel engine, not one core.
+        .repartition(cpus.toInt)
         .select(
           timestamp_millis(lit(t0) + col("id") * 10).as("eventTime"),
           map(lit("t_group"), concat(lit("g"), pmod(col("id"), lit(64)))).as("tags"),

@@ -48,15 +48,6 @@ object CepQuery {
   /** `metrics['field']` as a double column. */
   def measure(field: String): Column = element_at(col("metrics"), field)
 
-  /** Reference rule-match predicate (Rule.java:63-66): rule is ACTIVE
-    * and every grouping key is present in the event's tag map. The
-    * key-subset test is the native codegen'd
-    * [[graft.functions.array_contains_all]] — a `forall` lambda here
-    * would be interpreted per (metric, rule) pair of the fan-out join. */
-  def matchPredicate(ruleState: Column, groupingKeyNames: Column, tags: Column): Column =
-    (ruleState === RuleState.Active.name) &&
-      graft.functions.array_contains_all(map_keys(tags), groupingKeyNames)
-
   /** The aggregate column for a given agg type over value column `v`
     * (pre-cast to decimal for SUM/AVG exactness; result is DOUBLE). */
   def aggColumn(agg: AggType, v: Column): Column = agg match {
@@ -264,7 +255,9 @@ object CepQuery {
   private val KeylessPivot = ""
 
   /** planAll steps 1-2 — rule-match fan-out + per-(metric, rule)
-    * derived columns, as a broadcast HASH join.
+    * derived columns, as a broadcast HASH join. The match semantics
+    * are the reference's (Rule.java:63-66): rule is ACTIVE and every
+    * grouping key is present in the event's tag map.
     *
     * The naive spelling is a broadcast nested-loop theta-join on
     * `containsAll(tag_keys, grouping_key_names)`: every metric row

@@ -151,6 +151,24 @@ class StatefulCepSpec extends AnyFunSuite {
     }
   }
 
+  test("LLM text ops run unchanged on a stream (pure projections, batch/stream parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docsStream = mem.toDF().toDF("doc_id", "text")
+    val q = graft.ops.TextAnalysis.qualityScore(docsStream)
+      .writeStream.format("memory").queryName("stream_text")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "the quick brown fox and the lazy dog"),
+        (2L, "der schnelle braune fuchs und der faule hund"))
+      q.processAllAvailable()
+      val batch = graft.ops.TextAnalysis.qualityScore(
+        Seq((1L, "the quick brown fox and the lazy dog"),
+          (2L, "der schnelle braune fuchs und der faule hund")).toDF("doc_id", "text"))
+      assert(spark.table("stream_text").collect().toSet == batch.collect().toSet)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: first occurrence kept, in-horizon duplicates dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, String)]
