@@ -538,6 +538,19 @@ object SparkEntry {
     "sim_ann_ivf" -> ((s, d) =>
       graft.ops.Similarity.ivfTopK(embeddings(s, d), embQueries(s, d), 5,
         nClusters = 16, nProbe = 16)),
+    // Corpus profiling — the one-line health check a curation pipeline
+    // runs before/after every dedup or filter stage. Exact arithmetic
+    // (decimal sum, double division) so the oracle hash-matches.
+    "text_corpus_stats" -> ((s, d) =>
+      documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(char_length(col("text")).cast(CepQuery.SumDecimal)).cast("double")
+          .as("total_chars"),
+        (sum(char_length(col("text")).cast(CepQuery.SumDecimal)).cast("double") /
+          count(lit(1))).as("avg_chars"),
+        min(char_length(col("text"))).cast("long").as("min_chars"),
+        max(char_length(col("text"))).cast("long").as("max_chars"))),
     "text_tokens" -> ((s, d) => graft.ops.TextAnalysis.tokenStats(documents(s, d))),
     "text_quality" -> ((s, d) => graft.ops.TextAnalysis.qualityScore(documents(s, d))),
     "text_langid" -> ((s, d) => graft.ops.TextAnalysis.langId(documents(s, d))),
@@ -573,6 +586,14 @@ object SparkEntry {
     // (miss prob (1−J⁴)¹⁶ < 3e-4); verified equal to the exact n-gram
     // result on the gate corpus, so it shares the exact oracle.
     "dedup_minhash" -> dedupNgramOracle,
+    "text_corpus_stats" ->
+      """SELECT count(*) AS n_docs,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(CAST(length(text) AS DECIMAL(38,6))) AS DOUBLE) AS total_chars,
+        |  CAST(sum(CAST(length(text) AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_chars,
+        |  min(length(text)) AS min_chars,
+        |  max(length(text)) AS max_chars
+        |FROM documents""".stripMargin,
     "dedup_simhash" -> dedupSimhashOracle,
     "dedup_fingerprint" -> dedupFingerprintOracle,
     "dedup_embedding" -> dedupEmbeddingOracle,
