@@ -263,13 +263,21 @@ object CepQuery {
     * `containsAll(tag_keys, grouping_key_names)`: every metric row
     * evaluates the subset predicate against EVERY rule — O(M·R), the
     * term that explodes when the rule book grows to thousands. Instead
-    * each rule is keyed by its FIRST grouping key and each metric
+    * each rule is keyed by ONE pivot grouping key and each metric
     * explodes its (few, distinct) tag keys, so a (metric, rule)
     * candidate is produced by one hash-table probe — O(M·keys-per-tag-
     * map + matches) — and only candidates pay the full containsAll
     * verification. Map keys are distinct, and a rule has one pivot, so
     * no candidate is produced twice. Keyless rules (match everything)
     * pivot on a sentinel appended to every metric's key list.
+    *
+    * The pivot is each rule's RAREST grouping key across the book
+    * (ties lexicographic): when rules are heterogeneous (half group by
+    * t_group, half by t_type), a fixed first-key pivot would hash
+    * every metric against every rule sharing that key, while the
+    * rarest key spreads the build side across distinct probe values.
+    * The statistics are two aggregations over the rule frame — KBs of
+    * control data on the broadcast side, never the metric stream.
     *
     * The tag-key array is materialized per METRIC before the join:
     * inlining map_keys(tags) into the join input would re-extract it
@@ -279,15 +287,37 @@ object CepQuery {
     metricFrame.withColumn("_tag_keys", map_keys(col("tags")))
       .withColumn("_pivot",
         explode(array_distinct(array_append(col("_tag_keys"), lit(KeylessPivot)))))
-      .join(
-        broadcast(ruleFrame
-          .filter(col("rule_state") === RuleState.Active.name)
-          .withColumn("_pivot",
-            coalesce(element_at(col("grouping_key_names"), 1), lit(KeylessPivot)))),
-        "_pivot")
+      .join(broadcast(withRarestKeyPivot(
+        ruleFrame.filter(col("rule_state") === RuleState.Active.name))), "_pivot")
       .filter(graft.functions.array_contains_all(col("_tag_keys"),
         col("grouping_key_names")))
       .drop("_pivot", "_tag_keys")
+
+  /** Attach `_pivot` = the rule's grouping key with the lowest
+    * rule-frequency in the book (ties lexicographic; sentinel for
+    * keyless rules). The frequency histogram is collected to the
+    * driver — rules are KBs of CONTROL data (the same contract as
+    * RuleBook's collect), and keeping the statistic driver-side keeps
+    * the broadcast build subtree exchange-free, preserving the
+    * one-shuffle-per-plan promise PlanShapeSpec pins. The per-rule
+    * argmin folds over the (≤ a handful of) grouping keys with a
+    * literal frequency map. */
+  private def withRarestKeyPivot(activeRules: DataFrame): DataFrame = {
+    val freqs: Map[String, Long] = activeRules
+      .select(explode(col("grouping_key_names")).as("_k"))
+      .groupBy(col("_k")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (freqs.isEmpty) // no keyed rule in the book
+      return activeRules.withColumn("_pivot", lit(KeylessPivot))
+    val freqMap = typedlit(freqs)
+    val best = aggregate(col("grouping_key_names"),
+      struct(lit(Long.MaxValue).as("f"), lit(KeylessPivot).as("k")),
+      (acc, k) => {
+        val cand = struct(element_at(freqMap, k).as("f"), k.as("k"))
+        when(cand < acc, cand).otherwise(acc)
+      })
+    activeRules.withColumn("_pivot", best.getField("k"))
+  }
 
   private def fanOutPrepared(metricFrame: DataFrame, ruleFrame: DataFrame): DataFrame =
     fanOutJoin(metricFrame, ruleFrame)

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Bucketed-table layout for co-located joins — the storage-side
   * answer to "this join shuffles 100 TB every run".
@@ -35,4 +36,27 @@ object Bucketing {
       leftTable: String, rightTable: String, keys: Seq[String]): DataFrame =
     spark.table(leftTable).hint("merge")
       .join(spark.table(rightTable).hint("merge"), keys)
+
+  /** Salted equi-join for skewed keys — the manual fallback when AQE's
+    * skew-join split cannot apply (e.g. the skewed side feeds a
+    * stateful operator, or partitions are skewed inside one key).
+    *
+    * The LEFT (large, skewed) side gets a uniform random salt in
+    * [0, salt); the RIGHT side is replicated `salt` times with every
+    * salt value, so `key == key && salt == salt` splits each hot key's
+    * rows across `salt` reducers while keeping exactly the inner-join
+    * semantics (each left row meets each matching right row exactly
+    * once — under the one replica carrying its salt). Replication
+    * multiplies the right side, so use it dimension-side-small,
+    * salt ≈ the skew factor. Results are identical to the plain join
+    * (spec-verified); row ORDER is not, as with any shuffle. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      salt: Int = 16): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    val saltedLeft = left.withColumn("_salt",
+      (rand(seed = 42) * salt).cast("int"))
+    val replicatedRight = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedLeft.join(replicatedRight, Seq(key, "_salt")).drop("_salt")
+  }
 }

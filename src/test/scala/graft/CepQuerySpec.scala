@@ -44,6 +44,44 @@ class CepQuerySpec extends AnyFunSuite {
     assert(both.count() == 2)
   }
 
+  test("keyless rule through planAll: sentinel pivot matches every metric, one global group") {
+    // A rule with NO grouping keys has a vacuously-true key-subset
+    // predicate (reference isHit over an empty key list): it must
+    // match every metric via the sentinel pivot and aggregate them as
+    // one group whose group_id is just the rule id. Also exercises a
+    // mixed book — the keyed rule must be unaffected.
+    val keyless = demoRule.copy(ruleId = 7,
+      groupingKeyNames = Seq.empty, limit = BigDecimal(0))
+    val out = CepQuery.planAll(metricFrame(demoEvents),
+        Metrics.rulesToDF(spark, Seq(demoRule, keyless)))
+      .select("rule_id", "group_id", "result")
+      .as[(Int, String, Double)].collect().toSet
+    assert(out == Set(
+      (1, "1_business", 16.0), (1, "1_work", 16.0), (7, "7", 32.0)))
+  }
+
+  test("rarest-key pivot: heterogeneous rule books still produce each match exactly once") {
+    // Two rules on different single keys + one on both: whatever pivot
+    // each rule gets, a metric carrying both tags must fan out to all
+    // three rules exactly once.
+    val byGroup = demoRule.copy(limit = BigDecimal(-1))
+    val byType = demoRule.copy(ruleId = 2, groupingKeyNames = Seq("t_type"),
+      limit = BigDecimal(-1))
+    val byBoth = demoRule.copy(ruleId = 3,
+      groupingKeyNames = Seq("t_group", "t_type"), limit = BigDecimal(-1))
+    val frame = Seq((t0, "business", "web", 5), (t0 + 1000, "business", "web", 3))
+      .toDF("ms", "g", "ty", "cpu").select(
+        timestamp_millis(col("ms")).as("eventTime"),
+        map(lit("t_group"), col("g"), lit("t_type"), col("ty")).as("tags"),
+        map(lit("cpu_usage"), col("cpu").cast("double")).as("metrics"))
+    val out = CepQuery.planAll(frame,
+        Metrics.rulesToDF(spark, Seq(byGroup, byType, byBoth)))
+      .select("rule_id", "group_id", "result")
+      .as[(Int, String, Double)].collect().toSet
+    assert(out == Set(
+      (1, "1_business", 8.0), (2, "2_web", 8.0), (3, "3_business_web", 8.0)))
+  }
+
   test("window membership is half-open [begin, end): boundary event starts a new window") {
     // Window containing t0 is [1650557400000, 1650557520000); an event at
     // exactly the end boundary must land in the NEXT window (Window.java:66-68).

@@ -395,6 +395,20 @@ class OpsSpec extends AnyFunSuite {
     assert(joined.count() == 0)
   }
 
+  test("salted join: identical results to the plain join on a skewed key, salt column dropped") {
+    val left = spark.range(0, 5000).select(
+      when(col("id") % 5 === 0, lit("hot"))
+        .otherwise(concat(lit("k"), col("id"))).as("k"),
+      col("id").as("v"))
+    val right = Seq(("hot", 1), ("k17", 2), ("k23", 3), ("absent", 9)).toDF("k", "w")
+    val plain = left.join(right, "k")
+      .select("k", "v", "w").as[(String, Long, Int)].collect().toSet
+    val salted = Bucketing.saltedJoin(left, right, "k", salt = 8)
+    assert(salted.columns.toSeq == Seq("k", "v", "w"))
+    assert(salted.as[(String, Long, Int)].collect().toSet == plain)
+    assert(plain.count(_._1 == "hot") == 1000) // the skew is real
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     def cleanup(): Unit = Seq("bkt_orders", "bkt_lineitem").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
