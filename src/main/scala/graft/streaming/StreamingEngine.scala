@@ -130,8 +130,17 @@ final class StreamingEngine(
     * streaming aggregation (CepQuery.planAll). Update output mode;
     * restart with the same checkpoint to pick up rule changes (the
     * plan keeps exactly one unchanged stateful operator, so state
-    * carries across restarts). For append-mode finality use the
-    * stateful production default, [[onePassStatefulQuery]]. */
+    * carries across restarts).
+    *
+    * STATE-GROWTH CAVEAT: planAll's windows are arithmetic (`ws_ms` is
+    * a derived grouping column, because width/slide are per-rule DATA)
+    * — Spark's watermark-based aggregation-state eviction only tracks
+    * `window()`/event-time grouping columns, so THIS mode's state
+    * grows with the number of distinct (rule, group, window) keys ever
+    * seen and is never evicted. Fine for bounded replays and demos;
+    * the production default for long-running streams is
+    * [[onePassStatefulQuery]], whose engine evicts every window at
+    * fire time and clears emptied keys. */
   def onePassQuery(): DataFrame =
     CepQuery.planAll(
       metricStream(),
