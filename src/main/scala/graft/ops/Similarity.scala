@@ -160,20 +160,52 @@ object Similarity {
     -array_max(array(scored.toIndexedSeq: _*)).getField("negid")
   }
 
+  /** A trained IVF index: the centroid model (k×dim doubles, a driver
+    * artifact) plus the corpus bucketed by nearest centroid. Build it
+    * ONCE, probe it per query batch — at 100 TB the assigned corpus is
+    * the artifact you persist (partitioned by `cid`) next to the
+    * embeddings; retraining per query batch would rescan the corpus
+    * `iters + 1` times for nothing. */
+  final case class IvfIndex(
+      centroids: Array[Array[Double]], assigned: DataFrame)
+
+  /** Train the quantizer and bucket the corpus — see [[IvfIndex]].
+    * `persist` materializes the assignment (Local/Reliable), so later
+    * probes never re-derive it. */
+  def buildIvfIndex(emb: DataFrame, nClusters: Int = 16, iters: Int = 3,
+      persist: Persistence = Persistence.Local): IvfIndex = {
+    val centroids = trainIvfCentroids(emb, nClusters, iters)
+    IvfIndex(centroids, persist(assignToCentroids(emb, centroids)))
+  }
+
+  private def assignToCentroids(
+      emb: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    unitized(emb)
+      .withColumn("cid", nearestCentroid(col("e"), centroids))
+      .drop("e")
+
   /** IVF approximate cosine top-k: corpus vectors are bucketed by
     * nearest centroid; each query probes its `nProbe` closest clusters
     * and exactly re-ranks only those buckets. Candidate generation is
     * an equi-join on cluster id — shuffle-partitionable, never
     * all-pairs; expected work per query is `nProbe/nClusters` of the
     * corpus. Same output schema as [[cosineTopK]]; recall < 1
-    * (spec-tested against brute force). */
+    * (spec-tested against brute force). Trains per call; production
+    * reuses a [[buildIvfIndex]] artifact via [[ivfTopKWithIndex]]. */
   def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
       nClusters: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val centroids = trainIvfCentroids(emb, nClusters, iters)
-    val corpus = unitized(emb)
-      .withColumn("cid", nearestCentroid(col("e"), centroids))
-      .drop("e")
+    ivfProbe(centroids, assignToCentroids(emb, centroids), queries, k, nProbe)
+  }
+
+  /** [[ivfTopK]] against a pre-built [[IvfIndex]]. */
+  def ivfTopKWithIndex(index: IvfIndex, queries: DataFrame, k: Int,
+      nProbe: Int = 4): DataFrame =
+    ivfProbe(index.centroids, index.assigned, queries, k, nProbe)
+
+  private def ivfProbe(centroids: Array[Array[Double]], corpus: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // nProbe nearest centroids per query: k small, so rank centroid
     // dots in an array expression and explode the top slice.
     val probeCols = centroids.zipWithIndex.map { case (c, i) =>

@@ -73,10 +73,16 @@ object CepRunner {
         map(lit("cpu_usage"), (col("value") % 100).cast("double")).as("metrics"))
   }
 
+  /** args: [host] [metricPort] [rulePort] [mode]; mode `per-rule`
+    * (default — one query per ACTIVE rule, update-mode console) or
+    * `one-pass` (the production default: ONE append-mode
+    * transformWithState query over the whole rule book, restarted on
+    * rule changes, checkpointed so window state survives restarts). */
   def main(args: Array[String]): Unit = {
     val host = args.headOption.getOrElse("localhost")
     val metricPort = args.lift(1).map(_.toInt).getOrElse(9999)
     val rulePort = args.lift(2).map(_.toInt).getOrElse(8888)
+    val mode = args.lift(3).getOrElse("per-rule")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -86,12 +92,23 @@ object CepRunner {
     spark.sparkContext.setLogLevel("WARN")
 
     val book = new RuleBook
-    val engine = new StreamingEngine(
-      spark,
-      () => Parsers.parseMetrics(socketLines(spark, host, metricPort)),
-      book,
-      StreamingEngine.SinkConfig(format = "console", outputMode = "update"))
-    val control = engine.attachRuleStream(socketLines(spark, host, rulePort))
+    val metricSource =
+      () => Parsers.parseMetrics(socketLines(spark, host, metricPort))
+    val control = mode match {
+      case "one-pass" =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_one_pass_").toString
+        val engine = new StreamingEngine(spark, metricSource, book,
+          StreamingEngine.SinkConfig(format = "console",
+            outputMode = "append", checkpointRoot = Some(ckpt)))
+        engine.attachRuleStreamOnePass(socketLines(spark, host, rulePort))
+      case _ =>
+        val engine = new StreamingEngine(spark, metricSource, book,
+          StreamingEngine.SinkConfig(format = "console", outputMode = "update"))
+        engine.attachRuleStream(socketLines(spark, host, rulePort))
+    }
     control.awaitTermination()
   }
 }

@@ -395,6 +395,19 @@ class OpsSpec extends AnyFunSuite {
     assert(joined.count() == 0)
   }
 
+  test("pre-built IVF index probes identically to the train-per-call path") {
+    // Training is deterministic (seeded init, fixed iters), so probing
+    // a built-once index must reproduce ivfTopK exactly — the
+    // train-once/probe-many artifact changes cost, never results.
+    val queries = emb.filter(col("vec_id") < 10)
+    val perCall = Similarity.ivfTopK(emb, queries, 5, nClusters = 8, nProbe = 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val index = Similarity.buildIvfIndex(emb, nClusters = 8)
+    val fromIndex = Similarity.ivfTopKWithIndex(index, queries, 5, nProbe = 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(perCall.nonEmpty && fromIndex == perCall)
+  }
+
   test("salted join: identical results to the plain join on a skewed key, salt column dropped") {
     val left = spark.range(0, 5000).select(
       when(col("id") % 5 === 0, lit("hot"))
