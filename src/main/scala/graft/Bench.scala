@@ -36,11 +36,13 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
     lap() // warm-up: JIT, codegen cache, parquet footers
-    // Two timed laps, min per query: the shared VM shows sporadic
-    // external CPU interference (±10s spikes on sub-2s queries); the
-    // min is the faithful engine cost.
-    val results = lap().zip(lap()).map { case ((n, a, e1), (_, b, e2)) =>
-      (n, math.min(a, b), e1.orElse(e2)) }
+    // Three timed laps, min per query: the shared VM shows sporadic
+    // external CPU interference (whole laps drift ±15%, sub-2s queries
+    // spike ×5); the per-query min across laps is the faithful engine
+    // cost.
+    val results = Seq(lap(), lap(), lap()).transpose.map { laps =>
+      (laps.head._1, laps.map(_._2).min,
+        laps.flatMap(_._3).headOption) }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Full JSON string escaping: any control char < 0x20 (tabs, CRs,

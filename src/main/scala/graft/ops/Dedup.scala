@@ -47,7 +47,8 @@ object Dedup {
       .withWatermark("eventTime", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
-  /** (doc_id, shingle) inverted index, distinct shingles per doc.
+  /** (doc_id, shingle, n_sh) inverted index: distinct shingles per
+    * doc, with the per-doc distinct-shingle count on every row.
     *
     * Shingling runs as ONE native pass per document
     * ([[graft.functions.word_shingles]] — byte-identical to the
@@ -56,32 +57,25 @@ object Dedup {
     * hash-repartitioned by doc_id: text corpora often arrive as few
     * large files, and shingling is the CPU-dense stage, so it must be
     * spread across all cores/executors rather than inherit the
-    * file-split parallelism; downstream per-doc window counts reuse
-    * this exact partitioning (no second shuffle). */
-  private def shingleIndex(docs: DataFrame, n: Int): DataFrame =
-    docs.repartition(col("doc_id"))
-      .select(col("doc_id"),
-        explode(array_distinct(
-          graft.functions.word_shingles(col("text"), n))).as("shingle"))
-
-  /** Inverted index with the per-doc distinct-shingle count attached to
-    * every row (window count over the already-doc_id-partitioned index:
-    * sort-only, shuffle-free). Carrying n_sh through the candidate join
-    * removes the two size-lookup joins — and their full re-shingling
-    * branches — from the pair pipeline.
+    * file-split parallelism. `n_sh` is `size` of the pre-explode
+    * ARRAY — free in the same projection, where a window-function
+    * recount would SORT the exploded index per doc; carrying it
+    * through the candidate join removes the two size-lookup joins —
+    * and their full re-shingling branches — from the pair pipeline.
     *
-    * The result is materialized (`localCheckpoint`): every caller uses
-    * it in 2-3 plan branches (self-join sides, signature derivation),
-    * and without materialization Spark re-runs the whole
-    * tokenize→shingle pipeline per branch. At corpus scale this is the
-    * intermediate you would persist (or write) anyway — shingling is
-    * the CPU-dense stage. [[Persistence]] picks local vs reliable. */
+    * The result is materialized: every caller uses it in 2-3 plan
+    * branches (self-join sides, verification), and without
+    * materialization Spark re-runs the whole tokenize→shingle pipeline
+    * per branch. At corpus scale this is the intermediate you would
+    * persist (or write) anyway; [[Persistence]] picks local vs
+    * reliable storage. */
   private def shingleIndexWithSize(docs: DataFrame, n: Int,
-      persist: Persistence): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    persist(shingleIndex(docs, n)
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id")))))
-  }
+      persist: Persistence): DataFrame =
+    persist(docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        array_distinct(graft.functions.word_shingles(col("text"), n)).as("sh_arr"))
+      .select(col("doc_id"), explode(col("sh_arr")).as("shingle"),
+        size(col("sh_arr")).as("n_sh")))
 
   /** Near-duplicate pairs by exact word-n-gram Jaccard similarity.
     * Candidates come from the inverted shingle index (only docs that
