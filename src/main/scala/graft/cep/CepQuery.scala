@@ -279,19 +279,32 @@ object CepQuery {
     * The statistics are two aggregations over the rule frame — KBs of
     * control data on the broadcast side, never the metric stream.
     *
-    * The tag-key array is materialized per METRIC before the join:
-    * inlining map_keys(tags) into the join input would re-extract it
-    * per exploded row. Shared with the stateful engines' fan-out
-    * ([[graft.streaming.StatefulCep.fanOut]]). */
-  private[graft] def fanOutJoin(metricFrame: DataFrame, ruleFrame: DataFrame): DataFrame =
+    * The metric side explodes only the pivot values SOME rule uses
+    * (an `array_intersect` against the collected distinct pivots
+    * before the explode): with a homogeneous book that is ONE row per
+    * metric — fewer row copies than both the naive explode (tag keys
+    * + sentinel per metric) and the old nested-loop join's R predicate
+    * evaluations. The tag-key array is materialized per METRIC before
+    * the join: inlining map_keys(tags) into the join input would
+    * re-extract it per exploded row. Shared with the stateful engines'
+    * fan-out ([[graft.streaming.StatefulCep.fanOut]]). */
+  private[graft] def fanOutJoin(metricFrame: DataFrame, ruleFrame: DataFrame): DataFrame = {
+    val rules = withRarestKeyPivot(
+      ruleFrame.filter(col("rule_state") === RuleState.Active.name))
+    // Driver-side control read, like the pivot histogram: the handful
+    // of distinct pivot values prunes the metric-side explode.
+    val pivotVals = rules.select(col("_pivot")).distinct()
+      .collect().map(_.getString(0)).sorted
     metricFrame.withColumn("_tag_keys", map_keys(col("tags")))
       .withColumn("_pivot",
-        explode(array_distinct(array_append(col("_tag_keys"), lit(KeylessPivot)))))
-      .join(broadcast(withRarestKeyPivot(
-        ruleFrame.filter(col("rule_state") === RuleState.Active.name))), "_pivot")
+        explode(array_intersect(
+          array_append(col("_tag_keys"), lit(KeylessPivot)),
+          typedlit(pivotVals))))
+      .join(broadcast(rules), "_pivot")
       .filter(graft.functions.array_contains_all(col("_tag_keys"),
         col("grouping_key_names")))
       .drop("_pivot", "_tag_keys")
+  }
 
   /** Attach `_pivot` = the rule's grouping key with the lowest
     * rule-frequency in the book (ties lexicographic; sentinel for
