@@ -260,6 +260,41 @@ class CepQuerySpec extends AnyFunSuite {
     assert(fromAll.nonEmpty && fromAll == fromSingles)
   }
 
+  test("randomized fan-out: pivot hash join == brute-force subset predicate over random books") {
+    // The pivot machinery (rarest-key choice, sentinel, intersect
+    // pruning) must be invisible: for ANY tag map and ANY rule key
+    // set, a (metric, rule) pair joins iff the rule is ACTIVE and its
+    // keys are a subset of the metric's tags. Seeded random books
+    // exercise keyless rules, paused rules, shared/unshared pivot
+    // keys, and metrics missing pivot values entirely.
+    val rnd = new scala.util.Random(11)
+    val keyPool = (0 until 6).map(i => s"k$i")
+    val metrics = (1 to 40).map { id =>
+      val keys = rnd.shuffle(keyPool).take(1 + rnd.nextInt(4))
+      (id.toLong, keys.map(k => k -> s"v${rnd.nextInt(3)}").toMap)
+    }
+    val rules = (1 to 12).map { id =>
+      Rule(id, if (rnd.nextInt(4) == 0) RuleState.Pause else RuleState.Active,
+        WindowType.Tumbling, 2, 0,
+        rnd.shuffle(keyPool).take(rnd.nextInt(4)), // size 0..3, incl. keyless
+        AggType.Sum, "cpu_usage", CmpOp.Gt, BigDecimal(0))
+    }
+    val expected = (for {
+      (mid, tags) <- metrics
+      r <- rules
+      if r.ruleState == RuleState.Active && r.groupingKeyNames.forall(tags.contains)
+    } yield (mid, r.ruleId)).toSet
+    val metricDF = metrics.toDF("mid", "kv").select(
+      col("mid"),
+      timestamp_millis(lit(t0)).as("eventTime"),
+      col("kv").as("tags"),
+      map(lit("cpu_usage"), lit(1.0)).as("metrics"))
+    val got = CepQuery.fanOutJoin(metricDF, Metrics.rulesToDF(spark, rules))
+      .select(col("mid"), col("rule_id")).as[(Long, Int)].collect()
+    assert(got.length == got.toSet.size, "a (metric, rule) pair fanned out twice")
+    assert(got.toSet == expected)
+  }
+
   test("rule match requires ALL grouping keys present in tags (fan-out join predicate)") {
     val frame = metricFrame(demoEvents) // tags: only t_group
     val needsMissingTag = demoRule.copy(groupingKeyNames = Seq("t_group", "t_host"))
