@@ -551,6 +551,18 @@ object SparkEntry {
           count(lit(1))).as("avg_chars"),
         min(char_length(col("text"))).cast("long").as("min_chars"),
         max(char_length(col("text"))).cast("long").as("max_chars"))),
+    // Token-length distribution — the curation dashboard's second
+    // number. Spark's exact `percentile` and DuckDB's `quantile_cont`
+    // implement the same rank-interpolation formula, so the quantiles
+    // hash-match as doubles.
+    "text_length_quantiles" -> ((s, d) => {
+      val n = size(graft.ops.TextOps.tokens(col("text"))).cast("double")
+      documents(s, d).agg(
+        percentile(n, lit(0.25)).as("q25"),
+        percentile(n, lit(0.5)).as("q50"),
+        percentile(n, lit(0.75)).as("q75"),
+        percentile(n, lit(0.9)).as("q90"))
+    }),
     "text_tokens" -> ((s, d) => graft.ops.TextAnalysis.tokenStats(documents(s, d))),
     "text_quality" -> ((s, d) => graft.ops.TextAnalysis.qualityScore(documents(s, d))),
     "text_langid" -> ((s, d) => graft.ops.TextAnalysis.langId(documents(s, d))),
@@ -606,6 +618,10 @@ object SparkEntry {
     "sim_ann_lsh" -> simTopkOracle,
     "sim_ann_ivf" -> simTopkOracle,
     "sim_topk" -> simTopkOracle,
+    "text_length_quantiles" ->
+      s"""SELECT quantile_cont(n, 0.25) AS q25, quantile_cont(n, 0.5) AS q50,
+         |  quantile_cont(n, 0.75) AS q75, quantile_cont(n, 0.9) AS q90
+         |FROM (SELECT CAST(len($dToks) AS DOUBLE) AS n FROM documents)""".stripMargin,
     "text_tokens" -> {
       val bpeSql = graft.ops.TextAnalysis.bpePattern.replace("'", "''")
       s"""SELECT doc_id, length(text) AS n_chars, len($dToks) AS n_tokens,
