@@ -563,6 +563,19 @@ object SparkEntry {
         percentile(n, lit(0.75)).as("q75"),
         percentile(n, lit(0.9)).as("q90"))
     }),
+    // Deterministic curation sampling: selection is a pure function of
+    // (doc_id, seed) — same sample on every run, engine, partitioning
+    // (df.sample() can't promise that) — and the md5 arithmetic is
+    // portable, so the oracle recomputes the exact row set.
+    "curation_sample" -> ((s, d) =>
+      graft.ops.Sampling.bernoulliSample(documents(s, d), col("doc_id"),
+        0.25, "s1").select(col("doc_id"), col("lang"))),
+    // Deterministic train/val/test assignment; weights are binary
+    // fractions so the cumulative cuts are exact in both engines.
+    "curation_split" -> ((s, d) =>
+      graft.ops.Sampling.splitAssign(documents(s, d), col("doc_id"),
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), "s1")
+        .select(col("doc_id"), col("split"))),
     "text_tokens" -> ((s, d) => graft.ops.TextAnalysis.tokenStats(documents(s, d))),
     "text_quality" -> ((s, d) => graft.ops.TextAnalysis.qualityScore(documents(s, d))),
     "text_langid" -> ((s, d) => graft.ops.TextAnalysis.langId(documents(s, d))),
@@ -622,6 +635,20 @@ object SparkEntry {
       s"""SELECT quantile_cont(n, 0.25) AS q25, quantile_cont(n, 0.5) AS q50,
          |  quantile_cont(n, 0.75) AS q75, quantile_cont(n, 0.9) AS q90
          |FROM (SELECT CAST(len($dToks) AS DOUBLE) AS n FROM documents)""".stripMargin,
+    // First 32 md5 bits of "doc_id:seed" scaled to [0,1) — the exact
+    // arithmetic of graft.ops.Sampling.hashUniform.
+    "curation_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8)) AS BIGINT)
+         |      / 4294967296.0 < 0.25""".stripMargin,
+    "curation_split" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN u < 0.75 THEN 'train' WHEN u < 0.875 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8)) AS BIGINT)
+         |        / 4294967296.0 AS u
+         |      FROM documents)""".stripMargin,
     "text_tokens" -> {
       val bpeSql = graft.ops.TextAnalysis.bpePattern.replace("'", "''")
       s"""SELECT doc_id, length(text) AS n_chars, len($dToks) AS n_tokens,

@@ -247,6 +247,22 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** The `bands` banded LSH keys of a MinHash signature column:
+    * band b = xxhash64 of its `numHashes / bands` signature components
+    * joined with ",". Shared by the batch [[minhashLshPairs]] and the
+    * streaming [[graft.streaming.StreamingDedup]] so a document hashes
+    * to the SAME buckets at ingest time and in batch re-dedup. */
+  private[graft] def minhashBandCols(
+      sig: Column, numHashes: Int, bands: Int): Seq[Column] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    (0 until bands).map { b =>
+      xxhash64(concat_ws(",",
+        (0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*))
+        .as(s"band$b")
+    }
+  }
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * Pipeline: per-doc signature in ONE native pass
@@ -266,8 +282,6 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5,
       persist: Persistence = Persistence.Local): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     // The materialized shingle index feeds BOTH sides of the
     // verification join; signatures are recomputed from the raw text
     // (one native pass/doc beats re-aggregating the exploded index).
@@ -278,12 +292,8 @@ object Dedup {
           array_distinct(graft.functions.word_shingles(col("text"), n)),
           numHashes).as("sig"))
       .filter(col("sig").isNotNull)
-    val bandCols = (0 until bands).map { b =>
-      xxhash64(concat_ws(",",
-        (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*))
-        .as(s"band$b")
-    }
-    val banded = sig.select(col("doc_id") +: bandCols: _*)
+    val banded = sig.select(
+        col("doc_id") +: minhashBandCols(col("sig"), numHashes, bands): _*)
       .select(col("doc_id"),
         posexplode(array((0 until bands).map(b => col(s"band$b")): _*)))
       .toDF("doc_id", "band_idx", "band_hash")

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and split assignment for training-data
+  * curation: every decision is a pure function of (key, seed), so
+  * re-running the pipeline — on different cluster sizes, partition
+  * counts, or engine versions — selects the SAME rows. That is the
+  * property `df.sample()` cannot give (its Bernoulli draw is seeded
+  * per-partition, so adding an executor reshuffles the sample), and
+  * the reason eval/holdout splits must never use it.
+  *
+  * The uniform is the first 32 bits of `md5(key ":" seed)` scaled to
+  * [0,1): portable arithmetic any ANSI-SQL engine reproduces
+  * bit-identically (the gate's DuckDB oracle recomputes it), and
+  * a plain codegen'd projection — no shuffle, no state, trivially
+  * 100 TB-safe.
+  */
+object Sampling {
+
+  /** Deterministic uniform in [0,1): first 8 md5 hex chars of
+    * `key ":" seed` read as a 32-bit integer, divided by 2^32.
+    * Key collisions map to identical uniforms — by design (same
+    * content, same fate). */
+  def hashUniform(key: Column, seed: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(":" + seed))), 1, 8),
+      16, 10).cast("long").cast("double") / lit(4294967296.0)
+
+  /** Keep each row independently with probability `rate`,
+    * deterministically in `key` — the sample is stable under
+    * re-partitioning, re-runs, and incremental appends (a row's fate
+    * never depends on which batch it arrived in). */
+  def bernoulliSample(df: DataFrame, key: Column, rate: Double,
+      seed: String = "graft"): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    df.filter(hashUniform(key, seed) < rate)
+  }
+
+  /** Assign each row to one named split with probability proportional
+    * to its weight (e.g. `Seq("train" -> 98, "val" -> 1, "test" -> 1)`),
+    * deterministically in `key`: the same row lands in the same split
+    * on every run, and a row added tomorrow cannot move today's rows —
+    * the invariant that keeps a held-out set held out. Adds a `split`
+    * column. */
+  def splitAssign(df: DataFrame, key: Column,
+      weights: Seq[(String, Double)], seed: String = "graft"): DataFrame = {
+    require(weights.nonEmpty, "at least one split required")
+    require(weights.forall(_._2 > 0), "split weights must be positive")
+    val total = weights.map(_._2).sum
+    val cuts = weights.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)
+    val u = hashUniform(key, seed)
+    // Last split is the otherwise-branch: u < 1.0 always, and an
+    // explicit open-ended tail keeps float cut rounding from ever
+    // leaving a row unassigned.
+    val assigned = weights.init.zip(cuts).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), cut)) =>
+        val cond = u < lit(cut)
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+    }.fold(lit(weights.last._1))(_.otherwise(weights.last._1))
+    df.withColumn("split", assigned)
+  }
+}

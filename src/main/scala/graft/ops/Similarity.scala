@@ -203,6 +203,40 @@ object Similarity {
       nProbe: Int = 4): DataFrame =
     ivfProbe(index.centroids, index.assigned, queries, k, nProbe)
 
+  /** Write an [[IvfIndex]] to storage: the centroid model as a tiny
+    * parquet table and the assigned corpus PARTITIONED BY `cid` — the
+    * layout that makes probing scale: a query batch touching `nProbe`
+    * of `k` clusters reads only those directories
+    * (`nProbe/k` of the corpus bytes) instead of filtering a full
+    * scan. This is the durable artifact a 100 TB pipeline builds once
+    * and probes for weeks; [[Persistence.Reliable]] inside a session
+    * is the ephemeral cousin. */
+  def saveIvfIndex(index: IvfIndex, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    spark.createDataFrame(
+        index.centroids.zipWithIndex.toSeq
+          .map { case (c, i) => (i, c.toSeq) })
+      .toDF("cid", "centroid")
+      .repartition(1) // k×dim doubles: one tiny file
+      .write.mode("overwrite").parquet(path + "/centroids")
+    index.assigned
+      .write.mode("overwrite").partitionBy("cid").parquet(path + "/assigned")
+  }
+
+  /** Reload a [[saveIvfIndex]] artifact. The assigned frame comes back
+    * partition-pruned by `cid`; probes are bit-identical to the
+    * in-session index (spec-pinned). */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfIndex = {
+    val centroids = spark.read.parquet(path + "/centroids")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    IvfIndex(centroids,
+      spark.read.parquet(path + "/assigned")
+        .select(col("vec_id"), col("embedding"), col("cid")))
+  }
+
   private def ivfProbe(centroids: Array[Array[Double]], corpus: DataFrame,
       queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

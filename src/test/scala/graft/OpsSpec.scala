@@ -408,6 +408,36 @@ class OpsSpec extends AnyFunSuite {
     assert(perCall.nonEmpty && fromIndex == perCall)
   }
 
+  test("IVF index survives a save/load roundtrip: cid-partitioned layout, identical probes") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    try {
+      val queries = emb.filter(col("vec_id") < 10)
+      val built = Similarity.buildIvfIndex(emb, nClusters = 8)
+      Similarity.saveIvfIndex(built, dir)
+      // The durable layout is the point: one directory per cluster, so
+      // an nProbe-cluster probe reads nProbe/k of the corpus bytes.
+      val parts = new java.io.File(dir + "/assigned").listFiles()
+        .filter(_.getName.startsWith("cid=")).map(_.getName).toSet
+      assert(parts.size == 8, s"expected 8 cid partitions, got $parts")
+      val loaded = Similarity.loadIvfIndex(spark, dir)
+      assert(loaded.centroids.map(_.toSeq).toSeq ==
+        built.centroids.map(_.toSeq).toSeq)
+      val a = Similarity.ivfTopKWithIndex(built, queries, 5, nProbe = 3)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      val b = Similarity.ivfTopKWithIndex(loaded, queries, 5, nProbe = 3)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(a.nonEmpty && a == b)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("salted join: identical results to the plain join on a skewed key, salt column dropped") {
     val left = spark.range(0, 5000).select(
       when(col("id") % 5 === 0, lit("hot"))
@@ -456,5 +486,41 @@ class OpsSpec extends AnyFunSuite {
     val bad = stats.filter(col("n_bpe_tokens") < col("n_tokens") ||
       col("n_bpe_tokens") > col("n_chars"))
     assert(bad.count() == 0)
+  }
+
+  test("hash sampling is deterministic and partitioning-invariant") {
+    val s1 = Sampling.bernoulliSample(docs, col("doc_id"), 0.25, "s1")
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.bernoulliSample(docs.repartition(17), col("doc_id"), 0.25, "s1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2) // df.sample() cannot make this promise
+    assert(s1.nonEmpty && s1.size < docs.count())
+    // A different seed draws a genuinely different sample.
+    val s3 = Sampling.bernoulliSample(docs, col("doc_id"), 0.25, "s2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 != s3)
+    // Rate is honored within binomial noise (n=100, p=0.25 → σ≈4.3;
+    // ±6σ keeps the assertion deterministic-in-practice).
+    val n = docs.count().toDouble
+    assert(math.abs(s1.size - 0.25 * n) < 6 * math.sqrt(n * 0.25 * 0.75))
+  }
+
+  test("split assignment is total, disjoint, stable, and weight-proportional") {
+    val w = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+    val a = Sampling.splitAssign(docs, col("doc_id"), w, "s1")
+      .select("doc_id", "split").as[(Long, String)].collect()
+    assert(a.length == docs.count()) // total: every row assigned once
+    assert(a.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    // Stable: same assignment on re-run and re-partitioning.
+    val b = Sampling.splitAssign(docs.repartition(13), col("doc_id"), w, "s1")
+      .select("doc_id", "split").as[(Long, String)].collect()
+    assert(a.toMap == b.toMap)
+    // Proportions within ±6σ of the weights.
+    val byS = a.groupBy(_._2).view.mapValues(_.length).toMap
+    val n = a.length.toDouble
+    w.foreach { case (name, p) =>
+      assert(math.abs(byS.getOrElse(name, 0) - p * n) < 6 * math.sqrt(n * p * (1 - p)),
+        s"$name count ${byS.getOrElse(name, 0)} far from ${p * n}")
+    }
   }
 }

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingDedup
+
+/** Ingest-time near-dup detection (stateful MinHash-LSH buckets):
+  * stream agrees with the batch banded-candidate computation on the
+  * same corpus, and the watermark horizon both expires residents and
+  * drops late documents. */
+case class StreamingDoc(doc_id: Long, ms: Long, text: String)
+
+class StreamingDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val t0 = 1650557501028L
+
+  private def toDocFrame(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), timestamp_millis(col("ms")).as("eventTime"),
+      col("text"))
+
+  // Near-dup families: 1/4 identical, 2 = 1 with ONE word changed at
+  // the tail (3 of 18 trigrams touched → J = 15/21 ≈ 0.71, inside the
+  // (0.5, 1) estimator band); 3/5 unrelated noise.
+  private val base = "the quick brown fox jumps over the lazy dog tonight " +
+    "while the pale moon rises slowly over the quiet sleeping"
+  private val corpus = Seq(
+    StreamingDoc(1, t0, base + " village"),
+    StreamingDoc(2, t0 + 1000, base + " harbor"),
+    StreamingDoc(3, t0 + 2000, "completely unrelated text about spark catalyst planning"),
+    StreamingDoc(4, t0 + 3000, base + " village"),
+    StreamingDoc(5, t0 + 4000, "another unrelated document mentioning minhash signatures only"))
+
+  test("streaming hits match the batch banded-candidate estimate on the same corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingDoc]
+    val out = StreamingDedup.run(
+      StreamingDedup.banded(toDocFrame(mem.toDF())), minEstJaccard = 0.5)
+    val q = out.writeStream.format("memory").queryName("sdedup_parity")
+      .outputMode("append").start()
+    try {
+      // Two batches (split mid-corpus): hits must not depend on
+      // batch boundaries.
+      mem.addData(corpus.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(corpus.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("sdedup_parity")
+        .select("id_a", "id_b", "est_jaccard")
+        .as[(Long, Long, Double)].collect().toSet // set: dedupes per-band re-emissions
+
+      // Batch expectation from the SAME banded frame (watermark is a
+      // no-op in batch): pairs sharing any band, estimator from the
+      // full signatures.
+      val banded = StreamingDedup.banded(toDocFrame(
+        corpus.toDF("doc_id", "ms", "text")))
+      val sigs = banded.select(col("doc_id"), col("sig")).distinct()
+        .as[(Long, Seq[Long])].collect().toMap
+      val expected = banded.as("x")
+        .join(banded.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_hash") === col("y.band_hash") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id")).distinct()
+        .as[(Long, Long)].collect().toSet
+        .map((p: (Long, Long)) =>
+          (p._1, p._2, StreamingDedup.estJaccard(sigs(p._1), sigs(p._2))))
+        .filter(_._3 >= 0.5)
+
+      assert(got == expected)
+      // Sanity on the fixture itself: the identical pair estimates
+      // 1.0, the near pair sits in (0.5, 1), the unrelated docs
+      // appear in no hit.
+      assert(got.exists(h => h._1 == 1 && h._2 == 4 && h._3 == 1.0))
+      assert(got.exists(h => h._1 == 1 && h._2 == 2 && h._3 >= 0.5 && h._3 < 1.0))
+      assert(!got.exists(h => h._1 == 3 || h._2 == 3 || h._1 == 5 || h._2 == 5))
+    } finally q.stop()
+  }
+
+  test("watermark horizon expires residents; docs beyond it never pair") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingDoc]
+    val out = StreamingDedup.run(
+      StreamingDedup.banded(toDocFrame(mem.toDF()),
+        watermarkDelay = "10 minutes"), minEstJaccard = 0.5)
+    val q = out.writeStream.format("memory").queryName("sdedup_evict")
+      .outputMode("append").start()
+    try {
+      val text = "the quick brown fox jumps over the lazy dog tonight"
+      mem.addData(StreamingDoc(1, t0, text))
+      q.processAllAvailable()
+      // Advance the watermark 20 min past doc 1 (horizon 10 min) with
+      // an unrelated doc, then replay the same content: doc 1 has been
+      // evicted, so NO pair forms across the horizon.
+      mem.addData(StreamingDoc(2, t0 + 1200000,
+        "completely unrelated text about spark catalyst planning"))
+      q.processAllAvailable()
+      mem.addData(StreamingDoc(3, t0 + 1201000, text))
+      q.processAllAvailable()
+      assert(spark.table("sdedup_evict").count() == 0)
+      // Positive control: the same content arriving INSIDE the horizon
+      // of doc 3 pairs immediately.
+      mem.addData(StreamingDoc(4, t0 + 1202000, text))
+      q.processAllAvailable()
+      val hits = spark.table("sdedup_evict")
+        .select("id_a", "id_b", "est_jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(hits == Set((3L, 4L, 1.0)))
+    } finally q.stop()
+  }
+}
