@@ -31,6 +31,11 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Without changelog checkpointing every commit snapshots the FULL
+      // RocksDB instance — per-batch cost grows with TOTAL state, not
+      // batch size (measured: linear batch-time growth in the dedup
+      // bench). With it, a commit uploads the delta.
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -84,12 +89,63 @@ object StreamBench {
       nEvents / ((System.nanoTime() - start) / 1e9)
     }
 
+    // Ingest-time near-dup dedup throughput (StreamingDedup): a
+    // synthetic document firehose — ~20-word docs, unique in the main,
+    // with every 16th doc a near-copy of a rotating template so the
+    // LSH buckets see real collisions — driven through the stateful
+    // bucket store to a noop sink. Docs are 10× heavier than metric
+    // events (shingle+minhash per doc), so the doc count is nEvents/10.
+    def runDedup(): (Double, Long) = {
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+      val dedupBands = args.lift(3).map(_.toInt).getOrElse(16)
+      val nDocs = math.max(nEvents / 10, batches)
+      val per = nDocs / batches
+      val words = (0 until 20).map(k =>
+        concat(lit(s"w"), pmod(col("id") * (2 * k + 1) + k, lit(5000))))
+      // Every 16th doc re-issues one of 2000 rotating templates, so
+      // duplicates arrive in SMALL families (cluster size ≈
+      // nDocs/32000) — the realistic shape; one global mega-template
+      // would measure the degenerate hot-bucket path instead (which
+      // the maxBucketResidents cap bounds, spec-pinned).
+      val template = (0 until 20).map(k =>
+        concat(lit(s"t"), pmod((col("id") / 16).cast("long"), lit(2000)) * (k + 1)))
+      val docFrame = mem.toDF()
+        .select(explode(sequence(col("value") * per,
+          (col("value") + 1) * per - 1)).as("id"))
+        .repartition(cpus.toInt)
+        .select(col("id").as("doc_id"),
+          timestamp_millis(lit(t0) + col("id") * 10).as("eventTime"),
+          when(pmod(col("id"), lit(16)) === 0,
+            concat_ws(" ", template: _*))
+            .otherwise(concat_ws(" ", words: _*)).as("text"))
+      val out = graft.streaming.StreamingDedup.runTws(
+        graft.streaming.StreamingDedup.banded(docFrame, bands = dedupBands)).toDF()
+        .writeStream.format("noop").outputMode("append")
+      val q = out.start()
+      val start = System.nanoTime()
+      try {
+        (0 until batches).foreach { b => mem.addData(b); q.processAllAvailable() }
+        if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+          q.recentProgress.foreach { p =>
+            val so = p.stateOperators.headOption.map(s =>
+              s" state[rows=${s.numRowsTotal} upd=${s.numRowsUpdated}" +
+                s" updMs=${s.allUpdatesTimeMs} rmMs=${s.allRemovalsTimeMs}" +
+                s" commitMs=${s.commitTimeMs} mem=${s.memoryUsedBytes}" +
+                s" custom=${s.customMetrics}]").getOrElse("")
+            println(
+              s"[dedup-progress] rows=${p.numInputRows} durationMs=${p.durationMs}$so")
+          }
+      } finally q.stop()
+      (nDocs / ((System.nanoTime() - start) / 1e9), nDocs.toLong)
+    }
+
     // Warm-up lap (JIT, codegen cache, state-store init) — streaming
     // micro-benchmarks are meaningless cold.
-    run("planAll"); run("stateful")
+    run("planAll"); run("stateful"); runDedup()
     val declarative = run("planAll")
     val stateful = run("stateful")
-    println(f"""{"metric":"stream_throughput","unit":"events_per_sec","n_events":$nEvents,"n_rules":$nRules,"planAll_update":${declarative}%.0f,"stateful_append":${stateful}%.0f}""")
+    val (dedup, nDocs) = runDedup()
+    println(f"""{"metric":"stream_throughput","unit":"events_per_sec","n_events":$nEvents,"n_rules":$nRules,"planAll_update":${declarative}%.0f,"stateful_append":${stateful}%.0f,"dedup_docs":$nDocs,"dedup_docs_per_sec":${dedup}%.0f}""")
     spark.stop()
   }
 }

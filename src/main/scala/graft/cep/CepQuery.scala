@@ -297,9 +297,13 @@ object CepQuery {
       .collect().map(_.getString(0)).sorted
     metricFrame.withColumn("_tag_keys", map_keys(col("tags")))
       .withColumn("_pivot",
-        explode(array_intersect(
-          array_append(col("_tag_keys"), lit(KeylessPivot)),
-          typedlit(pivotVals))))
+        // Set-equal to array_intersect(tag_keys ++ [sentinel],
+        // pivotVals) — but iterating the (few, distinct, sorted)
+        // pivot literals with array_contains probes costs no per-row
+        // hash-set allocation, and with a homogeneous book it is one
+        // containment check per metric.
+        explode(filter(typedlit(pivotVals),
+          p => (p === KeylessPivot) || array_contains(col("_tag_keys"), p))))
       .join(broadcast(rules), "_pivot")
       .filter(graft.functions.array_contains_all(col("_tag_keys"),
         col("grouping_key_names")))

@@ -93,47 +93,103 @@ object StreamingDedup {
     if (len == 0) 0.0 else m.toDouble / len
   }
 
-  private def processBucket(minEst: Double)(
-      key: (Int, Long), events: Iterator[BandEvent],
-      state: GroupState[BucketState]): Iterator[NearDupHit] = {
-    // 0 = "no watermark yet"; real event times dwarf it.
-    val wm = state.getCurrentWatermarkMs()
-    // Expire residents the watermark has passed — also what a pure
-    // timeout invocation (no events) does.
-    var docs = state.getOption.map(_.docs).getOrElse(Nil).filter(_.ev_ms >= wm)
-    val out = List.newBuilder[NearDupHit]
-    // Deterministic within-batch order: a batch is an unordered set in
-    // event-time terms, so compare in (time, id) order — same answer
-    // on every run and every partitioning.
+  /** Result of folding one batch of arrivals into a bucket: the hits
+    * to emit, the surviving residents, the residents appended this
+    * fold, and whether the cap evicted anyone (engines use the last
+    * two to pick an append-only state write). */
+  private[graft] final case class BucketFold(
+      hits: List[NearDupHit], kept: List[SeenDoc], added: List[SeenDoc],
+      capEvicted: Boolean)
+
+  /** The pure per-bucket transition, shared by both engines (they must
+    * stay semantic twins — same contract as StatefulCep.foldEvents):
+    * compare each in-horizon arrival, in deterministic (time, id)
+    * order, against current residents; append it; if the bucket
+    * exceeds `cap`, evict the OLDEST resident ((ev_ms, doc_id) min).
+    *
+    * The cap is the hot-bucket skew guard — the streaming sibling of
+    * the batch path's shingle df-cap: degenerate content (empty docs,
+    * boilerplate templates) collapses into one bucket, and an uncapped
+    * bucket makes both the comparison work and the emitted pairs per
+    * arrival grow linearly with cluster size (quadratic over the
+    * stream — measured as linear per-batch time growth in StreamBench
+    * before the cap). Capped, an arrival compares against at most
+    * `cap` residents; recall loss touches only clusters larger than
+    * `cap` within one horizon — every member still pairs with the cap
+    * most-recent ones, so downstream clustering still connects the
+    * family. Late docs (behind the watermark) are dropped, mirroring
+    * dropDuplicatesWithinWatermark. */
+  private[graft] def foldBucket(live: List[SeenDoc], events: Iterator[BandEvent],
+      wm: Long, minEst: Double, cap: Int): BucketFold = {
+    var cur = live
+    var n = cur.length
+    val hits = List.newBuilder[NearDupHit]
+    val added = List.newBuilder[SeenDoc]
+    var capEvicted = false
     events.toSeq.sortBy(e => (e.ev_ms, e.doc_id)).foreach { e =>
-      if (e.ev_ms >= wm) { // late doc: dropped, like dropDuplicatesWithinWatermark
-        docs.foreach { s =>
+      if (e.ev_ms >= wm) {
+        cur.foreach { s =>
           if (s.doc_id != e.doc_id) {
             val est = estJaccard(s.sig, e.sig)
             if (est >= minEst) {
               val (a, b) =
                 if (s.doc_id < e.doc_id) (s.doc_id, e.doc_id)
                 else (e.doc_id, s.doc_id)
-              out += NearDupHit(a, b, est, e.eventTime)
+              hits += NearDupHit(a, b, est, e.eventTime)
             }
           }
         }
-        docs = SeenDoc(e.doc_id, e.ev_ms, e.sig) :: docs
+        cur = SeenDoc(e.doc_id, e.ev_ms, e.sig) :: cur
+        n += 1
+        added += SeenDoc(e.doc_id, e.ev_ms, e.sig)
+        if (n > cap) {
+          val oldest = cur.minBy(s => (s.ev_ms, s.doc_id))
+          cur = removeFirst(cur, oldest)
+          n -= 1
+          capEvicted = true
+        }
       }
     }
-    if (docs.isEmpty) state.remove()
+    BucketFold(hits.result(), cur, added.result(), capEvicted)
+  }
+
+  private def removeFirst(xs: List[SeenDoc], x: SeenDoc): List[SeenDoc] =
+    xs match {
+      case Nil => Nil
+      case h :: t => if (h == x) t else h :: removeFirst(t, x)
+    }
+
+  private def processBucket(minEst: Double, cap: Int)(
+      key: (Int, Long), events: Iterator[BandEvent],
+      state: GroupState[BucketState]): Iterator[NearDupHit] = {
+    // 0 = "no watermark yet"; real event times dwarf it.
+    val wm = state.getCurrentWatermarkMs()
+    // Expire residents the watermark has passed — also what a pure
+    // timeout invocation (no events) does.
+    val live = state.getOption.map(_.docs).getOrElse(Nil).filter(_.ev_ms >= wm)
+    val fold = foldBucket(live, events, wm, minEst, cap)
+    if (fold.kept.isEmpty) state.remove()
     else {
-      state.update(BucketState(docs))
+      state.update(BucketState(fold.kept))
       // Wake when the watermark passes the oldest resident, to evict
       // it (+1: the timeout timestamp must exceed the watermark).
-      state.setTimeoutTimestamp(docs.map(_.ev_ms).min + 1)
+      state.setTimeoutTimestamp(fold.kept.map(_.ev_ms).min + 1)
     }
-    out.result().iterator
+    fold.hits.iterator
   }
 
   /** Wire the stateful bucket store over a [[banded]] stream. Output
-    * mode: Append (hits are final the moment they are emitted). */
-  def run(bandedDocs: DataFrame, minEstJaccard: Double = 0.5): Dataset[NearDupHit] = {
+    * mode: Append (hits are final the moment they are emitted).
+    *
+    * SCALE CAVEAT: `flatMapGroupsWithState` with a timeout configured
+    * scans EVERY state key at each micro-batch to find timed-out ones,
+    * so per-batch cost grows with total resident buckets, not batch
+    * size (measured: linear batch-time growth in StreamBench).
+    * [[runTws]] is the production engine — `transformWithState` timers
+    * are indexed by expiry, so eviction costs O(expired). This variant
+    * stays as the semantics twin (parity spec-pinned). */
+  def run(bandedDocs: DataFrame, minEstJaccard: Double = 0.5,
+      maxBucketResidents: Int = 512): Dataset[NearDupHit] = {
     implicit val eEnc = Encoders.product[BandEvent]
     implicit val sEnc = Encoders.product[BucketState]
     implicit val hEnc = Encoders.product[NearDupHit]
@@ -143,6 +199,88 @@ object StreamingDedup {
       .groupByKey(e => (e.band_idx, e.band_hash))
       .flatMapGroupsWithState[BucketState, NearDupHit](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
-        processBucket(minEstJaccard))
+        processBucket(minEstJaccard, maxBucketResidents))
+  }
+
+  /** `transformWithState` production twin of [[run]]: residents live
+    * in a typed [[org.apache.spark.sql.streaming.ListState]]; each
+    * bucket keeps ONE event-time timer at its oldest resident's expiry,
+    * and the no-expiry input path APPENDS new residents without
+    * rewriting the bucket. Timers are range-scanned by expiry, so a
+    * quiet micro-batch pays for the buckets it touches — not a full
+    * state scan (the fMGWS engine's per-batch cost, see [[run]]).
+    * Identical hit emission by construction (shared comparison loop);
+    * parity is spec-pinned. Requires the RocksDB state store. */
+  private class DedupProcessor(minEst: Double, cap: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Int, Long), BandEvent, NearDupHit] {
+
+    @transient private var docs:
+      org.apache.spark.sql.streaming.ListState[SeenDoc] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      docs = getHandle.getListState[SeenDoc]("bucketDocs",
+        Encoders.product[SeenDoc], org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    /** Rewrite the bucket (or clear it) and keep exactly one armed
+      * timer at the oldest survivor's expiry. */
+    private def commit(kept: List[SeenDoc],
+        oldTimer: Option[Long]): Unit = {
+      oldTimer.foreach(getHandle.deleteTimer)
+      if (kept.isEmpty) docs.clear()
+      else {
+        docs.put(kept.toArray)
+        getHandle.registerTimer(kept.map(_.ev_ms).min + 1)
+      }
+    }
+
+    override def handleInputRows(
+        key: (Int, Long), rows: Iterator[BandEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[NearDupHit] = {
+      val wm = tv.getCurrentWatermarkInMs()
+      val resident = docs.get().toList
+      val live = resident.filter(_.ev_ms >= wm)
+      val fold = foldBucket(live, rows, wm, minEst, cap)
+      val oldTimer =
+        if (resident.isEmpty) None else Some(resident.map(_.ev_ms).min + 1)
+      if (!fold.capEvicted && live.length == resident.length &&
+          fold.added.nonEmpty &&
+          oldTimer.forall(t => t <= fold.added.map(_.ev_ms).min + 1)) {
+        // Fast path (the common one: nothing expired, no cap
+        // eviction, oldest resident unchanged): append-only — no
+        // bucket rewrite, armed timer stays valid.
+        docs.appendList(fold.added.toArray)
+        if (oldTimer.isEmpty)
+          getHandle.registerTimer(fold.added.map(_.ev_ms).min + 1)
+      } else {
+        commit(fold.kept, oldTimer)
+      }
+      fold.hits.iterator
+    }
+
+    override def handleExpiredTimer(
+        key: (Int, Long), tv: org.apache.spark.sql.streaming.TimerValues,
+        timer: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[NearDupHit] = {
+      val wm = tv.getCurrentWatermarkInMs()
+      // The expired timer IS the armed one — no delete needed.
+      commit(docs.get().toList.filter(_.ev_ms >= wm), None)
+      Iterator.empty
+    }
+  }
+
+  /** Wire the [[DedupProcessor]] over a [[banded]] stream — the
+    * production engine for long streams (see [[run]]'s scale caveat).
+    * Output mode: Append. */
+  def runTws(bandedDocs: DataFrame, minEstJaccard: Double = 0.5,
+      maxBucketResidents: Int = 512): Dataset[NearDupHit] = {
+    implicit val eEnc = Encoders.product[BandEvent]
+    implicit val hEnc = Encoders.product[NearDupHit]
+    implicit val kEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+    bandedDocs
+      .as[BandEvent]
+      .groupByKey(e => (e.band_idx, e.band_hash))
+      .transformWithState(new DedupProcessor(minEstJaccard, maxBucketResidents),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -1,15 +1,16 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.StreamingDedup
 
-/** Ingest-time near-dup detection (stateful MinHash-LSH buckets):
-  * stream agrees with the batch banded-candidate computation on the
-  * same corpus, and the watermark horizon both expires residents and
-  * drops late documents. */
+/** Ingest-time near-dup detection (stateful MinHash-LSH buckets),
+  * both engines — fMGWS semantics twin and transformWithState
+  * production engine: stream agrees with the batch banded-candidate
+  * computation on the same corpus, and the watermark horizon both
+  * expires residents and drops late documents. */
 case class StreamingDoc(doc_id: Long, ms: Long, text: String)
 
 class StreamingDedupSpec extends AnyFunSuite {
@@ -34,81 +35,140 @@ class StreamingDedupSpec extends AnyFunSuite {
     StreamingDoc(4, t0 + 3000, base + " village"),
     StreamingDoc(5, t0 + 4000, "another unrelated document mentioning minhash signatures only"))
 
-  test("streaming hits match the batch banded-candidate estimate on the same corpus") {
-    implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[StreamingDoc]
-    val out = StreamingDedup.run(
-      StreamingDedup.banded(toDocFrame(mem.toDF())), minEstJaccard = 0.5)
-    val q = out.writeStream.format("memory").queryName("sdedup_parity")
-      .outputMode("append").start()
-    try {
-      // Two batches (split mid-corpus): hits must not depend on
-      // batch boundaries.
-      mem.addData(corpus.take(2): _*)
-      q.processAllAvailable()
-      mem.addData(corpus.drop(2): _*)
-      q.processAllAvailable()
-      val got = spark.table("sdedup_parity")
-        .select("id_a", "id_b", "est_jaccard")
-        .as[(Long, Long, Double)].collect().toSet // set: dedupes per-band re-emissions
+  private val engines: Seq[(String, DataFrame => Dataset[StreamingDedup.NearDupHit])] =
+    Seq("fmgws" -> (StreamingDedup.run(_, 0.5)),
+      "tws" -> (StreamingDedup.runTws(_, 0.5)))
 
-      // Batch expectation from the SAME banded frame (watermark is a
-      // no-op in batch): pairs sharing any band, estimator from the
-      // full signatures.
-      val banded = StreamingDedup.banded(toDocFrame(
-        corpus.toDF("doc_id", "ms", "text")))
-      val sigs = banded.select(col("doc_id"), col("sig")).distinct()
-        .as[(Long, Seq[Long])].collect().toMap
-      val expected = banded.as("x")
-        .join(banded.as("y"),
-          col("x.band_idx") === col("y.band_idx") &&
-            col("x.band_hash") === col("y.band_hash") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id"), col("y.doc_id")).distinct()
-        .as[(Long, Long)].collect().toSet
-        .map((p: (Long, Long)) =>
-          (p._1, p._2, StreamingDedup.estJaccard(sigs(p._1), sigs(p._2))))
-        .filter(_._3 >= 0.5)
+  private val cappedEngines: Seq[(String, DataFrame => Dataset[StreamingDedup.NearDupHit])] =
+    Seq("fmgws" -> (StreamingDedup.run(_, 0.5, maxBucketResidents = 3)),
+      "tws" -> (StreamingDedup.runTws(_, 0.5, maxBucketResidents = 3)))
 
-      assert(got == expected)
-      // Sanity on the fixture itself: the identical pair estimates
-      // 1.0, the near pair sits in (0.5, 1), the unrelated docs
-      // appear in no hit.
-      assert(got.exists(h => h._1 == 1 && h._2 == 4 && h._3 == 1.0))
-      assert(got.exists(h => h._1 == 1 && h._2 == 2 && h._3 >= 0.5 && h._3 < 1.0))
-      assert(!got.exists(h => h._1 == 3 || h._2 == 3 || h._1 == 5 || h._2 == 5))
-    } finally q.stop()
+  private def withRocksDb(body: => Unit): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
-  test("watermark horizon expires residents; docs beyond it never pair") {
-    implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[StreamingDoc]
-    val out = StreamingDedup.run(
-      StreamingDedup.banded(toDocFrame(mem.toDF()),
-        watermarkDelay = "10 minutes"), minEstJaccard = 0.5)
-    val q = out.writeStream.format("memory").queryName("sdedup_evict")
-      .outputMode("append").start()
-    try {
-      val text = "the quick brown fox jumps over the lazy dog tonight"
-      mem.addData(StreamingDoc(1, t0, text))
-      q.processAllAvailable()
-      // Advance the watermark 20 min past doc 1 (horizon 10 min) with
-      // an unrelated doc, then replay the same content: doc 1 has been
-      // evicted, so NO pair forms across the horizon.
-      mem.addData(StreamingDoc(2, t0 + 1200000,
-        "completely unrelated text about spark catalyst planning"))
-      q.processAllAvailable()
-      mem.addData(StreamingDoc(3, t0 + 1201000, text))
-      q.processAllAvailable()
-      assert(spark.table("sdedup_evict").count() == 0)
-      // Positive control: the same content arriving INSIDE the horizon
-      // of doc 3 pairs immediately.
-      mem.addData(StreamingDoc(4, t0 + 1202000, text))
-      q.processAllAvailable()
-      val hits = spark.table("sdedup_evict")
-        .select("id_a", "id_b", "est_jaccard")
-        .as[(Long, Long, Double)].collect().toSet
-      assert(hits == Set((3L, 4L, 1.0)))
-    } finally q.stop()
+  private def withEngine(engName: String)(body: => Unit): Unit =
+    if (engName == "tws") withRocksDb(body) else body
+
+  engines.foreach { case (engName, engine) =>
+    test(s"[$engName] streaming hits match the batch banded-candidate estimate") {
+      withEngine(engName) {
+        implicit val sqlCtx = spark.sqlContext
+        val mem = MemoryStream[StreamingDoc]
+        val out = engine(StreamingDedup.banded(toDocFrame(mem.toDF())))
+        val q = out.writeStream.format("memory").queryName(s"sdedup_parity_$engName")
+          .outputMode("append").start()
+        try {
+          // Two batches (split mid-corpus): hits must not depend on
+          // batch boundaries.
+          mem.addData(corpus.take(2): _*)
+          q.processAllAvailable()
+          mem.addData(corpus.drop(2): _*)
+          q.processAllAvailable()
+          val got = spark.table(s"sdedup_parity_$engName")
+            .select("id_a", "id_b", "est_jaccard")
+            .as[(Long, Long, Double)].collect().toSet // set: dedupes per-band re-emissions
+
+          // Batch expectation from the SAME banded frame (watermark is
+          // a no-op in batch): pairs sharing any band, estimator from
+          // the full signatures.
+          val banded = StreamingDedup.banded(toDocFrame(
+            corpus.toDF("doc_id", "ms", "text")))
+          val sigs = banded.select(col("doc_id"), col("sig")).distinct()
+            .as[(Long, Seq[Long])].collect().toMap
+          val expected = banded.as("x")
+            .join(banded.as("y"),
+              col("x.band_idx") === col("y.band_idx") &&
+                col("x.band_hash") === col("y.band_hash") &&
+                col("x.doc_id") < col("y.doc_id"))
+            .select(col("x.doc_id"), col("y.doc_id")).distinct()
+            .as[(Long, Long)].collect().toSet
+            .map((p: (Long, Long)) =>
+              (p._1, p._2, StreamingDedup.estJaccard(sigs(p._1), sigs(p._2))))
+            .filter(_._3 >= 0.5)
+
+          assert(got == expected)
+          // Sanity on the fixture itself: the identical pair estimates
+          // 1.0, the near pair sits in [0.5, 1), the unrelated docs
+          // appear in no hit.
+          assert(got.exists(h => h._1 == 1 && h._2 == 4 && h._3 == 1.0))
+          assert(got.exists(h => h._1 == 1 && h._2 == 2 && h._3 >= 0.5 && h._3 < 1.0))
+          assert(!got.exists(h => h._1 == 3 || h._2 == 3 || h._1 == 5 || h._2 == 5))
+        } finally q.stop()
+      }
+    }
+
+    test(s"[$engName] watermark horizon expires residents; docs beyond it never pair") {
+      withEngine(engName) {
+        implicit val sqlCtx = spark.sqlContext
+        val mem = MemoryStream[StreamingDoc]
+        val out = engine(StreamingDedup.banded(toDocFrame(mem.toDF()),
+          watermarkDelay = "10 minutes"))
+        val q = out.writeStream.format("memory").queryName(s"sdedup_evict_$engName")
+          .outputMode("append").start()
+        try {
+          val text = "the quick brown fox jumps over the lazy dog tonight"
+          mem.addData(StreamingDoc(1, t0, text))
+          q.processAllAvailable()
+          // Advance the watermark 20 min past doc 1 (horizon 10 min)
+          // with an unrelated doc, then replay the same content: doc 1
+          // has been evicted, so NO pair forms across the horizon.
+          mem.addData(StreamingDoc(2, t0 + 1200000,
+            "completely unrelated text about spark catalyst planning"))
+          q.processAllAvailable()
+          mem.addData(StreamingDoc(3, t0 + 1201000, text))
+          q.processAllAvailable()
+          assert(spark.table(s"sdedup_evict_$engName").count() == 0)
+          // Positive control: the same content arriving INSIDE the
+          // horizon of doc 3 pairs immediately.
+          mem.addData(StreamingDoc(4, t0 + 1202000, text))
+          q.processAllAvailable()
+          val hits = spark.table(s"sdedup_evict_$engName")
+            .select("id_a", "id_b", "est_jaccard")
+            .as[(Long, Long, Double)].collect().toSet
+          assert(hits == Set((3L, 4L, 1.0)))
+        } finally q.stop()
+      }
+    }
+  }
+
+  cappedEngines.foreach { case (engName, engine) =>
+    test(s"[$engName] hot-bucket cap bounds residents: each arrival pairs with at most cap") {
+      withEngine(engName) {
+        implicit val sqlCtx = spark.sqlContext
+        val mem = MemoryStream[StreamingDoc]
+        val out = engine(StreamingDedup.banded(toDocFrame(mem.toDF())))
+        val q = out.writeStream.format("memory").queryName(s"sdedup_cap_$engName")
+          .outputMode("append").start()
+        try {
+          // Six IDENTICAL docs flood one bucket family; cap = 3 keeps
+          // the 3 most-recent residents, so arrival i pairs with
+          // min(i−1, 3) docs — a sliding-window pair pattern, 12 pairs
+          // total, NOT the quadratic 15 — and every doc still pairs
+          // with its successors (downstream clustering reconnects the
+          // family).
+          val text = "the quick brown fox jumps over the lazy dog tonight"
+          // Two batches: cap eviction must persist across batches.
+          mem.addData((1 to 4).map(i => StreamingDoc(i, t0 + i * 1000, text)): _*)
+          q.processAllAvailable()
+          mem.addData((5 to 6).map(i => StreamingDoc(i, t0 + i * 1000, text)): _*)
+          q.processAllAvailable()
+          val got = spark.table(s"sdedup_cap_$engName")
+            .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+          val expected = Set(
+            (1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (3L, 4L),
+            (2L, 5L), (3L, 5L), (4L, 5L), (3L, 6L), (4L, 6L), (5L, 6L))
+          assert(got == expected)
+        } finally q.stop()
+      }
+    }
   }
 }
