@@ -563,6 +563,22 @@ object SparkEntry {
         percentile(n, lit(0.75)).as("q75"),
         percentile(n, lit(0.9)).as("q90"))
     }),
+    // Benchmark decontamination: docs ≥10 flagged when they share any
+    // word 5-gram with the doc<10 "eval set" (5 discriminates on the
+    // gate corpus: the planted near-dups hit, random word soup does
+    // not; production default is 13 on natural text).
+    "curation_decontaminate" -> ((s, d) => {
+      val all = documents(s, d)
+      graft.ops.Decontamination.flagContaminated(
+        all.filter(col("doc_id") >= 10), all.filter(col("doc_id") < 10), n = 5)
+    }),
+    // Per-(source, lang) corpus profile — the curation dashboard's
+    // breakdown axis. Decimal-exact average.
+    "curation_source_profile" -> ((s, d) =>
+      documents(s, d).groupBy(col("source"), col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        (sum(char_length(col("text")).cast(CepQuery.SumDecimal)).cast("double") /
+          count(lit(1))).as("avg_chars"))),
     // Deterministic curation sampling: selection is a pure function of
     // (doc_id, seed) — same sample on every run, engine, partitioning
     // (df.sample() can't promise that) — and the md5 arithmetic is
@@ -635,6 +651,21 @@ object SparkEntry {
       s"""SELECT quantile_cont(n, 0.25) AS q25, quantile_cont(n, 0.5) AS q50,
          |  quantile_cont(n, 0.75) AS q75, quantile_cont(n, 0.9) AS q90
          |FROM (SELECT CAST(len($dToks) AS DOUBLE) AS n FROM documents)""".stripMargin,
+    "curation_decontaminate" -> {
+      val joins = (1 to 4).map(i =>
+        s"JOIN tok t$i ON t$i.doc_id=t0.doc_id AND t$i.i=t0.i+$i").mkString(" ")
+      val gram = (0 to 4).map(i => s"t$i.tk").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, $dToks w FROM documents),
+         |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),
+         |sh AS (SELECT DISTINCT t0.doc_id, $gram AS g FROM tok t0 $joins),
+         |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id < 10)
+         |SELECT s.doc_id, count(*) AS n_hits FROM sh s JOIN ev USING (g)
+         |WHERE s.doc_id >= 10 GROUP BY 1""".stripMargin
+    },
+    "curation_source_profile" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(CAST(length(text) AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_chars
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     // First 32 md5 bits of "doc_id:seed" scaled to [0,1) — the exact
     // arithmetic of graft.ops.Sampling.hashUniform.
     "curation_sample" ->

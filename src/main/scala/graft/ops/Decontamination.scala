@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training documents that share
+  * word n-grams with an evaluation corpus — the standard guard
+  * against test-set leakage into a training run.
+  *
+  * Scale posture (100 TB corpus vs KB–MB eval sets): the EVAL side is
+  * reduced to its distinct n-gram set and broadcast, so the corpus
+  * side is one scan — native one-pass shingling
+  * ([[graft.functions.word_shingles]]), explode, broadcast hash join
+  * on the gram, and a partial-aggregated per-doc count. The corpus is
+  * never shuffled by gram (gram frequency is zipfian — a gram shuffle
+  * would hot-spot); the only shuffle is the final doc_id count, which
+  * map-side combines. Set `broadcastEval = false` for an eval set too
+  * big to broadcast (falls back to a shuffle equi-join).
+  */
+object Decontamination {
+
+  /** (doc_id, n_hits): training docs sharing ≥1 word n-gram with the
+    * eval corpus, with the count of DISTINCT shared grams. Docs also
+    * present in `evalDocs` are the caller's business to exclude —
+    * pass `docs` already filtered (the usual pipeline has disjoint id
+    * spaces anyway). `n` is the contamination gram length: big enough
+    * that a match means copying, not chance (13 is the common
+    * published choice for natural text; small fixture corpora need
+    * smaller). */
+  def flagContaminated(docs: DataFrame, evalDocs: DataFrame, n: Int = 13,
+      broadcastEval: Boolean = true): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(
+        array_distinct(graft.functions.word_shingles(col("text"), n))).as("g"))
+      .distinct()
+    val ev = if (broadcastEval) broadcast(evalGrams) else evalGrams
+    docs
+      // Shingling is the CPU-dense stage — spread it across all cores
+      // rather than inherit file-split parallelism.
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(
+        array_distinct(graft.functions.word_shingles(col("text"), n))).as("g"))
+      .join(ev, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+}

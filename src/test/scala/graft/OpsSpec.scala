@@ -488,6 +488,29 @@ class OpsSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("decontamination flags eval overlap; broadcast and shuffle paths agree") {
+    val eval = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // contains eval 5-gram "beta gamma delta epsilon zeta" (plus one more)
+      (10L, "prefix beta gamma delta epsilon zeta eta suffix"),
+      // shares words but no 5-token run
+      (11L, "alpha beta gamma five six seven delta epsilon"),
+      (12L, "completely different content with no overlap at all"))
+      .toDF("doc_id", "text")
+    val flagged = Decontamination.flagContaminated(train, eval, n = 5)
+      .as[(Long, Long)].collect().toMap
+    // doc 10 shares exactly the 5-gram windows inside
+    // "beta gamma delta epsilon zeta eta": 2 of them.
+    assert(flagged == Map(10L -> 2L))
+    val shuffled = Decontamination
+      .flagContaminated(train, eval, n = 5, broadcastEval = false)
+      .as[(Long, Long)].collect().toMap
+    assert(shuffled == flagged)
+  }
+
   test("hash sampling is deterministic and partitioning-invariant") {
     val s1 = Sampling.bernoulliSample(docs, col("doc_id"), 0.25, "s1")
       .select("doc_id").as[Long].collect().toSet
