@@ -28,9 +28,15 @@ object Bench {
     // A failing query must not bench as fast: its error is carried into
     // the JSON ("errors" map) instead of being swallowed into a small
     // elapsed time.
+    // Force the query's OWN physical plan (all result columns
+    // materialized), not the `.count()` rewrite: under count(),
+    // Catalyst prunes every unreferenced projection (a pure-projection
+    // query benches as a bare row count) and can even eliminate a
+    // left join against an aggregate via distinct-keys inference —
+    // both under-measure the work a real consumer of the rows pays.
     def lap(): Seq[(String, Double, Option[String])] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None } catch {
+      val err = try { fn(spark, sfDir).queryExecution.toRdd.count(); None } catch {
         case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
       }
       (name, (System.nanoTime() - t0) / 1e9, err)

@@ -22,7 +22,9 @@ object Explain {
     fn(spark, sfDir).explain("formatted")
     (1 to laps).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      // Same action as Bench: force the query's own plan, not the
+      // count() rewrite (which prunes projections / eliminates joins).
+      val n = fn(spark, sfDir).queryExecution.toRdd.count()
       println(f"[explain] lap $i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     spark.stop()

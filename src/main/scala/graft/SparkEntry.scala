@@ -592,6 +592,25 @@ object SparkEntry {
       graft.ops.Sampling.splitAssign(documents(s, d), col("doc_id"),
         Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), "s1")
         .select(col("doc_id"), col("split"))),
+    // Gopher-style repetition filter signals (word-bigram level): flags
+    // boilerplate/degenerate text by how concentrated its bigram
+    // distribution is. Exact integer-ratio arithmetic → hash-exact oracle.
+    "text_repetition" -> ((s, d) =>
+      graft.ops.TextAnalysis.repetitionStats(documents(s, d), 2)),
+    // Deterministic per-source cap (corpus balancing): exactly 5 docs
+    // per source, chosen by the portable hash uniform.
+    "curation_stratified" -> ((s, d) =>
+      graft.ops.Sampling.stratifiedCap(documents(s, d), col("source"),
+        col("doc_id"), 5, "s1").select(col("doc_id"), col("source"),
+        col("stratum_rank"))),
+    // Composite quality gate (C4/Gopher form): token-length band +
+    // repetition caps, every doc emitted with signals + keep verdict.
+    // Thresholds sized to discriminate on the gate corpus (p10 token
+    // count ≈ 21, p90 repetition fractions ≈ 0.07).
+    "curation_filter" -> ((s, d) =>
+      graft.ops.TextAnalysis.qualityFilter(documents(s, d),
+        minTokens = 25, maxTokens = 1000,
+        maxTopGramFrac = 0.09, maxDupGramFrac = 0.09)),
     "text_tokens" -> ((s, d) => graft.ops.TextAnalysis.tokenStats(documents(s, d))),
     "text_quality" -> ((s, d) => graft.ops.TextAnalysis.qualityScore(documents(s, d))),
     "text_langid" -> ((s, d) => graft.ops.TextAnalysis.langId(documents(s, d))),
@@ -680,6 +699,42 @@ object SparkEntry {
          |        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8)) AS BIGINT)
          |        / 4294967296.0 AS u
          |      FROM documents)""".stripMargin,
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $dToks w FROM documents),
+         |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),
+         |g AS (SELECT a.doc_id, a.tk || ' ' || b.tk AS gram
+         |      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         |pg AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+         |  count(*) AS n_distinct_grams,
+         |  CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_gram_frac,
+         |  CAST(sum(cnt) - count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS dup_gram_frac
+         |FROM pg GROUP BY 1""".stripMargin,
+    "curation_filter" ->
+      s"""WITH t AS (SELECT doc_id, $dToks w FROM documents),
+         |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),
+         |g AS (SELECT a.doc_id, a.tk || ' ' || b.tk AS gram
+         |      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         |pg AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+         |rep AS (SELECT doc_id,
+         |          CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_f,
+         |          CAST(sum(cnt) - count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS dup_f
+         |        FROM pg GROUP BY 1),
+         |st AS (SELECT doc_id, len(w) AS n_tokens FROM t)
+         |SELECT st.doc_id, n_tokens,
+         |  coalesce(top_f, 0.0) AS top_gram_frac,
+         |  coalesce(dup_f, 0.0) AS dup_gram_frac,
+         |  (n_tokens >= 25 AND n_tokens <= 1000 AND
+         |   coalesce(top_f, 0.0) <= 0.09 AND coalesce(dup_f, 0.0) <= 0.09) AS keep
+         |FROM st LEFT JOIN rep ON st.doc_id = rep.doc_id""".stripMargin,
+    "curation_stratified" ->
+      s"""SELECT doc_id, source, stratum_rank FROM (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8)) AS BIGINT)
+         |               / 4294967296.0, doc_id) AS stratum_rank
+         |  FROM documents)
+         |WHERE stratum_rank <= 5""".stripMargin,
     "text_tokens" -> {
       val bpeSql = graft.ops.TextAnalysis.bpePattern.replace("'", "''")
       s"""SELECT doc_id, length(text) AS n_chars, len($dToks) AS n_tokens,

@@ -37,6 +37,24 @@ object Sampling {
     df.filter(hashUniform(key, seed) < rate)
   }
 
+  /** Keep at most `k` rows per stratum (e.g. per source/domain),
+    * deterministically: rows are ranked within each stratum by the
+    * hash uniform (ties broken by the key itself) and only the first
+    * `k` survive, with their 1-based `stratum_rank` attached. This is
+    * the "cap the over-represented domain" move of corpus balancing —
+    * and unlike a rate-based sample, the output size per stratum is
+    * exact. Shuffles once on the stratum; a hot stratum serializes its
+    * own rank pass but emits only `k` rows, so the skew cost is
+    * bounded by input scan, not output. */
+  def stratifiedCap(df: DataFrame, stratum: Column, key: Column, k: Int,
+      seed: String = "graft"): DataFrame = {
+    require(k > 0, s"cap must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(hashUniform(key, seed).asc, key.asc)
+    df.withColumn("stratum_rank", row_number().over(w))
+      .filter(col("stratum_rank") <= k)
+  }
+
   /** Assign each row to one named split with probability proportional
     * to its weight (e.g. `Seq("train" -> 98, "val" -> 1, "test" -> 1)`),
     * deterministically in `key`: the same row lands in the same split

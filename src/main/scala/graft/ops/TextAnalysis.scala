@@ -116,6 +116,59 @@ object TextAnalysis {
         .otherwise("fr").as("lang_predicted"))
   }
 
+  /** Gopher-style repetition signals per document: total and distinct
+    * word n-gram occurrence counts, the share of occurrences claimed by
+    * the single most frequent n-gram (`top_gram_frac`), and the share
+    * of occurrences that are repeats of an earlier one
+    * (`dup_gram_frac`). High values mark boilerplate and degenerate
+    * loops — the classic pre-training repetition filter. Two-level
+    * aggregation, both levels map-side combinable: partial counts per
+    * (doc, gram), then per doc — no window functions, no per-doc
+    * quadratic HOFs, so the shape holds at 100 TB. Documents with
+    * fewer than `n` tokens have no n-grams and are absent from the
+    * result (mirrors the oracle's unnest semantics). Shingling uses
+    * the native one-pass [[graft.functions.word_shingles]] expression
+    * (byte-identical to the declarative HOF spelling, ~10× cheaper —
+    * the interpreted `transform` lambda was the dominant cost). */
+  def repetitionStats(docs: DataFrame, n: Int = 2): DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.functions.word_shingles(col("text"), n)).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"),
+        (max(col("cnt")).cast("double") / sum(col("cnt"))).as("top_gram_frac"),
+        ((sum(col("cnt")) - count(lit(1))).cast("double") / sum(col("cnt")))
+          .as("dup_gram_frac"))
+
+  /** Composite C4/Gopher-style quality gate: a document survives when
+    * its token count sits inside [minTokens, maxTokens] AND neither
+    * repetition signal exceeds its cap. Emits every document with its
+    * signals and the `keep` verdict (filter with `.where("keep")`),
+    * so the drop reasons stay auditable — the form every production
+    * curation pipeline uses. One aggregation pass (repetition) plus a
+    * doc_id equi-join against the projection-only signals; documents
+    * too short to have bigrams pass the repetition caps vacuously
+    * (they fail minTokens instead). */
+  def qualityFilter(docs: DataFrame, minTokens: Int = 25,
+      maxTokens: Int = 100000, maxTopGramFrac: Double = 0.09,
+      maxDupGramFrac: Double = 0.09): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).as("n_tokens"))
+    val rep = repetitionStats(docs, 2)
+      .select(col("doc_id"), col("top_gram_frac"), col("dup_gram_frac"))
+    base.join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("top_gram_frac"), lit(0.0)).as("top_gram_frac"),
+        coalesce(col("dup_gram_frac"), lit(0.0)).as("dup_gram_frac"),
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+          coalesce(col("top_gram_frac"), lit(0.0)) <= maxTopGramFrac &&
+          coalesce(col("dup_gram_frac"), lit(0.0)) <= maxDupGramFrac)
+          .as("keep"))
+  }
+
   /** Content fingerprints: md5 of the normalized text (128-bit, hex),
     * xxhash64 (cheap 64-bit engine-side key), and winnowed rolling-hash
     * fingerprints (ARRAY<BIGINT>, MOSS scheme — robust to local edits,

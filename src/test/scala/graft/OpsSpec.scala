@@ -528,6 +528,49 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(s1.size - 0.25 * n) < 6 * math.sqrt(n * 0.25 * 0.75))
   }
 
+  test("repetition stats: hand-computed bigram fractions; short docs absent") {
+    val d = Seq(
+      (0L, "a b a b a"), // bigrams: ab, ba, ab, ba → 4 total, 2 distinct
+      (1L, "x y z"),     // bigrams: xy, yz → no repeats
+      (2L, "solo")       // < 2 tokens → no bigrams, absent from result
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(d, 2)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r.keySet == Set(0L, 1L))
+    assert(r(0L) == ((0L, 4L, 2L, 0.5, 0.5)))
+    assert(r(1L) == ((1L, 2L, 2L, 0.5, 0.0)))
+  }
+
+  test("quality filter: each rule fires independently, verdicts auditable") {
+    val d = Seq(
+      (0L, Seq.fill(30)("w").zipWithIndex.map(t => t._1 + t._2).mkString(" ")), // 30 distinct tokens → keep
+      (1L, "too short"),                            // fails minTokens
+      (2L, ("spam " * 40).trim),                    // one bigram repeated → fails repetition caps
+      (3L, Seq.tabulate(60)(i => "t" + (i % 50)).mkString(" ")) // mild repeats → keep
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityFilter(d, minTokens = 25, maxTokens = 1000,
+        maxTopGramFrac = 0.09, maxDupGramFrac = 0.5)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(r == Map(0L -> true, 1L -> false, 2L -> false, 3L -> true))
+    // All docs present (filter is auditable, not destructive).
+    assert(TextAnalysis.qualityFilter(d).count() == 4)
+  }
+
+  test("stratified cap keeps exactly k per stratum, deterministically") {
+    val capped = Sampling.stratifiedCap(docs, col("source"), col("doc_id"), 3, "s1")
+    val bySource = capped.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySource.values.forall(_ == 3L)) // sf0.001 has >3 docs per source
+    // Partitioning-invariant: same rows, same ranks, on a reshuffled input.
+    val a = capped.select("doc_id", "stratum_rank")
+      .as[(Long, Int)].collect().toSet
+    val b = Sampling.stratifiedCap(docs.repartition(11), col("source"),
+        col("doc_id"), 3, "s1")
+      .select("doc_id", "stratum_rank").as[(Long, Int)].collect().toSet
+    assert(a == b)
+  }
+
   test("split assignment is total, disjoint, stable, and weight-proportional") {
     val w = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
     val a = Sampling.splitAssign(docs, col("doc_id"), w, "s1")
