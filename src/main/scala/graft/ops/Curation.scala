@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end curation decision: one call that composes the
+  * quality gate ([[TextAnalysis.qualityFilter]]), near-duplicate
+  * keep-one ([[Dedup.ngramJaccardPairs]] → [[Dedup.components]]), and
+  * eval-set decontamination ([[Decontamination.flagContaminated]])
+  * into a single per-document verdict frame — the decision table a
+  * training-data pipeline materializes before writing shards.
+  *
+  * Every document comes back with its reason flags, not just the
+  * survivors: `keep = quality_keep AND NOT dup_loser AND NOT
+  * contaminated`. Eval documents passed in `evalDocs` that also occur
+  * in `docs` flag themselves contaminated (they share their own
+  * grams) — exactly what you want: the eval set can never leak into
+  * the training split.
+  *
+  * Scale shape is the union of its parts, each independently
+  * 100 TB-audited: candidate generation by df-capped shingle
+  * equi-join, O(log L) pointer-jumping components, broadcast eval
+  * grams, and map-side-combinable aggregations throughout. The three
+  * branches share one scan-side schema (doc_id, text) and join back
+  * on doc_id only.
+  */
+object Curation {
+
+  def pipeline(docs: DataFrame, evalDocs: DataFrame,
+      shingleN: Int = 3, jaccard: Double = 0.8, maxShingleDf: Int = 10,
+      decontamN: Int = 13,
+      minTokens: Int = 25, maxTokens: Int = 100000,
+      maxTopGramFrac: Double = 0.09, maxDupGramFrac: Double = 0.09,
+      persist: Persistence = Persistence.Local): DataFrame = {
+    val quality = TextAnalysis.qualityFilter(docs, minTokens, maxTokens,
+        maxTopGramFrac, maxDupGramFrac)
+      .select(col("doc_id"), col("keep").as("quality_keep"))
+    val losers = Dedup.components(
+        Dedup.ngramJaccardPairs(docs, shingleN, jaccard, maxShingleDf),
+        persist = persist)
+      .filter(col("component_id") =!= col("doc_id"))
+      .select(col("doc_id"), lit(true).as("dup_loser"))
+    val contaminated = Decontamination.flagContaminated(docs, evalDocs, decontamN)
+      .select(col("doc_id"), lit(true).as("contaminated"))
+    docs.select(col("doc_id"))
+      .join(quality, Seq("doc_id"))
+      .join(losers, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("quality_keep"),
+        coalesce(col("dup_loser"), lit(false)).as("dup_loser"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"),
+        (col("quality_keep") && !coalesce(col("dup_loser"), lit(false)) &&
+          !coalesce(col("contaminated"), lit(false))).as("keep"))
+  }
+}

@@ -37,6 +37,24 @@ object Sampling {
     df.filter(hashUniform(key, seed) < rate)
   }
 
+  /** Domain-mixture resampling: keep each row with a per-stratum rate
+    * (e.g. downweight web crawl, keep all code), deterministically in
+    * `key`. Strata missing from `rates` use `defaultRate`. Rates are
+    * compiled into one codegen'd CASE expression — no join, no
+    * shuffle, and the broadcast-a-rates-table variant is pointless
+    * below thousands of strata. */
+  def mixtureSample(df: DataFrame, stratum: Column, key: Column,
+      rates: Map[String, Double], defaultRate: Double = 1.0,
+      seed: String = "graft"): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"rates must be in [0,1], got $r"))
+    val rate = rates.foldLeft(Option.empty[Column]) {
+      case (acc, (name, r)) =>
+        Some(acc.fold(when(stratum === name, r))(_.when(stratum === name, r)))
+    }.fold(lit(defaultRate))(_.otherwise(defaultRate))
+    df.filter(hashUniform(key, seed) < rate)
+  }
+
   /** Keep at most `k` rows per stratum (e.g. per source/domain),
     * deterministically: rows are ranked within each stratum by the
     * hash uniform (ties broken by the key itself) and only the first

@@ -571,6 +571,46 @@ class OpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("mixture sampling: per-stratum rates, deterministic, monotone in rate") {
+    // Rate 0 for src0 and 1.0 default: exact, fully deterministic result.
+    val r = Sampling.mixtureSample(docs, col("source"), col("doc_id"),
+      Map("src0" -> 0.0), defaultRate = 1.0, seed = "s1")
+    val all = docs.select("doc_id", "source").as[(Long, String)].collect()
+    val kept = r.select("doc_id").as[Long].collect().toSet
+    assert(kept == all.filter(_._2 != "src0").map(_._1).toSet)
+    // Same uniform underneath: a lower rate selects a subset of a
+    // higher rate's selection, per stratum.
+    val lo = Sampling.mixtureSample(docs, col("source"), col("doc_id"),
+      Map("src1" -> 0.3), 0.2, "s1").select("doc_id").as[Long].collect().toSet
+    val hi = Sampling.mixtureSample(docs, col("source"), col("doc_id"),
+      Map("src1" -> 0.6), 0.5, "s1").select("doc_id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi))
+  }
+
+  test("curation pipeline: verdicts agree with the component operators") {
+    val eval = docs.filter(col("doc_id") < 10)
+    val out = Curation.pipeline(docs, eval,
+        shingleN = 3, jaccard = 0.8, maxShingleDf = 10, decontamN = 5,
+        minTokens = 25, maxTokens = 1000,
+        maxTopGramFrac = 0.09, maxDupGramFrac = 0.09)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size == docs.count()) // every doc gets a verdict row
+    // keep is exactly the conjunction of the three flags.
+    out.values.foreach { case (_, q, l, c, k) => assert(k == (q && !l && !c)) }
+    // Flags match the standalone operators.
+    val losers = Dedup.components(
+        Dedup.ngramJaccardPairs(docs, 3, 0.8, maxShingleDf = 10))
+      .filter(col("component_id") =!= col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.filter(_._2._3).keySet == losers)
+    val contam = Decontamination.flagContaminated(docs, eval, 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.filter(_._2._4).keySet == contam)
+    // Eval docs self-flag as contaminated (they share their own grams).
+    assert(eval.select("doc_id").as[Long].collect().toSet.subsetOf(contam))
+  }
+
   test("split assignment is total, disjoint, stable, and weight-proportional") {
     val w = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
     val a = Sampling.splitAssign(docs, col("doc_id"), w, "s1")
