@@ -65,6 +65,10 @@ object GraftFunctions {
     "metric_route" -> { args =>
       expectArgs("metric_route", args, 1); MetricRoute(args(0))
     },
+    "gram_stats" -> { args =>
+      expectArgs("gram_stats", args, 2)
+      GramStats(args(0), litInt(args(1), "n"))
+    },
     "rolling_fingerprint" -> { args =>
       expectArgs("rolling_fingerprint", args, 3)
       RollingHashFingerprint(args(0),

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.graft.{CepExprColumns, LshBucketsColumns, MetricRouteColumns, MinhashColumns, RollingHashColumns, SimhashColumns, VecDotColumns, WordShinglesColumns}
+import org.apache.spark.sql.graft.{CepExprColumns, GramStatsColumns, LshBucketsColumns, MetricRouteColumns, MinhashColumns, RollingHashColumns, SimhashColumns, VecDotColumns, WordShinglesColumns}
 
 /** Public column-function surface for graft's native Catalyst
   * expressions (implementations under org.apache.spark.sql.graft). */
@@ -26,6 +26,14 @@ package object functions {
     * [[org.apache.spark.sql.graft.WordShingles]]. */
   def word_shingles(text: Column, n: Int): Column =
     WordShinglesColumns.wordShingles(text, n)
+
+  /** Per-document word n-gram repetition stats struct
+    * `{n_grams, n_distinct_grams, top_gram_frac, dup_gram_frac}` in
+    * one native pass (codegen'd; zero-shuffle replacement for the
+    * explode→groupBy spelling) — see
+    * [[org.apache.spark.sql.graft.GramStats]]. */
+  def gram_stats(text: Column, n: Int): Column =
+    GramStatsColumns.gramStats(text, n)
 
   /** Reference metric key routing over a parsed JSON map, one native
     * pass (codegen'd) — see [[org.apache.spark.sql.graft.MetricRoute]]. */

@@ -121,53 +121,51 @@ object TextAnalysis {
     * the single most frequent n-gram (`top_gram_frac`), and the share
     * of occurrences that are repeats of an earlier one
     * (`dup_gram_frac`). High values mark boilerplate and degenerate
-    * loops — the classic pre-training repetition filter. Two-level
-    * aggregation, both levels map-side combinable: partial counts per
-    * (doc, gram), then per doc — no window functions, no per-doc
-    * quadratic HOFs, so the shape holds at 100 TB. Documents with
-    * fewer than `n` tokens have no n-grams and are absent from the
-    * result (mirrors the oracle's unnest semantics). Shingling uses
-    * the native one-pass [[graft.functions.word_shingles]] expression
-    * (byte-identical to the declarative HOF spelling, ~10× cheaper —
-    * the interpreted `transform` lambda was the dominant cost). */
+    * loops — the classic pre-training repetition filter.
+    *
+    * ZERO shuffles: the statistic is per-document, so the native
+    * one-pass [[graft.functions.gram_stats]] expression counts grams
+    * in a per-row hash map — the relational
+    * `explode → groupBy(doc, gram) → groupBy(doc)` spelling (which
+    * the DuckDB oracle still uses) would shuffle every gram
+    * occurrence of a 100 TB corpus twice to answer a question each
+    * document answers alone. Documents with fewer than `n` tokens
+    * have no n-grams and are filtered out (mirrors the oracle's
+    * unnest semantics); the fractions are the same IEEE divisions of
+    * the same integers, so results stay hash-identical. */
   def repetitionStats(docs: DataFrame, n: Int = 2): DataFrame =
     docs.select(col("doc_id"),
-        explode(graft.functions.word_shingles(col("text"), n)).as("gram"))
-      .groupBy(col("doc_id"), col("gram"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("cnt")).as("n_grams"),
-        count(lit(1)).as("n_distinct_grams"),
-        (max(col("cnt")).cast("double") / sum(col("cnt"))).as("top_gram_frac"),
-        ((sum(col("cnt")) - count(lit(1))).cast("double") / sum(col("cnt")))
-          .as("dup_gram_frac"))
+        graft.functions.gram_stats(col("text"), n).as("gs"))
+      .where(col("gs.n_grams") > 0)
+      .select(col("doc_id"), col("gs.n_grams").as("n_grams"),
+        col("gs.n_distinct_grams").as("n_distinct_grams"),
+        col("gs.top_gram_frac").as("top_gram_frac"),
+        col("gs.dup_gram_frac").as("dup_gram_frac"))
 
   /** Composite C4/Gopher-style quality gate: a document survives when
     * its token count sits inside [minTokens, maxTokens] AND neither
     * repetition signal exceeds its cap. Emits every document with its
     * signals and the `keep` verdict (filter with `.where("keep")`),
     * so the drop reasons stay auditable — the form every production
-    * curation pipeline uses. One aggregation pass (repetition) plus a
-    * doc_id equi-join against the projection-only signals; documents
-    * too short to have bigrams pass the repetition caps vacuously
-    * (they fail minTokens instead). */
+    * curation pipeline uses. Pure zero-shuffle projection: both the
+    * token count and the repetition signals
+    * ([[graft.functions.gram_stats]]) are per-row expressions — no
+    * aggregation, no join. Documents too short to have bigrams report
+    * 0.0 repetition (same as the relational spelling's coalesce) and
+    * pass the caps vacuously — they fail minTokens instead. */
   def qualityFilter(docs: DataFrame, minTokens: Int = 25,
       maxTokens: Int = 100000, maxTopGramFrac: Double = 0.09,
-      maxDupGramFrac: Double = 0.09): DataFrame = {
-    val base = docs.select(col("doc_id"),
-      size(TextOps.tokens(col("text"))).as("n_tokens"))
-    val rep = repetitionStats(docs, 2)
-      .select(col("doc_id"), col("top_gram_frac"), col("dup_gram_frac"))
-    base.join(rep, Seq("doc_id"), "left")
+      maxDupGramFrac: Double = 0.09): DataFrame =
+    docs.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"),
+        graft.functions.gram_stats(col("text"), 2).as("gs"))
       .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("top_gram_frac"), lit(0.0)).as("top_gram_frac"),
-        coalesce(col("dup_gram_frac"), lit(0.0)).as("dup_gram_frac"),
+        col("gs.top_gram_frac").as("top_gram_frac"),
+        col("gs.dup_gram_frac").as("dup_gram_frac"),
         (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
-          coalesce(col("top_gram_frac"), lit(0.0)) <= maxTopGramFrac &&
-          coalesce(col("dup_gram_frac"), lit(0.0)) <= maxDupGramFrac)
+          col("gs.top_gram_frac") <= maxTopGramFrac &&
+          col("gs.dup_gram_frac") <= maxDupGramFrac)
           .as("keep"))
-  }
 
   /** Content fingerprints: md5 of the normalized text (128-bit, hex),
     * xxhash64 (cheap 64-bit engine-side key), and winnowed rolling-hash

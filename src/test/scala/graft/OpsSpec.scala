@@ -26,7 +26,8 @@ class OpsSpec extends AnyFunSuite {
         |  array_contains_all(array('a','b','c'), array('b','a')) AS sub,
         |  window_starts('sliding', 250L, 200L, 100L) AS ws,
         |  metric_route(map('eventTime','1000','t_g','x','cpu','5')) AS m,
-        |  md5_winnow_fingerprint('the quick brown fox jumps over it', 16, 8) AS fp
+        |  md5_winnow_fingerprint('the quick brown fox jumps over it', 16, 8) AS fp,
+        |  gram_stats('a b a b a', 2) AS gs
         |""".stripMargin).collect().head
     assert(r.getDouble(0) == 11.0)
     assert(r.getBoolean(1))
@@ -36,6 +37,11 @@ class OpsSpec extends AnyFunSuite {
     assert(m.getAs[Map[String, String]]("tags") == Map("t_g" -> "x"))
     assert(m.getAs[Map[String, Double]]("metrics") == Map("cpu" -> 5.0))
     assert(r.getSeq[String](4).nonEmpty)
+    val gs = r.getStruct(5)
+    assert(gs.getAs[Long]("n_grams") == 4L &&
+      gs.getAs[Long]("n_distinct_grams") == 2L &&
+      gs.getAs[Double]("top_gram_frac") == 0.5 &&
+      gs.getAs[Double]("dup_gram_frac") == 0.5)
     val r2 = spark.sql(
       """SELECT word_shingles('a b c d', 3) AS sh,
         |       vec_norm(array(3.0d, 4.0d)) AS nrm""".stripMargin).collect().head
