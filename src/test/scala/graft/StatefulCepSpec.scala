@@ -169,6 +169,29 @@ class StatefulCepSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("quality filter runs at ingest (zero-shuffle projection, batch/stream parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, Seq.tabulate(30)(i => "w" + i).mkString(" ")), // keep
+      (2L, "too short"),                                  // fails minTokens
+      (3L, ("spam " * 40).trim))                          // fails repetition cap
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.ops.TextAnalysis.qualityFilter(
+        mem.toDF().toDF("doc_id", "text"), minTokens = 25)
+      .writeStream.format("memory").queryName("stream_quality")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val batch = graft.ops.TextAnalysis.qualityFilter(
+        rows.toDF("doc_id", "text"), minTokens = 25)
+      assert(spark.table("stream_quality").collect().toSet ==
+        batch.collect().toSet)
+      assert(spark.table("stream_quality")
+        .where("keep").select("doc_id").as[Long].collect().toSet == Set(1L))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: first occurrence kept, in-horizon duplicates dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, String)]
