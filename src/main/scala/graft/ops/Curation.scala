@@ -54,4 +54,21 @@ object Curation {
         (col("quality_keep") && !coalesce(col("dup_loser"), lit(false)) &&
           !coalesce(col("contaminated"), lit(false))).as("keep"))
   }
+
+  /** Materialize the curated corpus: survivors of a [[pipeline]]
+    * verdict frame, deterministically split-assigned and written as
+    * parquet partitioned by split — the shard layout a training run
+    * reads (`.../split=train/`). Split assignment is a pure function
+    * of (doc_id, seed) ([[Sampling.splitAssign]]), so re-running
+    * curation after an append cannot move yesterday's rows between
+    * splits. Each task writes at most |splits| files; the verdict
+    * side is doc_id-distinct so the join adds no fan-out. */
+  def writeCurated(docs: DataFrame, verdicts: DataFrame, path: String,
+      weights: Seq[(String, Double)] = Seq("train" -> 0.98, "val" -> 0.01,
+        "test" -> 0.01), seed: String = "graft"): Unit = {
+    val kept = docs.join(
+      verdicts.where(col("keep")).select(col("doc_id")), Seq("doc_id"))
+    Sampling.splitAssign(kept, col("doc_id"), weights, seed)
+      .write.mode("overwrite").partitionBy("split").parquet(path)
+  }
 }

@@ -548,6 +548,29 @@ class OpsSpec extends AnyFunSuite {
     assert(r(1L) == ((1L, 2L, 2L, 0.5, 0.0)))
   }
 
+  test("native gram_stats equals the relational explode→groupBy spelling on random corpora") {
+    val rnd = new scala.util.Random(20260812L)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "longword", "x9", "zz")
+    val rows = (0L until 60L).map { id =>
+      val nTok = rnd.nextInt(12) // includes 0- and 1-token docs (no bigrams)
+      (id, Seq.fill(nTok)(vocab(rnd.nextInt(vocab.size))).mkString("  ") +
+        (if (rnd.nextBoolean()) " " else ""))
+    }
+    val d = rows.toDF("doc_id", "text")
+    val native = TextAnalysis.repetitionStats(d, 2)
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    val relational = d.select(col("doc_id"),
+        explode(graft.functions.word_shingles(col("text"), 2)).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_grams"), count(lit(1)).as("n_distinct_grams"),
+        (max(col("cnt")).cast("double") / sum(col("cnt"))).as("top_gram_frac"),
+        ((sum(col("cnt")) - count(lit(1))).cast("double") / sum(col("cnt")))
+          .as("dup_gram_frac"))
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    assert(native == relational) // bit-exact, including the double divisions
+  }
+
   test("quality filter: each rule fires independently, verdicts auditable") {
     val d = Seq(
       (0L, Seq.fill(30)("w").zipWithIndex.map(t => t._1 + t._2).mkString(" ")), // 30 distinct tokens → keep
@@ -615,6 +638,27 @@ class OpsSpec extends AnyFunSuite {
     assert(out.filter(_._2._4).keySet == contam)
     // Eval docs self-flag as contaminated (they share their own grams).
     assert(eval.select("doc_id").as[Long].collect().toSet.subsetOf(contam))
+  }
+
+  test("writeCurated materializes exactly the keepers, split-partitioned, stable splits") {
+    val eval = docs.filter(col("doc_id") < 10)
+    val verdicts = Curation.pipeline(docs, eval,
+      shingleN = 3, jaccard = 0.8, maxShingleDf = 10, decontamN = 5,
+      minTokens = 25, maxTokens = 1000,
+      maxTopGramFrac = 0.09, maxDupGramFrac = 0.09)
+    val dir = java.nio.file.Files.createTempDirectory("curated").toString
+    val w = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+    Curation.writeCurated(docs, verdicts, dir, w, "s1")
+    val back = spark.read.parquet(dir)
+    val keepers = verdicts.where("keep").select("doc_id").as[Long].collect().toSet
+    assert(back.select("doc_id").as[Long].collect().toSet == keepers)
+    assert(keepers.nonEmpty && keepers.size < docs.count())
+    // Splits are the deterministic assignment — identical to calling
+    // splitAssign directly on the survivors.
+    val expected = Sampling.splitAssign(docs, col("doc_id"), w, "s1")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    back.select("doc_id", "split").as[(Long, String)].collect()
+      .foreach { case (id, s) => assert(expected(id) == s) }
   }
 
   test("split assignment is total, disjoint, stable, and weight-proportional") {
