@@ -934,7 +934,16 @@ object SparkEntry {
     "dedup_simhash_prod" -> ((s, d) =>
       graft.ops.Dedup.simhashPairs(documents(s, d), 3)),
     "dedup_fingerprint_prod" -> ((s, d) =>
-      graft.ops.Dedup.fingerprintPairs(documents(s, d))))
+      graft.ops.Dedup.fingerprintPairs(documents(s, d))),
+    // zlib ratio quality signal (JVM Deflater — not ANSI-SQL
+    // expressible; invariants spec'd in OpsSpec instead).
+    "text_compress_ratio" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        graft.functions.compress_ratio(col("text")).as("compress_ratio"))),
+    // PII redaction projection (gate corpus contains no PII, so the
+    // oracle would be the identity transform; spec'd on planted PII).
+    "text_redact" -> ((s, d) =>
+      graft.ops.TextAnalysis.redact(documents(s, d))))
 
   /** DuckDB-equivalent SQL per query (same column names + arithmetic).
     * Every query carries an oracle: the approximate-index queries

@@ -69,6 +69,9 @@ object GraftFunctions {
       expectArgs("gram_stats", args, 2)
       GramStats(args(0), litInt(args(1), "n"))
     },
+    "compress_ratio" -> { args =>
+      expectArgs("compress_ratio", args, 1); CompressRatio(args(0))
+    },
     "rolling_fingerprint" -> { args =>
       expectArgs("rolling_fingerprint", args, 3)
       RollingHashFingerprint(args(0),

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.graft.{CepExprColumns, GramStatsColumns, LshBucketsColumns, MetricRouteColumns, MinhashColumns, RollingHashColumns, SimhashColumns, VecDotColumns, WordShinglesColumns}
+import org.apache.spark.sql.graft.{CepExprColumns, CompressRatioColumns, GramStatsColumns, LshBucketsColumns, MetricRouteColumns, MinhashColumns, RollingHashColumns, SimhashColumns, VecDotColumns, WordShinglesColumns}
 
 /** Public column-function surface for graft's native Catalyst
   * expressions (implementations under org.apache.spark.sql.graft). */
@@ -34,6 +34,13 @@ package object functions {
     * [[org.apache.spark.sql.graft.GramStats]]. */
   def gram_stats(text: Column, n: Int): Column =
     GramStatsColumns.gramStats(text, n)
+
+  /** zlib compression ratio of the document bytes (classic
+    * repetition/boilerplate quality signal; not SQL-expressible, so
+    * spec'd + benched rather than oracle-gated) — see
+    * [[org.apache.spark.sql.graft.CompressRatio]]. */
+  def compress_ratio(text: Column): Column =
+    CompressRatioColumns.compressRatio(text)
 
   /** Reference metric key routing over a parsed JSON map, one native
     * pass (codegen'd) — see [[org.apache.spark.sql.graft.MetricRoute]]. */

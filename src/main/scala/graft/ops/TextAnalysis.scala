@@ -167,6 +167,36 @@ object TextAnalysis {
           col("gs.dup_gram_frac") <= maxDupGramFrac)
           .as("keep"))
 
+  /** Redaction patterns, applied in order (URLs before emails — a URL
+    * can contain an `@`). Conservative syntax that parses identically
+    * under Java regex and RE2, so the transform is reproducible in
+    * SQL engines too. */
+  val redactionPatterns: Seq[(String, String)] = Seq(
+    "https?://[^\\s]+" -> "<URL>",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\+?\\d[\\d().-]{6,13}\\d" -> "<PHONE>")
+
+  /** PII redaction: URLs, emails, IPv4 addresses, and phone-shaped
+    * digit runs replaced by typed placeholder tokens, with a count of
+    * redactions per document. Pure zero-shuffle projection — the
+    * baseline scrub every public-web training corpus runs. (A
+    * production deployment swaps in jurisdiction-specific pattern
+    * packs; the operator shape — ordered regex chain, audit count —
+    * is the part that matters.) */
+  def redact(docs: DataFrame): DataFrame = {
+    // Each pattern is counted on the text state it actually sees in
+    // the replacement chain (an IPv4 already redacted to <IP> must
+    // not ALSO count as a phone-shaped digit run).
+    val (redacted, counts) = redactionPatterns
+      .foldLeft((col("text"), Seq.empty[Column])) {
+        case ((c, cs), (pat, tok)) =>
+          (regexp_replace(c, pat, tok), cs :+ regexp_count(c, lit(pat)))
+      }
+    docs.select(col("doc_id"), redacted.as("text"),
+      counts.reduce(_ + _).as("n_redactions"))
+  }
+
   /** Content fingerprints: md5 of the normalized text (128-bit, hex),
     * xxhash64 (cheap 64-bit engine-side key), and winnowed rolling-hash
     * fingerprints (ARRAY<BIGINT>, MOSS scheme — robust to local edits,

@@ -571,6 +571,40 @@ class OpsSpec extends AnyFunSuite {
     assert(native == relational) // bit-exact, including the double divisions
   }
 
+  test("PII redaction: planted URL/email/IP/phone replaced, counted; clean text untouched") {
+    val d = Seq(
+      (1L, "contact me at alice@example.com or +1(555)123-4567 today"),
+      (2L, "see https://example.com/a?b=c#d and host 10.0.0.1 ok"),
+      (3L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.redact(d)
+      .as[(Long, String, Int)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L)._2 == "contact me at <EMAIL> or <PHONE> today")
+    assert(r(1L)._3 == 2)
+    assert(r(2L)._2 == "see <URL> and host <IP> ok")
+    assert(r(2L)._3 == 2)
+    assert(r(3L)._2 == "no pii here at all" && r(3L)._3 == 0)
+  }
+
+  test("compress ratio: repetitive < prose < random; deterministic; empty = 1.0") {
+    val rnd = new scala.util.Random(7L)
+    val d = Seq(
+      (1L, "spam " * 200),
+      (2L, "the quick brown fox jumps over the lazy dog and keeps going " * 5),
+      (3L, Seq.fill(1000)(rnd.nextPrintableChar()).mkString),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    def run() = d.select(col("doc_id"),
+        graft.functions.compress_ratio(col("text")).as("cr"))
+      .as[(Long, Double)].collect().toMap
+    val r = run()
+    assert(r(1L) < r(2L) && r(2L) < r(3L))
+    assert(r(1L) < 0.1)          // degenerate repetition compresses away
+    assert(r(3L) > 0.7)          // near-random barely compresses
+    assert(r(4L) == 1.0)
+    assert(run() == r)           // deterministic
+  }
+
   test("quality filter: each rule fires independently, verdicts auditable") {
     val d = Seq(
       (0L, Seq.fill(30)("w").zipWithIndex.map(t => t._1 + t._2).mkString(" ")), // 30 distinct tokens → keep
