@@ -627,6 +627,16 @@ object SparkEntry {
         minTokens = 25, maxTokens = 1000,
         maxTopGramFrac = 0.09, maxDupGramFrac = 0.09)
     }),
+    // Split assignment composed with profiling: the sanity check run
+    // after every re-split (did train/val/test land at the weights,
+    // with the expected volume?). Decimal-exact char sums.
+    "curation_split_profile" -> ((s, d) =>
+      graft.ops.Sampling.splitAssign(documents(s, d), col("doc_id"),
+          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), "s1")
+        .groupBy(col("split")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(char_length(col("text")).cast(CepQuery.SumDecimal)).cast("double")
+            .as("total_chars"))),
     "text_tokens" -> ((s, d) => graft.ops.TextAnalysis.tokenStats(documents(s, d))),
     "text_quality" -> ((s, d) => graft.ops.TextAnalysis.qualityScore(documents(s, d))),
     "text_langid" -> ((s, d) => graft.ops.TextAnalysis.langId(documents(s, d))),
@@ -796,6 +806,17 @@ object SparkEntry {
          |FROM documents d JOIN qual q ON q.doc_id = d.doc_id
          |LEFT JOIN comp ON comp.did = d.doc_id""".stripMargin
     },
+    "curation_split_profile" ->
+      s"""WITH a AS (SELECT text,
+         |  CASE WHEN u < 0.75 THEN 'train' WHEN u < 0.875 THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM (SELECT text,
+         |          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8)) AS BIGINT)
+         |          / 4294967296.0 AS u
+         |        FROM documents))
+         |SELECT split, count(*) AS n_docs,
+         |  CAST(sum(CAST(length(text) AS DECIMAL(38,6))) AS DOUBLE) AS total_chars
+         |FROM a GROUP BY 1""".stripMargin,
     "curation_stratified" ->
       s"""SELECT doc_id, source, stratum_rank FROM (
          |  SELECT doc_id, source,
