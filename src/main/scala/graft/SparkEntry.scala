@@ -964,7 +964,13 @@ object SparkEntry {
     // PII redaction projection (gate corpus contains no PII, so the
     // oracle would be the identity transform; spec'd on planted PII).
     "text_redact" -> ((s, d) =>
-      graft.ops.TextAnalysis.redact(documents(s, d))))
+      graft.ops.TextAnalysis.redact(documents(s, d))),
+    // Cluster-balanced diversity sampling (result depends on k-means
+    // float centroids — not oracle-portable; invariants spec'd).
+    "sim_diversity" -> ((s, d) =>
+      graft.ops.Similarity.diversitySample(
+        graft.ops.Similarity.buildIvfIndex(embeddings(s, d), nClusters = 16),
+        perCluster = 20)))
 
   /** DuckDB-equivalent SQL per query (same column names + arithmetic).
     * Every query carries an oracle: the approximate-index queries

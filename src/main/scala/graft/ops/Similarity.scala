@@ -223,6 +223,20 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cid").parquet(path + "/assigned")
   }
 
+  /** Cluster-balanced ("semantic diversity") sampling: cap every IVF
+    * cluster at `perCluster` vectors, chosen deterministically by the
+    * portable hash uniform ([[Sampling.stratifiedCap]]). Where a
+    * uniform sample over-represents the corpus's dense regions, this
+    * keeps an equal-sized slice of each semantic cluster — the
+    * embedding-aware counterpart of per-source balancing, and the
+    * standard cheap proxy for coverage-maximizing selection. Output
+    * is the assigned frame (vec_id, embedding, cid) plus
+    * `stratum_rank`; one shuffle on cid. */
+  def diversitySample(index: IvfIndex, perCluster: Int,
+      seed: String = "graft"): DataFrame =
+    Sampling.stratifiedCap(index.assigned, col("cid"), col("vec_id"),
+      perCluster, seed)
+
   /** Reload a [[saveIvfIndex]] artifact. The assigned frame comes back
     * partition-pruned by `cid`; probes are bit-identical to the
     * in-session index (spec-pinned). */

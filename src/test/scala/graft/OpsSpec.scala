@@ -401,6 +401,24 @@ class OpsSpec extends AnyFunSuite {
     assert(joined.count() == 0)
   }
 
+  test("diversity sample: at most k per cluster, covers every non-small cluster, deterministic") {
+    val index = Similarity.buildIvfIndex(emb, nClusters = 8)
+    val s = Similarity.diversitySample(index, perCluster = 3, seed = "s1")
+    val byCid = s.groupBy("cid").count().as[(Int, Long)].collect().toMap
+    assert(byCid.values.forall(_ <= 3L))
+    // Every cluster with >= 3 members contributes exactly 3.
+    val sizes = index.assigned.groupBy("cid").count().as[(Int, Long)].collect().toMap
+    sizes.foreach { case (cid, n) =>
+      assert(byCid.getOrElse(cid, 0L) == math.min(n, 3L), s"cluster $cid")
+    }
+    // Deterministic under repartitioning of the corpus.
+    val again = Similarity.diversitySample(
+      Similarity.IvfIndex(index.centroids, index.assigned.repartition(7)),
+      perCluster = 3, seed = "s1")
+    assert(s.select("vec_id").as[Long].collect().toSet ==
+      again.select("vec_id").as[Long].collect().toSet)
+  }
+
   test("pre-built IVF index probes identically to the train-per-call path") {
     // Training is deterministic (seeded init, fixed iters), so probing
     // a built-once index must reproduce ivfTopK exactly — the
