@@ -623,6 +623,20 @@ class OpsSpec extends AnyFunSuite {
     assert(run() == r)           // deterministic
   }
 
+  test("null text rows flow through the text projections without crashing") {
+    val d = Seq((1L, "some perfectly fine text here"), (2L, null))
+      .toDF("doc_id", "text")
+    // gram_stats is null-intolerant → null struct → filtered out.
+    assert(TextAnalysis.repetitionStats(d, 2).count() == 1)
+    // qualityFilter keeps the row with null signals and a null verdict
+    // (SQL three-valued logic — never silently 'keep').
+    val q = TextAnalysis.qualityFilter(d).where(col("doc_id") === 2).collect().head
+    assert(q.isNullAt(q.fieldIndex("keep")))
+    // redact propagates the null text, zero redactions reported as null.
+    val r = TextAnalysis.redact(d).where(col("doc_id") === 2).collect().head
+    assert(r.isNullAt(r.fieldIndex("text")))
+  }
+
   test("quality filter: each rule fires independently, verdicts auditable") {
     val d = Seq(
       (0L, Seq.fill(30)("w").zipWithIndex.map(t => t._1 + t._2).mkString(" ")), // 30 distinct tokens → keep
