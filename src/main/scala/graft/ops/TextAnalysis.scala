@@ -100,8 +100,33 @@ object TextAnalysis {
   /** Character-n-gram language ID over {en, de, fr}: score = total
     * occurrences of each language's high-frequency trigrams in the
     * normalized text; highest score wins (zero everywhere → "und";
-    * ties break de, en, fr — same order as [[langId]]). */
+    * ties break de, en, fr — same order as [[langId]]). Scores come
+    * from the native one-pass [[graft.functions.trigram_scores]]
+    * (the declarative replace-arithmetic spelling — still what the
+    * DuckDB oracle computes — scans and rebuilds the string once per
+    * needle, ~45× per document; spec-pinned byte-identical in
+    * [[langIdNgramDeclarative]]). */
   def langIdNgram(docs: DataFrame): DataFrame = {
+    val sc = graft.functions.trigram_scores(
+      TextOps.normalized(col("text")), Seq(trigramsEn, trigramsDe, trigramsFr))
+    val en = element_at(col("sc"), 1)
+    val de = element_at(col("sc"), 2)
+    val fr = element_at(col("sc"), 3)
+    val best = greatest(en, de, fr)
+    docs.select(col("doc_id"), col("lang"), sc.as("sc"))
+      .select(
+        col("doc_id"), col("lang").as("lang_declared"),
+        en.as("en_score"), de.as("de_score"), fr.as("fr_score"),
+        when(best === 0, "und")
+          .when(de === best, "de")
+          .when(en === best, "en")
+          .otherwise("fr").as("lang_predicted"))
+  }
+
+  /** The replace-arithmetic spelling of [[langIdNgram]] — kept as the
+    * equivalence-spec twin of the native expression (it IS the oracle
+    * arithmetic). */
+  private[graft] def langIdNgramDeclarative(docs: DataFrame): DataFrame = {
     val norm = TextOps.normalized(col("text"))
     val en = trigramScore(norm, trigramsEn)
     val de = trigramScore(norm, trigramsDe)

@@ -623,6 +623,24 @@ class OpsSpec extends AnyFunSuite {
     assert(run() == r)           // deterministic
   }
 
+  test("native trigram_scores equals the replace-arithmetic spelling (random + real corpus)") {
+    // Random soup over needle fragments maximizes overlap cases
+    // (self-overlapping needles, shared prefixes, multi-language hits).
+    val rnd = new scala.util.Random(43L)
+    val frags = Vector("the", " th", "de ", " de", "ent", "er ", "und",
+      "le ", "que", " a", "e", " ", "x", "ä", "ß")
+    val rows = (0L until 80L).map { id =>
+      (id, "en", Seq.fill(rnd.nextInt(40))(frags(rnd.nextInt(frags.size))).mkString)
+    }
+    val d = rows.toDF("doc_id", "lang", "text")
+    def collectAll(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String, Long, Long, Long, String)].collect().toSet
+    assert(collectAll(TextAnalysis.langIdNgram(d)) ==
+      collectAll(TextAnalysis.langIdNgramDeclarative(d)))
+    assert(collectAll(TextAnalysis.langIdNgram(docs)) ==
+      collectAll(TextAnalysis.langIdNgramDeclarative(docs)))
+  }
+
   test("null text rows flow through the text projections without crashing") {
     val d = Seq((1L, "some perfectly fine text here"), (2L, null))
       .toDF("doc_id", "text")
