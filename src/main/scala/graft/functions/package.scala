@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.graft.{CepExprColumns, CompressRatioColumns, GramStatsColumns, LshBucketsColumns, MetricRouteColumns, MinhashColumns, RollingHashColumns, SimhashColumns, TrigramScoresColumns, VecDotColumns, WordShinglesColumns}
+import org.apache.spark.sql.graft.{CepExprColumns, CompressRatioColumns, GramStatsColumns, LshBucketsColumns, MarkerCountsColumns, MetricRouteColumns, MinhashColumns, RollingHashColumns, SimhashColumns, TrigramScoresColumns, VecDotColumns, WordShinglesColumns}
 
 /** Public column-function surface for graft's native Catalyst
   * expressions (implementations under org.apache.spark.sql.graft). */
@@ -40,6 +40,12 @@ package object functions {
     * [[org.apache.spark.sql.graft.TrigramScores]]. */
   def trigram_scores(text: Column, langs: Seq[Seq[String]]): Column =
     TrigramScoresColumns.trigramScores(text, langs)
+
+  /** Per-language marker-word occurrence counts (ARRAY<BIGINT>,
+    * language order = `langs` order) in one tokenize pass — see
+    * [[org.apache.spark.sql.graft.MarkerCounts]]. */
+  def marker_counts(text: Column, langs: Seq[Seq[String]]): Column =
+    MarkerCountsColumns.markerCounts(text, langs)
 
   /** zlib compression ratio of the document bytes (classic
     * repetition/boilerplate quality signal; not SQL-expressible, so

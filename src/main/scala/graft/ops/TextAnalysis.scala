@@ -36,19 +36,26 @@ object TextAnalysis {
   val stopwordsDe = Seq("der", "die", "das", "und", "nicht", "ein", "zu", "ist", "mit", "von")
   val stopwordsFr = Seq("le", "la", "les", "et", "ne", "un", "une", "est", "avec", "de")
 
-  private def markerCount(toks: Column, words: Seq[String]): Column =
+  /** Declarative marker counting — the oracle arithmetic, kept as the
+    * equivalence-spec twin of [[graft.functions.marker_counts]]. */
+  private[graft] def markerCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
 
   /** Heuristic quality signals + a combined score in [0,1]:
     * punctuation ratio, alphabetic ratio, stopword ratio, and a length
     * band. The exact formula is arbitrary but deterministic — the
-    * point is the shape of the operator (pure projection). */
+    * point is the shape of the operator (pure projection). Stopword
+    * counting uses the native one-pass
+    * [[graft.functions.marker_counts]] (the interpreted
+    * `filter`-HOF twin is spec-pinned equal). */
   def qualityScore(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     val nChars = char_length(col("text"))
     val punct = char_length(regexp_replace(col("text"), "[^.!?,;:]", ""))
     val alpha = char_length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
-    val stop = markerCount(toks, stopwordsEn)
+    val stop = element_at(
+      graft.functions.marker_counts(col("text"), Seq(stopwordsEn)), 1)
+      .cast("int")
     docs.select(
       col("doc_id"),
       (punct.cast("double") / nChars).as("punct_ratio"),
@@ -63,18 +70,20 @@ object TextAnalysis {
     * highest marker hit count wins (ties → lexicographically first;
     * zero hits → "und"). N-gram-free heuristic, deterministic. */
   def langId(docs: DataFrame): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    val en = markerCount(toks, stopwordsEn)
-    val de = markerCount(toks, stopwordsDe)
-    val fr = markerCount(toks, stopwordsFr)
+    val mc = graft.functions.marker_counts(col("text"),
+      Seq(stopwordsEn, stopwordsDe, stopwordsFr))
+    val en = element_at(col("mc"), 1).cast("int")
+    val de = element_at(col("mc"), 2).cast("int")
+    val fr = element_at(col("mc"), 3).cast("int")
     val best = greatest(en, de, fr)
-    docs.select(
-      col("doc_id"), col("lang").as("lang_declared"),
-      en.as("en_hits"), de.as("de_hits"), fr.as("fr_hits"),
-      when(best === 0, "und")
-        .when(de === best, "de") // note: checked in lexicographic order
-        .when(en === best, "en")
-        .otherwise("fr").as("lang_predicted"))
+    docs.select(col("doc_id"), col("lang"), mc.as("mc"))
+      .select(
+        col("doc_id"), col("lang").as("lang_declared"),
+        en.as("en_hits"), de.as("de_hits"), fr.as("fr_hits"),
+        when(best === 0, "und")
+          .when(de === best, "de") // note: checked in lexicographic order
+          .when(en === best, "en")
+          .otherwise("fr").as("lang_predicted"))
   }
 
   /** Character-trigram profiles for the n-gram language-ID variant:

@@ -641,6 +641,30 @@ class OpsSpec extends AnyFunSuite {
       collectAll(TextAnalysis.langIdNgramDeclarative(docs)))
   }
 
+  test("native marker_counts equals the filter-HOF spelling (random + real corpus)") {
+    val rnd = new scala.util.Random(44L)
+    val vocab = Vector("the", "und", "le", "der", "a", "of", "zz", "est",
+      "is", "la", "THE", "Und", "", "x")
+    val rows = (0L until 80L).map { id =>
+      (id, Seq.fill(rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(if (rnd.nextBoolean()) " " else "  "))
+    }
+    val d = rows.toDF("doc_id", "text")
+    val lists = Seq(TextAnalysis.stopwordsEn, TextAnalysis.stopwordsDe,
+      TextAnalysis.stopwordsFr)
+    def native(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+        graft.functions.marker_counts(col("text"), lists).as("mc"))
+      .as[(Long, Seq[Long])].collect().toSet
+    def declarative(df: org.apache.spark.sql.DataFrame) = {
+      val toks = TextOps.tokens(col("text"))
+      df.select(col("doc_id"), array(
+          lists.map(w => TextAnalysis.markerCount(toks, w).cast("long")): _*))
+        .as[(Long, Seq[Long])].collect().toSet
+    }
+    assert(native(d) == declarative(d))
+    assert(native(docs) == declarative(docs))
+  }
+
   test("null text rows flow through the text projections without crashing") {
     val d = Seq((1L, "some perfectly fine text here"), (2L, null))
       .toDF("doc_id", "text")
