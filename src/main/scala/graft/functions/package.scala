@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.graft.{CepExprColumns, CompressRatioColumns, GramStatsColumns, LshBucketsColumns, MarkerCountsColumns, MetricRouteColumns, MinhashColumns, RollingHashColumns, SimhashColumns, TrigramScoresColumns, VecDotColumns, WordShinglesColumns}
+import org.apache.spark.sql.graft.{AsciiClassCountsColumns, CepExprColumns, CompressRatioColumns, GramStatsColumns, LshBucketsColumns, MarkerCountsColumns, MetricRouteColumns, MinhashColumns, RollingHashColumns, SimhashColumns, TrigramScoresColumns, VecDotColumns, WordShinglesColumns}
 
 /** Public column-function surface for graft's native Catalyst
   * expressions (implementations under org.apache.spark.sql.graft). */
@@ -46,6 +46,12 @@ package object functions {
     * [[org.apache.spark.sql.graft.MarkerCounts]]. */
   def marker_counts(text: Column, langs: Seq[Seq[String]]): Column =
     MarkerCountsColumns.markerCounts(text, langs)
+
+  /** Per-class ASCII character counts (ARRAY<BIGINT>, class order =
+    * `classes` order) in one byte pass — see
+    * [[org.apache.spark.sql.graft.AsciiClassCounts]]. */
+  def ascii_class_counts(text: Column, classes: Seq[String]): Column =
+    AsciiClassCountsColumns.asciiClassCounts(text, classes)
 
   /** zlib compression ratio of the document bytes (classic
     * repetition/boilerplate quality signal; not SQL-expressible, so

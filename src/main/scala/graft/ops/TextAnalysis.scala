@@ -21,13 +21,18 @@ object TextAnalysis {
     * regex token count). */
   def tokenStats(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
+    // Non-whitespace char count = total − ASCII-\s count, one native
+    // byte pass (Java's \s is ASCII-only, so the arithmetic is exact;
+    // the regexp_replace spelling is the spec twin + oracle).
+    val ws = element_at(graft.functions.ascii_class_counts(col("text"),
+      Seq(" \t\n\u000B\f\r")), 1) // Java \s = [ \t\n\x0B\f\r]
     docs.select(
       col("doc_id"),
       char_length(col("text")).as("n_chars"),
       size(toks).as("n_tokens"),
       regexp_count(col("text"), lit(bpePattern)).as("n_bpe_tokens"),
-      (char_length(regexp_replace(col("text"), "\\s", ""))
-        .cast("double") / size(toks)).as("avg_token_len"))
+      ((char_length(col("text")) - ws).cast("double") / size(toks))
+        .as("avg_token_len"))
   }
 
   /** Stopword list used by both the quality score and language ID —
@@ -51,8 +56,13 @@ object TextAnalysis {
   def qualityScore(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     val nChars = char_length(col("text"))
-    val punct = char_length(regexp_replace(col("text"), "[^.!?,;:]", ""))
-    val alpha = char_length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+    // Punctuation + alphabetic counts share one native byte pass
+    // (ASCII classes count chars exactly like the regex-strip
+    // spelling, which remains the spec twin + oracle arithmetic).
+    val cc = graft.functions.ascii_class_counts(col("text"),
+      Seq(".!?,;:", (('a' to 'z') ++ ('A' to 'Z')).mkString))
+    val punct = element_at(cc, 1).cast("int")
+    val alpha = element_at(cc, 2).cast("int")
     val stop = element_at(
       graft.functions.marker_counts(col("text"), Seq(stopwordsEn)), 1)
       .cast("int")

@@ -665,6 +665,27 @@ class OpsSpec extends AnyFunSuite {
     assert(native(docs) == declarative(docs))
   }
 
+  test("native ascii_class_counts equals the regex-strip spelling (incl. multibyte text)") {
+    val rnd = new scala.util.Random(45L)
+    val chars = "ab.!? ,;:Zz09\t\n\u000B\f\räßé€—".toVector
+    val rows = (0L until 80L).map { id =>
+      (id, Seq.fill(rnd.nextInt(200))(chars(rnd.nextInt(chars.size))).mkString)
+    }
+    val d = rows.toDF("doc_id", "text")
+    val classes = Seq(".!?,;:",
+      (('a' to 'z') ++ ('A' to 'Z')).mkString, " \t\n\u000B\f\r")
+    val native = d.select(col("doc_id"),
+        graft.functions.ascii_class_counts(col("text"), classes).as("cc"))
+      .as[(Long, Seq[Long])].collect().toSet
+    val declarative = d.select(col("doc_id"), array(
+        char_length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast("long"),
+        char_length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long"),
+        char_length(col("text")).cast("long") -
+          char_length(regexp_replace(col("text"), "\\s", "")).cast("long")))
+      .as[(Long, Seq[Long])].collect().toSet
+    assert(native == declarative)
+  }
+
   test("null text rows flow through the text projections without crashing") {
     val d = Seq((1L, "some perfectly fine text here"), (2L, null))
       .toDF("doc_id", "text")
