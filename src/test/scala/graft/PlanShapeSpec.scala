@@ -71,6 +71,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(readSchemas("cep_sum_tumbling_gt").forall(!_.contains("event_id")))
   }
 
+  test("per-document text/curation projections plan ZERO exchanges") {
+    // These carry the zero-shuffle design claim: per-doc statistics
+    // computed by native expressions, never by explode→groupBy (which
+    // would shuffle every gram occurrence of a 100 TB corpus). A
+    // reintroduced aggregation or join here is an architecture
+    // regression, not a tuning choice.
+    val zeroShuffle = Seq("text_repetition", "curation_filter",
+      "text_quality", "text_tokens", "text_langid", "text_langid_ngram",
+      "text_fingerprint", "text_redact", "text_compress_ratio",
+      "curation_sample", "curation_split", "curation_mixture",
+      "mm_features", "mm_resize")
+    for (q <- zeroShuffle) {
+      val n = "Exchange".r.findAllIn(plans(q)).size
+      assert(n == 0, s"$q plans $n Exchange nodes; expected a pure projection")
+    }
+  }
+
   test("CEP plans shuffle exactly once (parse queries: zero)") {
     val shuffleCounts = plans.view.filterKeys(_.startsWith("cep_")).mapValues(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size).toMap
