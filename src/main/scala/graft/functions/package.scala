@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.graft.{AsciiClassCountsColumns, CepExprColumns, CompressRatioColumns, GramStatsColumns, LshBucketsColumns, MarkerCountsColumns, MetricRouteColumns, MinhashColumns, RollingHashColumns, SimhashColumns, TrigramScoresColumns, VecDotColumns, WordShinglesColumns}
+import org.apache.spark.sql.graft.{AsciiClassCountsColumns, BpeTokenCountColumns, CepExprColumns, CompressRatioColumns, GramStatsColumns, LshBucketsColumns, MarkerCountsColumns, MetricRouteColumns, MinhashColumns, RollingHashColumns, SimhashColumns, TrigramScoresColumns, VecDotColumns, WordShinglesColumns}
 
 /** Public column-function surface for graft's native Catalyst
   * expressions (implementations under org.apache.spark.sql.graft). */
@@ -46,6 +46,12 @@ package object functions {
     * [[org.apache.spark.sql.graft.MarkerCounts]]. */
   def marker_counts(text: Column, langs: Seq[Seq[String]]): Column =
     MarkerCountsColumns.markerCounts(text, langs)
+
+  /** GPT-2-shaped pre-tokenizer match count (one byte pass; exact
+    * lexer for `TextAnalysis.bpePattern`'s total alternation) — see
+    * [[org.apache.spark.sql.graft.BpeTokenCount]]. */
+  def bpe_token_count(text: Column): Column =
+    BpeTokenCountColumns.bpeTokenCount(text)
 
   /** Per-class ASCII character counts (ARRAY<BIGINT>, class order =
     * `classes` order) in one byte pass — see

@@ -30,7 +30,10 @@ object TextAnalysis {
       col("doc_id"),
       char_length(col("text")).as("n_chars"),
       size(toks).as("n_tokens"),
-      regexp_count(col("text"), lit(bpePattern)).as("n_bpe_tokens"),
+      // Native lexer for the total alternation (spec-pinned equal to
+      // regexp_count(bpePattern), which stays the oracle spelling).
+      graft.functions.bpe_token_count(col("text")).cast("int")
+        .as("n_bpe_tokens"),
       ((char_length(col("text")) - ws).cast("double") / size(toks))
         .as("avg_token_len"))
   }

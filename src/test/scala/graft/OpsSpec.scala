@@ -686,6 +686,35 @@ class OpsSpec extends AnyFunSuite {
     assert(native == declarative)
   }
 
+  test("native bpe_token_count equals regexp_count(bpePattern) on adversarial soup") {
+    val rnd = new scala.util.Random(46L)
+    // Fragments chosen to hit every lexer branch and boundary:
+    // contractions (valid + near-miss), space-prefixed runs, double
+    // spaces, tab/CR/FF, apostrophe runs, digits, multibyte.
+    val frags = Vector("'s", "'t", "'re", "'ve", "'m", "'ll", "'d", "'l",
+      "'x", "''", "'", "don't", "a", "Zz", "42", " ", "  ", "\t", "\r",
+      "\f", "!?", ".", "é", "ß€", "deß", "9a", "a9", " 'q", "x ")
+    val rows = (0L until 120L).map { id =>
+      (id, Seq.fill(rnd.nextInt(30))(frags(rnd.nextInt(frags.size))).mkString)
+    }
+    val d = rows.toDF("doc_id", "text")
+    val native = d.select(col("doc_id"),
+        graft.functions.bpe_token_count(col("text"))).as[(Long, Long)]
+      .collect().toMap
+    val regex = d.select(col("doc_id"),
+        regexp_count(col("text"), lit(TextAnalysis.bpePattern)).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(native == regex)
+    // And on the real corpus.
+    val nd = docs.select(col("doc_id"),
+        graft.functions.bpe_token_count(col("text"))).as[(Long, Long)]
+      .collect().toMap
+    val rd = docs.select(col("doc_id"),
+        regexp_count(col("text"), lit(TextAnalysis.bpePattern)).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(nd == rd)
+  }
+
   test("null text rows flow through the text projections without crashing") {
     val d = Seq((1L, "some perfectly fine text here"), (2L, null))
       .toDF("doc_id", "text")
