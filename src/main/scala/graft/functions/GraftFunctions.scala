@@ -72,6 +72,9 @@ object GraftFunctions {
     "compress_ratio" -> { args =>
       expectArgs("compress_ratio", args, 1); CompressRatio(args(0))
     },
+    "bpe_token_count" -> { args =>
+      expectArgs("bpe_token_count", args, 1); BpeTokenCount(args(0))
+    },
     "rolling_fingerprint" -> { args =>
       expectArgs("rolling_fingerprint", args, 3)
       RollingHashFingerprint(args(0),
