@@ -192,6 +192,36 @@ class StatefulCepSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("decontamination runs at ingest (stream-static gram join, batch/stream parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val evalDocs = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val rows = Seq(
+      (1L, "prefix alpha beta gamma delta epsilon suffix"), // shares 5-grams
+      (2L, "entirely unrelated words in this document here"))
+    val mem = MemoryStream[(Long, String)]
+    // The BATCH operator applied unchanged to a streaming frame:
+    // explode + broadcast stream-static join + per-doc count
+    // (update mode — counts grow as grams arrive).
+    val q = graft.ops.Decontamination.flagContaminated(
+        mem.toDF().toDF("doc_id", "text"), evalDocs, n = 5)
+      .writeStream.format("memory").queryName("stream_decontam")
+      .outputMode("update").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val stream = spark.table("stream_decontam")
+        .as[(Long, Long)].collect().toMap
+      val batch = graft.ops.Decontamination.flagContaminated(
+          rows.toDF("doc_id", "text"), evalDocs, n = 5)
+        .as[(Long, Long)].collect().toMap
+      assert(stream == batch)
+      // doc 1 shares exactly the one full 5-gram window
+      // "alpha beta gamma delta epsilon" with the eval doc.
+      assert(stream.keySet == Set(1L) && stream(1L) == 1L)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: first occurrence kept, in-horizon duplicates dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, String)]
