@@ -88,6 +88,12 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("bench-only queries produce rows (a silently-empty bench row times nothing)") {
+    for ((name, fn) <- SparkEntry.benchOnly) {
+      assert(fn(spark, sfDir).count() > 0, s"$name returned no rows at $sfDir")
+    }
+  }
+
   test("CEP plans shuffle exactly once (parse queries: zero)") {
     val shuffleCounts = plans.view.filterKeys(_.startsWith("cep_")).mapValues(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size).toMap
