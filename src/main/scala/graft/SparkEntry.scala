@@ -970,7 +970,11 @@ object SparkEntry {
     "sim_diversity" -> ((s, d) =>
       graft.ops.Similarity.diversitySample(
         graft.ops.Similarity.buildIvfIndex(embeddings(s, d), nClusters = 16),
-        perCluster = 20)))
+        perCluster = 20)),
+    // Embedding-space outlier scoring (same centroid-float caveat).
+    "sim_outliers" -> ((s, d) =>
+      graft.ops.Similarity.outlierScores(
+        graft.ops.Similarity.buildIvfIndex(embeddings(s, d), nClusters = 16))))
 
   /** DuckDB-equivalent SQL per query (same column names + arithmetic).
     * Every query carries an oracle: the approximate-index queries

@@ -237,6 +237,29 @@ object Similarity {
     Sampling.stratifiedCap(index.assigned, col("cid"), col("vec_id"),
       perCluster, seed)
 
+  /** Embedding-space outlier score per vector:
+    * `1 − cos(embedding, centroid(cid))` against the vector's OWN
+    * cluster centroid. Corrupt, mis-embedded, or off-distribution
+    * vectors sit far from every centroid and score high — the
+    * embedding-side counterpart of the text quality gate (filter with
+    * `outlier_score > τ`). Pure projection over the assigned frame:
+    * the centroid model is a k×dim literal, the `when`-chain on cid
+    * evaluates exactly one dot product per row, no join, no shuffle. */
+  def outlierScores(index: IvfIndex): DataFrame = {
+    val cosOwn = index.centroids.zipWithIndex.map { case (c, i) =>
+        (i, dot(col("e"), array(c.map(lit).toIndexedSeq: _*)))
+      }.foldLeft(Option.empty[Column]) { case (acc, (i, d)) =>
+        Some(acc.fold(when(col("cid") === i, d))(_.when(col("cid") === i, d)))
+      }.get.otherwise(lit(Double.NaN))
+    index.assigned
+      .select(col("vec_id"), col("cid"), col("embedding"),
+        graft.functions.VecMath.vec_norm(col("embedding")).as("nrm"))
+      .select(col("vec_id"), col("cid"),
+        transform(col("embedding"), x => x.cast("double") / col("nrm")).as("e"))
+      .select(col("vec_id"), col("cid"),
+        (lit(1.0) - cosOwn).as("outlier_score"))
+  }
+
   /** Reload a [[saveIvfIndex]] artifact. The assigned frame comes back
     * partition-pruned by `cid`; probes are bit-identical to the
     * in-session index (spec-pinned). */

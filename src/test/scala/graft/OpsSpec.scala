@@ -419,6 +419,26 @@ class OpsSpec extends AnyFunSuite {
       again.select("vec_id").as[Long].collect().toSet)
   }
 
+  test("outlier scores: in [0,2], total coverage, own-centroid is the argmin centroid") {
+    val index = Similarity.buildIvfIndex(emb, nClusters = 8)
+    val s = Similarity.outlierScores(index)
+      .as[(Long, Int, Double)].collect()
+    assert(s.length == emb.count())
+    assert(s.forall { case (_, _, d) => d >= -1e-9 && d <= 2.0 + 1e-9 })
+    // cid is the NEAREST centroid, so no other centroid can beat the
+    // own-cluster score: spot-check a few vectors exhaustively.
+    val byId = s.map(r => r._1 -> r).toMap
+    val vecs = index.assigned.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().take(10)
+    for ((id, v) <- vecs) {
+      val unit = { val n = math.sqrt(v.map(x => x.toDouble * x).sum); v.map(_ / n) }
+      val best = index.centroids.map(c =>
+        1.0 - c.zip(unit).map { case (a, b) => a * b }.sum).min
+      assert(math.abs(byId(id)._3 - best) < 1e-9,
+        s"vec $id: own-cluster score ${byId(id)._3} != min-centroid $best")
+    }
+  }
+
   test("pre-built IVF index probes identically to the train-per-call path") {
     // Training is deterministic (seeded init, fixed iters), so probing
     // a built-once index must reproduce ivfTopK exactly — the
