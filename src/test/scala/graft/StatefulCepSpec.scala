@@ -192,6 +192,25 @@ class StatefulCepSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("repetition stats run at ingest (zero-shuffle projection, batch/stream parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((1L, "a b a b a"), (2L, "x y z"), (3L, "solo"))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.ops.TextAnalysis.repetitionStats(
+        mem.toDF().toDF("doc_id", "text"), 2)
+      .writeStream.format("memory").queryName("stream_repetition")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val stream = spark.table("stream_repetition").collect().toSet
+      val batch = graft.ops.TextAnalysis.repetitionStats(
+        rows.toDF("doc_id", "text"), 2).collect().toSet
+      assert(stream == batch)
+      assert(stream.size == 2) // "solo" has no bigrams, filtered in both
+    } finally q.stop()
+  }
+
   test("decontamination runs at ingest (stream-static gram join, batch/stream parity)") {
     implicit val sqlCtx = spark.sqlContext
     val evalDocs = Seq((100L, "alpha beta gamma delta epsilon zeta"))
