@@ -5,7 +5,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -95,4 +95,69 @@ object VecDotColumns {
   def vecDot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       VecDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
+
+/** Unit-normalized double copy of a float/double vector in one pass:
+  * `out[i] = v[i] / sqrt(Σ v[j]²)` — the normalization every cosine
+  * path runs before dotting.
+  *
+  * The declarative spelling projects `sqrt(vec_dot(e, e))` and then
+  * evaluates a `transform` lambda per element for the division — an
+  * interpreted per-element call on every embedding row of every
+  * similarity query. This loop is bit-identical: the norm is the same
+  * left-to-right summation [[VecDot]] computes (then the same sqrt),
+  * and each division is the identical IEEE operation, so every
+  * downstream cosine — including the hash-exact oracle queries —
+  * is unchanged. Zero vectors are the one DELIBERATE deviation: the
+  * lambda's division throws DIVIDE_BY_ZERO under Spark 4 ANSI mode,
+  * while this loop yields IEEE NaN — a corrupt embedding should score
+  * as garbage downstream, not kill the job (spec pins both
+  * behaviors). Null elements read as 0.0 (same caveat as [[VecDot]];
+  * the corpus schema carries none). */
+case class VecUnit(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_unit"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any =
+    VecUnitImpl.unit(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.VecUnitImpl.unit($c, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): VecUnit =
+    copy(child = newChild)
+}
+
+object VecUnitImpl {
+  /** See [[VecUnit]]. Static for codegen. */
+  def unit(v: ArrayData, isFloat: Boolean): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = v.numElements()
+    val out = new Array[Double](n)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      out(i) = x
+      s += x * x
+      i += 1
+    }
+    val norm = math.sqrt(s)
+    i = 0
+    while (i < n) { out(i) = out(i) / norm; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+object VecUnitColumns {
+  def vecUnit(v: Column): Column =
+    ExpressionUtils.column(VecUnit(ExpressionUtils.expression(v)))
 }

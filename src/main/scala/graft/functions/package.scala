@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.graft.{AsciiClassCountsColumns, BpeTokenCountColumns, CepExprColumns, CompressRatioColumns, GramStatsColumns, LshBucketsColumns, MarkerCountsColumns, MetricRouteColumns, MinhashColumns, RollingHashColumns, SimhashColumns, TrigramScoresColumns, VecDotColumns, WordShinglesColumns}
+import org.apache.spark.sql.graft.{AsciiClassCountsColumns, BpeTokenCountColumns, CepExprColumns, CompressRatioColumns, GramStatsColumns, LshBucketsColumns, MarkerCountsColumns, MetricRouteColumns, MinhashColumns, RollingHashColumns, SimhashColumns, TrigramScoresColumns, VecDotColumns, VecUnitColumns, WordShinglesColumns}
 
 /** Public column-function surface for graft's native Catalyst
   * expressions (implementations under org.apache.spark.sql.graft). */
@@ -14,6 +14,11 @@ package object functions {
 
     /** L2 norm of an array column. */
     def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
+
+    /** Unit-normalized double copy of a vector column in one native
+      * pass (bit-identical to `transform(v, x => x / vec_norm(v))`) —
+      * see [[org.apache.spark.sql.graft.VecUnit]]. */
+    def vec_unit(a: Column): Column = VecUnitColumns.vecUnit(a)
   }
 
   /** Winnowed Rabin–Karp rolling-hash fingerprints (ARRAY<BIGINT>) —

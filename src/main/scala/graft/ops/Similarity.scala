@@ -34,14 +34,13 @@ object Similarity {
       graft.functions.VecMath.vec_norm(col("embedding")).as("norm"))
 
   /** (vec_id, embedding, e): unit-normalized double copy of the
-    * embedding. The norm is projected once and referenced inside the
-    * transform lambda — inlining `vec_norm` in the lambda would
-    * recompute the O(dim) norm per element (O(dim²) per row). */
+    * embedding — one native pass ([[graft.functions.VecMath.vec_unit]],
+    * bit-identical to the norm-then-transform HOF spelling it
+    * replaced, spec-pinned), so every cosine path starts from a tight
+    * codegen'd loop instead of an interpreted per-element lambda. */
   private def unitized(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding"),
-        graft.functions.VecMath.vec_norm(col("embedding")).as("nrm"))
-      .select(col("vec_id"), col("embedding"),
-        transform(col("embedding"), x => x.cast("double") / col("nrm")).as("e"))
+      graft.functions.VecMath.vec_unit(col("embedding")).as("e"))
 
   /** All near-duplicate pairs with cosine ≥ threshold (exact,
     * corpus×corpus — the verification baseline; use the LSH path to
@@ -252,10 +251,8 @@ object Similarity {
         Some(acc.fold(when(col("cid") === i, d))(_.when(col("cid") === i, d)))
       }.get.otherwise(lit(Double.NaN))
     index.assigned
-      .select(col("vec_id"), col("cid"), col("embedding"),
-        graft.functions.VecMath.vec_norm(col("embedding")).as("nrm"))
       .select(col("vec_id"), col("cid"),
-        transform(col("embedding"), x => x.cast("double") / col("nrm")).as("e"))
+        graft.functions.VecMath.vec_unit(col("embedding")).as("e"))
       .select(col("vec_id"), col("cid"),
         (lit(1.0) - cosOwn).as("outlier_score"))
   }

@@ -439,6 +439,42 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("native vec_unit equals the norm-then-transform HOF spelling, bit-exact") {
+    val rnd = new scala.util.Random(47L)
+    val rows = (0L until 60L).map { id =>
+      (id, Seq.fill(16)((rnd.nextFloat() - 0.5f) * 4f))
+    }
+    val d = rows.toDF("vec_id", "embedding")
+    val native = d.select(col("vec_id"),
+        graft.functions.VecMath.vec_unit(col("embedding")).as("e"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val hof = d.select(col("vec_id"),
+        graft.functions.VecMath.vec_norm(col("embedding")).as("nrm"),
+        col("embedding"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") / col("nrm")).as("e"))
+      .as[(Long, Seq[Double])].collect().toMap
+    for (id <- native.keys) {
+      native(id).zip(hof(id)).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToLongBits(a) ==
+          java.lang.Double.doubleToLongBits(b), s"vec $id differs: $a vs $b")
+      }
+    }
+    // Declared deviation on zero vectors: the HOF division throws
+    // under ANSI; the native loop yields NaN (garbage scores instead
+    // of a dead job).
+    val zero = Seq((99L, Seq.fill(16)(0.0f))).toDF("vec_id", "embedding")
+    val z = zero.select(graft.functions.VecMath.vec_unit(col("embedding")))
+      .as[Seq[Double]].collect().head
+    assert(z.forall(_.isNaN))
+    intercept[Exception] {
+      zero.select(graft.functions.VecMath.vec_norm(col("embedding")).as("nrm"),
+          col("embedding"))
+        .select(transform(col("embedding"), x => x.cast("double") / col("nrm")))
+        .collect()
+    }
+  }
+
   test("pre-built IVF index probes identically to the train-per-call path") {
     // Training is deterministic (seeded init, fixed iters), so probing
     // a built-once index must reproduce ivfTopK exactly — the
