@@ -50,6 +50,29 @@ case class GramStats(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** [[GramStats]] over a PRE-TOKENIZED array ([[WordTokens]] column):
+  * the token-index path — same statistics, zero re-tokenize. */
+case class ArrayGramStats(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, "gram size must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = GramStats.schema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "array_gram_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GramStats.computeFromTokens(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.GramStats.computeFromTokens($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayGramStats =
+    copy(child = newChild)
+}
+
 object GramStats {
   val schema: StructType = StructType(Seq(
     StructField("n_grams", LongType, nullable = false),
@@ -58,8 +81,15 @@ object GramStats {
     StructField("dup_gram_frac", DoubleType, nullable = false)))
 
   /** See [[GramStats]]. Static for codegen. */
-  def compute(text: UTF8String, n: Int): InternalRow = {
-    val grams = WordShinglesImpl.shingles(text, n)
+  def compute(text: UTF8String, n: Int): InternalRow =
+    statsOf(WordShinglesImpl.shingles(text, n))
+
+  /** See [[ArrayGramStats]]. Static for codegen. */
+  def computeFromTokens(
+      arr: org.apache.spark.sql.catalyst.util.ArrayData, n: Int): InternalRow =
+    statsOf(WordShinglesImpl.shinglesFromTokens(arr, n))
+
+  private def statsOf(grams: org.apache.spark.sql.catalyst.util.GenericArrayData): InternalRow = {
     val total = grams.numElements()
     val row = new GenericInternalRow(4)
     if (total == 0) {
@@ -88,4 +118,6 @@ object GramStats {
 object GramStatsColumns {
   def gramStats(text: Column, n: Int): Column =
     ExpressionUtils.column(GramStats(ExpressionUtils.expression(text), n))
+  def arrayGramStats(tokens: Column, n: Int): Column =
+    ExpressionUtils.column(ArrayGramStats(ExpressionUtils.expression(tokens), n))
 }

@@ -60,7 +60,9 @@ object MarkerTable {
   def build(langs: Seq[Seq[String]]): MarkerTable = {
     val map = new java.util.HashMap[UTF8String, Array[Int]]()
     langs.zipWithIndex.foreach { case (words, l) =>
-      words.foreach { w =>
+      // distinct: a word listed twice for one language must still count
+      // each token occurrence once (parity with the filter-HOF twin).
+      words.distinct.foreach { w =>
         map.merge(UTF8String.fromString(w), Array(l), (a, x) => a ++ x)
       }
     }

@@ -5,7 +5,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -44,14 +44,80 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** The shared tokenize of [[WordShingles]]/[[GramStats]] exposed as its
+  * own column — `trim → lowercase → split(\s+)`, the exact routines of
+  * `TextOps.tokens` — so a pipeline can materialize ONE token index
+  * and shingle it at several n ([[ArrayShingles]]) instead of paying
+  * the tokenize per branch (Curation.pipeline's quality/dedup/
+  * decontamination branches tokenized the same corpus three times). */
+case class WordTokens(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_tokens"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShinglesImpl.tokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.WordShinglesImpl.tokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordTokens =
+    copy(child = newChild)
+}
+
+/** [[WordShingles]] over a PRE-TOKENIZED array (a [[WordTokens]]
+  * column): same n-gram join, zero re-tokenize. Byte-identical to
+  * `word_shingles(text, n)` when fed `word_tokens(text)` (spec). */
+case class ArrayShingles(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "array_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShinglesImpl.shinglesFromTokens(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.WordShinglesImpl.shinglesFromTokens($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayShingles =
+    copy(child = newChild)
+}
+
 object WordShinglesImpl {
   private val Whitespace = UTF8String.fromString("\\s+")
   private val Space = UTF8String.fromString(" ")
 
+  private def tokenize(s: UTF8String): Array[UTF8String] =
+    s.trim().toLowerCase().split(Whitespace, -1)
+
+  /** See [[WordTokens]]. Static for codegen. (A UTF8String[] IS an
+    * Object[] to the JVM; the cast avoids a defensive copy.) */
+  def tokens(s: UTF8String): GenericArrayData =
+    new GenericArrayData(tokenize(s).asInstanceOf[Array[AnyRef]])
+
   /** See [[WordShingles]]. Static so generated code can call it
     * without captured references. */
-  def shingles(s: UTF8String, n: Int): GenericArrayData = {
-    val toks = s.trim().toLowerCase().split(Whitespace, -1)
+  def shingles(s: UTF8String, n: Int): GenericArrayData =
+    shinglesOf(tokenize(s), n)
+
+  /** See [[ArrayShingles]]. Static for codegen. */
+  def shinglesFromTokens(arr: ArrayData, n: Int): GenericArrayData = {
+    val len = arr.numElements()
+    val toks = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) { toks(i) = arr.getUTF8String(i); i += 1 }
+    shinglesOf(toks, n)
+  }
+
+  private def shinglesOf(toks: Array[UTF8String], n: Int): GenericArrayData = {
     if (toks.length < n)
       return new GenericArrayData(Array.empty[Any])
     val out = new Array[AnyRef](toks.length - n + 1)
@@ -69,4 +135,8 @@ object WordShinglesImpl {
 object WordShinglesColumns {
   def wordShingles(text: Column, n: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), n))
+  def wordTokens(text: Column): Column =
+    ExpressionUtils.column(WordTokens(ExpressionUtils.expression(text)))
+  def arrayShingles(tokens: Column, n: Int): Column =
+    ExpressionUtils.column(ArrayShingles(ExpressionUtils.expression(tokens), n))
 }

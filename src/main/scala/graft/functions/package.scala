@@ -32,6 +32,19 @@ package object functions {
   def word_shingles(text: Column, n: Int): Column =
     WordShinglesColumns.wordShingles(text, n)
 
+  /** The shared native tokenize (`trim → lower → split(\s+)`,
+    * byte-identical to `TextOps.tokens`) as a materializable column:
+    * tokenize ONCE, shingle many times via [[array_shingles]] — see
+    * [[org.apache.spark.sql.graft.WordTokens]]. */
+  def word_tokens(text: Column): Column =
+    WordShinglesColumns.wordTokens(text)
+
+  /** Shingles from a pre-tokenized [[word_tokens]] array (the
+    * token-index path; byte-identical to [[word_shingles]] on the
+    * original text) — see [[org.apache.spark.sql.graft.ArrayShingles]]. */
+  def array_shingles(tokens: Column, n: Int): Column =
+    WordShinglesColumns.arrayShingles(tokens, n)
+
   /** Per-document word n-gram repetition stats struct
     * `{n_grams, n_distinct_grams, top_gram_frac, dup_gram_frac}` in
     * one native pass (codegen'd; zero-shuffle replacement for the
@@ -39,6 +52,11 @@ package object functions {
     * [[org.apache.spark.sql.graft.GramStats]]. */
   def gram_stats(text: Column, n: Int): Column =
     GramStatsColumns.gramStats(text, n)
+
+  /** [[gram_stats]] from a pre-tokenized [[word_tokens]] array — see
+    * [[org.apache.spark.sql.graft.ArrayGramStats]]. */
+  def array_gram_stats(tokens: Column, n: Int): Column =
+    GramStatsColumns.arrayGramStats(tokens, n)
 
   /** Per-language character-trigram scores (ARRAY<BIGINT>, language
     * order = `langs` order) in one pass over the text — see

@@ -53,10 +53,16 @@ object Bucketing {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       salt: Int = 16): DataFrame = {
     require(salt > 0, "salt must be positive")
-    val saltedLeft = left.withColumn("_salt",
+    // Working-column name must not collide with either input's schema
+    // (a fixed "_salt" would silently clobber — and then drop — a user
+    // column of that name).
+    val taken = (left.columns ++ right.columns).toSet
+    val saltCol = Iterator.from(0).map(i => s"_graft_salt_$i")
+      .find(!taken(_)).get
+    val saltedLeft = left.withColumn(saltCol,
       (rand(seed = 42) * salt).cast("int"))
-    val replicatedRight = right.withColumn("_salt",
+    val replicatedRight = right.withColumn(saltCol,
       explode(sequence(lit(0), lit(salt - 1))))
-    saltedLeft.join(replicatedRight, Seq(key, "_salt")).drop("_salt")
+    saltedLeft.join(replicatedRight, Seq(key, saltCol)).drop(saltCol)
   }
 }

@@ -20,9 +20,16 @@ import org.apache.spark.sql.functions._
   * Scale shape is the union of its parts, each independently
   * 100 TB-audited: candidate generation by df-capped shingle
   * equi-join, O(log L) pointer-jumping components, broadcast eval
-  * grams, and map-side-combinable aggregations throughout. The three
-  * branches share one scan-side schema (doc_id, text) and join back
-  * on doc_id only.
+  * grams, and map-side-combinable aggregations throughout.
+  *
+  * The three branches share ONE materialized token index
+  * (`doc_id, toks` via [[graft.functions.word_tokens]], repartitioned
+  * by doc_id once): quality, dedup, and decontamination previously
+  * each re-scanned the source and re-tokenized the corpus; now the
+  * scan + tokenize + spread are paid once and every branch derives
+  * its grams from the cached arrays ([[graft.functions.array_shingles]]
+  * / array_gram_stats — byte-identical to the text path, spec-pinned),
+  * joining back on doc_id only.
   */
 object Curation {
 
@@ -32,15 +39,20 @@ object Curation {
       minTokens: Int = 25, maxTokens: Int = 100000,
       maxTopGramFrac: Double = 0.09, maxDupGramFrac: Double = 0.09,
       persist: Persistence = Persistence.Local): DataFrame = {
-    val quality = TextAnalysis.qualityFilter(docs, minTokens, maxTokens,
-        maxTopGramFrac, maxDupGramFrac)
+    val base = persist(docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.word_tokens(col("text")).as("toks")))
+    val quality = TextAnalysis.qualityFilterFromTokens(base, minTokens,
+        maxTokens, maxTopGramFrac, maxDupGramFrac)
       .select(col("doc_id"), col("keep").as("quality_keep"))
     val losers = Dedup.components(
-        Dedup.ngramJaccardPairs(docs, shingleN, jaccard, maxShingleDf),
+        Dedup.ngramJaccardPairsFromTokens(base, shingleN, jaccard,
+          maxShingleDf, persist),
         persist = persist)
       .filter(col("component_id") =!= col("doc_id"))
       .select(col("doc_id"), lit(true).as("dup_loser"))
-    val contaminated = Decontamination.flagContaminated(docs, evalDocs, decontamN)
+    val contaminated = Decontamination.flagContaminatedFromTokens(
+        base, evalDocs, decontamN)
       .select(col("doc_id"), lit(true).as("contaminated"))
     docs.select(col("doc_id"))
       .join(quality, Seq("doc_id"))

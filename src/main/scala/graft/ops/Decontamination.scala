@@ -28,18 +28,36 @@ object Decontamination {
     * published choice for natural text; small fixture corpora need
     * smaller). */
   def flagContaminated(docs: DataFrame, evalDocs: DataFrame, n: Int = 13,
-      broadcastEval: Boolean = true): DataFrame = {
+      broadcastEval: Boolean = true): DataFrame =
+    flagAgainstEval(
+      docs
+        // Shingling is the CPU-dense stage — spread it across all cores
+        // rather than inherit file-split parallelism.
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), explode(
+          array_distinct(graft.functions.word_shingles(col("text"), n))).as("g")),
+      evalDocs, n, broadcastEval)
+
+  /** [[flagContaminated]] over a materialized token index (`doc_id` +
+    * `toks` [[graft.functions.word_tokens]] column, already spread):
+    * corpus grams come from [[graft.functions.array_shingles]] — zero
+    * re-tokenize, zero extra repartition, identical gram set. The
+    * (tiny) eval side still derives its grams from raw text. */
+  def flagContaminatedFromTokens(tokensFrame: DataFrame, evalDocs: DataFrame,
+      n: Int = 13, broadcastEval: Boolean = true): DataFrame =
+    flagAgainstEval(
+      tokensFrame.select(col("doc_id"), explode(
+        array_distinct(graft.functions.array_shingles(col("toks"), n))).as("g")),
+      evalDocs, n, broadcastEval)
+
+  private def flagAgainstEval(corpusGrams: DataFrame, evalDocs: DataFrame,
+      n: Int, broadcastEval: Boolean): DataFrame = {
     val evalGrams = evalDocs
       .select(explode(
         array_distinct(graft.functions.word_shingles(col("text"), n))).as("g"))
       .distinct()
     val ev = if (broadcastEval) broadcast(evalGrams) else evalGrams
-    docs
-      // Shingling is the CPU-dense stage — spread it across all cores
-      // rather than inherit file-split parallelism.
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), explode(
-        array_distinct(graft.functions.word_shingles(col("text"), n))).as("g"))
+    corpusGrams
       .join(ev, "g")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))

@@ -100,8 +100,29 @@ object Dedup {
     * join+count plan is used (no separate verification pass). */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       maxShingleDf: Int = Int.MaxValue,
+      persist: Persistence = Persistence.Local): DataFrame =
+    pairsFromIndex(shingleIndexWithSize(docs, n, persist), threshold,
+      maxShingleDf)
+
+  /** [[ngramJaccardPairs]] over a materialized TOKEN INDEX — a frame
+    * carrying `doc_id` and a `toks` [[graft.functions.word_tokens]]
+    * column, already spread across the cluster (Curation.pipeline's
+    * shared base): shingles come from [[graft.functions.array_shingles]]
+    * with zero re-tokenize and zero extra repartition, and are
+    * byte-identical to the text path, so results match exactly. */
+  def ngramJaccardPairsFromTokens(tokensFrame: DataFrame, n: Int,
+      threshold: Double, maxShingleDf: Int = Int.MaxValue,
       persist: Persistence = Persistence.Local): DataFrame = {
-    val sh = shingleIndexWithSize(docs, n, persist)
+    val sh = persist(tokensFrame
+      .select(col("doc_id"),
+        array_distinct(graft.functions.array_shingles(col("toks"), n)).as("sh_arr"))
+      .select(col("doc_id"), explode(col("sh_arr")).as("shingle"),
+        size(col("sh_arr")).as("n_sh")))
+    pairsFromIndex(sh, threshold, maxShingleDf)
+  }
+
+  private def pairsFromIndex(sh: DataFrame, threshold: Double,
+      maxShingleDf: Int): DataFrame = {
     if (maxShingleDf == Int.MaxValue) {
       sh.as("x")
         .join(sh.as("y"),

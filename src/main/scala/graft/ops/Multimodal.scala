@@ -32,8 +32,9 @@ object Multimodal {
       width: Int, height: Int, n_frames: Int, brightness: Double)
 
   object MediaDecoder {
-    /** Deterministic fake: derives features from byte stats. A real
-      * implementation would parse the container/codec here. */
+    /** Deterministic fake: derives features from byte stats. Kept for
+      * the oracle-gated queries (its arithmetic is SQL-expressible);
+      * [[JdkImageIO]] is the real-bytes implementation. */
     object Fake extends MediaDecoder {
       def decode(payload: Array[Byte]): MediaFeatures = {
         val n = payload.length
@@ -43,6 +44,46 @@ object Multimodal {
           height = 64 + (n * 31) % 896,
           n_frames = 1 + n % 10,
           brightness = first / 255.0)
+      }
+    }
+
+    /** REAL image decoder on `javax.imageio` (JDK built-in, headless,
+      * zero extra dependencies): decodes actual PNG/JPEG/GIF/BMP
+      * payload bytes. `width`/`height` come from the decoded raster,
+      * `n_frames` is 1 (still images), `brightness` is the mean
+      * Rec. 601 luma over a bounded ≤64×64 sample grid (so a 100 MP
+      * image costs the same as a thumbnail — per-row work must stay
+      * bounded in a 100 TB scan). Undecodable bytes degrade to
+      * `(0, 0, 0, NaN)` rather than killing the job — the curation
+      * posture everywhere else in this engine: flag and filter
+      * malformed rows downstream, don't crash the pipeline on them. */
+    object JdkImageIO extends MediaDecoder {
+      def decode(payload: Array[Byte]): MediaFeatures = {
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          catch { case _: java.io.IOException => null }
+        if (img == null) MediaFeatures(0, 0, 0, Double.NaN)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val sx = math.max(1, w / 64)
+          val sy = math.max(1, h / 64)
+          var sum = 0.0
+          var cnt = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += 0.299 * ((rgb >> 16) & 0xFF) +
+                0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+              cnt += 1
+              x += sx
+            }
+            y += sy
+          }
+          MediaFeatures(w, h, 1, sum / cnt / 255.0)
+        }
       }
     }
   }

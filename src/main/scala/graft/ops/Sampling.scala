@@ -61,15 +61,39 @@ object Sampling {
     * `k` survive, with their 1-based `stratum_rank` attached. This is
     * the "cap the over-represented domain" move of corpus balancing —
     * and unlike a rate-based sample, the output size per stratum is
-    * exact. Shuffles once on the stratum; a hot stratum serializes its
-    * own rank pass but emits only `k` rows, so the skew cost is
-    * bounded by input scan, not output. */
+    * exact.
+    *
+    * Two-phase, hot-stratum-safe: a single
+    * `row_number() OVER (PARTITION BY stratum)` would sort an ENTIRE
+    * stratum on one task — a billion-row domain becomes one spilling
+    * external sort on one core. Instead phase 1 ranks within
+    * (stratum, bucket) — `fanout` deterministic hash buckets, so a hot
+    * stratum's sort is split `fanout` ways and each task keeps only
+    * its bucket's top `k` — and phase 2 exact-ranks the survivors
+    * (≤ `fanout`·`k` rows per stratum, KBs). Any global top-`k` row is
+    * top-`k` of its own bucket, so phase 1 always passes a superset of
+    * the answer through, and the output is bit-identical to the
+    * single-sort spelling (spec-pinned). Costs one extra (tiny)
+    * shuffle over the survivors. */
   def stratifiedCap(df: DataFrame, stratum: Column, key: Column, k: Int,
-      seed: String = "graft"): DataFrame = {
+      seed: String = "graft", fanout: Int = 64): DataFrame = {
     require(k > 0, s"cap must be positive, got $k")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(stratum).orderBy(hashUniform(key, seed).asc, key.asc)
-    df.withColumn("stratum_rank", row_number().over(w))
+    require(fanout > 0, s"fanout must be positive, got $fanout")
+    val taken = df.columns.toSet
+    val bucketCol = Iterator.from(0).map(i => s"_cap_bucket_$i")
+      .find(!taken(_)).get
+    val brankCol = Iterator.from(0).map(i => s"_cap_brank_$i")
+      .find(!taken(_)).get
+    val u = hashUniform(key, seed)
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum, col(bucketCol)).orderBy(u.asc, key.asc)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(u.asc, key.asc)
+    df.withColumn(bucketCol, pmod(hash(key), lit(fanout)))
+      .withColumn(brankCol, row_number().over(w1))
+      .filter(col(brankCol) <= k)
+      .drop(bucketCol, brankCol)
+      .withColumn("stratum_rank", row_number().over(w2))
       .filter(col("stratum_rank") <= k)
   }
 

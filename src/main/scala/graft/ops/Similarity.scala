@@ -249,7 +249,7 @@ object Similarity {
         (i, dot(col("e"), array(c.map(lit).toIndexedSeq: _*)))
       }.foldLeft(Option.empty[Column]) { case (acc, (i, d)) =>
         Some(acc.fold(when(col("cid") === i, d))(_.when(col("cid") === i, d)))
-      }.get.otherwise(lit(Double.NaN))
+      }.fold(lit(Double.NaN))(_.otherwise(lit(Double.NaN)))
     index.assigned
       .select(col("vec_id"), col("cid"),
         graft.functions.VecMath.vec_unit(col("embedding")).as("e"))

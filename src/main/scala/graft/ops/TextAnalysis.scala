@@ -203,16 +203,32 @@ object TextAnalysis {
   def qualityFilter(docs: DataFrame, minTokens: Int = 25,
       maxTokens: Int = 100000, maxTopGramFrac: Double = 0.09,
       maxDupGramFrac: Double = 0.09): DataFrame =
-    docs.select(col("doc_id"),
+    qualitySelect(docs.select(col("doc_id"),
         size(TextOps.tokens(col("text"))).as("n_tokens"),
-        graft.functions.gram_stats(col("text"), 2).as("gs"))
-      .select(col("doc_id"), col("n_tokens"),
-        col("gs.top_gram_frac").as("top_gram_frac"),
-        col("gs.dup_gram_frac").as("dup_gram_frac"),
-        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
-          col("gs.top_gram_frac") <= maxTopGramFrac &&
-          col("gs.dup_gram_frac") <= maxDupGramFrac)
-          .as("keep"))
+        graft.functions.gram_stats(col("text"), 2).as("gs")),
+      minTokens, maxTokens, maxTopGramFrac, maxDupGramFrac)
+
+  /** [[qualityFilter]] over a materialized token index (`doc_id` +
+    * `toks` [[graft.functions.word_tokens]] column): identical
+    * signals, zero re-tokenize — the Curation.pipeline shared-base
+    * path. */
+  def qualityFilterFromTokens(tokensFrame: DataFrame, minTokens: Int = 25,
+      maxTokens: Int = 100000, maxTopGramFrac: Double = 0.09,
+      maxDupGramFrac: Double = 0.09): DataFrame =
+    qualitySelect(tokensFrame.select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        graft.functions.array_gram_stats(col("toks"), 2).as("gs")),
+      minTokens, maxTokens, maxTopGramFrac, maxDupGramFrac)
+
+  private def qualitySelect(signals: DataFrame, minTokens: Int,
+      maxTokens: Int, maxTopGramFrac: Double, maxDupGramFrac: Double): DataFrame =
+    signals.select(col("doc_id"), col("n_tokens"),
+      col("gs.top_gram_frac").as("top_gram_frac"),
+      col("gs.dup_gram_frac").as("dup_gram_frac"),
+      (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+        col("gs.top_gram_frac") <= maxTopGramFrac &&
+        col("gs.dup_gram_frac") <= maxDupGramFrac)
+        .as("keep"))
 
   /** Redaction patterns, applied in order (URLs before emails — a URL
     * can contain an `@`). Conservative syntax that parses identically

@@ -317,6 +317,46 @@ class OpsSpec extends AnyFunSuite {
     assert(imp == sql)
   }
 
+  test("JDK ImageIO decoder: real PNG/JPEG bytes flow through extractFeatures") {
+    def img(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+      val i = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) i.setRGB(x, y, rgb)
+      i
+    }
+    def bytes(i: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(i, fmt, b))
+      b.toByteArray
+    }
+    val media = Seq(
+      (1L, "image/png", "s", bytes(img(3, 2, 0xFF0000), "png")), // solid red
+      (2L, "image/png", "s", bytes(img(5, 7, 0xFFFFFF), "png")), // solid white
+      (3L, "image/jpeg", "s", bytes(img(8, 4, 0x808080), "jpg")), // mid gray
+      (4L, "application/octet-stream", "s", Array[Byte](1, 2, 3)) // garbage
+    ).toDF("media_id", "mime", "source", "payload")
+    val out = Multimodal
+      .extractFeatures(media, Multimodal.MediaDecoder.JdkImageIO)
+      .collect().map(r => r.media_id -> r).toMap
+    val red = out(1L)
+    assert(red.width == 3 && red.height == 2 && red.n_frames == 1)
+    assert(math.abs(red.brightness - 0.299) < 1e-9) // Rec. 601 red luma
+    assert(out(2L).width == 5 && out(2L).height == 7 &&
+      out(2L).brightness > 0.999)
+    assert(out(3L).width == 8 && out(3L).height == 4 &&
+      math.abs(out(3L).brightness - 128.0 / 255) < 0.05) // JPEG is lossy
+    // Undecodable bytes degrade instead of killing the scan.
+    assert(out(4L).width == 0 && out(4L).n_frames == 0 &&
+      out(4L).brightness.isNaN)
+    // Resize geometry driven by REAL decoded dims: 5x7 into a 4x4 box.
+    val resized = Multimodal.resize(
+        media.filter(col("media_id") === 2L), 4, 4,
+        Multimodal.MediaDecoder.JdkImageIO)
+      .collect().head
+    assert(resized.width == 5 && resized.height == 7 &&
+      resized.out_width == 3 && resized.out_height == 4)
+  }
+
   test("frame sampling emits n_frames rows per media item") {
     val media = Multimodal.mediaFromDocuments(docs.limit(20))
     val frames = Multimodal.sampleFrames(media)
@@ -439,6 +479,13 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("outlier scores: empty index degrades to an empty frame, no exception") {
+    val empty = Similarity.IvfIndex(Array.empty,
+      emb.filter(lit(false)).select(col("vec_id"), col("embedding"),
+        lit(0).as("cid")))
+    assert(Similarity.outlierScores(empty).count() == 0)
+  }
+
   test("native vec_unit equals the norm-then-transform HOF spelling, bit-exact") {
     val rnd = new scala.util.Random(47L)
     val rows = (0L until 60L).map { id =>
@@ -530,6 +577,17 @@ class OpsSpec extends AnyFunSuite {
     assert(salted.columns.toSeq == Seq("k", "v", "w"))
     assert(salted.as[(String, Long, Int)].collect().toSet == plain)
     assert(plain.count(_._1 == "hot") == 1000) // the skew is real
+  }
+
+  test("salted join: a user column named like the working salt column survives intact") {
+    // The working column is picked to avoid BOTH schemas, so a
+    // pre-existing `_graft_salt_0` passes through untouched.
+    val left = Seq(("a", 1, 10), ("b", 2, 20)).toDF("k", "v", "_graft_salt_0")
+    val right = Seq(("a", 7), ("b", 8)).toDF("k", "w")
+    val out = Bucketing.saltedJoin(left, right, "k", salt = 4)
+    assert(out.columns.contains("_graft_salt_0"))
+    assert(out.select("k", "_graft_salt_0", "w").as[(String, Int, Int)]
+      .collect().toSet == Set(("a", 10, 7), ("b", 20, 8)))
   }
 
   test("bucketed tables join without a shuffle exchange") {
@@ -721,6 +779,60 @@ class OpsSpec extends AnyFunSuite {
     assert(native(docs) == declarative(docs))
   }
 
+  test("token-index natives are byte-identical to the text path (word_tokens/array_shingles/array_gram_stats)") {
+    val rnd = new scala.util.Random(48L)
+    val frags = Vector("the", "cat", "", " ", "  ", "DOG dog", "\tx",
+      "aß É", "1 2 3", "repeat repeat repeat")
+    val rows = (0L until 80L).map { id =>
+      (id, Seq.fill(rnd.nextInt(12))(frags(rnd.nextInt(frags.size)))
+        .mkString(" "))
+    }
+    for (d <- Seq(rows.toDF("doc_id", "text"), docs.select("doc_id", "text"))) {
+      val toks = graft.functions.word_tokens(col("text"))
+      val cmp = d.select(
+        toks === TextOps.tokens(col("text")),
+        graft.functions.array_shingles(toks, 3) ===
+          graft.functions.word_shingles(col("text"), 3),
+        graft.functions.array_shingles(toks, 13) ===
+          graft.functions.word_shingles(col("text"), 13),
+        graft.functions.array_gram_stats(toks, 2) ===
+          graft.functions.gram_stats(col("text"), 2))
+        .as[(Boolean, Boolean, Boolean, Boolean)].collect()
+      assert(cmp.nonEmpty && cmp.forall(t => t._1 && t._2 && t._3 && t._4))
+    }
+  }
+
+  test("token-index ops equal their text-path twins (quality/dedup/decontam)") {
+    val base = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), graft.functions.word_tokens(col("text")).as("toks"))
+      .localCheckpoint()
+    val evalDocs = docs.filter(col("doc_id") % 100 === 7)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    def set(df: org.apache.spark.sql.DataFrame, cols: String*) =
+      df.select(cols.head, cols.tail: _*).collect().toSet
+    assert(set(TextAnalysis.qualityFilterFromTokens(base), "doc_id", "n_tokens",
+        "top_gram_frac", "dup_gram_frac", "keep") ==
+      set(TextAnalysis.qualityFilter(docs), "doc_id", "n_tokens",
+        "top_gram_frac", "dup_gram_frac", "keep"))
+    assert(set(Dedup.ngramJaccardPairsFromTokens(base, 3, 0.8, 10),
+        "id_a", "id_b", "jaccard") ==
+      set(Dedup.ngramJaccardPairs(docs, 3, 0.8, 10), "id_a", "id_b", "jaccard"))
+    assert(set(Decontamination.flagContaminatedFromTokens(base, evalDocs, 5),
+        "doc_id", "n_hits") ==
+      set(Decontamination.flagContaminated(docs, evalDocs, 5), "doc_id", "n_hits"))
+  }
+
+  test("marker_counts: a word duplicated within one language's list counts each token once") {
+    val d = Seq((1L, "the cat the")).toDF("doc_id", "text")
+    val dup = Seq(Seq("the", "cat", "the"), Seq("und"))
+    val clean = Seq(Seq("the", "cat"), Seq("und"))
+    def run(lists: Seq[Seq[String]]) = d.select(
+        graft.functions.marker_counts(col("text"), lists))
+      .as[Seq[Long]].collect().head
+    assert(run(dup) == run(clean))
+    assert(run(dup) == Seq(3L, 0L))
+  }
+
   test("native ascii_class_counts equals the regex-strip spelling (incl. multibyte text)") {
     val rnd = new scala.util.Random(45L)
     val chars = "ab.!? ,;:Zz09\t\n\u000B\f\räßé€—".toVector
@@ -812,6 +924,31 @@ class OpsSpec extends AnyFunSuite {
         col("doc_id"), 3, "s1")
       .select("doc_id", "stratum_rank").as[(Long, Int)].collect().toSet
     assert(a == b)
+  }
+
+  test("stratified cap: two-phase plan bounds every sort, output identical to the single-sort spelling") {
+    import org.apache.spark.sql.expressions.Window
+    // Skewed input: a hot stratum holding ~99% of rows, the shape that
+    // used to serialize one full-stratum sort on one task.
+    val skew = spark.range(0, 20000).select(
+      when(col("id") % 100 === 0, concat(lit("s"), col("id") % 5))
+        .otherwise(lit("hot")).as("stratum"),
+      col("id").as("k"))
+    val capped = Sampling.stratifiedCap(skew, col("stratum"), col("k"), 7, "sx")
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(Sampling.hashUniform(col("k"), "sx").asc, col("k").asc)
+    val ref = skew.withColumn("stratum_rank", row_number().over(w))
+      .filter(col("stratum_rank") <= 7)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("stratum", "k", "stratum_rank")
+        .as[(String, Long, Int)].collect().toSet
+    assert(rows(capped) == rows(ref) && rows(capped).nonEmpty)
+    // Plan shape: phase 1's window partitions by (stratum, bucket) —
+    // the hot stratum's sort is split across the bucket fan-out, so no
+    // single task ever sorts a full stratum (phase 2's per-stratum sort
+    // sees at most fanout*k survivor rows by construction).
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("_cap_bucket_0"), s"expected bucketed phase-1 window:\n$plan")
   }
 
   test("mixture sampling: per-stratum rates, deterministic, monotone in rate") {
