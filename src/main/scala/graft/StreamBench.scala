@@ -52,6 +52,10 @@ object StreamBench {
     }
     val ruleDF = Metrics.rulesToDF(spark, rules)
     val t0 = 1650557501028L
+    val dynRuleDir = java.nio.file.Files
+      .createTempDirectory("graft_streambench_rules_").toString
+    graft.streaming.DynamicRules.persist(spark, dynRuleDir, 1L,
+      rules.map(Metrics.toRow))
 
     // MemoryStream of batch indices; each micro-batch expands its id
     // into nEvents/batches metric rows via a join-free explode of a
@@ -75,6 +79,17 @@ object StreamBench {
         case "planAll" =>
           graft.cep.CepQuery.planAll(metricFrame, ruleDF)
             .writeStream.format("noop").outputMode("update")
+        case "fmgws" =>
+          StatefulCep.run(StatefulCep.fanOut(metricFrame, ruleDF))
+            .toDF()
+            .writeStream.format("noop").outputMode("append")
+        case "dynamic" =>
+          // Zero-downtime path: rules resolved per task from the
+          // published snapshot instead of a plan-frozen broadcast.
+          graft.streaming.TransformCep.run(
+            graft.streaming.DynamicRules.fanOut(metricFrame, dynRuleDir))
+            .toDF()
+            .writeStream.format("noop").outputMode("append")
         case _ =>
           graft.streaming.TransformCep.run(
             StatefulCep.fanOut(metricFrame, ruleDF))
@@ -141,11 +156,13 @@ object StreamBench {
 
     // Warm-up lap (JIT, codegen cache, state-store init) — streaming
     // micro-benchmarks are meaningless cold.
-    run("planAll"); run("stateful"); runDedup()
+    run("planAll"); run("stateful"); run("fmgws"); run("dynamic"); runDedup()
     val declarative = run("planAll")
     val stateful = run("stateful")
+    val fmgws = run("fmgws")
+    val dynamic = run("dynamic")
     val (dedup, nDocs) = runDedup()
-    println(f"""{"metric":"stream_throughput","unit":"events_per_sec","n_events":$nEvents,"n_rules":$nRules,"planAll_update":${declarative}%.0f,"stateful_append":${stateful}%.0f,"dedup_docs":$nDocs,"dedup_docs_per_sec":${dedup}%.0f}""")
+    println(f"""{"metric":"stream_throughput","unit":"events_per_sec","n_events":$nEvents,"n_rules":$nRules,"planAll_update":${declarative}%.0f,"stateful_append":${stateful}%.0f,"fmgws_append":${fmgws}%.0f,"dynamic_append":${dynamic}%.0f,"dedup_docs":$nDocs,"dedup_docs_per_sec":${dedup}%.0f}""")
     spark.stop()
   }
 }

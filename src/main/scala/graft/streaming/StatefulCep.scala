@@ -229,7 +229,20 @@ object StatefulCep {
     * watermarked attribute in the stateful operator's input. */
   def fanOut(metricFrame: DataFrame, ruleFrame: DataFrame,
       watermarkDelay: String = "0 seconds"): DataFrame =
-    graft.cep.CepQuery.fanOutJoin(metricFrame, ruleFrame)
+    projectEvents(graft.cep.CepQuery.fanOutJoin(metricFrame, ruleFrame),
+      watermarkDelay)
+
+  /** [[fanOut]] with driver-resident rule rows (the engine path):
+    * identical plan, but pivot statistics come from plain Scala over
+    * the rows — building it runs no Spark job (see
+    * [[graft.cep.CepQuery.planAllRows]]). */
+  def fanOutRows(metricFrame: DataFrame, rows: Seq[graft.cep.Metrics.RuleRow],
+      watermarkDelay: String = "0 seconds"): DataFrame =
+    projectEvents(graft.cep.CepQuery.fanOutJoinRows(metricFrame, rows),
+      watermarkDelay)
+
+  private def projectEvents(joined: DataFrame, watermarkDelay: String): DataFrame =
+    joined
       .select(
         col("rule_id"),
         concat_ws("_", col("rule_id").cast("string"),

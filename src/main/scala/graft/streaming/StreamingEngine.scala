@@ -21,21 +21,24 @@ import graft.parse.Parsers
   *    (declared deviation, SURVEY §7.4: watermark semantics instead of
   *    the reference's fire-at-wall-clock-end triggers, which silently
   *    never fire on replayed data);
-  *  - dynamic add/pause/delete WITHOUT restart → **rule lifecycle =
-  *    query lifecycle**: each ACTIVE rule runs as its own streaming
-  *    query over the shared metric stream. Adding a rule starts a
-  *    query; PAUSE/DELETE stops it; re-activation restarts it — and a
-  *    stable per-rule checkpoint directory means its window state
-  *    survives a pause (PAUSE keeps identity, Rule.java:63-66). Rules
-  *    are independent, so one rule's lifecycle never touches another
-  *    rule's state — same isolation as the reference's per-assigner
-  *    state, but managed and fault-tolerant.
+  *  - dynamic add/pause/delete WITHOUT restart → two rebuilds:
+  *    (a) **rule lifecycle = query lifecycle**: each ACTIVE rule runs
+  *    as its own streaming query over the shared metric stream. Adding
+  *    a rule starts a query; PAUSE/DELETE stops it; re-activation
+  *    restarts it — and a stable per-rule checkpoint directory means
+  *    its window state survives a pause (PAUSE keeps identity,
+  *    Rule.java:63-66). Rules are independent, so one rule's lifecycle
+  *    never touches another rule's state — same isolation as the
+  *    reference's per-assigner state, but managed and fault-tolerant.
+  *    (b) for large rule sets, the ONE-PASS production mode
+  *    ([[startOnePassDynamic]] + [[attachRuleStreamDynamic]]): a single
+  *    stateful query whose fan-out resolves rules per micro-batch from
+  *    a [[DynamicRules]] snapshot — rule swaps take effect with the
+  *    query running, the reference's zero-downtime semantics exactly.
   *
-  * For very large rule sets, [[onePassQuery]] compiles the whole rule
-  * snapshot into ONE streaming aggregation (single scan + single
-  * shuffle, `update` output mode); it must be restarted (same
-  * checkpoint — one unchanged stateful operator) to pick up rule
-  * changes.
+  * [[onePassQuery]] additionally compiles the rule snapshot into one
+  * declarative streaming aggregation (`update` mode) — demo/replay
+  * only; see its state-growth caveat.
   */
 final class StreamingEngine(
     spark: SparkSession,
@@ -137,14 +140,13 @@ final class StreamingEngine(
     * — Spark's watermark-based aggregation-state eviction only tracks
     * `window()`/event-time grouping columns, so THIS mode's state
     * grows with the number of distinct (rule, group, window) keys ever
-    * seen and is never evicted. Fine for bounded replays and demos;
-    * the production default for long-running streams is
-    * [[onePassStatefulQuery]], whose engine evicts every window at
-    * fire time and clears emptied keys. */
+    * seen and is never evicted. Fine for bounded replays and demos —
+    * NOT a production mode. Long-running streams use
+    * [[startOnePassDynamic]] (zero-downtime rule swaps, state evicted
+    * at fire time) or [[startOnePassStateful]] (restart-per-rule-change
+    * variant); both run the stateful engine that clears emptied keys. */
   def onePassQuery(): DataFrame =
-    CepQuery.planAll(
-      metricStream(),
-      Metrics.rulesToDF(spark, book.activeRules.map(Metrics.fromRow)))
+    CepQuery.planAllRows(metricStream(), book.activeRules)
 
   // ---------------------------------------------------------------------------
   // One-pass stateful production mode
@@ -170,9 +172,7 @@ final class StreamingEngine(
   def onePassStatefulQuery(
       align: StatefulCep.Alignment = StatefulCep.Epoch): Dataset[StatefulCep.CepResult] =
     TransformCep.run(
-      StatefulCep.fanOut(
-        metricStream(),
-        Metrics.rulesToDF(spark, book.activeRules.map(Metrics.fromRow)),
+      StatefulCep.fanOutRows(metricStream(), book.activeRules,
         sink.watermarkDelay),
       align)
 
@@ -196,7 +196,11 @@ final class StreamingEngine(
   /** Rule control stream for the one-pass production mode: each rule
     * micro-batch updates the book and restarts the single query on its
     * stable checkpoint — the restart IS the rule-change pickup, and
-    * open-window state survives it (see [[startOnePassStateful]]). */
+    * open-window state survives it (see [[startOnePassStateful]]).
+    *
+    * Each restart costs seconds of ingest downtime; the ZERO-downtime
+    * variant is [[startOnePassDynamic]] + [[attachRuleStreamDynamic]],
+    * which swaps rules per micro-batch with the query running. */
   def attachRuleStreamOnePass(
       ruleLines: DataFrame,
       align: StatefulCep.Alignment = StatefulCep.Epoch): StreamingQuery =
@@ -209,6 +213,56 @@ final class StreamingEngine(
           book.applyChanges(rows)
           startOnePassStateful(align)
           ()
+        }
+      }
+      .start()
+
+  // ---------------------------------------------------------------------------
+  // One-pass stateful production mode with zero-downtime rule updates
+  // ---------------------------------------------------------------------------
+
+  /** Start the one-pass stateful query with DYNAMIC rules: the fan-out
+    * reads the newest [[DynamicRules]] snapshot under `ruleDir` at
+    * every task launch, so rule upserts published by
+    * [[attachRuleStreamDynamic]] take effect on the next micro-batch
+    * WITHOUT stopping the query — the reference's zero-downtime
+    * broadcast rule swap (PartitionEngine.java:54-63), on Spark's
+    * managed state. Same stateful operator, same checkpoint layout,
+    * and the same append-mode emission semantics as
+    * [[startOnePassStateful]]; open windows of a paused or deleted
+    * rule keep firing from state (spec-pinned). */
+  def startOnePassDynamic(
+      ruleDir: String,
+      align: StatefulCep.Alignment = StatefulCep.Epoch): StreamingQuery = synchronized {
+    DynamicRules.persist(spark, ruleDir, book.version, book.activeRules)
+    onePass.foreach(_.stop())
+    var w = TransformCep.run(
+        DynamicRules.fanOut(metricStream(), ruleDir, sink.watermarkDelay),
+        align)
+      .writeStream
+      .queryName("cep_one_pass")
+      .format(sink.format)
+      .outputMode("append")
+    sink.checkpointRoot.foreach(r => w = w.option("checkpointLocation", s"$r/cep_one_pass"))
+    sink.pathRoot.foreach(r => w = w.option("path", s"$r/cep_one_pass"))
+    val q = w.start()
+    onePass = Some(q)
+    q
+  }
+
+  /** Rule control stream for [[startOnePassDynamic]]: each rule
+    * micro-batch updates the book and publishes a new snapshot version
+    * to `ruleDir` — the running query is NOT touched. */
+  def attachRuleStreamDynamic(
+      ruleLines: DataFrame, ruleDir: String): StreamingQuery =
+    ruleLines.writeStream
+      .queryName("cep_rule_control_dynamic")
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = parseRuleRows(batch)
+        if (rows.nonEmpty) {
+          book.applyChanges(rows)
+          DynamicRules.persist(spark, ruleDir, book.version, book.activeRules)
         }
       }
       .start()

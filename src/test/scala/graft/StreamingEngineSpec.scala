@@ -366,6 +366,118 @@ class StreamingEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic fan-out matches the broadcast-join fan-out (ACTIVE-only) on a batch frame") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dynrules_").toString
+    val rules = Seq(
+      graft.cep.Metrics.toRow(demoRule), // keyed, ACTIVE
+      graft.cep.Metrics.toRow(demoRule.copy(ruleId = 2,
+        groupingKeyNames = Seq.empty)), // keyless: matches everything
+      graft.cep.Metrics.toRow(demoRule.copy(ruleId = 3,
+        ruleState = RuleState.Pause)), // paused: matches nothing
+      graft.cep.Metrics.toRow(demoRule.copy(ruleId = 4,
+        groupingKeyNames = Seq("t_zone")))) // key absent from tags
+    graft.streaming.DynamicRules.persist(spark, tmp, 1L, rules)
+    val batch = toMetricFrame(demoEvents.toDF())
+    val dyn = graft.streaming.DynamicRules.fanOut(batch, tmp)
+      .as[graft.streaming.StatefulCep.CepEvent].collect().toSet
+    val stat = graft.streaming.StatefulCep.fanOut(batch, rules.toDF())
+      .as[graft.streaming.StatefulCep.CepEvent].collect().toSet
+    assert(dyn.nonEmpty && dyn == stat)
+    assert(dyn.map(_.rule_id) == Set(1, 2)) // ACTIVE + matchable only
+    assert(dyn.filter(_.rule_id == 2).map(_.group_id) == Set("2")) // keyless gid
+  }
+
+  test("ZERO-downtime rule updates: add and pause take effect with the one-pass query uninterrupted") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dyn_").toString
+    val srcDir = s"$tmp/in"
+    val ruleDir = s"$tmp/rules"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    def writeLines(name: String, evs: Seq[(Long, String, Int)]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$srcDir/$name"),
+        evs.map { case (ms, g, cpu) =>
+          s"""{"eventTime":$ms,"t_group":"$g","cpu_usage":$cpu}""" }
+          .mkString("\n").getBytes)
+    // Threshold >5 so a HALF window (business 11 / work 6) still
+    // passes: rule 1's open window must fire from state AFTER the rule
+    // is paused, visibly.
+    def ruleJson(id: Int, state: String): String =
+      s"""{"ruleId":$id,"ruleState":"$state","windowType":"tumbling","windowMinutes":2,"windowSlideMinute":0,"groupingKeyNames":["t_group"],"aggregatorFunctionType":"SUM","aggregateFieldName":"cpu_usage","limitOperatorType":">","limit":5}"""
+    val sixteen = Seq(("business", 9), ("work", 1), ("business", 2),
+      ("work", 5), ("business", 5), ("work", 10))
+    def at(base: Long, evs: Seq[(String, Int)]): Seq[(Long, String, Int)] =
+      evs.zipWithIndex.map { case ((g, v), i) => (base + i * 1000L, g, v) }
+
+    val rocksKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(rocksKey)
+    spark.conf.set(rocksKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ruleMem = MemoryStream[String]
+    val book = new RuleBook
+    val engine = new StreamingEngine(
+      spark,
+      () => graft.parse.Parsers.parseMetrics(
+        graft.streaming.CepRunner.fileLines(spark, srcDir)),
+      book,
+      StreamingEngine.SinkConfig(
+        format = "parquet", outputMode = "append",
+        checkpointRoot = Some(s"$tmp/ckpt"), pathRoot = Some(s"$tmp/out")))
+    val q = engine.startOnePassDynamic(ruleDir)
+    val control = engine.attachRuleStreamDynamic(
+      ruleMem.toDF().withColumnRenamed("value", "line"), ruleDir)
+    try {
+      val runId = q.runId
+
+      // Rule 1 arrives -> NO restart; window A + closer fires it.
+      ruleMem.addData(ruleJson(1, "ACTIVE"))
+      control.processAllAvailable()
+      writeLines("a.jsonl", at(t0, sixteen) :+ ((t0 + 600000L, "business", 1)))
+      engine.awaitQuiescence()
+      assert(q.runId == runId && q.isActive)
+
+      // Rule 2 added mid-stream -> window B feeds BOTH rules.
+      val tB = t0 + 720000L
+      ruleMem.addData(ruleJson(2, "ACTIVE"))
+      control.processAllAvailable()
+      writeLines("b.jsonl", at(tB, sixteen) :+ ((tB + 600000L, "business", 1)))
+      engine.awaitQuiescence()
+      assert(q.runId == runId && q.isActive)
+
+      // Window C in two halves: first half lands under BOTH rules,
+      // then rule 1 is PAUSED with that window still open. The second
+      // half must reach only rule 2 — and rule 1's open window must
+      // still fire (from checkpointed state) with the pre-pause sums.
+      val tC = t0 + 1440000L
+      writeLines("c1.jsonl", at(tC, sixteen.take(4)))
+      engine.awaitQuiescence()
+      ruleMem.addData(ruleJson(1, "PAUSE"))
+      control.processAllAvailable()
+      writeLines("c2.jsonl",
+        at(tC + 4000L, sixteen.drop(4)) :+ ((tC + 600000L, "business", 1)))
+      engine.awaitQuiescence()
+      assert(q.runId == runId && q.isActive,
+        "rule changes must never restart the one-pass query")
+
+      val wsA = Math.floorDiv(t0, 120000L) * 120000L
+      val got = spark.read.parquet(s"$tmp/out/cep_one_pass")
+        .select("rule_id", "group_id", "window_start", "result")
+        .as[(Int, String, Long, Double)].collect().toSet
+      assert(got == Set(
+        (1, "1_business", wsA, 16.0), (1, "1_work", wsA, 16.0),
+        (1, "1_business", wsA + 720000L, 16.0), (1, "1_work", wsA + 720000L, 16.0),
+        (2, "2_business", wsA + 720000L, 16.0), (2, "2_work", wsA + 720000L, 16.0),
+        (1, "1_business", wsA + 1440000L, 11.0), (1, "1_work", wsA + 1440000L, 6.0),
+        (2, "2_business", wsA + 1440000L, 16.0), (2, "2_work", wsA + 1440000L, 16.0)))
+    } finally {
+      control.stop(); engine.shutdown()
+      prev match {
+        case Some(v) => spark.conf.set(rocksKey, v)
+        case None => spark.conf.unset(rocksKey)
+      }
+    }
+  }
+
   test("one-pass streaming snapshot plan (planAll) runs in update mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
