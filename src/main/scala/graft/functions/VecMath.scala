@@ -161,3 +161,87 @@ object VecUnitColumns {
   def vecUnit(v: Column): Column =
     ExpressionUtils.column(VecUnit(ExpressionUtils.expression(v)))
 }
+
+/** Dot of a vector with ONE row of a LITERAL matrix, selected per row
+  * by an index column: `Σ v[i] · matrix[row·dim + i]` — the
+  * dot-against-own-centroid of `Similarity.outlierScores`.
+  *
+  * The declarative spelling is a `when(cid === 0, dot₀).when(cid === 1,
+  * dot₁)…` chain: O(k) branch tests per row and a plan whose SIZE
+  * grows with k — fine at k ≈ 10, pathological at k in the hundreds
+  * (the IVF cluster counts a 100 TB corpus wants). This expression is
+  * one O(dim) loop per row against a broadcast-referenced `double[]`,
+  * independent of k, with the same left-to-right summation as
+  * [[VecDot]] so scores are bit-identical to the chain.
+  *
+  * Row index out of range (or an empty matrix) yields NaN — the
+  * when-chain's `otherwise(NaN)`; a vector whose length ≠ `dim` yields
+  * null — [[VecDot]]'s mismatched-length contract. */
+case class MatrixRowDot(left: Expression, right: Expression,
+    matrix: Array[Double], dim: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)), IntegerType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "matrix_row_dot"
+
+  private def isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val row = b.asInstanceOf[Int]
+    if (dim <= 0 || row < 0 || (row + 1L) * dim > matrix.length)
+      return Double.NaN
+    if (v.numElements() != dim) return null
+    var s = 0.0
+    var i = 0
+    val off = row * dim
+    while (i < dim) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      s += x * matrix(off + i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("matrix", matrix, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val off = ctx.freshName("off")
+      val get =
+        if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |if ($dim <= 0 || $b < 0 || ($b + 1L) * $dim > $m.length) {
+         |  ${ev.value} = Double.NaN;
+         |} else if ($a.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  int $off = $b * $dim;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $s += $get * $m[$off + $i];
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MatrixRowDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object MatrixRowDotColumns {
+  def matrixRowDot(v: Column, row: Column,
+      matrix: Array[Double], dim: Int): Column =
+    ExpressionUtils.column(MatrixRowDot(
+      ExpressionUtils.expression(v), ExpressionUtils.expression(row),
+      matrix, dim))
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.graft.{AsciiClassCountsColumns, BpeTokenCountColumns, CepExprColumns, CompressRatioColumns, GramStatsColumns, LshBucketsColumns, MarkerCountsColumns, MetricRouteColumns, MinhashColumns, RollingHashColumns, SimhashColumns, TrigramScoresColumns, VecDotColumns, VecUnitColumns, WordShinglesColumns}
+import org.apache.spark.sql.graft.{AsciiClassCountsColumns, BpeTokenCountColumns, CepExprColumns, CompressRatioColumns, GramStatsColumns, LshBucketsColumns, MarkerCountsColumns, MatrixRowDotColumns, MetricRouteColumns, MinhashColumns, RollingHashColumns, SimhashColumns, TrigramScoresColumns, VecDotColumns, VecUnitColumns, WordShinglesColumns}
 
 /** Public column-function surface for graft's native Catalyst
   * expressions (implementations under org.apache.spark.sql.graft). */
@@ -19,6 +19,15 @@ package object functions {
       * pass (bit-identical to `transform(v, x => x / vec_norm(v))`) —
       * see [[org.apache.spark.sql.graft.VecUnit]]. */
     def vec_unit(a: Column): Column = VecUnitColumns.vecUnit(a)
+
+    /** Dot of a vector column with one row of a literal matrix
+      * (row-major, row picked per row by `row`) — O(dim) per row
+      * regardless of matrix height, bit-identical to the when-chain
+      * of per-row [[vec_dot]]s — see
+      * [[org.apache.spark.sql.graft.MatrixRowDot]]. */
+    def matrix_row_dot(v: Column, row: Column,
+        matrix: Array[Double], dim: Int): Column =
+      MatrixRowDotColumns.matrixRowDot(v, row, matrix, dim)
   }
 
   /** Winnowed Rabin–Karp rolling-hash fingerprints (ARRAY<BIGINT>) —

@@ -242,19 +242,21 @@ object Similarity {
     * vectors sit far from every centroid and score high — the
     * embedding-side counterpart of the text quality gate (filter with
     * `outlier_score > τ`). Pure projection over the assigned frame:
-    * the centroid model is a k×dim literal, the `when`-chain on cid
-    * evaluates exactly one dot product per row, no join, no shuffle. */
+    * the centroid model rides as a row-major literal matrix and the
+    * native [[graft.functions.VecMath.matrix_row_dot]] evaluates ONE
+    * O(dim) dot per row regardless of cluster count — no join, no
+    * shuffle, and no plan growth with k (the when-chain spelling this
+    * replaces tested k branches per row). An empty index scores every
+    * row NaN (and `assigned` is empty anyway). */
   def outlierScores(index: IvfIndex): DataFrame = {
-    val cosOwn = index.centroids.zipWithIndex.map { case (c, i) =>
-        (i, dot(col("e"), array(c.map(lit).toIndexedSeq: _*)))
-      }.foldLeft(Option.empty[Column]) { case (acc, (i, d)) =>
-        Some(acc.fold(when(col("cid") === i, d))(_.when(col("cid") === i, d)))
-      }.fold(lit(Double.NaN))(_.otherwise(lit(Double.NaN)))
+    val dim = index.centroids.headOption.map(_.length).getOrElse(0)
+    val flat = index.centroids.flatten
     index.assigned
       .select(col("vec_id"), col("cid"),
         graft.functions.VecMath.vec_unit(col("embedding")).as("e"))
       .select(col("vec_id"), col("cid"),
-        (lit(1.0) - cosOwn).as("outlier_score"))
+        (lit(1.0) - graft.functions.VecMath.matrix_row_dot(
+          col("e"), col("cid"), flat, dim)).as("outlier_score"))
   }
 
   /** Reload a [[saveIvfIndex]] artifact. The assigned frame comes back
