@@ -69,6 +69,17 @@ object GraftFunctions {
       expectArgs("gram_stats", args, 2)
       GramStats(args(0), litInt(args(1), "n"))
     },
+    "word_tokens" -> { args =>
+      expectArgs("word_tokens", args, 1); WordTokens(args(0))
+    },
+    "array_shingles" -> { args =>
+      expectArgs("array_shingles", args, 2)
+      ArrayShingles(args(0), litInt(args(1), "n"))
+    },
+    "array_gram_stats" -> { args =>
+      expectArgs("array_gram_stats", args, 2)
+      ArrayGramStats(args(0), litInt(args(1), "n"))
+    },
     "compress_ratio" -> { args =>
       expectArgs("compress_ratio", args, 1); CompressRatio(args(0))
     },

@@ -47,6 +47,14 @@ class OpsSpec extends AnyFunSuite {
         |       vec_norm(array(3.0d, 4.0d)) AS nrm""".stripMargin).collect().head
     assert(r2.getSeq[String](0) == Seq("a b c", "b c d"))
     assert(r2.getDouble(1) == 5.0)
+    val r3 = spark.sql(
+      """SELECT word_tokens(' A b  C ') AS tk,
+        |       array_shingles(word_tokens('a b c d'), 3) AS sh,
+        |       array_gram_stats(word_tokens('a b a b a'), 2) AS gs""".stripMargin)
+      .collect().head
+    assert(r3.getSeq[String](0) == Seq("a", "b", "c"))
+    assert(r3.getSeq[String](1) == Seq("a b c", "b c d"))
+    assert(r3.getStruct(2).getAs[Long]("n_grams") == 4L)
   }
 
   test("native simhash_bands matches the declarative vote/band spelling, both hash families") {
