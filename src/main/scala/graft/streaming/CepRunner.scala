@@ -74,10 +74,14 @@ object CepRunner {
   }
 
   /** args: [host] [metricPort] [rulePort] [mode]; mode `per-rule`
-    * (default — one query per ACTIVE rule, update-mode console) or
-    * `one-pass` (the production default: ONE append-mode
-    * transformWithState query over the whole rule book, restarted on
-    * rule changes, checkpointed so window state survives restarts). */
+    * (default — one query per ACTIVE rule, update-mode console),
+    * `one-pass` (ONE append-mode transformWithState query over the
+    * whole rule book, restarted on rule changes, checkpointed so
+    * window state survives restarts), or `dynamic` (the production
+    * default: same one-pass stateful query, but rule changes are
+    * published as [[DynamicRules]] snapshots and take effect on the
+    * next micro-batch with the query running — zero downtime, the
+    * reference's broadcast-state semantics). */
   def main(args: Array[String]): Unit = {
     val host = args.headOption.getOrElse("localhost")
     val metricPort = args.lift(1).map(_.toInt).getOrElse(9999)
@@ -94,15 +98,25 @@ object CepRunner {
     val book = new RuleBook
     val metricSource =
       () => Parsers.parseMetrics(socketLines(spark, host, metricPort))
+    def statefulEngine(): StreamingEngine = {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_one_pass_").toString
+      new StreamingEngine(spark, metricSource, book,
+        StreamingEngine.SinkConfig(format = "console",
+          outputMode = "append", checkpointRoot = Some(ckpt)))
+    }
     val control = mode match {
+      case "dynamic" =>
+        val engine = statefulEngine()
+        val ruleDir = java.nio.file.Files
+          .createTempDirectory("graft_dyn_rules_").toString
+        engine.startOnePassDynamic(ruleDir)
+        engine.attachRuleStreamDynamic(
+          socketLines(spark, host, rulePort), ruleDir)
       case "one-pass" =>
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft_one_pass_").toString
-        val engine = new StreamingEngine(spark, metricSource, book,
-          StreamingEngine.SinkConfig(format = "console",
-            outputMode = "append", checkpointRoot = Some(ckpt)))
+        val engine = statefulEngine()
         engine.attachRuleStreamOnePass(socketLines(spark, host, rulePort))
       case _ =>
         val engine = new StreamingEngine(spark, metricSource, book,

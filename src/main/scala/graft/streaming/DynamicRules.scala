@@ -66,22 +66,38 @@ object DynamicRules {
 
   private def fileName(version: Long): String = f"rules-v$version%020d.bin"
 
+  /** How many published versions [[persist]] retains. Readers take the
+    * max, so only the newest is live; the trailing window exists purely
+    * so a reader that listed the directory JUST before a publish still
+    * finds its file. A long-running book would otherwise grow one tiny
+    * file per rule change, forever. */
+  private val KeepVersions = 8
+
   /** Write the rule snapshot for `version` atomically (idempotent: a
     * snapshot that already exists is left alone — versions come from
-    * [[RuleBook.version]], which only moves forward). Driver-side
-    * control path; KBs of data. */
+    * [[RuleBook.version]], which only moves forward), then drop
+    * versions older than the retention window. Driver-side control
+    * path; KBs of data. */
   def persist(spark: SparkSession, dir: String, version: Long,
       rows: Seq[RuleRow]): Unit = {
     val d = new Path(dir)
     val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(d)
     val fin = new Path(d, fileName(version))
-    if (fs.exists(fin)) return
-    val tmp = new Path(d, fileName(version) + ".tmp")
-    val out = new ObjectOutputStream(fs.create(tmp, true))
-    try out.writeObject(rows.toArray) finally out.close()
-    if (!fs.rename(tmp, fin) && !fs.exists(fin))
-      throw new IOException(s"cannot publish rule snapshot $fin")
+    if (!fs.exists(fin)) {
+      val tmp = new Path(d, fileName(version) + ".tmp")
+      val out = new ObjectOutputStream(fs.create(tmp, true))
+      try out.writeObject(rows.toArray) finally out.close()
+      if (!fs.rename(tmp, fin) && !fs.exists(fin))
+        throw new IOException(s"cannot publish rule snapshot $fin")
+    }
+    fs.listStatus(d).foreach { st =>
+      st.getPath.getName match {
+        case SnapshotName(v) if v.toLong < version - KeepVersions + 1 =>
+          fs.delete(st.getPath, false); ()
+        case _ => ()
+      }
+    }
   }
 
   /** Executor-side matcher view of one ACTIVE rule. */

@@ -387,6 +387,23 @@ class StreamingEngineSpec extends AnyFunSuite {
     assert(dyn.filter(_.rule_id == 2).map(_.group_id) == Set("2")) // keyless gid
   }
 
+  test("DynamicRules retains a bounded snapshot window and serves the newest version") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dynrules_gc_").toString
+    val row = graft.cep.Metrics.toRow(demoRule)
+    (1L to 12L).foreach { v =>
+      graft.streaming.DynamicRules.persist(spark, tmp, v,
+        Seq(row.copy(rule_id = v.toInt)))
+    }
+    val files = new java.io.File(tmp).listFiles().map(_.getName)
+      .filter(_.endsWith(".bin"))
+    assert(files.length <= 8, s"unbounded snapshot growth: ${files.length} files")
+    // The newest snapshot is the one served.
+    val ids = graft.streaming.DynamicRules
+      .fanOut(toMetricFrame(demoEvents.toDF()), tmp)
+      .select("rule_id").distinct().as[Int].collect().toSet
+    assert(ids == Set(12))
+  }
+
   test("ZERO-downtime rule updates: add and pause take effect with the one-pass query uninterrupted") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_dyn_").toString
