@@ -959,6 +959,26 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("_cap_bucket_0"), s"expected bucketed phase-1 window:\n$plan")
   }
 
+  test("stratified cap: two-phase == single-sort across k and fanout configurations") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(51L)
+    val data = (0L until 3000L).map(i => (s"s${rnd.nextInt(7)}", i))
+    val df = data.toDF("stratum", "k")
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(Sampling.hashUniform(col("k"), "cfg").asc, col("k").asc)
+    for (k <- Seq(1, 3, 17); fanout <- Seq(1, 2, 64)) {
+      val capped = Sampling
+        .stratifiedCap(df, col("stratum"), col("k"), k, "cfg", fanout)
+        .select("stratum", "k", "stratum_rank")
+        .as[(String, Long, Int)].collect().sorted.toSeq
+      val ref = df.withColumn("stratum_rank", row_number().over(w))
+        .filter(col("stratum_rank") <= k)
+        .select("stratum", "k", "stratum_rank")
+        .as[(String, Long, Int)].collect().sorted.toSeq
+      assert(capped == ref, s"k=$k fanout=$fanout")
+    }
+  }
+
   test("mixture sampling: per-stratum rates, deterministic, monotone in rate") {
     // Rate 0 for src0 and 1.0 default: exact, fully deterministic result.
     val r = Sampling.mixtureSample(docs, col("source"), col("doc_id"),
