@@ -154,6 +154,50 @@ object StreamBench {
       (nDocs / ((System.nanoTime() - start) / 1e9), nDocs.toLong)
     }
 
+    // Rule-SWAP cost: process the same event volume while the rule
+    // book changes between micro-batches — dynamic mode (snapshot
+    // publish, query running) vs restart mode (stop + start on the
+    // stable checkpoint, the pre-dynamic pickup path). The throughput
+    // gap IS the downtime the zero-downtime mode removes.
+    def runWithSwaps(dynamic: Boolean): Double = {
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+      val per = nEvents / batches
+      val metricFrame = () => mem.toDF()
+        .select(explode(sequence(col("value") * per,
+          (col("value") + 1) * per - 1)).as("id"))
+        .repartition(cpus.toInt)
+        .select(
+          timestamp_millis(lit(t0) + col("id") * 10).as("eventTime"),
+          map(lit("t_group"), concat(lit("g"), pmod(col("id"), lit(64)))).as("tags"),
+          map(lit("cpu_usage"), pmod(col("id"), lit(100)).cast("double")).as("metrics"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_swap_").toString
+      val book = new graft.streaming.RuleBook
+      book.applyChanges(rules.map(Metrics.toRow))
+      val engine = new graft.streaming.StreamingEngine(spark, metricFrame, book,
+        graft.streaming.StreamingEngine.SinkConfig(format = "noop",
+          outputMode = "append", checkpointRoot = Some(s"$tmp/ckpt")))
+      val ruleDir = s"$tmp/rules"
+      if (dynamic) engine.startOnePassDynamic(ruleDir)
+      else engine.startOnePassStateful()
+      val start = System.nanoTime()
+      try {
+        (0 until batches).foreach { b =>
+          mem.addData(b)
+          engine.awaitQuiescence()
+          // One rule upsert between every pair of micro-batches.
+          val changed = rules.head.copy(ruleId = 1000 + b)
+          book.applyChanges(Seq(Metrics.toRow(changed)))
+          if (dynamic)
+            graft.streaming.DynamicRules.persist(
+              spark, ruleDir, book.version, book.activeRules)
+          else { engine.startOnePassStateful(); () }
+        }
+        mem.addData(batches)
+        engine.awaitQuiescence()
+      } finally engine.shutdown()
+      (nEvents + per) / ((System.nanoTime() - start) / 1e9)
+    }
+
     // Warm-up lap (JIT, codegen cache, state-store init) — streaming
     // micro-benchmarks are meaningless cold.
     run("planAll"); run("stateful"); run("fmgws"); run("dynamic"); runDedup()
@@ -161,8 +205,10 @@ object StreamBench {
     val stateful = run("stateful")
     val fmgws = run("fmgws")
     val dynamic = run("dynamic")
+    val swapDynamic = runWithSwaps(dynamic = true)
+    val swapRestart = runWithSwaps(dynamic = false)
     val (dedup, nDocs) = runDedup()
-    println(f"""{"metric":"stream_throughput","unit":"events_per_sec","n_events":$nEvents,"n_rules":$nRules,"planAll_update":${declarative}%.0f,"stateful_append":${stateful}%.0f,"fmgws_append":${fmgws}%.0f,"dynamic_append":${dynamic}%.0f,"dedup_docs":$nDocs,"dedup_docs_per_sec":${dedup}%.0f}""")
+    println(f"""{"metric":"stream_throughput","unit":"events_per_sec","n_events":$nEvents,"n_rules":$nRules,"planAll_update":${declarative}%.0f,"stateful_append":${stateful}%.0f,"fmgws_append":${fmgws}%.0f,"dynamic_append":${dynamic}%.0f,"swap_per_batch_dynamic":${swapDynamic}%.0f,"swap_per_batch_restart":${swapRestart}%.0f,"dedup_docs":$nDocs,"dedup_docs_per_sec":${dedup}%.0f}""")
     spark.stop()
   }
 }
