@@ -178,8 +178,15 @@ object VecUnitColumns {
   * when-chain's `otherwise(NaN)`; a vector whose length ≠ `dim` yields
   * null — [[VecDot]]'s mismatched-length contract. */
 case class MatrixRowDot(left: Expression, right: Expression,
-    matrix: Array[Double], dim: Int)
+    matrix: scala.collection.immutable.ArraySeq[Double], dim: Int)
     extends BinaryExpression with ExpectsInputTypes {
+
+  // The matrix rides as an immutable ArraySeq so the case-class
+  // equals/hashCode compare CONTENTS — an Array field is
+  // reference-compared, which would break semanticEquals /
+  // canonicalization / CSE for structurally identical expressions.
+  // Eval and codegen use the primitive array view.
+  @transient private lazy val matrixArr: Array[Double] = matrix.toArray
 
   override def inputTypes: Seq[AbstractDataType] = Seq(
     TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)), IntegerType)
@@ -194,7 +201,7 @@ case class MatrixRowDot(left: Expression, right: Expression,
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val row = b.asInstanceOf[Int]
-    if (dim <= 0 || row < 0 || (row + 1L) * dim > matrix.length)
+    if (dim <= 0 || row < 0 || (row + 1L) * dim > matrixArr.length)
       return Double.NaN
     if (v.numElements() != dim) return null
     var s = 0.0
@@ -202,14 +209,14 @@ case class MatrixRowDot(left: Expression, right: Expression,
     val off = row * dim
     while (i < dim) {
       val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
-      s += x * matrix(off + i)
+      s += x * matrixArr(off + i)
       i += 1
     }
     s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val m = ctx.addReferenceObj("matrix", matrix, "double[]")
+    val m = ctx.addReferenceObj("matrix", matrixArr, "double[]")
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
@@ -243,5 +250,5 @@ object MatrixRowDotColumns {
       matrix: Array[Double], dim: Int): Column =
     ExpressionUtils.column(MatrixRowDot(
       ExpressionUtils.expression(v), ExpressionUtils.expression(row),
-      matrix, dim))
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(matrix.clone()), dim))
 }

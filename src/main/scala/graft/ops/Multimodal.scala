@@ -59,9 +59,13 @@ object Multimodal {
       * malformed rows downstream, don't crash the pipeline on them. */
     object JdkImageIO extends MediaDecoder {
       def decode(payload: Array[Byte]): MediaFeatures = {
+        // NonFatal, not just IOException: the JDK image plugins throw
+        // unchecked exceptions on some corrupt headers (IllegalArgument,
+        // CMMException, NegativeArraySize…) and one pathological payload
+        // must degrade, not fail the task on every retry.
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) MediaFeatures(0, 0, 0, Double.NaN)
         else {
           val w = img.getWidth

@@ -121,6 +121,10 @@ object DynamicRules {
       conf: Configuration): Array[Compiled] = {
     val d = new Path(dir)
     val fs = d.getFileSystem(conf)
+    // A directory that doesn't exist yet (fanOut before any persist —
+    // fanOut is public API) is an empty book, same as the static twin,
+    // not a task failure.
+    if (!fs.exists(d)) return Array.empty
     val latest = fs.listStatus(d).foldLeft(-1L) { (acc, st) =>
       st.getPath.getName match {
         case SnapshotName(v) => math.max(acc, v.toLong)
@@ -134,7 +138,7 @@ object DynamicRules {
         val in = new ObjectInputStream(fs.open(new Path(d, fileName(latest))))
         val rows = try in.readObject().asInstanceOf[Array[RuleRow]]
           finally in.close()
-        val rules = rows.filter(_.rule_state == "ACTIVE")
+        val rules = rows.filter(_.rule_state == graft.model.RuleState.Active.name)
           .sortBy(_.rule_id).map(compile)
         cache.put(dir, (latest, rules))
         rules
