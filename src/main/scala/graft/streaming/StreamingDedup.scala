@@ -46,14 +46,19 @@ object StreamingDedup {
 
   /** One (document × band) arrival: the fanned-out unit of work.
     * `sig` rides along so the bucket can estimate Jaccard without
-    * ever seeing the text. */
+    * ever seeing the text. PRIMITIVE Array[Long], deliberately: the
+    * encoder moves a primitive array as one flat copy, where a
+    * Seq[Long] boxes all 64 components on every state get/put —
+    * measured as the GC superlinearity that collapsed throughput at
+    * 50k-doc batches (800k arrivals × 64 boxed longs ≈ 50M objects
+    * per micro-batch). */
   final case class BandEvent(
       doc_id: Long, eventTime: java.sql.Timestamp, ev_ms: Long,
-      sig: Seq[Long], band_idx: Int, band_hash: Long)
+      sig: Array[Long], band_idx: Int, band_hash: Long)
 
   /** A doc resident in a bucket: id, arrival time (for watermark
     * expiry), signature (for the estimator). */
-  final case class SeenDoc(doc_id: Long, ev_ms: Long, sig: Seq[Long])
+  final case class SeenDoc(doc_id: Long, ev_ms: Long, sig: Array[Long])
 
   final case class BucketState(docs: List[SeenDoc])
 
@@ -85,7 +90,7 @@ object StreamingDedup {
 
   /** Fraction of agreeing signature components — the unbiased MinHash
     * Jaccard estimator. */
-  private[graft] def estJaccard(a: Seq[Long], b: Seq[Long]): Double = {
+  private[graft] def estJaccard(a: Array[Long], b: Array[Long]): Double = {
     var m = 0
     var i = 0
     val len = math.min(a.length, b.length)
@@ -153,10 +158,15 @@ object StreamingDedup {
     BucketFold(hits.result(), cur, added.result(), capEvicted)
   }
 
+  // Matches by (doc_id, ev_ms), not case-class equality: the sig field
+  // is a primitive array (reference-compared), and the eviction target
+  // is identified by its key anyway.
   private def removeFirst(xs: List[SeenDoc], x: SeenDoc): List[SeenDoc] =
     xs match {
       case Nil => Nil
-      case h :: t => if (h == x) t else h :: removeFirst(t, x)
+      case h :: t =>
+        if (h.doc_id == x.doc_id && h.ev_ms == x.ev_ms) t
+        else h :: removeFirst(t, x)
     }
 
   private def processBucket(minEst: Double, cap: Int)(

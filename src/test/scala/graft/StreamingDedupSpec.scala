@@ -83,7 +83,7 @@ class StreamingDedupSpec extends AnyFunSuite {
           val banded = StreamingDedup.banded(toDocFrame(
             corpus.toDF("doc_id", "ms", "text")))
           val sigs = banded.select(col("doc_id"), col("sig")).distinct()
-            .as[(Long, Seq[Long])].collect().toMap
+            .as[(Long, Array[Long])].collect().toMap
           val expected = banded.as("x")
             .join(banded.as("y"),
               col("x.band_idx") === col("y.band_idx") &&
