@@ -194,10 +194,22 @@ object Dedup {
     * keep-one-per-duplicate-cluster dedup. Output: (doc_id,
     * component_id).
     *
-    * Iterative min-label propagation as DataFrame joins; each round is
-    * one shuffle join + aggregation, and `localCheckpoint` cuts the
-    * growing lineage so round N+1 replans from materialized labels
-    * (the standard Spark pattern for iterative graph algorithms).
+    * Iterative min-label propagation as DataFrame joins, with
+    * `localCheckpoint` cutting the growing lineage so the next job
+    * replans from materialized labels (the standard Spark pattern for
+    * iterative graph algorithms). Two levers keep the SERIAL job count
+    * — the wall-clock driver at small per-round data — low:
+    *
+    *  - `stepsPerJob` propagation rounds are chained into one
+    *    materialized job (default 2): convergence is tested on the
+    *    LAST chained step only, which is sound — a run is converged
+    *    iff its final step changed nothing — so the easy 3-round
+    *    corpus (propagate, settle, verify) pays 2 jobs instead of 3,
+    *    and a corpus that settles in round 2 pays 1.
+    *  - the symmetric edge list is hash-partitioned on its join key
+    *    `b` BEFORE the checkpoint, so every round's edge join reuses
+    *    that exchange instead of reshuffling the (2×pairs) frame.
+    *
     * Duplicate clusters are near-cliques in practice, so the plain
     * propagation converges in 2-3 rounds; from round 3 on, each round
     * also path-halves (label ← label[label], pointer jumping), so an
@@ -206,46 +218,66 @@ object Dedup {
     * ~2^(maxIters−3) without paying the extra join on the easy
     * corpora that never get there. */
   def components(pairs: DataFrame, maxIters: Int = 20,
-      persist: Persistence = Persistence.Local): DataFrame = {
+      persist: Persistence = Persistence.Local,
+      stepsPerJob: Int = 2): DataFrame = {
+    require(stepsPerJob >= 1, "stepsPerJob must be >= 1")
     val e = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
     // Materialize the edge list once: every propagation round joins
     // against it, and without the checkpoint each round would re-derive
     // the (possibly expensive) pair-generation pipeline behind `pairs`.
     // Lazy: round 1's convergence count materializes edge list and
     // initial labels inside its own job (no separate upfront jobs).
-    val sym = persist.lazily(e.union(e.select(col("b").as("a"), col("a").as("b"))))
+    val sym = persist.lazily(
+      e.union(e.select(col("b").as("a"), col("a").as("b")))
+        .repartition(col("b")))
     var labels = persist.lazily(sym.select(col("a").as("id")).distinct()
       .withColumn("component_id", col("id")))
-    var changed = 1L
-    var it = 0
-    while (changed > 0 && it < maxIters) {
+
+    // One propagation round from `lbl` (id, component_id) to
+    // (id, new_label, old_label); old_label is lbl's component_id, so
+    // a zero-delta step means `lbl` was already a fixed point.
+    def step(lbl: DataFrame, halve: Boolean): DataFrame = {
       val nbrMin = sym
-        .join(labels.select(col("id").as("nbr"), col("component_id").as("nbr_label")),
+        .join(lbl.select(col("id").as("nbr"), col("component_id").as("nbr_label")),
           col("b") === col("nbr"))
         .groupBy(col("a")).agg(min(col("nbr_label")).as("nbr_min"))
-      val propagated = labels
+      val propagated = lbl
         .join(nbrMin, col("id") === col("a"), "left")
         .select(col("id"),
           least(col("component_id"), coalesce(col("nbr_min"), col("component_id")))
             .as("new_label"),
           col("component_id").as("old_label"))
-      // Lazy checkpoint: the convergence count below is the action
-      // that materializes the round — one job per round, not two.
-      val next = persist.lazily(if (it < 2) propagated else {
+      if (!halve) propagated
+      else
         // Path halving: labels always point to smaller ids, so
         // label[label] is defined and ≤ label — one extra join
         // shortcuts chains exponentially.
         propagated
-          .join(labels.select(col("id").as("pid"), col("component_id").as("plabel")),
+          .join(lbl.select(col("id").as("pid"), col("component_id").as("plabel")),
             col("new_label") === col("pid"), "left")
           .select(col("id"),
             least(col("new_label"), coalesce(col("plabel"), col("new_label")))
               .as("new_label"),
             col("old_label"))
-      })
+    }
+
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val steps = math.min(stepsPerJob, maxIters - it)
+      var cur = labels
+      var last: DataFrame = null
+      for (s <- 0 until steps) {
+        last = step(cur, halve = it + s >= 2)
+        cur = last.select(col("id"), col("new_label").as("component_id"))
+      }
+      // Lazy checkpoint: the convergence count below is the action
+      // that materializes the whole chained job — one job per
+      // `stepsPerJob` rounds, not one per round.
+      val next = persist.lazily(last)
       changed = next.filter(col("new_label") =!= col("old_label")).count()
       labels = next.select(col("id"), col("new_label").as("component_id"))
-      it += 1
+      it += steps
     }
     // Unconverged labels are WRONG labels (split clusters → extra
     // copies kept downstream); failing loudly beats returning them.

@@ -74,27 +74,49 @@ object Sampling {
     * top-`k` of its own bucket, so phase 1 always passes a superset of
     * the answer through, and the output is bit-identical to the
     * single-sort spelling (spec-pinned). Costs one extra (tiny)
-    * shuffle over the survivors. */
+    * shuffle over the survivors.
+    *
+    * Adaptive: when phase 1 cannot filter (every stratum smaller than
+    * `k`-ish), the two-phase plan sorts the whole frame twice for
+    * nothing, so the cap consults the optimizer's size estimate
+    * (driver-side plan stats — no extra job) and takes the
+    * single-window spelling when the WHOLE input fits one task's
+    * external-sort budget (`singlePhaseMaxBytes`): a stratum can never
+    * out-size its frame, so the hot-stratum hazard is impossible
+    * there. Unknown-size inputs (e.g. checkpointed frames report
+    * `defaultSizeInBytes`) estimate huge and err toward the bucketed
+    * plan — the safe direction. `fanout = 1` forces the single-window
+    * spelling explicitly; both spellings are bit-identical
+    * (spec-pinned across the k × fanout grid). */
   def stratifiedCap(df: DataFrame, stratum: Column, key: Column, k: Int,
-      seed: String = "graft", fanout: Int = 64): DataFrame = {
+      seed: String = "graft", fanout: Int = 64,
+      singlePhaseMaxBytes: Long = 256L << 20): DataFrame = {
     require(k > 0, s"cap must be positive, got $k")
     require(fanout > 0, s"fanout must be positive, got $fanout")
-    val taken = df.columns.toSet
-    val bucketCol = Iterator.from(0).map(i => s"_cap_bucket_$i")
-      .find(!taken(_)).get
-    val brankCol = Iterator.from(0).map(i => s"_cap_brank_$i")
-      .find(!taken(_)).get
     val u = hashUniform(key, seed)
-    val w1 = org.apache.spark.sql.expressions.Window
-      .partitionBy(stratum, col(bucketCol)).orderBy(u.asc, key.asc)
     val w2 = org.apache.spark.sql.expressions.Window
       .partitionBy(stratum).orderBy(u.asc, key.asc)
-    df.withColumn(bucketCol, pmod(hash(key), lit(fanout)))
-      .withColumn(brankCol, row_number().over(w1))
-      .filter(col(brankCol) <= k)
-      .drop(bucketCol, brankCol)
-      .withColumn("stratum_rank", row_number().over(w2))
-      .filter(col("stratum_rank") <= k)
+    val onePhase = fanout == 1 ||
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        BigInt(singlePhaseMaxBytes)
+    if (onePhase)
+      df.withColumn("stratum_rank", row_number().over(w2))
+        .filter(col("stratum_rank") <= k)
+    else {
+      val taken = df.columns.toSet
+      val bucketCol = Iterator.from(0).map(i => s"_cap_bucket_$i")
+        .find(!taken(_)).get
+      val brankCol = Iterator.from(0).map(i => s"_cap_brank_$i")
+        .find(!taken(_)).get
+      val w1 = org.apache.spark.sql.expressions.Window
+        .partitionBy(stratum, col(bucketCol)).orderBy(u.asc, key.asc)
+      df.withColumn(bucketCol, pmod(hash(key), lit(fanout)))
+        .withColumn(brankCol, row_number().over(w1))
+        .filter(col(brankCol) <= k)
+        .drop(bucketCol, brankCol)
+        .withColumn("stratum_rank", row_number().over(w2))
+        .filter(col("stratum_rank") <= k)
+    }
   }
 
   /** Assign each row to one named split with probability proportional

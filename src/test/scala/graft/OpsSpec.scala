@@ -425,6 +425,20 @@ class OpsSpec extends AnyFunSuite {
     assert(comp.size == 50 && comp.values.forall(_ == 1L))
   }
 
+  test("components: stepsPerJob chaining is label-equivalent to one-round-per-job") {
+    // Convergence is tested on the LAST chained step only; the labels
+    // must not depend on the job pacing. Chain (diameter 5) + triangle
+    // + disjoint pair exercises converge-mid-chain and halving paths.
+    val pairs = ((1L to 5L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L)))
+      .toDF("id_a", "id_b")
+    val expected = Dedup.components(pairs, stepsPerJob = 1)
+      .as[(Long, Long)].collect().toMap
+    for (spj <- Seq(2, 3))
+      assert(Dedup.components(pairs, stepsPerJob = spj)
+        .as[(Long, Long)].collect().toMap == expected)
+  }
+
   test("components: chain collapses to one cluster, disjoint pair stays separate") {
     // chain 1-2, 2-3, 3-4 (diameter 3 forces multiple propagation
     // rounds) + disjoint pair 10-11
@@ -942,7 +956,10 @@ class OpsSpec extends AnyFunSuite {
       when(col("id") % 100 === 0, concat(lit("s"), col("id") % 5))
         .otherwise(lit("hot")).as("stratum"),
       col("id").as("k"))
-    val capped = Sampling.stratifiedCap(skew, col("stratum"), col("k"), 7, "sx")
+    // singlePhaseMaxBytes = 0: pretend the frame is huge so the spec
+    // exercises the bucketed plan the adaptive path picks at scale.
+    val capped = Sampling.stratifiedCap(skew, col("stratum"), col("k"), 7, "sx",
+      singlePhaseMaxBytes = 0L)
     val w = Window.partitionBy(col("stratum"))
       .orderBy(Sampling.hashUniform(col("k"), "sx").asc, col("k").asc)
     val ref = skew.withColumn("stratum_rank", row_number().over(w))
@@ -957,6 +974,27 @@ class OpsSpec extends AnyFunSuite {
     // sees at most fanout*k survivor rows by construction).
     val plan = capped.queryExecution.executedPlan.toString
     assert(plan.contains("_cap_bucket_0"), s"expected bucketed phase-1 window:\n$plan")
+  }
+
+  test("stratified cap: small inputs adaptively take the single-window plan") {
+    // A frame whose optimizer size estimate fits one task's sort
+    // budget cannot contain a hot stratum, so the cap must skip the
+    // bucketed phase (which would sort the whole frame twice).
+    val small = spark.range(0, 5000).select(
+      concat(lit("s"), col("id") % 7).as("stratum"), col("id").as("k"))
+    val plan = Sampling.stratifiedCap(small, col("stratum"), col("k"), 9, "sp")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("_cap_bucket_0"),
+      s"small input should use the single-window spelling:\n$plan")
+    // And the forced-two-phase twin agrees row-for-row.
+    val a = Sampling.stratifiedCap(small, col("stratum"), col("k"), 9, "sp")
+      .select("stratum", "k", "stratum_rank")
+      .as[(String, Long, Int)].collect().toSet
+    val b = Sampling.stratifiedCap(small, col("stratum"), col("k"), 9, "sp",
+        singlePhaseMaxBytes = 0L)
+      .select("stratum", "k", "stratum_rank")
+      .as[(String, Long, Int)].collect().toSet
+    assert(a == b && a.nonEmpty)
   }
 
   test("stratified cap: two-phase == single-sort across k and fanout configurations") {
