@@ -974,7 +974,31 @@ object SparkEntry {
     // Embedding-space outlier scoring (same centroid-float caveat).
     "sim_outliers" -> ((s, d) =>
       graft.ops.Similarity.outlierScores(
-        graft.ops.Similarity.buildIvfIndex(embeddings(s, d), nClusters = 16))))
+        graft.ops.Similarity.buildIvfIndex(embeddings(s, d), nClusters = 16))),
+    // Probe-only IVF cost — the production shape: the index is a
+    // durable artifact built ONCE (memoized per sf dir; the build+save
+    // is paid in Bench's warm-up lap), and the benched work is
+    // centroid-model load + an nProbe/nClusters partition-pruned probe
+    // of the cid-partitioned parquet. The sim_ann_ivf gate row
+    // deliberately re-trains per call (assign→probe plumbing vs brute
+    // force at nProbe = nClusters); this row tracks what a steady-state
+    // serving pipeline actually pays per query batch.
+    "sim_ann_ivf_probe" -> ((s, d) =>
+      graft.ops.Similarity.ivfTopKWithIndex(
+        graft.ops.Similarity.loadIvfIndex(s, ivfArtifactPath(s, d)),
+        embQueries(s, d), 5, nProbe = 4)))
+
+  /** One saved-IVF artifact per sf dir, built on first use (see
+    * `sim_ann_ivf_probe`). */
+  private val ivfArtifacts = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ivfArtifactPath(s: SparkSession, d: String): String =
+    ivfArtifacts.getOrElseUpdate(d, {
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+      graft.ops.Similarity.saveIvfIndex(
+        graft.ops.Similarity.buildIvfIndex(embeddings(s, d), nClusters = 16),
+        path)
+      path
+    })
 
   /** DuckDB-equivalent SQL per query (same column names + arithmetic).
     * Every query carries an oracle: the approximate-index queries

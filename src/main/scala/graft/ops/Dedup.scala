@@ -102,7 +102,7 @@ object Dedup {
       maxShingleDf: Int = Int.MaxValue,
       persist: Persistence = Persistence.Local): DataFrame =
     pairsFromIndex(shingleIndexWithSize(docs, n, persist), threshold,
-      maxShingleDf)
+      maxShingleDf, persist)
 
   /** [[ngramJaccardPairs]] over a materialized TOKEN INDEX — a frame
     * carrying `doc_id` and a `toks` [[graft.functions.word_tokens]]
@@ -118,11 +118,12 @@ object Dedup {
         array_distinct(graft.functions.array_shingles(col("toks"), n)).as("sh_arr"))
       .select(col("doc_id"), explode(col("sh_arr")).as("shingle"),
         size(col("sh_arr")).as("n_sh")))
-    pairsFromIndex(sh, threshold, maxShingleDf)
+    pairsFromIndex(sh, threshold, maxShingleDf, persist)
   }
 
   private def pairsFromIndex(sh: DataFrame, threshold: Double,
-      maxShingleDf: Int): DataFrame = {
+      maxShingleDf: Int,
+      persist: Persistence = Persistence.Local): DataFrame = {
     if (maxShingleDf == Int.MaxValue) {
       sh.as("x")
         .join(sh.as("y"),
@@ -135,15 +136,25 @@ object Dedup {
             (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
         .filter(col("jaccard") >= threshold)
     } else {
-      import org.apache.spark.sql.expressions.Window
       // Hot-shingle list is tiny by construction (only df > cap);
       // anti-join prunes them from candidate generation only.
-      val hot = sh.groupBy(col("shingle"))
+      // Materialized once (eager, its own small job): BOTH self-join
+      // sides of the candidate stage read it, and unmaterialized the
+      // full-index df aggregation — the widest shuffle here — runs
+      // twice.
+      val hot = persist(sh.groupBy(col("shingle"))
         .agg(count(lit(1)).as("df"))
         .filter(col("df") > maxShingleDf)
-        .select(col("shingle"))
+        .select(col("shingle")))
       val candIdx = sh.join(hot, Seq("shingle"), "left_anti")
-        .withColumn("n_cap", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      // Per-doc count of EXCLUDED (hot) shingles, aggregated from the
+      // hot entries alone (a semi-join-selected sliver of the index)
+      // and attached to the aggregated PAIR frame below — not to every
+      // index row: the former per-row window spelling shuffled AND
+      // sorted the whole capped index once per self-join side just to
+      // carry a per-doc constant into the aggregation.
+      val hotCnt = sh.join(hot, Seq("shingle"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hot"))
       // Candidate scoring doubles as pruning: the capped join already
       // yields the capped-common count cc, and the true common count
       // can exceed it by at most min(hot_a, hot_b) (a shared hot
@@ -159,10 +170,13 @@ object Dedup {
           col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
         .agg(count(lit(1)).as("cc"),
-          first(col("x.n_sh")).as("n_a"), first(col("y.n_sh")).as("n_b"),
-          first(col("x.n_cap")).as("ca"), first(col("y.n_cap")).as("cb"))
+          first(col("x.n_sh")).as("n_a"), first(col("y.n_sh")).as("n_b"))
+        .join(hotCnt.select(col("doc_id").as("id_a"), col("n_hot").as("ha")),
+          Seq("id_a"), "left")
+        .join(hotCnt.select(col("doc_id").as("id_b"), col("n_hot").as("hb")),
+          Seq("id_b"), "left")
       val ubCommon = col("cc") +
-        least(col("n_a") - col("ca"), col("n_b") - col("cb"))
+        least(coalesce(col("ha"), lit(0L)), coalesce(col("hb"), lit(0L)))
       val cand = scored
         .filter(ubCommon.cast("double") /
           (col("n_a") + col("n_b") - ubCommon) >= threshold)

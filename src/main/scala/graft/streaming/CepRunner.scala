@@ -81,7 +81,15 @@ object CepRunner {
     * default: same one-pass stateful query, but rule changes are
     * published as [[DynamicRules]] snapshots and take effect on the
     * next micro-batch with the query running — zero downtime, the
-    * reference's broadcast-state semantics). */
+    * reference's broadcast-state semantics).
+    *
+    * Global (All-window) rules: use `per-rule`. A global window never
+    * closes, so the append-mode stateful engines (`one-pass`,
+    * `dynamic`) never emit for it — matching the reference's
+    * observable behavior (its global trigger never fires, SURVEY
+    * §2.4); the per-rule declarative path runs global rules in UPDATE
+    * mode, emitting the running aggregate per micro-batch, which is
+    * the output a user deploying a global rule actually wants. */
   def main(args: Array[String]): Unit = {
     val host = args.headOption.getOrElse("localhost")
     val metricPort = args.lift(1).map(_.toInt).getOrElse(9999)
