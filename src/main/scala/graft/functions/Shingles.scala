@@ -91,6 +91,61 @@ case class ArrayShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** 64-bit HASHES of the word n-gram shingles — `xxhash64(shingle)`
+  * (seed 42, Spark's builtin) for each gram of [[WordShingles]], in
+  * the same single native pass. Bit-identical to the declarative twin
+  * `transform(word_shingles(text, n), s -> xxhash64(s))` (spec), but
+  * the gram STRINGS die inside the expression: downstream joins,
+  * shuffles, and caches carry 8-byte longs instead of ~n-word strings
+  * — the working-set cut that pays for the whole n-gram dedup family
+  * (the inverted index is the largest intermediate those pipelines
+  * materialize). A 64-bit collision can merge two distinct grams
+  * (~G²/2⁶⁴ for G distinct grams — negligible below ~10⁹ grams, the
+  * same trade [[MinhashSignature]] already makes); callers that need
+  * literal grams (e.g. to report WHICH gram leaked) use the string
+  * variant. */
+case class WordShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShinglesImpl.shingleHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.WordShinglesImpl.shingleHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}
+
+/** [[WordShingleHashes]] over a pre-tokenized array ([[WordTokens]]
+  * column): byte-identical hashes, zero re-tokenize. */
+case class ArrayShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "array_shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShinglesImpl.shingleHashesFromTokens(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.WordShinglesImpl.shingleHashesFromTokens($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayShingleHashes =
+    copy(child = newChild)
+}
+
 object WordShinglesImpl {
   private val Whitespace = UTF8String.fromString("\\s+")
   private val Space = UTF8String.fromString(" ")
@@ -130,6 +185,38 @@ object WordShinglesImpl {
     }
     new GenericArrayData(out)
   }
+
+  /** See [[WordShingleHashes]]. Static for codegen. */
+  def shingleHashes(s: UTF8String, n: Int): GenericArrayData =
+    shingleHashesOf(tokenize(s), n)
+
+  /** See [[ArrayShingleHashes]]. Static for codegen. */
+  def shingleHashesFromTokens(arr: ArrayData, n: Int): GenericArrayData = {
+    val len = arr.numElements()
+    val toks = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) { toks(i) = arr.getUTF8String(i); i += 1 }
+    shingleHashesOf(toks, n)
+  }
+
+  // The gram string is built exactly as shinglesOf does and hashed with
+  // the builtin xxhash64's algorithm+seed (XXH64, 42) — this is what
+  // keeps the declarative `transform(..., xxhash64)` twin bit-identical.
+  private def shingleHashesOf(toks: Array[UTF8String], n: Int): GenericArrayData = {
+    if (toks.length < n)
+      return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](toks.length - n + 1)
+    val slice = new Array[UTF8String](n)
+    var i = 0
+    while (i < out.length) {
+      System.arraycopy(toks, i, slice, 0, n)
+      val g = UTF8String.concatWs(Space, slice: _*)
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 object WordShinglesColumns {
@@ -139,4 +226,8 @@ object WordShinglesColumns {
     ExpressionUtils.column(WordTokens(ExpressionUtils.expression(text)))
   def arrayShingles(tokens: Column, n: Int): Column =
     ExpressionUtils.column(ArrayShingles(ExpressionUtils.expression(tokens), n))
+  def wordShingleHashes(text: Column, n: Int): Column =
+    ExpressionUtils.column(WordShingleHashes(ExpressionUtils.expression(text), n))
+  def arrayShingleHashes(tokens: Column, n: Int): Column =
+    ExpressionUtils.column(ArrayShingleHashes(ExpressionUtils.expression(tokens), n))
 }

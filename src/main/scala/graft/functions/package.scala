@@ -54,6 +54,19 @@ package object functions {
   def array_shingles(tokens: Column, n: Int): Column =
     WordShinglesColumns.arrayShingles(tokens, n)
 
+  /** 64-bit xxhash64 of each word n-gram shingle, one native pass —
+    * bit-identical to `transform(word_shingles(text, n), xxhash64)`
+    * but the gram strings never leave the expression; the join/cache
+    * currency of the n-gram dedup and decontamination pipelines — see
+    * [[org.apache.spark.sql.graft.WordShingleHashes]]. */
+  def word_shingle_hashes(text: Column, n: Int): Column =
+    WordShinglesColumns.wordShingleHashes(text, n)
+
+  /** [[word_shingle_hashes]] from a pre-tokenized [[word_tokens]]
+    * array — see [[org.apache.spark.sql.graft.ArrayShingleHashes]]. */
+  def array_shingle_hashes(tokens: Column, n: Int): Column =
+    WordShinglesColumns.arrayShingleHashes(tokens, n)
+
   /** Per-document word n-gram repetition stats struct
     * `{n_grams, n_distinct_grams, top_gram_frac, dup_gram_frac}` in
     * one native pass (codegen'd; zero-shuffle replacement for the

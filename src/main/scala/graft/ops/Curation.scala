@@ -39,7 +39,11 @@ object Curation {
       minTokens: Int = 25, maxTokens: Int = 100000,
       maxTopGramFrac: Double = 0.09, maxDupGramFrac: Double = 0.09,
       persist: Persistence = Persistence.Local): DataFrame = {
-    val base = persist(docs.repartition(col("doc_id"))
+    // Lazy: the dedup branch's (eager) shingle-index job is the first
+    // consumer and materializes the token index inside ITS job — one
+    // serial barrier instead of two; quality/decontamination then read
+    // the cached blocks.
+    val base = persist.lazily(docs.repartition(col("doc_id"))
       .select(col("doc_id"),
         graft.functions.word_tokens(col("text")).as("toks")))
     val quality = TextAnalysis.qualityFilterFromTokens(base, minTokens,

@@ -9,13 +9,19 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture (100 TB corpus vs KB–MB eval sets): the EVAL side is
   * reduced to its distinct n-gram set and broadcast, so the corpus
-  * side is one scan — native one-pass shingling
-  * ([[graft.functions.word_shingles]]), explode, broadcast hash join
-  * on the gram, and a partial-aggregated per-doc count. The corpus is
-  * never shuffled by gram (gram frequency is zipfian — a gram shuffle
-  * would hot-spot); the only shuffle is the final doc_id count, which
-  * map-side combines. Set `broadcastEval = false` for an eval set too
-  * big to broadcast (falls back to a shuffle equi-join).
+  * side is one scan — native one-pass shingle HASHING
+  * ([[graft.functions.word_shingle_hashes]]), explode, broadcast hash
+  * join on the 8-byte gram hash, and a partial-aggregated per-doc
+  * count. Grams ride as 64-bit hashes on BOTH sides (same function,
+  * same seed): a 13-gram is ~80 bytes of string — hashing shrinks the
+  * exploded corpus frame and the broadcast ~10×, and a collision
+  * (~G_corpus·G_eval/2⁶⁴) can only add a spurious hit, the
+  * conservative direction for a leakage guard (the gate corpus is
+  * collision-free, so the string-gram DuckDB oracle still matches).
+  * The corpus is never shuffled by gram (gram frequency is zipfian — a
+  * gram shuffle would hot-spot); the only shuffle is the final doc_id
+  * count, which map-side combines. Set `broadcastEval = false` for an
+  * eval set too big to broadcast (falls back to a shuffle equi-join).
   */
 object Decontamination {
 
@@ -35,7 +41,7 @@ object Decontamination {
         // rather than inherit file-split parallelism.
         .repartition(col("doc_id"))
         .select(col("doc_id"), explode(
-          array_distinct(graft.functions.word_shingles(col("text"), n))).as("g")),
+          array_distinct(graft.functions.word_shingle_hashes(col("text"), n))).as("g")),
       evalDocs, n, broadcastEval)
 
   /** [[flagContaminated]] over a materialized token index (`doc_id` +
@@ -47,14 +53,14 @@ object Decontamination {
       n: Int = 13, broadcastEval: Boolean = true): DataFrame =
     flagAgainstEval(
       tokensFrame.select(col("doc_id"), explode(
-        array_distinct(graft.functions.array_shingles(col("toks"), n))).as("g")),
+        array_distinct(graft.functions.array_shingle_hashes(col("toks"), n))).as("g")),
       evalDocs, n, broadcastEval)
 
   private def flagAgainstEval(corpusGrams: DataFrame, evalDocs: DataFrame,
       n: Int, broadcastEval: Boolean): DataFrame = {
     val evalGrams = evalDocs
       .select(explode(
-        array_distinct(graft.functions.word_shingles(col("text"), n))).as("g"))
+        array_distinct(graft.functions.word_shingle_hashes(col("text"), n))).as("g"))
       .distinct()
     val ev = if (broadcastEval) broadcast(evalGrams) else evalGrams
     corpusGrams

@@ -50,18 +50,29 @@ object Dedup {
   /** (doc_id, shingle, n_sh) inverted index: distinct shingles per
     * doc, with the per-doc distinct-shingle count on every row.
     *
-    * Shingling runs as ONE native pass per document
-    * ([[graft.functions.word_shingles]] — byte-identical to the
-    * declarative tokens+transform spelling, which paid an interpreted
-    * lambda per shingle position). The input is first
-    * hash-repartitioned by doc_id: text corpora often arrive as few
-    * large files, and shingling is the CPU-dense stage, so it must be
-    * spread across all cores/executors rather than inherit the
-    * file-split parallelism. `n_sh` is `size` of the pre-explode
-    * ARRAY — free in the same projection, where a window-function
-    * recount would SORT the exploded index per doc; carrying it
-    * through the candidate join removes the two size-lookup joins —
-    * and their full re-shingling branches — from the pair pipeline.
+    * `shingle` is the 64-BIT HASH of the gram
+    * ([[graft.functions.word_shingle_hashes]], one native pass —
+    * xxhash64 of the exact gram string the declarative spelling
+    * builds, spec-pinned), not the string: the index is the largest
+    * intermediate the n-gram dedup family materializes, and every
+    * downstream stage (df aggregation, candidate self-join,
+    * verification join) keys on it — 8-byte long keys cut the cache,
+    * shuffle, and hash-compare cost of all of them vs ~n-word strings.
+    * A 64-bit collision merges two grams and can only ADD a candidate
+    * / inflate one intersection count by 1 (~G²/2⁶⁴ for G distinct
+    * grams — negligible below ~10⁹ grams, and the same trade the
+    * MinHash signatures already make; at 100 TB gram cardinality, move
+    * to 128-bit before trusting exact counts).
+    *
+    * The input is first hash-repartitioned by doc_id: text corpora
+    * often arrive as few large files, and shingling is the CPU-dense
+    * stage, so it must be spread across all cores/executors rather
+    * than inherit the file-split parallelism. `n_sh` is `size` of the
+    * pre-explode ARRAY — free in the same projection, where a
+    * window-function recount would SORT the exploded index per doc;
+    * carrying it through the candidate join removes the two
+    * size-lookup joins — and their full re-shingling branches — from
+    * the pair pipeline.
     *
     * The result is materialized: every caller uses it in 2-3 plan
     * branches (self-join sides, verification), and without
@@ -73,7 +84,7 @@ object Dedup {
       persist: Persistence): DataFrame =
     persist(docs.repartition(col("doc_id"))
       .select(col("doc_id"),
-        array_distinct(graft.functions.word_shingles(col("text"), n)).as("sh_arr"))
+        array_distinct(graft.functions.word_shingle_hashes(col("text"), n)).as("sh_arr"))
       .select(col("doc_id"), explode(col("sh_arr")).as("shingle"),
         size(col("sh_arr")).as("n_sh")))
 
@@ -97,7 +108,14 @@ object Dedup {
     * below-cap shingle (OpsSpec pins the gate corpus' max df below
     * the gate cap, so the gate's shared exact oracle holds by
     * construction, not by luck). Uncapped, the single-pass
-    * join+count plan is used (no separate verification pass). */
+    * join+count plan is used (no separate verification pass).
+    *
+    * Set arithmetic runs over 64-bit gram hashes (see
+    * [[shingleIndexWithSize]]): "exact" Jaccard means exact over the
+    * hashed gram sets — identical to string-gram Jaccard unless two
+    * distinct grams collide (~G²/2⁶⁴; the gate corpora are
+    * collision-free, so the DuckDB string-gram oracles still
+    * hash-match). */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       maxShingleDf: Int = Int.MaxValue,
       persist: Persistence = Persistence.Local): DataFrame =
@@ -115,7 +133,7 @@ object Dedup {
       persist: Persistence = Persistence.Local): DataFrame = {
     val sh = persist(tokensFrame
       .select(col("doc_id"),
-        array_distinct(graft.functions.array_shingles(col("toks"), n)).as("sh_arr"))
+        array_distinct(graft.functions.array_shingle_hashes(col("toks"), n)).as("sh_arr"))
       .select(col("doc_id"), explode(col("sh_arr")).as("shingle"),
         size(col("sh_arr")).as("n_sh")))
     pairsFromIndex(sh, threshold, maxShingleDf, persist)
@@ -136,25 +154,51 @@ object Dedup {
             (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
         .filter(col("jaccard") >= threshold)
     } else {
-      // Hot-shingle list is tiny by construction (only df > cap);
-      // anti-join prunes them from candidate generation only.
-      // Materialized once (eager, its own small job): BOTH self-join
-      // sides of the candidate stage read it, and unmaterialized the
-      // full-index df aggregation — the widest shuffle here — runs
-      // twice.
-      val hot = persist(sh.groupBy(col("shingle"))
+      // The df>cap ("hot") shingle list, materialized once (eager, its
+      // own small job). Its cardinality is bounded by
+      // index_rows / cap — each hot shingle owns > cap index rows — so
+      // it is orders smaller than the index; whether it is SMALL
+      // ENOUGH TO BROADCAST is still corpus-dependent, so the cheap
+      // count on the cached frame dispatches between two spellings
+      // rather than trusting a plan-time estimate (a checkpointed
+      // frame's optimizer stats are the unhelpful default size).
+      // Lazy + count: the dispatch count below doubles as the
+      // materializing action — one job, not checkpoint-then-count.
+      val hot = persist.lazily(sh.groupBy(col("shingle"))
         .agg(count(lit(1)).as("df"))
         .filter(col("df") > maxShingleDf)
         .select(col("shingle")))
-      val candIdx = sh.join(hot, Seq("shingle"), "left_anti")
-      // Per-doc count of EXCLUDED (hot) shingles, aggregated from the
-      // hot entries alone (a semi-join-selected sliver of the index)
-      // and attached to the aggregated PAIR frame below — not to every
-      // index row: the former per-row window spelling shuffled AND
-      // sorted the whole capped index once per self-join side just to
-      // carry a per-doc constant into the aggregation.
-      val hotCnt = sh.join(hot, Seq("shingle"), "left_semi")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hot"))
+      val candIdx =
+        if (hot.count() <= maxBroadcastHotShingles) {
+          // Broadcast flag join: narrow, so the index's doc_id
+          // partitioning survives and the per-doc hot count — needed
+          // by the upper-bound pruning below — is a ZERO-EXCHANGE
+          // window sum riding each index row into the pair
+          // aggregation. The join spelling below paid a shingle
+          // shuffle for the anti-join, a semi-join + per-doc
+          // aggregation for the counts, and two per-pair joins to
+          // attach them.
+          sh.join(broadcast(hot.withColumn("is_hot", lit(1))),
+              Seq("shingle"), "left")
+            .withColumn("n_hot",
+              sum(coalesce(col("is_hot"), lit(0))).over(
+                org.apache.spark.sql.expressions.Window
+                  .partitionBy(col("doc_id"))))
+            .filter(col("is_hot").isNull)
+            .select(col("doc_id"), col("shingle"), col("n_sh"), col("n_hot"))
+        } else {
+          // Hot list too big to broadcast (pathological template
+          // corpus): equi-join spelling — anti-join drops hot rows,
+          // per-doc hot counts come from the semi-join-selected sliver
+          // and are re-attached by a doc_id join (AQE broadcasts it
+          // when small enough at runtime).
+          val hotCnt = sh.join(hot, Seq("shingle"), "left_semi")
+            .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hot"))
+          sh.join(hot, Seq("shingle"), "left_anti")
+            .join(hotCnt, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("shingle"), col("n_sh"),
+              coalesce(col("n_hot"), lit(0L)).as("n_hot"))
+        }
       // Candidate scoring doubles as pruning: the capped join already
       // yields the capped-common count cc, and the true common count
       // can exceed it by at most min(hot_a, hot_b) (a shared hot
@@ -170,13 +214,9 @@ object Dedup {
           col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
         .agg(count(lit(1)).as("cc"),
-          first(col("x.n_sh")).as("n_a"), first(col("y.n_sh")).as("n_b"))
-        .join(hotCnt.select(col("doc_id").as("id_a"), col("n_hot").as("ha")),
-          Seq("id_a"), "left")
-        .join(hotCnt.select(col("doc_id").as("id_b"), col("n_hot").as("hb")),
-          Seq("id_b"), "left")
-      val ubCommon = col("cc") +
-        least(coalesce(col("ha"), lit(0L)), coalesce(col("hb"), lit(0L)))
+          first(col("x.n_sh")).as("n_a"), first(col("y.n_sh")).as("n_b"),
+          first(col("x.n_hot")).as("ha"), first(col("y.n_hot")).as("hb"))
+      val ubCommon = col("cc") + least(col("ha"), col("hb"))
       val cand = scored
         .filter(ubCommon.cast("double") /
           (col("n_a") + col("n_b") - ubCommon) >= threshold)
@@ -184,6 +224,11 @@ object Dedup {
       verifyJaccard(cand, sh, threshold)
     }
   }
+
+  /** Hot-shingle lists up to this many entries ride as a broadcast
+    * (8-byte hashes → ≤ ~32 MB); above it the capped pair pipeline
+    * falls back to the equi-join spelling. See [[pairsFromIndex]]. */
+  private val maxBroadcastHotShingles = 4L << 20
 
   /** Exact-Jaccard verification of candidate pairs against the full
     * shingle index (n_sh rides on the index rows — no separate size

@@ -124,6 +124,47 @@ class OpsSpec extends AnyFunSuite {
     assert(mismatches.count() == 0)
   }
 
+  test("native shingle hashes are bit-identical to transform(shingles, xxhash64), text and token paths") {
+    // The license for the dedup/decontamination pipelines to key on
+    // 8-byte gram hashes: the native pass hashes EXACTLY the gram
+    // strings the declarative spelling builds, with the builtin
+    // xxhash64's algorithm and seed.
+    val mismatches = docs.select(col("doc_id"),
+        graft.functions.word_shingle_hashes(col("text"), 3).as("native"),
+        transform(graft.functions.word_shingles(col("text"), 3),
+          s => xxhash64(s)).as("declarative"),
+        graft.functions.array_shingle_hashes(
+          graft.functions.word_tokens(col("text")), 3).as("native_arr"))
+      .filter(col("native") =!= col("declarative") ||
+        col("native_arr") =!= col("declarative"))
+    assert(mismatches.count() == 0)
+  }
+
+  test("hashed-gram pair pipeline equals the string-gram spelling on the spec corpus") {
+    // ngramJaccardPairs rides gram hashes; this pins the result to the
+    // string-gram arithmetic it replaced (equal unless a 64-bit
+    // collision exists in the corpus — in which case this fails loudly).
+    val strIdx = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        array_distinct(graft.functions.word_shingles(col("text"), 3)).as("sh_arr"))
+      .select(col("doc_id"), explode(col("sh_arr")).as("shingle"),
+        size(col("sh_arr")).as("n_sh"))
+    val strPairs = strIdx.as("x")
+      .join(strIdx.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"),
+        first(col("x.n_sh")).as("n_a"), first(col("y.n_sh")).as("n_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val hashed = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(strPairs.nonEmpty && hashed == strPairs)
+  }
+
   test("shingle df-cap: capped candidate generation leaves the corpus pairs unchanged, with exact jaccard") {
     // Cap 5 genuinely drops shingles here (max df on this corpus is 9)
     // yet near-dup pairs survive on their rare shingles, and
@@ -669,6 +710,21 @@ class OpsSpec extends AnyFunSuite {
       .flagContaminated(train, eval, n = 5, broadcastEval = false)
       .as[(Long, Long)].collect().toMap
     assert(shuffled == flagged)
+  }
+
+  test("hashed-gram decontamination equals the string-gram spelling on the spec corpus") {
+    val eval = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+    val strSide = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.word_shingles(col("text"), 5))).as("g"))
+      .join(broadcast(eval.select(explode(array_distinct(
+        graft.functions.word_shingles(col("text"), 5))).as("g")).distinct()), "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .as[(Long, Long)].collect().toMap
+    val hashed = Decontamination.flagContaminated(docs, eval, 5)
+      .as[(Long, Long)].collect().toMap
+    assert(strSide.nonEmpty && hashed == strSide)
   }
 
   test("hash sampling is deterministic and partitioning-invariant") {
