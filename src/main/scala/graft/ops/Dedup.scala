@@ -275,12 +275,38 @@ object Dedup {
     * adversarial chain of length L converges in O(log L) further
     * rounds instead of O(L) — `maxIters` rounds reach chains of
     * ~2^(maxIters−3) without paying the extra join on the easy
-    * corpora that never get there. */
+    * corpora that never get there.
+    *
+    * SMALL-GRAPH FAST PATH: when the (long-keyed) edge list is at most
+    * `maxDriverEdges` rows — known from the count that materializes it,
+    * not a plan-time guess — the component labeling is a driver-side
+    * union-find over the collected edges, returned as a local
+    * relation. This is the broadcast-join trade, not a scalability
+    * leak: the edge list of a NEAR-DUP graph is orders smaller than
+    * the corpus (pairs, not docs), the driver pass is one job plus an
+    * O(E α(E)) loop instead of 2-4 serial distributed rounds (each a
+    * full shuffle-stage of latency), and the label set it returns is
+    * exactly the propagation fixed point. Corpora whose duplicate
+    * graphs outgrow the bound (the 100 TB case: set the bound to what
+    * the driver can hold, default 4M edges ≈ 64 MB) take the
+    * distributed loop automatically; `maxDriverEdges = 0` forces it
+    * (the equivalence spec runs both). */
   def components(pairs: DataFrame, maxIters: Int = 20,
       persist: Persistence = Persistence.Local,
-      stepsPerJob: Int = 2): DataFrame = {
+      stepsPerJob: Int = 2, maxDriverEdges: Long = 4L << 20): DataFrame = {
     require(stepsPerJob >= 1, "stepsPerJob must be >= 1")
-    val e = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+    val e0 = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+    val longKeyed = e0.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    val e =
+      if (longKeyed && maxDriverEdges > 0) {
+        // Lazy + count: the dispatch count doubles as the materializing
+        // action, and the distributed loop reuses the same checkpoint.
+        val eMat = persist.lazily(e0)
+        if (eMat.count() <= maxDriverEdges)
+          return driverComponents(eMat)
+        eMat
+      } else e0
     // Materialize the edge list once: every propagation round joins
     // against it, and without the checkpoint each round would re-derive
     // the (possibly expensive) pair-generation pipeline behind `pairs`.
@@ -346,6 +372,34 @@ object Dedup {
           s"($changed labels still changing); raise maxIters — duplicate " +
           "chains longer than the iteration bound are present")
     labels.select(col("id").as("doc_id"), col("component_id"))
+  }
+
+  /** Driver union-find over a collected long-keyed edge list; returns
+    * the same (doc_id, component_id = min reachable id) fixed point as
+    * the distributed loop, as a local relation (broadcast-sized by the
+    * [[components]] dispatch contract). Union-by-min-root plus path
+    * compression in `find` — near-linear in practice. */
+  private def driverComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parent = new scala.collection.mutable.LongMap[Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.as[(Long, Long)].collect().foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    val out = parent.keys.toArray.sorted.map(id => (id, find(id)))
+    spark.createDataset(out.toIndexedSeq).toDF("doc_id", "component_id")
   }
 
   /** The dedup decision applied: keep each cluster's keeper (smallest

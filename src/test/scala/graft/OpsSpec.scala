@@ -460,9 +460,11 @@ class OpsSpec extends AnyFunSuite {
   test("components: a 50-hop duplicate chain converges within maxIters via pointer jumping") {
     // Plain min-label propagation needs O(diameter) = 49 rounds here —
     // beyond the 20-round bound; path halving from round 3 closes it
-    // in O(log L).
+    // in O(log L). maxDriverEdges = 0 forces the distributed loop
+    // (the driver fast path would trivialize the chain).
     val pairs = (1L to 49L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val comp = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    val comp = Dedup.components(pairs, maxDriverEdges = 0L)
+      .as[(Long, Long)].collect().toMap
     assert(comp.size == 50 && comp.values.forall(_ == 1L))
   }
 
@@ -470,14 +472,31 @@ class OpsSpec extends AnyFunSuite {
     // Convergence is tested on the LAST chained step only; the labels
     // must not depend on the job pacing. Chain (diameter 5) + triangle
     // + disjoint pair exercises converge-mid-chain and halving paths.
+    // Forced distributed: job pacing only exists on that path.
     val pairs = ((1L to 5L).map(i => (i, i + 1)) ++
       Seq((20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L)))
       .toDF("id_a", "id_b")
-    val expected = Dedup.components(pairs, stepsPerJob = 1)
+    val expected = Dedup.components(pairs, stepsPerJob = 1, maxDriverEdges = 0L)
       .as[(Long, Long)].collect().toMap
     for (spj <- Seq(2, 3))
-      assert(Dedup.components(pairs, stepsPerJob = spj)
+      assert(Dedup.components(pairs, stepsPerJob = spj, maxDriverEdges = 0L)
         .as[(Long, Long)].collect().toMap == expected)
+  }
+
+  test("components: driver union-find fast path equals the distributed loop") {
+    // The size dispatch must be invisible in the labels: the corpus'
+    // real near-dup graph plus an adversarial chain, run through both
+    // paths. Also pins the fast path's engagement (driver path plans
+    // a local relation — zero exchanges).
+    val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.8, 10)
+      .select(col("id_a"), col("id_b"))
+      .union(Seq.range(1000L, 1040L).map(i => (i, i + 1)).toDF("id_a", "id_b"))
+    val driver = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    val dist = Dedup.components(pairs, maxDriverEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(driver.nonEmpty && driver == dist)
+    val plan = Dedup.components(pairs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
   }
 
   test("components: chain collapses to one cluster, disjoint pair stays separate") {
