@@ -73,6 +73,23 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Embedding dedup with a size dispatch: corpora at most
+    * `maxExactRows` vectors take the exact all-pairs compare (cheapest
+    * plan when N² fits one shuffle — and the only recall-1-by-
+    *-construction plan); anything larger takes the banded-LSH
+    * candidate path ([[lshDupPairs]]) so NO quadratic plan ever runs
+    * at scale. The dispatch count doubles as a sanity action on the
+    * input and is one cheap job; both branches share the output schema
+    * and exact verified cosine, so at recall-1 LSH parameters the
+    * branches are result-identical (the gate pins this: sf0.01 runs
+    * exact, sf0.1 runs LSH, both against the same exact oracle). */
+  def dupPairsAuto(emb: DataFrame, threshold: Double, dim: Int,
+      maxExactRows: Long = 1000,
+      tables: Int = 40, planesPerTable: Int = 4,
+      persist: Persistence = Persistence.Local): DataFrame =
+    if (emb.count() <= maxExactRows) cosineDupPairs(emb, threshold)
+    else lshDupPairs(emb, threshold, dim, tables, planesPerTable, persist)
+
   /** Near-duplicate pairs with cosine ≥ threshold, at scale: candidate
     * pairs come from shared random-hyperplane LSH buckets (equi-join on
     * bucket keys — never all-pairs), then are verified with the exact

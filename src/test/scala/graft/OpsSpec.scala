@@ -357,6 +357,28 @@ class OpsSpec extends AnyFunSuite {
     assert(ivfTopk == exactTopk)
   }
 
+  test("dupPairsAuto: size dispatch is invisible, and the large branch plans no all-pairs join") {
+    // ≤ maxExactRows → exact all-pairs; above → banded LSH at recall-1
+    // gate parameters. sf0.1 (2000 vectors) takes the LSH branch and
+    // must still equal the exact pair set — this is what licenses the
+    // dedup_embedding gate to stay on its exact DuckDB oracle at sf0.1
+    // with no quadratic plan in the gate set.
+    val e1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val exact = Similarity.cosineDupPairs(e1, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val auto = Similarity.dupPairsAuto(e1, 0.4, 64)
+    val autoSet = auto.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty && autoSet == exact)
+    val plan = auto.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    // Small branch: identical to the exact baseline by construction.
+    val e01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    assert(Similarity.dupPairsAuto(e01, 0.4, 64)
+      .queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("multimodal: imperative (mapPartitions+decoder) equals declarative twin") {
     val media = Multimodal.mediaFromDocuments(docs)
     val imp = Multimodal.extractFeatures(media, Multimodal.MediaDecoder.Fake)
