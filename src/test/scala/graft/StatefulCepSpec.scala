@@ -344,6 +344,36 @@ class StatefulCepSpec extends AnyFunSuite {
     }
   }
 
+  test("global rules: append engines never emit (documented routing), declarative path serves them") {
+    // The documented mode contract (CepRunner Scaladoc): global
+    // (All-window) rules must route to the declarative update-mode
+    // path; the append-mode stateful engines never fire them, matching
+    // the reference's observable global-trigger behavior.
+    implicit val sqlCtx = spark.sqlContext
+    val globalRule = Rule(9, RuleState.Active, WindowType.Global, 0, 0,
+      Seq("t_group"), AggType.Sum, "cpu_usage", CmpOp.Gt, BigDecimal(-1))
+    val rules = Metrics.rulesToDF(spark, Seq(globalRule))
+    val mem = MemoryStream[Ev]
+    val out = StatefulCep.run(StatefulCep.fanOut(toMetricFrame(mem.toDF()), rules))
+    val q = out.writeStream.format("memory").queryName("stateful_global")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(t0, "a", 3), Ev(t0 + 30000, "a", 12), Ev(t0 + 50000, "b", 20))
+      q.processAllAvailable()
+      mem.addData(Ev(t0 + 3600000, "a", 1)) // watermark far ahead: still nothing
+      q.processAllAvailable()
+      assert(spark.table("stateful_global").count() == 0)
+    } finally q.stop()
+    // Same rule, declarative path: every group fires with the running
+    // aggregate — the output a deployed global rule actually wants.
+    val events = Seq(Ev(t0, "a", 3), Ev(t0 + 30000, "a", 12),
+      Ev(t0 + 50000, "b", 20), Ev(t0 + 3600000, "a", 1))
+    val batch = graft.cep.CepQuery.planAll(toMetricFrame(events.toDF()), rules)
+      .select(col("group_id"), col("result"))
+      .as[(String, Double)].collect().toMap
+    assert(batch == Map("9_a" -> 16.0, "9_b" -> 20.0))
+  }
+
   private def parityCheck(rule: Rule, table: String,
       run: DataFrame => org.apache.spark.sql.Dataset[StatefulCep.CepResult]): Unit = {
     implicit val sqlCtx = spark.sqlContext
