@@ -642,6 +642,23 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           sum(char_length(col("text")).cast(CepQuery.SumDecimal)).cast("double")
             .as("total_chars"))),
+    // Token-budgeted sequence packing (the batching step between
+    // curation and tokenization): deterministic next-fit into ~8192-
+    // char bins over 8 independent hash streams; assignment is a pure
+    // function of (doc_id, seed) and the md5/DIV arithmetic is
+    // ANSI-portable, so the oracle reproduces every pack bit-exactly.
+    "curation_pack" -> ((s, d) =>
+      graft.ops.Sampling.packSequences(documents(s, d), col("doc_id"),
+        char_length(col("text")), budget = 8192, buckets = 8, seed = "s1")
+        .select(col("doc_id"), col("bucket"), col("pack_seq"), col("pack_id"))),
+    // Leakage-safe split: keyed on SOURCE, so every document of a
+    // domain lands in the same split (a domain straddling train/test
+    // leaks templates across the boundary; doc-keyed splits cannot
+    // prevent that).
+    "curation_split_by_source" -> ((s, d) =>
+      graft.ops.Sampling.splitAssign(documents(s, d), col("source"),
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), "s1")
+        .select(col("doc_id"), col("source"), col("split"))),
     "text_tokens" -> ((s, d) => graft.ops.TextAnalysis.tokenStats(documents(s, d))),
     "text_quality" -> ((s, d) => graft.ops.TextAnalysis.qualityScore(documents(s, d))),
     "text_langid" -> ((s, d) => graft.ops.TextAnalysis.langId(documents(s, d))),
@@ -822,6 +839,29 @@ object SparkEntry {
          |SELECT split, count(*) AS n_docs,
          |  CAST(sum(CAST(length(text) AS DECIMAL(38,6))) AS DOUBLE) AS total_chars
          |FROM a GROUP BY 1""".stripMargin,
+    // Same md5 uniform, bucket = floor(u·8); cum-before-DIV-budget is
+    // the exact next-fit arithmetic of Sampling.packSequences.
+    "curation_pack" ->
+      s"""WITH t AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_tok,
+         |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8)) AS BIGINT)
+         |    / 4294967296.0 AS u
+         |  FROM documents),
+         |b AS (SELECT doc_id, n_tok, u, CAST(floor(u * 8) AS INT) AS bucket FROM t),
+         |c AS (SELECT doc_id, bucket,
+         |        CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY bucket ORDER BY u, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+         |      FROM b)
+         |SELECT doc_id, bucket, cum // 8192 AS pack_seq,
+         |  CAST(bucket AS BIGINT) * 4294967296 + (cum // 8192) AS pack_id
+         |FROM c""".stripMargin,
+    "curation_split_by_source" ->
+      s"""SELECT doc_id, source,
+         |  CASE WHEN u < 0.75 THEN 'train' WHEN u < 0.875 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, source,
+         |        CAST(('0x' || substring(md5(source || ':s1'), 1, 8)) AS BIGINT)
+         |        / 4294967296.0 AS u
+         |      FROM documents)""".stripMargin,
     "curation_stratified" ->
       s"""SELECT doc_id, source, stratum_rank FROM (
          |  SELECT doc_id, source,

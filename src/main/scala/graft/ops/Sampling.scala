@@ -142,4 +142,50 @@ object Sampling {
     }.fold(lit(weights.last._1))(_.otherwise(weights.last._1))
     df.withColumn("split", assigned)
   }
+
+  /** Token-budgeted sequence packing: group documents into
+    * training-example bins ("packs") of ~`budget` tokens each — the
+    * batching step between curation and tokenization in an LLM
+    * pretraining pipeline. Adds `bucket`, `pack_seq` (pack index
+    * within the bucket), and a globally-unique `pack_id`.
+    *
+    * Deterministic next-fit by hash order: each doc lands in one of
+    * `buckets` independent streams (`floor(u · buckets)` on the
+    * portable hash uniform — shuffle- and re-run-invariant like every
+    * sampler here), is ordered within its stream by the same uniform
+    * (packing wants shuffled docs — consecutive corpus order would
+    * correlate pack contents), and is assigned
+    * `pack_seq = cum_tokens_before DIV budget`. A pack's total can
+    * overshoot `budget` by at most its largest member (next-fit's
+    * standard bound, spec-pinned); a doc bigger than the whole budget
+    * owns its packs alone.
+    *
+    * Scale posture: the only shuffle is the window over (bucket), and
+    * each bucket's sort holds corpus/`buckets` rows — size `buckets`
+    * to the cluster (default 1024) and no task ever sorts more than
+    * its slice; there is no global order and no driver state. The
+    * arithmetic (md5 uniform, integer DIV) is ANSI-portable, so the
+    * gate's DuckDB oracle reproduces pack assignment bit-exactly. */
+  def packSequences(df: DataFrame, key: Column, nTokens: Column,
+      budget: Long, buckets: Int = 1024,
+      seed: String = "graft"): DataFrame = {
+    require(budget >= 1, s"budget must be positive, got $budget")
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    val taken = df.columns.toSet
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => s"_${base}_$i").find(!taken(_)).get
+    val uCol = fresh("pack_u")
+    val cumCol = fresh("pack_cum")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col(uCol).asc, key.asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn(uCol, hashUniform(key, seed))
+      .withColumn("bucket", floor(col(uCol) * buckets).cast("int"))
+      .withColumn(cumCol,
+        coalesce(sum(nTokens.cast("long")).over(w), lit(0L)))
+      .withColumn("pack_seq", expr(s"`$cumCol` DIV $budget"))
+      .withColumn("pack_id",
+        col("bucket").cast("long") * lit(4294967296L) + col("pack_seq"))
+      .drop(uCol, cumCol)
+  }
 }

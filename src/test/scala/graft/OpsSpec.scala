@@ -768,6 +768,31 @@ class OpsSpec extends AnyFunSuite {
     assert(strSide.nonEmpty && hashed == strSide)
   }
 
+  test("sequence packing: deterministic, partitioning-invariant, next-fit budget bound") {
+    val budget = 2000L
+    def pack(df: org.apache.spark.sql.DataFrame) =
+      Sampling.packSequences(df, col("doc_id"), char_length(col("text")),
+        budget, buckets = 4, seed = "s1")
+        .select(col("doc_id"), col("pack_id"),
+          char_length(col("text")).cast("long").as("n_tok"))
+    val a = pack(docs).as[(Long, Long, Long)].collect().toSet
+    val b = pack(docs.repartition(13)).as[(Long, Long, Long)].collect().toSet
+    assert(a.nonEmpty && a == b) // pure function of (key, seed)
+
+    // Every doc in exactly one pack.
+    assert(a.toSeq.map(_._1).distinct.size == a.size)
+
+    // Next-fit bound: a pack overshoots the budget by at most its
+    // largest member — total − max_member < budget for every pack.
+    val byPack = a.groupBy(_._2).values
+    assert(byPack.forall { rows =>
+      val toks = rows.map(_._3)
+      toks.sum - toks.max < budget
+    })
+    // Packing actually packs: multi-doc packs exist on this corpus.
+    assert(byPack.exists(_.size > 1))
+  }
+
   test("hash sampling is deterministic and partitioning-invariant") {
     val s1 = Sampling.bernoulliSample(docs, col("doc_id"), 0.25, "s1")
       .select("doc_id").as[Long].collect().toSet
