@@ -659,6 +659,15 @@ object SparkEntry {
       graft.ops.Sampling.splitAssign(documents(s, d), col("source"),
         Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), "s1")
         .select(col("doc_id"), col("source"), col("split"))),
+    // Corpus-level line dedup (C4/CCNet boilerplate cleanup). The gate
+    // corpus has no line structure (single-line docs, all distinct), so
+    // this gate pins the IDENTITY contract: split → line-keyed window →
+    // reassemble must round-trip every document byte-for-byte (any
+    // ordering/reassembly bug surfaces as a text hash mismatch).
+    // Repeated-line removal semantics are pinned by the OpsSpec fixture
+    // (shared header/footer lines across constructed docs).
+    "text_line_dedup" -> ((s, d) =>
+      graft.ops.Dedup.dedupLines(documents(s, d))),
     "text_tokens" -> ((s, d) => graft.ops.TextAnalysis.tokenStats(documents(s, d))),
     "text_quality" -> ((s, d) => graft.ops.TextAnalysis.qualityScore(documents(s, d))),
     "text_langid" -> ((s, d) => graft.ops.TextAnalysis.langId(documents(s, d))),
@@ -854,6 +863,26 @@ object SparkEntry {
          |SELECT doc_id, bucket, cum // 8192 AS pack_seq,
          |  CAST(bucket AS BIGINT) * 4294967296 + (cum // 8192) AS pack_id
          |FROM c""".stripMargin,
+    // Same split/window/reassembly arithmetic as Dedup.dedupLines
+    // (generate_subscripts is 1-based — shifted to posexplode's 0-base).
+    "text_line_dedup" ->
+      s"""WITH l AS (SELECT doc_id, generate_subscripts(s, 1) - 1 AS idx, unnest(s) AS line
+         |           FROM (SELECT doc_id, string_split(text, chr(10)) AS s FROM documents)),
+         |k AS (SELECT doc_id, idx, line FROM l WHERE length(trim(line)) < 1
+         |      UNION ALL
+         |      SELECT doc_id, idx, line FROM (
+         |        SELECT doc_id, idx, line,
+         |          row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+         |        FROM l WHERE length(trim(line)) >= 1) WHERE rn = 1),
+         |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text,
+         |        count(*) AS n_kept
+         |      FROM k GROUP BY 1),
+         |n AS (SELECT doc_id,
+         |        CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+         |      FROM documents)
+         |SELECT n.doc_id, COALESCE(r.text, '') AS text, n.n_lines,
+         |  n.n_lines - COALESCE(r.n_kept, 0) AS n_removed
+         |FROM n LEFT JOIN r ON r.doc_id = n.doc_id""".stripMargin,
     "curation_split_by_source" ->
       s"""SELECT doc_id, source,
          |  CASE WHEN u < 0.75 THEN 'train' WHEN u < 0.875 THEN 'val'

@@ -47,6 +47,48 @@ object Dedup {
       .withWatermark("eventTime", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Corpus-level LINE dedup (the C4/CCNet boilerplate cleanup):
+    * every line that appears more than once ACROSS the corpus keeps
+    * only its first occurrence (smallest (doc_id, line_idx)); all
+    * later copies are cut and the documents reassembled. This is what
+    * strips repeated headers/footers/nav text that per-document dedup
+    * can never see. Output: (doc_id, text, n_lines, n_removed) — every
+    * input doc appears, a fully-boilerplate doc with empty text.
+    *
+    * Lines whose trimmed length is below `minLineChars` (default:
+    * blank lines) are exempt — always kept. That is the C4 behavior
+    * AND the scale guard: the exempt class is exactly the
+    * ultra-hot-key class (millions of identical blank lines would
+    * otherwise land on one window task), and it bypasses the window
+    * entirely, so the dedup shuffle only carries content lines whose
+    * frequency is zipfian-but-bounded. Two shuffles total: the
+    * line-keyed window, then the doc_id reassembly; order inside the
+    * reassembled doc is restored by an explicit array_sort on
+    * (line_idx) — never by collect order. */
+  def dedupLines(docs: DataFrame, minLineChars: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n", -1)).as(Seq("idx", "line")))
+    val trivial = lines.filter(char_length(trim(col("line"))) < minLineChars)
+    val content = lines.filter(char_length(trim(col("line"))) >= minLineChars)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("line")).orderBy(col("doc_id"), col("idx"))))
+    val kept = trivial.select(col("doc_id"), col("idx"), col("line"))
+      .union(content.filter(col("rn") === 1)
+        .select(col("doc_id"), col("idx"), col("line")))
+    val rebuilt = kept.groupBy(col("doc_id")).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("idx"), col("line")))),
+        x => x.getField("line")), "\n").as("text"),
+      count(lit(1)).as("n_kept"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), "\n", -1)).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** (doc_id, shingle, n_sh) inverted index: distinct shingles per
     * doc, with the per-doc distinct-shingle count on every row.
     *

@@ -768,6 +768,30 @@ class OpsSpec extends AnyFunSuite {
     assert(strSide.nonEmpty && hashed == strSide)
   }
 
+  test("line dedup: first occurrence kept, boilerplate cut, blanks exempt, round-trip intact") {
+    val fixture = Seq(
+      (1L, "COMPANY HEADER\n\nunique first line\nshared body\nCOMPANY FOOTER"),
+      (2L, "COMPANY HEADER\n\nanother doc entirely\nshared body\nCOMPANY FOOTER"),
+      (3L, "totally original\n\ncontent here"),
+      (4L, "COMPANY HEADER\nCOMPANY FOOTER")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(fixture)
+      .select("doc_id", "text", "n_lines", "n_removed")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // Doc 1 owns the first occurrence of every shared line: untouched.
+    assert(out(1L) == ((1L, "COMPANY HEADER\n\nunique first line\nshared body\nCOMPANY FOOTER", 5L, 0L)))
+    // Doc 2 loses header/body/footer copies, keeps blanks + own lines.
+    assert(out(2L) == ((2L, "\nanother doc entirely", 5L, 3L)))
+    // Doc 3 shares nothing: untouched.
+    assert(out(3L) == ((3L, "totally original\n\ncontent here", 3L, 0L)))
+    // Doc 4 is pure boilerplate: everything cut, row still emitted.
+    assert(out(4L) == ((4L, "", 2L, 2L)))
+    // Identity on the line-structure-free gate corpus (round-trip).
+    val idMismatch = Dedup.dedupLines(docs).as("o")
+      .join(docs.as("i"), col("o.doc_id") === col("i.doc_id"))
+      .filter(col("o.text") =!= col("i.text") || col("o.n_removed") =!= 0)
+    assert(idMismatch.count() == 0)
+  }
+
   test("sequence packing: deterministic, partitioning-invariant, next-fit budget bound") {
     val budget = 2000L
     def pack(df: org.apache.spark.sql.DataFrame) =
