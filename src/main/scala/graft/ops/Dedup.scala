@@ -424,6 +424,16 @@ object Dedup {
   private def driverComponents(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    val out = unionFindLabels(edges.as[(Long, Long)].collect())
+    spark.createDataset(out.toIndexedSeq).toDF("doc_id", "component_id")
+  }
+
+  /** Union-find labeling of an edge list: (id, min id reachable) for
+    * every id that appears in an edge, sorted by id. Union-by-min-root
+    * plus path compression in `find`. Exposed for the property spec
+    * (random graphs vs a reference BFS labeling). */
+  private[graft] def unionFindLabels(
+      edges: Array[(Long, Long)]): Array[(Long, Long)] = {
     val parent = new scala.collection.mutable.LongMap[Long]()
     def find(x: Long): Long = {
       var r = x
@@ -432,7 +442,7 @@ object Dedup {
       while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    edges.as[(Long, Long)].collect().foreach { case (a, b) =>
+    edges.foreach { case (a, b) =>
       parent.getOrElseUpdate(a, a)
       parent.getOrElseUpdate(b, b)
       val ra = find(a)
@@ -440,8 +450,7 @@ object Dedup {
       if (ra < rb) parent(rb) = ra
       else if (rb < ra) parent(ra) = rb
     }
-    val out = parent.keys.toArray.sorted.map(id => (id, find(id)))
-    spark.createDataset(out.toIndexedSeq).toDF("doc_id", "component_id")
+    parent.keys.toArray.sorted.map(id => (id, find(id)))
   }
 
   /** The dedup decision applied: keep each cluster's keeper (smallest
