@@ -517,6 +517,23 @@ object SparkEntry {
     // same selection rule as the native rolling-hash production path).
     "dedup_fingerprint" -> ((s, d) =>
       graft.ops.Dedup.fingerprintPairsPortable(documents(s, d))),
+    // Incremental ingest dedup — the 100 TB daily workflow: index the
+    // corpus once (banded keys bucket-partitioned on disk + hashed-gram
+    // shingle index), then dedup an arriving batch against the index
+    // with NO corpus re-scan. Gate: the batch is the corpus re-keyed
+    // (+1e6), so expected matches = every identity pair (J=1) plus the
+    // same near-dup pairs the intra-corpus gates find, in both
+    // directions — all exact-verified, so the string-gram oracle
+    // reproduces the scores bit-exactly.
+    "dedup_incremental" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_inc_idx")
+        .toString
+      val corpus = documents(s, d)
+      graft.ops.Dedup.saveDedupIndex(corpus, dir, 3, 64, 16)
+      graft.ops.Dedup.dedupAgainstIndex(
+        corpus.select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
+        dir, 0.8, 3, 64, 16)
+    }),
     // Size-dispatched: ≤1000 vectors (sf0.01 gate) runs the exact
     // all-pairs baseline, larger corpora (sf0.1+) run the banded-LSH
     // candidate path at recall-1 parameters (measured: 920/920 pairs,
@@ -703,6 +720,22 @@ object SparkEntry {
     // (miss prob (1−J⁴)¹⁶ < 3e-4); verified equal to the exact n-gram
     // result on the gate corpus, so it shares the exact oracle.
     "dedup_minhash" -> dedupNgramOracle,
+    // Cross pairs between the re-keyed batch (+1e6) and the corpus —
+    // identity pairs included, NO id< restriction (both directions of
+    // a near-dup pair appear, as the incremental probe reports them).
+    "dedup_incremental" ->
+      s"""WITH t AS (SELECT doc_id, $dToks w FROM documents),
+         |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),
+         |sh AS (SELECT DISTINCT a.doc_id, a.tk || ' ' || b.tk || ' ' || c.tk AS s
+         |       FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.i=a.i+1
+         |                  JOIN tok c ON a.doc_id=c.doc_id AND c.i=a.i+2),
+         |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         |common AS (SELECT x.doc_id + 1000000 AS doc_id, y.doc_id AS dup_of, count(*) c
+         |           FROM sh x JOIN sh y ON x.s=y.s GROUP BY 1,2)
+         |SELECT common.doc_id, dup_of, c*1.0/(na.n+nb.n-c) AS jaccard
+         |FROM common JOIN sizes na ON na.doc_id = common.doc_id - 1000000
+         |            JOIN sizes nb ON nb.doc_id = dup_of
+         |WHERE c*1.0/(na.n+nb.n-c) >= 0.8""".stripMargin,
     "text_corpus_stats" ->
       """SELECT count(*) AS n_docs,
         |  count(DISTINCT lang) AS n_langs,

@@ -503,17 +503,8 @@ object Dedup {
     // verification join; signatures are recomputed from the raw text
     // (one native pass/doc beats re-aggregating the exploded index).
     val idx = shingleIndexWithSize(docs, n, persist)
-    val sig = docs.repartition(col("doc_id"))
-      .select(col("doc_id"),
-        graft.functions.minhash_signature(
-          array_distinct(graft.functions.word_shingles(col("text"), n)),
-          numHashes).as("sig"))
-      .filter(col("sig").isNotNull)
-    val banded = sig.select(
-        col("doc_id") +: minhashBandCols(col("sig"), numHashes, bands): _*)
-      .select(col("doc_id"),
-        posexplode(array((0 until bands).map(b => col(s"band$b")): _*)))
-      .toDF("doc_id", "band_idx", "band_hash")
+    val banded = bandedFrame(minhashSignatures(docs, n, numHashes),
+      numHashes, bands)
     val cand = banded.as("x")
       .join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -523,6 +514,121 @@ object Dedup {
       .distinct()
     // Verify candidates with exact Jaccard against the full index.
     verifyJaccard(cand, idx, threshold)
+  }
+
+  /** (doc_id, sig) one-pass native MinHash signatures. */
+  private def minhashSignatures(docs: DataFrame, n: Int,
+      numHashes: Int): DataFrame =
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.minhash_signature(
+          array_distinct(graft.functions.word_shingles(col("text"), n)),
+          numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** (doc_id, band_idx, band_hash) exploded banded LSH keys of a
+    * signature frame. */
+  private def bandedFrame(sig: DataFrame, numHashes: Int,
+      bands: Int): DataFrame =
+    sig.select(
+        col("doc_id") +: minhashBandCols(col("sig"), numHashes, bands): _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until bands).map(b => col(s"band$b")): _*)))
+      .toDF("doc_id", "band_idx", "band_hash")
+
+  /** Persist a MinHash dedup index for INCREMENTAL ingest — the 100 TB
+    * production workflow: the accumulated corpus is indexed once (or
+    * appended to), and each arriving batch dedups against the index
+    * via [[dedupAgainstIndex]] without ever re-scanning corpus text.
+    * Three artifacts under `path`:
+    *
+    *  - `bands/`  — exploded banded LSH keys, written partitioned by
+    *    `bucket = band_hash mod bandBuckets`, so the probe join is an
+    *    equi-join on a partition column (dynamic partition pruning can
+    *    skip corpus buckets a small batch never touches);
+    *  - `sigs/` — (doc_id, sig) for signature-estimated verification;
+    *  - `shingles/` — the hashed-gram index (doc_id, shingle, n_sh)
+    *    for EXACT-Jaccard verification (~tokens-sized: pay it for
+    *    exact reported scores, or probe with `exactVerify = false`
+    *    and skip it).
+    *
+    * All three are plain parquet — `mode=overwrite` rebuilds; rolling
+    * appends write the delta with `mode=append` after dedup. */
+  def saveDedupIndex(docs: DataFrame, path: String, n: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, bandBuckets: Int = 64): Unit = {
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        array_distinct(graft.functions.word_shingle_hashes(col("text"), n))
+          .as("sh_arr"))
+      .select(col("doc_id"), explode(col("sh_arr")).as("shingle"),
+        size(col("sh_arr")).as("n_sh"))
+      .write.mode("overwrite").parquet(s"$path/shingles")
+    val sig = minhashSignatures(docs, n, numHashes)
+    sig.write.mode("overwrite").parquet(s"$path/sigs")
+    bandedFrame(sig, numHashes, bands)
+      .withColumn("bucket", pmod(col("band_hash"), lit(bandBuckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/bands")
+  }
+
+  /** Near-duplicate matches of a NEW batch against a
+    * [[saveDedupIndex]] artifact: candidates from shared banded keys
+    * (equi-join against the bucket-partitioned band index — the batch
+    * is never compared to non-colliding corpus docs), then verified
+    * with exact n-gram Jaccard against the stored shingle index
+    * (`exactVerify = true`, same arithmetic as [[minhashLshPairs]])
+    * or the cheaper signature-agreement estimate (`false`: mean of
+    * equal signature components — unbiased for true Jaccard, ±1σ ≈
+    * sqrt(J(1−J)/numHashes); no shingle index read). Output:
+    * (doc_id, dup_of, jaccard) — batch doc × corpus doc. */
+  def dedupAgainstIndex(newDocs: DataFrame, indexPath: String,
+      threshold: Double = 0.5, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, bandBuckets: Int = 64, exactVerify: Boolean = true,
+      persist: Persistence = Persistence.Local): DataFrame = {
+    val spark = newDocs.sparkSession
+    val sig = persist(minhashSignatures(newDocs, n, numHashes))
+    val cand = bandedFrame(sig, numHashes, bands)
+      .withColumn("bucket", pmod(col("band_hash"), lit(bandBuckets)).cast("int"))
+      .as("x")
+      .join(spark.read.parquet(s"$indexPath/bands").as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("dup_of"))
+      .distinct()
+    if (exactVerify) {
+      val newIdx = newDocs.repartition(col("doc_id"))
+        .select(col("doc_id"),
+          array_distinct(graft.functions.word_shingle_hashes(col("text"), n))
+            .as("sh_arr"))
+        .select(col("doc_id"), explode(col("sh_arr")).as("shingle"),
+          size(col("sh_arr")).as("n_sh"))
+      cand
+        .join(newIdx.as("a"), col("new_id") === col("a.doc_id"))
+        .join(spark.read.parquet(s"$indexPath/shingles").as("b"),
+          col("dup_of") === col("b.doc_id") &&
+            col("a.shingle") === col("b.shingle"))
+        .groupBy(col("new_id"), col("dup_of"))
+        .agg(count(lit(1)).as("n_common"),
+          first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"))
+        .select(col("new_id").as("doc_id"), col("dup_of"),
+          (col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    } else {
+      cand
+        .join(sig.select(col("doc_id").as("new_id"), col("sig").as("sig_a")),
+          Seq("new_id"))
+        .join(spark.read.parquet(s"$indexPath/sigs")
+            .select(col("doc_id").as("dup_of"), col("sig").as("sig_b")),
+          Seq("dup_of"))
+        .select(col("new_id").as("doc_id"), col("dup_of"),
+          (aggregate(
+            zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, v) => acc + v).cast("double") / numHashes)
+            .as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
   }
 
   /** 64-bit SimHash fingerprints: every token votes ±1 on each bit of

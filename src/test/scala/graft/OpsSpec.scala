@@ -768,6 +768,38 @@ class OpsSpec extends AnyFunSuite {
     assert(strSide.nonEmpty && hashed == strSide)
   }
 
+  test("incremental dedup against a saved index equals the direct cross-pair computation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_spec").toString
+    Dedup.saveDedupIndex(docs, dir, 3, 64, 16)
+    val batch = docs.select((col("doc_id") + 5000L).as("doc_id"), col("text"))
+    // Reference: direct string-gram cross Jaccard (no index, no LSH).
+    val strIdx = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        array_distinct(graft.functions.word_shingles(col("text"), 3)).as("sh_arr"))
+      .select(col("doc_id"), explode(col("sh_arr")).as("shingle"),
+        size(col("sh_arr")).as("n_sh"))
+    val expected = strIdx.as("x").join(strIdx.as("y"), col("x.shingle") === col("y.shingle"))
+      .groupBy((col("x.doc_id") + 5000L).as("doc_id"), col("y.doc_id").as("dup_of"))
+      .agg(count(lit(1)).as("c"),
+        first(col("x.n_sh")).as("n_a"), first(col("y.n_sh")).as("n_b"))
+      .select(col("doc_id"), col("dup_of"),
+        (col("c").cast("double") / (col("n_a") + col("n_b") - col("c"))).as("j"))
+      .filter(col("j") >= 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val got = Dedup.dedupAgainstIndex(batch, dir, 0.8, 3, 64, 16)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected.nonEmpty && got == expected)
+    // Identity pairs (batch doc vs its corpus original) all present.
+    val nDocs = docs.count()
+    assert(got.count { case (a, b, j) => a == b + 5000L && j == 1.0 } == nDocs)
+    // Estimate mode: identity pairs estimate J=1 exactly (identical
+    // signatures); scores are estimates, candidates the same machinery.
+    val est = Dedup.dedupAgainstIndex(batch, dir, 0.8, 3, 64, 16,
+      exactVerify = false)
+      .as[(Long, Long, Double)].collect()
+    assert(est.count { case (a, b, j) => a == b + 5000L && j == 1.0 } == nDocs)
+  }
+
   test("line dedup: first occurrence kept, boilerplate cut, blanks exempt, round-trip intact") {
     val fixture = Seq(
       (1L, "COMPANY HEADER\n\nunique first line\nshared body\nCOMPANY FOOTER"),
