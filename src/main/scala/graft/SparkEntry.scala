@@ -1093,7 +1093,17 @@ object SparkEntry {
     "sim_ann_ivf_probe" -> ((s, d) =>
       graft.ops.Similarity.ivfTopKWithIndex(
         graft.ops.Similarity.loadIvfIndex(s, ivfArtifactPath(s, d)),
-        embQueries(s, d), 5, nProbe = 4)))
+        embQueries(s, d), 5, nProbe = 4)),
+    // Steady-state incremental-dedup cost: probe a 10%-of-corpus batch
+    // against a memoized saveDedupIndex artifact. The dedup_incremental
+    // gate row deliberately pays the full index build + write each
+    // call (the whole-workflow number); this row tracks what the
+    // daily-ingest pipeline actually pays per batch.
+    "dedup_incremental_probe" -> ((s, d) =>
+      graft.ops.Dedup.dedupAgainstIndex(
+        documents(s, d).filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
+        dedupIndexPath(s, d), 0.8, 3, 64, 16)))
 
   /** One saved-IVF artifact per sf dir, built on first use (see
     * `sim_ann_ivf_probe`). */
@@ -1104,6 +1114,17 @@ object SparkEntry {
       graft.ops.Similarity.saveIvfIndex(
         graft.ops.Similarity.buildIvfIndex(embeddings(s, d), nClusters = 16),
         path)
+      path
+    })
+
+  /** One saved dedup-index artifact per sf dir, built on first use
+    * (see `dedup_incremental_probe`). */
+  private val dedupIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def dedupIndexPath(s: SparkSession, d: String): String =
+    dedupIndexes.getOrElseUpdate(d, {
+      val path = java.nio.file.Files.createTempDirectory("graft_dedup_idx_")
+        .toString
+      graft.ops.Dedup.saveDedupIndex(documents(s, d), path, 3, 64, 16)
       path
     })
 
