@@ -21,6 +21,12 @@ object DedupProfile {
     val bands = args.lift(2).map(_.toInt).getOrElse(16)
     val engine = args.lift(3).getOrElse("tws")
     val store = args.lift(4).getOrElse("rocksdb")
+    // transformWithState only runs on the RocksDB provider; a tws+hdfs
+    // request would fail at query start with Spark's provider check, so
+    // fail fast with the actionable combination instead.
+    require(engine != "tws" || store == "rocksdb",
+      "engine=tws requires store=rocksdb (transformWithState rejects the " +
+        "HDFS-backed state store); use engine=fmgws to A/B the hdfs store")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -56,26 +56,33 @@ object Dedup {
     * input doc appears, a fully-boilerplate doc with empty text.
     *
     * Lines whose trimmed length is below `minLineChars` (default:
-    * blank lines) are exempt — always kept. That is the C4 behavior
-    * AND the scale guard: the exempt class is exactly the
-    * ultra-hot-key class (millions of identical blank lines would
-    * otherwise land on one window task), and it bypasses the window
-    * entirely, so the dedup shuffle only carries content lines whose
-    * frequency is zipfian-but-bounded. Two shuffles total: the
-    * line-keyed window, then the doc_id reassembly; order inside the
+    * blank lines) are exempt — always kept (the C4 behavior; it also
+    * keeps the single hottest key, the blank line, out of the dedup
+    * shuffle entirely). Hot CONTENT lines are handled by the winner
+    * aggregation's map-side combine (see inline note) — no key ever
+    * colocates all its copies. Two shuffles total: the line-keyed
+    * aggregate, then the doc_id reassembly; order inside the
     * reassembled doc is restored by an explicit array_sort on
     * (line_idx) — never by collect order. */
   def dedupLines(docs: DataFrame, minLineChars: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val lines = docs.select(col("doc_id"),
       posexplode(split(col("text"), "\n", -1)).as(Seq("idx", "line")))
     val trivial = lines.filter(char_length(trim(col("line"))) < minLineChars)
-    val content = lines.filter(char_length(trim(col("line"))) >= minLineChars)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("line")).orderBy(col("doc_id"), col("idx"))))
+    // First occurrence per distinct line = min (doc_id, idx), computed
+    // as a partial-aggregated groupBy, NOT a window: a window partition
+    // colocates and sorts EVERY copy of a hot boilerplate line on one
+    // task (the exact skew this operator exists to remove), whereas the
+    // hash aggregate map-side-combines each input partition down to one
+    // candidate per distinct line before the shuffle — the reduce side
+    // of the hottest line receives at most one row per map task. The
+    // winner rows ARE the kept occurrences, so nothing ever joins back
+    // on the hot key either.
+    val winners = lines.filter(char_length(trim(col("line"))) >= minLineChars)
+      .groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.idx").as("idx"), col("line"))
     val kept = trivial.select(col("doc_id"), col("idx"), col("line"))
-      .union(content.filter(col("rn") === 1)
-        .select(col("doc_id"), col("idx"), col("line")))
+      .union(winners)
     val rebuilt = kept.groupBy(col("doc_id")).agg(
       array_join(transform(
         array_sort(collect_list(struct(col("idx"), col("line")))),
@@ -160,9 +167,10 @@ object Dedup {
     * hash-match). */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       maxShingleDf: Int = Int.MaxValue,
-      persist: Persistence = Persistence.Local): DataFrame =
+      persist: Persistence = Persistence.Local,
+      maxBroadcastHotShingles: Long = DefaultMaxBroadcastHotShingles): DataFrame =
     pairsFromIndex(shingleIndexWithSize(docs, n, persist), threshold,
-      maxShingleDf, persist)
+      maxShingleDf, persist, maxBroadcastHotShingles)
 
   /** [[ngramJaccardPairs]] over a materialized TOKEN INDEX — a frame
     * carrying `doc_id` and a `toks` [[graft.functions.word_tokens]]
@@ -178,12 +186,14 @@ object Dedup {
         array_distinct(graft.functions.array_shingle_hashes(col("toks"), n)).as("sh_arr"))
       .select(col("doc_id"), explode(col("sh_arr")).as("shingle"),
         size(col("sh_arr")).as("n_sh")))
-    pairsFromIndex(sh, threshold, maxShingleDf, persist)
+    pairsFromIndex(sh, threshold, maxShingleDf, persist,
+      DefaultMaxBroadcastHotShingles)
   }
 
   private def pairsFromIndex(sh: DataFrame, threshold: Double,
       maxShingleDf: Int,
-      persist: Persistence = Persistence.Local): DataFrame = {
+      persist: Persistence = Persistence.Local,
+      maxBroadcastHotShingles: Long = DefaultMaxBroadcastHotShingles): DataFrame = {
     if (maxShingleDf == Int.MaxValue) {
       sh.as("x")
         .join(sh.as("y"),
@@ -269,8 +279,10 @@ object Dedup {
 
   /** Hot-shingle lists up to this many entries ride as a broadcast
     * (8-byte hashes → ≤ ~32 MB); above it the capped pair pipeline
-    * falls back to the equi-join spelling. See [[pairsFromIndex]]. */
-  private val maxBroadcastHotShingles = 4L << 20
+    * falls back to the equi-join spelling. Injectable through
+    * [[ngramJaccardPairs]] so the fallback spelling is spec-reachable
+    * (forced with 0) without a >4M-hot-shingle corpus. */
+  private[graft] val DefaultMaxBroadcastHotShingles = 4L << 20
 
   /** Exact-Jaccard verification of candidate pairs against the full
     * shingle index (n_sh rides on the index rows — no separate size
@@ -329,13 +341,18 @@ object Dedup {
     * O(E α(E)) loop instead of 2-4 serial distributed rounds (each a
     * full shuffle-stage of latency), and the label set it returns is
     * exactly the propagation fixed point. Corpora whose duplicate
-    * graphs outgrow the bound (the 100 TB case: set the bound to what
-    * the driver can hold, default 4M edges ≈ 64 MB) take the
-    * distributed loop automatically; `maxDriverEdges = 0` forces it
-    * (the equivalence spec runs both). */
+    * graphs outgrow the bound take the distributed loop automatically;
+    * `maxDriverEdges = 0` forces it (the equivalence spec runs both).
+    *
+    * The default bound (1M edges) budgets REAL driver footprint, not
+    * just edge bytes: collected Tuple2 rows (~40 B each), the LongMap
+    * (~2 ids/edge × 2 arrays, power-of-two sized), and the sorted
+    * label/output copies — ~150-250 MB peak at 1M edges / 2M ids,
+    * safe on a default driver heap. Raise it only with driver memory
+    * to match (~200 MB per additional million edges, transient). */
   def components(pairs: DataFrame, maxIters: Int = 20,
       persist: Persistence = Persistence.Local,
-      stepsPerJob: Int = 2, maxDriverEdges: Long = 4L << 20): DataFrame = {
+      stepsPerJob: Int = 2, maxDriverEdges: Long = 1L << 20): DataFrame = {
     require(stepsPerJob >= 1, "stepsPerJob must be >= 1")
     val e0 = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
     val longKeyed = e0.schema.fields.forall(_.dataType ==
@@ -553,9 +570,19 @@ object Dedup {
     *    and skip it).
     *
     * All three are plain parquet — `mode=overwrite` rebuilds; rolling
-    * appends write the delta with `mode=append` after dedup. */
+    * appends write the delta with `mode=append` after dedup. A
+    * `params/` frame records (n, numHashes, bands, bandBuckets);
+    * [[dedupAgainstIndex]] validates its own parameters against it and
+    * fails LOUDLY on mismatch — mismatched banding would otherwise
+    * silently match nothing, the inverted failure direction for a
+    * dedup guard. */
   def saveDedupIndex(docs: DataFrame, path: String, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16, bandBuckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((n, numHashes, bands, bandBuckets))
+      .toDF("n", "num_hashes", "bands", "band_buckets")
+      .write.mode("overwrite").parquet(s"$path/params")
     docs.repartition(col("doc_id"))
       .select(col("doc_id"),
         array_distinct(graft.functions.word_shingle_hashes(col("text"), n))
@@ -585,6 +612,14 @@ object Dedup {
       bands: Int = 16, bandBuckets: Int = 64, exactVerify: Boolean = true,
       persist: Persistence = Persistence.Local): DataFrame = {
     val spark = newDocs.sparkSession
+    val saved = spark.read.parquet(s"$indexPath/params")
+      .select("n", "num_hashes", "bands", "band_buckets").head()
+    require(
+      saved == org.apache.spark.sql.Row(n, numHashes, bands, bandBuckets),
+      s"index at $indexPath was saved with (n, numHashes, bands, " +
+        s"bandBuckets) = $saved but the probe asked for " +
+        s"(${n}, ${numHashes}, ${bands}, ${bandBuckets}) — mismatched " +
+        "banding silently matches nothing; rebuild or re-parameterize")
     val sig = persist(minhashSignatures(newDocs, n, numHashes))
     val cand = bandedFrame(sig, numHashes, bands)
       .withColumn("bucket", pmod(col("band_hash"), lit(bandBuckets)).cast("int"))

@@ -83,14 +83,19 @@ object Sampling {
     * single-window spelling when the WHOLE input fits one task's
     * external-sort budget (`singlePhaseMaxBytes`): a stratum can never
     * out-size its frame, so the hot-stratum hazard is impossible
-    * there. Unknown-size inputs (e.g. checkpointed frames report
-    * `defaultSizeInBytes`) estimate huge and err toward the bucketed
-    * plan — the safe direction. `fanout = 1` forces the single-window
-    * spelling explicitly; both spellings are bit-identical
-    * (spec-pinned across the k × fanout grid). */
+    * there. The default budget is deliberately small (32 MB): for a
+    * parquet scan the estimate is COMPRESSED on-disk bytes, and text
+    * decompresses/deserializes 5-10× — 32 MB estimated is a few
+    * hundred MB of in-memory rows, the most one task's sort should
+    * ever be handed. Unknown-size inputs (e.g. checkpointed frames
+    * report `defaultSizeInBytes`) estimate huge and err toward the
+    * bucketed plan — the safe direction. `fanout = 1` forces the
+    * single-window spelling explicitly; both spellings are
+    * bit-identical (spec-pinned across the k × fanout grid with the
+    * dispatch pinned to each side). */
   def stratifiedCap(df: DataFrame, stratum: Column, key: Column, k: Int,
       seed: String = "graft", fanout: Int = 64,
-      singlePhaseMaxBytes: Long = 256L << 20): DataFrame = {
+      singlePhaseMaxBytes: Long = 32L << 20): DataFrame = {
     require(k > 0, s"cap must be positive, got $k")
     require(fanout > 0, s"fanout must be positive, got $fanout")
     val u = hashUniform(key, seed)

@@ -174,6 +174,13 @@ class OpsSpec extends AnyFunSuite {
     val capped = Dedup.ngramJaccardPairs(docs, 3, 0.8, maxShingleDf = 5)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
     assert(exact.nonEmpty && capped == exact)
+    // The too-big-to-broadcast fallback (equi-join hot handling) must
+    // yield the same pairs — forced with a zero broadcast budget, the
+    // only way to reach it without a >4M-hot-shingle corpus.
+    val fallback = Dedup.ngramJaccardPairs(docs, 3, 0.8, maxShingleDf = 5,
+        maxBroadcastHotShingles = 0L)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(fallback == exact)
   }
 
   test("reliable persistence: pipelines produce identical results via checkpoint-dir materialization") {
@@ -1182,9 +1189,15 @@ class OpsSpec extends AnyFunSuite {
     val df = data.toDF("stratum", "k")
     val w = Window.partitionBy(col("stratum"))
       .orderBy(Sampling.hashUniform(col("k"), "cfg").asc, col("k").asc)
+    // singlePhaseMaxBytes = 0 forces the BUCKETED spelling for every
+    // grid point (the tiny local frame would otherwise take the
+    // adaptive single-window plan at every config, comparing the
+    // reference to itself); the adaptive dispatch equivalence is
+    // pinned by the "small inputs" test above.
     for (k <- Seq(1, 3, 17); fanout <- Seq(1, 2, 64)) {
       val capped = Sampling
-        .stratifiedCap(df, col("stratum"), col("k"), k, "cfg", fanout)
+        .stratifiedCap(df, col("stratum"), col("k"), k, "cfg", fanout,
+          singlePhaseMaxBytes = 0L)
         .select("stratum", "k", "stratum_rank")
         .as[(String, Long, Int)].collect().sorted.toSeq
       val ref = df.withColumn("stratum_rank", row_number().over(w))
