@@ -88,6 +88,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("line-dedup winner selection map-side-combines (skew-safety plan pin)") {
+    // The hot-boilerplate-line safety claim is a PLAN property: the
+    // first-occurrence winner must be a partial-aggregated min (at most
+    // one candidate per distinct line leaves each map task) — never a
+    // window, which would colocate and sort every copy of a hot line
+    // on one task. A partial_min below the line exchange is the proof;
+    // a plan without it is the regression this test exists to catch.
+    assert(plans("text_line_dedup").contains("partial_min"),
+      s"expected map-side partial_min in:\n${plans("text_line_dedup")}")
+    assert(!plans("text_line_dedup").contains("RunningWindowFunction") &&
+      !plans("text_line_dedup").contains("Window ["),
+      "line dedup must not use a window over the line key")
+  }
+
   test("bench-only queries produce rows (a silently-empty bench row times nothing)") {
     for ((name, fn) <- SparkEntry.benchOnly) {
       assert(fn(spark, sfDir).count() > 0, s"$name returned no rows at $sfDir")
