@@ -685,6 +685,11 @@ object SparkEntry {
     // (shared header/footer lines across constructed docs).
     "text_line_dedup" -> ((s, d) =>
       graft.ops.Dedup.dedupLines(documents(s, d))),
+    // Corpus vocabulary head: top-20 terms by corpus frequency with
+    // doc frequency — exact integers, deterministic tie-break, planned
+    // as TakeOrderedAndProject (the vocab is never globally sorted).
+    "text_vocab" -> ((s, d) =>
+      graft.ops.TextAnalysis.vocabProfile(documents(s, d), 20)),
     "text_tokens" -> ((s, d) => graft.ops.TextAnalysis.tokenStats(documents(s, d))),
     "text_quality" -> ((s, d) => graft.ops.TextAnalysis.qualityScore(documents(s, d))),
     "text_langid" -> ((s, d) => graft.ops.TextAnalysis.langId(documents(s, d))),
@@ -795,6 +800,14 @@ object SparkEntry {
          |        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8)) AS BIGINT)
          |        / 4294967296.0 AS u
          |      FROM documents)""".stripMargin,
+    "text_vocab" ->
+      s"""WITH t AS (SELECT doc_id, $dToks w FROM documents),
+         |tok AS (SELECT doc_id, unnest(w) tk FROM t),
+         |v AS (SELECT tk AS term, count(*) AS cf, count(DISTINCT doc_id) AS df
+         |      FROM tok GROUP BY 1)
+         |SELECT CAST(row_number() OVER (ORDER BY cf DESC, term ASC) AS INT) AS rank,
+         |  term, cf, df
+         |FROM v ORDER BY cf DESC, term ASC LIMIT 20""".stripMargin,
     "text_repetition" ->
       s"""WITH t AS (SELECT doc_id, $dToks w FROM documents),
          |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),

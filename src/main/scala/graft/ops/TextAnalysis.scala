@@ -17,6 +17,33 @@ object TextAnalysis {
   val bpePattern: String =
     "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+"
 
+  /** Corpus vocabulary profile: the top `k` terms by total corpus
+    * occurrences (`cf`), with document frequency (`df`) and a dense
+    * 1-based rank — the "what is this corpus made of" dashboard table
+    * read before/after every filter stage (a filter that shifts the
+    * head of this table changed the domain mix, not just the volume).
+    *
+    * Exact integer arithmetic, deterministic rank (ties by term asc) —
+    * oracle-portable. Scale: one explode + one map-side-combining
+    * groupBy on term (zipfian heads pre-combine per map task, so the
+    * hottest term reaches its reducer as one row per task), then
+    * orderBy+limit — Spark plans TakeOrderedAndProject (per-partition
+    * top-k merged on the driver), so the vocabulary is never globally
+    * sorted; only the k winners see the rank window. */
+  def vocabProfile(docs: DataFrame, k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(explode(TextOps.tokens(col("text"))).as("term"), col("doc_id"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("cf").desc, col("term").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cf").desc, col("term").asc)))
+      .select(col("rank"), col("term"), col("cf"), col("df"))
+  }
+
   /** Token/char statistics per document (whitespace tokens + BPE-ish
     * regex token count). */
   def tokenStats(docs: DataFrame): DataFrame = {

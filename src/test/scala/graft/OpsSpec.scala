@@ -775,6 +775,23 @@ class OpsSpec extends AnyFunSuite {
     assert(strSide.nonEmpty && hashed == strSide)
   }
 
+  test("vocab profile: exact top-k with deterministic ties, planned as distributed top-k") {
+    val prof = TextAnalysis.vocabProfile(docs, 5)
+    val got = prof.as[(Int, String, Long, Long)].collect().toSeq
+    // Reference: full aggregation + in-memory sort.
+    val ref = docs
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("term"), col("doc_id"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+      .as[(String, Long, Long)].collect()
+      .sortBy { case (t, cf, _) => (-cf, t) }.take(5).zipWithIndex
+      .map { case ((t, cf, df), i) => (i + 1, t, cf, df) }.toSeq
+    assert(got.sortBy(_._1) == ref)
+    // The vocabulary must never be globally sorted: top-k plans as
+    // TakeOrderedAndProject (per-partition heads merged on the driver).
+    assert(prof.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
   test("incremental dedup against a saved index equals the direct cross-pair computation") {
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_spec").toString
     Dedup.saveDedupIndex(docs, dir, 3, 64, 16)
