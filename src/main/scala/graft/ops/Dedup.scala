@@ -72,11 +72,15 @@ object Dedup {
     // as a partial-aggregated groupBy, NOT a window: a window partition
     // colocates and sorts EVERY copy of a hot boilerplate line on one
     // task (the exact skew this operator exists to remove), whereas the
-    // hash aggregate map-side-combines each input partition down to one
+    // aggregate map-side-combines each input partition down to one
     // candidate per distinct line before the shuffle — the reduce side
-    // of the hottest line receives at most one row per map task. The
-    // winner rows ARE the kept occurrences, so nothing ever joins back
-    // on the hot key either.
+    // of the hottest line receives at most one row per map task. (The
+    // struct buffer makes Spark plan this as a partial SortAggregate,
+    // not a hash aggregate — each map task sorts its own slice, which
+    // is distributed linearithmic work; the skew property is the
+    // partial combine, and PlanShapeSpec pins partial_min in the
+    // plan.) The winner rows ARE the kept occurrences, so nothing
+    // ever joins back on the hot key either.
     val winners = lines.filter(char_length(trim(col("line"))) >= minLineChars)
       .groupBy(col("line"))
       .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
@@ -180,20 +184,20 @@ object Dedup {
     * byte-identical to the text path, so results match exactly. */
   def ngramJaccardPairsFromTokens(tokensFrame: DataFrame, n: Int,
       threshold: Double, maxShingleDf: Int = Int.MaxValue,
-      persist: Persistence = Persistence.Local): DataFrame = {
+      persist: Persistence = Persistence.Local,
+      maxBroadcastHotShingles: Long = DefaultMaxBroadcastHotShingles): DataFrame = {
     val sh = persist(tokensFrame
       .select(col("doc_id"),
         array_distinct(graft.functions.array_shingle_hashes(col("toks"), n)).as("sh_arr"))
       .select(col("doc_id"), explode(col("sh_arr")).as("shingle"),
         size(col("sh_arr")).as("n_sh")))
     pairsFromIndex(sh, threshold, maxShingleDf, persist,
-      DefaultMaxBroadcastHotShingles)
+      maxBroadcastHotShingles)
   }
 
   private def pairsFromIndex(sh: DataFrame, threshold: Double,
-      maxShingleDf: Int,
-      persist: Persistence = Persistence.Local,
-      maxBroadcastHotShingles: Long = DefaultMaxBroadcastHotShingles): DataFrame = {
+      maxShingleDf: Int, persist: Persistence,
+      maxBroadcastHotShingles: Long): DataFrame = {
     if (maxShingleDf == Int.MaxValue) {
       sh.as("x")
         .join(sh.as("y"),
@@ -580,9 +584,6 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, bandBuckets: Int = 64): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    Seq((n, numHashes, bands, bandBuckets))
-      .toDF("n", "num_hashes", "bands", "band_buckets")
-      .write.mode("overwrite").parquet(s"$path/params")
     docs.repartition(col("doc_id"))
       .select(col("doc_id"),
         array_distinct(graft.functions.word_shingle_hashes(col("text"), n))
@@ -595,6 +596,13 @@ object Dedup {
     bandedFrame(sig, numHashes, bands)
       .withColumn("bucket", pmod(col("band_hash"), lit(bandBuckets)).cast("int"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/bands")
+    // Params LAST: they are the commit marker. A rebuild that dies
+    // mid-write leaves stale (or no) params over partial artifacts, so
+    // the probe's params read fails loudly instead of validating new
+    // params against old artifacts.
+    Seq((n, numHashes, bands, bandBuckets))
+      .toDF("n", "num_hashes", "bands", "band_buckets")
+      .write.mode("overwrite").parquet(s"$path/params")
   }
 
   /** Near-duplicate matches of a NEW batch against a
@@ -612,6 +620,13 @@ object Dedup {
       bands: Int = 16, bandBuckets: Int = 64, exactVerify: Boolean = true,
       persist: Persistence = Persistence.Local): DataFrame = {
     val spark = newDocs.sparkSession
+    val paramsPath = new org.apache.hadoop.fs.Path(s"$indexPath/params")
+    val fs = paramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(paramsPath),
+      s"no params/ under $indexPath — either the index predates " +
+        "parameter tracking or a rebuild died before its final " +
+        "params write (params commit last); re-run saveDedupIndex " +
+        "to rebuild before probing")
     val saved = spark.read.parquet(s"$indexPath/params")
       .select("n", "num_hashes", "bands", "band_buckets").head()
     require(

@@ -1041,6 +1041,11 @@ class OpsSpec extends AnyFunSuite {
     assert(set(Dedup.ngramJaccardPairsFromTokens(base, 3, 0.8, 10),
         "id_a", "id_b", "jaccard") ==
       set(Dedup.ngramJaccardPairs(docs, 3, 0.8, 10), "id_a", "id_b", "jaccard"))
+    // Tokens-path equi-join fallback (forced zero broadcast budget)
+    // must agree too — Curation.pipeline runs this path in production.
+    assert(set(Dedup.ngramJaccardPairsFromTokens(base, 3, 0.8, 10,
+        maxBroadcastHotShingles = 0L), "id_a", "id_b", "jaccard") ==
+      set(Dedup.ngramJaccardPairs(docs, 3, 0.8, 10), "id_a", "id_b", "jaccard"))
     assert(set(Decontamination.flagContaminatedFromTokens(base, evalDocs, 5),
         "doc_id", "n_hits") ==
       set(Decontamination.flagContaminated(docs, evalDocs, 5), "doc_id", "n_hits"))
@@ -1206,11 +1211,14 @@ class OpsSpec extends AnyFunSuite {
     val df = data.toDF("stratum", "k")
     val w = Window.partitionBy(col("stratum"))
       .orderBy(Sampling.hashUniform(col("k"), "cfg").asc, col("k").asc)
-    // singlePhaseMaxBytes = 0 forces the BUCKETED spelling for every
-    // grid point (the tiny local frame would otherwise take the
-    // adaptive single-window plan at every config, comparing the
-    // reference to itself); the adaptive dispatch equivalence is
-    // pinned by the "small inputs" test above.
+    // singlePhaseMaxBytes = 0 forces the BUCKETED spelling for the
+    // fanout > 1 grid points (the tiny local frame would otherwise
+    // take the adaptive single-window plan at every config, comparing
+    // the reference to itself). fanout = 1 short-circuits to the
+    // single-window spelling by contract regardless of the budget —
+    // those grid points pin the explicit-force path, not the bucketed
+    // one. The adaptive dispatch equivalence is pinned by the "small
+    // inputs" test above.
     for (k <- Seq(1, 3, 17); fanout <- Seq(1, 2, 64)) {
       val capped = Sampling
         .stratifiedCap(df, col("stratum"), col("k"), k, "cfg", fanout,
