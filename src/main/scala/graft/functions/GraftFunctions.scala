@@ -76,6 +76,14 @@ object GraftFunctions {
       expectArgs("array_shingles", args, 2)
       ArrayShingles(args(0), litInt(args(1), "n"))
     },
+    "word_shingle_hashes" -> { args =>
+      expectArgs("word_shingle_hashes", args, 2)
+      WordShingleHashes(args(0), litInt(args(1), "n"))
+    },
+    "array_shingle_hashes" -> { args =>
+      expectArgs("array_shingle_hashes", args, 2)
+      ArrayShingleHashes(args(0), litInt(args(1), "n"))
+    },
     "array_gram_stats" -> { args =>
       expectArgs("array_gram_stats", args, 2)
       ArrayGramStats(args(0), litInt(args(1), "n"))

@@ -55,6 +55,13 @@ class OpsSpec extends AnyFunSuite {
     assert(r3.getSeq[String](0) == Seq("a", "b", "c"))
     assert(r3.getSeq[String](1) == Seq("a b c", "b c d"))
     assert(r3.getStruct(2).getAs[Long]("n_grams") == 4L)
+    val r4 = spark.sql(
+      """SELECT word_shingle_hashes('a b c d', 3) AS h,
+        |       array_shingle_hashes(word_tokens('a b c d'), 3) AS ha,
+        |       transform(word_shingles('a b c d', 3), s -> xxhash64(s)) AS twin
+        |""".stripMargin).collect().head
+    assert(r4.getSeq[Long](0) == r4.getSeq[Long](2) &&
+      r4.getSeq[Long](1) == r4.getSeq[Long](2))
   }
 
   test("native simhash_bands matches the declarative vote/band spelling, both hash families") {
