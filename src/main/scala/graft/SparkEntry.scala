@@ -1061,7 +1061,24 @@ object SparkEntry {
       "cep_parse_rule" -> parseRuleQuery,
       "cep_rule_upsert" -> ruleUpsertQuery,
       "tpch_pricing" -> tpchPricing,
-      "join_topk_revenue" -> joinTopkRevenue) ++ northStarQueries
+      "join_topk_revenue" -> joinTopkRevenue,
+      // As-of enrichment: every event picks up the user's latest
+      // purchase value at-or-before its timestamp — the temporal-join
+      // operator class Spark lacks, spelled as union + one keyed
+      // window (one shuffle over |L|+|R|, no range join). The right
+      // side is pre-aggregated unique per (user, ts); DuckDB's native
+      // ASOF LEFT JOIN is the oracle.
+      "join_asof" -> ((s, dir) => {
+        val ev = events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("purchase_value"))
+        graft.ops.Joins.asofJoin(
+          ev.select(col("event_id"), col("user_id"), col("ts"), col("value")),
+          purchases, Seq("user_id"), "ts", "ts", Seq("purchase_value"))
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("purchase_value"))
+      })) ++ northStarQueries
   }
 
   /** Production-hash twins, benched but not oracle-gated: xxhash64 /
@@ -1156,5 +1173,12 @@ object SparkEntry {
       "cep_parse_rule" -> parseRuleOracle,
       "cep_rule_upsert" -> ruleUpsertOracle,
       "tpch_pricing" -> tpchPricingOracle,
-      "join_topk_revenue" -> joinTopkOracle) ++ northStarOracles
+      "join_topk_revenue" -> joinTopkOracle,
+      "join_asof" ->
+        """WITH p AS (SELECT user_id, ts, max(value) AS purchase_value
+          |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+          |SELECT e.event_id, e.user_id, e.value, p.purchase_value
+          |FROM events e ASOF LEFT JOIN p
+          |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin
+    ) ++ northStarOracles
 }

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark has no built-in for.
+  *
+  * [[asofJoin]] is the classic event-enrichment shape: each left row
+  * picks up the LATEST right row with `right.ts <= left.ts` in the
+  * same key group (prices at trade time, feature snapshots at label
+  * time, the last rule/config version in force when an event fired).
+  */
+object Joins {
+
+  /** As-of (backward) join, composed from a union + one keyed window —
+    * the Spark-first spelling of an operator the engine lacks: both
+    * inputs are tagged and unioned, the union is shuffled ONCE by the
+    * key and sorted by (ts, side) inside each partition, and a
+    * running `last(value, ignoreNulls)` carries the most recent right
+    * values forward onto every left row. No range join, no per-row
+    * subquery, no broadcast of either side: cost is one shuffle +
+    * one sort over |L| + |R| rows regardless of time-range density —
+    * the plan that survives 100 TB of events against 1 TB of
+    * snapshots. (A per-key sort is the operator's intrinsic order
+    * requirement; a key hot enough to break one task's sort should be
+    * pre-sharded by time range before joining.)
+    *
+    * Semantics (DuckDB `ASOF LEFT JOIN` — the gate oracle — agrees):
+    * every left row appears exactly once; right values are taken from
+    * the greatest `rightTs <= leftTs` in the same key group (a right
+    * row at exactly `leftTs` counts — right rows order BEFORE left
+    * rows at equal ts); left rows with no prior right row get nulls.
+    * The right side must be unique per (keys, rightTs) — pre-aggregate
+    * it otherwise, or which-row-wins is undefined in any engine.
+    *
+    * Output: every left column, plus `valueCols` from the right side.
+    * Right value columns must not collide with left column names
+    * (alias them before the call). */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "asofJoin requires at least one key column")
+    require(valueCols.nonEmpty, "asofJoin requires at least one value column")
+    val collisions = valueCols.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"right value columns collide with left columns: $collisions — alias them")
+    val leftPayload = left.columns.filterNot(keys.contains).toSeq
+    val rightSchema = right.schema
+    val leftSchema = left.schema
+    // Tagged union with a shared schema: keys + event ts + side tag +
+    // left payload (null on right rows) + right values (null on left).
+    val taggedLeft = left.select(
+      keys.map(col) ++
+        Seq(col(leftTs).as("__asof_ts"), lit(1).as("__asof_is_left")) ++
+        leftPayload.map(col) ++
+        valueCols.map(c =>
+          lit(null).cast(rightSchema(c).dataType).as(c)): _*)
+    val taggedRight = right.select(
+      keys.map(col) ++
+        Seq(col(rightTs).as("__asof_ts"), lit(0).as("__asof_is_left")) ++
+        leftPayload.map(c =>
+          lit(null).cast(leftSchema(c).dataType).as(c)) ++
+        valueCols.map(col): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__asof_ts").asc, col("__asof_is_left").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val carried = valueCols.foldLeft(taggedLeft.unionByName(taggedRight)) {
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__asof_is_left") === 1)
+      .withColumn(leftTs, col("__asof_ts"))
+      .drop("__asof_ts", "__asof_is_left")
+      .select((left.columns ++ valueCols).map(col): _*)
+  }
+}

@@ -782,6 +782,29 @@ class OpsSpec extends AnyFunSuite {
     assert(strSide.nonEmpty && hashed == strSide)
   }
 
+  test("asof join: latest right at-or-before left ts per key; equal-ts inclusive; no-prior yields null") {
+    val left = Seq(
+      (1L, "u1", 100L, "a"), (2L, "u1", 200L, "b"), (3L, "u1", 300L, "c"),
+      (4L, "u2", 150L, "d"), (5L, "u3", 500L, "e"))
+      .toDF("event_id", "user", "ts", "payload")
+    val right = Seq(
+      ("u1", 100L, 10.0), ("u1", 250L, 25.0),
+      ("u2", 200L, 99.0)) // u2's only snapshot is AFTER its event; u3 has none
+      .toDF("user", "ts", "snap")
+    val out = Joins.asofJoin(left, right, Seq("user"), "ts", "ts", Seq("snap"))
+      .select("event_id", "snap").as[(Long, Option[Double])].collect().toMap
+    assert(out == Map(
+      1L -> Some(10.0), // right at exactly left ts counts (<=)
+      2L -> Some(10.0), // 250 is in the future at ts 200
+      3L -> Some(25.0),
+      4L -> None,       // only future snapshots
+      5L -> None))      // no snapshots at all
+    // Every left row exactly once, all left columns intact.
+    val full = Joins.asofJoin(left, right, Seq("user"), "ts", "ts", Seq("snap"))
+    assert(full.count() == 5 &&
+      full.columns.toSeq == Seq("event_id", "user", "ts", "payload", "snap"))
+  }
+
   test("vocab profile: exact top-k with deterministic ties, planned as distributed top-k") {
     val prof = TextAnalysis.vocabProfile(docs, 5)
     val got = prof.as[(Int, String, Long, Long)].collect().toSeq
