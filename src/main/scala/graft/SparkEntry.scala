@@ -1078,6 +1078,26 @@ object SparkEntry {
           purchases, Seq("user_id"), "ts", "ts", Seq("purchase_value"))
           .select(col("event_id"), col("user_id"), col("value"),
             col("purchase_value"))
+      }),
+      // Interval join: events inside each user's 30-minute
+      // post-purchase window — bucket-expansion equi-join (10-minute
+      // buckets, so each interval expands to ≤4 bucket rows), never a
+      // per-key nested loop. Oracle: plain range-predicate join
+      // (DuckDB handles the theta-join fine at gate scale; the bucket
+      // trick is the 100 TB plan, the predicate is the semantics).
+      "join_interval" -> ((s, dir) => {
+        val ev = events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("value"))
+        val windows = events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("w_start"))
+          .distinct()
+          .withColumn("w_end", col("w_start") + lit(1800000000L))
+        graft.ops.Joins.intervalJoin(ev, windows, Seq("user_id"),
+          "ts_us", "w_start", "w_end", bucketWidth = 600000000L)
+          .select(col("event_id"), col("user_id"), col("w_start"),
+            col("value"))
       })) ++ northStarQueries
   }
 
@@ -1179,6 +1199,13 @@ object SparkEntry {
           |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
           |SELECT e.event_id, e.user_id, e.value, p.purchase_value
           |FROM events e ASOF LEFT JOIN p
-          |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin
+          |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+      "join_interval" ->
+        """WITH w AS (SELECT DISTINCT user_id, epoch_us(ts) AS w_start
+          |           FROM events WHERE event_type = 'purchase')
+          |SELECT e.event_id, e.user_id, w.w_start, e.value
+          |FROM events e JOIN w ON e.user_id = w.user_id
+          | AND epoch_us(e.ts) >= w.w_start
+          | AND epoch_us(e.ts) < w.w_start + 1800000000""".stripMargin
     ) ++ northStarOracles
 }

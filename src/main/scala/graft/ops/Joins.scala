@@ -72,4 +72,46 @@ object Joins {
       .drop("__asof_ts", "__asof_is_left")
       .select((left.columns ++ valueCols).map(col): _*)
   }
+
+  /** Interval (range) join: every (left row, right interval) pair in
+    * the same key group with `rightStart <= leftTs < rightEnd` —
+    * events inside sessions, trades inside halts, labels inside
+    * feature-validity windows.
+    *
+    * Spark-first spelling of the second temporal operator the engine
+    * lacks natively: a naive range predicate plans a per-key
+    * NESTED-LOOP (quadratic in the hot key); here each right interval
+    * is EXPLODED onto the fixed-width time buckets it covers
+    * (`sequence(floor(start/w), floor((end−1)/w))`) and each left row
+    * carries its single bucket, so the match is a plain equi-join on
+    * (keys, bucket) + an exact range filter. Cost: |R| × (avg
+    * interval length / bucketWidth + 1) expanded rows through one
+    * hash shuffle — pick `bucketWidth` near the typical interval
+    * length and expansion is ~2×. No pair is generated across
+    * buckets, so there is no quadratic blowup anywhere.
+    *
+    * A left row's bucket is unique, so each matching (row, interval)
+    * pair is emitted exactly once — no dedup pass. Intervals are
+    * half-open `[start, end)`; empty intervals (end <= start) match
+    * nothing. Ts/start/end must be numeric (cast timestamps with
+    * `unix_micros` first); non-key column names must not collide. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightStart: String, rightEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(keys.nonEmpty, "intervalJoin requires at least one key column")
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val collisions = left.columns.toSet.intersect(right.columns.toSet) -- keys
+    require(collisions.isEmpty,
+      s"non-key columns collide across sides: $collisions — alias them")
+    val rx = right
+      .filter(col(rightEnd) > col(rightStart)) // empty: matches nothing
+      .withColumn("__ij_bucket", explode(sequence(
+        floor(col(rightStart) / bucketWidth).cast("long"),
+        floor((col(rightEnd) - 1) / bucketWidth).cast("long"))))
+    left.withColumn("__ij_bucket",
+        floor(col(leftTs) / bucketWidth).cast("long"))
+      .join(rx, keys :+ "__ij_bucket")
+      .filter(col(leftTs) >= col(rightStart) && col(leftTs) < col(rightEnd))
+      .drop("__ij_bucket")
+  }
 }

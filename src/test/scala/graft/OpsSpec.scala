@@ -805,6 +805,32 @@ class OpsSpec extends AnyFunSuite {
       full.columns.toSeq == Seq("event_id", "user", "ts", "payload", "snap"))
   }
 
+  test("interval join: half-open containment via bucket expansion equals the theta-join reference") {
+    val left = Seq(
+      (1L, "u1", 100L), (2L, "u1", 150L), (3L, "u1", 200L), // 200 = w_end: excluded
+      (4L, "u1", 99L),  // just before start: excluded
+      (5L, "u2", 500L), (6L, "u3", 42L))
+      .toDF("event_id", "user", "ts")
+    val right = Seq(
+      ("u1", 100L, 200L),   // [100, 200): catches 1, 2
+      ("u1", 140L, 160L),   // overlapping interval: catches 2 again
+      ("u2", 0L, 5000L),    // interval spanning many buckets: catches 5
+      ("u3", 42L, 42L))     // empty interval: catches nothing
+      .toDF("user", "w_start", "w_end")
+    for (bucket <- Seq(1L, 7L, 50L, 10000L)) { // bucketing must be invisible
+      val got = Joins.intervalJoin(left, right, Seq("user"),
+          "ts", "w_start", "w_end", bucket)
+        .select("event_id", "w_start").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 100L), (2L, 100L), (2L, 140L), (5L, 0L)),
+        s"bucketWidth=$bucket")
+    }
+    // Reference spelling: plain range-predicate join on the fixture.
+    val ref = left.join(right, Seq("user"))
+      .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .select("event_id", "w_start").as[(Long, Long)].collect().toSet
+    assert(ref == Set((1L, 100L), (2L, 100L), (2L, 140L), (5L, 0L)))
+  }
+
   test("vocab profile: exact top-k with deterministic ties, planned as distributed top-k") {
     val prof = TextAnalysis.vocabProfile(docs, 5)
     val got = prof.as[(Int, String, Long, Long)].collect().toSeq
