@@ -1079,6 +1079,43 @@ object SparkEntry {
           .select(col("event_id"), col("user_id"), col("value"),
             col("purchase_value"))
       }),
+      // As-of with a staleness bound (the kdb/pandas merge_asof
+      // `tolerance` ergonomic): same enrichment, but a purchase more
+      // than 1 hour older than the event no longer counts — the left
+      // row gets NULL instead of silently joining a years-stale right
+      // row. Oracle: ASOF join then CASE-null the stale matches
+      // (equivalent — if the LATEST match is stale, every candidate
+      // is staler).
+      "join_asof_tolerance" -> ((s, dir) => {
+        val ev = events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("purchase_value"))
+        graft.ops.Joins.asofJoin(
+          ev.select(col("event_id"), col("user_id"), col("ts"), col("value")),
+          purchases, Seq("user_id"), "ts", "ts", Seq("purchase_value"),
+          tolerance = Some(3600000000L)) // 1 h in micros
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("purchase_value"))
+      }),
+      // Hot-key-bounded as-of: identical semantics through the
+      // bucketWidth path (window partitioned by (key, 1-hour time
+      // bucket), cross-bucket carry chained through a distinct-bucket
+      // summary frame) — same oracle as join_asof proves the bounded
+      // plan is result-identical at gate scale; no task ever sorts
+      // more than one bucket of one key.
+      "join_asof_bucketed" -> ((s, dir) => {
+        val ev = events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("purchase_value"))
+        graft.ops.Joins.asofJoin(
+          ev.select(col("event_id"), col("user_id"), col("ts"), col("value")),
+          purchases, Seq("user_id"), "ts", "ts", Seq("purchase_value"),
+          bucketWidth = Some(3600000000L))
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("purchase_value"))
+      }),
       // Interval join: events inside each user's 30-minute
       // post-purchase window — bucket-expansion equi-join (10-minute
       // buckets, so each interval expands to ≤4 bucket rows), never a
@@ -1195,6 +1232,20 @@ object SparkEntry {
       "tpch_pricing" -> tpchPricingOracle,
       "join_topk_revenue" -> joinTopkOracle,
       "join_asof" ->
+        """WITH p AS (SELECT user_id, ts, max(value) AS purchase_value
+          |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+          |SELECT e.event_id, e.user_id, e.value, p.purchase_value
+          |FROM events e ASOF LEFT JOIN p
+          |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+      "join_asof_tolerance" ->
+        """WITH p AS (SELECT user_id, ts, max(value) AS purchase_value
+          |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+          |SELECT e.event_id, e.user_id, e.value,
+          |  CASE WHEN epoch_us(e.ts) - epoch_us(p.ts) <= 3600000000
+          |       THEN p.purchase_value END AS purchase_value
+          |FROM events e ASOF LEFT JOIN p
+          |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+      "join_asof_bucketed" ->
         """WITH p AS (SELECT user_id, ts, max(value) AS purchase_value
           |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
           |SELECT e.event_id, e.user_id, e.value, p.purchase_value

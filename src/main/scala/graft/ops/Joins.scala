@@ -1,7 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Temporal join operators Spark has no built-in for.
   *
@@ -12,65 +14,158 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** Numeric view of a ts column for tolerance/bucket arithmetic:
+    * timestamps become unix MICROSECONDS, integral types pass through.
+    * `tolerance`/`bucketWidth` are therefore micros for timestamp
+    * columns and the column's own units otherwise. */
+  private def tsNumeric(c: Column, dt: DataType): Column = dt match {
+    case TimestampType => unix_micros(c)
+    case ByteType | ShortType | IntegerType | LongType => c.cast(LongType)
+    case other => throw new IllegalArgumentException(
+      s"as-of ts column must be timestamp or integral, got $other")
+  }
+
   /** As-of (backward) join, composed from a union + one keyed window —
     * the Spark-first spelling of an operator the engine lacks: both
     * inputs are tagged and unioned, the union is shuffled ONCE by the
     * key and sorted by (ts, side) inside each partition, and a
-    * running `last(value, ignoreNulls)` carries the most recent right
-    * values forward onto every left row. No range join, no per-row
+    * running `last(matchedRow, ignoreNulls)` carries the most recent
+    * right ROW (one struct — all its values atomically, nulls
+    * included) forward onto every left row. No range join, no per-row
     * subquery, no broadcast of either side: cost is one shuffle +
     * one sort over |L| + |R| rows regardless of time-range density —
     * the plan that survives 100 TB of events against 1 TB of
     * snapshots. (A per-key sort is the operator's intrinsic order
-    * requirement; a key hot enough to break one task's sort should be
-    * pre-sharded by time range before joining.)
+    * requirement; pass `bucketWidth` to bound any single task's sort
+    * when one key is hot — see below.)
     *
     * Semantics (DuckDB `ASOF LEFT JOIN` — the gate oracle — agrees):
     * every left row appears exactly once; right values are taken from
-    * the greatest `rightTs <= leftTs` in the same key group (a right
-    * row at exactly `leftTs` counts — right rows order BEFORE left
-    * rows at equal ts); left rows with no prior right row get nulls.
-    * The right side must be unique per (keys, rightTs) — pre-aggregate
-    * it otherwise, or which-row-wins is undefined in any engine.
+    * the single right row with the greatest `rightTs <= leftTs` in the
+    * same key group (a right row at exactly `leftTs` counts — right
+    * rows order BEFORE left rows at equal ts); left rows with no prior
+    * right row get nulls. Because the carry is one struct per matched
+    * row, a matched row whose value column is legitimately NULL yields
+    * NULL — an older row's value is never substituted in. The right
+    * side must be unique per (keys, rightTs) — pre-aggregate it
+    * otherwise, or which-row-wins is undefined in any engine.
+    *
+    * `tolerance` (kdb/pandas `merge_asof` ergonomic): when set, a
+    * match only counts if `leftTs − rightTs <= tolerance` — otherwise
+    * the left row gets nulls instead of silently joining an
+    * arbitrarily stale right row. Equivalent to matching latest-then-
+    * nulling-stale, since any non-latest candidate is older still.
+    * Units: micros for timestamp ts columns, the column's units for
+    * integral ts.
+    *
+    * `bucketWidth`: optional hot-key bound. Both sides are bucketed on
+    * `floor(ts / bucketWidth)`, the window runs per (keys, bucket) —
+    * so no task ever sorts more than one bucket of one key — and a
+    * tiny per-(key, bucket) "last right row" summary is chained
+    * through a second window (rows = distinct buckets, not events) to
+    * seed each bucket with the carry from earlier buckets. Costs one
+    * extra shuffle of the small summary frame + an equi-join that
+    * reuses the union's (keys, bucket) partitioning; results are
+    * identical to the unbucketed plan (equivalence is spec-pinned).
     *
     * Output: every left column, plus `valueCols` from the right side.
     * Right value columns must not collide with left column names
     * (alias them before the call). */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
+      leftTs: String, rightTs: String, valueCols: Seq[String],
+      tolerance: Option[Long] = None,
+      bucketWidth: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "asofJoin requires at least one key column")
     require(valueCols.nonEmpty, "asofJoin requires at least one value column")
+    tolerance.foreach(t => require(t >= 0, s"tolerance must be >= 0, got $t"))
+    bucketWidth.foreach(w =>
+      require(w > 0, s"bucketWidth must be positive, got $w"))
     val collisions = valueCols.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"right value columns collide with left columns: $collisions — alias them")
     val leftPayload = left.columns.filterNot(keys.contains).toSeq
     val rightSchema = right.schema
-    val leftSchema = left.schema
-    // Tagged union with a shared schema: keys + event ts + side tag +
-    // left payload (null on right rows) + right values (null on left).
+    val ltsType = left.schema(leftTs).dataType
+    val rtsType = rightSchema(rightTs).dataType
+    // The matched right row travels as ONE nullable struct ("__asof_r"):
+    // non-null on every right row (even when its value fields are
+    // null), null on left rows — so last(_, ignoreNulls) carries whole
+    // rows, never mixes values across rows, and keeps legitimate NULLs.
+    val rStructType = StructType(
+      StructField("__rts", rtsType) +:
+        valueCols.map(c => StructField(c, rightSchema(c).dataType)))
     val taggedLeft = left.select(
       keys.map(col) ++
         Seq(col(leftTs).as("__asof_ts"), lit(1).as("__asof_is_left")) ++
-        leftPayload.map(col) ++
-        valueCols.map(c =>
-          lit(null).cast(rightSchema(c).dataType).as(c)): _*)
+        leftPayload.map(col) :+
+        lit(null).cast(rStructType).as("__asof_r"): _*)
     val taggedRight = right.select(
       keys.map(col) ++
         Seq(col(rightTs).as("__asof_ts"), lit(0).as("__asof_is_left")) ++
         leftPayload.map(c =>
-          lit(null).cast(leftSchema(c).dataType).as(c)) ++
-        valueCols.map(col): _*)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy(col("__asof_ts").asc, col("__asof_is_left").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val carried = valueCols.foldLeft(taggedLeft.unionByName(taggedRight)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+          lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(col(rightTs).as("__rts") +: valueCols.map(col): _*)
+          .as("__asof_r"): _*)
+    val union = taggedLeft.unionByName(taggedRight)
+    val ord = Seq(col("__asof_ts").asc, col("__asof_is_left").asc)
+
+    val carried = bucketWidth match {
+      case None =>
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        union.withColumn("__asof_carry",
+          last(col("__asof_r"), ignoreNulls = true).over(w))
+      case Some(bw) =>
+        val bucketed = union.withColumn("__asof_bkt",
+          floor(tsNumeric(col("__asof_ts"), ltsType) / bw).cast(LongType))
+        val bktKeys = keys :+ "__asof_bkt"
+        // Within-bucket carry: the window partition includes the
+        // bucket, so a hot key's sort is split across its buckets.
+        val localW = Window.partitionBy(bktKeys.map(col): _*)
+          .orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        // Chain across buckets through a summary frame whose size is
+        // (distinct key × bucket), not events: the last right row OF
+        // each bucket, shifted one bucket forward per key.
+        val bucketLast = bucketed.filter(col("__asof_is_left") === 0)
+          .groupBy(bktKeys.map(col): _*)
+          .agg(max_by(col("__asof_r"),
+            tsNumeric(col("__asof_ts"), rtsType)).as("__asof_bkt_last"))
+        val allBuckets = bucketed.select(bktKeys.map(col): _*).distinct()
+        val chainW = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("__asof_bkt").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val incoming = allBuckets
+          .join(bucketLast, bktKeys, "left")
+          .withColumn("__asof_in",
+            last(col("__asof_bkt_last"), ignoreNulls = true).over(chainW))
+          .select((bktKeys.map(col) :+ col("__asof_in")): _*)
+        // The union is already hash-partitioned on (keys, bucket) by
+        // localW; this equi-join reuses that partitioning on the big
+        // side (only the small summary frame shuffles).
+        bucketed
+          .withColumn("__asof_local",
+            last(col("__asof_r"), ignoreNulls = true).over(localW))
+          .join(incoming, bktKeys)
+          .withColumn("__asof_carry",
+            coalesce(col("__asof_local"), col("__asof_in")))
+    }
+
+    // Tolerance: the carried row is the LATEST match, so if it is too
+    // stale every other candidate is staler — nulling it out equals
+    // "latest within tolerance".
+    val inReach = tolerance match {
+      case None => col("__asof_carry").isNotNull
+      case Some(t) =>
+        col("__asof_carry").isNotNull &&
+          tsNumeric(col("__asof_ts"), ltsType) -
+            tsNumeric(col("__asof_carry").getField("__rts"), rtsType) <= t
     }
     carried.filter(col("__asof_is_left") === 1)
       .withColumn(leftTs, col("__asof_ts"))
-      .drop("__asof_ts", "__asof_is_left")
-      .select((left.columns ++ valueCols).map(col): _*)
+      .select(left.columns.map(col) ++ valueCols.map(c =>
+        when(inReach, col("__asof_carry").getField(c)).as(c)): _*)
   }
 
   /** Interval (range) join: every (left row, right interval) pair in
@@ -94,20 +189,41 @@ object Joins {
     * pair is emitted exactly once — no dedup pass. Intervals are
     * half-open `[start, end)`; empty intervals (end <= start) match
     * nothing. Ts/start/end must be numeric (cast timestamps with
-    * `unix_micros` first); non-key column names must not collide. */
+    * `unix_micros` first); non-key column names must not collide.
+    *
+    * Open-interval hazard: an interval is expanded into
+    * `length/bucketWidth + 1` rows, so a sentinel "still open" end
+    * (e.g. `Long.MaxValue`) would try to materialize billions of
+    * bucket rows. `maxBucketsPerInterval` guards this with a loud
+    * task-side error instead of a silent OOM — cap/close open
+    * intervals before joining, or raise `bucketWidth`. */
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightStart: String, rightEnd: String,
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long,
+      maxBucketsPerInterval: Long = 1L << 20): DataFrame = {
     require(keys.nonEmpty, "intervalJoin requires at least one key column")
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval must be positive, got $maxBucketsPerInterval")
     val collisions = left.columns.toSet.intersect(right.columns.toSet) -- keys
     require(collisions.isEmpty,
       s"non-key columns collide across sides: $collisions — alias them")
+    val firstBkt = floor(col(rightStart) / bucketWidth).cast("long")
+    val lastBkt = floor((col(rightEnd) - 1) / bucketWidth).cast("long")
     val rx = right
       .filter(col(rightEnd) > col(rightStart)) // empty: matches nothing
-      .withColumn("__ij_bucket", explode(sequence(
-        floor(col(rightStart) / bucketWidth).cast("long"),
-        floor((col(rightEnd) - 1) / bucketWidth).cast("long"))))
+      // assert_true returns NULL when the predicate holds and throws
+      // with the message otherwise; the coalesce keeps it un-prunable
+      // as a filter so every surviving interval is actually checked.
+      .filter(coalesce(
+        assert_true(lastBkt - firstBkt < maxBucketsPerInterval,
+          concat(lit("intervalJoin: one interval expands to "),
+            lastBkt - firstBkt + 1,
+            lit(s" buckets (> maxBucketsPerInterval=$maxBucketsPerInterval)" +
+              " — an open-ended/sentinel interval end? Cap open intervals" +
+              " or raise bucketWidth."))).cast("boolean"),
+        lit(true)))
+      .withColumn("__ij_bucket", explode(sequence(firstBkt, lastBkt)))
     left.withColumn("__ij_bucket",
         floor(col(leftTs) / bucketWidth).cast("long"))
       .join(rx, keys :+ "__ij_bucket")

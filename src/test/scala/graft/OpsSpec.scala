@@ -805,6 +805,99 @@ class OpsSpec extends AnyFunSuite {
       full.columns.toSeq == Seq("event_id", "user", "ts", "payload", "snap"))
   }
 
+  test("asof join: matched row's NULL value is kept and multi values come from one row") {
+    val left = Seq((1L, "u1", 300L), (2L, "u1", 150L))
+      .toDF("event_id", "user", "ts")
+    // At ts 200 the snapshot's `snap` is legitimately NULL while `tag`
+    // is set: the match at 300 must return (NULL, "mid") — not smuggle
+    // snap=10.0 from the older row (the per-column last(ignoreNulls)
+    // bug this pins against mixes rows exactly like that).
+    val right = Seq(
+      ("u1", 100L, Some(10.0), "old"),
+      ("u1", 200L, None, "mid"))
+      .toDF("user", "ts", "snap", "tag")
+    val out = Joins.asofJoin(left, right, Seq("user"), "ts", "ts",
+        Seq("snap", "tag"))
+      .select("event_id", "snap", "tag")
+      .as[(Long, Option[Double], String)].collect()
+      .map { case (id, s, t) => id -> ((s, t)) }.toMap
+    assert(out == Map(
+      1L -> ((None, "mid")),        // atomic row: NULL snap + mid tag
+      2L -> ((Some(10.0), "old")))) // older event still sees the old row
+  }
+
+  test("asof join: tolerance nulls out stale matches; bucketed plan is equivalent") {
+    val left = Seq(
+      (1L, "u1", 1000L), (2L, "u1", 1049L), (3L, "u1", 1051L),
+      (4L, "u2", 5000L))
+      .toDF("event_id", "user", "ts")
+    val right = Seq(("u1", 1000L, 1.0), ("u2", 100L, 2.0))
+      .toDF("user", "ts", "snap")
+    val got = Joins.asofJoin(left, right, Seq("user"), "ts", "ts",
+        Seq("snap"), tolerance = Some(50L))
+      .select("event_id", "snap").as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(
+      1L -> Some(1.0),  // exact-ts match, distance 0
+      2L -> Some(1.0),  // distance 49 <= 50
+      3L -> None,       // distance 51: stale → null, not the stale value
+      4L -> None))      // u2's only snapshot is 4900 old
+    // Bucketing must be invisible at every width (hot-key bound only).
+    for (bw <- Seq(1L, 7L, 100L, 1000000L); tol <- Seq(None, Some(50L))) {
+      val base = Joins.asofJoin(left, right, Seq("user"), "ts", "ts",
+          Seq("snap"), tolerance = tol)
+        .select("event_id", "snap").as[(Long, Option[Double])].collect().toMap
+      val bucketed = Joins.asofJoin(left, right, Seq("user"), "ts", "ts",
+          Seq("snap"), tolerance = tol, bucketWidth = Some(bw))
+        .select("event_id", "snap").as[(Long, Option[Double])].collect().toMap
+      assert(bucketed == base, s"bucketWidth=$bw tolerance=$tol")
+    }
+  }
+
+  test("asof join bucketed: one hot key matches unbucketed result and splits the window sort") {
+    // One key carrying everything — the unbucketed plan sorts all of
+    // it on one task; the bucketed plan must partition its window by
+    // (key, bucket) so no task sorts more than one bucket.
+    val rnd = new scala.util.Random(42)
+    val left = (1L to 400L).map(i => (i, "hot", rnd.nextInt(10000).toLong))
+      .toDF("event_id", "user", "ts")
+    val right = (0 until 60).map(i =>
+        ("hot", rnd.nextInt(10000).toLong, rnd.nextDouble()))
+      .groupBy { case (u, t, _) => (u, t) }.map(_._2.head).toSeq
+      .toDF("user", "ts", "snap")
+    val base = Joins.asofJoin(left, right, Seq("user"), "ts", "ts", Seq("snap"))
+      .select("event_id", "snap").as[(Long, Option[Double])].collect().toMap
+    val bucketedDf = Joins.asofJoin(left, right, Seq("user"), "ts", "ts",
+      Seq("snap"), bucketWidth = Some(500L))
+    val bucketed = bucketedDf
+      .select("event_id", "snap").as[(Long, Option[Double])].collect().toMap
+    assert(bucketed == base)
+    // Plan pin: the big window's partition spec includes the bucket
+    // column (hot-key sort is bounded by bucket, not whole-key).
+    val plan = bucketedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("__asof_bkt"),
+      "bucketed asof plan must window-partition by (keys, __asof_bkt)")
+  }
+
+  test("interval join: unbounded sentinel interval fails loudly, capped guard passes") {
+    val left = Seq((1L, "u1", 100L)).toDF("event_id", "user", "ts")
+    val open = Seq(("u1", 0L, Long.MaxValue)) // "still open" sentinel
+      .toDF("user", "w_start", "w_end")
+    val ex = intercept[Exception] {
+      Joins.intervalJoin(left, open, Seq("user"), "ts", "w_start", "w_end",
+        bucketWidth = 1000L, maxBucketsPerInterval = 1000L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("maxBucketsPerInterval")),
+      s"wanted the loud guard, got: $ex")
+    // Well-bounded intervals under the same cap are unaffected.
+    val closed = Seq(("u1", 0L, 5000L)).toDF("user", "w_start", "w_end")
+    val ok = Joins.intervalJoin(left, closed, Seq("user"), "ts", "w_start",
+        "w_end", bucketWidth = 1000L, maxBucketsPerInterval = 1000L)
+      .select("event_id").as[Long].collect().toSeq
+    assert(ok == Seq(1L))
+  }
+
   test("interval join: half-open containment via bucket expansion equals the theta-join reference") {
     val left = Seq(
       (1L, "u1", 100L), (2L, "u1", 150L), (3L, "u1", 200L), // 200 = w_end: excluded
