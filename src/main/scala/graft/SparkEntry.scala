@@ -526,8 +526,11 @@ object SparkEntry {
     // directions — all exact-verified, so the string-gram oracle
     // reproduces the scores bit-exactly.
     "dedup_incremental" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_inc_idx")
-        .toString
+      // Rebuilding the index each call is the point of this gate (the
+      // whole-workflow cost); the scratch dir is NOT rebuilt per call —
+      // one memoized dir per sf corpus, overwritten by each rebuild and
+      // deleted on JVM exit, so repeated bench laps don't leak disk.
+      val dir = scratchDir("graft_inc_idx", d)
       val corpus = documents(s, d)
       graft.ops.Dedup.saveDedupIndex(corpus, dir, 3, 64, 16)
       graft.ops.Dedup.dedupAgainstIndex(
@@ -1192,12 +1195,29 @@ object SparkEntry {
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
         dedupIndexPath(s, d), 0.8, 3, 64, 16)))
 
+  /** Memoized temp dirs (one per (tag, sf dir)), recursively deleted
+    * on JVM exit — repeated gate/bench laps reuse the same scratch
+    * path instead of leaking a fresh directory per invocation. */
+  private val scratchDirs = scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def scratchDir(tag: String, d: String): String =
+    scratchDirs.getOrElseUpdate((tag, d), {
+      val p = java.nio.file.Files.createTempDirectory(tag + "_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        if (Files.exists(p))
+          Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+      }))
+      p.toString
+    })
+
   /** One saved-IVF artifact per sf dir, built on first use (see
     * `sim_ann_ivf_probe`). */
   private val ivfArtifacts = scala.collection.concurrent.TrieMap.empty[String, String]
   private def ivfArtifactPath(s: SparkSession, d: String): String =
     ivfArtifacts.getOrElseUpdate(d, {
-      val path = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+      val path = scratchDir("graft_ivf", d)
       graft.ops.Similarity.saveIvfIndex(
         graft.ops.Similarity.buildIvfIndex(embeddings(s, d), nClusters = 16),
         path)
@@ -1209,8 +1229,7 @@ object SparkEntry {
   private val dedupIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
   private def dedupIndexPath(s: SparkSession, d: String): String =
     dedupIndexes.getOrElseUpdate(d, {
-      val path = java.nio.file.Files.createTempDirectory("graft_dedup_idx_")
-        .toString
+      val path = scratchDir("graft_dedup_idx", d)
       graft.ops.Dedup.saveDedupIndex(documents(s, d), path, 3, 64, 16)
       path
     })

@@ -82,13 +82,20 @@ object Similarity {
     * input and is one cheap job; both branches share the output schema
     * and exact verified cosine, so at recall-1 LSH parameters the
     * branches are result-identical (the gate pins this: sf0.01 runs
-    * exact, sf0.1 runs LSH, both against the same exact oracle). */
+    * exact, sf0.1 runs LSH, both against the same exact oracle).
+    *
+    * The input is lazily persisted so the dispatch `count()` doubles
+    * as the materializing action — an expensive upstream lineage is
+    * computed once, not once for the count and again in the chosen
+    * branch. */
   def dupPairsAuto(emb: DataFrame, threshold: Double, dim: Int,
       maxExactRows: Long = 1000,
       tables: Int = 40, planesPerTable: Int = 4,
-      persist: Persistence = Persistence.Local): DataFrame =
-    if (emb.count() <= maxExactRows) cosineDupPairs(emb, threshold)
-    else lshDupPairs(emb, threshold, dim, tables, planesPerTable, persist)
+      persist: Persistence = Persistence.Local): DataFrame = {
+    val e = persist.lazily(emb)
+    if (e.count() <= maxExactRows) cosineDupPairs(e, threshold)
+    else lshDupPairs(e, threshold, dim, tables, planesPerTable, persist)
+  }
 
   /** Near-duplicate pairs with cosine ≥ threshold, at scale: candidate
     * pairs come from shared random-hyperplane LSH buckets (equi-join on
