@@ -10,8 +10,43 @@ import org.apache.spark.sql.SparkSession
   * happened to run first pays JVM/codegen/parquet-footer warm-up" —
   * the per-query attribution is meaningless otherwise (first-query
   * noise was ±10s on a 0.3s query).
+  *
+  * Steal context: this host is a shared VM whose available CPU swings
+  * with neighbor load (observed up to 3× on identical code), so the
+  * JSON also carries, per query, the full lap list (spread = how
+  * noisy THIS run was) and a `calib` section: a fixed single-thread
+  * CPU loop timed before/between/after the laps, whose min is
+  * compared against a reference time recorded at build time on an
+  * idle host. `calib.ratio` ≈ 1.0 means the numbers are trustworthy;
+  * ratios well above 1 mean the whole run was steal-inflated by about
+  * that factor and cross-round comparisons must divide it out.
   */
 object Bench {
+
+  /** Fixed single-thread calibration workload: a splitmix-style LCG
+    * chain long enough (~0.4 s idle) to average over scheduler slices
+    * but short enough to run once per lap. Pure ALU — no memory
+    * traffic — so it measures CPU availability, not cache state. */
+  def calibLap(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var acc = 0L
+    var i = 0
+    while (i < CalibIters) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      acc ^= java.lang.Long.rotateLeft(x, (x & 63).toInt)
+      i += 1
+    }
+    // Publish acc so the loop cannot be dead-code-eliminated.
+    calibSink = acc
+    (System.nanoTime() - t0) / 1e9
+  }
+  final val CalibIters = 300000000
+  @volatile var calibSink: Long = 0L
+  /** Reference min-of-12 `calibLap` seconds measured on this host
+    * class during an idle window (recorded 2026-08-13, laps spanned
+    * 0.4008–0.4569 with median 0.4031; see PERF_r6.md). */
+  final val CalibRefSec = 0.4008
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -41,16 +76,26 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
+    calibLap(); calibLap() // JIT the calibration loop itself
     lap() // warm-up: JIT, codegen cache, parquet footers
     // Three timed laps, min per query: the shared VM shows sporadic
     // external CPU interference (whole laps drift ±15%, sub-2s queries
     // spike ×5); the per-query min across laps is the faithful engine
-    // cost.
-    val results = Seq(lap(), lap(), lap()).transpose.map { laps =>
-      (laps.head._1, laps.map(_._2).min,
-        laps.flatMap(_._3).headOption) }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // cost, and the full lap lists are emitted so a reader can see how
+    // noisy THIS run was. A calibration lap brackets every query lap:
+    // its min vs the recorded idle-host reference is the run's
+    // steal-inflation factor.
+    val calibs = scala.collection.mutable.ArrayBuffer(calibLap())
+    val timedLaps = Seq.fill(3) {
+      val l = lap(); calibs += calibLap(); l
+    }
+    val results = timedLaps.transpose.map { laps =>
+      (laps.head._1, laps.map(_._2), laps.flatMap(_._3).headOption) }
+    def fmtArr(xs: Seq[Double]): String = xs.mkString("[", ",", "]")
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
+    val lapJson = results.map { case (k, v, _) =>
+      s"\"" + k + "\":" + fmtArr(v) }.mkString("{", ",", "}")
     // Full JSON string escaping: any control char < 0x20 (tabs, CRs,
     // ANSI escapes in exception messages) must not leak raw into the
     // one-line contract output.
@@ -63,8 +108,10 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) =>
       s"\"" + k + "\":\"" + jstr(e) + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = results.map(_._2.min).sum
+    val calibJson = s"""{"ref_sec":$CalibRefSec,"laps":${fmtArr(calibs.toSeq)},""" +
+      s""""ratio":${calibs.min / CalibRefSec}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"laps":$lapJson,"calib":$calibJson,"errors":$errs,"sf":"$sfDir"}""")
     if (results.exists(_._3.isDefined)) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
