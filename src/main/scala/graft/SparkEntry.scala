@@ -537,6 +537,31 @@ object SparkEntry {
         corpus.select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
         dir, 0.8, 3, 64, 16)
     }),
+    // Rolling-append workflow end-to-end — the other half of the
+    // incremental story: index two thirds of the corpus, dedup batch A
+    // (the remaining third, re-keyed +1e6) against it, APPEND A's
+    // survivors (no rebuild, no corpus re-scan), then dedup batch B
+    // against the GROWN index. B deliberately contains re-keyed copies
+    // of half of A (doc_id % 6 = 0), so its identity matches against
+    // surviving A docs can ONLY come from the appended delta — a
+    // garbage or missing append fails the gate in both directions.
+    "dedup_incremental_append" -> ((s, d) => {
+      val dir = scratchDir("graft_inc_app", d)
+      val docs = documents(s, d)
+      val base = docs.filter(col("doc_id") % 3 =!= 0)
+      graft.ops.Dedup.saveDedupIndex(base, dir, 3, 64, 16)
+      val batchA = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val matchedA = graft.ops.Dedup.dedupAgainstIndex(
+        batchA, dir, 0.8, 3, 64, 16)
+      val survivors = batchA.join(
+        matchedA.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      graft.ops.Dedup.appendToDedupIndex(survivors, dir, 3, 64, 16)
+      val batchB = docs
+        .filter(col("doc_id") % 3 === 1 || col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      graft.ops.Dedup.dedupAgainstIndex(batchB, dir, 0.8, 3, 64, 16)
+    }),
     // Size-dispatched: ≤1000 vectors (sf0.01 gate) runs the exact
     // all-pairs baseline, larger corpora (sf0.1+) run the banded-LSH
     // candidate path at recall-1 parameters (measured: 920/920 pairs,
@@ -743,6 +768,42 @@ object SparkEntry {
          |SELECT common.doc_id, dup_of, c*1.0/(na.n+nb.n-c) AS jaccard
          |FROM common JOIN sizes na ON na.doc_id = common.doc_id - 1000000
          |            JOIN sizes nb ON nb.doc_id = dup_of
+         |WHERE c*1.0/(na.n+nb.n-c) >= 0.8""".stripMargin,
+    // Append workflow oracle: replay the same three phases over the
+    // string-gram pipeline — A's survivors are the %3=0 docs with no
+    // J>=0.8 match in the %3!=0 base; the grown corpus is base plus
+    // survivors (at their +1e6 appended ids); B (%3=1 plus %6=0,
+    // re-keyed +2e6) matches against the grown corpus.
+    "dedup_incremental_append" ->
+      s"""WITH t AS (SELECT doc_id, $dToks w FROM documents),
+         |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),
+         |sh AS (SELECT DISTINCT a.doc_id, a.tk || ' ' || b.tk || ' ' || c.tk AS s
+         |       FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.i=a.i+1
+         |                  JOIN tok c ON a.doc_id=c.doc_id AND c.i=a.i+2),
+         |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         |matchedA AS (
+         |  SELECT DISTINCT x.doc_id
+         |  FROM sh x JOIN sh y ON x.s=y.s
+         |       JOIN sizes na ON na.doc_id=x.doc_id
+         |       JOIN sizes nb ON nb.doc_id=y.doc_id
+         |  WHERE x.doc_id % 3 = 0 AND y.doc_id % 3 <> 0
+         |  GROUP BY x.doc_id, y.doc_id, na.n, nb.n
+         |  HAVING count(*)*1.0/(na.n+nb.n-count(*)) >= 0.8),
+         |corpus AS (
+         |  SELECT doc_id, doc_id AS out_id FROM sizes WHERE doc_id % 3 <> 0
+         |  UNION ALL
+         |  SELECT doc_id, doc_id + 1000000 AS out_id FROM sizes
+         |  WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT doc_id FROM matchedA)),
+         |common AS (
+         |  SELECT x.doc_id AS xid, corpus.doc_id AS yid, corpus.out_id, count(*) c
+         |  FROM sh x JOIN sh y ON x.s=y.s
+         |       JOIN corpus ON corpus.doc_id = y.doc_id
+         |  WHERE x.doc_id % 3 = 1 OR x.doc_id % 6 = 0
+         |  GROUP BY 1,2,3)
+         |SELECT xid + 2000000 AS doc_id, out_id AS dup_of,
+         |  c*1.0/(na.n+nb.n-c) AS jaccard
+         |FROM common JOIN sizes na ON na.doc_id = xid
+         |            JOIN sizes nb ON nb.doc_id = yid
          |WHERE c*1.0/(na.n+nb.n-c) >= 0.8""".stripMargin,
     "text_corpus_stats" ->
       """SELECT count(*) AS n_docs,

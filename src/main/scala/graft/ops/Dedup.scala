@@ -584,18 +584,8 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, bandBuckets: Int = 64): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.repartition(col("doc_id"))
-      .select(col("doc_id"),
-        array_distinct(graft.functions.word_shingle_hashes(col("text"), n))
-          .as("sh_arr"))
-      .select(col("doc_id"), explode(col("sh_arr")).as("shingle"),
-        size(col("sh_arr")).as("n_sh"))
-      .write.mode("overwrite").parquet(s"$path/shingles")
-    val sig = minhashSignatures(docs, n, numHashes)
-    sig.write.mode("overwrite").parquet(s"$path/sigs")
-    bandedFrame(sig, numHashes, bands)
-      .withColumn("bucket", pmod(col("band_hash"), lit(bandBuckets)).cast("int"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/bands")
+    writeIndexArtifacts(docs, path, n, numHashes, bands, bandBuckets,
+      mode = "overwrite")
     // Params LAST: they are the commit marker. A rebuild that dies
     // mid-write leaves stale (or no) params over partial artifacts, so
     // the probe's params read fails loudly instead of validating new
@@ -603,6 +593,72 @@ object Dedup {
     Seq((n, numHashes, bands, bandBuckets))
       .toDF("n", "num_hashes", "bands", "band_buckets")
       .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Rolling append to a [[saveDedupIndex]] artifact — the daily
+    * half of the incremental workflow: after a batch is deduped
+    * against the index, its SURVIVORS (docs kept) are appended so the
+    * next batch also dedups against them, with no corpus re-scan and
+    * no index rebuild. Validates the index params first (same loud
+    * guard as the probe); the caller must not append doc_ids already
+    * present (the index is a bag — duplicates would double-report).
+    *
+    * Append ≡ rebuild for probe results (spec-pinned): all three
+    * artifacts are plain parquet and the probe reads whole
+    * directories, so delta files are indistinguishable from rebuild
+    * output. Not atomic across the three artifacts — a production
+    * deployment should stage deltas and publish them with a
+    * rename/commit protocol; a crash mid-append here can leave a
+    * partially-appended batch (re-run after deduping the batch ids
+    * against the index again). */
+  def appendToDedupIndex(docs: DataFrame, path: String, n: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, bandBuckets: Int = 64): Unit = {
+    validateIndexParams(docs.sparkSession, path, n, numHashes, bands,
+      bandBuckets)
+    writeIndexArtifacts(docs, path, n, numHashes, bands, bandBuckets,
+      mode = "append")
+  }
+
+  /** The three index artifacts (shingles / sigs / banded keys) for
+    * `docs`, written under `path` — `overwrite` for a rebuild,
+    * `append` for a rolling delta. */
+  private def writeIndexArtifacts(docs: DataFrame, path: String, n: Int,
+      numHashes: Int, bands: Int, bandBuckets: Int, mode: String): Unit = {
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        array_distinct(graft.functions.word_shingle_hashes(col("text"), n))
+          .as("sh_arr"))
+      .select(col("doc_id"), explode(col("sh_arr")).as("shingle"),
+        size(col("sh_arr")).as("n_sh"))
+      .write.mode(mode).parquet(s"$path/shingles")
+    val sig = minhashSignatures(docs, n, numHashes)
+    sig.write.mode(mode).parquet(s"$path/sigs")
+    bandedFrame(sig, numHashes, bands)
+      .withColumn("bucket", pmod(col("band_hash"), lit(bandBuckets)).cast("int"))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$path/bands")
+  }
+
+  /** Loud params check shared by the probe and the rolling append:
+    * mismatched banding silently matches nothing — the inverted
+    * failure direction for a dedup guard. */
+  private def validateIndexParams(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, n: Int, numHashes: Int, bands: Int,
+      bandBuckets: Int): Unit = {
+    val paramsPath = new org.apache.hadoop.fs.Path(s"$indexPath/params")
+    val fs = paramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(paramsPath),
+      s"no params/ under $indexPath — either the index predates " +
+        "parameter tracking or a rebuild died before its final " +
+        "params write (params commit last); re-run saveDedupIndex " +
+        "to rebuild before probing")
+    val saved = spark.read.parquet(s"$indexPath/params")
+      .select("n", "num_hashes", "bands", "band_buckets").head()
+    require(
+      saved == org.apache.spark.sql.Row(n, numHashes, bands, bandBuckets),
+      s"index at $indexPath was saved with (n, numHashes, bands, " +
+        s"bandBuckets) = $saved but the caller asked for " +
+        s"(${n}, ${numHashes}, ${bands}, ${bandBuckets}) — mismatched " +
+        "banding silently matches nothing; rebuild or re-parameterize")
   }
 
   /** Near-duplicate matches of a NEW batch against a
@@ -620,21 +676,7 @@ object Dedup {
       bands: Int = 16, bandBuckets: Int = 64, exactVerify: Boolean = true,
       persist: Persistence = Persistence.Local): DataFrame = {
     val spark = newDocs.sparkSession
-    val paramsPath = new org.apache.hadoop.fs.Path(s"$indexPath/params")
-    val fs = paramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(paramsPath),
-      s"no params/ under $indexPath — either the index predates " +
-        "parameter tracking or a rebuild died before its final " +
-        "params write (params commit last); re-run saveDedupIndex " +
-        "to rebuild before probing")
-    val saved = spark.read.parquet(s"$indexPath/params")
-      .select("n", "num_hashes", "bands", "band_buckets").head()
-    require(
-      saved == org.apache.spark.sql.Row(n, numHashes, bands, bandBuckets),
-      s"index at $indexPath was saved with (n, numHashes, bands, " +
-        s"bandBuckets) = $saved but the probe asked for " +
-        s"(${n}, ${numHashes}, ${bands}, ${bandBuckets}) — mismatched " +
-        "banding silently matches nothing; rebuild or re-parameterize")
+    validateIndexParams(spark, indexPath, n, numHashes, bands, bandBuckets)
     val sig = persist(minhashSignatures(newDocs, n, numHashes))
     val cand = bandedFrame(sig, numHashes, bands)
       .withColumn("bucket", pmod(col("band_hash"), lit(bandBuckets)).cast("int"))

@@ -878,6 +878,39 @@ class OpsSpec extends AnyFunSuite {
       "bucketed asof plan must window-partition by (keys, __asof_bkt)")
   }
 
+  test("dedup index rolling append equals full rebuild; mismatched-params append fails loudly") {
+    def tmp(tag: String): java.nio.file.Path = {
+      val p = java.nio.file.Files.createTempDirectory(tag)
+      p.toFile.deleteOnExit(); p
+    }
+    val dirApp = tmp("graft_idx_app").toString
+    val dirReb = tmp("graft_idx_reb").toString
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val delta = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+    Dedup.saveDedupIndex(base, dirApp, 3, 64, 16)
+    Dedup.appendToDedupIndex(delta, dirApp, 3, 64, 16)
+    Dedup.saveDedupIndex(base.unionByName(delta), dirReb, 3, 64, 16)
+    // The probe contains re-keyed copies of appended docs, so appended
+    // rows MUST participate (identity matches at J = 1) for equality.
+    val probe = docs.filter(col("doc_id") % 6 === 0)
+      .select((col("doc_id") + 5000L).as("doc_id"), col("text"))
+    def run(dir: String) =
+      Dedup.dedupAgainstIndex(probe, dir, 0.8, 3, 64, 16)
+        .as[(Long, Long, Double)].collect().toSet
+    val viaAppend = run(dirApp)
+    val viaRebuild = run(dirReb)
+    assert(viaAppend == viaRebuild)
+    // Appended delta is reachable: some match must point at a +1000 id.
+    assert(viaAppend.exists(_._2 >= 1000L))
+    // Mismatched banding on append must fail loudly, not corrupt.
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.appendToDedupIndex(delta, dirApp, 3, 64, bands = 8)
+    }
+    assert(ex.getMessage.contains("mismatched"))
+  }
+
   test("interval join: unbounded sentinel interval fails loudly, capped guard passes") {
     val left = Seq((1L, "u1", 100L)).toDF("event_id", "user", "ts")
     val open = Seq(("u1", 0L, Long.MaxValue)) // "still open" sentinel
