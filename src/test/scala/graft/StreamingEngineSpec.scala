@@ -168,6 +168,39 @@ class StreamingEngineSpec extends AnyFunSuite {
     assert(got == Map("business" -> 16.0, "work" -> 16.0))
   }
 
+  test("kafka contract e2e: streamed connector-schema frames -> lines -> rule windows emitted") {
+    // The closest a broker-less sandbox gets to a Kafka e2e: frames
+    // with the connector's EXACT output schema (key/value binary,
+    // topic/partition/offset/timestamp/timestampType) are replayed
+    // through a STREAMING source (parquet file stream) and must flow
+    // kafkaFrameToLines -> parseMetrics -> windowed rule plan to
+    // emitted window results — the full pipeline a real Kafka topic
+    // would drive, with only the TCP hop simulated.
+    val dir = java.nio.file.Files.createTempDirectory("graft_kafka_").toString
+    val frames = demoEvents.zipWithIndex.map { case (e, i) =>
+      (Array.emptyByteArray,
+        s"""{"eventTime":${e.ms},"t_group":"${e.g}","cpu_usage":${e.cpu}}"""
+          .getBytes("UTF-8"),
+        "metrics", i % 3, i.toLong, // records spread over 3 partitions
+        new java.sql.Timestamp(e.ms), 0)
+    }.toDF("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+    frames.write.mode("overwrite").parquet(s"$dir/frames")
+    val streamedFrames = spark.readStream
+      .schema(frames.schema).parquet(s"$dir/frames")
+    val metricStream = graft.parse.Parsers.parseMetrics(
+      graft.streaming.CepRunner.kafkaFrameToLines(streamedFrames))
+    val q = CepQuery.planRule(
+      metricStream.withWatermark("eventTime", "0 seconds"), demoRule)
+      .writeStream.format("memory").queryName("cep_kafka_contract")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cep_kafka_contract")
+        .select("t_group", "result").as[(String, Double)].collect().toMap
+      assert(got == Map("business" -> 16.0, "work" -> 16.0))
+    } finally q.stop()
+  }
+
   test("socket source e2e: the reference's netcat topology against a real TCP socket") {
     // Stand-in for `nc -lk 9999 < metrics`: a one-shot server that
     // writes the demo metric lines to the first client.
