@@ -1245,6 +1245,15 @@ object SparkEntry {
       graft.ops.Similarity.ivfTopKWithIndex(
         graft.ops.Similarity.loadIvfIndex(s, ivfArtifactPath(s, d)),
         embQueries(s, d), 5, nProbe = 4)),
+    // The recall/cost knob made visible: same artifact probed twice as
+    // wide (nProbe 8 of 16 ≈ half the corpus vs a quarter; measured
+    // recall@5 0.88 vs 0.64 at gate scale, spec-pinned curve). The two
+    // rows together show probe cost scaling ~linearly with nProbe —
+    // the trade a serving pipeline actually tunes.
+    "sim_ann_ivf_probe_wide" -> ((s, d) =>
+      graft.ops.Similarity.ivfTopKWithIndex(
+        graft.ops.Similarity.loadIvfIndex(s, ivfArtifactPath(s, d)),
+        embQueries(s, d), 5, nProbe = 8)),
     // Steady-state incremental-dedup cost: probe a 10%-of-corpus batch
     // against a memoized saveDedupIndex artifact. The dedup_incremental
     // gate row deliberately pays the full index build + write each

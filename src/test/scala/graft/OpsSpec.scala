@@ -337,6 +337,30 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"lsh dup recall $recall over ${exact.size} pairs")
   }
 
+  test("IVF recall@5 rises monotonically with nProbe and reaches exact at nProbe = nClusters") {
+    // One shared index (gate parameterization, nClusters = 16): probe
+    // sets are nested as nProbe grows and the re-rank is exact, so
+    // recall is provably non-decreasing — and probing every cluster IS
+    // brute force. Floors sit under the measured curve (0.46 / 0.64 /
+    // 0.88 / 1.00 at nProbe 2/4/8/16 on this corpus) with margin.
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val index = Similarity.buildIvfIndex(emb, nClusters = 16)
+    val recalls = Seq(2, 4, 8, 16).map { np =>
+      val ivf = Similarity.ivfTopKWithIndex(index, queries, 5, np)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      np -> exact.count(ivf.contains).toDouble / exact.size
+    }
+    val byProbe = recalls.toMap
+    assert(byProbe(2) >= 0.35, s"recall curve: $recalls")
+    assert(byProbe(4) >= 0.55, s"recall curve: $recalls")
+    assert(byProbe(8) >= 0.75, s"recall curve: $recalls")
+    assert(byProbe(16) == 1.0, s"probe-all must equal brute force: $recalls")
+    assert(recalls.map(_._2).sliding(2).forall(w => w(0) <= w(1) + 1e-9),
+      s"recall must be monotone in nProbe: $recalls")
+  }
+
   test("IVF top-k achieves >=0.6 recall@5 against brute force") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.cosineTopK(emb, queries, 5)
