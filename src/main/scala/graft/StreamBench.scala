@@ -154,6 +154,51 @@ object StreamBench {
       (nDocs / ((System.nanoTime() - start) / 1e9), nDocs.toLong)
     }
 
+    // Large-book scale proof for the O(M + matches) fan-out claim
+    // (CepQuery.fanOutJoin): nBig ACTIVE rules with MIXED key sets —
+    // half keyed on one of 64 distinct tag names, half on (that name,
+    // t_group) so the rarest-key pivot has real work to do — against
+    // events each carrying t_group plus exactly ONE of the 64 names.
+    // An event therefore matches ~nBig/64 rules: growing the book 16×
+    // grows matches (semantic output) 16× but the probe side not at
+    // all. Sub-linear throughput degradation vs the same-shape small
+    // book is the claim; the histogram/pivot collects stay
+    // driver-cheap (reported as plan-construction ms).
+    def runBigBook(nBig: Int): (Double, Long) = {
+      val bigRules = (1 to nBig).map { i =>
+        val kTag = s"t_k${i % 64}"
+        Rule(10000 + i, RuleState.Active,
+          if (i % 2 == 0) WindowType.Sliding else WindowType.Tumbling,
+          2, if (i % 2 == 0) 1 else 0,
+          if (i % 2 == 0) Seq(kTag) else Seq(kTag, "t_group"),
+          aggs(i % aggs.size), "cpu_usage", CmpOp.Gt, BigDecimal(-1))
+      }
+      val bigRuleDF = Metrics.rulesToDF(spark, bigRules)
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+      val nEv = nEvents / 4 // fan-out multiplies agg rows; bound the lap
+      val per = nEv / batches
+      val metricFrame = mem.toDF()
+        .select(explode(sequence(col("value") * per,
+          (col("value") + 1) * per - 1)).as("id"))
+        .repartition(cpus.toInt)
+        .select(
+          timestamp_millis(lit(t0) + col("id") * 10).as("eventTime"),
+          map(
+            lit("t_group"), concat(lit("g"), pmod(col("id"), lit(64))),
+            concat(lit("t_k"), pmod(col("id"), lit(64))),
+            concat(lit("v"), pmod(col("id"), lit(16)))).as("tags"),
+          map(lit("cpu_usage"), pmod(col("id"), lit(100)).cast("double")).as("metrics"))
+      val planT0 = System.nanoTime()
+      val plan = graft.cep.CepQuery.planAll(metricFrame, bigRuleDF)
+      val planMs = (System.nanoTime() - planT0) / 1000000L
+      val q = plan.writeStream.format("noop").outputMode("update").start()
+      val start = System.nanoTime()
+      try {
+        (0 until batches).foreach { b => mem.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      (nEv / ((System.nanoTime() - start) / 1e9), planMs)
+    }
+
     // Rule-SWAP cost: process the same event volume while the rule
     // book changes between micro-batches — dynamic mode (snapshot
     // publish, query running) vs restart mode (stop + start on the
@@ -208,7 +253,10 @@ object StreamBench {
     val swapDynamic = runWithSwaps(dynamic = true)
     val swapRestart = runWithSwaps(dynamic = false)
     val (dedup, nDocs) = runDedup()
-    println(f"""{"metric":"stream_throughput","unit":"events_per_sec","n_events":$nEvents,"n_rules":$nRules,"planAll_update":${declarative}%.0f,"stateful_append":${stateful}%.0f,"fmgws_append":${fmgws}%.0f,"dynamic_append":${dynamic}%.0f,"swap_per_batch_dynamic":${swapDynamic}%.0f,"swap_per_batch_restart":${swapRestart}%.0f,"dedup_docs":$nDocs,"dedup_docs_per_sec":${dedup}%.0f}""")
+    runBigBook(64) // warm-up for the big-book shapes
+    val (small64, small64PlanMs) = runBigBook(64)
+    val (big1024, big1024PlanMs) = runBigBook(1024)
+    println(f"""{"metric":"stream_throughput","unit":"events_per_sec","n_events":$nEvents,"n_rules":$nRules,"planAll_update":${declarative}%.0f,"stateful_append":${stateful}%.0f,"fmgws_append":${fmgws}%.0f,"dynamic_append":${dynamic}%.0f,"swap_per_batch_dynamic":${swapDynamic}%.0f,"swap_per_batch_restart":${swapRestart}%.0f,"dedup_docs":$nDocs,"dedup_docs_per_sec":${dedup}%.0f,"bigbook_64_rules_ev_per_sec":${small64}%.0f,"bigbook_1024_rules_ev_per_sec":${big1024}%.0f,"bigbook_64_plan_ms":$small64PlanMs,"bigbook_1024_plan_ms":$big1024PlanMs}""")
     spark.stop()
   }
 }
