@@ -696,6 +696,18 @@ object SparkEntry {
       graft.ops.Sampling.packSequences(documents(s, d), col("doc_id"),
         char_length(col("text")), budget = 8192, buckets = 8, seed = "s1")
         .select(col("doc_id"), col("bucket"), col("pack_seq"), col("pack_id"))),
+    // Token-budget cap per source ("at most 5k tokens of each
+    // domain"): kept set = the hash-ordered prefix whose running
+    // total stays under budget. Runs the two-phase bucketed spelling
+    // (fanout 8) whose bucket is MONOTONE in the ordering uniform, so
+    // the md5/integer-sum oracle reproduces the kept set exactly with
+    // a plain one-window prefix sum.
+    "curation_budget" -> ((s, d) =>
+      graft.ops.Sampling.budgetCap(
+        documents(s, d).select(col("doc_id"), col("source"),
+          size(graft.ops.TextOps.tokens(col("text"))).as("n_tokens")),
+        col("source"), col("doc_id"), col("n_tokens"),
+        budget = 5000L, seed = "s1", fanout = 8)),
     // Leakage-safe split: keyed on SOURCE, so every document of a
     // domain lands in the same split (a domain straddling train/test
     // leaks templates across the boundary; doc-keyed splits cannot
@@ -864,6 +876,16 @@ object SparkEntry {
          |        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8)) AS BIGINT)
          |        / 4294967296.0 AS u
          |      FROM documents)""".stripMargin,
+    "curation_budget" ->
+      s"""WITH d AS (SELECT doc_id, source, len($dToks) AS n_tokens,
+         |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8)) AS BIGINT)
+         |      / 4294967296.0 AS u
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+         |SELECT doc_id, source, n_tokens FROM c
+         |WHERE cum - n_tokens < 5000""".stripMargin,
     "text_vocab" ->
       s"""WITH t AS (SELECT doc_id, $dToks w FROM documents),
          |tok AS (SELECT doc_id, unnest(w) tk FROM t),
@@ -1162,6 +1184,36 @@ object SparkEntry {
           .select(col("event_id"), col("user_id"), col("value"),
             col("purchase_value"))
       }),
+      // Forward as-of (first purchase at-or-after the event) and
+      // nearest as-of (closer of the two, ties backward) — the rest
+      // of the pandas merge_asof direction surface, same single
+      // shuffle; nearest runs both scans as two windows over the one
+      // partitioning. Oracles: DuckDB ASOF with the inequality
+      // flipped (forward); a LATERAL min-distance probe (nearest).
+      "join_asof_forward" -> ((s, dir) => {
+        val ev = events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("purchase_value"))
+        graft.ops.Joins.asofJoin(
+          ev.select(col("event_id"), col("user_id"), col("ts"), col("value")),
+          purchases, Seq("user_id"), "ts", "ts", Seq("purchase_value"),
+          direction = "forward")
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("purchase_value"))
+      }),
+      "join_asof_nearest" -> ((s, dir) => {
+        val ev = events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("purchase_value"))
+        graft.ops.Joins.asofJoin(
+          ev.select(col("event_id"), col("user_id"), col("ts"), col("value")),
+          purchases, Seq("user_id"), "ts", "ts", Seq("purchase_value"),
+          direction = "nearest")
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("purchase_value"))
+      }),
       // Hot-key-bounded as-of: identical semantics through the
       // bucketWidth path (window partitioned by (key, 1-hour time
       // bucket), cross-bucket carry chained through a distinct-bucket
@@ -1199,6 +1251,27 @@ object SparkEntry {
           "ts_us", "w_start", "w_end", bucketWidth = 600000000L)
           .select(col("event_id"), col("user_id"), col("w_start"),
             col("value"))
+      }),
+      // Interval-OVERLAP join (interval × interval): which error
+      // windows [ts, ts+10m) intersect which purchase windows
+      // [ts, ts+30m) per user — both sides bucket-expanded, each pair
+      // kept only in the canonical bucket where its overlap starts,
+      // so the equi-join emits every overlapping pair exactly once
+      // with no dedup pass. Oracle: plain overlap theta-join.
+      "join_interval_overlap" -> ((s, dir) => {
+        val ev = events(s, dir)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("p_start"))
+          .distinct()
+          .withColumn("p_end", col("p_start") + lit(1800000000L))
+        val e = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), unix_micros(col("ts")).as("e_start"))
+          .distinct()
+          .withColumn("e_end", col("e_start") + lit(600000000L))
+        graft.ops.Joins.intervalOverlapJoin(p, e, Seq("user_id"),
+          "p_start", "p_end", "e_start", "e_end",
+          bucketWidth = 600000000L)
+          .select(col("user_id"), col("p_start"), col("e_start"))
       })) ++ northStarQueries
   }
 
@@ -1340,12 +1413,36 @@ object SparkEntry {
           |SELECT e.event_id, e.user_id, e.value, p.purchase_value
           |FROM events e ASOF LEFT JOIN p
           |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+      "join_asof_forward" ->
+        """WITH p AS (SELECT user_id, ts, max(value) AS purchase_value
+          |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+          |SELECT e.event_id, e.user_id, e.value, p.purchase_value
+          |FROM events e ASOF LEFT JOIN p
+          |  ON e.user_id = p.user_id AND e.ts <= p.ts""".stripMargin,
+      "join_asof_nearest" ->
+        """WITH p AS (SELECT user_id, ts, max(value) AS purchase_value
+          |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+          |SELECT e.event_id, e.user_id, e.value, pp.purchase_value
+          |FROM events e LEFT JOIN LATERAL (
+          |  SELECT p.purchase_value FROM p
+          |  WHERE p.user_id = e.user_id
+          |  ORDER BY abs(epoch_us(e.ts) - epoch_us(p.ts)) ASC, p.ts ASC
+          |  LIMIT 1) pp ON TRUE""".stripMargin,
       "join_interval" ->
         """WITH w AS (SELECT DISTINCT user_id, epoch_us(ts) AS w_start
           |           FROM events WHERE event_type = 'purchase')
           |SELECT e.event_id, e.user_id, w.w_start, e.value
           |FROM events e JOIN w ON e.user_id = w.user_id
           | AND epoch_us(e.ts) >= w.w_start
-          | AND epoch_us(e.ts) < w.w_start + 1800000000""".stripMargin
+          | AND epoch_us(e.ts) < w.w_start + 1800000000""".stripMargin,
+      "join_interval_overlap" ->
+        """WITH p AS (SELECT DISTINCT user_id, epoch_us(ts) AS p_start
+          |           FROM events WHERE event_type = 'purchase'),
+          |     e AS (SELECT DISTINCT user_id, epoch_us(ts) AS e_start
+          |           FROM events WHERE event_type = 'error')
+          |SELECT p.user_id, p.p_start, e.e_start
+          |FROM p JOIN e ON p.user_id = e.user_id
+          | AND p.p_start < e.e_start + 600000000
+          | AND e.e_start < p.p_start + 1800000000""".stripMargin
     ) ++ northStarOracles
 }

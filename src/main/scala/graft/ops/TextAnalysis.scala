@@ -29,16 +29,33 @@ object TextAnalysis {
     * hottest term reaches its reducer as one row per task), then
     * orderBy+limit — Spark plans TakeOrderedAndProject (per-partition
     * top-k merged on the driver), so the vocabulary is never globally
-    * sorted; only the k winners see the rank window. */
-  def vocabProfile(docs: DataFrame, k: Int = 20): DataFrame = {
+    * sorted; only the k winners see the rank window.
+    *
+    * `approxDf = true` swaps the exact `countDistinct(doc_id)` df for
+    * `approx_count_distinct` (HLL++, default rsd 5%): the exact df is
+    * the one piece whose partial aggregate is a per-term doc-id SET —
+    * Spark expands it to a two-phase aggregate whose first shuffle
+    * carries (term, doc_id) pairs, corpus-sized for hot terms. The
+    * sketch's partial state is a fixed-width HLL buffer per term, so
+    * the 100 TB profile pays one bounded-width shuffle. `cf`, the
+    * ranking key, stays exact either way — approxDf can only wobble
+    * the reported df value, never which terms win or their order. */
+  def vocabProfile(docs: DataFrame, k: Int = 20,
+      approxDf: Boolean = false, rsd: Double = 0.05): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     import org.apache.spark.sql.expressions.Window
+    val df = if (approxDf) approx_count_distinct(col("doc_id"), rsd)
+      else countDistinct(col("doc_id"))
     docs
       .select(explode(TextOps.tokens(col("text"))).as("term"), col("doc_id"))
       .groupBy(col("term"))
-      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+      .agg(count(lit(1)).as("cf"), df.as("df"))
       .orderBy(col("cf").desc, col("term").asc)
       .limit(k)
+      // The rank window runs over exactly the k (<= tens) winner rows
+      // post-limit: the "No Partition Defined" WindowExec warning is
+      // benign here — do NOT "fix" it by partitioning, rank is global
+      // by construction.
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cf").desc, col("term").asc)))
       .select(col("rank"), col("term"), col("cf"), col("df"))

@@ -877,6 +877,33 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("asof join directions: forward takes first at-or-after, nearest picks closer, ties go backward") {
+    val left = Seq(
+      (1L, "u1", 100L), // exact-ts right row: counts in every direction
+      (2L, "u1", 140L), // backward 100 (d=40), forward 200 (d=60)
+      (3L, "u1", 260L), // only a backward candidate exists
+      (4L, "u2", 50L),  // only a backward candidate exists (u2)
+      (5L, "u1", 150L)) // tie: d=50 both ways -> backward
+      .toDF("event_id", "user", "ts")
+    val right = Seq(
+      ("u1", 100L, 1.0), ("u1", 200L, 2.0), ("u2", 10L, 9.0))
+      .toDF("user", "ts", "snap")
+    def run(d: String, bw: Option[Long] = None) =
+      Joins.asofJoin(left, right, Seq("user"), "ts", "ts", Seq("snap"),
+          bucketWidth = bw, direction = d)
+        .select("event_id", "snap").as[(Long, Option[Double])].collect().toMap
+    val fwd = run("forward")
+    assert(fwd == Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> None,
+      4L -> None, 5L -> Some(2.0)))
+    val near = run("nearest")
+    assert(near == Map(1L -> Some(1.0), 2L -> Some(1.0), 3L -> Some(2.0),
+      4L -> Some(9.0), 5L -> Some(1.0))) // 5: tie goes backward
+    // Bucketing is invisible in every direction at every width.
+    for (d <- Seq("backward", "forward", "nearest");
+         bw <- Seq(1L, 7L, 64L, 1000000L))
+      assert(run(d, Some(bw)) == run(d), s"direction=$d bucketWidth=$bw")
+  }
+
   test("asof join bucketed: one hot key matches unbucketed result and splits the window sort") {
     // One key carrying everything — the unbucketed plan sorts all of
     // it on one task; the bucketed plan must partition its window by
@@ -981,6 +1008,66 @@ class OpsSpec extends AnyFunSuite {
     assert(ref == Set((1L, 100L), (2L, 100L), (2L, 140L), (5L, 0L)))
   }
 
+  test("budget cap: hash-ordered prefix per stratum, >=1 doc kept, fanout invisible") {
+    val base = docs.select(col("doc_id"), col("source"),
+      size(graft.ops.TextOps.tokens(col("text"))).as("n"))
+    val budget = 300L
+    // Reference: driver-side simulation of the contract — per source,
+    // docs in (hashUniform, doc_id) order while the running total
+    // before each doc is under budget.
+    val rows = base.withColumn("u", Sampling.hashUniform(col("doc_id"), "graft"))
+      .as[(Long, String, Int, Double)].collect()
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+      val sorted = ds.toSeq.sortBy(d => (d._4, d._1))
+      val cums = sorted.scanLeft(0L)(_ + _._3)
+      sorted.zip(cums).collect { case (d, before) if before < budget => d._1 }
+    }.toSet
+    for (fo <- Seq(1, 3, 8, 64)) {
+      val got = Sampling.budgetCap(base, col("source"), col("doc_id"),
+          col("n"), budget, fanout = fo)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == expected, s"fanout=$fo")
+    }
+    // Every source keeps at least one doc; overshoot bounded by the
+    // last kept doc.
+    val kept = base.filter(col("doc_id").isin(expected.toSeq: _*))
+      .as[(Long, String, Int)].collect()
+    val sources = rows.map(_._2).toSet
+    assert(kept.map(_._2).toSet == sources)
+    kept.groupBy(_._2).foreach { case (src, ds) =>
+      val total = ds.map(_._3.toLong).sum
+      assert(total - budget < ds.map(_._3).max,
+        s"source $src: total $total exceeds budget by a full doc")
+    }
+  }
+
+  test("interval overlap join: half-open intersection, exactly once, equals theta reference") {
+    val left = Seq(
+      ("u1", 100L, 200L, 1L), ("u1", 150L, 300L, 2L), ("u2", 0L, 10L, 3L))
+      .toDF("user", "l_start", "l_end", "l_id")
+    val right = Seq(
+      ("u1", 199L, 250L, 10L), // clips l1's end and sits inside l2
+      ("u1", 300L, 400L, 11L), // adjacent to l2 (300 == l_end): no match
+      ("u1", 0L, 100L, 12L),   // adjacent to l1 (end == l_start): no match
+      ("u2", 5L, 6L, 13L),     // strictly inside l3
+      ("u2", 10L, 20L, 14L))   // adjacent to l3: no match
+      .toDF("user", "r_start", "r_end", "r_id")
+    val expected = Set((1L, 10L), (2L, 10L), (3L, 13L))
+    for (bw <- Seq(1L, 7L, 64L, 10000L)) {
+      val rows = Joins.intervalOverlapJoin(left, right, Seq("user"),
+          "l_start", "l_end", "r_start", "r_end", bw)
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSeq
+      // Exactly once: multi-bucket pairs must not repeat per shared bucket.
+      assert(rows.size == rows.toSet.size, s"duplicates at bucketWidth=$bw")
+      assert(rows.toSet == expected, s"bucketWidth=$bw")
+    }
+    // Theta-join reference on the same fixture.
+    val ref = left.join(right, Seq("user"))
+      .filter(col("l_start") < col("r_end") && col("r_start") < col("l_end"))
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(ref == expected)
+  }
+
   test("vocab profile: exact top-k with deterministic ties, planned as distributed top-k") {
     val prof = TextAnalysis.vocabProfile(docs, 5)
     val got = prof.as[(Int, String, Long, Long)].collect().toSeq
@@ -996,6 +1083,22 @@ class OpsSpec extends AnyFunSuite {
     // The vocabulary must never be globally sorted: top-k plans as
     // TakeOrderedAndProject (per-partition heads merged on the driver).
     assert(prof.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("vocab profile approx df: identical winners/ranks/cf, df within sketch error") {
+    val exact = TextAnalysis.vocabProfile(docs, 10)
+      .as[(Int, String, Long, Long)].collect().toSeq
+    val approx = TextAnalysis.vocabProfile(docs, 10, approxDf = true)
+      .as[(Int, String, Long, Long)].collect().toSeq
+    // cf is the ranking key and stays exact: winner set, order, and
+    // counts must be bit-identical under the approx-df switch.
+    assert(approx.map(t => (t._1, t._2, t._3)) ==
+      exact.map(t => (t._1, t._2, t._3)))
+    // HLL++ df within ~4 sigma of the 5% default rsd on every winner.
+    exact.zip(approx).foreach { case ((_, term, _, dfE), (_, _, _, dfA)) =>
+      assert(math.abs(dfA - dfE).toDouble / dfE <= 0.2,
+        s"term $term: approx df $dfA vs exact $dfE")
+    }
   }
 
   test("incremental dedup against a saved index equals the direct cross-pair computation") {
