@@ -148,6 +148,67 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** Token-budget cap per stratum: keep documents, in deterministic
+    * portable-hash order, until the stratum's running token total
+    * reaches `budget` — "at most N tokens of web crawl per source",
+    * the budget-shaped sibling of [[stratifiedCap]]'s count cap. A
+    * doc is kept iff the running total BEFORE it is under budget, so
+    * every non-empty stratum keeps >= 1 doc and overshoot is bounded
+    * by one document.
+    *
+    * Scale posture: ordering is (uniform, key) but the prefix sum is
+    * computed per (stratum, `floor(u·fanout)` bucket) — and because
+    * the bucket is MONOTONE in the same uniform, chaining the bucket
+    * subtotals (a tiny per-(stratum, bucket) aggregate windowed per
+    * stratum) reproduces the global prefix sum bit-exactly while no
+    * task ever sorts more than one bucket of one stratum. The
+    * subtotal chain join reuses the big side's (stratum, bucket)
+    * partitioning. `fanout = 1` is the plain single-window spelling;
+    * results are identical (spec-pinned). Arithmetic is ANSI-portable
+    * (md5 uniform + integer sums) so a SQL oracle reproduces the kept
+    * set exactly. */
+  def budgetCap(df: DataFrame, stratum: Column, key: Column,
+      nTokens: Column, budget: Long, seed: String = "graft",
+      fanout: Int = 64): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(fanout > 0, s"fanout must be positive, got $fanout")
+    val taken = df.columns.toSet
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => s"_${base}_$i").find(!taken(_)).get
+    val W = org.apache.spark.sql.expressions.Window
+    val u = hashUniform(key, seed)
+    if (fanout == 1) {
+      val cumCol = fresh("bc_cum")
+      val w = W.partitionBy(stratum).orderBy(u.asc, key.asc)
+        .rowsBetween(W.unboundedPreceding, 0)
+      df.withColumn(cumCol, sum(nTokens.cast("long")).over(w))
+        .filter(col(cumCol) - nTokens.cast("long") < budget)
+        .drop(cumCol)
+    } else {
+      val sCol = fresh("bc_stratum")
+      val bCol = fresh("bc_bucket")
+      val cumCol = fresh("bc_cum")
+      val offCol = fresh("bc_off")
+      val withB = df.withColumn(sCol, stratum)
+        .withColumn(bCol, floor(u * fanout).cast("int"))
+      val localW = W.partitionBy(col(sCol), col(bCol))
+        .orderBy(u.asc, key.asc)
+        .rowsBetween(W.unboundedPreceding, 0)
+      val chainW = W.partitionBy(col(sCol)).orderBy(col(bCol).asc)
+        .rowsBetween(W.unboundedPreceding, -1)
+      val offsets = withB.groupBy(col(sCol), col(bCol))
+        .agg(sum(nTokens.cast("long")).as(cumCol))
+        .withColumn(offCol,
+          coalesce(sum(col(cumCol)).over(chainW), lit(0L)))
+        .select(col(sCol), col(bCol), col(offCol))
+      withB
+        .withColumn(cumCol, sum(nTokens.cast("long")).over(localW))
+        .join(offsets, Seq(sCol, bCol))
+        .filter(col(offCol) + col(cumCol) - nTokens.cast("long") < budget)
+        .drop(sCol, bCol, cumCol, offCol)
+    }
+  }
+
   /** Token-budgeted sequence packing: group documents into
     * training-example bins ("packs") of ~`budget` tokens each — the
     * batching step between curation and tokenization in an LLM
