@@ -1252,6 +1252,36 @@ object SparkEntry {
           .select(col("event_id"), col("user_id"), col("w_start"),
             col("value"))
       }),
+      // Gap sessionization: a user's events chain into one session
+      // while gaps stay <= 30 min. Two frames over ONE window spec —
+      // boundary flag (lag) + running boundary sum — so the plan is a
+      // single exchange + sort. event_id tie-break makes equal-ts
+      // orders deterministic in both engines.
+      "events_sessionize" -> ((s, dir) => {
+        val ev = events(s, dir).select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+        graft.ops.Windows.sessionize(ev, Seq("user_id"), "ts_us",
+          gap = 1800000000L, tieBreak = Some("event_id"))
+          .select(col("event_id"), col("user_id"), col("session_seq"))
+      }),
+      // Trailing range aggregate: each purchase sees the user's
+      // last-hour purchase total/count INCLUDING itself, half-open
+      // (ts-1h, ts] — the point-in-time feature spelling. Decimal-
+      // exact sum so the oracle hash-matches double output.
+      "events_trailing" -> ((s, dir) => {
+        val p = events(s, dir).filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("value"))
+        graft.ops.Windows.trailingAgg(p, Seq("user_id"), "ts_us",
+          range = 3600000000L,
+          aggs = Seq(
+            "trail_sum" -> (c => sum(c.cast(CepQuery.SumDecimal))),
+            "trail_cnt" -> (c => count(c))),
+          value = "value")
+          .select(col("event_id"), col("user_id"),
+            col("trail_sum").cast("double").as("trail_sum"),
+            col("trail_cnt"))
+      }),
       // Interval-OVERLAP join (interval × interval): which error
       // windows [ts, ts+10m) intersect which purchase windows
       // [ts, ts+30m) per user — both sides bucket-expanded, each pair
@@ -1435,6 +1465,28 @@ object SparkEntry {
           |FROM events e JOIN w ON e.user_id = w.user_id
           | AND epoch_us(e.ts) >= w.w_start
           | AND epoch_us(e.ts) < w.w_start + 1800000000""".stripMargin,
+      "events_sessionize" ->
+        """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+          |           FROM events),
+          |b AS (SELECT event_id, user_id, ts_us,
+          |    CASE WHEN ts_us - lag(ts_us) OVER
+          |           (PARTITION BY user_id ORDER BY ts_us, event_id)
+          |         > 1800000000 THEN 1 ELSE 0 END AS brk FROM e)
+          |SELECT event_id, user_id,
+          |  CAST(sum(brk) OVER (PARTITION BY user_id
+          |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
+          |    AS BIGINT) AS session_seq
+          |FROM b""".stripMargin,
+      "events_trailing" ->
+        """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+          |           FROM events WHERE event_type = 'purchase')
+          |SELECT event_id, user_id,
+          |  CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+          |    AS trail_sum,
+          |  CAST(count(value) OVER w AS BIGINT) AS trail_cnt
+          |FROM p
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+          |  RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)""".stripMargin,
       "join_interval_overlap" ->
         """WITH p AS (SELECT DISTINCT user_id, epoch_us(ts) AS p_start
           |           FROM events WHERE event_type = 'purchase'),

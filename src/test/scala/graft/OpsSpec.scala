@@ -1008,6 +1008,47 @@ class OpsSpec extends AnyFunSuite {
     assert(ref == Set((1L, 100L), (2L, 100L), (2L, 140L), (5L, 0L)))
   }
 
+  test("sessionize: gap-inclusive chaining, boundary on strictly-greater gap, one window pass") {
+    val ev = Seq(
+      (1L, "u1", 0L), (2L, "u1", 100L),   // gap 100 == gap: same session
+      (3L, "u1", 201L),                   // gap 101 > 100: new session
+      (4L, "u1", 301L), (5L, "u1", 301L), // equal ts: same session, det. order
+      (6L, "u2", 50L))                    // other key: its own session 0
+      .toDF("event_id", "user", "ts")
+    val got = Windows.sessionize(ev, Seq("user"), "ts", gap = 100L,
+        tieBreak = Some("event_id"))
+      .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 0L))
+    // Both frames (lag + running sum) must share one exchange+sort:
+    // exactly one Exchange in the plan.
+    val plan = Windows.sessionize(ev, Seq("user"), "ts", 100L,
+      Some("event_id")).queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1,
+      s"sessionize must plan exactly one shuffle:\n$plan")
+  }
+
+  test("trailing agg: half-open (ts-range, ts] frame, ts peers share frames") {
+    val ev = Seq(
+      (1L, "u1", 0L, 10.0),
+      (2L, "u1", 99L, 5.0),   // sees 1 (age 99 < 100) and itself
+      (3L, "u1", 100L, 2.0),  // 1 aged out exactly (age 100): half-open
+      (4L, "u1", 100L, 1.0),  // ts peer of 3: same frame, sees 2,3,4
+      (5L, "u2", 0L, 7.0))
+      .toDF("event_id", "user", "ts", "value")
+    val got = Windows.trailingAgg(ev, Seq("user"), "ts", range = 100L,
+        aggs = Seq("s" -> (c => sum(c)), "n" -> (c => count(c))),
+        value = "value")
+      .select("event_id", "s", "n").as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> ((10.0, 1L)),
+      2L -> ((15.0, 2L)),
+      3L -> ((8.0, 3L)),  // 5 + 2 + 1: event 1 aged out, peer 4 included
+      4L -> ((8.0, 3L)),  // identical frame as its ts peer
+      5L -> ((7.0, 1L))))
+  }
+
   test("budget cap: hash-ordered prefix per stratum, >=1 doc kept, fanout invisible") {
     val base = docs.select(col("doc_id"), col("source"),
       size(graft.ops.TextOps.tokens(col("text"))).as("n"))
