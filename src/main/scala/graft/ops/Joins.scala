@@ -73,10 +73,18 @@ object Joins {
     * so no task ever sorts more than one bucket of one key — and a
     * tiny per-(key, bucket) "last right row" summary is chained
     * through a second window (rows = distinct buckets, not events) to
-    * seed each bucket with the carry from earlier buckets. Costs one
-    * extra shuffle of the small summary frame + an equi-join that
-    * reuses the union's (keys, bucket) partitioning; results are
-    * identical to the unbucketed plan (equivalence is spec-pinned).
+    * seed each bucket with the carry from earlier buckets. Results
+    * are identical to the unbucketed plan (equivalence spec-pinned).
+    * Plan shape (audited): the BIG side is hash-partitioned exactly
+    * once — the summary frame joins back in as a broadcast (or, above
+    * the broadcast threshold, a shuffle that matches the big side's
+    * existing (keys, bucket) partitioning), never re-shuffling the
+    * events. The summary subtrees re-derive the union from source by
+    * default — for parquet inputs these are column-pruned scans
+    * feeding map-side-combined aggregates (scan-heavy, shuffle-light:
+    * usually the right 100 TB trade); pass `unionPersist` to
+    * materialize the tagged union once instead when the inputs are
+    * expensive computed lineages rather than table scans.
     *
     * Output: every left column, plus `valueCols` from the right side.
     * Right value columns must not collide with left column names
@@ -85,7 +93,8 @@ object Joins {
       leftTs: String, rightTs: String, valueCols: Seq[String],
       tolerance: Option[Long] = None,
       bucketWidth: Option[Long] = None,
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      unionPersist: Option[Persistence] = None): DataFrame = {
     require(keys.nonEmpty, "asofJoin requires at least one key column")
     require(valueCols.nonEmpty, "asofJoin requires at least one value column")
     tolerance.foreach(t => require(t >= 0, s"tolerance must be >= 0, got $t"))
@@ -146,8 +155,9 @@ object Joins {
               last(col("__asof_r"), ignoreNulls = true).over(w(desc)))
           }
       case Some(bw) =>
-        val bucketed = union.withColumn("__asof_bkt",
+        val bucketed0 = union.withColumn("__asof_bkt",
           floor(tsNumeric(col("__asof_ts"), ltsType) / bw).cast(LongType))
+        val bucketed = unionPersist.fold(bucketed0)(_.apply(bucketed0))
         val bktKeys = keys :+ "__asof_bkt"
         // Within-bucket carry: the window partition includes the
         // bucket, so a hot key's sort is split across its buckets.

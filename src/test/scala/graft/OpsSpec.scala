@@ -923,10 +923,20 @@ class OpsSpec extends AnyFunSuite {
       .select("event_id", "snap").as[(Long, Option[Double])].collect().toMap
     assert(bucketed == base)
     // Plan pin: the big window's partition spec includes the bucket
-    // column (hot-key sort is bounded by bucket, not whole-key).
+    // column (hot-key sort is bounded by bucket, not whole-key), and
+    // nothing in the plan degenerates to a cartesian/nested-loop.
     val plan = bucketedDf.queryExecution.executedPlan.toString
     assert(plan.contains("__asof_bkt"),
       "bucketed asof plan must window-partition by (keys, __asof_bkt)")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"degenerate join in:\n$plan")
+    // Materializing the tagged union (expensive-upstream mode) must
+    // not change results.
+    val persisted = Joins.asofJoin(left, right, Seq("user"), "ts", "ts",
+        Seq("snap"), bucketWidth = Some(500L),
+        unionPersist = Some(Persistence.Local))
+      .select("event_id", "snap").as[(Long, Option[Double])].collect().toMap
+    assert(persisted == base)
   }
 
   test("dedup index rolling append equals full rebuild; mismatched-params append fails loudly") {
