@@ -246,17 +246,31 @@ object StreamBench {
     // Warm-up lap (JIT, codegen cache, state-store init) — streaming
     // micro-benchmarks are meaningless cold.
     run("planAll"); run("stateful"); run("fmgws"); run("dynamic"); runDedup()
-    val declarative = run("planAll")
-    val stateful = run("stateful")
-    val fmgws = run("fmgws")
-    val dynamic = run("dynamic")
-    val swapDynamic = runWithSwaps(dynamic = true)
-    val swapRestart = runWithSwaps(dynamic = false)
-    val (dedup, nDocs) = runDedup()
+    // Same steal instrumentation as graft.Bench: a calibration lap
+    // brackets every engine measurement, so a steal-crushed sample
+    // (like r6 sample A, every row at 0.2-0.4x of its twin) is
+    // self-labeling via calib_ratio instead of needing a second run
+    // to notice.
+    Bench.calibLap(); Bench.calibLap() // JIT the calibration loop
+    val calibs = scala.collection.mutable.ArrayBuffer(Bench.calibLap())
+    def calibrated[A](body: => A): A = {
+      val r = body; calibs += Bench.calibLap(); r
+    }
+    val declarative = calibrated(run("planAll"))
+    val stateful = calibrated(run("stateful"))
+    val fmgws = calibrated(run("fmgws"))
+    val dynamic = calibrated(run("dynamic"))
+    val swapDynamic = calibrated(runWithSwaps(dynamic = true))
+    val swapRestart = calibrated(runWithSwaps(dynamic = false))
+    val (dedup, nDocs) = calibrated(runDedup())
     runBigBook(64) // warm-up for the big-book shapes
-    val (small64, small64PlanMs) = runBigBook(64)
-    val (big1024, big1024PlanMs) = runBigBook(1024)
-    println(f"""{"metric":"stream_throughput","unit":"events_per_sec","n_events":$nEvents,"n_rules":$nRules,"planAll_update":${declarative}%.0f,"stateful_append":${stateful}%.0f,"fmgws_append":${fmgws}%.0f,"dynamic_append":${dynamic}%.0f,"swap_per_batch_dynamic":${swapDynamic}%.0f,"swap_per_batch_restart":${swapRestart}%.0f,"dedup_docs":$nDocs,"dedup_docs_per_sec":${dedup}%.0f,"bigbook_64_rules_ev_per_sec":${small64}%.0f,"bigbook_1024_rules_ev_per_sec":${big1024}%.0f,"bigbook_64_plan_ms":$small64PlanMs,"bigbook_1024_plan_ms":$big1024PlanMs}""")
+    val (small64, small64PlanMs) = calibrated(runBigBook(64))
+    val (big1024, big1024PlanMs) = calibrated(runBigBook(1024))
+    val calibJson =
+      s"""{"ref_sec":${Bench.CalibRefSec},"laps":${calibs.mkString("[", ",", "]")},""" +
+        s""""ratio":${calibs.min / Bench.CalibRefSec},""" +
+        s""""ratio_max":${calibs.max / Bench.CalibRefSec}}"""
+    println(f"""{"metric":"stream_throughput","unit":"events_per_sec","n_events":$nEvents,"n_rules":$nRules,"planAll_update":${declarative}%.0f,"stateful_append":${stateful}%.0f,"fmgws_append":${fmgws}%.0f,"dynamic_append":${dynamic}%.0f,"swap_per_batch_dynamic":${swapDynamic}%.0f,"swap_per_batch_restart":${swapRestart}%.0f,"dedup_docs":$nDocs,"dedup_docs_per_sec":${dedup}%.0f,"bigbook_64_rules_ev_per_sec":${small64}%.0f,"bigbook_1024_rules_ev_per_sec":${big1024}%.0f,"bigbook_64_plan_ms":$small64PlanMs,"bigbook_1024_plan_ms":$big1024PlanMs,"calib":$calibJson}""")
     spark.stop()
   }
 }
