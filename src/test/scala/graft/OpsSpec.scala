@@ -904,6 +904,49 @@ class OpsSpec extends AnyFunSuite {
       assert(run(d, Some(bw)) == run(d), s"direction=$d bucketWidth=$bw")
   }
 
+  test("asof join law: every (direction, tolerance, bucketing) combo equals brute force on random data") {
+    val rnd = new scala.util.Random(7)
+    for (fixture <- 1 to 3) {
+      val keys = Seq("a", "b", "c")
+      val left = (1L to 60L).map(i =>
+        (i, keys(rnd.nextInt(3)), rnd.nextInt(50).toLong))
+      val right = (0 until 40).map { _ =>
+        (keys(rnd.nextInt(3)), rnd.nextInt(50).toLong,
+          if (rnd.nextBoolean()) Some(rnd.nextInt(100).toDouble) else None)
+      }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (key, ts)
+      val leftDf = left.toDF("event_id", "user", "ts")
+      val rightDf = right.toDF("user", "ts", "snap")
+      def brute(dir: String, tol: Option[Long]): Map[Long, Option[Double]] =
+        left.map { case (id, k, ts) =>
+          val cands = right.filter(_._1 == k)
+          val b = cands.filter(_._2 <= ts).sortBy(_._2).lastOption
+          val f = cands.filter(_._2 >= ts).sortBy(_._2).headOption
+          val chosen = dir match {
+            case "backward" => b
+            case "forward" => f
+            case "nearest" => (b, f) match {
+              case (Some(x), Some(y)) =>
+                if (ts - x._2 <= y._2 - ts) Some(x) else Some(y)
+              case _ => b.orElse(f)
+            }
+          }
+          val inReach = chosen.filter(c =>
+            tol.forall(t => math.abs(ts - c._2) <= t))
+          id -> inReach.flatMap(_._3)
+        }.toMap
+      for (dir <- Seq("backward", "forward", "nearest");
+           tol <- Seq(None, Some(7L));
+           bw <- Seq(None, Some(13L))) {
+        val got = Joins.asofJoin(leftDf, rightDf, Seq("user"), "ts", "ts",
+            Seq("snap"), tolerance = tol, bucketWidth = bw, direction = dir)
+          .select("event_id", "snap")
+          .as[(Long, Option[Double])].collect().toMap
+        assert(got == brute(dir, tol),
+          s"fixture=$fixture direction=$dir tolerance=$tol bucketWidth=$bw")
+      }
+    }
+  }
+
   test("asof join bucketed: one hot key matches unbucketed result and splits the window sort") {
     // One key carrying everything — the unbucketed plan sorts all of
     // it on one task; the bucketed plan must partition its window by
