@@ -1253,16 +1253,33 @@ object SparkEntry {
             col("value"))
       }),
       // Gap sessionization: a user's events chain into one session
-      // while gaps stay <= 30 min. Two frames over ONE window spec —
-      // boundary flag (lag) + running boundary sum — so the plan is a
-      // single exchange + sort. event_id tie-break makes equal-ts
-      // orders deterministic in both engines.
+      // while gaps stay UNDER 30 min (gap-equal breaks — the
+      // Spark/Flink session-window convention, so these labels agree
+      // with events_session_agg's native session_window). Two frames
+      // over ONE window spec — boundary flag (lag) + running boundary
+      // sum — so the plan is a single exchange + sort. event_id
+      // tie-break makes equal-ts orders deterministic in both engines.
       "events_sessionize" -> ((s, dir) => {
         val ev = events(s, dir).select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("ts_us"))
         graft.ops.Windows.sessionize(ev, Seq("user_id"), "ts_us",
           gap = 1800000000L, tieBreak = Some("event_id"))
           .select(col("event_id"), col("user_id"), col("session_seq"))
+      }),
+      // Per-session aggregates via the NATIVE session_window — the
+      // same call runs on a readStream frame (streaming e2e
+      // spec-pinned); here it is batch-gated against a lag/sum
+      // session derivation in SQL. Decimal-exact value sums.
+      "events_session_agg" -> ((s, dir) => {
+        val ev = events(s, dir).select(col("user_id"), col("ts"),
+          col("value"))
+        graft.ops.Windows.sessionAgg(ev, Seq("user_id"), "ts",
+          "30 minutes", Seq(
+            "n_events" -> count(lit(1)),
+            "total_value" -> sum(col("value").cast(CepQuery.SumDecimal))))
+          .select(col("user_id"), col("session_start"),
+            col("session_end"), col("n_events"),
+            col("total_value").cast("double").as("total_value"))
       }),
       // Trailing range aggregate: each purchase sees the user's
       // last-hour purchase total/count INCLUDING itself, half-open
@@ -1471,12 +1488,29 @@ object SparkEntry {
           |b AS (SELECT event_id, user_id, ts_us,
           |    CASE WHEN ts_us - lag(ts_us) OVER
           |           (PARTITION BY user_id ORDER BY ts_us, event_id)
-          |         > 1800000000 THEN 1 ELSE 0 END AS brk FROM e)
+          |         >= 1800000000 THEN 1 ELSE 0 END AS brk FROM e)
           |SELECT event_id, user_id,
           |  CAST(sum(brk) OVER (PARTITION BY user_id
           |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
           |    AS BIGINT) AS session_seq
           |FROM b""".stripMargin,
+      "events_session_agg" ->
+        """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value
+          |           FROM events),
+          |b AS (SELECT user_id, ts_us, value,
+          |    CASE WHEN ts_us - lag(ts_us) OVER
+          |           (PARTITION BY user_id ORDER BY ts_us)
+          |         >= 1800000000 THEN 1 ELSE 0 END AS brk FROM e),
+          |s AS (SELECT user_id, ts_us, value,
+          |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+          |      ROWS UNBOUNDED PRECEDING) AS seq FROM b)
+          |SELECT user_id,
+          |  make_timestamp(min(ts_us)) AS session_start,
+          |  make_timestamp(max(ts_us) + 1800000000) AS session_end,
+          |  CAST(count(*) AS BIGINT) AS n_events,
+          |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+          |    AS total_value
+          |FROM s GROUP BY user_id, seq""".stripMargin,
       "events_trailing" ->
         """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
           |           FROM events WHERE event_type = 'purchase')

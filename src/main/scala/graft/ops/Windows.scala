@@ -17,15 +17,16 @@ import org.apache.spark.sql.functions._
 object Windows {
 
   /** Gap-based sessionization: events of one key belong to the same
-    * session while consecutive gaps are <= `gap` (same time units as
-    * `ts`; equal-to-gap stays in-session). Adds `session_seq` (0-based
-    * per key, in time order — deterministic given unique (key, ts))
-    * and `session_id` (key-independent only within a key; globally
-    * unique when combined with the key columns, which stay on every
-    * row).
+    * session while consecutive gaps stay UNDER `gap` (same time units
+    * as `ts`; a gap exactly equal to `gap` starts a new session — the
+    * Spark/Flink session-window convention, so these batch labels
+    * agree session-for-session with [[sessionAgg]]'s native
+    * `session_window` and with a streaming deployment of the same
+    * logic). Adds `session_seq` (0-based per key, in time order —
+    * deterministic given unique (key, ts)).
     *
     * The spelling is the standard two-window composition: a boundary
-    * flag per event (`ts - lag(ts) > gap`), then a running sum of
+    * flag per event (`ts - lag(ts) >= gap`), then a running sum of
     * boundaries — both over the SAME (key, ts-order) window spec, so
     * Catalyst plans ONE exchange + ONE sort and evaluates both frames
     * in a single WindowExec pass. Ties on ts are broken by `tieBreak`
@@ -33,13 +34,40 @@ object Windows {
   def sessionize(df: DataFrame, keys: Seq[String], ts: String,
       gap: Long, tieBreak: Option[String] = None): DataFrame = {
     require(keys.nonEmpty, "sessionize requires at least one key column")
-    require(gap >= 0, s"gap must be >= 0, got $gap")
+    require(gap > 0, s"gap must be positive, got $gap")
     val ord: Seq[Column] = col(ts).asc +: tieBreak.map(col(_).asc).toSeq
     val w = W.partitionBy(keys.map(col): _*).orderBy(ord: _*)
     val boundary = when(
-      col(ts) - lag(col(ts), 1).over(w) > gap, 1L).otherwise(0L)
+      col(ts) - lag(col(ts), 1).over(w) >= gap, 1L).otherwise(0L)
     df.withColumn("session_seq", sum(boundary).over(
         w.rowsBetween(W.unboundedPreceding, 0)))
+  }
+
+  /** Per-session aggregates via Spark's native `session_window` — the
+    * operator's streaming-ready face: the SAME call works on a batch
+    * frame (gate-oracled) and on a `readStream` frame (with a
+    * watermark, append mode — sessions emit when the watermark passes
+    * their end; e2e spec-pinned). Output: the key columns,
+    * `session_start` (first event), `session_end` (last event + gap),
+    * and one column per aggregate.
+    *
+    * Session semantics are Spark's: an event extends a session while
+    * `ts < last + gap`; a gap exactly equal to `gap` starts a new
+    * session — [[sessionize]] deliberately matches, so batch labels
+    * and session aggregates agree session-for-session. `ts` must be a
+    * TIMESTAMP column here (session_window's contract); `gap` is a
+    * duration string like "30 minutes". */
+  def sessionAgg(df: DataFrame, keys: Seq[String], ts: String,
+      gap: String, aggs: Seq[(String, Column)]): DataFrame = {
+    require(keys.nonEmpty, "sessionAgg requires at least one key column")
+    require(aggs.nonEmpty, "sessionAgg requires at least one aggregate")
+    df.groupBy(session_window(col(ts), gap) +: keys.map(col): _*)
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (n, c) => c.as(n) }: _*)
+      .select(keys.map(col) ++
+        Seq(col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end")) ++
+        aggs.map { case (n, _) => col(n) }: _*)
   }
 
   /** Trailing range aggregate: for every event, aggregate `value`

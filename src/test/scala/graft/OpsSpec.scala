@@ -1061,17 +1061,17 @@ class OpsSpec extends AnyFunSuite {
     assert(ref == Set((1L, 100L), (2L, 100L), (2L, 140L), (5L, 0L)))
   }
 
-  test("sessionize: gap-inclusive chaining, boundary on strictly-greater gap, one window pass") {
+  test("sessionize: strict-gap boundary (Spark/Flink convention), one window pass") {
     val ev = Seq(
-      (1L, "u1", 0L), (2L, "u1", 100L),   // gap 100 == gap: same session
-      (3L, "u1", 201L),                   // gap 101 > 100: new session
-      (4L, "u1", 301L), (5L, "u1", 301L), // equal ts: same session, det. order
+      (1L, "u1", 0L), (2L, "u1", 99L),    // gap 99 < 100: same session
+      (3L, "u1", 199L),                   // gap 100 == gap: NEW session
+      (4L, "u1", 300L), (5L, "u1", 300L), // gap 101; equal ts: same session
       (6L, "u2", 50L))                    // other key: its own session 0
       .toDF("event_id", "user", "ts")
     val got = Windows.sessionize(ev, Seq("user"), "ts", gap = 100L,
         tieBreak = Some("event_id"))
       .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 2L,
       6L -> 0L))
     // Both frames (lag + running sum) must share one exchange+sort:
     // exactly one Exchange in the plan.

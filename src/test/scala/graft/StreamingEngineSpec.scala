@@ -201,6 +201,37 @@ class StreamingEngineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window streaming: sessions emit in append mode once the watermark passes them") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)] // (user, ms, value)
+    val frame = mem.toDF().toDF("user", "ms", "value")
+      .select(col("user"), timestamp_millis(col("ms")).as("ts"), col("value"))
+      .withWatermark("ts", "0 seconds")
+    val out = graft.ops.Windows.sessionAgg(frame, Seq("user"), "ts",
+      "10 seconds", Seq(
+        "n_events" -> count(lit(1)),
+        "total" -> sum(col("value"))))
+    val q = out.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      // u1's two events chain (5 s < 10 s gap); u2 has one event.
+      mem.addData((1L, 0L, 1.0), (1L, 5000L, 2.0), (2L, 0L, 5.0))
+      q.processAllAvailable()
+      // Advance the watermark far past both sessions' ends.
+      mem.addData((1L, 60000L, 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_stream")
+        .select(col("user"), unix_millis(col("session_start")),
+          unix_millis(col("session_end")), col("n_events"), col("total"))
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      // session_end = last event + gap; the late u1 session (at 60 s)
+      // is still open, so exactly the two closed sessions appear.
+      assert(rows == Set(
+        (1L, 0L, 15000L, 2L, 3.0),
+        (2L, 0L, 10000L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("socket source e2e: the reference's netcat topology against a real TCP socket") {
     // Stand-in for `nc -lk 9999 < metrics`: a one-shot server that
     // writes the demo metric lines to the first client.
