@@ -108,6 +108,22 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("window/temporal gate plans shuffle minimally") {
+    def exchanges(q: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(plans(q)).size
+    // Sessionize + trailing agg: both window frames share one keyed
+    // exchange — a second exchange means the two frames stopped
+    // sharing a window spec.
+    assert(exchanges("events_sessionize") == 1,
+      s"events_sessionize: ${exchanges("events_sessionize")} exchanges")
+    assert(exchanges("events_trailing") == 1,
+      s"events_trailing: ${exchanges("events_trailing")} exchanges")
+    // As-of: ONE exchange for the union window + one for the
+    // right-side pre-aggregation — the operator's one-shuffle promise.
+    assert(exchanges("join_asof") == 2,
+      s"join_asof: ${exchanges("join_asof")} exchanges")
+  }
+
   test("CEP plans shuffle exactly once (parse queries: zero)") {
     val shuffleCounts = plans.view.filterKeys(_.startsWith("cep_")).mapValues(p =>
       "Exchange hashpartitioning".r.findAllIn(p).size).toMap
