@@ -1253,9 +1253,10 @@ object SparkEntry {
             col("value"))
       }),
       // Gap sessionization: a user's events chain into one session
-      // while gaps stay UNDER 30 min (gap-equal breaks — the
-      // Spark/Flink session-window convention, so these labels agree
-      // with events_session_agg's native session_window). Two frames
+      // while gaps stay <= 30 min (gap-equal MERGES — Spark's own
+      // session_window convention, verified by the randomized
+      // sessionize==sessionAgg law, so these labels agree with
+      // events_session_agg's native session_window). Two frames
       // over ONE window spec — boundary flag (lag) + running boundary
       // sum — so the plan is a single exchange + sort. event_id
       // tie-break makes equal-ts orders deterministic in both engines.
@@ -1488,7 +1489,7 @@ object SparkEntry {
           |b AS (SELECT event_id, user_id, ts_us,
           |    CASE WHEN ts_us - lag(ts_us) OVER
           |           (PARTITION BY user_id ORDER BY ts_us, event_id)
-          |         >= 1800000000 THEN 1 ELSE 0 END AS brk FROM e)
+          |         > 1800000000 THEN 1 ELSE 0 END AS brk FROM e)
           |SELECT event_id, user_id,
           |  CAST(sum(brk) OVER (PARTITION BY user_id
           |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)
@@ -1500,7 +1501,7 @@ object SparkEntry {
           |b AS (SELECT user_id, ts_us, value,
           |    CASE WHEN ts_us - lag(ts_us) OVER
           |           (PARTITION BY user_id ORDER BY ts_us)
-          |         >= 1800000000 THEN 1 ELSE 0 END AS brk FROM e),
+          |         > 1800000000 THEN 1 ELSE 0 END AS brk FROM e),
           |s AS (SELECT user_id, ts_us, value,
           |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
           |      ROWS UNBOUNDED PRECEDING) AS seq FROM b)

@@ -17,16 +17,18 @@ import org.apache.spark.sql.functions._
 object Windows {
 
   /** Gap-based sessionization: events of one key belong to the same
-    * session while consecutive gaps stay UNDER `gap` (same time units
-    * as `ts`; a gap exactly equal to `gap` starts a new session — the
-    * Spark/Flink session-window convention, so these batch labels
-    * agree session-for-session with [[sessionAgg]]'s native
-    * `session_window` and with a streaming deployment of the same
-    * logic). Adds `session_seq` (0-based per key, in time order —
+    * session while consecutive gaps are <= `gap` (same time units as
+    * `ts`). A gap EXACTLY equal to `gap` stays in-session — this is
+    * Spark's own `session_window` convention (a new event merges
+    * while `ts <= previous session end`, and the end is
+    * `last + gap`), pinned by the randomized sessionize≡sessionAgg
+    * law, so these batch labels agree session-for-session with
+    * [[sessionAgg]] and with a streaming deployment of the same
+    * logic. Adds `session_seq` (0-based per key, in time order —
     * deterministic given unique (key, ts)).
     *
     * The spelling is the standard two-window composition: a boundary
-    * flag per event (`ts - lag(ts) >= gap`), then a running sum of
+    * flag per event (`ts - lag(ts) > gap`), then a running sum of
     * boundaries — both over the SAME (key, ts-order) window spec, so
     * Catalyst plans ONE exchange + ONE sort and evaluates both frames
     * in a single WindowExec pass. Ties on ts are broken by `tieBreak`
@@ -38,7 +40,7 @@ object Windows {
     val ord: Seq[Column] = col(ts).asc +: tieBreak.map(col(_).asc).toSeq
     val w = W.partitionBy(keys.map(col): _*).orderBy(ord: _*)
     val boundary = when(
-      col(ts) - lag(col(ts), 1).over(w) >= gap, 1L).otherwise(0L)
+      col(ts) - lag(col(ts), 1).over(w) > gap, 1L).otherwise(0L)
     df.withColumn("session_seq", sum(boundary).over(
         w.rowsBetween(W.unboundedPreceding, 0)))
   }
@@ -52,11 +54,12 @@ object Windows {
     * and one column per aggregate.
     *
     * Session semantics are Spark's: an event extends a session while
-    * `ts < last + gap`; a gap exactly equal to `gap` starts a new
-    * session — [[sessionize]] deliberately matches, so batch labels
-    * and session aggregates agree session-for-session. `ts` must be a
-    * TIMESTAMP column here (session_window's contract); `gap` is a
-    * duration string like "30 minutes". */
+    * `ts <= last + gap` (gap-equal MERGES — verified against the
+    * engine by the randomized sessionize≡sessionAgg law);
+    * [[sessionize]] deliberately matches, so batch labels and session
+    * aggregates agree session-for-session. `ts` must be a TIMESTAMP
+    * column here (session_window's contract); `gap` is a duration
+    * string like "30 minutes". */
   def sessionAgg(df: DataFrame, keys: Seq[String], ts: String,
       gap: String, aggs: Seq[(String, Column)]): DataFrame = {
     require(keys.nonEmpty, "sessionAgg requires at least one key column")

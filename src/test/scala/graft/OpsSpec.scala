@@ -1061,17 +1061,17 @@ class OpsSpec extends AnyFunSuite {
     assert(ref == Set((1L, 100L), (2L, 100L), (2L, 140L), (5L, 0L)))
   }
 
-  test("sessionize: strict-gap boundary (Spark/Flink convention), one window pass") {
+  test("sessionize: gap-equal stays in-session (session_window convention), one window pass") {
     val ev = Seq(
-      (1L, "u1", 0L), (2L, "u1", 99L),    // gap 99 < 100: same session
-      (3L, "u1", 199L),                   // gap 100 == gap: NEW session
-      (4L, "u1", 300L), (5L, "u1", 300L), // gap 101; equal ts: same session
+      (1L, "u1", 0L), (2L, "u1", 100L),   // gap 100 == gap: SAME session
+      (3L, "u1", 201L),                   // gap 101 > 100: new session
+      (4L, "u1", 301L), (5L, "u1", 301L), // gap 100; equal ts: same session
       (6L, "u2", 50L))                    // other key: its own session 0
       .toDF("event_id", "user", "ts")
     val got = Windows.sessionize(ev, Seq("user"), "ts", gap = 100L,
         tieBreak = Some("event_id"))
       .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 2L,
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       6L -> 0L))
     // Both frames (lag + running sum) must share one exchange+sort:
     // exactly one Exchange in the plan.
@@ -1079,6 +1079,32 @@ class OpsSpec extends AnyFunSuite {
       Some("event_id")).queryExecution.executedPlan.toString
     assert(plan.split("Exchange").length - 1 == 1,
       s"sessionize must plan exactly one shuffle:\n$plan")
+  }
+
+  test("sessionize and sessionAgg agree session-for-session on random data") {
+    // The two faces of one convention: batch labels (sessionize) must
+    // partition events exactly like the native session_window
+    // (sessionAgg) — same session count per key, same member counts,
+    // same first-event starts.
+    val rnd = new scala.util.Random(11)
+    val ev = (1L to 200L).map(i =>
+      (i, s"u${rnd.nextInt(5)}", rnd.nextInt(2000).toLong * 1000))
+      .toDF("event_id", "user", "ms")
+    val gapMs = 60000L
+    val labeled = Windows.sessionize(ev, Seq("user"), "ms", gapMs,
+        tieBreak = Some("event_id"))
+      .groupBy(col("user"), col("session_seq"))
+      .agg(count(lit(1)).as("n"), min(col("ms")).as("start_ms"))
+      .select(col("user"), col("start_ms"), col("n"))
+      .as[(String, Long, Long)].collect().toSet
+    val viaNative = Windows.sessionAgg(
+        ev.select(col("user"), timestamp_millis(col("ms")).as("ts")),
+        Seq("user"), "ts", "60 seconds",
+        Seq("n" -> count(lit(1))))
+      .select(col("user"), unix_millis(col("session_start")).as("start_ms"),
+        col("n"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(labeled == viaNative && labeled.nonEmpty)
   }
 
   test("trailing agg: half-open (ts-range, ts] frame, ts peers share frames") {
