@@ -1188,6 +1188,60 @@ class OpsSpec extends AnyFunSuite {
     assert(ref == expected)
   }
 
+  test("interval join law: containment and overlap equal theta references on random intervals") {
+    val rnd = new scala.util.Random(23)
+    val users = Seq("a", "b", "c")
+    val points = (1L to 80L).map(i =>
+      (i, users(rnd.nextInt(3)), rnd.nextInt(500).toLong))
+      .toDF("event_id", "user", "ts")
+    def intervals(n: Int, idBase: Long) = (0 until n).map { k =>
+      val s = rnd.nextInt(500).toLong
+      (idBase + k, users(rnd.nextInt(3)), s, s + rnd.nextInt(120).toLong)
+    }
+    val right = intervals(40, 100L).toDF("r_id", "user", "w_start", "w_end")
+    val leftIv = intervals(30, 500L).toDF("l_id", "user", "l_start", "l_end")
+    // Containment: point-in-interval, vs plain range predicate.
+    val containRef = points.join(right, Seq("user"))
+      .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .select("event_id", "r_id").as[(Long, Long)].collect().toSet
+    // Overlap: interval-x-interval, vs plain overlap predicate.
+    val overlapRef = leftIv.join(right, Seq("user"))
+      .filter(col("l_start") < col("w_end") && col("w_start") < col("l_end"))
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(containRef.nonEmpty && overlapRef.nonEmpty)
+    for (bw <- Seq(1L, 13L, 60L, 100000L)) {
+      val contain = Joins.intervalJoin(points, right, Seq("user"),
+          "ts", "w_start", "w_end", bw)
+        .select("event_id", "r_id").as[(Long, Long)].collect().toSeq
+      assert(contain.size == contain.toSet.size &&
+        contain.toSet == containRef, s"containment bucketWidth=$bw")
+      val overlap = Joins.intervalOverlapJoin(leftIv, right, Seq("user"),
+          "l_start", "l_end", "w_start", "w_end", bw)
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSeq
+      assert(overlap.size == overlap.toSet.size &&
+        overlap.toSet == overlapRef, s"overlap bucketWidth=$bw")
+    }
+  }
+
+  test("trailing agg law: equals per-row brute force on random data") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1L to 120L).map(i =>
+      (i, s"u${rnd.nextInt(4)}", rnd.nextInt(300).toLong,
+        rnd.nextInt(50).toDouble))
+    val df = rows.toDF("event_id", "user", "ts", "value")
+    val range = 40L
+    val expected = rows.map { case (id, u, ts, _) =>
+      val frame = rows.filter(r =>
+        r._2 == u && r._3 > ts - range && r._3 <= ts)
+      id -> ((frame.map(_._4).sum, frame.size.toLong))
+    }.toMap
+    val got = Windows.trailingAgg(df, Seq("user"), "ts", range,
+        Seq("s" -> (c => sum(c)), "n" -> (c => count(c))), "value")
+      .select("event_id", "s", "n").as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expected)
+  }
+
   test("vocab profile: exact top-k with deterministic ties, planned as distributed top-k") {
     val prof = TextAnalysis.vocabProfile(docs, 5)
     val got = prof.as[(Int, String, Long, Long)].collect().toSeq
