@@ -696,6 +696,17 @@ object SparkEntry {
       graft.ops.Sampling.packSequences(documents(s, d), col("doc_id"),
         char_length(col("text")), budget = 8192, buckets = 8, seed = "s1")
         .select(col("doc_id"), col("bucket"), col("pack_seq"), col("pack_id"))),
+    // Weighted sample without replacement (Efraimidis-Spirakis
+    // u^(1/w) top-k): 64 docs preferring token-heavy ones, selection
+    // a pure function of (doc_id, seed). Plans as
+    // TakeOrderedAndProject — no global sort; the rounded score +
+    // doc_id tie-break make the md5/pow arithmetic SQL-replayable.
+    "curation_weighted" -> ((s, d) =>
+      graft.ops.Sampling.weightedSample(
+        documents(s, d).select(col("doc_id"), col("source"),
+          size(graft.ops.TextOps.tokens(col("text"))).as("n_tokens")),
+        col("doc_id"), col("n_tokens").cast("double"), k = 64,
+        seed = "s1")),
     // Token-budget cap per source ("at most 5k tokens of each
     // domain"): kept set = the hash-ordered prefix whose running
     // total stays under budget. Runs the two-phase bucketed spelling
@@ -876,6 +887,16 @@ object SparkEntry {
          |        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8)) AS BIGINT)
          |        / 4294967296.0 AS u
          |      FROM documents)""".stripMargin,
+    "curation_weighted" ->
+      s"""WITH d AS (SELECT doc_id, source, len($dToks) AS n_tokens,
+         |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8)) AS BIGINT)
+         |      / 4294967296.0 AS u
+         |  FROM documents)
+         |SELECT doc_id, source, n_tokens,
+         |  round(pow(u, 1.0 / CAST(n_tokens AS DOUBLE)), 6)
+         |    AS weighted_score
+         |FROM d
+         |ORDER BY weighted_score DESC, doc_id ASC LIMIT 64""".stripMargin,
     "curation_budget" ->
       s"""WITH d AS (SELECT doc_id, source, len($dToks) AS n_tokens,
          |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8)) AS BIGINT)

@@ -148,6 +148,37 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** Weighted sample WITHOUT replacement of exactly `k` rows, with
+    * inclusion probability increasing in `weight` — "prefer long /
+    * high-quality / rare-language docs, but keep selection
+    * deterministic and re-run-stable". The Efraimidis–Spirakis
+    * one-pass spelling: each row scores `u^(1/w)` on its portable
+    * hash uniform and the k LARGEST scores win — provably equivalent
+    * to sequential weighted draws without replacement, yet
+    * embarrassingly parallel. Spark plans the selection as
+    * TakeOrderedAndProject (per-partition top-k heaps merged on the
+    * driver) — no global sort at any scale.
+    *
+    * The score is rounded to 6 decimals with a `key` tie-break so the
+    * md5/pow/round arithmetic is reproducible in ANSI SQL (the gate's
+    * DuckDB oracle replays the selection exactly). Weights must be
+    * strictly positive; a `weighted_score` column rides along for
+    * audit. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
+      seed: String = "graft"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    df.filter(coalesce(
+        assert_true(weight > 0,
+          concat(lit("weightedSample: non-positive weight "), weight,
+            lit(" — weights must be > 0 (filter or clamp first)")))
+          .cast("boolean"),
+        lit(true)))
+      .withColumn("weighted_score",
+        round(pow(hashUniform(key, seed), lit(1.0) / weight), 6))
+      .orderBy(col("weighted_score").desc, key.asc)
+      .limit(k)
+  }
+
   /** Token-budget cap per stratum: keep documents, in deterministic
     * portable-hash order, until the stratum's running token total
     * reaches `budget` — "at most N tokens of web crawl per source",

@@ -1128,6 +1128,38 @@ class OpsSpec extends AnyFunSuite {
       5L -> ((7.0, 1L))))
   }
 
+  test("weighted sample: ES top-k equals simulation, plans distributed top-k, bad weight fails loudly") {
+    val base = docs.select(col("doc_id"),
+      size(graft.ops.TextOps.tokens(col("text"))).cast("double").as("w"))
+    val rows = base.withColumn("u", Sampling.hashUniform(col("doc_id"), "graft"))
+      .as[(Long, Double, Double)].collect()
+    val expected = rows
+      .map { case (id, w, u) =>
+        (id, BigDecimal(math.pow(u, 1.0 / w))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    val sampled = Sampling.weightedSample(base, col("doc_id"), col("w"), 10)
+    assert(sampled.select("doc_id").as[Long].collect().toSet == expected)
+    assert(sampled.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      "weighted sample must plan as distributed top-k, not a global sort")
+    // Selection probability must respond to weight: with weights
+    // boosted 1000x on half the corpus, that half dominates the draw.
+    val boosted = base.withColumn("w",
+      when(col("doc_id") % 2 === 0, col("w") * 1000).otherwise(col("w")))
+    val picks = Sampling.weightedSample(boosted, col("doc_id"), col("w"), 20)
+      .select("doc_id").as[Long].collect()
+    assert(picks.count(_ % 2 == 0) >= 15, s"boosted-half picks: ${picks.toSeq}")
+    val ex = intercept[Exception] {
+      Sampling.weightedSample(
+        base.withColumn("w", col("w") - col("w")), // all-zero weights
+        col("doc_id"), col("w"), 5).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("weights must be > 0")))
+  }
+
   test("budget cap: hash-ordered prefix per stratum, >=1 doc kept, fanout invisible") {
     val base = docs.select(col("doc_id"), col("source"),
       size(graft.ops.TextOps.tokens(col("text"))).as("n"))
