@@ -707,6 +707,16 @@ object SparkEntry {
           size(graft.ops.TextOps.tokens(col("text"))).as("n_tokens")),
         col("doc_id"), col("n_tokens").cast("double"), k = 64,
         seed = "s1")),
+    // Weighted sampling per stratum: 3 docs per source, preferring
+    // token-heavy ones — the weighted counterpart of
+    // curation_stratified's uniform cap, same ES score ranked per
+    // source.
+    "curation_weighted_stratified" -> ((s, d) =>
+      graft.ops.Sampling.weightedStratifiedCap(
+        documents(s, d).select(col("doc_id"), col("source"),
+          size(graft.ops.TextOps.tokens(col("text"))).as("n_tokens")),
+        col("source"), col("doc_id"), col("n_tokens").cast("double"),
+        k = 3, seed = "s1")),
     // Token-budget cap per source ("at most 5k tokens of each
     // domain"): kept set = the hash-ordered prefix whose running
     // total stays under budget. Runs the two-phase bucketed spelling
@@ -897,6 +907,20 @@ object SparkEntry {
          |    AS weighted_score
          |FROM d
          |ORDER BY weighted_score DESC, doc_id ASC LIMIT 64""".stripMargin,
+    "curation_weighted_stratified" ->
+      s"""WITH d AS (SELECT doc_id, source, len($dToks) AS n_tokens,
+         |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8)) AS BIGINT)
+         |      / 4294967296.0 AS u
+         |  FROM documents),
+         |s AS (SELECT doc_id, source, n_tokens,
+         |    round(pow(u, 1.0 / CAST(n_tokens AS DOUBLE)), 6)
+         |      AS weighted_score
+         |  FROM d)
+         |SELECT doc_id, source, n_tokens, weighted_score,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY weighted_score DESC, doc_id ASC) AS INT)
+         |    AS stratum_rank
+         |FROM s QUALIFY stratum_rank <= 3""".stripMargin,
     "curation_budget" ->
       s"""WITH d AS (SELECT doc_id, source, len($dToks) AS n_tokens,
          |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8)) AS BIGINT)

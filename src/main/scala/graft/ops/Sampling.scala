@@ -179,6 +179,33 @@ object Sampling {
       .limit(k)
   }
 
+  /** [[weightedSample]] per stratum: exactly `k` rows from EACH
+    * stratum (fewer if the stratum is smaller), weighted by `weight`
+    * within it — "keep 10k docs per source, preferring high-quality
+    * ones", the weighted counterpart of [[stratifiedCap]]'s uniform
+    * cap. Same Efraimidis–Spirakis score, ranked per stratum; adds
+    * `weighted_score` and the 1-based `stratum_rank`. One shuffle on
+    * the stratum; the per-stratum sort is bounded by the stratum size
+    * (use [[stratifiedCap]]'s bucketed idea before this if a single
+    * stratum outgrows one task's sort budget). */
+  def weightedStratifiedCap(df: DataFrame, stratum: Column, key: Column,
+      weight: Column, k: Int, seed: String = "graft"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum)
+      .orderBy(col("weighted_score").desc, key.asc)
+    df.filter(coalesce(
+        assert_true(weight > 0,
+          concat(lit("weightedStratifiedCap: non-positive weight "),
+            weight, lit(" — weights must be > 0 (filter or clamp first)")))
+          .cast("boolean"),
+        lit(true)))
+      .withColumn("weighted_score",
+        round(pow(hashUniform(key, seed), lit(1.0) / weight), 6))
+      .withColumn("stratum_rank", row_number().over(w))
+      .filter(col("stratum_rank") <= k)
+  }
+
   /** Token-budget cap per stratum: keep documents, in deterministic
     * portable-hash order, until the stratum's running token total
     * reaches `budget` — "at most N tokens of web crawl per source",

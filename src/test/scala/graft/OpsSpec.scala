@@ -1160,6 +1160,31 @@ class OpsSpec extends AnyFunSuite {
     assert(msgs(ex).exists(_.contains("weights must be > 0")))
   }
 
+  test("weighted stratified cap: per-stratum ES top-k equals simulation, small strata survive whole") {
+    val base = docs.select(col("doc_id"), col("source"),
+      size(graft.ops.TextOps.tokens(col("text"))).cast("double").as("w"))
+    val rows = base.withColumn("u", Sampling.hashUniform(col("doc_id"), "graft"))
+      .as[(Long, String, Double, Double)].collect()
+    val k = 3
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+      ds.toSeq.map { case (id, src, w, u) =>
+        (id, src, BigDecimal(math.pow(u, 1.0 / w))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .sortBy { case (id, _, s) => (-s, id) }.take(k).map(_._1)
+    }.toSet
+    val got = Sampling.weightedStratifiedCap(base, col("source"),
+        col("doc_id"), col("w"), k)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expected && got.nonEmpty)
+    // A stratum smaller than k keeps all its rows (rank <= k).
+    val perSource = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    val keptPerSource = base.filter(col("doc_id").isin(got.toSeq: _*))
+      .groupBy(col("source")).count().as[(String, Long)].collect().toMap
+    perSource.foreach { case (src, n) =>
+      assert(keptPerSource.getOrElse(src, 0L) == math.min(n, k), src)
+    }
+  }
+
   test("budget cap: hash-ordered prefix per stratum, >=1 doc kept, fanout invisible") {
     val base = docs.select(col("doc_id"), col("source"),
       size(graft.ops.TextOps.tokens(col("text"))).as("n"))
