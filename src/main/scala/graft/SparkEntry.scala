@@ -19,16 +19,30 @@ import graft.parse.Parsers
   */
 object SparkEntry {
 
-  /** The testdata `events.parquet` stores `ts` as TIMESTAMP(NANOS),
-    * which Spark only reads via the nanosAsLong legacy knob (as a
-    * nanosecond LONG). Set it at load time — works under any session,
-    * including the driver's — and convert to a microsecond timestamp
-    * with exact integer division (never `/1000` through a double: a
-    * 1.7e18 nanos value exceeds 2^53 and would lose precision). */
+  /** Loads the `events` table with `ts` normalized to a UTC
+    * TimestampType, whatever physical type the driver generated:
+    *
+    *  - TIMESTAMP(NANOS) parquet (rounds ≤5) is only readable via the
+    *    nanosAsLong legacy knob, arriving as a nanosecond LONG —
+    *    convert with exact integer division (never `/1000` through a
+    *    double: 1.7e18 nanos exceeds 2^53 and would lose precision);
+    *  - TIMESTAMP(MICROS) without a UTC flag (round 6+) arrives as
+    *    TIMESTAMP_NTZ — reinterpret the wall-clock value as UTC, which
+    *    matches DuckDB's `epoch_ms(ts)` on the naive oracle side;
+    *  - a UTC-flagged TIMESTAMP arrives ready to use.
+    *
+    * Both knob and timezone are set here, not in a builder, so the
+    * contract holds under any session — including the driver's. */
   private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
 
   private def metricsFrame(spark: SparkSession, dir: String): DataFrame =
