@@ -353,6 +353,20 @@ object SparkEntry {
   private val dNorm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
   private val dToks = """string_split_regex(lower(trim(text)), '\s+')"""
 
+  /** Shared by `curation_decontaminate` and its Bloom-prefiltered
+    * twin (identical flagged sets by construction). */
+  private val decontaminateOracle: String = {
+    val joins = (1 to 4).map(i =>
+      s"JOIN tok t$i ON t$i.doc_id=t0.doc_id AND t$i.i=t0.i+$i").mkString(" ")
+    val gram = (0 to 4).map(i => s"t$i.tk").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, $dToks w FROM documents),
+       |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),
+       |sh AS (SELECT DISTINCT t0.doc_id, $gram AS g FROM tok t0 $joins),
+       |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id < 10)
+       |SELECT s.doc_id, count(*) AS n_hits FROM sh s JOIN ev USING (g)
+       |WHERE s.doc_id >= 10 GROUP BY 1""".stripMargin
+  }
+
   private val dedupNgramOracle: String =
     s"""WITH t AS (SELECT doc_id, $dToks w FROM documents),
        |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),
@@ -710,6 +724,24 @@ object SparkEntry {
       graft.ops.Sampling.packSequences(documents(s, d), col("doc_id"),
         char_length(col("text")), budget = 8192, buckets = 8, seed = "s1")
         .select(col("doc_id"), col("bucket"), col("pack_seq"), col("pack_id"))),
+    // Deterministic global shuffle for training-data ordering: every
+    // row's (bucket, pos) is a pure function of (doc_id, seed) — the
+    // corpus order a training run can reproduce across engines, runs,
+    // and partitionings. 8 buckets at gate scale; per-bucket windows
+    // only, no global sort.
+    "curation_shuffle" -> ((s, d) =>
+      graft.ops.Sampling.deterministicShuffle(documents(s, d), col("doc_id"),
+        buckets = 8, seed = "s1")
+        .select(col("doc_id"), col("shuffle_bucket"), col("shuffle_pos"))),
+    // Bloom-prefiltered decontamination: same flagged set as
+    // curation_decontaminate (the Bloom is a prefilter, survivors are
+    // verified exactly), exercised through the big-eval shuffle path
+    // the sketch exists for. Same oracle as the broadcast twin.
+    "curation_decontaminate_bloom" -> ((s, d) => {
+      val all = documents(s, d)
+      graft.ops.Decontamination.flagContaminatedBloom(
+        all.filter(col("doc_id") >= 10), all.filter(col("doc_id") < 10), n = 5)
+    }),
     // Weighted sample without replacement (Efraimidis-Spirakis
     // u^(1/w) top-k): 64 docs preferring token-heavy ones, selection
     // a pure function of (doc_id, seed). Plans as
@@ -760,6 +792,13 @@ object SparkEntry {
     // (shared header/footer lines across constructed docs).
     "text_line_dedup" -> ((s, d) =>
       graft.ops.Dedup.dedupLines(documents(s, d))),
+    // Substring-level duplicated spans: maximal word ranges whose
+    // every 5-gram recurs in another document — catches the shared
+    // boilerplate paragraph that doc-level near-dup thresholds miss.
+    // 5-grams discriminate on the gate corpus (planted near-dups
+    // share spans, random word soup does not; production default 8+).
+    "text_span_dedup" -> ((s, d) =>
+      graft.ops.Dedup.duplicatedSpans(documents(s, d), n = 5)),
     // Corpus vocabulary head: top-20 terms by corpus frequency with
     // doc frequency — exact integers, deterministic tie-break, planned
     // as TakeOrderedAndProject (the vocab is never globally sorted).
@@ -876,16 +915,44 @@ object SparkEntry {
       s"""SELECT quantile_cont(n, 0.25) AS q25, quantile_cont(n, 0.5) AS q50,
          |  quantile_cont(n, 0.75) AS q75, quantile_cont(n, 0.9) AS q90
          |FROM (SELECT CAST(len($dToks) AS DOUBLE) AS n FROM documents)""".stripMargin,
-    "curation_decontaminate" -> {
+    "curation_decontaminate" -> decontaminateOracle,
+    // The Bloom spelling is a prefilter + exact verify — flagged set
+    // identical to the broadcast twin, so the oracle is too.
+    "curation_decontaminate_bloom" -> decontaminateOracle,
+    // Same md5-uniform + floor-bucket arithmetic as curation_pack's
+    // oracle; positions are a per-bucket row_number over (u, doc_id).
+    "curation_shuffle" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8)) AS BIGINT)
+         |    / 4294967296.0 AS u
+         |  FROM documents),
+         |b AS (SELECT doc_id, u, CAST(floor(u * 8) AS INT) AS shuffle_bucket FROM t)
+         |SELECT doc_id, shuffle_bucket,
+         |  CAST(row_number() OVER (PARTITION BY shuffle_bucket ORDER BY u, doc_id) AS BIGINT) - 1
+         |    AS shuffle_pos
+         |FROM b""".stripMargin,
+    // Positional 5-gram self-join (the decontaminate idiom, kept
+    // per-position), cross-doc grams via min<>max, interval-union
+    // islands (new island when the start gap exceeds the gram length);
+    // generate_subscripts' 1-base shifts to posexplode's 0-base.
+    "text_span_dedup" -> {
       val joins = (1 to 4).map(i =>
         s"JOIN tok t$i ON t$i.doc_id=t0.doc_id AND t$i.i=t0.i+$i").mkString(" ")
       val gram = (0 to 4).map(i => s"t$i.tk").mkString(" || ' ' || ")
       s"""WITH t AS (SELECT doc_id, $dToks w FROM documents),
          |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),
-         |sh AS (SELECT DISTINCT t0.doc_id, $gram AS g FROM tok t0 $joins),
-         |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id < 10)
-         |SELECT s.doc_id, count(*) AS n_hits FROM sh s JOIN ev USING (g)
-         |WHERE s.doc_id >= 10 GROUP BY 1""".stripMargin
+         |sh AS (SELECT t0.doc_id, t0.i - 1 AS p, $gram AS g FROM tok t0 $joins),
+         |dup AS (SELECT g FROM sh GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+         |pos AS (SELECT s.doc_id, s.p FROM sh s JOIN dup USING (g)),
+         |brk AS (SELECT doc_id, p,
+         |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 5
+         |             THEN 0 ELSE 1 END AS b FROM pos),
+         |isl AS (SELECT doc_id, p,
+         |        SUM(b) OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM brk)
+         |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+         |  CAST(max(p) + 5 AS BIGINT) AS span_end,
+         |  CAST(max(p) - min(p) + 5 AS BIGINT) AS n_words
+         |FROM isl GROUP BY doc_id, grp""".stripMargin
     },
     "curation_source_profile" ->
       """SELECT source, lang, count(*) AS n_docs,

@@ -56,6 +56,42 @@ object Decontamination {
         array_distinct(graft.functions.array_shingle_hashes(col("toks"), n))).as("g")),
       evalDocs, n, broadcastEval)
 
+  /** [[flagContaminated]] with a Bloom prefilter for eval sets too big
+    * to broadcast as an exact hash set: builds a Bloom filter over the
+    * eval grams (driver-side sketch, ~1.2 GB per 10⁹ grams at 1% fpp —
+    * broadcastable where the exact LongHashedRelation for the same
+    * grams is ~3-8×), filters corpus grams through it BEFORE the
+    * shuffle equi-join, then verifies survivors exactly against the
+    * eval gram frame. The result is therefore EXACT — a Bloom false
+    * positive survives the prefilter only to be dropped by the verify
+    * join — while the shuffle that was the big-eval fallback's cost
+    * now carries only true hits + fpp·|corpus grams| rows instead of
+    * every gram in the corpus. The same oracle as the broadcast path
+    * gates it. */
+  def flagContaminatedBloom(docs: DataFrame, evalDocs: DataFrame,
+      n: Int = 13, fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
+    val evalGrams = evalDocs
+      .select(explode(
+        array_distinct(graft.functions.word_shingle_hashes(col("text"), n))).as("g"))
+      .distinct()
+    // Two eval-side jobs (count + sketch build) are control-plane: the
+    // eval corpus is KBs-GBs against a 100 TB training corpus, and the
+    // sketch must be sized to the true cardinality or its fpp lies.
+    val nGrams = math.max(evalGrams.count(), 1L)
+    val bloom = evalGrams.stat.bloomFilter("g", nGrams, fpp)
+    val bloomBc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: Long) => bloomBc.value.mightContainLong(g))
+    docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(
+        array_distinct(graft.functions.word_shingle_hashes(col("text"), n))).as("g"))
+      .filter(mightContain(col("g")))
+      .join(evalGrams, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   private def flagAgainstEval(corpusGrams: DataFrame, evalDocs: DataFrame,
       n: Int, broadcastEval: Boolean): DataFrame = {
     val evalGrams = evalDocs

@@ -861,4 +861,62 @@ object Dedup {
         explode(array_distinct(graft.functions.md5_winnow_fingerprint(
           TextOps.normalized(col("text")), window, winnow))).as("fp")),
       threshold, persist)
+
+  /** Substring-level duplicated spans (the span analogue of the
+    * suffix-array dedup in Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", word-granular): for each document,
+    * the maximal word ranges every position of which starts a word
+    * `n`-gram that also occurs in at least one OTHER document. Doc- and
+    * pair-level dedup ([[exact]], [[minhashLshPairs]]) miss this case —
+    * two long documents sharing one boilerplate paragraph are nowhere
+    * near global-similarity thresholds, yet the paragraph is still
+    * memorization fuel; span dedup finds exactly the shared bytes so a
+    * downstream pass can cut them. A span `[span_start, span_end)`
+    * (word indices into [[TextOps.tokens]]' tokenization) is a maximal
+    * interval-union of the `[p, p+n)` word ranges of the document's
+    * cross-doc-duplicated grams — so spans are disjoint and
+    * non-touching by construction, and every word inside one is
+    * covered by some duplicated n-gram.
+    *
+    * Plan, in shuffle order: (1) one gram-keyed groupBy finds
+    * cross-doc grams — `min(doc_id) != max(doc_id)` is the
+    * countDistinct(doc_id)>1 test but fully map-side combinable (two
+    * longs per gram, never a distinct-set); (2) an equi-join of the
+    * positions frame against that gram set (zipfian hot grams — a
+    * boilerplate n-gram in every doc — skew one reducer; AQE skew
+    * splits it, and the positions frame carries 8-byte gram hashes,
+    * never gram strings, via [[graft.functions.word_shingle_hashes]]);
+    * (3) a per-document window merges consecutive duplicated start
+    * positions into maximal spans (gaps-and-islands; state bounded by
+    * one document's length). Collisions (~G²/2⁶⁴) can only ADD a
+    * spurious span — conservative for a dedup guard, and absent on
+    * gate corpora, so the string-gram DuckDB oracle matches exactly. */
+  def duplicatedSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    require(n >= 1, s"gram length must be positive, got $n")
+    val pos = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(
+        graft.functions.word_shingle_hashes(col("text"), n)).as(Seq("pos", "g")))
+    val crossDocGrams = pos
+      .groupBy(col("g"))
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1"))
+      .select(col("g"))
+    // Interval union via gaps-and-islands: a new island starts when
+    // the gap to the previous duplicated gram start exceeds n (the
+    // [p,p+n) word intervals no longer touch). Both windows share one
+    // (doc_id, pos) sort — a single exchange + sort in the plan.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    pos
+      .join(crossDocGrams, "g")
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= n, 0).otherwise(1))
+      .withColumn("grp", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + n).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("n_words"))
+  }
 }

@@ -312,4 +312,36 @@ object Sampling {
         col("bucket").cast("long") * lit(4294967296L) + col("pack_seq"))
       .drop(uCol, cumCol)
   }
+
+  /** Deterministic global shuffle for training-data ordering: assigns
+    * every row a reproducible position — `(shuffle_bucket, shuffle_pos)`,
+    * globally ordered as bucket-major — that is a pure function of
+    * (key, seed). Training runs need the corpus in a "random" order
+    * that is nonetheless IDENTICAL across re-runs, engines, partition
+    * counts, and resumptions (a re-shuffled corpus breaks data-order
+    * reproducibility of the run); `df.orderBy(rand())` promises none
+    * of that.
+    *
+    * Scale posture is [[packSequences]]'s: the md5-uniform draw
+    * spreads rows over `buckets` pseudo-random buckets, and the only
+    * shuffle is the per-bucket window — each task sorts corpus/`buckets`
+    * rows, there is NO global sort and no driver state. Size `buckets`
+    * to the cluster (default 1024); a trainer reads buckets in index
+    * order, rows in `shuffle_pos` order within each. Ties on the
+    * 32-bit draw break by key, so positions are total and the oracle
+    * reproduces them bit-exactly. */
+  def deterministicShuffle(df: DataFrame, key: Column,
+      buckets: Int = 1024, seed: String = "graft"): DataFrame = {
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    val taken = df.columns.toSet
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => s"_${base}_$i").find(!taken(_)).get
+    val uCol = fresh("shuffle_u")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shuffle_bucket")).orderBy(col(uCol).asc, key.asc)
+    df.withColumn(uCol, hashUniform(key, seed))
+      .withColumn("shuffle_bucket", floor(col(uCol) * buckets).cast("int"))
+      .withColumn("shuffle_pos", row_number().over(w).cast("long") - 1L)
+      .drop(uCol)
+  }
 }

@@ -1852,4 +1852,95 @@ class OpsSpec extends AnyFunSuite {
         s"$name count ${byS.getOrElse(name, 0)} far from ${p * n}")
     }
   }
+
+  test("duplicated spans: maximal cross-doc runs, within-doc repeats exempt, disjoint spans split") {
+    // 3-grams; words are single letters so span arithmetic is easy to
+    // hand-check. Docs 1/2 share "c d e f g" (3 gram starts at words
+    // 2..4 -> one span [2,7) in doc 1, [0,5) in doc 2); docs 1/3 share
+    // the tail "x y z" (word 8..10 in doc 1 -> span [8,11)); doc 4
+    // repeats its own trigram twice but shares nothing cross-doc; doc
+    // 5 is disjoint vocabulary.
+    val fixture = Seq(
+      (1L, "a b c d e f g h x y z"),
+      (2L, "c d e f g q r"),
+      (3L, "p q2 w x y z"),
+      (4L, "m n o m n o m n o"),
+      (5L, "s1 s2 s3 s4 s5")).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(fixture, n = 3)
+      .select("doc_id", "span_start", "span_end", "n_words")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set(
+      (1L, 2L, 7L, 5L), (1L, 8L, 11L, 3L),
+      (2L, 0L, 5L, 5L),
+      (3L, 3L, 6L, 3L)))
+    // Self-repetition never flags (doc 4), disjoint vocab never flags
+    // (doc 5) — already implied by the exact set above.
+
+    // Consistency law on the real corpus: every reported span is
+    // within doc bounds, at least n words, and its grams really do
+    // recur in another document (spot-check via the gram frame).
+    val n = 4
+    val out = Dedup.duplicatedSpans(docs, n)
+    val toks = docs.select(col("doc_id"),
+      size(graft.functions.word_tokens(col("text"))).as("n_toks"))
+    val bad = out.join(toks, "doc_id")
+      .filter(col("span_start") < 0 || col("span_end") > col("n_toks") ||
+        col("n_words") < n || col("n_words") =!= col("span_end") - col("span_start"))
+    assert(bad.count() == 0)
+    // Spans are maximal: no two spans of one doc touch or overlap.
+    val overlapping = out.as("a").join(out.as("b"),
+      col("a.doc_id") === col("b.doc_id") &&
+        col("a.span_start") < col("b.span_start") &&
+        col("b.span_start") <= col("a.span_end"))
+    assert(overlapping.count() == 0)
+  }
+
+  test("bloom decontamination equals the exact broadcast twin (fixture + real corpus, fpp sweep)") {
+    val evalDocs = Seq((100L, "the quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro text then the quick brown fox jumps over the lazy dog tonight and more"),
+      (2L, "nothing in common with the evaluation corpus at all whatsoever"),
+      (3L, "quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text")
+    for (fpp <- Seq(0.5, 0.05, 0.001)) {
+      val bloom = Decontamination.flagContaminatedBloom(corpus, evalDocs, n = 5, fpp = fpp)
+        .as[(Long, Long)].collect().toSet
+      val exact = Decontamination.flagContaminated(corpus, evalDocs, n = 5)
+        .as[(Long, Long)].collect().toSet
+      assert(bloom == exact, s"fpp=$fpp")
+      assert(bloom.map(_._1) == Set(1L, 3L))
+    }
+    // Real corpus, the gate's split: identical flagged sets.
+    val all = docs
+    val exactR = Decontamination.flagContaminated(
+      all.filter(col("doc_id") >= 10), all.filter(col("doc_id") < 10), n = 5)
+      .as[(Long, Long)].collect().toSet
+    val bloomR = Decontamination.flagContaminatedBloom(
+      all.filter(col("doc_id") >= 10), all.filter(col("doc_id") < 10), n = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(bloomR == exactR)
+  }
+
+  test("deterministic shuffle: stable under partitioning, per-bucket positions dense, order = (u, key)") {
+    def run(df: DataFrame) =
+      Sampling.deterministicShuffle(df, col("doc_id"), buckets = 8, seed = "s1")
+        .select("doc_id", "shuffle_bucket", "shuffle_pos")
+        .as[(Long, Int, Long)].collect().toSet
+    val base = run(docs)
+    assert(run(docs.repartition(17)) == base)   // pure function of (key, seed)
+    assert(base.size == docs.count())           // total: every row placed once
+    // Positions within each bucket are exactly 0..k-1.
+    val byBucket = base.groupBy(_._2)
+    byBucket.foreach { case (b, rows) =>
+      assert(rows.map(_._3) == (0L until rows.size).toSet, s"bucket $b not dense")
+    }
+    // Position order within a bucket is the hashUniform order.
+    val u = docs.select(col("doc_id"),
+      Sampling.hashUniform(col("doc_id"), "s1").as("u"))
+      .as[(Long, Double)].collect().toMap
+    byBucket.foreach { case (b, rows) =>
+      val byPos = rows.toSeq.sortBy(_._3).map(_._1)
+      val byU = rows.toSeq.map(_._1).sortBy(id => (u(id), id))
+      assert(byPos == byU, s"bucket $b order mismatch")
+    }
+  }
 }
