@@ -799,6 +799,11 @@ object SparkEntry {
     // share spans, random word soup does not; production default 8+).
     "text_span_dedup" -> ((s, d) =>
       graft.ops.Dedup.duplicatedSpans(documents(s, d), n = 5)),
+    // The removal counterpart: cut every duplicated span except its
+    // first (lowest-doc_id) occurrence, rebuild text in normalized
+    // token space.
+    "text_span_cut" -> ((s, d) =>
+      graft.ops.Dedup.cutDuplicatedSpans(documents(s, d), n = 5)),
     // Corpus vocabulary head: top-20 terms by corpus frequency with
     // doc frequency — exact integers, deterministic tie-break, planned
     // as TakeOrderedAndProject (the vocab is never globally sorted).
@@ -953,6 +958,33 @@ object SparkEntry {
          |  CAST(max(p) + 5 AS BIGINT) AS span_end,
          |  CAST(max(p) - min(p) + 5 AS BIGINT) AS n_words
          |FROM isl GROUP BY doc_id, grp""".stripMargin
+    },
+    // Cut words = distinct word indices covered by a non-owner dup
+    // gram (interval-union islands are unnecessary oracle-side: the
+    // per-word DISTINCT expansion is the same set); text rebuilds by
+    // ordered string_agg over the kept indices.
+    "text_span_cut" -> {
+      val joins = (1 to 4).map(i =>
+        s"JOIN tok t$i ON t$i.doc_id=t0.doc_id AND t$i.i=t0.i+$i").mkString(" ")
+      val gram = (0 to 4).map(i => s"t$i.tk").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, $dToks w FROM documents),
+         |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),
+         |sh AS (SELECT t0.doc_id, t0.i - 1 AS p, $gram AS g FROM tok t0 $joins),
+         |own AS (SELECT g, min(doc_id) AS owner FROM sh
+         |        GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+         |cutp AS (SELECT s.doc_id, s.p FROM sh s JOIN own USING (g)
+         |         WHERE s.doc_id > own.owner),
+         |cutw AS (SELECT DISTINCT doc_id, p + gi AS wi
+         |         FROM cutp, generate_series(0, 4) g(gi)),
+         |kept AS (SELECT tok.doc_id, tok.i, tok.tk FROM tok
+         |         LEFT JOIN cutw ON cutw.doc_id = tok.doc_id AND cutw.wi = tok.i - 1
+         |         WHERE cutw.wi IS NULL),
+         |r AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS text,
+         |        count(*) AS n_kept FROM kept GROUP BY 1),
+         |nw AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM t)
+         |SELECT nw.doc_id, COALESCE(r.text, '') AS text, nw.n_words,
+         |  nw.n_words - COALESCE(r.n_kept, 0) AS n_cut
+         |FROM nw LEFT JOIN r ON r.doc_id = nw.doc_id""".stripMargin
     },
     "curation_source_profile" ->
       """SELECT source, lang, count(*) AS n_docs,

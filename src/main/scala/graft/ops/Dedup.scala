@@ -891,12 +891,16 @@ object Dedup {
     * one document's length). Collisions (~G²/2⁶⁴) can only ADD a
     * spurious span — conservative for a dedup guard, and absent on
     * gate corpora, so the string-gram DuckDB oracle matches exactly. */
-  def duplicatedSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+  def duplicatedSpans(docs: DataFrame, n: Int = 8,
+      persist: Persistence = Persistence.Local): DataFrame = {
     require(n >= 1, s"gram length must be positive, got $n")
-    val pos = docs
+    // Materialized: both the gram aggregate and the position join
+    // consume this frame — unpersisted, Spark would tokenize+shingle
+    // the whole corpus twice.
+    val pos = persist(docs
       .repartition(col("doc_id"))
       .select(col("doc_id"), posexplode(
-        graft.functions.word_shingle_hashes(col("text"), n)).as(Seq("pos", "g")))
+        graft.functions.word_shingle_hashes(col("text"), n)).as(Seq("pos", "g"))))
     val crossDocGrams = pos
       .groupBy(col("g"))
       .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
@@ -918,5 +922,58 @@ object Dedup {
         (max(col("pos")) + n).cast("long").as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("n_words"))
+  }
+
+  /** End-to-end substring dedup: REMOVES cross-doc duplicated spans,
+    * first occurrence wins. A word is cut iff it is covered by a
+    * cross-doc-duplicated `n`-gram whose owning document (the minimum
+    * doc_id containing that gram) is not this one — so exactly one
+    * copy of every shared run survives, in its lowest-id document,
+    * and documents that only ever originate content are untouched.
+    * Output: one row per input document with the rebuilt text (in
+    * [[TextOps.tokens]]' normalized token space, single-space joined —
+    * the representation token pipelines consume anyway), original
+    * word count, and words cut.
+    *
+    * Plan = [[duplicatedSpans]] plus: the gram aggregate carries
+    * `min(doc_id)` as the owner (same two-long partial aggregate),
+    * cut spans collect per doc (a document's own span list is small —
+    * KBs even for pathological docs), and the rebuild is ONE
+    * broadcast-size-agnostic equi-join back to the corpus followed by
+    * a zero-shuffle higher-order-function projection: no per-word
+    * explode ever re-shuffles the corpus. */
+  def cutDuplicatedSpans(docs: DataFrame, n: Int = 8,
+      persist: Persistence = Persistence.Local): DataFrame = {
+    require(n >= 1, s"gram length must be positive, got $n")
+    val pos = persist(docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(
+        graft.functions.word_shingle_hashes(col("text"), n)).as(Seq("pos", "g"))))
+    val owners = pos
+      .groupBy(col("g"))
+      .agg(min(col("doc_id")).as("owner"), max(col("doc_id")).as("mx"))
+      .filter(col("owner") =!= col("mx"))
+      .select(col("g"), col("owner"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val cutSpans = pos
+      .join(owners, "g")
+      .filter(col("doc_id") > col("owner"))
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= n, 0).otherwise(1))
+      .withColumn("grp", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + n).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("cut_spans"))
+    docs
+      .join(cutSpans, Seq("doc_id"), "left")
+      .withColumn("toks", graft.functions.word_tokens(col("text")))
+      .withColumn("kept", when(col("cut_spans").isNull, col("toks")).otherwise(
+        expr(s"filter(toks, (tk, i) -> NOT exists(cut_spans, sp -> sp.s <= i AND i < sp.e))")))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("text"),
+        size(col("toks")).cast("long").as("n_words"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_cut"))
   }
 }

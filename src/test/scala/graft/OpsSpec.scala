@@ -1895,6 +1895,38 @@ class OpsSpec extends AnyFunSuite {
     assert(overlapping.count() == 0)
   }
 
+  test("span cut: first occurrence wins, owners untouched, rebuilt text consistent") {
+    val fixture = Seq(
+      (1L, "a b c d e f g h x y z"),
+      (2L, "c d e f g q r"),
+      (3L, "p q2 w x y z"),
+      (4L, "m n o m n o m n o"),
+      (5L, "s1 s2 s3 s4 s5")).toDF("doc_id", "text")
+    val out = Dedup.cutDuplicatedSpans(fixture, n = 3)
+      .select("doc_id", "text", "n_words", "n_cut")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // Doc 1 owns every span it shares: untouched.
+    assert(out(1L) == ((1L, "a b c d e f g h x y z", 11L, 0L)))
+    // Doc 2 loses its copy of "c d e f g", keeps its own tail.
+    assert(out(2L) == ((2L, "q r", 7L, 5L)))
+    // Doc 3 loses "x y z" (doc 1 owns it).
+    assert(out(3L) == ((3L, "p q2 w", 6L, 3L)))
+    // Self-repetition and disjoint vocab: untouched.
+    assert(out(4L) == ((4L, "m n o m n o m n o", 9L, 0L)))
+    assert(out(5L) == ((5L, "s1 s2 s3 s4 s5", 5L, 0L)))
+
+    // Laws on the real corpus: every row present exactly once, counts
+    // consistent with the rebuilt text, cuts bounded by word count.
+    val n = 4
+    val res = Dedup.cutDuplicatedSpans(docs, n)
+    assert(res.count() == docs.count())
+    val bad = res.filter(col("n_cut") < 0 || col("n_cut") > col("n_words") ||
+      size(graft.functions.word_tokens(col("text"))) =!=
+        when(col("n_cut") === col("n_words") && col("n_words") > 0, lit(1))
+          .otherwise(col("n_words") - col("n_cut")))
+    assert(bad.count() == 0)
+  }
+
   test("bloom decontamination equals the exact broadcast twin (fixture + real corpus, fpp sweep)") {
     val evalDocs = Seq((100L, "the quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text")
     val corpus = Seq(
