@@ -616,6 +616,13 @@ object SparkEntry {
     "sim_ann_ivf" -> ((s, d) =>
       graft.ops.Similarity.ivfTopK(embeddings(s, d), embQueries(s, d), 5,
         nClusters = 16, nProbe = 16)),
+    // Int8 scalar quantization (4× embedding memory cut): codes are
+    // pinned content-exactly through the portable md5; the code
+    // vector itself stays in the operator output but out of the gate
+    // frame (scalar columns compare engine-agnostically).
+    "sim_quantize" -> ((s, d) =>
+      graft.ops.Similarity.quantizeInt8(embeddings(s, d))
+        .select(col("vec_id"), col("scale"), col("q_md5"), col("q_l1"))),
     // Corpus profiling — the one-line health check a curation pipeline
     // runs before/after every dedup or filter stage. Exact arithmetic
     // (decimal sum, double division) so the oracle hash-matches.
@@ -724,6 +731,12 @@ object SparkEntry {
       graft.ops.Sampling.packSequences(documents(s, d), col("doc_id"),
         char_length(col("text")), budget = 8192, buckets = 8, seed = "s1")
         .select(col("doc_id"), col("bucket"), col("pack_seq"), col("pack_id"))),
+    // Context-window chunking: 32-token windows every 24 tokens (the
+    // gate corpus tops out at 99 tokens, so multi-chunk docs with
+    // overlap and short tails all occur); chunk content pinned by md5.
+    "curation_chunks" -> ((s, d) =>
+      graft.ops.TextAnalysis.chunkTokens(documents(s, d), window = 32,
+        stride = 24)),
     // Deterministic global shuffle for training-data ordering: every
     // row's (bucket, pos) is a pure function of (doc_id, seed) — the
     // corpus order a training run can reproduce across engines, runs,
@@ -916,6 +929,30 @@ object SparkEntry {
     "sim_ann_lsh" -> simTopkOracle,
     "sim_ann_ivf" -> simTopkOracle,
     "sim_topk" -> simTopkOracle,
+    // Same explicit floor(+0.5) code arithmetic; the md5 over the
+    // comma-joined codes pins content, not just aggregates.
+    "sim_quantize" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+        |q AS (SELECT vec_id, mx, list_transform(v, x -> CASE WHEN mx = 0 THEN 0
+        |    ELSE CAST(floor(x * 127 / mx + 0.5) AS BIGINT) END) AS q FROM m)
+        |SELECT vec_id, round(mx / 127, 6) AS scale,
+        |  md5(array_to_string(q, ',')) AS q_md5,
+        |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1
+        |FROM q""".stripMargin,
+    // Lateral generate_series over each doc's token count; list slice
+    // w[a:b] is 1-based inclusive (posexplode's 0-base shifts by 1).
+    "curation_chunks" ->
+      s"""WITH t AS (SELECT doc_id, w, len(w) AS n
+         |  FROM (SELECT doc_id, $dToks w FROM documents)),
+         |c AS (SELECT doc_id, w, n, unnest(range(0, n, 24)) AS gi FROM t)
+         |SELECT doc_id, CAST(gi // 24 AS BIGINT) AS chunk_idx,
+         |  CAST(gi AS BIGINT) AS start_tok,
+         |  CAST(least(gi + 32, n) AS BIGINT) AS end_tok,
+         |  md5(array_to_string(w[gi + 1 : least(gi + 32, n)], ' ')) AS chunk_md5
+         |FROM c""".stripMargin,
     "text_length_quantiles" ->
       s"""SELECT quantile_cont(n, 0.25) AS q25, quantile_cont(n, 0.5) AS q50,
          |  quantile_cont(n, 0.75) AS q75, quantile_cont(n, 0.9) AS q90

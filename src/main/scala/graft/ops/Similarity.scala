@@ -376,4 +376,27 @@ object Similarity {
           .orderBy(col("cos_sim").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
   }
+
+  /** Symmetric int8 scalar quantization of an embedding column — the
+    * standard 4× memory cut for serving/indexing a 100 TB embedding
+    * table (float32 → int8 codes + one float scale per vector;
+    * dequantize ≈ `code * scale`). Codes are
+    * `floor(x·127/max|x| + 0.5)` ∈ [−127, 127] — explicit floor(+0.5)
+    * rather than an engine `round`, so every engine reproduces the
+    * exact codes (IEEE double ops only) and the gate can hash them.
+    * Zero-shuffle: one codegen'd HOF projection per row; emits the
+    * code vector itself plus a portable md5 of the code string, the L1
+    * mass, and the rounded scale. All-zero vectors quantize to all
+    * zeros with scale 0. */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("mx", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("q", expr(
+        "transform(v, x -> IF(mx = 0.0D, 0L, CAST(floor(x * 127 / mx + 0.5D) AS BIGINT)))"))
+      .select(col("vec_id"),
+        round(col("mx") / 127d, 6).as("scale"),
+        md5(expr("array_join(transform(q, x -> CAST(x AS STRING)), ',')")).as("q_md5"),
+        expr("aggregate(q, 0L, (a, x) -> a + abs(x))").as("q_l1"),
+        col("q"))
 }

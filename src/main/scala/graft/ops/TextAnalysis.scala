@@ -315,4 +315,31 @@ object TextAnalysis {
       xxhash64(TextOps.normalized(col("text"))).as("xx_fp"),
       graft.functions.rolling_fingerprint(
         TextOps.normalized(col("text")), window, winnow).as("rolling_fp"))
+
+  /** Context-window chunking: splits each document into token windows
+    * of `window` words every `stride` words (overlapping when
+    * stride < window) — the step that turns a curated corpus into
+    * training sequences for a fixed context length. Chunk starts are
+    * every multiple of `stride` below the document's token count, so
+    * every token lands in ≥1 chunk and short tails are kept (the
+    * trainer's packing/padding policy, e.g. [[graft.ops.Sampling
+    * .packSequences]], decides their fate downstream). Zero-shuffle:
+    * tokenize once per doc, explode the start sequence, slice — no
+    * joins, no windows; the md5 of each chunk's token slice makes the
+    * content (not just the arithmetic) verifiable engine-to-engine. */
+  def chunkTokens(docs: DataFrame, window: Int = 256,
+      stride: Int = 192): DataFrame = {
+    require(window >= 1, s"window must be positive, got $window")
+    require(stride >= 1, s"stride must be positive, got $stride")
+    docs
+      .select(col("doc_id"), graft.functions.word_tokens(col("text")).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+      .select(col("doc_id"), col("toks"), col("n_toks"), posexplode(
+        sequence(lit(0), col("n_toks") - 1, lit(stride))).as(Seq("chunk_idx", "start_tok")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(col("start_tok") + window, col("n_toks")).cast("long").as("end_tok"),
+        md5(array_join(slice(col("toks"), col("start_tok") + 1,
+          least(lit(window), col("n_toks") - col("start_tok"))), " ")).as("chunk_md5"))
+  }
 }

@@ -1895,6 +1895,60 @@ class OpsSpec extends AnyFunSuite {
     assert(overlapping.count() == 0)
   }
 
+  test("int8 quantization: codes bounded, dequantization error within half a step, zero-vector safe") {
+    val fx = Seq(
+      (1L, Array(1.0f, -2.0f, 0.5f, 127.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(-0.003f, 0.001f, 0.002f, -0.001f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(fx)
+      .select("vec_id", "scale", "q_l1", "q")
+      .as[(Long, Double, Long, Seq[Long])].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._4 == Seq(1L, -2L, 1L, 127L)) // 1/ (127/127) = 1, floor(0.5*1+0.5)=1
+    assert(out(2L) == ((2L, 0.0, 0L, Seq(0L, 0L, 0L, 0L))))
+    assert(out(3L)._4.head == -127L) // max-magnitude element always hits ±127
+    assert(out.values.forall(_._4.forall(c => c >= -127L && c <= 127L)))
+    // Real embeddings: reconstruction error ≤ scale/2 per element
+    // (against the EXACT scale — the emitted one is rounded to 6dp).
+    val q = Similarity.quantizeInt8(emb)
+    val bad = q.join(emb, "vec_id")
+      .withColumn("s_exact", expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0D"))
+      .withColumn("err", expr(
+        """aggregate(zip_with(q, embedding, (c, x) -> abs(c * s_exact - CAST(x AS DOUBLE))),
+          |0.0D, (a, e) -> greatest(a, e))""".stripMargin))
+      .filter(col("err") > col("s_exact") / 2 + lit(1e-9))
+    assert(bad.count() == 0)
+  }
+
+  test("chunking: stride/window arithmetic, full coverage, content md5s") {
+    val fx = Seq((1L, "a b c d e"), (2L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(fx, window = 3, stride = 2)
+      .select("doc_id", "chunk_idx", "start_tok", "end_tok", "chunk_md5")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out == Set(
+      (1L, 0L, 0L, 3L, m("a b c")),
+      (1L, 1L, 2L, 5L, m("c d e")),
+      (1L, 2L, 4L, 5L, m("e")),
+      (2L, 0L, 0L, 1L, m("x"))))
+    // Laws on the real corpus at the gate parameters.
+    val chunks = TextAnalysis.chunkTokens(docs, window = 32, stride = 24)
+    val toks = docs.select(col("doc_id"),
+      size(graft.functions.word_tokens(col("text"))).cast("long").as("n"))
+    val j = chunks.groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"), max("end_tok").as("max_end"),
+      sum(when(col("start_tok") =!= col("chunk_idx") * 24, 1).otherwise(0)).as("bad_starts"),
+      sum(when(col("end_tok") - col("start_tok") > 32 ||
+        col("end_tok") <= col("start_tok"), 1).otherwise(0)).as("bad_sizes"))
+      .join(toks, "doc_id")
+    val bad = j.filter(col("bad_starts") =!= 0 || col("bad_sizes") =!= 0 ||
+      col("max_end") =!= col("n") ||            // tail always covered
+      col("n_chunks") =!= ceil(col("n") / lit(24.0)).cast("long"))
+    assert(bad.count() == 0)
+    assert(chunks.count() > docs.count())       // overlap actually occurs
+  }
+
   test("span cut: first occurrence wins, owners untouched, rebuilt text consistent") {
     val fixture = Seq(
       (1L, "a b c d e f g h x y z"),

@@ -102,6 +102,22 @@ class PlanShapeSpec extends AnyFunSuite {
       "line dedup must not use a window over the line key")
   }
 
+  test("span dedup: combinable gram aggregate, one sort for both island windows") {
+    for (q <- Seq("text_span_dedup", "text_span_cut")) {
+      val plan = plans(q)
+      // The cross-doc gram test must stay min/max (partial-aggregated:
+      // two longs per gram leave each map task) — a countDistinct
+      // spelling would shuffle a distinct-set per gram.
+      assert(plan.contains("partial_min") && plan.contains("partial_max"),
+        s"$q: expected map-side partial min/max gram aggregate in:\n$plan")
+      // lag + running-sum islands must share ONE (doc_id, pos) sort;
+      // a second Sort means the windows stopped chaining.
+      val sorts = "(?m)^\\s*[+:]?-?\\s*\\*?\\(?\\d*\\)?\\s*Sort ".r
+        .findAllIn(plan).size
+      assert(sorts <= 1, s"$q: expected at most one Sort, got $sorts in:\n$plan")
+    }
+  }
+
   test("bench-only queries produce rows (a silently-empty bench row times nothing)") {
     for ((name, fn) <- SparkEntry.benchOnly) {
       assert(fn(spark, sfDir).count() > 0, s"$name returned no rows at $sfDir")
