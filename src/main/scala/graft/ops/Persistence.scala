@@ -38,4 +38,14 @@ object Persistence {
     override def apply(df: DataFrame): DataFrame = df.checkpoint()
     override def lazily(df: DataFrame): DataFrame = df.checkpoint(eager = false)
   }
+  /** No materialization: every consuming plan branch recomputes the
+    * intermediate from source. Measurably the faster choice for SMALL
+    * corpora (AB_r7 `span_persist`: the checkpoint job costs ~20% at
+    * sf0.1, where re-shingling is cheap and pipelines better) — but at
+    * scale the recompute doubles the CPU-dense stage, so the operators
+    * keep [[Local]] as their default. */
+  case object Off extends Persistence {
+    override def apply(df: DataFrame): DataFrame = df
+    override def lazily(df: DataFrame): DataFrame = df
+  }
 }
