@@ -817,6 +817,20 @@ object SparkEntry {
     // token space.
     "text_span_cut" -> ((s, d) =>
       graft.ops.Dedup.cutDuplicatedSpans(documents(s, d), n = 5)),
+    // Char-trigram LM scoring (perplexity-filter stand-in), self-
+    // scored against the corpus model. The gate pins the exact
+    // integer pair (n_tri, sum_cnt) plus the fixed-order avg_p
+    // division; the smoothed log_prob stays out of the hash compare.
+    "text_lm_score" -> ((s, d) =>
+      graft.ops.TextAnalysis.lmScore(documents(s, d))
+        .select(col("doc_id"), col("n_tri"), col("sum_cnt"), col("avg_p"))),
+    // Skew pre-flight: exact top-20 hot keys + one-row key health on
+    // the events stream's user_id (the key every CEP/temporal join in
+    // this library shuffles on).
+    "profile_hot_keys" -> ((s, d) =>
+      graft.ops.Profiling.hotKeys(events(s, d), col("user_id"), 20)),
+    "profile_key_stats" -> ((s, d) =>
+      graft.ops.Profiling.keyStats(events(s, d), col("user_id"))),
     // Corpus vocabulary head: top-20 terms by corpus frequency with
     // doc frequency — exact integers, deterministic tie-break, planned
     // as TakeOrderedAndProject (the vocab is never globally sorted).
@@ -957,6 +971,39 @@ object SparkEntry {
       s"""SELECT quantile_cont(n, 0.25) AS q25, quantile_cont(n, 0.5) AS q50,
          |  quantile_cont(n, 0.75) AS q75, quantile_cont(n, 0.9) AS q90
          |FROM (SELECT CAST(len($dToks) AS DOUBLE) AS n FROM documents)""".stripMargin,
+    // range(1, n) is end-exclusive → trigram starts 1..len−2, the
+    // Spark sequence's guarded range; avg_p repeats the exact
+    // double-division order (sum_cnt / n_tri / total).
+    "text_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $dNorm AS s FROM documents),
+         |tri AS (SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(length(s) - 1, 1)),
+         |    x -> substring(s, CAST(x AS INT), 3))) AS tr FROM t),
+         |m AS (SELECT tr, count(*) AS cnt FROM tri GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM m)
+         |SELECT d.doc_id, count(*) AS n_tri,
+         |  CAST(COALESCE(sum(m.cnt), 0) AS BIGINT) AS sum_cnt,
+         |  CAST(COALESCE(sum(m.cnt), 0) AS DOUBLE) / count(*)
+         |    / (SELECT total FROM tot) AS avg_p
+         |FROM tri d LEFT JOIN m USING (tr) GROUP BY 1""".stripMargin,
+    "profile_hot_keys" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key_value, count(*) AS cnt
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT count(*) AS total FROM events),
+        |k AS (SELECT key_value, cnt,
+        |        row_number() OVER (ORDER BY cnt DESC, key_value ASC) AS rank FROM c)
+        |SELECT rank, key_value, cnt,
+        |  CAST(cnt AS DOUBLE) / (SELECT total FROM t) AS share
+        |FROM k WHERE rank <= 20""".stripMargin,
+    "profile_key_stats" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS v, count(*) AS cnt
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+        |        max(cnt) AS top_cnt FROM c)
+        |SELECT n_rows, n_keys, top_cnt,
+        |  CAST(top_cnt AS DOUBLE) / n_rows AS top_share,
+        |  CAST(top_cnt AS DOUBLE) * n_keys / n_rows AS skew_uniform
+        |FROM a""".stripMargin,
     "curation_decontaminate" -> decontaminateOracle,
     // The Bloom spelling is a prefilter + exact verify — flagged set
     // identical to the broadcast twin, so the oracle is too.

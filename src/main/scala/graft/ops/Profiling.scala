@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution diagnostics run BEFORE committing to a partitioning:
+  * the pre-flight check for every big join/groupBy in this library.
+  * A key whose top hitter carries 30% of the rows will strand one
+  * reducer at 100 TB — this is the operator that says so ahead of
+  * time (and whose output picks the salting factor for
+  * [[Bucketing.saltedJoin]]). */
+object Profiling {
+
+  /** Top-`k` heaviest values of `key` with exact counts, dense rank
+    * (ties by value string ascending) and row share. One
+    * map-side-combining groupBy then TakeOrderedAndProject — the
+    * hottest key reaches its reducer pre-combined to one row per map
+    * task, and the value space is never globally sorted. The share
+    * divides by a broadcast scalar total so the output is one
+    * self-contained frame. */
+  def hotKeys(df: DataFrame, key: Column, k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(key.cast("string").as("key_value"))
+      .groupBy(col("key_value"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = df.select(count(lit(1)).as("total"))
+    counts
+      .orderBy(col("cnt").desc, col("key_value").asc)
+      .limit(k)
+      // k winner rows only — the partition-less window is benign here
+      // (same pattern as TextAnalysis.vocabProfile's rank).
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("key_value").asc)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("key_value"), col("cnt"),
+        (col("cnt").cast("double") / col("total")).as("share"))
+  }
+
+  /** One-row key-health summary: row count, exact distinct count, the
+    * top hitter's count, and max/mean skew ratios (top count vs total
+    * and vs the perfectly-uniform per-key share). `skew_uniform` ≈ 1
+    * means safe to hash-partition by this key; tens-and-up means salt
+    * or pre-aggregate first. Exact counts — the distinct aggregate
+    * shuffles (key) once; swap in approx_count_distinct upstream if a
+    * 100 TB profile only needs the ratio's magnitude. */
+  def keyStats(df: DataFrame, key: Column): DataFrame =
+    df
+      .select(key.cast("string").as("key_value"))
+      .groupBy(col("key_value"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("top_cnt"))
+      .select(col("n_rows"), col("n_keys"), col("top_cnt"),
+        (col("top_cnt").cast("double") / col("n_rows")).as("top_share"),
+        (col("top_cnt").cast("double") * col("n_keys") / col("n_rows"))
+          .as("skew_uniform"))
+}

@@ -316,6 +316,53 @@ object TextAnalysis {
       graft.functions.rolling_fingerprint(
         TextOps.normalized(col("text")), window, winnow).as("rolling_fp"))
 
+  /** Character-trigram language-model scoring — the cheap stand-in for
+    * perplexity filtering (CCNet-style: docs whose character statistics
+    * diverge from the reference corpus are low-quality candidates).
+    * Builds a trigram unigram-count model over `refDocs` (defaults to
+    * the scored corpus itself), then scores each document by its
+    * trigrams' reference frequencies. Output per doc:
+    * `n_tri` (trigram count), `sum_cnt` (EXACT sum of reference counts
+    * — the integer pair that pins the whole model join for the
+    * oracle), `avg_p` (mean trigram probability, fixed-order double
+    * division so engines agree bitwise), and `log_prob` (add-one-
+    * smoothed mean log-likelihood `mean(ln(cnt+1)) − ln(total)`, the
+    * conventional LM score — derived, so kept out of the gate frame
+    * where libm ulp differences could flake a hash compare).
+    * Unseen trigrams (cross-corpus scoring) count 0 — a doc of fully
+    * unseen text scores `sum_cnt = 0`.
+    *
+    * Scale posture: the model is a map-side-combined count over
+    * exploded trigrams whose key space is bounded by the charset
+    * (≤~1M for ASCII), so it BROADCASTS regardless of corpus size;
+    * scoring is explode → broadcast join → one per-doc partial
+    * aggregate. Nothing shuffles by trigram. */
+  def lmScore(docs: DataFrame, refDocs: DataFrame = null): DataFrame = {
+    val ref = Option(refDocs).getOrElse(docs)
+    def tris(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), TextOps.normalized(col("text")).as("s"))
+      // CASE guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead
+      // of returning empty, so sub-trigram docs need the explicit
+      // empty-array branch (DuckDB's end-exclusive range(1, 1) is
+      // naturally empty).
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN length(s) >= 3
+          |THEN transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))
+          |ELSE array() END""".stripMargin)).as("tr"))
+    val model = tris(ref).groupBy(col("tr")).agg(count(lit(1)).as("cnt"))
+    val total = model.agg(sum(col("cnt")).as("total"))
+    tris(docs)
+      .join(broadcast(model), Seq("tr"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"),
+        coalesce(sum(col("cnt")), lit(0L)).as("sum_cnt"),
+        avg(log(coalesce(col("cnt"), lit(0L)) + 1d)).as("log1p_cnt_mean"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tri"), col("sum_cnt"),
+        (col("sum_cnt").cast("double") / col("n_tri") / col("total")).as("avg_p"),
+        (col("log1p_cnt_mean") - log(col("total").cast("double"))).as("log_prob"))
+  }
+
   /** Context-window chunking: splits each document into token windows
     * of `window` words every `stride` words (overlapping when
     * stride < window) — the step that turns a curated corpus into

@@ -1895,6 +1895,47 @@ class OpsSpec extends AnyFunSuite {
     assert(overlapping.count() == 0)
   }
 
+  test("trigram LM score: hand-computed model, unseen text scores zero, sub-trigram docs drop") {
+    val fx = Seq((1L, "aaaa"), (2L, "aaab"), (3L, "ab")).toDF("doc_id", "text")
+    // Model over fx itself: "aaa"×3 (two from doc 1, one from doc 2),
+    // "aab"×1; total 4. Doc 3 has no trigram and must vanish.
+    val out = TextAnalysis.lmScore(fx)
+      .select("doc_id", "n_tri", "sum_cnt", "avg_p")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((1L, 2L, 6L, 6.0 / 2 / 4)))
+    assert(out(2L) == ((2L, 2L, 4L, 4.0 / 2 / 4)))
+    // Cross-corpus scoring with a disjoint reference: all unseen.
+    val ref = Seq((9L, "zzzz")).toDF("doc_id", "text")
+    val cross = TextAnalysis.lmScore(fx, ref)
+      .select("doc_id", "sum_cnt", "avg_p", "log_prob")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(cross.forall(r => r._2 == 0L && r._3 == 0.0))
+    assert(cross.forall(_._4 < 0)) // smoothed log-likelihood stays finite
+    // Self-scored real corpus: every doc's mean trigram count ≥ 1
+    // (each trigram counts at least itself) and log_prob is finite.
+    val real = TextAnalysis.lmScore(docs)
+    assert(real.filter(col("sum_cnt") < col("n_tri")).count() == 0)
+    assert(real.filter(col("log_prob").isNull ||
+      col("log_prob") === Double.NegativeInfinity).count() == 0)
+  }
+
+  test("key profiling: exact hot-key ranks and one-row health summary") {
+    val fx = Seq("a", "a", "a", "b", "b", "c").toDF("k")
+    val hot = Profiling.hotKeys(fx, col("k"), 2)
+      .select("rank", "key_value", "cnt", "share")
+      .as[(Int, String, Long, Double)].collect().toList
+    assert(hot == List((1, "a", 3L, 0.5), (2, "b", 2L, 2.0 / 6)))
+    val st = Profiling.keyStats(fx, col("k"))
+      .select("n_rows", "n_keys", "top_cnt", "top_share", "skew_uniform")
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(st == ((6L, 3L, 3L, 0.5, 1.5)))
+    // Deterministic tie-break: equal counts rank by key value.
+    val tie = Profiling.hotKeys(Seq("x", "y").toDF("k"), col("k"), 2)
+      .select("rank", "key_value").as[(Int, String)].collect().toList
+    assert(tie == List((1, "x"), (2, "y")))
+  }
+
   test("int8 quantization: codes bounded, dequantization error within half a step, zero-vector safe") {
     val fx = Seq(
       (1L, Array(1.0f, -2.0f, 0.5f, 127.0f)),

@@ -30,7 +30,12 @@ class PlanShapeSpec extends AnyFunSuite {
       name -> fn(spark, sfDir).queryExecution.executedPlan.toString
     }
 
-  private val declaredBnlj = Set("sim_topk", "dedup_embedding")
+  // sim_topk / dedup_embedding: broadcast bounded-build designs (see
+  // class doc). profile_hot_keys / text_lm_score: a ONE-ROW broadcast
+  // scalar (corpus total) cross-joined onto k winner rows / per-doc
+  // aggregates — bounded by construction, not a data-path nested loop.
+  private val declaredBnlj =
+    Set("sim_topk", "dedup_embedding", "profile_hot_keys", "text_lm_score")
 
   test("the CEP rule fan-out is a broadcast HASH join on the pivot key") {
     for (q <- Seq("cep_multi_rule", "cep_multi_rule_first_aligned")) {
