@@ -337,8 +337,8 @@ object TextAnalysis {
     * (≤~1M for ASCII), so it BROADCASTS regardless of corpus size;
     * scoring is explode → broadcast join → one per-doc partial
     * aggregate. Nothing shuffles by trigram. */
-  def lmScore(docs: DataFrame, refDocs: DataFrame = null): DataFrame = {
-    val ref = Option(refDocs).getOrElse(docs)
+  def lmScore(docs: DataFrame, refDocs: DataFrame = null,
+      persist: Persistence = Persistence.Local): DataFrame = {
     def tris(df: DataFrame): DataFrame = df
       .select(col("doc_id"), TextOps.normalized(col("text")).as("s"))
       // CASE guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead
@@ -349,9 +349,16 @@ object TextAnalysis {
         """CASE WHEN length(s) >= 3
           |THEN transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))
           |ELSE array() END""".stripMargin)).as("tr"))
-    val model = tris(ref).groupBy(col("tr")).agg(count(lit(1)).as("cnt"))
+    // Self-scoring (the common profile pass) materializes the trigram
+    // frame: model build and scoring both consume it, and the explode
+    // allocates one small string per character of the corpus — the one
+    // stage worth never running twice.
+    val selfScored = refDocs == null
+    val docTris = if (selfScored) persist(tris(docs)) else tris(docs)
+    val refTris = if (selfScored) docTris else tris(refDocs)
+    val model = refTris.groupBy(col("tr")).agg(count(lit(1)).as("cnt"))
     val total = model.agg(sum(col("cnt")).as("total"))
-    tris(docs)
+    docTris
       .join(broadcast(model), Seq("tr"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tri"),
