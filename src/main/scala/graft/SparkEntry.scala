@@ -1573,6 +1573,11 @@ object SparkEntry {
     * performance regression in the shipping paths is visible in every
     * BENCH_r{N}.json. Bench runs `queries ++ benchOnly`. */
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Span dedup with the zipfian hot-gram cap engaged (occ ≤ 64) —
+    // the 100 TB spelling; the uncapped gate twin carries the oracle.
+    "text_span_dedup_capped" -> ((s, d) =>
+      graft.ops.Dedup.duplicatedSpans(documents(s, d), n = 5,
+        maxGramOcc = 64L)),
     "dedup_simhash_prod" -> ((s, d) =>
       graft.ops.Dedup.simhashPairs(documents(s, d), 3)),
     "dedup_fingerprint_prod" -> ((s, d) =>

@@ -892,8 +892,10 @@ object Dedup {
     * spurious span — conservative for a dedup guard, and absent on
     * gate corpora, so the string-gram DuckDB oracle matches exactly. */
   def duplicatedSpans(docs: DataFrame, n: Int = 8,
-      persist: Persistence = Persistence.Local): DataFrame = {
+      persist: Persistence = Persistence.Local,
+      maxGramOcc: Long = Long.MaxValue): DataFrame = {
     require(n >= 1, s"gram length must be positive, got $n")
+    require(maxGramOcc >= 2, s"maxGramOcc must allow a duplicate, got $maxGramOcc")
     // Materialized: both the gram aggregate and the position join
     // consume this frame — unpersisted, Spark would tokenize+shingle
     // the whole corpus twice.
@@ -901,10 +903,18 @@ object Dedup {
       .repartition(col("doc_id"))
       .select(col("doc_id"), posexplode(
         graft.functions.word_shingle_hashes(col("text"), n)).as(Seq("pos", "g"))))
+    // maxGramOcc is the zipfian insurance (ngramJaccardPairs'
+    // maxShingleDf analogue): a boilerplate gram occurring everywhere
+    // is dropped from the dup set — its positions then never converge
+    // on one reducer — at the documented cost that a span is reported
+    // only where at least one BELOW-cap gram covers it. The occurrence
+    // count rides the same partial aggregate (a third long per gram).
     val crossDocGrams = pos
       .groupBy(col("g"))
-      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
-      .filter(col("d0") =!= col("d1"))
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"),
+        count(lit(1)).as("occ"))
+      .filter(col("d0") =!= col("d1") &&
+        (if (maxGramOcc == Long.MaxValue) lit(true) else col("occ") <= maxGramOcc))
       .select(col("g"))
     // Interval union via gaps-and-islands: a new island starts when
     // the gap to the previous duplicated gram start exceeds n (the

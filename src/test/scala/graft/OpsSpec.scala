@@ -1990,6 +1990,33 @@ class OpsSpec extends AnyFunSuite {
     assert(chunks.count() > docs.count())       // overlap actually occurs
   }
 
+  test("span dedup hot-gram cap: unbounded cap is identity, tight cap drops only hot-gram spans") {
+    // "h1 h2 h3" is the hot boilerplate run (5 docs, occ=5); docs 21/22
+    // also share the rare "r1 r2 r3" (occ=2).
+    val fixture = ((1 to 5).map(i => (i.toLong, s"u$i v$i h1 h2 h3 w$i")) ++
+      Seq((21L, "r1 r2 r3 x y"), (22L, "z r1 r2 r3 q"))).toDF("doc_id", "text")
+    def spans(cap: Long) =
+      Dedup.duplicatedSpans(fixture, n = 3, maxGramOcc = cap)
+        .select("doc_id", "span_start", "span_end")
+        .as[(Long, Long, Long)].collect().toSet
+    val unbounded = spans(Long.MaxValue)
+    assert(unbounded.map(_._1) == Set(1L, 2L, 3L, 4L, 5L, 21L, 22L))
+    assert(spans(5L) == unbounded)      // cap at the hot occ keeps everything
+    val capped = spans(4L)              // cap below it drops ONLY the hot spans
+    assert(capped == Set((21L, 0L, 3L), (22L, 1L, 4L)))
+    // Real corpus at the bench cap: capped spans are a subset of the
+    // uncapped set's coverage (never an invention).
+    val un = Dedup.duplicatedSpans(docs, 4)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3))).toMap
+    val cp = Dedup.duplicatedSpans(docs, 4, maxGramOcc = 64L)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect()
+    assert(cp.forall { case (d, s, e) =>
+      un.getOrElse(d, Array.empty[(Long, Long)]).exists(u => u._1 <= s && e <= u._2) })
+  }
+
   test("span cut: first occurrence wins, owners untouched, rebuilt text consistent") {
     val fixture = Seq(
       (1L, "a b c d e f g h x y z"),
