@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Dev harness: scaling-slope evidence for the dedup family. The
+  * 100 TB posture of these operators is argued from plan shapes
+  * (bounded state, no all-pairs, map-side combines); this measures the
+  * actual growth: the sf0.1 corpus is self-replicated 4× and 16× and
+  * each operator benched at 1×/4×/16×. ~Linear wall-time growth (at
+  * fixed parallelism) is the pass signal; superlinear growth means a
+  * hidden quadratic term.
+  *
+  * Replication construction: replica `r` of a document gets
+  * `doc_id*k + r` and every TOKEN suffixed with `qq<r>` (r = 0 keeps
+  * the original text). Cross-replica token spaces are disjoint, so the
+  * duplicate/near-duplicate structure of each replica equals the
+  * original corpus's — output sizes and join selectivities scale
+  * LINEARLY with k. Naive replication (same text k×) would instead
+  * make every document a member of a k-clique of identical copies —
+  * a k² pair blow-up that measures the workload's growth, not the
+  * engine's.
+  *
+  * Also records whether AQE's skew-join split engaged in the 16× span
+  * dedup (the zipfian-gram skew exposure named in VERDICT r7).
+  *
+  * {{{ SPARK_GRAFT_SF_DIR=... sbt "runMain graft.ScaleSlope [laps]" }}}
+  */
+object ScaleSlope {
+  def main(args: Array[String]): Unit = {
+    val laps = args.headOption.map(_.toInt).getOrElse(2)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_slope").toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path, Paths}
+      import java.util.Comparator
+      if (Files.exists(Paths.get(scratch)))
+        Files.walk(Paths.get(scratch)).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+    }))
+
+    def corpusPath(k: Int): String = s"$scratch/x$k/documents.parquet"
+    def writeReplicated(k: Int): Unit = {
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      base
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(k - 1))).as("r"))
+        .select((col("doc_id") * k + col("r")).as("doc_id"),
+          when(col("r") === 0, col("text")).otherwise(
+            array_join(transform(graft.functions.word_tokens(col("text")),
+              t => concat(t, lit("qq"), col("r").cast("string"))), " "))
+            .as("text"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(corpusPath(k))
+    }
+
+    val ks = Seq(1, 4, 16)
+    ks.foreach(writeReplicated)
+    def corpus(k: Int): DataFrame = spark.read.parquet(corpusPath(k))
+
+    def rmrf(p: String): Unit = {
+      import java.nio.file.{Files, Path, Paths}
+      import java.util.Comparator
+      if (Files.exists(Paths.get(p)))
+        Files.walk(Paths.get(p)).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+    }
+
+    // Each op at its gate parameters; eval sets keyed on the ORIGINAL
+    // id (doc_id div k) so their size also scales linearly.
+    val ops: Seq[(String, (DataFrame, Int) => DataFrame)] = Seq(
+      "text_span_dedup" -> ((df, _) => Dedup.duplicatedSpans(df, 5)),
+      "text_line_dedup" -> ((df, _) => Dedup.dedupLines(df)),
+      "dedup_minhash" -> ((df, _) => Dedup.minhashLshPairs(df, 3, 64, 16, 0.8)),
+      "curation_pipeline" -> ((df, k) => Curation.pipeline(
+        df, df.filter(col("doc_id") / k < 10),
+        shingleN = 3, jaccard = 0.8, maxShingleDf = 10, decontamN = 5,
+        minTokens = 25, maxTokens = 1000,
+        maxTopGramFrac = 0.09, maxDupGramFrac = 0.09)),
+      "dedup_incremental" -> ((df, k) => {
+        val dir = s"$scratch/idx_$k"
+        rmrf(dir)
+        Dedup.saveDedupIndex(df, dir, 3, 64, 16)
+        Dedup.dedupAgainstIndex(
+          df.select((col("doc_id") + 100000000L).as("doc_id"), col("text")),
+          dir, 0.8, 3, 64, 16)
+      }))
+
+    def time(mk: () => DataFrame): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = mk().queryExecution.toRdd.count()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    Bench.calibLap(); Bench.calibLap()
+    val c0 = Bench.calibLap()
+
+    // Warm-up at 1x, then per-op: all scales measured back to back so
+    // within-op ratios share steal conditions as much as possible.
+    ops.foreach { case (_, fn) => time(() => fn(corpus(1), 1)) }
+    val cells = ops.map { case (name, fn) =>
+      val perK = ks.map { k =>
+        val lapTimes = (0 until laps).map(_ => time(() => fn(corpus(k), k)))
+        k -> (lapTimes.map(_._1).min, lapTimes.head._2,
+          lapTimes.map(_._1))
+      }
+      name -> perK
+    }
+
+    // AQE skew evidence on the 16x span dedup: run once, read the
+    // final adaptive plan for skew-split shuffle reads.
+    val qe = Dedup.duplicatedSpans(corpus(16), 5).queryExecution
+    qe.toRdd.count()
+    val finalPlan = qe.executedPlan.toString
+    val skewEngaged = finalPlan.contains("skewed=true") ||
+      finalPlan.toLowerCase.contains("skew")
+
+    val c1 = Bench.calibLap()
+    def fmtArr(xs: Seq[Double]): String =
+      xs.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val opsJson = cells.map { case (name, perK) =>
+      val inner = perK.map { case (k, (mn, rows, lapsK)) =>
+        f""""x$k":{"sec_min":$mn%.3f,"rows":$rows,"laps":${fmtArr(lapsK)}}"""
+      }.mkString(",")
+      val s1 = perK.find(_._1 == 1).get._2._1
+      val s16 = perK.find(_._1 == 16).get._2._1
+      f""""$name":{$inner,"slope_16x":${s16 / s1}%.2f}"""
+    }.mkString(",")
+    println(s"""{"metric":"scale_slope","laps_per_cell":$laps,$opsJson,""" +
+      s""""span_dedup_16x_aqe_skew":$skewEngaged,""" +
+      f""""calib_ratio":${math.min(c0, c1) / Bench.CalibRefSec}%.3f}""")
+    spark.stop()
+  }
+}

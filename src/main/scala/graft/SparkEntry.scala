@@ -31,17 +31,43 @@ object SparkEntry {
     *    matches DuckDB's `epoch_ms(ts)` on the naive oracle side;
     *  - a UTC-flagged TIMESTAMP arrives ready to use.
     *
-    * Both knob and timezone are set here, not in a builder, so the
-    * contract holds under any session — including the driver's. */
+    * The load leaves the caller's session untouched: the NTZ branch is
+    * reinterpreted as UTC via an explicitly-anchored `make_timestamp(…,
+    * 'UTC')` expression (no dependence on `spark.sql.session.timeZone`
+    * at whatever time the plan is finally evaluated), the LONG branch
+    * is pure epoch arithmetic, and the legacy nanosAsLong knob is only
+    * set when the footer actually carries TIMESTAMP(NANOS) — and in
+    * that one case it must STAY set, because the parquet scan re-reads
+    * the conf at execution time (pre-round-6 corpora only). */
   private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val path = s"$dir/events.parquet"
+    val raw =
+      try spark.read.parquet(path)
+      catch {
+        case e: Exception
+            if e.getMessage != null && e.getMessage.contains("NANOS") =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(path)
+      }
     raw.schema("ts").dataType match {
-      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _                => raw
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // A session already on UTC takes the plain cast: DataFrames
+        // are analyzed EAGERLY at construction and ResolveTimeZone is
+        // an analyzer rule, so the cast's zone binds to UTC here and
+        // now — a later session-tz change cannot skew it, and the cast
+        // is far cheaper per row (measured ~1.5-1.9x on CEP bench rows)
+        // than the field-extraction spelling. Any other session tz gets
+        // the explicitly-UTC-anchored make_timestamp expression, which
+        // never consults the session at all.
+        if (spark.conf.get("spark.sql.session.timeZone", "") == "UTC")
+          raw.withColumn("ts", col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
+        else
+          raw.withColumn("ts", expr(
+            "make_timestamp(year(ts), month(ts), day(ts), hour(ts), minute(ts), extract(SECOND FROM ts), 'UTC')"))
+      case _ => raw
     }
   }
 
@@ -352,6 +378,13 @@ object SparkEntry {
   /** DuckDB spelling of TextOps.normalized / TextOps.tokens. */
   private val dNorm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
   private val dToks = """string_split_regex(lower(trim(text)), '\s+')"""
+
+  /** Gate model for `text_classifier_score`: 64 weights generated by a
+    * fixed integer formula of the bucket index (exact at 3dp, so the
+    * 6dp decimal quantization is lossless) — the DuckDB oracle
+    * regenerates the same vector from the same formula. */
+  private val classifierGateWeights: Seq[Double] =
+    (0 until 64).map(i => ((i * 37) % 101 - 50) / 1000.0)
 
   /** Shared by `curation_decontaminate` and its Bloom-prefiltered
     * twin (identical flagged sets by construction). */
@@ -817,6 +850,13 @@ object SparkEntry {
     // token space.
     "text_span_cut" -> ((s, d) =>
       graft.ops.Dedup.cutDuplicatedSpans(documents(s, d), n = 5)),
+    // Same cut with the opt-in exact-content verification on: candidate
+    // gram-hash matches are re-checked against the actual token slices
+    // before any text is removed (the 64-bit-collision guard). On the
+    // collision-free gate corpus this must be bit-identical to
+    // text_span_cut — same oracle.
+    "text_span_cut_verify" -> ((s, d) =>
+      graft.ops.Dedup.cutDuplicatedSpans(documents(s, d), n = 5, verify = true)),
     // Char-trigram LM scoring (perplexity-filter stand-in), self-
     // scored against the corpus model. The gate pins the exact
     // integer pair (n_tri, sum_cnt) plus the fixed-order avg_p
@@ -824,6 +864,16 @@ object SparkEntry {
     "text_lm_score" -> ((s, d) =>
       graft.ops.TextAnalysis.lmScore(documents(s, d))
         .select(col("doc_id"), col("n_tri"), col("sum_cnt"), col("avg_p"))),
+    // Broadcast linear quality classifier (fastText shape): hashed
+    // bag-of-word-ngrams dot product against a fixed weight vector.
+    // The gate model's weights are a deterministic formula of the
+    // bucket index so the oracle can regenerate them without a 64-row
+    // literal; the gate pins (n_grams, exact decimal sum_w) and keeps
+    // the derived sigmoid out of the hash compare.
+    "text_classifier_score" -> ((s, d) =>
+      graft.ops.TextAnalysis.classifierScore(
+        documents(s, d), classifierGateWeights, bias = 0.0, wordNgrams = 2)
+        .select(col("doc_id"), col("n_grams"), col("sum_w"))),
     // Skew pre-flight: exact top-20 hot keys + one-row key health on
     // the events stream's user_id (the key every CEP/temporal join in
     // this library shuffles on).
@@ -986,6 +1036,24 @@ object SparkEntry {
          |  CAST(COALESCE(sum(m.cnt), 0) AS DOUBLE) / count(*)
          |    / (SELECT total FROM tot) AS avg_p
          |FROM tri d LEFT JOIN m USING (tr) GROUP BY 1""".stripMargin,
+    // Hashed bag-of-ngrams linear classifier: unigrams + bigrams,
+    // bucket = first 32 md5 bits mod 64, weight regenerated from the
+    // bucket-index formula (exact at 3dp), sum in DECIMAL(38,6).
+    "text_classifier_score" ->
+      s"""WITH t AS (SELECT doc_id, $dToks w FROM documents),
+         |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),
+         |g AS (SELECT doc_id, tk AS g FROM tok
+         |      UNION ALL
+         |      SELECT t0.doc_id, t0.tk || ' ' || t1.tk
+         |      FROM tok t0 JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.i = t0.i + 1),
+         |b AS (SELECT doc_id,
+         |        CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 64 AS bk FROM g),
+         |s AS (SELECT doc_id, count(*) AS n_grams,
+         |        sum(CAST(((bk*37)%101 - 50) / 1000.0 AS DECIMAL(38,6))) AS sw
+         |      FROM b GROUP BY 1)
+         |SELECT t.doc_id, COALESCE(s.n_grams, 0) AS n_grams,
+         |  CAST(COALESCE(s.sw, 0) AS DOUBLE) AS sum_w
+         |FROM t LEFT JOIN s USING (doc_id)""".stripMargin,
     "profile_hot_keys" ->
       """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key_value, count(*) AS cnt
         |           FROM events GROUP BY 1),
@@ -1046,7 +1114,9 @@ object SparkEntry {
     // Cut words = distinct word indices covered by a non-owner dup
     // gram (interval-union islands are unnecessary oracle-side: the
     // per-word DISTINCT expansion is the same set); text rebuilds by
-    // ordered string_agg over the kept indices.
+    // ordered string_agg over the kept indices. The _verify twin runs
+    // the same oracle: string grams can't collide, so verified and
+    // unverified semantics coincide oracle-side by construction.
     "text_span_cut" -> {
       val joins = (1 to 4).map(i =>
         s"JOIN tok t$i ON t$i.doc_id=t0.doc_id AND t$i.i=t0.i+$i").mkString(" ")
@@ -1677,7 +1747,12 @@ object SparkEntry {
     * (LSH/IVF) run at recall-1 gate parameters and share their exact
     * baselines' SQL; simhash/fingerprint run their oracle-portable
     * md5-hash twins whose full pipelines ARE re-expressed in SQL. */
-  def oracleSql: Map[String, String] =
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    base + ("text_span_cut_verify" -> base("text_span_cut"))
+  }
+
+  private def oracleSqlBase: Map[String, String] =
     cepStaticRules.map { case (n, r) => n -> staticRuleOracle(r) } ++ Map(
       "cep_sum_tumbling_first_aligned" -> firstAlignedOracle,
       "cep_sum_sliding_first_aligned" -> firstAlignedSlidingOracle,

@@ -243,34 +243,72 @@ object StreamBench {
       (nEvents + per) / ((System.nanoTime() - start) / 1e9)
     }
 
+    // ---- measurement protocol (r8): interleaved min-of-N laps ----------
+    // r7's weakness: ONE sample per engine config per JVM, so a host-
+    // steal episode during one config's sample read as an engine
+    // regression (stateful/fMGWS swung 73k-158k ev/s across two r7
+    // runs of identical code). Protocol now matches graft.Bench: every
+    // config is lapped `throughputLaps` times, configs INTERLEAVED (a
+    // steal episode hits all configs of that lap, not one config's
+    // only sample), each lap bracketed by a calibration measurement so
+    // every reading carries its own steal label. Per row: best (max
+    // ev/s — the least-stolen reading, the analog of Bench's min
+    // time), all laps, spread, and the per-lap calib ratios.
+    val throughputLaps = args.lift(4).map(_.toInt).getOrElse(3)
+    val heavyLaps = math.max(2, throughputLaps - 1)
+
     // Warm-up lap (JIT, codegen cache, state-store init) — streaming
     // micro-benchmarks are meaningless cold.
     run("planAll"); run("stateful"); run("fmgws"); run("dynamic"); runDedup()
-    // Same steal instrumentation as graft.Bench: a calibration lap
-    // brackets every engine measurement, so a steal-crushed sample
-    // (like r6 sample A, every row at 0.2-0.4x of its twin) is
-    // self-labeling via calib_ratio instead of needing a second run
-    // to notice.
     Bench.calibLap(); Bench.calibLap() // JIT the calibration loop
-    val calibs = scala.collection.mutable.ArrayBuffer(Bench.calibLap())
-    def calibrated[A](body: => A): A = {
-      val r = body; calibs += Bench.calibLap(); r
+
+    class RowAcc {
+      val vals = scala.collection.mutable.ArrayBuffer[Double]()
+      val ratios = scala.collection.mutable.ArrayBuffer[Double]()
+      def add(v: Double): Unit = {
+        vals += v; ratios += Bench.calibLap() / Bench.CalibRefSec
+      }
+      def best: Double = vals.max
+      def json: String = {
+        val spread = if (vals.min > 0) vals.max / vals.min else Double.NaN
+        f"""{"best":${vals.max}%.0f,"spread":$spread%.3f,""" +
+          s""""laps":${vals.map(v => f"$v%.0f").mkString("[", ",", "]")},""" +
+          s""""lap_calib_ratios":${ratios.map(r => f"$r%.3f").mkString("[", ",", "]")}}"""
+      }
     }
-    val declarative = calibrated(run("planAll"))
-    val stateful = calibrated(run("stateful"))
-    val fmgws = calibrated(run("fmgws"))
-    val dynamic = calibrated(run("dynamic"))
-    val swapDynamic = calibrated(runWithSwaps(dynamic = true))
-    val swapRestart = calibrated(runWithSwaps(dynamic = false))
-    val (dedup, nDocs) = calibrated(runDedup())
+    val engines = Seq("planAll", "stateful", "fmgws", "dynamic")
+    val acc = engines.map(e => e -> new RowAcc).toMap
+    for (_ <- 0 until throughputLaps; e <- engines) acc(e).add(run(e))
+
+    // Heavy rows (swap / dedup / big-book), same interleaving at
+    // `heavyLaps`.
+    val swapDynAcc = new RowAcc; val swapRstAcc = new RowAcc
+    val dedupAcc = new RowAcc
+    val big64Acc = new RowAcc; val big1024Acc = new RowAcc
+    var nDocs = 0L
+    var small64PlanMs = 0L; var big1024PlanMs = 0L
     runBigBook(64) // warm-up for the big-book shapes
-    val (small64, small64PlanMs) = calibrated(runBigBook(64))
-    val (big1024, big1024PlanMs) = calibrated(runBigBook(1024))
+    for (_ <- 0 until heavyLaps) {
+      swapDynAcc.add(runWithSwaps(dynamic = true))
+      swapRstAcc.add(runWithSwaps(dynamic = false))
+      val (d, nd) = runDedup(); nDocs = nd; dedupAcc.add(d)
+      val (s64, p64) = runBigBook(64); small64PlanMs = p64; big64Acc.add(s64)
+      val (b1024, p1024) = runBigBook(1024); big1024PlanMs = p1024
+      big1024Acc.add(b1024)
+    }
+
+    val allRatios = (engines.map(acc) ++ Seq(swapDynAcc, swapRstAcc,
+      dedupAcc, big64Acc, big1024Acc)).flatMap(_.ratios)
     val calibJson =
-      s"""{"ref_sec":${Bench.CalibRefSec},"laps":${calibs.mkString("[", ",", "]")},""" +
-        s""""ratio":${calibs.min / Bench.CalibRefSec},""" +
-        s""""ratio_max":${calibs.max / Bench.CalibRefSec}}"""
-    println(f"""{"metric":"stream_throughput","unit":"events_per_sec","n_events":$nEvents,"n_rules":$nRules,"planAll_update":${declarative}%.0f,"stateful_append":${stateful}%.0f,"fmgws_append":${fmgws}%.0f,"dynamic_append":${dynamic}%.0f,"swap_per_batch_dynamic":${swapDynamic}%.0f,"swap_per_batch_restart":${swapRestart}%.0f,"dedup_docs":$nDocs,"dedup_docs_per_sec":${dedup}%.0f,"bigbook_64_rules_ev_per_sec":${small64}%.0f,"bigbook_1024_rules_ev_per_sec":${big1024}%.0f,"bigbook_64_plan_ms":$small64PlanMs,"bigbook_1024_plan_ms":$big1024PlanMs,"calib":$calibJson}""")
+      s"""{"ref_sec":${Bench.CalibRefSec},""" +
+        f""""ratio":${allRatios.min}%.3f,"ratio_max":${allRatios.max}%.3f}"""
+    val rowsJson = (engines.map(e => s""""$e":${acc(e).json}""") ++ Seq(
+      s""""swap_dynamic":${swapDynAcc.json}""",
+      s""""swap_restart":${swapRstAcc.json}""",
+      s""""dedup":${dedupAcc.json}""",
+      s""""bigbook_64":${big64Acc.json}""",
+      s""""bigbook_1024":${big1024Acc.json}""")).mkString("{", ",", "}")
+    println(f"""{"metric":"stream_throughput","unit":"events_per_sec","n_events":$nEvents,"n_rules":$nRules,"laps_per_row":$throughputLaps,"planAll_update":${acc("planAll").best}%.0f,"stateful_append":${acc("stateful").best}%.0f,"fmgws_append":${acc("fmgws").best}%.0f,"dynamic_append":${acc("dynamic").best}%.0f,"swap_per_batch_dynamic":${swapDynAcc.best}%.0f,"swap_per_batch_restart":${swapRstAcc.best}%.0f,"dedup_docs":$nDocs,"dedup_docs_per_sec":${dedupAcc.best}%.0f,"bigbook_64_rules_ev_per_sec":${big64Acc.best}%.0f,"bigbook_1024_rules_ev_per_sec":${big1024Acc.best}%.0f,"bigbook_64_plan_ms":$small64PlanMs,"bigbook_1024_plan_ms":$big1024PlanMs,"rows":$rowsJson,"calib":$calibJson}""")
     spark.stop()
   }
 }

@@ -49,7 +49,14 @@ object Bucketing {
     * once — under the one replica carrying its salt). Replication
     * multiplies the right side, so use it dimension-side-small,
     * salt ≈ the skew factor. Results are identical to the plain join
-    * (spec-verified); row ORDER is not, as with any shuffle. */
+    * (spec-verified); row ORDER is not, as with any shuffle.
+    *
+    * Picking `salt`: run the [[Profiling.keyStats]] pre-flight on the
+    * left side's join key first. `skew_uniform` ≈ 1 means don't salt
+    * at all (the plain hash join balances); above ~10 the hot key
+    * strands a reducer and `salt = min(ceil(skew_uniform), cluster
+    * parallelism)` spreads it — the decision is spec-pinned in
+    * OpsSpec ("profiling drives the skew knobs"). */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       salt: Int = 16): DataFrame = {
     require(salt > 0, "salt must be positive")

@@ -619,23 +619,35 @@ object Dedup {
       mode = "append")
   }
 
-  /** The three index artifacts (shingles / sigs / banded keys) for
-    * `docs`, written under `path` — `overwrite` for a rebuild,
-    * `append` for a rolling delta. */
-  private def writeIndexArtifacts(docs: DataFrame, path: String, n: Int,
-      numHashes: Int, bands: Int, bandBuckets: Int, mode: String): Unit = {
-    docs.repartition(col("doc_id"))
+  /** The three index-artifact frames (shingles / sigs / banded keys)
+    * derived from `docs` alone — exposed so PlanShapeSpec can pin that
+    * a rolling APPEND's write jobs never scan the existing index (the
+    * only index read in the append path is the one-row params guard). */
+  private[graft] def indexArtifactFrames(docs: DataFrame, n: Int,
+      numHashes: Int, bands: Int,
+      bandBuckets: Int): (DataFrame, DataFrame, DataFrame) = {
+    val shingles = docs.repartition(col("doc_id"))
       .select(col("doc_id"),
         array_distinct(graft.functions.word_shingle_hashes(col("text"), n))
           .as("sh_arr"))
       .select(col("doc_id"), explode(col("sh_arr")).as("shingle"),
         size(col("sh_arr")).as("n_sh"))
-      .write.mode(mode).parquet(s"$path/shingles")
     val sig = minhashSignatures(docs, n, numHashes)
-    sig.write.mode(mode).parquet(s"$path/sigs")
-    bandedFrame(sig, numHashes, bands)
+    val banded = bandedFrame(sig, numHashes, bands)
       .withColumn("bucket", pmod(col("band_hash"), lit(bandBuckets)).cast("int"))
-      .write.mode(mode).partitionBy("bucket").parquet(s"$path/bands")
+    (shingles, sig, banded)
+  }
+
+  /** The three index artifacts (shingles / sigs / banded keys) for
+    * `docs`, written under `path` — `overwrite` for a rebuild,
+    * `append` for a rolling delta. */
+  private def writeIndexArtifacts(docs: DataFrame, path: String, n: Int,
+      numHashes: Int, bands: Int, bandBuckets: Int, mode: String): Unit = {
+    val (shingles, sig, banded) =
+      indexArtifactFrames(docs, n, numHashes, bands, bandBuckets)
+    shingles.write.mode(mode).parquet(s"$path/shingles")
+    sig.write.mode(mode).parquet(s"$path/sigs")
+    banded.write.mode(mode).partitionBy("bucket").parquet(s"$path/bands")
   }
 
   /** Loud params check shared by the probe and the rolling append:
@@ -890,7 +902,13 @@ object Dedup {
     * positions into maximal spans (gaps-and-islands; state bounded by
     * one document's length). Collisions (~G²/2⁶⁴) can only ADD a
     * spurious span — conservative for a dedup guard, and absent on
-    * gate corpora, so the string-gram DuckDB oracle matches exactly. */
+    * gate corpora, so the string-gram DuckDB oracle matches exactly.
+    *
+    * Picking `maxGramOcc`: profile first — [[Profiling.hotKeys]] over
+    * the exploded gram frame (or `keyStats`'s `top_cnt`) shows whether
+    * a boilerplate gram dominates; set the cap just above the heaviest
+    * gram you still want span-reported (the OpsSpec hot-gram-cap test
+    * pins the at-the-cap / below-the-cap behavior). */
   def duplicatedSpans(docs: DataFrame, n: Int = 8,
       persist: Persistence = Persistence.Local,
       maxGramOcc: Long = Long.MaxValue): DataFrame = {
@@ -934,16 +952,34 @@ object Dedup {
         (col("span_end") - col("span_start")).as("n_words"))
   }
 
-  /** End-to-end substring dedup: REMOVES cross-doc duplicated spans,
-    * first occurrence wins. A word is cut iff it is covered by a
-    * cross-doc-duplicated `n`-gram whose owning document (the minimum
-    * doc_id containing that gram) is not this one — so exactly one
-    * copy of every shared run survives, in its lowest-id document,
-    * and documents that only ever originate content are untouched.
-    * Output: one row per input document with the rebuilt text (in
-    * [[TextOps.tokens]]' normalized token space, single-space joined —
-    * the representation token pipelines consume anyway), original
-    * word count, and words cut.
+  /** End-to-end substring dedup: REMOVES cross-doc duplicated spans
+    * with per-GRAM first-occurrence-wins semantics. A word is cut iff
+    * it is covered by a cross-doc-duplicated `n`-gram whose owning
+    * document (the minimum doc_id containing that gram) is not this
+    * one — equivalently, each duplicated gram's copy in its lowest-id
+    * document is the one kept. Note the keep guarantee is per gram,
+    * not per RUN of text: when ownership chains overlap (doc A owns
+    * gram g₁ over words of a run whose other grams are owned by an
+    * even-lower doc), the covered sub-run can be cut from every
+    * document that carries it — so a shared run is never kept twice,
+    * but a chained-overlap sub-run may survive zero times. Documents
+    * that only ever originate content are untouched. Output: one row
+    * per input document with the rebuilt text (in [[TextOps.tokens]]'
+    * normalized token space, single-space joined — the representation
+    * token pipelines consume anyway), original word count, and words
+    * cut.
+    *
+    * `verify = true` adds an exact-content check before any text is
+    * removed: candidate positions (the gram-HASH matches) are joined
+    * back to their documents, the actual `n`-token slice is
+    * re-materialized, and the cross-doc/ownership test is re-derived
+    * on the slice CONTENT — so a 64-bit gram-hash collision
+    * (~G²/2⁶⁴, the one way this operator could delete innocent text
+    * at corpus scale) is caught and the spurious cut suppressed. The
+    * extra cost is bounded by the CANDIDATE set, not the corpus: one
+    * doc_id equi-join to fetch slices plus one content-keyed shuffle
+    * of candidate positions (~n words each). On a collision-free
+    * corpus the output is bit-identical to `verify = false`.
     *
     * Plan = [[duplicatedSpans]] plus: the gram aggregate carries
     * `min(doc_id)` as the owner (same two-long partial aggregate),
@@ -953,22 +989,59 @@ object Dedup {
     * a zero-shuffle higher-order-function projection: no per-word
     * explode ever re-shuffles the corpus. */
   def cutDuplicatedSpans(docs: DataFrame, n: Int = 8,
-      persist: Persistence = Persistence.Local): DataFrame = {
+      persist: Persistence = Persistence.Local,
+      verify: Boolean = false): DataFrame =
+    cutDuplicatedSpansImpl(docs, n, persist, verify,
+      graft.functions.word_shingle_hashes(_, _))
+
+  /** [[cutDuplicatedSpans]] with the gram-hash function injectable so
+    * the adversarial spec can force hash collisions (a real 64-bit
+    * collision is not constructible in a test) and pin that `verify`
+    * suppresses the spurious cut. */
+  private[graft] def cutDuplicatedSpansImpl(docs: DataFrame, n: Int,
+      persist: Persistence, verify: Boolean,
+      gramHash: (Column, Int) => Column): DataFrame = {
     require(n >= 1, s"gram length must be positive, got $n")
     val pos = persist(docs
       .repartition(col("doc_id"))
       .select(col("doc_id"), posexplode(
-        graft.functions.word_shingle_hashes(col("text"), n)).as(Seq("pos", "g"))))
+        gramHash(col("text"), n)).as(Seq("pos", "g"))))
     val owners = pos
       .groupBy(col("g"))
       .agg(min(col("doc_id")).as("owner"), max(col("doc_id")).as("mx"))
       .filter(col("owner") =!= col("mx"))
       .select(col("g"), col("owner"))
+    // Candidate duplicated positions. Unverified: trust the 64-bit
+    // gram hash. Verified: re-materialize each candidate's actual
+    // n-token slice and repeat the cross-doc + min-doc-owner test on
+    // the content itself. Restricting the content test to candidates
+    // loses nothing: content-equal slices are hash-equal, so every
+    // occurrence of a truly-duplicated gram is already a candidate
+    // (the owner doc's own rows included — the doc_id > owner filter
+    // is applied only AFTER ownership is settled).
+    val dupPos = if (!verify) {
+      pos.join(owners, "g")
+        .filter(col("doc_id") > col("owner"))
+        .select(col("doc_id"), col("pos"))
+    } else {
+      val toks = docs.select(col("doc_id"),
+        graft.functions.word_tokens(col("text")).as("toks"))
+      val content = pos.join(owners, "g")
+        .join(toks, "doc_id")
+        .select(col("doc_id"), col("pos"),
+          array_join(slice(col("toks"), col("pos") + 1, lit(n)), " ").as("gc"))
+      val contentOwners = content
+        .groupBy(col("gc"))
+        .agg(min(col("doc_id")).as("cowner"), max(col("doc_id")).as("cmx"))
+        .filter(col("cowner") =!= col("cmx"))
+        .select(col("gc"), col("cowner"))
+      content.join(contentOwners, "gc")
+        .filter(col("doc_id") > col("cowner"))
+        .select(col("doc_id"), col("pos"))
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos").asc)
-    val cutSpans = pos
-      .join(owners, "g")
-      .filter(col("doc_id") > col("owner"))
+    val cutSpans = dupPos
       .withColumn("brk",
         when(col("pos") - lag(col("pos"), 1).over(w) <= n, 0).otherwise(1))
       .withColumn("grp", sum(col("brk")).over(w))

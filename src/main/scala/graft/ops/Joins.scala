@@ -68,7 +68,12 @@ object Joins {
     * match direction is farther still. Units: micros for timestamp ts
     * columns, the column's units for integral ts.
     *
-    * `bucketWidth`: optional hot-key bound. Both sides are bucketed on
+    * `bucketWidth`: optional hot-key bound. Whether a key is hot
+    * enough to need it is a [[Profiling.keyStats]] pre-flight question:
+    * `skew_uniform` ≈ 1 → leave unset (per-key sorts are balanced);
+    * tens-and-up → set `bucketWidth` so one (key, bucket) holds
+    * roughly `n_rows / n_keys` rows of the hottest key (i.e. its span
+    * divided by ~`skew_uniform` buckets). Both sides are bucketed on
     * `floor(ts / bucketWidth)`, the window runs per (keys, bucket) —
     * so no task ever sorts more than one bucket of one key — and a
     * tiny per-(key, bucket) "last right row" summary is chained

@@ -15,9 +15,11 @@ object Profiling {
     * (ties by value string ascending) and row share. One
     * map-side-combining groupBy then TakeOrderedAndProject — the
     * hottest key reaches its reducer pre-combined to one row per map
-    * task, and the value space is never globally sorted. The share
-    * divides by a broadcast scalar total so the output is one
-    * self-contained frame. */
+    * task, and the value space is never globally sorted. The total
+    * behind `share` is re-aggregated from the counts frame (not a
+    * second scan of `df`): both plan branches sit on the identical
+    * groupBy exchange, so ReuseExchange reads the raw input once —
+    * one pass, as a pre-flight over 100 TB must be. */
   def hotKeys(df: DataFrame, key: Column, k: Int = 20): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     import org.apache.spark.sql.expressions.Window
@@ -25,7 +27,7 @@ object Profiling {
       .select(key.cast("string").as("key_value"))
       .groupBy(col("key_value"))
       .agg(count(lit(1)).as("cnt"))
-    val total = df.select(count(lit(1)).as("total"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
     counts
       .orderBy(col("cnt").desc, col("key_value").asc)
       .limit(k)

@@ -334,6 +334,10 @@ object Sampling {
       buckets: Int = 1024, seed: String = "graft"): DataFrame = {
     require(buckets >= 1, s"buckets must be positive, got $buckets")
     val taken = df.columns.toSet
+    val clash = Seq("shuffle_bucket", "shuffle_pos").filter(taken)
+    require(clash.isEmpty,
+      s"deterministicShuffle writes ${clash.mkString(", ")} but the input " +
+        "already has such column(s) — rename them first (silent overwrite refused)")
     def fresh(base: String): String =
       Iterator.from(0).map(i => s"_${base}_$i").find(!taken(_)).get
     val uCol = fresh("shuffle_u")

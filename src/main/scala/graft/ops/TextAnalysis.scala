@@ -333,12 +333,20 @@ object TextAnalysis {
     * unseen text scores `sum_cnt = 0`.
     *
     * Scale posture: the model is a map-side-combined count over
-    * exploded trigrams whose key space is bounded by the charset
-    * (≤~1M for ASCII), so it BROADCASTS regardless of corpus size;
-    * scoring is explode → broadcast join → one per-doc partial
-    * aggregate. Nothing shuffles by trigram. */
+    * exploded trigrams whose key space is bounded by the CHARSET, not
+    * the corpus — but that bound is only broadcast-small for ASCII-ish
+    * text (≤~1M trigrams); multilingual/CJK corpora can reach 1e8+
+    * distinct char trigrams. So the broadcast is GATED, not assumed:
+    * the aggregated model is materialized, its exact row count read
+    * (an O(model) action, cheap — the model is already the corpus
+    * reduced to per-gram counts), and only a model within
+    * `maxBroadcastModel` rows gets the broadcast hint; a bigger model
+    * falls back to a shuffle join on `tr` (one extra exchange of the
+    * trigram frame, never a driver OOM). Scoring stays explode → join
+    * → one per-doc partial aggregate either way. */
   def lmScore(docs: DataFrame, refDocs: DataFrame = null,
-      persist: Persistence = Persistence.Local): DataFrame = {
+      persist: Persistence = Persistence.Local,
+      maxBroadcastModel: Long = 1000000L): DataFrame = {
     def tris(df: DataFrame): DataFrame = df
       .select(col("doc_id"), TextOps.normalized(col("text")).as("s"))
       // CASE guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead
@@ -356,10 +364,11 @@ object TextAnalysis {
     val selfScored = refDocs == null
     val docTris = if (selfScored) persist(tris(docs)) else tris(docs)
     val refTris = if (selfScored) docTris else tris(refDocs)
-    val model = refTris.groupBy(col("tr")).agg(count(lit(1)).as("cnt"))
+    val model = persist(refTris.groupBy(col("tr")).agg(count(lit(1)).as("cnt")))
+    val modelSide = if (model.count() <= maxBroadcastModel) broadcast(model) else model
     val total = model.agg(sum(col("cnt")).as("total"))
     docTris
-      .join(broadcast(model), Seq("tr"), "left")
+      .join(modelSide, Seq("tr"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tri"),
         coalesce(sum(col("cnt")), lit(0L)).as("sum_cnt"),
@@ -368,6 +377,61 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tri"), col("sum_cnt"),
         (col("sum_cnt").cast("double") / col("n_tri") / col("total")).as("avg_p"),
         (col("log1p_cnt_mean") - log(col("total").cast("double"))).as("log_prob"))
+  }
+
+  /** Broadcast linear quality classifier — the fastText-style shape
+    * real curation stacks run for learned quality/langid gating:
+    * `score = σ(bias + mean_g w[h(g) mod D])` over the document's
+    * hashed bag of word n-grams (all lengths `1..wordNgrams`, fastText
+    * `-wordNgrams` semantics). The weight vector is trained OFFLINE
+    * (any logistic-regression fit over the same hashed features);
+    * this operator is the apply side.
+    *
+    * Output per doc: `n_grams`, `sum_w` (the feature-weight sum in
+    * exact DECIMAL(38,6) — order-independent, so the gate can hash it
+    * bitwise across engines; weights are quantized to 6dp on entry),
+    * and `score` (the sigmoid of `bias + sum_w / n_grams`, plain
+    * double — derived, so kept out of hash-gated frames like
+    * [[lmScore]]'s `log_prob`). A gram's bucket is the first 32 bits
+    * of its md5, mod D — the same engine-portable hash family as
+    * [[graft.ops.Sampling.hashUniform]].
+    *
+    * Scale posture: a pure zero-shuffle projection. The model rides
+    * the plan as ONE array literal (D doubles ≈ 8·D bytes — 8 MB at
+    * fastText's default 2²⁰ buckets, shipped once per executor with
+    * the task closure, never per row); the corpus is never exploded,
+    * joined, or re-partitioned. */
+  def classifierScore(docs: DataFrame, weights: Seq[Double],
+      bias: Double = 0.0, wordNgrams: Int = 2): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(wordNgrams >= 1, s"wordNgrams must be positive, got $wordNgrams")
+    val d = weights.length
+    val wLit = array(weights.map(w =>
+      lit(BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .underlying).cast("decimal(38,6)")): _*)
+    val bucket = (g: Column) =>
+      (conv(substring(md5(g), 1, 8), 16, 10).cast("long") % d).cast("int")
+    def gramsOf(toks: Column, k: Int): Column =
+      // sequence(0, -1) DESCENDS instead of returning empty (see
+      // lmScore) — sub-k docs need the explicit empty branch.
+      when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => array_join(slice(toks, i + 1, lit(k)), " ")))
+        .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+    docs
+      .withColumn("toks", graft.functions.word_tokens(col("text")))
+      .withColumn("grams",
+        concat((1 to wordNgrams).map(k => gramsOf(col("toks"), k)): _*))
+      .withColumn("n_grams", size(col("grams")).cast("long"))
+      .withColumn("sum_w_dec", aggregate(col("grams"),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,6)"),
+        (acc, g) => (acc + element_at(wLit, bucket(g) + 1)).cast("decimal(38,6)")))
+      .select(col("doc_id"), col("n_grams"),
+        col("sum_w_dec").cast("double").as("sum_w"),
+        (lit(1.0) / (lit(1.0) + exp(-(lit(bias) +
+          when(col("n_grams") === 0, lit(0.0))
+            .otherwise(col("sum_w_dec").cast("double") / col("n_grams"))))))
+          .as("score"))
   }
 
   /** Context-window chunking: splits each document into token windows

@@ -2097,4 +2097,178 @@ class OpsSpec extends AnyFunSuite {
       assert(byPos == byU, s"bucket $b order mismatch")
     }
   }
+
+  test("deterministic shuffle refuses to clobber pre-existing output columns") {
+    val withBucket = docs.withColumn("shuffle_bucket", lit(7))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.deterministicShuffle(withBucket, col("doc_id"))
+    }
+    assert(e.getMessage.contains("shuffle_bucket"))
+    val withBoth = docs.withColumn("shuffle_bucket", lit(1))
+      .withColumn("shuffle_pos", lit(2L))
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.deterministicShuffle(withBoth, col("doc_id"))
+    }
+    assert(e2.getMessage.contains("shuffle_pos"))
+  }
+
+  test("span cut verify: engineered hash collision suppressed, true duplicates still cut, clean corpus bit-identical") {
+    // Weak gram hash — only the FIRST word of each gram is hashed — so
+    // two different grams sharing a first word collide by construction
+    // (a real 64-bit word_shingle_hashes collision is not testable).
+    val weak: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column = (text, n) => {
+      val toks = graft.functions.word_tokens(text)
+      when(size(toks) >= n,
+        transform(slice(toks, lit(1), size(toks) - (n - 1)), t => xxhash64(t)))
+        .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))
+    }
+    // Docs 1/2: grams "k a1 a2" vs "k b1 b2" collide under the weak
+    // hash but differ in content — an innocent span. Docs 3/4 share a
+    // GENUINE duplicate "c d e" (which also collides, on h("c")).
+    val fx = Seq(
+      (1L, "k a1 a2 a3 a4"),
+      (2L, "k b1 b2 b3 b4"),
+      (3L, "c d e x1 x2"),
+      (4L, "c d e y1 y2")).toDF("doc_id", "text")
+    def run(verify: Boolean) =
+      Dedup.cutDuplicatedSpansImpl(fx, 3, Persistence.Local, verify, weak)
+        .select("doc_id", "text", "n_cut")
+        .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    val unverified = run(verify = false)
+    // The collision DOES delete innocent text without verification...
+    assert(unverified(2L) == ((2L, "b3 b4", 3L)))
+    // ...and verification suppresses exactly that cut,
+    val verified = run(verify = true)
+    assert(verified(1L) == ((1L, "k a1 a2 a3 a4", 0L)))
+    assert(verified(2L) == ((2L, "k b1 b2 b3 b4", 0L)))
+    // while the true duplicate is still removed, first occurrence wins.
+    assert(verified(3L) == ((3L, "c d e x1 x2", 0L)))
+    assert(verified(4L) == ((4L, "y1 y2", 3L)))
+
+    // Collision-free corpus with the production hash: verify=true is
+    // bit-identical to the unverified path.
+    val base = Dedup.cutDuplicatedSpans(docs, 4)
+      .select("doc_id", "text", "n_words", "n_cut")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val withVerify = Dedup.cutDuplicatedSpans(docs, 4, verify = true)
+      .select("doc_id", "text", "n_words", "n_cut")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(withVerify == base)
+  }
+
+  test("lmScore shuffle-join fallback (model over the broadcast cap) matches the broadcast plan") {
+    val fx = Seq((1L, "aaaa"), (2L, "aaab"), (3L, "ab")).toDF("doc_id", "text")
+    def run(cap: Long) = TextAnalysis.lmScore(fx, maxBroadcastModel = cap)
+      .select("doc_id", "n_tri", "sum_cnt", "avg_p")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(run(0L) == run(Long.MaxValue))   // cap 0 forces the shuffle join
+    // Real corpus: identical frames either way.
+    def real(cap: Long) = TextAnalysis.lmScore(docs, maxBroadcastModel = cap)
+      .select("doc_id", "n_tri", "sum_cnt", "avg_p")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(real(0L) == real(Long.MaxValue))
+  }
+
+  test("profiling drives the skew knobs: skew_uniform picks the salt factor on a hot key") {
+    // Synthetic hot key: "hot" carries 30% of 10k rows; 700 cold keys
+    // share the rest. This is the pre-flight recipe the saltedJoin /
+    // asofJoin-bucketWidth / span-dedup-maxGramOcc scaladocs point at.
+    val hot = spark.range(10000).select(
+      when(col("id") < 3000, lit("hot"))
+        .otherwise(concat(lit("k"), pmod(col("id"), lit(700)))).as("k"),
+      col("id").as("v"))
+    val st = Profiling.keyStats(hot, col("k"))
+      .select("n_rows", "n_keys", "top_cnt", "skew_uniform")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(st._3 == 3000L)
+    // skew_uniform = top_cnt * n_keys / n_rows ≈ 0.3 * 701: SALT.
+    assert(st._4 > 100)
+    val salt = math.min(32, math.ceil(st._4).toInt) // recipe from the docs
+    assert(salt == 32)
+    // A uniform key says don't salt (≈ 1).
+    val uni = spark.range(10000).select(
+      concat(lit("k"), pmod(col("id"), lit(700))).as("k"), col("id").as("v"))
+    val stU = Profiling.keyStats(uni, col("k"))
+      .select("skew_uniform").as[Double].collect().head
+    assert(stU < 2.0)
+    // And the picked factor feeds saltedJoin unchanged-result (the
+    // wiring end of the recipe): salted ≡ plain on the hot fixture.
+    val dim = spark.range(700).select(concat(lit("k"), pmod(col("id"), lit(700)))
+      .as("k"), col("id").as("dim_v")).union(
+      Seq(("hot", 9999L)).toDF("k", "dim_v"))
+    val plain = hot.join(dim, "k").groupBy("k").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    val salted = Bucketing.saltedJoin(hot, dim, "k", salt)
+      .groupBy("k").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("classifier score: hand-trained hashed-ngram model scores exactly, spam separates, corpus laws hold") {
+    def bucket(g: String, d: Int): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 8), 16) % d).toInt
+    }
+    def grams(text: String, wordNgrams: Int): Seq[String] = {
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      (1 to wordNgrams).flatMap(k => toks.sliding(k).filter(_.size == k)
+        .map(_.mkString(" ")).toSeq)
+    }
+    // Hand-trained spam detector: D=64, +5 on "spam"'s bucket, -1 on
+    // "good"'s, zero elsewhere (buckets verified distinct below).
+    val D = 64
+    val bSpam = bucket("spam", D)
+    val bGood = bucket("good", D)
+    assert(bSpam != bGood)
+    val w = Seq.tabulate(D)(i => if (i == bSpam) 5.0 else if (i == bGood) -1.0 else 0.0)
+    val fx = Seq(
+      (1L, "good text here"),
+      (2L, "spam spam spam"),
+      (3L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.classifierScore(fx, w, bias = 0.1, wordNgrams = 2)
+      .select("doc_id", "n_grams", "sum_w", "score")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    // Mirror-computed expectation: same buckets, same 6dp decimal sum.
+    val fixture = Map(1L -> "good text here", 2L -> "spam spam spam", 3L -> "x")
+    for ((id, text) <- fixture) {
+      val gs = grams(text, 2)
+      val expSum = gs.map(g => BigDecimal(w(bucket(g, D))).setScale(6)).sum
+      val expScore = 1.0 / (1.0 + math.exp(-(0.1 + expSum.toDouble / gs.size)))
+      assert(out(id)._2 == gs.size.toLong, s"doc $id n_grams")
+      assert(out(id)._3 == expSum.toDouble, s"doc $id sum_w")
+      assert(math.abs(out(id)._4 - expScore) < 1e-12, s"doc $id score")
+    }
+    // The hand-trained model actually separates.
+    assert(out(2L)._4 > 0.9 && out(1L)._4 < out(3L)._4 && out(2L)._4 > out(1L)._4)
+    // Corpus laws at the gate model: n_grams = n + (n-1) bigrams,
+    // every score a proper probability.
+    val real = TextAnalysis.classifierScore(docs,
+      (0 until 64).map(i => ((i * 37) % 101 - 50) / 1000.0), 0.0, 2)
+    val toks = docs.select(col("doc_id"),
+      size(graft.functions.word_tokens(col("text"))).cast("long").as("n"))
+    val bad = real.join(toks, "doc_id").filter(
+      col("n_grams") =!= when(col("n") >= 2, col("n") * 2 - 1).otherwise(col("n")) ||
+        col("score") <= 0.0 || col("score") >= 1.0 || col("score").isNull)
+    assert(bad.count() == 0)
+  }
+
+  test("events loader: session timezone untouched, NTZ anchored to UTC at eval time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evtz").toString
+    spark.range(1).select(
+      expr("TIMESTAMP_NTZ '2022-04-21 15:31:41.028'").as("ts"),
+      lit(1.0).as("value")).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val loaded = SparkEntry.events(spark, dir)
+      // Conversion is UTC-anchored no matter the session tz in force
+      // when the (lazy) plan finally evaluates.
+      val millis = loaded.select(unix_millis(col("ts"))).as[Long].collect().head
+      assert(millis ==
+        java.time.Instant.parse("2022-04-21T15:31:41.028Z").toEpochMilli)
+      // The load itself did not touch the caller's session.
+      assert(spark.conf.get("spark.sql.session.timeZone") == "America/New_York")
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+  }
 }

@@ -86,7 +86,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "text_quality", "text_tokens", "text_langid", "text_langid_ngram",
       "text_fingerprint", "text_redact", "text_compress_ratio",
       "curation_sample", "curation_split", "curation_mixture",
-      "mm_features", "mm_resize")
+      "mm_features", "mm_resize", "text_classifier_score")
     for (q <- zeroShuffle) {
       val n = "Exchange".r.findAllIn(plans(q)).size
       assert(n == 0, s"$q plans $n Exchange nodes; expected a pure projection")
@@ -120,6 +120,30 @@ class PlanShapeSpec extends AnyFunSuite {
       val sorts = "(?m)^\\s*[+:]?-?\\s*\\*?\\(?\\d*\\)?\\s*Sort ".r
         .findAllIn(plan).size
       assert(sorts <= 1, s"$q: expected at most one Sort, got $sorts in:\n$plan")
+    }
+  }
+
+  test("rolling index append derives every artifact from the batch alone (no base-index scan)") {
+    // appendToDedupIndex's 100 TB contract: appending a day's survivors
+    // re-scans NOTHING of the accumulated index — its three write jobs
+    // read only the batch (the sole index read in the append path is
+    // the one-row params guard). Pin: each artifact frame plans exactly
+    // one parquet scan, and it is the batch table, never an index
+    // artifact directory.
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val (sh, sig, banded) =
+      graft.ops.Dedup.indexArtifactFrames(docs, 3, 64, 16, 64)
+    for ((f, nm) <- Seq((sh, "shingles"), (sig, "sigs"), (banded, "bands"))) {
+      val plan = f.queryExecution.executedPlan.toString
+      val scans = "Scan parquet".r.findAllIn(plan).size
+      assert(scans == 1, s"append artifact $nm plans $scans parquet scans:\n$plan")
+      assert(plan.contains("documents.parquet"),
+        s"append artifact $nm does not scan the batch table:\n$plan")
+      for (art <- Seq("/shingles", "/sigs", "/bands"))
+        assert(!plan.contains(art),
+          s"append artifact $nm re-scans the base index ($art):\n$plan")
     }
   }
 
