@@ -20,13 +20,20 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     fn(spark, sfDir).explain("formatted")
+    var lastQe: org.apache.spark.sql.execution.QueryExecution = null
     (1 to laps).foreach { i =>
       val t0 = System.nanoTime()
       // Same action as Bench: force the query's own plan, not the
       // count() rewrite (which prunes projections / eliminates joins).
-      val n = fn(spark, sfDir).queryExecution.toRdd.count()
+      lastQe = fn(spark, sfDir).queryExecution
+      val n = lastQe.toRdd.count()
       println(f"[explain] lap $i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
+    // The static plan above predates AQE's runtime re-planning (stage
+    // reuse, skew splits, coalescing only appear in the FINAL adaptive
+    // plan) — dump it post-execution when asked.
+    if (sys.env.contains("SPARK_GRAFT_FINAL_PLAN"))
+      println(lastQe.executedPlan.toString)
     spark.stop()
   }
 }

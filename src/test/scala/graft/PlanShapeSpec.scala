@@ -123,6 +123,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("hotKeys computes its total from the counts frame via AQE exchange reuse (one input pass)") {
+    // The share denominator re-aggregates the groupBy output instead of
+    // re-scanning the raw input; the two plan branches sit on the same
+    // canonical exchange and AQE's stage reuse must fuse them (the
+    // static plan shows two scans — only the FINAL adaptive plan
+    // proves the single pass, so this pin executes the query).
+    import org.apache.spark.sql.functions.col
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val hk = graft.ops.Profiling.hotKeys(ev, col("user_id"), 5)
+    val qe = hk.queryExecution
+    qe.toRdd.count()
+    assert(qe.executedPlan.toString.contains("ReusedExchange"),
+      s"hotKeys total branch no longer reuses the counts exchange:\n${qe.executedPlan}")
+  }
+
   test("rolling index append derives every artifact from the batch alone (no base-index scan)") {
     // appendToDedupIndex's 100 TB contract: appending a day's survivors
     // re-scans NOTHING of the accumulated index — its three write jobs
