@@ -874,6 +874,22 @@ object SparkEntry {
       graft.ops.TextAnalysis.classifierScore(
         documents(s, d), classifierGateWeights, bias = 0.0, wordNgrams = 2)
         .select(col("doc_id"), col("n_grams"), col("sum_w"))),
+    // True vocab-merge BPE: train 200 merges on the corpus, then pin
+    // the portable projections — the md5 of the re-concatenated token
+    // stream (equals md5(text) iff the ranked merge loop round-trips
+    // every document exactly) and the empty-merge segmentation (one
+    // symbol per codepoint iff the pre-token lexer is total). The
+    // token counts themselves are not SQL-expressible; BpeSpec pins
+    // the merge arithmetic against the hand-worked textbook corpus.
+    "text_bpe_encode" -> ((s, d) => {
+      val dd = documents(s, d)
+      val merges = graft.ops.TextAnalysis.bpeTrain(dd, numMerges = 200)
+      dd.select(col("doc_id"),
+        md5(concat_ws("", graft.functions.bpe_encode(col("text"), merges)))
+          .as("roundtrip_md5"),
+        size(graft.functions.bpe_encode(col("text"), Nil)).cast("long")
+          .as("n_codepoints"))
+    }),
     // Skew pre-flight: exact top-20 hot keys + one-row key health on
     // the events stream's user_id (the key every CEP/temporal join in
     // this library shuffles on).
@@ -1054,6 +1070,11 @@ object SparkEntry {
          |SELECT t.doc_id, COALESCE(s.n_grams, 0) AS n_grams,
          |  CAST(COALESCE(s.sw, 0) AS DOUBLE) AS sum_w
          |FROM t LEFT JOIN s USING (doc_id)""".stripMargin,
+    // BPE round-trip: concatenated tokens == text exactly, and the
+    // empty-merge segmentation is one symbol per codepoint.
+    "text_bpe_encode" ->
+      """SELECT doc_id, md5(text) AS roundtrip_md5,
+        |  length(text) AS n_codepoints FROM documents""".stripMargin,
     "profile_hot_keys" ->
       """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key_value, count(*) AS cnt
         |           FROM events GROUP BY 1),

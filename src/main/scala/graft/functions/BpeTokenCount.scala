@@ -75,6 +75,34 @@ object BpeTokenCountImpl {
     0
   }
 
+  /** End offset (exclusive) of the pre-token starting at byte `i` —
+    * the single-branch step of the lexer, shared by [[count]] and the
+    * true-BPE encoder's segmentation ([[BpeTable.encode]]), so the
+    * two can never disagree on pre-token boundaries. */
+  def tokenEnd(bytes: Array[Byte], i0: Int): Int = {
+    val n = bytes.length
+    val b = bytes(i0)
+    var i = i0
+    if (b == '\'' && contractionLen(bytes, i) > 0) {
+      i += contractionLen(bytes, i)
+    } else if (b == ' ' && i + 1 < n && isLetter(bytes(i + 1))) {
+      i += 2; while (i < n && isLetter(bytes(i))) i += 1
+    } else if (b == ' ' && i + 1 < n && isDigit(bytes(i + 1))) {
+      i += 2; while (i < n && isDigit(bytes(i))) i += 1
+    } else if (b == ' ' && i + 1 < n && isOther(bytes(i + 1))) {
+      i += 2; while (i < n && isOther(bytes(i))) i += 1
+    } else if (isLetter(b)) {
+      i += 1; while (i < n && isLetter(bytes(i))) i += 1
+    } else if (isDigit(b)) {
+      i += 1; while (i < n && isDigit(bytes(i))) i += 1
+    } else if (isWs(b)) {
+      i += 1; while (i < n && isWs(bytes(i))) i += 1
+    } else {
+      i += 1; while (i < n && isOther(bytes(i))) i += 1
+    }
+    i
+  }
+
   /** See [[BpeTokenCount]]. Static for codegen. */
   def count(s: UTF8String): Long = {
     val bytes = s.getBytes
@@ -82,24 +110,7 @@ object BpeTokenCountImpl {
     var i = 0
     var tokens = 0L
     while (i < n) {
-      val b = bytes(i)
-      if (b == '\'' && contractionLen(bytes, i) > 0) {
-        i += contractionLen(bytes, i)
-      } else if (b == ' ' && i + 1 < n && isLetter(bytes(i + 1))) {
-        i += 2; while (i < n && isLetter(bytes(i))) i += 1
-      } else if (b == ' ' && i + 1 < n && isDigit(bytes(i + 1))) {
-        i += 2; while (i < n && isDigit(bytes(i))) i += 1
-      } else if (b == ' ' && i + 1 < n && isOther(bytes(i + 1))) {
-        i += 2; while (i < n && isOther(bytes(i))) i += 1
-      } else if (isLetter(b)) {
-        i += 1; while (i < n && isLetter(bytes(i))) i += 1
-      } else if (isDigit(b)) {
-        i += 1; while (i < n && isDigit(bytes(i))) i += 1
-      } else if (isWs(b)) {
-        i += 1; while (i < n && isWs(bytes(i))) i += 1
-      } else {
-        i += 1; while (i < n && isOther(bytes(i))) i += 1
-      }
+      i = tokenEnd(bytes, i)
       tokens += 1L
     }
     tokens

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.graft.{AsciiClassCountsColumns, BpeTokenCountColumns, CepExprColumns, CompressRatioColumns, GramStatsColumns, LshBucketsColumns, MarkerCountsColumns, MatrixRowDotColumns, MetricRouteColumns, MinhashColumns, RollingHashColumns, SimhashColumns, TrigramScoresColumns, VecDotColumns, VecUnitColumns, WordShinglesColumns}
+import org.apache.spark.sql.graft.{AsciiClassCountsColumns, BpeEncodeColumns, BpeTokenCountColumns, CepExprColumns, CompressRatioColumns, GramStatsColumns, LshBucketsColumns, MarkerCountsColumns, MatrixRowDotColumns, MetricRouteColumns, MinhashColumns, RollingHashColumns, SimhashColumns, TrigramScoresColumns, VecDotColumns, VecUnitColumns, WordShinglesColumns}
 
 /** Public column-function surface for graft's native Catalyst
   * expressions (implementations under org.apache.spark.sql.graft). */
@@ -97,6 +97,14 @@ package object functions {
     * [[org.apache.spark.sql.graft.BpeTokenCount]]. */
   def bpe_token_count(text: Column): Column =
     BpeTokenCountColumns.bpeTokenCount(text)
+
+  /** True vocab-merge BPE encoding (ARRAY<STRING> of tokens): GPT-2
+    * shaped pre-tokenization (the same lexer branch logic as
+    * `bpe_token_count`), then the classic ranked greedy merge loop
+    * per pre-token. Concatenating the tokens reproduces the input
+    * exactly — see [[org.apache.spark.sql.graft.BpeEncode]]. */
+  def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
+    BpeEncodeColumns.bpeEncode(text, merges)
 
   /** Per-class ASCII character counts (ARRAY<BIGINT>, class order =
     * `classes` order) in one byte pass — see

@@ -460,4 +460,140 @@ object TextAnalysis {
         md5(array_join(slice(col("toks"), col("start_tok") + 1,
           least(lit(window), col("n_toks") - col("start_tok"))), " ")).as("chunk_md5"))
   }
+
+  /** Learn a BPE merge list from the corpus (classic Sennrich-style
+    * training, but restructured for scale): ONE distributed pass
+    * pre-tokenizes with [[bpePattern]] (the oracle spelling of the
+    * encoder's hand lexer, spec-pinned identical) and aggregates a
+    * word-frequency table — map-side combined groupBy, then
+    * TakeOrderedAndProject for the top `maxVocabWords` words by
+    * frequency, so the driver never holds more than that many rows
+    * regardless of corpus size. The merge-selection loop then runs on
+    * the driver over that bounded table — the classic trainer is a
+    * loop over the WORD VOCABULARY, not the corpus, so this is the
+    * standard fast-BPE factorization (zipfian mass means the capped
+    * vocab covers almost all corpus occurrences; rare tail words
+    * below the cap influence only tail merges).
+    *
+    * Deterministic: pair selection is (count desc, left asc, right
+    * asc) — independent of hash-map iteration order — and the word
+    * table is top-K by (freq desc, word asc). Each selected pair is
+    * applied to all leftmost non-overlapping occurrences, the same
+    * rule [[org.apache.spark.sql.graft.BpeTable.encodeWord]] replays
+    * at encode time, so encoding a training word applies exactly the
+    * training-time merge sequence. Pair counts update incrementally
+    * (only words containing the merged pair are reprocessed), so
+    * driver work is O(numMerges * affectedWords), not
+    * O(numMerges * vocab). Stops early when no pair reaches
+    * `minPairFreq`. */
+  def bpeTrain(docs: DataFrame, numMerges: Int,
+      maxVocabWords: Int = 65536, minPairFreq: Long = 2L): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges must be non-negative, got $numMerges")
+    require(maxVocabWords >= 1, s"maxVocabWords must be positive, got $maxVocabWords")
+    val wordFreq: Array[(String, Long)] = docs
+      .select(explode(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w").asc)
+      .limit(maxVocabWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+
+    import scala.collection.mutable
+    val words = new Array[Array[String]](wordFreq.length)
+    val freqs = new Array[Long](wordFreq.length)
+    var wi = 0
+    while (wi < wordFreq.length) {
+      val (w, f) = wordFreq(wi)
+      val syms = mutable.ArrayBuffer.empty[String]
+      var ci = 0
+      while (ci < w.length) {
+        val cc = Character.charCount(w.codePointAt(ci))
+        syms += w.substring(ci, ci + cc)
+        ci += cc
+      }
+      words(wi) = syms.toArray
+      freqs(wi) = f
+      wi += 1
+    }
+
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def addWord(i: Int, sign: Long): Unit = {
+      val s = words(i)
+      var k = 0
+      while (k < s.length - 1) {
+        val p = (s(k), s(k + 1))
+        val c = pairCount.getOrElse(p, 0L) + sign * freqs(i)
+        if (c == 0L) pairCount.remove(p) else pairCount(p) = c
+        if (sign > 0) pairWords.getOrElseUpdate(p, mutable.Set.empty) += i
+        k += 1
+      }
+      if (sign < 0) {
+        k = 0
+        while (k < s.length - 1) {
+          val p = (s(k), s(k + 1))
+          pairWords.get(p).foreach { set =>
+            set -= i; if (set.isEmpty) pairWords.remove(p)
+          }
+          k += 1
+        }
+      }
+    }
+    var i = 0
+    while (i < words.length) { addWord(i, 1L); i += 1 }
+
+    def applyMerge(s: Array[String], l: String, r: String): Array[String] = {
+      val merged = l + r
+      val out = mutable.ArrayBuffer.empty[String]
+      var j = 0
+      while (j < s.length) {
+        if (j < s.length - 1 && s(j) == l && s(j + 1) == r) {
+          out += merged; j += 2
+        } else { out += s(j); j += 1 }
+      }
+      out.toArray
+    }
+
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var done = numMerges == 0
+    while (!done) {
+      var bestPair: (String, String) = null
+      var bestCount = 0L
+      pairCount.foreach { case (p, c) =>
+        if (c > bestCount || (c == bestCount && bestPair != null &&
+            (p._1 < bestPair._1 || (p._1 == bestPair._1 && p._2 < bestPair._2)))) {
+          bestPair = p; bestCount = c
+        }
+      }
+      if (bestPair == null || bestCount < minPairFreq) done = true
+      else {
+        merges += bestPair
+        val affected = pairWords.getOrElse(bestPair, mutable.Set.empty).toArray
+        var a = 0
+        while (a < affected.length) {
+          val w = affected(a)
+          addWord(w, -1L)
+          words(w) = applyMerge(words(w), bestPair._1, bestPair._2)
+          addWord(w, 1L)
+          a += 1
+        }
+        if (merges.length >= numMerges) done = true
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Per-document true-BPE encoding stats under a learned merge list:
+    * token count, codepoint count, and the chars-per-token
+    * compression the vocabulary achieves (the number a tokenizer
+    * card reports). Zero-shuffle projection — the merge table rides
+    * the serialized plan (vocab-bounded, never corpus-bounded). */
+  def bpeStats(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val toks = graft.functions.bpe_encode(col("text"), merges)
+    docs.select(col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_codepoints"))
+      .withColumn("chars_per_token",
+        when(col("n_tokens") > 0, col("n_codepoints").cast("double") / col("n_tokens")))
+  }
 }
