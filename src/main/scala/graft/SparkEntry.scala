@@ -890,6 +890,17 @@ object SparkEntry {
         size(graft.functions.bpe_encode(col("text"), Nil)).cast("long")
           .as("n_codepoints"))
     }),
+    // Distinctive terms per doc: the rational-idf twin scores with ONE
+    // IEEE division of exact integers (engine-bit-identical), so the
+    // full top-5 ranking is oracle-gated; the log-idf production shape
+    // is benched as text_tfidf_prod.
+    "text_tfidf" -> ((s, d) =>
+      graft.ops.TextAnalysis.tfidf(documents(s, d), k = 5, rationalIdf = true)),
+    // Cross-source duplication audit: shared trigram types + doc-level
+    // overlap fraction per ordered source pair (exact integers + one
+    // fixed-order division — fully portable).
+    "profile_source_overlap" -> ((s, d) =>
+      graft.ops.Profiling.sourceOverlap(documents(s, d), n = 3)),
     // Skew pre-flight: exact top-20 hot keys + one-row key health on
     // the events stream's user_id (the key every CEP/temporal join in
     // this library shuffles on).
@@ -1075,6 +1086,38 @@ object SparkEntry {
     "text_bpe_encode" ->
       """SELECT doc_id, md5(text) AS roundtrip_md5,
         |  length(text) AS n_codepoints FROM documents""".stripMargin,
+    "text_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($dToks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT doc_id, term, tf, df, score, rank FROM (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |    CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / (df.df + 1) AS score,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / (df.df + 1) DESC,
+         |               tf.term ASC) AS rank
+         |  FROM tf JOIN df USING (term) CROSS JOIN n)
+         |WHERE rank <= 5""".stripMargin,
+    "profile_source_overlap" ->
+      s"""WITH t AS (SELECT doc_id, source, $dToks w FROM documents),
+         |tok AS (SELECT doc_id, source, generate_subscripts(w,1) i, unnest(w) tk FROM t),
+         |sh AS (SELECT DISTINCT a.doc_id, a.source,
+         |         a.tk || ' ' || b.tk || ' ' || c.tk AS g
+         |       FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.i=a.i+1
+         |                  JOIN tok c ON a.doc_id=c.doc_id AND c.i=a.i+2),
+         |gs AS (SELECT DISTINCT source, g FROM sh),
+         |gp AS (SELECT x.source src_a, y.source src_b, count(*) AS n_shared_grams
+         |       FROM gs x JOIN gs y ON x.g=y.g AND x.source<>y.source GROUP BY 1,2),
+         |dh AS (SELECT DISTINCT d.doc_id, d.source AS src_a, o.source AS src_b
+         |       FROM sh d JOIN gs o ON d.g=o.g AND d.source<>o.source),
+         |dc AS (SELECT src_a, src_b, count(*) AS n_docs_overlap FROM dh GROUP BY 1,2),
+         |ns AS (SELECT source, count(*) AS n_docs_a FROM documents GROUP BY 1)
+         |SELECT gp.src_a, gp.src_b, gp.n_shared_grams, dc.n_docs_overlap,
+         |  ns.n_docs_a,
+         |  CAST(dc.n_docs_overlap AS DOUBLE) / ns.n_docs_a AS overlap_frac
+         |FROM gp JOIN dc USING (src_a, src_b)
+         |JOIN ns ON ns.source = gp.src_a""".stripMargin,
     "profile_hot_keys" ->
       """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key_value, count(*) AS cnt
         |           FROM events GROUP BY 1),
@@ -1682,6 +1725,13 @@ object SparkEntry {
     // oracle would be the identity transform; spec'd on planted PII).
     "text_redact" -> ((s, d) =>
       graft.ops.TextAnalysis.redact(documents(s, d))),
+    // Production tf-idf (smoothed log idf) and BM25 — libm ln in the
+    // score, so benched + spec'd; the rational-idf twin is the
+    // text_tfidf oracle gate.
+    "text_tfidf_prod" -> ((s, d) =>
+      graft.ops.TextAnalysis.tfidf(documents(s, d), k = 5)),
+    "text_bm25_prod" -> ((s, d) =>
+      graft.ops.TextAnalysis.bm25(documents(s, d), k = 5)),
     // Cluster-balanced diversity sampling (result depends on k-means
     // float centroids — not oracle-portable; invariants spec'd).
     "sim_diversity" -> ((s, d) =>

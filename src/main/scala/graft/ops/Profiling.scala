@@ -59,4 +59,55 @@ object Profiling {
         (col("top_cnt").cast("double") / col("n_rows")).as("top_share"),
         (col("top_cnt").cast("double") * col("n_keys") / col("n_rows"))
           .as("skew_uniform"))
+
+  /** Cross-source duplication audit: for every ordered source pair
+    * (src_a, src_b), how many word `n`-gram shingle types the two
+    * sources share (`n_shared_grams`) and how many of src_a's
+    * documents contain at least one gram that also occurs somewhere
+    * in src_b (`n_docs_overlap`, plus the fraction of src_a that is).
+    * This is the corpus-governance table read before mixing sources
+    * into a training set — a pair with a high `overlap_frac` means
+    * one source is substantially mirrored in the other, and
+    * cross-source dedup (or dropping one side) should come first.
+    *
+    * Scale: the doc-gram frame is corpus-sized but the gram→source
+    * frame it joins against is VOCABULARY × sources (distinct gram
+    * types per source, never per occurrence), and every fan-out is
+    * bounded by the number of sources S — a boilerplate gram present
+    * in all sources expands each of its doc rows S ways, no more.
+    * The final tables are S·(S−1) rows. Exact integer counts and one
+    * fixed-order division — fully oracle-portable. Pairs with zero
+    * overlap are omitted (the join support is identical on any
+    * engine). If a skew pre-flight ([[keyStats]] on the gram column)
+    * shows pathological hot grams, dedup the boilerplate first
+    * ([[Dedup.dedupLines]]) rather than capping here — a cap would
+    * silently understate exactly the overlap this audit exists to
+    * expose. */
+  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    val sh = docs.select(col("doc_id"), col("source"),
+      explode(array_distinct(graft.functions.array_shingles(
+        graft.functions.word_tokens(col("text")), n))).as("gram"))
+    val gs = sh.select(col("source"), col("gram")).distinct()
+    val gramPairs = gs.select(col("source").as("src_a"), col("gram"))
+      .join(gs.select(col("source").as("src_b"), col("gram")), "gram")
+      .filter(col("src_a") =!= col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+    val docHits = sh.select(col("doc_id"), col("source").as("src_a"), col("gram"))
+      .join(gs.select(col("source").as("src_b"), col("gram")), "gram")
+      .filter(col("src_a") =!= col("src_b"))
+      .select(col("doc_id"), col("src_a"), col("src_b"))
+      .distinct()
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_docs_overlap"))
+    val perSource = docs.groupBy(col("source").as("src_a"))
+      .agg(count(lit(1)).as("n_docs_a"))
+    gramPairs.join(docHits, Seq("src_a", "src_b"))
+      .join(perSource, "src_a")
+      .select(col("src_a"), col("src_b"), col("n_shared_grams"),
+        col("n_docs_overlap"), col("n_docs_a"),
+        (col("n_docs_overlap").cast("double") / col("n_docs_a"))
+          .as("overlap_frac"))
+  }
 }

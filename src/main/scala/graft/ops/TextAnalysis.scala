@@ -461,6 +461,87 @@ object TextAnalysis {
           least(lit(window), col("n_toks") - col("start_tok"))), " ")).as("chunk_md5"))
   }
 
+  /** Distinctive-term extraction: the top `k` terms of each document
+    * ranked by tf-idf — the classic "what is this document about"
+    * signal used for topic tagging, domain-mix audits, and keyword
+    * routing in curation stacks. Deterministic: ties break by term
+    * ascending.
+    *
+    * Two idf shapes: the default log idf `tf * (ln((N+1)/(df+1)) + 1)`
+    * (smoothed, the standard spelling), and `rationalIdf = true`
+    * which scores `tf * (N+1) / (df+1)` — same (tf, df, N) inputs,
+    * but the score is ONE IEEE division of exact integers, so an ANSI
+    * SQL engine reproduces it bit-for-bit (the oracle gate runs this
+    * twin; libm `ln` ulp differences could flip near-equal ranks in
+    * the log variant, so that one is benched + spec'd instead).
+    *
+    * Scale: tf = one map-side-combined groupBy (doc_id, term); df
+    * derives from tf (never a second corpus scan); the corpus size N
+    * rides a one-row broadcast (declared BNLJ, bounded build); the
+    * per-doc top-k window shuffles by doc_id and sorts only each
+    * document's distinct terms. The tf⋈df equi-join shuffles on term
+    * — vocabulary-sized, not corpus-sized, and never broadcast (a
+    * 100 TB vocabulary does not fit a broadcast). */
+  def tfidf(docs: DataFrame, k: Int = 5, rationalIdf: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfFrame = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // Count-star over a column-pruned scan: parquet answers from
+    // row-group metadata, no data pages read.
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val score =
+      if (rationalIdf) (col("tf") * (col("n_docs") + 1)).cast("double") / (col("df") + 1)
+      else col("tf") * (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1)
+    tf.join(dfFrame, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rank"))
+  }
+
+  /** BM25 top-`k` terms per document — the retrieval-grade sibling of
+    * [[tfidf]] with term-frequency saturation (`k1`) and document-
+    * length normalization (`b`):
+    * `idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))` with
+    * `idf = ln(1 + (N - df + 0.5)/(df + 0.5))`. The score needs libm
+    * `ln`, so it is spec-pinned + benched (not oracle-gated) like the
+    * other float-transcendental operators.
+    *
+    * Scale: every corpus statistic derives from the tf frame — doc
+    * length dl = sum of tf per doc, N = row count of the dl frame
+    * (every document yields at least one token, even empty text), and
+    * avgdl = one-row aggregate of dl — so the corpus is scanned ONCE;
+    * N/avgdl ride one-row broadcasts (bounded BNLJ builds). */
+  def bm25(docs: DataFrame, k: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfFrame = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("tf") * (lit(k1) + 1) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
+    tf.join(dfFrame, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("score", idf * norm)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"),
+        col("score"), col("rank"))
+  }
+
   /** Learn a BPE merge list from the corpus (classic Sennrich-style
     * training, but restructured for scale): ONE distributed pass
     * pre-tokenizes with [[bpePattern]] (the oracle spelling of the

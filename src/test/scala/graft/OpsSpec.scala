@@ -2271,4 +2271,106 @@ class OpsSpec extends AnyFunSuite {
       assert(spark.conf.get("spark.sql.session.timeZone") == "America/New_York")
     } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
+
+  test("sourceOverlap: hand-computed pair table, asymmetric fractions, laws") {
+    val tiny = Seq(
+      (1L, "A", "x y z"), (2L, "A", "p q r"),
+      (3L, "B", "x y w"), (4L, "C", "no overlap here"))
+      .toDF("doc_id", "source", "text")
+    val out = Profiling.sourceOverlap(tiny, n = 2)
+      .orderBy("src_a", "src_b")
+      .select("src_a", "src_b", "n_shared_grams", "n_docs_overlap",
+        "n_docs_a", "overlap_frac")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // A and B share the single bigram type "x y"; half of A's docs
+    // touch B, all of B's one doc touches A; C overlaps nothing and
+    // is absent from the table.
+    assert(out == Seq(
+      ("A", "B", 1L, 1L, 2L, 0.5),
+      ("B", "A", 1L, 1L, 1L, 1.0)))
+
+    // Corpus laws: doc overlap never exceeds the source's doc count,
+    // shared-gram counts are symmetric, fractions in (0, 1].
+    val real = Profiling.sourceOverlap(docs, n = 3)
+      .select("src_a", "src_b", "n_shared_grams", "n_docs_overlap",
+        "n_docs_a", "overlap_frac")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(real.forall(r => r._4 <= r._5 && r._6 > 0 && r._6 <= 1.0))
+    val grams = real.map(r => (r._1, r._2) -> r._3).toMap
+    assert(grams.forall { case ((a, b), g) => grams.get((b, a)).contains(g) })
+  }
+
+  test("tfidf: hand-computed scores, deterministic tie-break, corpus laws") {
+    val tiny = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry durian")).toDF("doc_id", "text")
+    // N=3; df: apple 1, banana 2, cherry 2, durian 1.
+    val rat = TextAnalysis.tfidf(tiny, k = 5, rationalIdf = true)
+      .orderBy("doc_id", "rank")
+      .select("doc_id", "term", "tf", "df", "score", "rank")
+      .as[(Long, String, Long, Long, Double, Int)].collect().toSeq
+    assert(rat == Seq(
+      (1L, "apple", 2L, 1L, 4.0, 1), (1L, "banana", 1L, 2L, 4.0 / 3, 2),
+      // d2: banana and cherry tie at 4/3 — term asc breaks it.
+      (2L, "banana", 1L, 2L, 4.0 / 3, 1), (2L, "cherry", 1L, 2L, 4.0 / 3, 2),
+      (3L, "cherry", 3L, 2L, 4.0, 1), (3L, "durian", 1L, 1L, 2.0, 2)))
+    // Log-idf production shape: tf * (ln((N+1)/(df+1)) + 1).
+    val prod = TextAnalysis.tfidf(tiny, k = 1)
+      .orderBy("doc_id").select("doc_id", "term", "score")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(prod.map(r => (r._1, r._2)) ==
+      Seq((1L, "apple"), (2L, "banana"), (3L, "cherry")))
+    assert(math.abs(prod.head._3 - 2 * (math.log(4.0 / 2) + 1)) < 1e-12)
+
+    // Corpus laws at k=3: per-doc ranks are dense 1..n with scores
+    // non-increasing in rank.
+    val real = TextAnalysis.tfidf(docs, k = 3)
+      .select("doc_id", "score", "rank")
+      .as[(Long, Double, Int)].collect().toSeq.groupBy(_._1)
+    assert(real.nonEmpty)
+    real.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3) == (1 to sorted.size).toList)
+      assert(sorted.sliding(2).forall {
+        case Seq(a, b) => a._2 >= b._2; case _ => true
+      })
+    }
+  }
+
+  test("bm25: hand-computed score, length normalization demotes long docs, laws") {
+    val tiny = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry durian")).toDF("doc_id", "text")
+    // N=3, dl = (3, 2, 4), avgdl = 3.
+    val out = TextAnalysis.bm25(tiny, k = 5)
+      .orderBy("doc_id", "rank")
+      .select("doc_id", "term", "tf", "df", "dl", "score", "rank")
+      .as[(Long, String, Long, Long, Long, Double, Int)].collect().toSeq
+    val byDoc = out.groupBy(_._1)
+    // d3: rare durian (idf ln(2.67)) beats thrice-repeated but common
+    // cherry (idf ln(1.6)) — tf saturation + idf discrimination, the
+    // behavior that separates BM25 from raw tf.
+    assert(byDoc(1L).head._2 == "apple" && byDoc(3L).head._2 == "durian")
+    // apple@d1: idf = ln(1 + 2.5/1.5); norm = 2*2.2 / (2 + 1.2*(0.25 + 0.75*3/3.0)).
+    val apple = out.find(r => r._1 == 1L && r._2 == "apple").get
+    val expected = math.log(1 + 2.5 / 1.5) *
+      (2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 3 / 3.0)))
+    assert(math.abs(apple._6 - expected) < 1e-12)
+    assert(out.forall(r => r._3 <= r._5)) // tf <= dl
+    // Same tf/df, longer doc scores lower (b > 0 length normalization):
+    // cherry appears once in d2 (dl=2); a synthetic longer doc with one
+    // cherry would score lower — check via the norm's monotonicity on
+    // d2 vs d3 instead: cherry tf=1@dl=2 vs tf=3@dl=4 shares idf, and
+    // the saturated tf=3 gains less than 3x.
+    val ch2 = out.find(r => r._1 == 2L && r._2 == "cherry").get._6
+    val ch3 = out.find(r => r._1 == 3L && r._2 == "cherry").get._6
+    assert(ch3 > ch2 && ch3 < 3 * ch2)
+    // Corpus run returns <= k dense-ranked rows per doc.
+    val real = TextAnalysis.bm25(docs, k = 3)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), max("rank").as("mx"))
+      .as[(Long, Long, Int)].collect()
+    assert(real.nonEmpty && real.forall(r => r._2 <= 3 && r._2 == r._3))
+  }
 }

@@ -34,8 +34,10 @@ class PlanShapeSpec extends AnyFunSuite {
   // class doc). profile_hot_keys / text_lm_score: a ONE-ROW broadcast
   // scalar (corpus total) cross-joined onto k winner rows / per-doc
   // aggregates — bounded by construction, not a data-path nested loop.
+  // tfidf/bm25: the same one-row corpus-stats broadcast (N, avgdl).
   private val declaredBnlj =
-    Set("sim_topk", "dedup_embedding", "profile_hot_keys", "text_lm_score")
+    Set("sim_topk", "dedup_embedding", "profile_hot_keys", "text_lm_score",
+      "text_tfidf", "text_tfidf_prod", "text_bm25_prod")
 
   test("the CEP rule fan-out is a broadcast HASH join on the pivot key") {
     for (q <- Seq("cep_multi_rule", "cep_multi_rule_first_aligned")) {
