@@ -89,15 +89,18 @@ object Profiling {
       explode(array_distinct(graft.functions.array_shingles(
         graft.functions.word_tokens(col("text")), n))).as("gram"))
     val gs = sh.select(col("source"), col("gram")).distinct()
-    val gramPairs = gs.select(col("source").as("src_a"), col("gram"))
+    // ONE corpus-side join feeds both aggregates below; its inputs
+    // shuffle on gram once each, and the two consumers sit on
+    // identical exchange subtrees (ReuseExchange re-reads the shuffle
+    // files instead of re-tokenizing the corpus).
+    val j = sh.select(col("doc_id"), col("source").as("src_a"), col("gram"))
       .join(gs.select(col("source").as("src_b"), col("gram")), "gram")
       .filter(col("src_a") =!= col("src_b"))
+    val gramPairs = j.select(col("gram"), col("src_a"), col("src_b"))
+      .distinct()
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_shared_grams"))
-    val docHits = sh.select(col("doc_id"), col("source").as("src_a"), col("gram"))
-      .join(gs.select(col("source").as("src_b"), col("gram")), "gram")
-      .filter(col("src_a") =!= col("src_b"))
-      .select(col("doc_id"), col("src_a"), col("src_b"))
+    val docHits = j.select(col("doc_id"), col("src_a"), col("src_b"))
       .distinct()
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_docs_overlap"))

@@ -140,6 +140,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"hotKeys total branch no longer reuses the counts exchange:\n${qe.executedPlan}")
   }
 
+  test("sourceOverlap's two aggregates share one corpus join via AQE exchange reuse") {
+    // gramPairs and docHits both consume the same sh-join-gs subtree;
+    // the corpus must be tokenized/shuffled once, with the second
+    // consumer reading the reused exchange (final adaptive plan only).
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val qe = graft.ops.Profiling.sourceOverlap(docs, n = 3).queryExecution
+    qe.toRdd.count()
+    assert(qe.executedPlan.toString.contains("ReusedExchange"),
+      s"sourceOverlap lost the shared-join exchange reuse:\n${qe.executedPlan}")
+  }
+
   test("rolling index append derives every artifact from the batch alone (no base-index scan)") {
     // appendToDedupIndex's 100 TB contract: appending a day's survivors
     // re-scans NOTHING of the accumulated index — its three write jobs
