@@ -1732,6 +1732,12 @@ object SparkEntry {
       graft.ops.TextAnalysis.tfidf(documents(s, d), k = 5)),
     "text_bm25_prod" -> ((s, d) =>
       graft.ops.TextAnalysis.bm25(documents(s, d), k = 5)),
+    // Embedding-cluster topic map labeled with cluster-level tf-idf
+    // terms (float k-means centroids — same oracle caveat as
+    // sim_diversity; invariants spec'd).
+    "curation_topics" -> ((s, d) =>
+      graft.ops.Curation.topicProfile(
+        documents(s, d), embeddings(s, d), nClusters = 16, topK = 5)),
     // Cluster-balanced diversity sampling (result depends on k-means
     // float centroids — not oracle-portable; invariants spec'd).
     "sim_diversity" -> ((s, d) =>

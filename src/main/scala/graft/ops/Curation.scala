@@ -87,4 +87,45 @@ object Curation {
     Sampling.splitAssign(kept, col("doc_id"), weights, seed)
       .write.mode("overwrite").partitionBy("split").parquet(path)
   }
+
+  /** Topic map of the corpus: cluster documents by embedding
+    * ([[Similarity.buildIvfIndex]] spherical k-means buckets, joined
+    * on `vec_id = doc_id`), then label each cluster with its `topK`
+    * distinctive terms — tf-idf at CLUSTER granularity, where the
+    * clusters play the role of documents (tf = term occurrences in
+    * the cluster, df = clusters containing the term, N = nClusters, a
+    * plan literal). One row per (cluster, ranked term) with the
+    * cluster's document count — the "what are the topics in this
+    * corpus and how big is each" dashboard read before choosing
+    * mixture rates.
+    *
+    * Scale: the doc→cluster join is an equi-join on doc_id; the term
+    * frame aggregates map-side to (cid, term) — at most
+    * nClusters × vocabulary rows cross the wire; df derives from that
+    * frame; the top-k window sorts only each cluster's term list.
+    * Cluster assignments depend on float k-means centroids, so (like
+    * `sim_diversity`) the operator is benched + spec-pinned on
+    * invariants rather than oracle-gated. */
+  def topicProfile(docs: DataFrame, emb: DataFrame,
+      nClusters: Int = 16, topK: Int = 5): DataFrame = {
+    require(topK >= 1, s"topK must be positive, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val assigned = Similarity.buildIvfIndex(emb, nClusters).assigned
+      .select(col("vec_id").as("doc_id"), col("cid"))
+    val joined = docs.join(assigned, "doc_id")
+    val tf = joined
+      .select(col("cid"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("cid"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfFrame = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val sizes = joined.groupBy(col("cid")).agg(count(lit(1)).as("n_docs"))
+    tf.join(dfFrame, "term")
+      .withColumn("score", col("tf") *
+        (log(lit(nClusters + 1.0) / (col("df") + 1)) + 1))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("cid")).orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rank") <= topK)
+      .join(sizes, "cid")
+      .select(col("cid"), col("n_docs"), col("rank"), col("term"),
+        col("tf"), col("df"), col("score"))
+  }
 }

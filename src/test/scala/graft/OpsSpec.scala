@@ -2272,6 +2272,33 @@ class OpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
 
+  test("topicProfile: cluster-granular tf-idf labels, dense ranks, size accounting") {
+    val out = Curation.topicProfile(docs, emb, nClusters = 8, topK = 3)
+      .select("cid", "n_docs", "rank", "term", "tf", "df", "score")
+      .as[(Int, Long, Int, String, Long, Long, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    val byCid = out.groupBy(_._1)
+    byCid.foreach { case (_, rows) =>
+      // Dense ranks 1..<=topK, scores non-increasing, one n_docs value.
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3) == (1 to sorted.size).toList && sorted.size <= 3)
+      assert(sorted.sliding(2).forall {
+        case Seq(a, b) => a._7 >= b._7; case _ => true
+      })
+      assert(rows.map(_._2).distinct.size == 1)
+    }
+    // df is bounded by the cluster count actually present; every
+    // cluster's docs are accounted for (embeddings cover all docs, so
+    // sizes sum to the corpus).
+    assert(out.forall(r => r._6 >= 1 && r._6 <= byCid.size))
+    assert(byCid.map(_._2.head._2).sum == docs.count())
+    // Deterministic end to end (same centroids, same ranking).
+    val again = Curation.topicProfile(docs, emb, nClusters = 8, topK = 3)
+      .select("cid", "n_docs", "rank", "term", "tf", "df", "score")
+      .as[(Int, Long, Int, String, Long, Long, Double)].collect().toSeq
+    assert(again.toSet == out.toSet)
+  }
+
   test("sourceOverlap: hand-computed pair table, asymmetric fractions, laws") {
     val tiny = Seq(
       (1L, "A", "x y z"), (2L, "A", "p q r"),
