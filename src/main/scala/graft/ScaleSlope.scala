@@ -53,15 +53,20 @@ object ScaleSlope {
     def corpusPath(k: Int): String = s"$scratch/x$k/documents.parquet"
     def writeReplicated(k: Int): Unit = {
       val base = spark.read.parquet(s"$sfDir/documents.parquet")
-        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"), col("text"), col("source"))
       base
-        .select(col("doc_id"), col("text"),
+        .select(col("doc_id"), col("text"), col("source"),
           explode(sequence(lit(0), lit(k - 1))).as("r"))
         .select((col("doc_id") * k + col("r")).as("doc_id"),
           when(col("r") === 0, col("text")).otherwise(
             array_join(transform(graft.functions.word_tokens(col("text")),
               t => concat(t, lit("qq"), col("r").cast("string"))), " "))
-            .as("text"))
+            .as("text"),
+          // Replicas keep their source label: per-replica token spaces
+          // are disjoint, so each replica contributes the original
+          // corpus's cross-source overlap structure — the audit's
+          // outputs scale linearly in k.
+          col("source"))
         .repartition(32)
         .write.mode("overwrite").parquet(corpusPath(k))
     }
@@ -96,7 +101,18 @@ object ScaleSlope {
         Dedup.dedupAgainstIndex(
           df.select((col("doc_id") + 100000000L).as("doc_id"), col("text")),
           dir, 0.8, 3, 64, 16)
-      }))
+      }),
+      // Round-8 additions: trainer + encoder (driver merge loop is
+      // vocab-capped, distributed pass corpus-sized), the tf/df family,
+      // and the S-bounded-fan-out source audit.
+      "text_bpe_encode" -> ((df, _) => {
+        val merges = TextAnalysis.bpeTrain(df, numMerges = 200)
+        df.select(col("doc_id"),
+          md5(concat_ws("", graft.functions.bpe_encode(col("text"), merges)))
+            .as("roundtrip_md5"))
+      }),
+      "text_tfidf" -> ((df, _) => TextAnalysis.tfidf(df, k = 5)),
+      "profile_source_overlap" -> ((df, _) => Profiling.sourceOverlap(df, 3)))
 
     def time(mk: () => DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()

@@ -224,7 +224,13 @@ object Sampling {
     * partitioning. `fanout = 1` is the plain single-window spelling;
     * results are identical (spec-pinned). Arithmetic is ANSI-portable
     * (md5 uniform + integer sums) so a SQL oracle reproduces the kept
-    * set exactly. */
+    * set exactly.
+    *
+    * `nTokens` is any token-count column: the whitespace/regex proxies
+    * ([[graft.functions.bpe_token_count]]) or REAL merged-BPE counts
+    * via `size(bpe_encode(text, merges))` with a
+    * [[TextAnalysis.bpeTrain]]-learned merge list — both are pure
+    * per-row projections, so the budget arithmetic is unchanged. */
   def budgetCap(df: DataFrame, stratum: Column, key: Column,
       nTokens: Column, budget: Long, seed: String = "graft",
       fanout: Int = 64): DataFrame = {
@@ -289,7 +295,11 @@ object Sampling {
     * to the cluster (default 1024) and no task ever sorts more than
     * its slice; there is no global order and no driver state. The
     * arithmetic (md5 uniform, integer DIV) is ANSI-portable, so the
-    * gate's DuckDB oracle reproduces pack assignment bit-exactly. */
+    * gate's DuckDB oracle reproduces pack assignment bit-exactly.
+    *
+    * Like [[budgetCap]], `nTokens` accepts real merged-BPE counts
+    * (`size(bpe_encode(text, merges))`) in place of the regex proxy —
+    * spec-pinned that bins then respect the TRUE token budget. */
   def packSequences(df: DataFrame, key: Column, nTokens: Column,
       budget: Long, buckets: Int = 1024,
       seed: String = "graft"): DataFrame = {

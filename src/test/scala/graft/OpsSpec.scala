@@ -2272,6 +2272,27 @@ class OpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
 
+  test("packSequences over real merged-BPE counts respects the true token budget") {
+    val merges = TextAnalysis.bpeTrain(docs, numMerges = 100)
+    val bpeCount = size(graft.functions.bpe_encode(col("text"), merges)).cast("long")
+    val budget = 2000L
+    val packed = Sampling.packSequences(docs, col("doc_id"), bpeCount, budget)
+      .select(col("doc_id"), col("pack_id"), bpeCount.as("n"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(packed.nonEmpty)
+    // Next-fit within a bucket: a pack's total stays under budget +
+    // one document's overshoot (no doc here exceeds the budget, so
+    // every pack's PREFIX before its last doc is < budget).
+    val byPack = packed.groupBy(_._2).values
+    assert(byPack.forall(rows => rows.map(_._3).sum - rows.map(_._3).max < budget))
+    // Real counts differ from the regex proxy (the merges compress),
+    // so the budget actually binds on merged tokens.
+    val proxyVsReal = docs.select(
+      graft.functions.bpe_token_count(col("text")).as("proxy"), bpeCount.as("real"))
+      .as[(Long, Long)].collect()
+    assert(proxyVsReal.forall { case (p, r) => r >= p })
+  }
+
   test("topicProfile: cluster-granular tf-idf labels, dense ranks, size accounting") {
     val out = Curation.topicProfile(docs, emb, nClusters = 8, topK = 3)
       .select("cid", "n_docs", "rank", "term", "tf", "df", "score")
