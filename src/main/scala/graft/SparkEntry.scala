@@ -901,6 +901,19 @@ object SparkEntry {
     // fixed-order division — fully portable).
     "profile_source_overlap" -> ((s, d) =>
       graft.ops.Profiling.sourceOverlap(documents(s, d), n = 3)),
+    // Snapshot diff: "new" = the corpus with doc_id%10==3 dropped,
+    // %10==4 rewritten, and a +1000000-keyed copy of %10==7 added —
+    // deterministic mutations both engines rebuild identically.
+    "profile_corpus_diff" -> ((s, d) => {
+      val dd = documents(s, d)
+      val newSnap = dd.filter(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 4, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(dd.filter(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.ops.Profiling.corpusDiff(dd.select("doc_id", "text"), newSnap)
+    }),
     // Skew pre-flight: exact top-20 hot keys + one-row key health on
     // the events stream's user_id (the key every CEP/temporal join in
     // this library shuffles on).
@@ -1118,6 +1131,22 @@ object SparkEntry {
          |  CAST(dc.n_docs_overlap AS DOUBLE) / ns.n_docs_a AS overlap_frac
          |FROM gp JOIN dc USING (src_a, src_b)
          |JOIN ns ON ns.source = gp.src_a""".stripMargin,
+    "profile_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents),
+        |nn AS (SELECT doc_id, md5(CASE WHEN doc_id % 10 = 4
+        |                               THEN text || ' v2' ELSE text END) AS new_md5
+        |       FROM documents WHERE doc_id % 10 <> 3
+        |       UNION ALL
+        |       SELECT doc_id + 1000000, md5(text) FROM documents
+        |       WHERE doc_id % 10 = 7),
+        |j AS (SELECT COALESCE(o.doc_id, nn.doc_id) AS doc_id, o.old_md5, nn.new_md5
+        |      FROM o FULL OUTER JOIN nn ON o.doc_id = nn.doc_id)
+        |SELECT doc_id, old_md5, new_md5,
+        |  CASE WHEN old_md5 IS NULL THEN 'added'
+        |       WHEN new_md5 IS NULL THEN 'removed'
+        |       WHEN old_md5 = new_md5 THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM j""".stripMargin,
     "profile_hot_keys" ->
       """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key_value, count(*) AS cnt
         |           FROM events GROUP BY 1),

@@ -83,6 +83,27 @@ object Profiling {
     * ([[Dedup.dedupLines]]) rather than capping here — a cap would
     * silently understate exactly the overlap this audit exists to
     * expose. */
+  /** Snapshot diff between two corpus versions: one row per doc_id
+    * present in either, labeled `added` / `removed` / `changed` /
+    * `unchanged` by comparing content md5s. The audit run between
+    * ingest cycles — "what actually moved since the last training
+    * set" — and the input to incremental downstream work (re-embed /
+    * re-dedup only `added`+`changed`).
+    *
+    * Scale: ONE full-outer equi-join on doc_id; md5s are computed in
+    * the map phase so only (doc_id, 32-byte hash) pairs shuffle, never
+    * document text. Exact and engine-portable. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("old_md5"))
+    val nw = newDocs.select(col("doc_id"), md5(col("text")).as("new_md5"))
+    o.join(nw, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("old_md5"), col("new_md5"),
+        when(col("old_md5").isNull, lit("added"))
+          .when(col("new_md5").isNull, lit("removed"))
+          .when(col("old_md5") === col("new_md5"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
     require(n >= 1, s"n must be positive, got $n")
     val sh = docs.select(col("doc_id"), col("source"),

@@ -2272,6 +2272,26 @@ class OpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
 
+  test("corpusDiff: all four statuses, hash shuffle only, partition accounting") {
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newSnap = Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("doc_id", "text")
+    val out = Profiling.corpusDiff(oldSnap, newSnap)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    // Text never reaches the join: the plan's exchanges carry only
+    // (doc_id, md5) projections.
+    val plan = Profiling.corpusDiff(docs, docs)
+      .queryExecution.executedPlan.toString
+    assert(!"Exchange[^\\n]*text".r.findFirstIn(plan).isDefined,
+      s"document text crossed the diff shuffle:\n$plan")
+    // Identity diff: everything unchanged, count preserved.
+    val idn = Profiling.corpusDiff(docs, docs)
+      .groupBy("status").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(idn == Map("unchanged" -> docs.count()))
+  }
+
   test("packSequences over real merged-BPE counts respects the true token budget") {
     val merges = TextAnalysis.bpeTrain(docs, numMerges = 100)
     val bpeCount = size(graft.functions.bpe_encode(col("text"), merges)).cast("long")
