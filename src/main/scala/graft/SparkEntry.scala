@@ -896,6 +896,15 @@ object SparkEntry {
     // is benched as text_tfidf_prod.
     "text_tfidf" -> ((s, d) =>
       graft.ops.TextAnalysis.tfidf(documents(s, d), k = 5, rationalIdf = true)),
+    // Hashed doc vectors: the gate pins the FULL 16-dim count vector
+    // via an md5 of its comma-joined spelling plus exact totals.
+    "text_hashed_vector" -> ((s, d) => {
+      val vec = graft.functions.hashed_token_counts(col("text"), 16)
+      documents(s, d).select(col("doc_id"),
+        md5(array_join(transform(vec, _.cast("string")), ",")).as("vec_md5"),
+        aggregate(vec, lit(0L), (a, v) => a + v).as("n_tokens"),
+        size(filter(vec, _ > 0)).cast("long").as("n_nonzero"))
+    }),
     // Cross-source duplication audit: shared trigram types + doc-level
     // overlap fraction per ordered source pair (exact integers + one
     // fixed-order division — fully portable).
@@ -1131,6 +1140,25 @@ object SparkEntry {
          |  CAST(dc.n_docs_overlap AS DOUBLE) / ns.n_docs_a AS overlap_frac
          |FROM gp JOIN dc USING (src_a, src_b)
          |JOIN ns ON ns.source = gp.src_a""".stripMargin,
+    "text_hashed_vector" ->
+      s"""WITH t AS (SELECT doc_id, $dToks w FROM documents),
+         |tok AS (SELECT doc_id, unnest(w) tk FROM t),
+         |b AS (SELECT doc_id,
+         |        CAST(('0x' || substring(md5(tk), 1, 8)) AS BIGINT) % 16 AS bk
+         |      FROM tok),
+         |c AS (SELECT doc_id, bk, count(*) AS cnt FROM b GROUP BY 1, 2),
+         |g AS (SELECT d.doc_id, r.bk
+         |      FROM (SELECT DISTINCT doc_id FROM documents) d,
+         |           (SELECT unnest(range(16)) AS bk) r),
+         |f AS (SELECT g.doc_id, g.bk, COALESCE(c.cnt, 0) AS cnt
+         |      FROM g LEFT JOIN c ON c.doc_id = g.doc_id AND c.bk = g.bk),
+         |v AS (SELECT doc_id,
+         |        string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY bk) AS s,
+         |        CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |        CAST(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_nonzero
+         |      FROM f GROUP BY 1)
+         |SELECT doc_id, md5(s) AS vec_md5, n_tokens, n_nonzero FROM v""".stripMargin,
     "profile_corpus_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents),
         |nn AS (SELECT doc_id, md5(CASE WHEN doc_id % 10 = 4

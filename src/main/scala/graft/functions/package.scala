@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.graft.{AsciiClassCountsColumns, BpeEncodeColumns, BpeTokenCountColumns, CepExprColumns, CompressRatioColumns, GramStatsColumns, LshBucketsColumns, MarkerCountsColumns, MatrixRowDotColumns, MetricRouteColumns, MinhashColumns, RollingHashColumns, SimhashColumns, TrigramScoresColumns, VecDotColumns, VecUnitColumns, WordShinglesColumns}
+import org.apache.spark.sql.graft.{AsciiClassCountsColumns, BpeEncodeColumns, BpeTokenCountColumns, HashedTokenCountsColumns, CepExprColumns, CompressRatioColumns, GramStatsColumns, LshBucketsColumns, MarkerCountsColumns, MatrixRowDotColumns, MetricRouteColumns, MinhashColumns, RollingHashColumns, SimhashColumns, TrigramScoresColumns, VecDotColumns, VecUnitColumns, WordShinglesColumns}
 
 /** Public column-function surface for graft's native Catalyst
   * expressions (implementations under org.apache.spark.sql.graft). */
@@ -105,6 +105,14 @@ package object functions {
     * exactly — see [[org.apache.spark.sql.graft.BpeEncode]]. */
   def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
     BpeEncodeColumns.bpeEncode(text, merges)
+
+  /** Hashed bag-of-tokens document vector (ARRAY<BIGINT>, length
+    * `dim`): one tokenize pass, one md5 per token, bucket =
+    * first-32-md5-bits mod dim — the text→vector bridge for corpora
+    * without an embedding column; see
+    * [[org.apache.spark.sql.graft.HashedTokenCounts]]. */
+  def hashed_token_counts(text: Column, dim: Int): Column =
+    HashedTokenCountsColumns.hashedTokenCounts(text, dim)
 
   /** Per-class ASCII character counts (ARRAY<BIGINT>, class order =
     * `classes` order) in one byte pass — see

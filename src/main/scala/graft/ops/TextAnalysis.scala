@@ -461,6 +461,20 @@ object TextAnalysis {
           least(lit(window), col("n_toks") - col("start_tok"))), " ")).as("chunk_md5"))
   }
 
+  /** Hashed bag-of-tokens document vectors — the text→vector bridge
+    * for corpora WITHOUT an embedding column: `vec[b]` counts the
+    * document's tokens whose first-32-md5-bits mod `dim` equal `b`
+    * (the exact bucket arithmetic of [[classifierScore]], so an ANSI
+    * engine reproduces every count). Cast to float, the vectors feed
+    * the whole [[Similarity]] family (cosine top-k, LSH, IVF,
+    * embedding dedup) — a purely lexical, deterministic stand-in for
+    * learned embeddings. Zero-shuffle native projection
+    * (`hashed_token_counts`): one tokenize pass, one md5 per token,
+    * one slot increment. */
+  def hashedVectors(docs: DataFrame, dim: Int = 64): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.hashed_token_counts(col("text"), dim).as("vec"))
+
   /** Distinctive-term extraction: the top `k` terms of each document
     * ranked by tf-idf — the classic "what is this document about"
     * signal used for topic tagging, domain-mix audits, and keyword

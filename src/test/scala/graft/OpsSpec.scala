@@ -2272,6 +2272,44 @@ class OpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
 
+  test("hashedVectors: independently-computed buckets, token accounting, similarity interop") {
+    def bucket(t: String, dim: Int): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 8), 16) % dim).toInt
+    }
+    val dim = 16
+    val text = "The quick brown Fox jumps over the LAZY dog"
+    val expected = new Array[Long](dim)
+    text.trim.toLowerCase.split("\\s+").foreach(t => expected(bucket(t, dim)) += 1)
+    val got = TextAnalysis.hashedVectors(
+      Seq((1L, text)).toDF("doc_id", "text"), dim)
+      .collect().head.getSeq[Long](1)
+    assert(got == expected.toSeq)
+
+    // Corpus law: vector totals equal token counts, dim respected.
+    val bad = TextAnalysis.hashedVectors(docs, dim)
+      .join(docs.select(col("doc_id"),
+        size(graft.functions.word_tokens(col("text"))).as("nt")), "doc_id")
+      .filter(aggregate(col("vec"), lit(0L), (a, v) => a + v) =!= col("nt") ||
+        size(col("vec")) =!= dim)
+      .count()
+    assert(bad == 0L)
+
+    // Interop: float-cast hashed vectors flow through the Similarity
+    // family — identical docs land cosine 1, disjoint-vocab docs near 0.
+    val emb2 = TextAnalysis.hashedVectors(Seq(
+      (0L, "alpha beta gamma"), (1L, "alpha beta gamma"),
+      (2L, "delta epsilon zeta eta")).toDF("doc_id", "text"), dim)
+      .select(col("doc_id").as("vec_id"),
+        transform(col("vec"), _.cast("float")).as("embedding"))
+    val sims = Similarity.cosineTopK(emb2, emb2.filter(col("vec_id") === 0), k = 2)
+      .select("neighbor_id", "cos_sim").as[(Long, Double)].collect().toMap
+    assert(math.abs(sims(1L) - 1.0) < 1e-9)
+    // 7 distinct tokens over 16 buckets may collide; bound loosely.
+    assert(sims.getOrElse(2L, 0.0) < 0.8)
+  }
+
   test("corpusDiff: all four statuses, hash shuffle only, partition accounting") {
     val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val newSnap = Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("doc_id", "text")
