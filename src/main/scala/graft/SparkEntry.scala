@@ -896,6 +896,12 @@ object SparkEntry {
     // is benched as text_tfidf_prod.
     "text_tfidf" -> ((s, d) =>
       graft.ops.TextAnalysis.tfidf(documents(s, d), k = 5, rationalIdf = true)),
+    // Sentence segmentation: full content md5 per sentence plus split
+    // positions (sentinel-insertion rule — portable, no lookbehind).
+    "text_sentences" -> ((s, d) =>
+      graft.ops.TextAnalysis.chunkSentences(documents(s, d))
+        .select(col("doc_id"), col("sent_idx"),
+          md5(col("sentence")).as("sent_md5"), col("n_chars"))),
     // Hashed doc vectors: the gate pins the FULL 16-dim count vector
     // via an md5 of its comma-joined spelling plus exact totals.
     "text_hashed_vector" -> ((s, d) => {
@@ -1140,6 +1146,16 @@ object SparkEntry {
          |  CAST(dc.n_docs_overlap AS DOUBLE) / ns.n_docs_a AS overlap_frac
          |FROM gp JOIN dc USING (src_a, src_b)
          |JOIN ns ON ns.source = gp.src_a""".stripMargin,
+    "text_sentences" ->
+      """WITH m AS (SELECT doc_id,
+        |  string_split(regexp_replace(text, '([.!?]+)\s+', '\1' || chr(1), 'g'),
+        |               chr(1)) AS parts
+        |  FROM documents),
+        |e AS (SELECT doc_id, generate_subscripts(parts, 1) - 1 AS sent_idx,
+        |        unnest(parts) AS sentence FROM m)
+        |SELECT doc_id, sent_idx, md5(sentence) AS sent_md5,
+        |  length(sentence) AS n_chars
+        |FROM e WHERE length(trim(sentence)) > 0""".stripMargin,
     "text_hashed_vector" ->
       s"""WITH t AS (SELECT doc_id, $dToks w FROM documents),
          |tok AS (SELECT doc_id, unnest(w) tk FROM t),

@@ -154,6 +154,40 @@ object StreamBench {
       (nDocs / ((System.nanoTime() - start) / 1e9), nDocs.toLong)
     }
 
+    // Ingest-time curation ENRICHMENT throughput: the same doc
+    // firehose shape as runDedup, driven through the stateless
+    // per-doc curation stack — repetition gram stats, BPE pre-token
+    // count, a 64-dim hashed doc vector, and the zlib compression
+    // ratio — to a noop sink. All four are zero-shuffle
+    // native/codegen projections, so this measures the raw per-doc
+    // enrichment cost under micro-batch scheduling (the "annotate
+    // everything on arrival" pattern); no state store involved.
+    def runEnrich(): (Double, Long) = {
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+      val nDocs = math.max(nEvents / 10, batches)
+      val per = nDocs / batches
+      val words = (0 until 20).map(k =>
+        concat(lit(s"w"), pmod(col("id") * (2 * k + 1) + k, lit(5000))))
+      val docFrame = mem.toDF()
+        .select(explode(sequence(col("value") * per,
+          (col("value") + 1) * per - 1)).as("id"))
+        .repartition(cpus.toInt)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", words: _*).as("text"))
+      val enriched = docFrame
+        .select(col("doc_id"),
+          graft.functions.gram_stats(col("text"), 2).as("gs"),
+          graft.functions.bpe_token_count(col("text")).as("n_bpe"),
+          graft.functions.hashed_token_counts(col("text"), 64).as("vec"),
+          graft.functions.compress_ratio(col("text")).as("zr"))
+      val q = enriched.writeStream.format("noop").outputMode("append").start()
+      val start = System.nanoTime()
+      try {
+        (0 until batches).foreach { b => mem.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      (nDocs / ((System.nanoTime() - start) / 1e9), nDocs.toLong)
+    }
+
     // Large-book scale proof for the O(M + matches) fan-out claim
     // (CepQuery.fanOutJoin): nBig ACTIVE rules with MIXED key sets —
     // half keyed on one of 64 distinct tag names, half on (that name,
@@ -283,22 +317,23 @@ object StreamBench {
     // Heavy rows (swap / dedup / big-book), same interleaving at
     // `heavyLaps`.
     val swapDynAcc = new RowAcc; val swapRstAcc = new RowAcc
-    val dedupAcc = new RowAcc
+    val dedupAcc = new RowAcc; val enrichAcc = new RowAcc
     val big64Acc = new RowAcc; val big1024Acc = new RowAcc
     var nDocs = 0L
     var small64PlanMs = 0L; var big1024PlanMs = 0L
-    runBigBook(64) // warm-up for the big-book shapes
+    runBigBook(64); runEnrich() // warm-up for the heavy shapes
     for (_ <- 0 until heavyLaps) {
       swapDynAcc.add(runWithSwaps(dynamic = true))
       swapRstAcc.add(runWithSwaps(dynamic = false))
       val (d, nd) = runDedup(); nDocs = nd; dedupAcc.add(d)
+      val (en, _) = runEnrich(); enrichAcc.add(en)
       val (s64, p64) = runBigBook(64); small64PlanMs = p64; big64Acc.add(s64)
       val (b1024, p1024) = runBigBook(1024); big1024PlanMs = p1024
       big1024Acc.add(b1024)
     }
 
     val allRatios = (engines.map(acc) ++ Seq(swapDynAcc, swapRstAcc,
-      dedupAcc, big64Acc, big1024Acc)).flatMap(_.ratios)
+      dedupAcc, enrichAcc, big64Acc, big1024Acc)).flatMap(_.ratios)
     val calibJson =
       s"""{"ref_sec":${Bench.CalibRefSec},""" +
         f""""ratio":${allRatios.min}%.3f,"ratio_max":${allRatios.max}%.3f}"""
@@ -306,9 +341,10 @@ object StreamBench {
       s""""swap_dynamic":${swapDynAcc.json}""",
       s""""swap_restart":${swapRstAcc.json}""",
       s""""dedup":${dedupAcc.json}""",
+      s""""enrich":${enrichAcc.json}""",
       s""""bigbook_64":${big64Acc.json}""",
       s""""bigbook_1024":${big1024Acc.json}""")).mkString("{", ",", "}")
-    println(f"""{"metric":"stream_throughput","unit":"events_per_sec","n_events":$nEvents,"n_rules":$nRules,"laps_per_row":$throughputLaps,"planAll_update":${acc("planAll").best}%.0f,"stateful_append":${acc("stateful").best}%.0f,"fmgws_append":${acc("fmgws").best}%.0f,"dynamic_append":${acc("dynamic").best}%.0f,"swap_per_batch_dynamic":${swapDynAcc.best}%.0f,"swap_per_batch_restart":${swapRstAcc.best}%.0f,"dedup_docs":$nDocs,"dedup_docs_per_sec":${dedupAcc.best}%.0f,"bigbook_64_rules_ev_per_sec":${big64Acc.best}%.0f,"bigbook_1024_rules_ev_per_sec":${big1024Acc.best}%.0f,"bigbook_64_plan_ms":$small64PlanMs,"bigbook_1024_plan_ms":$big1024PlanMs,"rows":$rowsJson,"calib":$calibJson}""")
+    println(f"""{"metric":"stream_throughput","unit":"events_per_sec","n_events":$nEvents,"n_rules":$nRules,"laps_per_row":$throughputLaps,"planAll_update":${acc("planAll").best}%.0f,"stateful_append":${acc("stateful").best}%.0f,"fmgws_append":${acc("fmgws").best}%.0f,"dynamic_append":${acc("dynamic").best}%.0f,"swap_per_batch_dynamic":${swapDynAcc.best}%.0f,"swap_per_batch_restart":${swapRstAcc.best}%.0f,"dedup_docs":$nDocs,"dedup_docs_per_sec":${dedupAcc.best}%.0f,"enrich_docs_per_sec":${enrichAcc.best}%.0f,"bigbook_64_rules_ev_per_sec":${big64Acc.best}%.0f,"bigbook_1024_rules_ev_per_sec":${big1024Acc.best}%.0f,"bigbook_64_plan_ms":$small64PlanMs,"bigbook_1024_plan_ms":$big1024PlanMs,"rows":$rowsJson,"calib":$calibJson}""")
     spark.stop()
   }
 }

@@ -461,6 +461,26 @@ object TextAnalysis {
           least(lit(window), col("n_toks") - col("start_tok"))), " ")).as("chunk_md5"))
   }
 
+  /** Sentence segmentation: one row per sentence with its 0-based
+    * position — the granularity for sentence-level dedup, eval-set
+    * sampling, and citation-grade provenance. The boundary rule is
+    * deliberately simple and ENGINE-PORTABLE: a run of `[.!?]`
+    * followed by whitespace ends a sentence. Java regex could spell
+    * that as a lookbehind split, but RE2 (DuckDB) has no lookbehind —
+    * so both engines instead insert a `\\u0001` sentinel after each
+    * boundary (`regexp_replace` with a group reference) and split on
+    * the sentinel; whitespace-only fragments are dropped, indices are
+    * pre-filter split positions so both engines agree even around
+    * dropped tails. Zero-shuffle projection. */
+  def chunkSentences(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(split(
+        regexp_replace(col("text"), "([.!?]+)\\s+", "$1\u0001"), "\u0001"))
+        .as(Seq("sent_idx", "sentence")))
+      .filter(length(trim(col("sentence"))) > 0)
+      .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"),
+        col("sentence"), length(col("sentence")).cast("long").as("n_chars"))
+
   /** Hashed bag-of-tokens document vectors — the text→vector bridge
     * for corpora WITHOUT an embedding column: `vec[b]` counts the
     * document's tokens whose first-32-md5-bits mod `dim` equal `b`

@@ -2272,6 +2272,38 @@ class OpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
 
+  test("chunkSentences: boundary rule, index stability, reassembly accounting") {
+    val d = Seq(
+      (1L, "Hello world. How are you? Fine!  Multi  spaces. trailing dot."),
+      (2L, "No terminal punctuation at all"),
+      (3L, "Ellipsis... then more?! Yes."),
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkSentences(d)
+      .select("doc_id", "sent_idx", "sentence")
+      .as[(Long, Long, String)].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(out.filter(_._1 == 1L).map(_._3) == Seq(
+      "Hello world.", "How are you?", "Fine!", "Multi  spaces.", "trailing dot."))
+    // A doc with no boundary is one sentence; punctuation runs are one
+    // boundary each; empty docs vanish.
+    assert(out.filter(_._1 == 2L).map(_._3) == Seq("No terminal punctuation at all"))
+    assert(out.filter(_._1 == 3L).map(_._3) == Seq("Ellipsis...", "then more?!", "Yes."))
+    assert(!out.exists(_._1 == 4L))
+    // Indices are dense from 0 within each doc here (no dropped
+    // whitespace-only fragments in these fixtures).
+    out.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._2).sorted == rows.indices.map(_.toLong))
+    }
+    // Corpus law: concatenating a doc's sentences with single spaces
+    // loses only boundary whitespace — total non-space chars conserved.
+    val real = TextAnalysis.chunkSentences(docs)
+      .groupBy("doc_id")
+      .agg(sum(length(regexp_replace(col("sentence"), "\\s", ""))).as("nz"))
+      .join(docs.select(col("doc_id"),
+        length(regexp_replace(col("text"), "\\s", "")).cast("long").as("orig")), "doc_id")
+      .filter(col("nz") =!= col("orig")).count()
+    assert(real == 0L)
+  }
+
   test("hashedVectors: independently-computed buckets, token accounting, similarity interop") {
     def bucket(t: String, dim: Int): Int = {
       val hex = java.security.MessageDigest.getInstance("MD5")
