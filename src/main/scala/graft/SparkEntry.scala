@@ -902,6 +902,11 @@ object SparkEntry {
       graft.ops.TextAnalysis.chunkSentences(documents(s, d))
         .select(col("doc_id"), col("sent_idx"),
           md5(col("sentence")).as("sent_md5"), col("n_chars"))),
+    // Sentence-level corpus dedup: rebuilt text md5-pinned per doc.
+    "text_sentence_dedup" -> ((s, d) =>
+      graft.ops.Dedup.dedupSentences(documents(s, d))
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_sentences"), col("n_removed"))),
     // Hashed doc vectors: the gate pins the FULL 16-dim count vector
     // via an md5 of its comma-joined spelling plus exact totals.
     "text_hashed_vector" -> ((s, d) => {
@@ -1156,6 +1161,28 @@ object SparkEntry {
         |SELECT doc_id, sent_idx, md5(sentence) AS sent_md5,
         |  length(sentence) AS n_chars
         |FROM e WHERE length(trim(sentence)) > 0""".stripMargin,
+    "text_sentence_dedup" ->
+      """WITH m AS (SELECT doc_id,
+        |  string_split(regexp_replace(text, '([.!?]+)\s+', '\1' || chr(1), 'g'),
+        |               chr(1)) AS parts
+        |  FROM documents),
+        |e AS (SELECT doc_id, sent_idx, sentence FROM (
+        |        SELECT doc_id, generate_subscripts(parts, 1) - 1 AS sent_idx,
+        |          unnest(parts) AS sentence FROM m)
+        |      WHERE length(trim(sentence)) > 0),
+        |k AS (SELECT doc_id, sent_idx, sentence FROM (
+        |        SELECT e.*, row_number() OVER (PARTITION BY sentence
+        |          ORDER BY doc_id, sent_idx) AS rn FROM e)
+        |      WHERE rn = 1),
+        |r AS (SELECT doc_id, string_agg(sentence, ' ' ORDER BY sent_idx) AS text,
+        |        count(*) AS n_kept FROM k GROUP BY 1),
+        |n AS (SELECT doc_id, count(*) AS n_sentences FROM e GROUP BY 1),
+        |d AS (SELECT doc_id FROM documents)
+        |SELECT d.doc_id, md5(COALESCE(r.text, '')) AS text_md5,
+        |  COALESCE(n.n_sentences, 0) AS n_sentences,
+        |  COALESCE(n.n_sentences, 0) - COALESCE(r.n_kept, 0) AS n_removed
+        |FROM d LEFT JOIN r ON r.doc_id = d.doc_id
+        |LEFT JOIN n ON n.doc_id = d.doc_id""".stripMargin,
     "text_hashed_vector" ->
       s"""WITH t AS (SELECT doc_id, $dToks w FROM documents),
          |tok AS (SELECT doc_id, unnest(w) tk FROM t),

@@ -100,6 +100,47 @@ object Dedup {
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Corpus-level SENTENCE dedup — [[dedupLines]]'s sibling at
+    * sentence granularity ([[TextAnalysis.chunkSentences]]'s portable
+    * boundary rule): every sentence that appears more than once
+    * across the corpus keeps only its first occurrence (smallest
+    * (doc_id, sent_idx)) and documents are reassembled from their
+    * kept sentences joined with single spaces (boundary whitespace is
+    * normalized — the standard trade of sentence-level boilerplate
+    * removal; prose duplicated mid-line, which line dedup can never
+    * see, is what this catches). Output: (doc_id, text, n_sentences,
+    * n_removed), every input doc present.
+    *
+    * Same skew posture as [[dedupLines]]: the winner per distinct
+    * sentence is a partial-aggregated min-struct groupBy, never a
+    * window — the hottest boilerplate sentence reaches its reducer as
+    * one candidate per map task, and winners ARE the kept rows (no
+    * join back on the hot key). The per-doc sentence count shares the
+    * chunk subtree with the winner branch. */
+  def dedupSentences(docs: DataFrame): DataFrame = {
+    val sents = TextAnalysis.chunkSentences(docs)
+      .select(col("doc_id"), col("sent_idx"), col("sentence"))
+    val winners = sents
+      .groupBy(col("sentence"))
+      .agg(min(struct(col("doc_id"), col("sent_idx"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.sent_idx").as("sent_idx"),
+        col("sentence"))
+    val rebuilt = winners.groupBy(col("doc_id")).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("sent_idx"), col("sentence")))),
+        x => x.getField("sentence")), " ").as("text"),
+      count(lit(1)).as("n_kept"))
+    val counts = sents.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sentences"))
+    docs.select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_sentences"), lit(0L)).as("n_sentences"),
+        (coalesce(col("n_sentences"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** (doc_id, shingle, n_sh) inverted index: distinct shingles per
     * doc, with the per-doc distinct-shingle count on every row.
     *

@@ -2272,6 +2272,33 @@ class OpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
 
+  test("dedupSentences: cross-doc boilerplate cut, first occurrence wins, accounting") {
+    val d = Seq(
+      (1L, "Subscribe to our newsletter. Real content one. Bye!"),
+      (2L, "Subscribe to our newsletter. Real content two. Bye!"),
+      (3L, "Real content three."),
+      (4L, "")).toDF("doc_id", "text")
+    val out = Dedup.dedupSentences(d)
+      .select("doc_id", "text", "n_sentences", "n_removed")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    // Doc 1 owns both boilerplate sentences (first occurrence); doc 2
+    // loses them and keeps only its unique middle sentence.
+    assert(out(0) == (1L, "Subscribe to our newsletter. Real content one. Bye!", 3L, 0L))
+    assert(out(1) == (2L, "Real content two.", 3L, 2L))
+    assert(out(2) == (3L, "Real content three.", 1L, 0L))
+    assert(out(3) == (4L, "", 0L, 0L))
+
+    // Corpus laws: every doc present; removed+kept adds up; after the
+    // cut no sentence appears twice anywhere.
+    val real = Dedup.dedupSentences(docs)
+    assert(real.count() == docs.count())
+    val resplit = TextAnalysis.chunkSentences(
+      real.select(col("doc_id"), col("text")))
+    val dupes = resplit.groupBy("sentence").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    assert(dupes == 0L)
+  }
+
   test("chunkSentences: boundary rule, index stability, reassembly accounting") {
     val d = Seq(
       (1L, "Hello world. How are you? Fine!  Multi  spaces. trailing dot."),
