@@ -896,6 +896,11 @@ object SparkEntry {
     // is benched as text_tfidf_prod.
     "text_tfidf" -> ((s, d) =>
       graft.ops.TextAnalysis.tfidf(documents(s, d), k = 5, rationalIdf = true)),
+    // Per-source distinctive terms: group-granular tf-idf where groups
+    // are user keys (not float centroids), so the full ranking gates.
+    "text_source_terms" -> ((s, d) =>
+      graft.ops.TextAnalysis.groupTfidf(
+        documents(s, d), col("source"), k = 5, rationalIdf = true)),
     // Sentence segmentation: full content md5 per sentence plus split
     // positions (sentinel-insertion rule — portable, no lookbehind).
     "text_sentences" -> ((s, d) =>
@@ -1161,6 +1166,19 @@ object SparkEntry {
         |SELECT doc_id, sent_idx, md5(sentence) AS sent_md5,
         |  length(sentence) AS n_chars
         |FROM e WHERE length(trim(sentence)) > 0""".stripMargin,
+    "text_source_terms" ->
+      s"""WITH tok AS (SELECT source, unnest($dToks) AS term FROM documents),
+         |tf AS (SELECT source AS "group", term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(DISTINCT "group") AS n_groups FROM tf)
+         |SELECT "group", term, tf, df, score, rank FROM (
+         |  SELECT tf."group", tf.term, tf.tf, df.df,
+         |    CAST(tf.tf * (n.n_groups + 1) AS DOUBLE) / (df.df + 1) AS score,
+         |    row_number() OVER (PARTITION BY tf."group"
+         |      ORDER BY CAST(tf.tf * (n.n_groups + 1) AS DOUBLE) / (df.df + 1) DESC,
+         |               tf.term ASC) AS rank
+         |  FROM tf JOIN df USING (term) CROSS JOIN n)
+         |WHERE rank <= 5""".stripMargin,
     "text_sentence_dedup" ->
       """WITH m AS (SELECT doc_id,
         |  string_split(regexp_replace(text, '([.!?]+)\s+', '\1' || chr(1), 'g'),

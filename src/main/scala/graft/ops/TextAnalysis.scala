@@ -538,6 +538,38 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rank"))
   }
 
+  /** [[tfidf]] at GROUP granularity: the top `k` distinctive terms of
+    * each group of documents (source, language, split, …) — "what
+    * does each source talk about that the others don't", the
+    * source-mix audit sibling of [[graft.ops.Profiling.sourceOverlap]]
+    * and the oracle-portable cousin of [[graft.ops.Curation
+    * .topicProfile]] (groups are user keys, not float centroids, so
+    * the whole ranking gates). tf counts term occurrences within the
+    * group, df counts groups containing the term, N = number of
+    * groups — derived from the tf frame (ONE corpus scan), riding a
+    * one-row broadcast. Same idf variants and determinism as
+    * [[tfidf]]. Output: (group, term, tf, df, score, rank). */
+  def groupTfidf(docs: DataFrame, group: Column, k: Int = 5,
+      rationalIdf: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(group.as("group"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("group"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfFrame = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = tf.agg(countDistinct(col("group")).as("n_groups"))
+    val score =
+      if (rationalIdf) (col("tf") * (col("n_groups") + 1)).cast("double") / (col("df") + 1)
+      else col("tf") * (log((col("n_groups") + 1).cast("double") / (col("df") + 1)) + 1)
+    tf.join(dfFrame, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("group")).orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rank") <= k)
+      .select(col("group"), col("term"), col("tf"), col("df"), col("score"), col("rank"))
+  }
+
   /** BM25 top-`k` terms per document — the retrieval-grade sibling of
     * [[tfidf]] with term-frequency saturation (`k1`) and document-
     * length normalization (`b`):

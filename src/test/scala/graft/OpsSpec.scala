@@ -2272,6 +2272,29 @@ class OpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
 
+  test("groupTfidf: per-group distinctive terms, hand-computed, corpus laws") {
+    val tiny = Seq(
+      (1L, "A", "ml ml data"), (2L, "A", "ml models"),
+      (3L, "B", "cooking data"), (4L, "B", "cooking recipes"))
+      .toDF("doc_id", "source", "text")
+    // Groups: A, B (N=2). tf(A): ml 3, data 1, models 1; tf(B):
+    // cooking 2, data 1, recipes 1. df: ml 1, data 2, models 1,
+    // cooking 1, recipes 1. Rational scores: tf*3/(df+1).
+    val out = TextAnalysis.groupTfidf(tiny, col("source"), k = 2,
+        rationalIdf = true)
+      .orderBy(col("group"), col("rank"))
+      .select("group", "term", "tf", "df", "score", "rank")
+      .as[(String, String, Long, Long, Double, Int)].collect().toSeq
+    assert(out == Seq(
+      ("A", "ml", 3L, 1L, 4.5, 1), ("A", "models", 1L, 1L, 1.5, 2),
+      ("B", "cooking", 2L, 1L, 3.0, 1), ("B", "recipes", 1L, 1L, 1.5, 2)))
+    // Corpus: every source gets dense-ranked terms, <= k each.
+    val real = TextAnalysis.groupTfidf(docs, col("source"), k = 3)
+      .groupBy("group").agg(count(lit(1)).as("n"), max("rank").as("mx"))
+      .as[(String, Long, Int)].collect()
+    assert(real.length == 20 && real.forall(r => r._2 <= 3 && r._2 == r._3))
+  }
+
   test("dedupSentences: cross-doc boilerplate cut, first occurrence wins, accounting") {
     val d = Seq(
       (1L, "Subscribe to our newsletter. Real content one. Bye!"),

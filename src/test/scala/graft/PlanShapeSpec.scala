@@ -37,7 +37,7 @@ class PlanShapeSpec extends AnyFunSuite {
   // tfidf/bm25: the same one-row corpus-stats broadcast (N, avgdl).
   private val declaredBnlj =
     Set("sim_topk", "dedup_embedding", "profile_hot_keys", "text_lm_score",
-      "text_tfidf", "text_tfidf_prod", "text_bm25_prod")
+      "text_tfidf", "text_tfidf_prod", "text_bm25_prod", "text_source_terms")
 
   test("the CEP rule fan-out is a broadcast HASH join on the pivot key") {
     for (q <- Seq("cep_multi_rule", "cep_multi_rule_first_aligned")) {
