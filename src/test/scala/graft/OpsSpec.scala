@@ -2322,6 +2322,39 @@ class OpsSpec extends AnyFunSuite {
     assert(dupes == 0L)
   }
 
+  test("randomized: dedupSentences agrees with a brute-force reference model") {
+    // Reference model: split with the same boundary rule via plain
+    // Java regex, keep first global occurrence in (doc_id, idx) order,
+    // rejoin with single spaces — no Spark code shared.
+    def refDedup(corpus: Seq[(Long, String)]): Map[Long, (String, Long, Long)] = {
+      val split = corpus.sortBy(_._1).map { case (id, text) =>
+        id -> text.replaceAll("([.!?]+)\\s+", "$1\u0001").split("\u0001", -1)
+          .toSeq.filter(_.trim.nonEmpty)
+      }
+      val seen = scala.collection.mutable.Set[String]()
+      split.map { case (id, sents) =>
+        val kept = sents.filter(s => seen.add(s))
+        id -> (kept.mkString(" "), sents.size.toLong,
+          (sents.size - kept.size).toLong)
+      }.toMap
+    }
+    val rnd = new scala.util.Random(7)
+    val sentencePool = (0 until 12).map(i => s"sentence number $i ends.") ++
+      Seq("No punct tail", "Multi!! bang.", "Q? A.")
+    for (trial <- 1 to 10) {
+      val corpus = (0 until 15).map { id =>
+        val n = rnd.nextInt(5)
+        (id.toLong, Seq.fill(n)(
+          sentencePool(rnd.nextInt(sentencePool.length))).mkString(" "))
+      }
+      val got = Dedup.dedupSentences(corpus.toDF("doc_id", "text"))
+        .select("doc_id", "text", "n_sentences", "n_removed")
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(got == refDedup(corpus), s"trial $trial mismatch")
+    }
+  }
+
   test("chunkSentences: boundary rule, index stability, reassembly accounting") {
     val d = Seq(
       (1L, "Hello world. How are you? Fine!  Multi  spaces. trailing dot."),
