@@ -890,6 +890,20 @@ object SparkEntry {
         size(graft.functions.bpe_encode(col("text"), Nil)).cast("long")
           .as("n_codepoints"))
     }),
+    // Byte-level BPE (GPT-2 byte alphabet): decode∘encode must
+    // reproduce every document exactly, and empty-merge segmentation
+    // is one symbol per UTF-8 byte.
+    "text_bpe_bytes" -> ((s, d) => {
+      val dd = documents(s, d)
+      val merges = graft.ops.TextAnalysis.bpeTrain(dd, numMerges = 200,
+        byteLevel = true)
+      dd.select(col("doc_id"),
+        md5(graft.functions.bpe_byte_decode(
+          graft.functions.bpe_encode(col("text"), merges, byteLevel = true)))
+          .as("roundtrip_md5"),
+        size(graft.functions.bpe_encode(col("text"), Nil, byteLevel = true))
+          .cast("long").as("n_bytes"))
+    }),
     // Distinctive terms per doc: the rational-idf twin scores with ONE
     // IEEE division of exact integers (engine-bit-identical), so the
     // full top-5 ranking is oracle-gated; the log-idf production shape
@@ -1124,6 +1138,9 @@ object SparkEntry {
     "text_bpe_encode" ->
       """SELECT doc_id, md5(text) AS roundtrip_md5,
         |  length(text) AS n_codepoints FROM documents""".stripMargin,
+    "text_bpe_bytes" ->
+      """SELECT doc_id, md5(text) AS roundtrip_md5,
+        |  octet_length(encode(text)) AS n_bytes FROM documents""".stripMargin,
     "text_tfidf" ->
       s"""WITH tok AS (SELECT doc_id, unnest($dToks) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),

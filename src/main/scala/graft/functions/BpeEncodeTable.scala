@@ -24,6 +24,43 @@ final class BpeTable(val ranks: java.util.HashMap[(String, String), Integer])
       new java.util.HashMap[String, Array[UTF8String]]())
 }
 
+/** The GPT-2 byte↔unicode alphabet: every byte value maps to a
+  * printable BMP char (printable latin bytes map to themselves;
+  * control/whitespace/high bytes shift to 256+n in byte order — so
+  * space ↦ 'Ġ' U+0120, newline ↦ 'Ċ' U+010A, exactly the reference
+  * `bytes_to_unicode`). Byte-level BPE runs the SAME merge loop over
+  * these mapped 1-char symbols, which makes any byte sequence
+  * losslessly representable and merge sides always valid strings. */
+object BpeBytes {
+  val byteToChar: Array[Char] = {
+    val out = new Array[Char](256)
+    val printable = (('!' to '~') ++ ('¡' to '¬') ++
+      ('®' to 'ÿ')).map(_.toInt).toSet
+    var shift = 0
+    var b = 0
+    while (b < 256) {
+      if (printable(b)) out(b) = b.toChar
+      else { out(b) = (256 + shift).toChar; shift += 1 }
+      b += 1
+    }
+    out
+  }
+  /** Inverse map, indexed by char code (all mapped chars < 0x200). */
+  val charToByte: Array[Int] = {
+    val out = Array.fill(0x200)(-1)
+    var b = 0
+    while (b < 256) { out(byteToChar(b).toInt) = b; b += 1 }
+    out
+  }
+
+  def mapWord(bytes: Array[Byte], from: Int, until: Int): String = {
+    val chars = new Array[Char](until - from)
+    var i = from
+    while (i < until) { chars(i - from) = byteToChar(bytes(i) & 0xff); i += 1 }
+    new String(chars)
+  }
+}
+
 object BpeTable {
   final val CacheCap = 65536
   final val CacheMaxWordLen = 64
@@ -36,21 +73,53 @@ object BpeTable {
     new BpeTable(ranks)
   }
 
-  /** See [[BpeEncode]]. Static for codegen. */
-  def encode(s: UTF8String, t: BpeTable): GenericArrayData = {
+  /** See [[BpeEncode]]. Static for codegen. `byteLevel` switches the
+    * per-pre-token symbol alphabet from codepoints to GPT-2-mapped
+    * bytes ([[BpeBytes]]); the pre-token boundaries are identical. */
+  def encode(s: UTF8String, t: BpeTable, byteLevel: Boolean): GenericArrayData = {
     val bytes = s.getBytes
     val n = bytes.length
     val out = new java.util.ArrayList[AnyRef](Math.max(8, n / 4))
     var i = 0
     while (i < n) {
       val end = BpeTokenCountImpl.tokenEnd(bytes, i)
-      val word = new String(bytes, i, end - i, java.nio.charset.StandardCharsets.UTF_8)
+      val word =
+        if (byteLevel) BpeBytes.mapWord(bytes, i, end)
+        else new String(bytes, i, end - i, java.nio.charset.StandardCharsets.UTF_8)
       val toks = encodeWordCached(word, t)
       var j = 0
       while (j < toks.length) { out.add(toks(j)); j += 1 }
       i = end
     }
     new GenericArrayData(out.toArray)
+  }
+
+  /** Inverse of byte-level [[encode]]: concatenate the tokens' mapped
+    * chars and translate each back to its byte. Unknown chars (not in
+    * the byte alphabet) make the input invalid → null, matching the
+    * encoder's contract that tokens only ever contain mapped chars. */
+  def decodeBytes(tokens: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    var total = 0
+    var k = 0
+    while (k < tokens.numElements()) {
+      total += tokens.getUTF8String(k).toString.length; k += 1
+    }
+    val bytes = new Array[Byte](total)
+    var w = 0
+    k = 0
+    while (k < tokens.numElements()) {
+      val t = tokens.getUTF8String(k).toString
+      var c = 0
+      while (c < t.length) {
+        val code = t.charAt(c).toInt
+        if (code >= BpeBytes.charToByte.length || BpeBytes.charToByte(code) < 0)
+          return null
+        bytes(w) = BpeBytes.charToByte(code).toByte
+        w += 1; c += 1
+      }
+      k += 1
+    }
+    UTF8String.fromBytes(bytes)
   }
 
   private def encodeWordCached(word: String, t: BpeTable): Array[UTF8String] = {

@@ -103,8 +103,16 @@ package object functions {
     * `bpe_token_count`), then the classic ranked greedy merge loop
     * per pre-token. Concatenating the tokens reproduces the input
     * exactly — see [[org.apache.spark.sql.graft.BpeEncode]]. */
-  def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
-    BpeEncodeColumns.bpeEncode(text, merges)
+  def bpe_encode(text: Column, merges: Seq[(String, String)],
+      byteLevel: Boolean = false): Column =
+    BpeEncodeColumns.bpeEncode(text, merges, byteLevel)
+
+  /** Inverse of byte-level [[bpe_encode]]: tokens → original string
+    * (GPT-2 byte alphabet chars mapped back to bytes; NULL if a token
+    * carries a char outside the alphabet) — see
+    * [[org.apache.spark.sql.graft.BpeByteDecode]]. */
+  def bpe_byte_decode(tokens: Column): Column =
+    BpeEncodeColumns.bpeByteDecode(tokens)
 
   /** Hashed bag-of-tokens document vector (ARRAY<BIGINT>, length
     * `dim`): one tokenize pass, one md5 per token, bucket =

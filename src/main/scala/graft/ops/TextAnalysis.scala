@@ -634,7 +634,8 @@ object TextAnalysis {
     * O(numMerges * vocab). Stops early when no pair reaches
     * `minPairFreq`. */
   def bpeTrain(docs: DataFrame, numMerges: Int,
-      maxVocabWords: Int = 65536, minPairFreq: Long = 2L): Seq[(String, String)] = {
+      maxVocabWords: Int = 65536, minPairFreq: Long = 2L,
+      byteLevel: Boolean = false): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges must be non-negative, got $numMerges")
     require(maxVocabWords >= 1, s"maxVocabWords must be positive, got $maxVocabWords")
     val wordFreq: Array[(String, Long)] = docs
@@ -650,7 +651,13 @@ object TextAnalysis {
     val freqs = new Array[Long](wordFreq.length)
     var wi = 0
     while (wi < wordFreq.length) {
-      val (w, f) = wordFreq(wi)
+      // byteLevel: symbols are the word's UTF-8 bytes mapped through
+      // the GPT-2 byte alphabet (1 char each); else codepoints.
+      val (w0, f) = wordFreq(wi)
+      val w = if (byteLevel) {
+        val bs = w0.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        org.apache.spark.sql.graft.BpeBytes.mapWord(bs, 0, bs.length)
+      } else w0
       val syms = mutable.ArrayBuffer.empty[String]
       var ci = 0
       while (ci < w.length) {
