@@ -94,6 +94,15 @@ object GraftFunctions {
     "bpe_token_count" -> { args =>
       expectArgs("bpe_token_count", args, 1); BpeTokenCount(args(0))
     },
+    // bpe_encode is Column-API-only: its merge list is a model object,
+    // not a literal (same status as trigram_scores / marker_counts).
+    "bpe_byte_decode" -> { args =>
+      expectArgs("bpe_byte_decode", args, 1); BpeByteDecode(args(0))
+    },
+    "hashed_token_counts" -> { args =>
+      expectArgs("hashed_token_counts", args, 2)
+      HashedTokenCounts(args(0), litInt(args(1), "dim"))
+    },
     "rolling_fingerprint" -> { args =>
       expectArgs("rolling_fingerprint", args, 3)
       RollingHashFingerprint(args(0),

@@ -44,9 +44,13 @@ class OpsSpec extends AnyFunSuite {
       gs.getAs[Double]("dup_gram_frac") == 0.5)
     val r2 = spark.sql(
       """SELECT word_shingles('a b c d', 3) AS sh,
-        |       vec_norm(array(3.0d, 4.0d)) AS nrm""".stripMargin).collect().head
+        |       vec_norm(array(3.0d, 4.0d)) AS nrm,
+        |       hashed_token_counts('x y x', 8) AS hv,
+        |       bpe_byte_decode(array('Ġthe')) AS dec""".stripMargin).collect().head
     assert(r2.getSeq[String](0) == Seq("a b c", "b c d"))
     assert(r2.getDouble(1) == 5.0)
+    assert(r2.getSeq[Long](2).sum == 3L && r2.getSeq[Long](2).length == 8)
+    assert(r2.getString(3) == " the")
     val r3 = spark.sql(
       """SELECT word_tokens(' A b  C ') AS tk,
         |       array_shingles(word_tokens('a b c d'), 3) AS sh,
