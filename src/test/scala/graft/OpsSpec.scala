@@ -2391,6 +2391,32 @@ class OpsSpec extends AnyFunSuite {
     assert(real == 0L)
   }
 
+  test("streaming/batch parity: the enrichment projections agree row-for-row under readStream") {
+    // The ingest-enrichment stack is pure projections, so Structured
+    // Streaming must produce byte-identical rows to the batch plan on
+    // the same input — pinned here, benched in StreamBench's `enrich`.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((1L, "the quick brown fox. it's fine!"),
+      (2L, "naïve café 中文 😀"), (3L, ""))
+    def enrich(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      graft.functions.gram_stats(col("text"), 2).as("gs"),
+      graft.functions.bpe_token_count(col("text")).as("n_bpe"),
+      graft.functions.hashed_token_counts(col("text"), 16).as("vec"),
+      graft.functions.compress_ratio(col("text")).as("zr"))
+    val mem = MemoryStream[(Long, String)]
+    val q = enrich(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("enrich_parity")
+      .outputMode("append").start()
+    try { mem.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("enrich_parity").collect()
+      .map(r => (r.getLong(0), r.toSeq.drop(1).toString)).toMap
+    val batch = enrich(rows.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.toSeq.drop(1).toString)).toMap
+    assert(streamed == batch && streamed.size == 3)
+  }
+
   test("hashedVectors: independently-computed buckets, token accounting, similarity interop") {
     def bucket(t: String, dim: Int): Int = {
       val hex = java.security.MessageDigest.getInstance("MD5")
