@@ -915,6 +915,10 @@ object SparkEntry {
     "text_source_terms" -> ((s, d) =>
       graft.ops.TextAnalysis.groupTfidf(
         documents(s, d), col("source"), k = 5, rationalIdf = true)),
+    // Per-doc n-gram novelty (inverse duplication signal): exact
+    // distinct-gram and corpus-unique-gram counts + one division.
+    "text_novelty" -> ((s, d) =>
+      graft.ops.TextAnalysis.noveltyScores(documents(s, d), n = 3)),
     // Sentence segmentation: full content md5 per sentence plus split
     // positions (sentinel-insertion rule — portable, no lookbehind).
     "text_sentences" -> ((s, d) =>
@@ -1183,6 +1187,22 @@ object SparkEntry {
         |SELECT doc_id, sent_idx, md5(sentence) AS sent_md5,
         |  length(sentence) AS n_chars
         |FROM e WHERE length(trim(sentence)) > 0""".stripMargin,
+    "text_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $dToks w FROM documents),
+         |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),
+         |sh AS (SELECT DISTINCT a.doc_id, a.tk || ' ' || b.tk || ' ' || c.tk AS g
+         |       FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.i=a.i+1
+         |                  JOIN tok c ON a.doc_id=c.doc_id AND c.i=a.i+2),
+         |gdf AS (SELECT g, count(*) AS gdf FROM sh GROUP BY 1),
+         |p AS (SELECT sh.doc_id, count(*) AS n_grams,
+         |        sum(CASE WHEN gdf.gdf = 1 THEN 1 ELSE 0 END) AS n_unique
+         |      FROM sh JOIN gdf USING (g) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(COALESCE(p.n_unique, 0) AS BIGINT) AS n_unique,
+         |  CASE WHEN COALESCE(p.n_grams, 0) > 0
+         |       THEN CAST(p.n_unique AS DOUBLE) / p.n_grams END AS novelty
+         |FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id""".stripMargin,
     "text_source_terms" ->
       s"""WITH tok AS (SELECT source, unnest($dToks) AS term FROM documents),
          |tf AS (SELECT source AS "group", term, count(*) AS tf FROM tok GROUP BY 1, 2),

@@ -461,6 +461,37 @@ object TextAnalysis {
           least(lit(window), col("n_toks") - col("start_tok"))), " ")).as("chunk_md5"))
   }
 
+  /** N-gram novelty scoring: per document, the fraction of its
+    * DISTINCT word `n`-grams that appear in no other document —
+    * the inverse duplication signal (novelty ≈ 1: original prose;
+    * novelty ≈ 0: assembled from corpus boilerplate). Quality stacks
+    * threshold it where near-dup dedup is too blunt (a doc can evade
+    * pairwise Jaccard while being a collage of common fragments).
+    *
+    * Scale: ONE distinct (doc, gram) frame feeds both the per-gram
+    * document frequency (map-side combined) and the per-doc roll-up;
+    * the join back is gram-keyed (vocabulary-partitioned). Exact
+    * integers + one fixed-order division — oracle-portable. Documents
+    * with fewer than `n` tokens emit zero grams and a null novelty. */
+  def noveltyScores(docs: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(graft.functions.array_shingles(
+        graft.functions.word_tokens(col("text")), n))).as("gram"))
+    val dfFrame = sh.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
+    val perDoc = sh.join(dfFrame, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gdf") === 1, 1L).otherwise(0L)).as("n_unique"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        when(col("n_grams") > 0,
+          col("n_unique").cast("double") / col("n_grams")).as("novelty"))
+  }
+
   /** Sentence segmentation: one row per sentence with its 0-based
     * position — the granularity for sentence-level dedup, eval-set
     * sampling, and citation-grade provenance. The boundary rule is

@@ -2276,6 +2276,33 @@ class OpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
 
+  test("noveltyScores: collage docs score low, originals high, accounting laws") {
+    val tiny = Seq(
+      (1L, "alpha beta gamma delta epsilon"),  // 3 distinct trigrams, all unique
+      (2L, "alpha beta gamma zeta eta"),       // shares "alpha beta gamma" with 1 and 3
+      (3L, "alpha beta gamma delta epsilon"),  // exact dup of 1 -> nothing unique
+      (4L, "xy")).toDF("doc_id", "text")       // sub-n doc: zero grams
+    val out = TextAnalysis.noveltyScores(tiny, n = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "n_unique", "novelty")
+      .collect()
+    // Docs 1 and 3 are identical: every gram has df >= 2 -> novelty 0.
+    assert(out(0).getLong(1) == 3L && out(0).getLong(2) == 0L &&
+      out(0).getDouble(3) == 0.0)
+    assert(out(2).getDouble(3) == 0.0)
+    // Doc 2: grams (alpha beta gamma | beta gamma zeta | gamma zeta eta);
+    // only the first is shared -> novelty 2/3.
+    assert(out(1).getLong(1) == 3L && out(1).getLong(2) == 2L &&
+      out(1).getDouble(3) == 2.0 / 3)
+    assert(out(3).getLong(1) == 0L && out(3).isNullAt(3))
+    // Corpus laws: every doc present, n_unique <= n_grams, novelty in [0,1].
+    val real = TextAnalysis.noveltyScores(docs)
+      .select("n_grams", "n_unique", "novelty").collect()
+    assert(real.length == docs.count())
+    assert(real.forall(r => r.getLong(1) <= r.getLong(0) &&
+      (r.isNullAt(2) || (r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))))
+  }
+
   test("groupTfidf: per-group distinctive terms, hand-computed, corpus laws") {
     val tiny = Seq(
       (1L, "A", "ml ml data"), (2L, "A", "ml models"),
