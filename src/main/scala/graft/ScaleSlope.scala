@@ -112,7 +112,9 @@ object ScaleSlope {
             .as("roundtrip_md5"))
       }),
       "text_tfidf" -> ((df, _) => TextAnalysis.tfidf(df, k = 5)),
-      "profile_source_overlap" -> ((df, _) => Profiling.sourceOverlap(df, 3)))
+      "profile_source_overlap" -> ((df, _) => Profiling.sourceOverlap(df, 3)),
+      "text_sentence_dedup" -> ((df, _) => Dedup.dedupSentences(df)),
+      "text_novelty" -> ((df, _) => TextAnalysis.noveltyScores(df, 3)))
 
     def time(mk: () => DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()
