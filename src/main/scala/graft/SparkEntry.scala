@@ -1179,7 +1179,7 @@ object SparkEntry {
          |JOIN ns ON ns.source = gp.src_a""".stripMargin,
     "text_sentences" ->
       """WITH m AS (SELECT doc_id,
-        |  string_split(regexp_replace(text, '([.!?]+)\s+', '\1' || chr(1), 'g'),
+        |  string_split(regexp_replace(replace(text, chr(1), ''), '([.!?]+)\s+', '\1' || chr(1), 'g'),
         |               chr(1)) AS parts
         |  FROM documents),
         |e AS (SELECT doc_id, generate_subscripts(parts, 1) - 1 AS sent_idx,
@@ -1218,7 +1218,7 @@ object SparkEntry {
          |WHERE rank <= 5""".stripMargin,
     "text_sentence_dedup" ->
       """WITH m AS (SELECT doc_id,
-        |  string_split(regexp_replace(text, '([.!?]+)\s+', '\1' || chr(1), 'g'),
+        |  string_split(regexp_replace(replace(text, chr(1), ''), '([.!?]+)\s+', '\1' || chr(1), 'g'),
         |               chr(1)) AS parts
         |  FROM documents),
         |e AS (SELECT doc_id, sent_idx, sentence FROM (

@@ -96,12 +96,15 @@ object BpeTable {
 
   /** Inverse of byte-level [[encode]]: concatenate the tokens' mapped
     * chars and translate each back to its byte. Unknown chars (not in
-    * the byte alphabet) make the input invalid → null, matching the
+    * the byte alphabet) — or a null array element, reachable from the
+    * SQL-registered `bpe_byte_decode` whose input type carries
+    * containsNull=true — make the input invalid → null, matching the
     * encoder's contract that tokens only ever contain mapped chars. */
   def decodeBytes(tokens: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
     var total = 0
     var k = 0
     while (k < tokens.numElements()) {
+      if (tokens.isNullAt(k)) return null
       total += tokens.getUTF8String(k).toString.length; k += 1
     }
     val bytes = new Array[Byte](total)

@@ -502,11 +502,15 @@ object TextAnalysis {
     * boundary (`regexp_replace` with a group reference) and split on
     * the sentinel; whitespace-only fragments are dropped, indices are
     * pre-filter split positions so both engines agree even around
-    * dropped tails. Zero-shuffle projection. */
+    * dropped tails. Any pre-existing U+0001 chars in the text are
+    * stripped first (both engines), so a document that happens to
+    * contain the sentinel byte cannot forge spurious sentence splits.
+    * Zero-shuffle projection. */
   def chunkSentences(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), posexplode(split(
-        regexp_replace(col("text"), "([.!?]+)\\s+", "$1\u0001"), "\u0001"))
+        regexp_replace(regexp_replace(col("text"), "\u0001", ""),
+          "([.!?]+)\\s+", "$1\u0001"), "\u0001"))
         .as(Seq("sent_idx", "sentence")))
       .filter(length(trim(col("sentence"))) > 0)
       .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"),
@@ -660,10 +664,16 @@ object TextAnalysis {
     * rule [[org.apache.spark.sql.graft.BpeTable.encodeWord]] replays
     * at encode time, so encoding a training word applies exactly the
     * training-time merge sequence. Pair counts update incrementally
-    * (only words containing the merged pair are reprocessed), so
-    * driver work is O(numMerges * affectedWords), not
-    * O(numMerges * vocab). Stops early when no pair reaches
-    * `minPairFreq`. */
+    * (only words containing the merged pair are reprocessed), and
+    * best-pair selection reads the head of a lazy-deletion max-heap
+    * (every count change pushes a fresh entry; stale entries are
+    * discarded on pop by comparing against the live count) — so
+    * driver work is O(numMerges * affectedWords * log P), never a
+    * full scan of the pair space per merge. That bound is what makes
+    * production vocabularies (32k+ merges) tractable: at realistic
+    * merge depth almost every selected pair touches a handful of
+    * words, while the pair space P stays in the millions. Stops early
+    * when no pair reaches `minPairFreq`. */
   def bpeTrain(docs: DataFrame, numMerges: Int,
       maxVocabWords: Int = 65536, minPairFreq: Long = 2L,
       byteLevel: Boolean = false): Seq[(String, String)] = {
@@ -703,6 +713,21 @@ object TextAnalysis {
 
     val pairCount = mutable.HashMap.empty[(String, String), Long]
     val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    // Lazy-deletion max-heap over (count desc, left asc, right asc):
+    // the same total order the old full-scan selection used, so the
+    // merge sequence is bit-identical. null until seeded — the first
+    // corpus pass bulk-loads pairCount, then every later change
+    // pushes a fresh entry here.
+    var heap: java.util.PriorityQueue[(String, String, Long)] = null
+    val heapOrder = new java.util.Comparator[(String, String, Long)] {
+      override def compare(a: (String, String, Long), b: (String, String, Long)): Int = {
+        if (a._3 != b._3) java.lang.Long.compare(b._3, a._3)
+        else {
+          val x = a._1.compareTo(b._1)
+          if (x != 0) x else a._2.compareTo(b._2)
+        }
+      }
+    }
     def addWord(i: Int, sign: Long): Unit = {
       val s = words(i)
       var k = 0
@@ -710,6 +735,7 @@ object TextAnalysis {
         val p = (s(k), s(k + 1))
         val c = pairCount.getOrElse(p, 0L) + sign * freqs(i)
         if (c == 0L) pairCount.remove(p) else pairCount(p) = c
+        if (heap != null && c > 0L) heap.add((p._1, p._2, c))
         if (sign > 0) pairWords.getOrElseUpdate(p, mutable.Set.empty) += i
         k += 1
       }
@@ -739,15 +765,26 @@ object TextAnalysis {
       out.toArray
     }
 
+    heap = new java.util.PriorityQueue[(String, String, Long)](
+      Math.max(16, pairCount.size), heapOrder)
+    pairCount.foreach { case ((l, r), c) => heap.add((l, r, c)) }
+
     val merges = mutable.ArrayBuffer.empty[(String, String)]
     var done = numMerges == 0
     while (!done) {
+      // Pop until the head's count matches the live count — anything
+      // else is a stale entry from before an incremental update.
       var bestPair: (String, String) = null
       var bestCount = 0L
-      pairCount.foreach { case (p, c) =>
-        if (c > bestCount || (c == bestCount && bestPair != null &&
-            (p._1 < bestPair._1 || (p._1 == bestPair._1 && p._2 < bestPair._2)))) {
-          bestPair = p; bestCount = c
+      var searching = true
+      while (searching) {
+        val head = heap.poll()
+        if (head == null) searching = false
+        else {
+          val p = (head._1, head._2)
+          if (pairCount.getOrElse(p, 0L) == head._3) {
+            bestPair = p; bestCount = head._3; searching = false
+          }
         }
       }
       if (bestPair == null || bestCount < minPairFreq) done = true
