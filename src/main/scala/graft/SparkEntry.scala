@@ -386,6 +386,55 @@ object SparkEntry {
   private val classifierGateWeights: Seq[Double] =
     (0 until 64).map(i => ((i * 37) % 101 - 50) / 1000.0)
 
+  /** DuckDB replay of `classifierTrain`'s gate configuration: the
+    * full fixed-point training loop (binary hashed-ngram features,
+    * intercept bucket −1, fast-sigmoid quantized to 1e-6, gradient
+    * sums in HUGEINT, half-away-from-zero learning step) unrolled as
+    * `iters` staged CTE generations. MATERIALIZED is load-bearing:
+    * each generation references its predecessor twice (margins +
+    * update), so un-materialized inlining would re-evaluate the chain
+    * exponentially. Arithmetic parity notes: HUGEINT↔DECIMAL(38,0)
+    * exact sums; CAST(int AS DOUBLE), x/1e12, 0.5*x, a/b, abs, floor
+    * are all single correctly-rounded IEEE ops so both engines
+    * produce identical doubles; `//` on non-negative operands is the
+    * same floor division as Spark's `div`. */
+  private def classifierTrainOracle(
+      dim: Int, iters: Int, lrNum: Long, lrDen: Long): String = {
+    val label = s"CASE WHEN list_contains($dToks, 'spark') THEN 1 ELSE 0 END"
+    val head =
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, $label AS y, $dToks w FROM documents),
+         |tok AS MATERIALIZED (SELECT doc_id, y, generate_subscripts(w,1) i, unnest(w) tk FROM t),
+         |g AS (SELECT doc_id, y, tk AS g FROM tok
+         |      UNION ALL
+         |      SELECT t0.doc_id, t0.y, t0.tk || ' ' || t1.tk
+         |      FROM tok t0 JOIN tok t1 ON t1.doc_id=t0.doc_id AND t1.i=t0.i+1),
+         |cb AS (SELECT DISTINCT doc_id, y,
+         |         CAST(('0x' || substring(md5(g),1,8)) AS BIGINT) % $dim AS bk FROM g),
+         |feat AS MATERIALIZED (SELECT doc_id, y, bk, CAST(1 AS HUGEINT) AS c FROM cb
+         |       UNION ALL SELECT doc_id, y, -1, CAST(1 AS HUGEINT) FROM t),
+         |nn AS MATERIALIZED (SELECT count(*) AS n FROM t),
+         |w0 AS MATERIALIZED (SELECT DISTINCT bk, CAST(0 AS HUGEINT) AS ws FROM feat)""".stripMargin
+    val its = (1 to iters).map { k =>
+      val md = "(CAST(m.i0 AS DOUBLE)/1e12 + CAST(m.ms AS DOUBLE)/1e12)"
+      s"""m$k AS MATERIALIZED (SELECT f.doc_id, max(f.y) AS y,
+         |  sum(CASE WHEN f.bk=-1 THEN w.ws*f.c ELSE CAST(0 AS HUGEINT) END) AS i0,
+         |  sum(CASE WHEN f.bk<>-1 THEN w.ws*f.c ELSE CAST(0 AS HUGEINT) END) AS ms
+         |  FROM feat f JOIN w${k - 1} w USING (bk) GROUP BY 1),
+         |r$k AS MATERIALIZED (SELECT m.doc_id, m.y*1000000 -
+         |  CAST(floor((0.5 + (0.5*$md)/(1+abs($md)))*1000000 + 0.5) AS BIGINT) AS resid
+         |  FROM m$k m),
+         |g$k AS MATERIALIZED (SELECT f.bk, sum(CAST(r.resid AS HUGEINT)*1000000*f.c) AS grad
+         |  FROM feat f JOIN r$k r USING (doc_id) GROUP BY 1),
+         |w$k AS MATERIALIZED (SELECT w.bk, w.ws + (CASE WHEN g.grad >= 0
+         |    THEN (2*g.grad*$lrNum + $lrDen*nn.n)//(2*$lrDen*nn.n)
+         |    ELSE -((2*(-g.grad)*$lrNum + $lrDen*nn.n)//(2*$lrDen*nn.n)) END) AS ws
+         |  FROM w${k - 1} w JOIN g$k g USING (bk) CROSS JOIN nn)""".stripMargin
+    }
+    (head +: its).mkString(",\n") +
+      s"\nSELECT bk AS bucket, CAST(ws AS BIGINT) AS w_scaled," +
+      s" CAST(ws AS DOUBLE)/1e12 AS weight FROM w$iters"
+  }
+
   /** Shared by `curation_decontaminate` and its Bloom-prefiltered
     * twin (identical flagged sets by construction). */
   private val decontaminateOracle: String = {
@@ -874,6 +923,21 @@ object SparkEntry {
       graft.ops.TextAnalysis.classifierScore(
         documents(s, d), classifierGateWeights, bias = 0.0, wordNgrams = 2)
         .select(col("doc_id"), col("n_grams"), col("sum_w"))),
+    // Distributed classifier TRAINING (the apply side's missing half):
+    // 12 full-batch iterations of exact fixed-point logistic-style
+    // regression at dim=256 over binary hashed-ngram presence, label =
+    // "document contains the token 'spark'" (a genuinely learnable
+    // text property — the corpus's lang/source columns are
+    // uncorrelated with its text). The DuckDB oracle replays all 12
+    // iterations as staged materialized CTEs and must reproduce every
+    // trained weight EXACTLY (integer w_scaled hash-compared).
+    "text_classifier_train" -> ((s, d) => {
+      val docs = documents(s, d).withColumn("label",
+        array_contains(graft.functions.word_tokens(col("text")), "spark")
+          .cast("int"))
+      graft.ops.TextAnalysis.classifierTrain(docs, "label", dim = 256,
+        wordNgrams = 2, iters = 12, lrNum = 1L, lrDen = 2L)
+    }),
     // True vocab-merge BPE: train 200 merges on the corpus, then pin
     // the portable projections — the md5 of the re-concatenated token
     // stream (equals md5(text) iff the ranked merge loop round-trips
@@ -1137,6 +1201,9 @@ object SparkEntry {
          |SELECT t.doc_id, COALESCE(s.n_grams, 0) AS n_grams,
          |  CAST(COALESCE(s.sw, 0) AS DOUBLE) AS sum_w
          |FROM t LEFT JOIN s USING (doc_id)""".stripMargin,
+    // Full 12-iteration fixed-point training replay — every trained
+    // weight must match the engine bit-for-bit (integer w_scaled).
+    "text_classifier_train" -> classifierTrainOracle(256, 12, 1L, 2L),
     // BPE round-trip: concatenated tokens == text exactly, and the
     // empty-merge segmentation is one symbol per codepoint.
     "text_bpe_encode" ->

@@ -434,6 +434,136 @@ object TextAnalysis {
           .as("score"))
   }
 
+  /** Distributed trainer for [[classifierScore]]'s model family:
+    * deterministic full-batch logistic-style regression over the SAME
+    * hashed bag-of-word-ngrams feature space (first-32-md5-bits mod
+    * `dim`, n-grams of lengths 1..`wordNgrams`). This closes the loop
+    * classifierScore left open — it applies weights; this produces
+    * them from a labeled seed set (`labelCol` ∈ {0, 1}), the way real
+    * curation stacks fit their fastText-shape quality/langid gates.
+    *
+    * The entire algorithm is EXACT fixed-point integer arithmetic so
+    * an ANSI SQL engine can replay it bit-for-bit:
+    *   - weights live in integer units of 1e-12 (`w_scaled`),
+    *   - predicted probabilities are quantized to integer units of
+    *     1e-6 through the algebraic fast sigmoid
+    *     `p = 0.5 + (0.5·m)/(1+|m|)` — one multiply, one add, one
+    *     divide, one `floor(p·1e6 + 0.5)`: every step is a single
+    *     correctly-rounded IEEE op, identical across engines (no
+    *     libm transcendental anywhere),
+    *   - gradients are exact integer sums accumulated in
+    *     DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — no overflow, no
+    *     order dependence,
+    *   - the learning-rate step is half-away-from-zero integer
+    *     division by `lrDen·N` with rate `lrNum/lrDen`.
+    * Features: binary bucket presence by default (`meanPool=false`,
+    * the configuration that trains well in few full-batch passes), or
+    * fastText mean pooling `count/n_grams` (`meanPool=true` — the
+    * exact feature map [[classifierScore]] applies, for weights meant
+    * to feed it; per-doc division is folded into the gradient as
+    * `rq = round(resid·1e6 / n)` so sums stay integral). The
+    * intercept is bucket −1 with feature 1. Output: one row per
+    * OBSERVED bucket (plus intercept): `bucket`, exact `w_scaled`
+    * (the hash-gated value), derived `weight = w_scaled/1e12`.
+    *
+    * Scale posture: the corpus-sized feature frame is built once
+    * (one tokenize pass + one (doc,bucket) map-side-combined groupBy),
+    * hash-partitioned by doc_id, and persisted; each iteration then
+    * costs two scans of that cached frame and NO corpus-sized
+    * shuffle — margins aggregate doc-locally (partitioning reused),
+    * the model (≤ dim+1 rows) rides a broadcast join, the per-doc
+    * residual frame (N rows, two columns) is re-broadcast for the
+    * gradient join, and the gradient shuffle carries map-side partial
+    * sums bounded by `dim`, not the corpus. Driver state is O(dim).
+    * Magnitude bounds (documented, not checked): per-row gradient
+    * terms are ≤ 1e12 by construction; margins need
+    * |w|·n_doc < 9.2e6 in real units to stay in signed-64 partials
+    * before the DECIMAL cast — satisfied for |w| ≤ 10 up to ~900k
+    * grams per document. */
+  def classifierTrain(docs: DataFrame, labelCol: String, dim: Int,
+      wordNgrams: Int = 2, iters: Int = 12,
+      lrNum: Long = 1L, lrDen: Long = 2L,
+      meanPool: Boolean = false,
+      persist: Persistence = Persistence.Local): DataFrame = {
+    require(dim >= 1, s"dim must be positive, got $dim")
+    require(wordNgrams >= 1, s"wordNgrams must be positive, got $wordNgrams")
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    require(lrNum >= 1 && lrDen >= 1, s"learning rate must be positive, got $lrNum/$lrDen")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val bucket = (g: Column) =>
+      (conv(substring(md5(g), 1, 8), 16, 10).cast("long") % dim).cast("int")
+    def gramsOf(toks: Column, k: Int): Column =
+      when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => array_join(slice(toks, i + 1, lit(k)), " ")))
+        .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+    val bk0 = docs
+      .withColumn("toks", graft.functions.word_tokens(col("text")))
+      .withColumn("grams",
+        concat((1 to wordNgrams).map(k => gramsOf(col("toks"), k)): _*))
+      .select(col("doc_id"), col(labelCol).cast("long").as("y"),
+        explode(col("grams")).as("g"))
+      .select(col("doc_id"), col("y"), bucket(col("g")).as("bk"))
+    val counts = bk0.groupBy("doc_id", "y", "bk").agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("doc_id").agg(sum(col("cnt")).as("n"))
+    val content = counts.join(totals, "doc_id").select(
+      col("doc_id"), col("y"), col("bk"),
+      (if (meanPool) col("cnt") else lit(1L)).as("c"),
+      (if (meanPool) col("n") else lit(1L)).as("nd"))
+    val intercept = docs.select(col("doc_id"),
+      col(labelCol).cast("long").as("y"),
+      lit(-1).as("bk"), lit(1L).as("c"), lit(1L).as("nd"))
+    val feat = persist(content.unionByName(intercept)
+      .repartition(col("doc_id")))
+
+    val nDocs = docs.count()
+    val buckets: Array[Int] =
+      feat.select("bk").distinct().collect().map(_.getInt(0)).sorted
+    val ws = scala.collection.mutable.HashMap(buckets.map(_ -> 0L): _*)
+    def divHalf(a: BigInt, d: BigInt): BigInt =
+      BigInt(a.signum) * ((a.abs * 2 + d) / (d * 2))
+
+    var it = 0
+    while (it < iters) {
+      val wDf = broadcast(buckets.toSeq.map(b => (b, ws(b))).toDF("bk", "ws"))
+      val margins = feat.join(wDf, Seq("bk"), "left")
+        .withColumn("wc",
+          coalesce(col("ws"), lit(0L)).cast("decimal(38,0)") * col("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("y")).as("y"),
+          sum(when(col("bk") === -1, col("wc"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("i0"),
+          sum(when(col("bk") =!= -1, col("wc"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("ms"),
+          max(col("nd")).as("ndoc"))
+      val md = (col("i0").cast("double") / lit(1e12)) +
+        (col("ms").cast("double") / lit(1e12)) / col("ndoc").cast("double")
+      val p = lit(0.5) + (lit(0.5) * md) / (lit(1.0) + abs(md))
+      val resid = (col("y") * lit(1000000L)) -
+        floor(p * lit(1000000.0) + lit(0.5)).cast("long")
+      val residDf = persist(margins.select(col("doc_id"), resid.as("resid")))
+      val gradRows = feat.join(broadcast(residDf), "doc_id")
+        .withColumn("rqNum", col("resid") * lit(1000000L))
+        .withColumn("rq", when(col("rqNum") >= 0,
+            expr("(2*rqNum + nd) div (2*nd)"))
+          .otherwise(-expr("(2*(-rqNum) + nd) div (2*nd)")))
+        .withColumn("term", (col("rq") * col("c")).cast("decimal(38,0)"))
+        .groupBy(col("bk")).agg(sum(col("term")).as("grad"))
+        .collect()
+      val den = BigInt(lrDen) * BigInt(nDocs)
+      gradRows.foreach { r =>
+        val b = r.getInt(0)
+        val g = BigInt(r.getDecimal(1).toBigInteger)
+        ws(b) = ws(b) + divHalf(g * lrNum, den).toLong
+      }
+      it += 1
+    }
+    buckets.toSeq.map(b => (b.toLong, ws(b), ws(b).toDouble / 1e12))
+      .toDF("bucket", "w_scaled", "weight")
+  }
+
   /** Context-window chunking: splits each document into token windows
     * of `window` words every `stride` words (overlapping when
     * stride < window) — the step that turns a curated corpus into

@@ -2651,4 +2651,128 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, Long, Int)].collect()
     assert(real.nonEmpty && real.forall(r => r._2 <= 3 && r._2 == r._3))
   }
+
+  test("classifierTrain: planted labels separate, weights are exact and deterministic") {
+    // 40 planted docs: positives carry distinctive quality markers,
+    // negatives carry junk markers; shared filler in both classes.
+    val good = (0 until 20).map(i =>
+      (i.toLong, s"insightful thorough analysis shared$i filler common words here", 1))
+    val bad = (20 until 40).map(i =>
+      (i.toLong, s"spam garbage clickbait shared$i filler common words here", 0))
+    val d = (good ++ bad).toDF("doc_id", "text", "label")
+    val w = TextAnalysis.classifierTrain(d, "label", dim = 128, iters = 12)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toMap
+    // Margin per doc under binary presence features replays training's
+    // own arithmetic: intercept + sum of present-bucket weights.
+    def bucket(g: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8"))
+      val b = java.lang.Long.parseLong(
+        h.take(4).map(x => f"$x%02x").mkString, 16)
+      b % 128
+    }
+    def margin(text: String): Double = {
+      val toks = text.trim.toLowerCase.split("\\s+").toSeq
+      val grams = toks ++ toks.sliding(2).map(_.mkString(" ")).toSeq
+      val bks = grams.map(bucket).distinct
+      w.getOrElse(-1L, 0L) / 1e12 + bks.map(b => w.getOrElse(b, 0L)).sum / 1e12
+    }
+    val gm = good.map(g => margin(g._2))
+    val bm = bad.map(b => margin(b._2))
+    // Clean planted signal: every positive doc outranks every negative.
+    assert(gm.min > bm.max,
+      s"no separation: good margins min ${gm.min} <= bad max ${bm.max}")
+    // Exactness: a second run reproduces every scaled weight bit-for-bit.
+    val w2 = TextAnalysis.classifierTrain(d, "label", dim = 128, iters = 12)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toMap
+    assert(w == w2)
+  }
+
+  test("classifierTrain meanPool: trained weights feed classifierScore and rank planted docs") {
+    val good = (0 until 20).map(i =>
+      (i.toLong, s"insightful thorough analysis shared$i filler common words here", 1))
+    val bad = (20 until 40).map(i =>
+      (i.toLong, s"spam garbage clickbait shared$i filler common words here", 0))
+    val d = (good ++ bad).toDF("doc_id", "text", "label")
+    val dim = 128
+    val trained = TextAnalysis.classifierTrain(d, "label", dim = dim,
+      iters = 12, lrNum = 16L, lrDen = 1L, meanPool = true)
+      .as[(Long, Long, Double)].collect()
+    val wMap = trained.map(r => (r._1, r._3)).toMap
+    val weights = (0 until dim).map(b => wMap.getOrElse(b.toLong, 0.0))
+    val bias = wMap.getOrElse(-1L, 0.0)
+    // classifierScore applies the EXACT feature map meanPool trained
+    // on (count/n mean over hashed ngrams), so trained weights must
+    // transfer: every good doc outscores every bad doc.
+    val scores = TextAnalysis.classifierScore(d, weights, bias = bias)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._4)).toMap
+    val gs = good.map(g => scores(g._1))
+    val bs = bad.map(b => scores(b._1))
+    assert(gs.min > bs.max,
+      s"train->score transfer failed: good min ${gs.min} <= bad max ${bs.max}")
+  }
+
+  test("randomized: classifierTrain agrees with a brute-force exact reference model") {
+    val rnd = new scala.util.Random(4242)
+    val vocabulary = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "pos1", "pos2", "neg1", "neg2")
+    val corpus = (0 until 60).map { i =>
+      val y = i % 2
+      val extra = if (y == 1) Seq("pos1", "pos2") else Seq("neg1", "neg2")
+      val words = Seq.fill(3 + rnd.nextInt(8))(
+        vocabulary(rnd.nextInt(10))) ++ rnd.shuffle(extra).take(1 + rnd.nextInt(2))
+      (i.toLong, words.mkString(" "), y)
+    }
+    val dim = 32
+    val iters = 7
+    val d = corpus.toDF("doc_id", "text", "label")
+    for (meanPool <- Seq(false, true)) {
+      val got = TextAnalysis.classifierTrain(d, "label", dim = dim,
+        iters = iters, lrNum = 3L, lrDen = 4L, meanPool = meanPool)
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toMap
+
+      // Reference model: plain Scala loops, BigInt-exact.
+      def bucket(g: String): Int = {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8"))
+        (java.lang.Long.parseLong(
+          h.take(4).map(x => f"$x%02x").mkString, 16) % dim).toInt
+      }
+      def divHalf(a: BigInt, den: BigInt): BigInt =
+        BigInt(a.signum) * ((a.abs * 2 + den) / (den * 2))
+      val feats: Seq[(Long, Int, Seq[(Int, Long)], Long)] = corpus.map { case (id, text, y) =>
+        val toks = text.trim.toLowerCase.split("\\s+").toSeq
+        val grams = toks ++ toks.sliding(2).map(_.mkString(" ")).toSeq
+        val counts = grams.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+        val n = counts.values.sum
+        val fs = if (meanPool) counts.toSeq else counts.keys.map(_ -> 1L).toSeq
+        (id, y, fs, if (meanPool) n else 1L)
+      }
+      val ws = scala.collection.mutable.HashMap.empty[Int, BigInt].withDefaultValue(BigInt(0))
+      val nDocs = corpus.size
+      for (_ <- 0 until iters) {
+        val grad = scala.collection.mutable.HashMap.empty[Int, BigInt].withDefaultValue(BigInt(0))
+        feats.foreach { case (_, y, fs, nd) =>
+          val ms = fs.map { case (b, c) => ws(b) * c }.sum
+          val md = ws(-1).toDouble / 1e12 + (ms.toDouble / 1e12) / nd.toDouble
+          val p = 0.5 + (0.5 * md) / (1.0 + math.abs(md))
+          val resid = y * 1000000L - math.floor(p * 1000000.0 + 0.5).toLong
+          grad(-1) += BigInt(resid) * 1000000L
+          fs.foreach { case (b, c) =>
+            grad(b) += divHalf(BigInt(resid) * 1000000L, BigInt(nd)) * c
+          }
+        }
+        grad.foreach { case (b, g) =>
+          ws(b) += divHalf(g * 3L, BigInt(4L) * nDocs)
+        }
+      }
+      val expected = ws.toMap.map { case (b, v) => (b.toLong, v.toLong) }
+      val full = (expected.keySet ++ got.keySet).toSeq.sorted
+      full.foreach { b =>
+        assert(got.getOrElse(b, 0L) == expected.getOrElse(b, 0L),
+          s"meanPool=$meanPool bucket $b: got ${got.getOrElse(b, 0L)} expected ${expected.getOrElse(b, 0L)}")
+      }
+    }
+  }
 }
