@@ -86,6 +86,19 @@ package object functions {
   def trigram_scores(text: Column, langs: Seq[Seq[String]]): Column =
     TrigramScoresColumns.trigramScores(text, langs)
 
+  /** Per-doc trigram-LM probe aggregate `(n_tri, sum_cnt, log1p_sum)`
+    * against a plan-shipped trigram→count model, one codepoint walk —
+    * see [[org.apache.spark.sql.graft.TrigramLmScore]]. */
+  def trigram_lm_score(text: Column,
+      model: org.apache.spark.sql.graft.TrigramLmTable): Column =
+    org.apache.spark.sql.graft.TrigramLmScoreColumns.trigramLmScore(text, model)
+
+  /** Per-doc codepoint-trigram histogram (MAP<STRING,BIGINT>) in one
+    * pass — the pre-aggregated model-build input for `lmScore`; see
+    * [[org.apache.spark.sql.graft.CharTrigramCounts]]. */
+  def char_trigram_counts(text: Column): Column =
+    org.apache.spark.sql.graft.TrigramLmScoreColumns.charTrigramCounts(text)
+
   /** Per-language marker-word occurrence counts (ARRAY<BIGINT>,
     * language order = `langs` order) in one tokenize pass — see
     * [[org.apache.spark.sql.graft.MarkerCounts]]. */

@@ -340,10 +340,19 @@ object TextAnalysis {
     * the aggregated model is materialized, its exact row count read
     * (an O(model) action, cheap — the model is already the corpus
     * reduced to per-gram counts), and only a model within
-    * `maxBroadcastModel` rows gets the broadcast hint; a bigger model
-    * falls back to a shuffle join on `tr` (one extra exchange of the
-    * trigram frame, never a driver OOM). Scoring stays explode → join
-    * → one per-doc partial aggregate either way. */
+    * `maxBroadcastModel` rows scores through the NATIVE path: the
+    * model is collected (bounded by the same gate) into a
+    * trigram→count map that rides the serialized plan, and
+    * [[graft.functions.trigram_lm_score]] walks each document's
+    * codepoint windows once, emitting the per-doc aggregate directly
+    * — zero explode, zero join, zero shuffle on the scoring side (the
+    * declarative spelling materialized one row per corpus CHARACTER
+    * and shuffled it through the model join). A bigger model falls
+    * back to the declarative explode → shuffle join → per-doc
+    * aggregate (one extra exchange of the trigram frame, never a
+    * driver OOM). Both paths produce identical rows (spec-pinned):
+    * same half-open codepoint windows, same unseen-counts-0 contract,
+    * same accumulation order for the log1p mean. */
   def lmScore(docs: DataFrame, refDocs: DataFrame = null,
       persist: Persistence = Persistence.Local,
       maxBroadcastModel: Long = 1000000L): DataFrame = {
@@ -357,26 +366,58 @@ object TextAnalysis {
         """CASE WHEN length(s) >= 3
           |THEN transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))
           |ELSE array() END""".stripMargin)).as("tr"))
-    // Self-scoring (the common profile pass) materializes the trigram
-    // frame: model build and scoring both consume it, and the explode
-    // allocates one small string per character of the corpus — the one
-    // stage worth never running twice.
     val selfScored = refDocs == null
-    val docTris = if (selfScored) persist(tris(docs)) else tris(docs)
-    val refTris = if (selfScored) docTris else tris(refDocs)
-    val model = persist(refTris.groupBy(col("tr")).agg(count(lit(1)).as("cnt")))
-    val modelSide = if (model.count() <= maxBroadcastModel) broadcast(model) else model
-    val total = model.agg(sum(col("cnt")).as("total"))
-    docTris
-      .join(modelSide, Seq("tr"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tri"),
-        coalesce(sum(col("cnt")), lit(0L)).as("sum_cnt"),
-        avg(log(coalesce(col("cnt"), lit(0L)) + 1d)).as("log1p_cnt_mean"))
-      .crossJoin(broadcast(total))
-      .select(col("doc_id"), col("n_tri"), col("sum_cnt"),
-        (col("sum_cnt").cast("double") / col("n_tri") / col("total")).as("avg_p"),
-        (col("log1p_cnt_mean") - log(col("total").cast("double"))).as("log_prob"))
+    // Model build: per-doc native trigram histograms pre-aggregate the
+    // explode to one row per distinct trigram per doc (the declarative
+    // spelling exploded one row per corpus character); the trigram
+    // groupBy then sums histograms — same counts, spec-pinned.
+    val model = persist((if (selfScored) docs else refDocs)
+      .select(explode(graft.functions.char_trigram_counts(
+        TextOps.normalized(col("text")))).as(Seq("tr", "c")))
+      .groupBy(col("tr")).agg(sum(col("c")).as("cnt")))
+    if (model.count() <= maxBroadcastModel) {
+      // Native path: model → driver map (bounded by the same gate that
+      // would have broadcast it anyway), total computed from the same
+      // collected rows (no extra job), one codegen'd walk per doc.
+      val rows = model.collect()
+      var totalCnt = 0L
+      rows.foreach(r => totalCnt += r.getLong(1))
+      val table = org.apache.spark.sql.graft.TrigramLmTable.build(
+        rows.iterator.map(r =>
+          (org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+            r.getLong(1))))
+      docs
+        .select(col("doc_id"),
+          graft.functions.trigram_lm_score(TextOps.normalized(col("text")), table)
+            .as("lm"))
+        // The declarative group-by drops trigram-less docs (nothing to
+        // explode); the projection must shed the same rows.
+        .filter(col("lm.n_tri") > 0)
+        .select(col("doc_id"),
+          col("lm.n_tri").as("n_tri"),
+          col("lm.sum_cnt").as("sum_cnt"),
+          (col("lm.sum_cnt").cast("double") / col("lm.n_tri") / lit(totalCnt))
+            .as("avg_p"),
+          ((col("lm.log1p_sum") / col("lm.n_tri")) -
+            log(lit(totalCnt).cast("double"))).as("log_prob"))
+    } else {
+      // Shuffle-join fallback (CJK-scale trigram spaces). Self-scoring
+      // materializes the scoring frame: the explode allocates one small
+      // string per character of the corpus — worth never running twice
+      // (the model pass above already paid its own explode).
+      val docTris = if (selfScored) persist(tris(docs)) else tris(docs)
+      val total = model.agg(sum(col("cnt")).as("total"))
+      docTris
+        .join(model, Seq("tr"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tri"),
+          coalesce(sum(col("cnt")), lit(0L)).as("sum_cnt"),
+          avg(log(coalesce(col("cnt"), lit(0L)) + 1d)).as("log1p_cnt_mean"))
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"), col("n_tri"), col("sum_cnt"),
+          (col("sum_cnt").cast("double") / col("n_tri") / col("total")).as("avg_p"),
+          (col("log1p_cnt_mean") - log(col("total").cast("double"))).as("log_prob"))
+    }
   }
 
   /** Broadcast linear quality classifier — the fastText-style shape

@@ -2775,4 +2775,50 @@ class OpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("lmScore: native broadcast-model path is row-identical to the declarative join path") {
+    val d = docs.limit(120).unionByName(Seq(
+      (900001L, "ab", "xx", "synthetic", 2L),             // sub-trigram: must drop
+      (900002L, "  Na\u00efve  \u4e2d\u6587 caf\u00e9 mix ", "xx", "synthetic", 20L), // multibyte windows
+      (900003L, "zzz qqq zzz qqq unseen trigrams", "xx", "synthetic", 30L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val native = TextAnalysis.lmScore(d)
+    val declarative = TextAnalysis.lmScore(d, maxBroadcastModel = 0L)
+    // The chosen plans really are different shapes: native has no join.
+    assert(!native.queryExecution.executedPlan.toString.contains("Join"))
+    assert(declarative.queryExecution.executedPlan.toString.contains("Join"))
+    val nRows = native.orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    val dRows = declarative.orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(nRows.map(_._1).toSeq == dRows.map(_._1).toSeq) // same doc set (900001 dropped by both)
+    assert(!nRows.map(_._1).contains(900001L))
+    nRows.zip(dRows).foreach { case (a, b) =>
+      assert(a._2 == b._2 && a._3 == b._3, s"exact n_tri/sum_cnt mismatch at ${a._1}: $a vs $b")
+      assert(math.abs(a._4 - b._4) <= 1e-12 && math.abs(a._5 - b._5) <= 1e-9,
+        s"avg_p/log_prob drift at ${a._1}: $a vs $b")
+    }
+  }
+
+  test("char_trigram_counts: native per-doc histogram equals the explode-substring counts") {
+    val d = docs.limit(60).unionByName(Seq(
+      (910001L, "\u4e2d\u6587\u6587\u4e2d\u6587 caf\u00e9 \ud83d\ude00ab", "xx", "synthetic", 12L),
+      (910002L, "aa", "xx", "synthetic", 2L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val native = d.select(explode(graft.functions.char_trigram_counts(norm)).as(Seq("tr", "c")))
+      .groupBy("tr").agg(sum("c").as("cnt"))
+      .as[(String, Long)].collect().toMap
+    val brute = d.select(col("doc_id"), norm.as("s"))
+      .select(explode(expr(
+        """CASE WHEN length(s) >= 3
+          |THEN transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))
+          |ELSE array() END""".stripMargin)).as("tr"))
+      .groupBy("tr").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toMap
+    assert(native == brute, {
+      val ks = (native.keySet ++ brute.keySet).filter(k => native.get(k) != brute.get(k))
+      s"histogram mismatch on ${ks.take(5)}"
+    })
+  }
 }
