@@ -104,7 +104,7 @@ case class ArrayShingles(child: Expression, n: Int)
   * same trade [[MinhashSignature]] already makes); callers that need
   * literal grams (e.g. to report WHICH gram leaked) use the string
   * variant. */
-case class WordShingleHashes(child: Expression, n: Int)
+case class WordShingleHashes(child: Expression, n: Int, seed: Long = 42L)
     extends UnaryExpression with ExpectsInputTypes {
   require(n >= 1, "shingle size must be >= 1")
 
@@ -114,11 +114,11 @@ case class WordShingleHashes(child: Expression, n: Int)
   override def prettyName: String = "word_shingle_hashes"
 
   override protected def nullSafeEval(input: Any): Any =
-    WordShinglesImpl.shingleHashes(input.asInstanceOf[UTF8String], n)
+    WordShinglesImpl.shingleHashes(input.asInstanceOf[UTF8String], n, seed)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"org.apache.spark.sql.graft.WordShinglesImpl.shingleHashes($c, $n)")
+      s"org.apache.spark.sql.graft.WordShinglesImpl.shingleHashes($c, $n, ${seed}L)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
     copy(child = newChild)
@@ -126,7 +126,7 @@ case class WordShingleHashes(child: Expression, n: Int)
 
 /** [[WordShingleHashes]] over a pre-tokenized array ([[WordTokens]]
   * column): byte-identical hashes, zero re-tokenize. */
-case class ArrayShingleHashes(child: Expression, n: Int)
+case class ArrayShingleHashes(child: Expression, n: Int, seed: Long = 42L)
     extends UnaryExpression with ExpectsInputTypes {
   require(n >= 1, "shingle size must be >= 1")
 
@@ -136,11 +136,11 @@ case class ArrayShingleHashes(child: Expression, n: Int)
   override def prettyName: String = "array_shingle_hashes"
 
   override protected def nullSafeEval(input: Any): Any =
-    WordShinglesImpl.shingleHashesFromTokens(input.asInstanceOf[ArrayData], n)
+    WordShinglesImpl.shingleHashesFromTokens(input.asInstanceOf[ArrayData], n, seed)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"org.apache.spark.sql.graft.WordShinglesImpl.shingleHashesFromTokens($c, $n)")
+      s"org.apache.spark.sql.graft.WordShinglesImpl.shingleHashesFromTokens($c, $n, ${seed}L)")
 
   override protected def withNewChildInternal(newChild: Expression): ArrayShingleHashes =
     copy(child = newChild)
@@ -187,22 +187,23 @@ object WordShinglesImpl {
   }
 
   /** See [[WordShingleHashes]]. Static for codegen. */
-  def shingleHashes(s: UTF8String, n: Int): GenericArrayData =
-    shingleHashesOf(tokenize(s), n)
+  def shingleHashes(s: UTF8String, n: Int, seed: Long): GenericArrayData =
+    shingleHashesOf(tokenize(s), n, seed)
 
   /** See [[ArrayShingleHashes]]. Static for codegen. */
-  def shingleHashesFromTokens(arr: ArrayData, n: Int): GenericArrayData = {
+  def shingleHashesFromTokens(arr: ArrayData, n: Int, seed: Long): GenericArrayData = {
     val len = arr.numElements()
     val toks = new Array[UTF8String](len)
     var i = 0
     while (i < len) { toks(i) = arr.getUTF8String(i); i += 1 }
-    shingleHashesOf(toks, n)
+    shingleHashesOf(toks, n, seed)
   }
 
   // The gram string is built exactly as shinglesOf does and hashed with
   // the builtin xxhash64's algorithm+seed (XXH64, 42) — this is what
   // keeps the declarative `transform(..., xxhash64)` twin bit-identical.
-  private def shingleHashesOf(toks: Array[UTF8String], n: Int): GenericArrayData = {
+  private def shingleHashesOf(toks: Array[UTF8String], n: Int,
+      seed: Long): GenericArrayData = {
     if (toks.length < n)
       return new GenericArrayData(Array.empty[Long])
     val out = new Array[Long](toks.length - n + 1)
@@ -212,7 +213,7 @@ object WordShinglesImpl {
       System.arraycopy(toks, i, slice, 0, n)
       val g = UTF8String.concatWs(Space, slice: _*)
       out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, 42L)
+        .hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, seed)
       i += 1
     }
     new GenericArrayData(out)
@@ -226,8 +227,8 @@ object WordShinglesColumns {
     ExpressionUtils.column(WordTokens(ExpressionUtils.expression(text)))
   def arrayShingles(tokens: Column, n: Int): Column =
     ExpressionUtils.column(ArrayShingles(ExpressionUtils.expression(tokens), n))
-  def wordShingleHashes(text: Column, n: Int): Column =
-    ExpressionUtils.column(WordShingleHashes(ExpressionUtils.expression(text), n))
-  def arrayShingleHashes(tokens: Column, n: Int): Column =
-    ExpressionUtils.column(ArrayShingleHashes(ExpressionUtils.expression(tokens), n))
+  def wordShingleHashes(text: Column, n: Int, seed: Long = 42L): Column =
+    ExpressionUtils.column(WordShingleHashes(ExpressionUtils.expression(text), n, seed))
+  def arrayShingleHashes(tokens: Column, n: Int, seed: Long = 42L): Column =
+    ExpressionUtils.column(ArrayShingleHashes(ExpressionUtils.expression(tokens), n, seed))
 }

@@ -59,13 +59,13 @@ package object functions {
     * but the gram strings never leave the expression; the join/cache
     * currency of the n-gram dedup and decontamination pipelines — see
     * [[org.apache.spark.sql.graft.WordShingleHashes]]. */
-  def word_shingle_hashes(text: Column, n: Int): Column =
-    WordShinglesColumns.wordShingleHashes(text, n)
+  def word_shingle_hashes(text: Column, n: Int, seed: Long = 42L): Column =
+    WordShinglesColumns.wordShingleHashes(text, n, seed)
 
   /** [[word_shingle_hashes]] from a pre-tokenized [[word_tokens]]
     * array — see [[org.apache.spark.sql.graft.ArrayShingleHashes]]. */
-  def array_shingle_hashes(tokens: Column, n: Int): Column =
-    WordShinglesColumns.arrayShingleHashes(tokens, n)
+  def array_shingle_hashes(tokens: Column, n: Int, seed: Long = 42L): Column =
+    WordShinglesColumns.arrayShingleHashes(tokens, n, seed)
 
   /** Per-document word n-gram repetition stats struct
     * `{n_grams, n_distinct_grams, top_gram_frac, dup_gram_frac}` in

@@ -155,8 +155,9 @@ object Dedup {
     * A 64-bit collision merges two grams and can only ADD a candidate
     * / inflate one intersection count by 1 (~G²/2⁶⁴ for G distinct
     * grams — negligible below ~10⁹ grams, and the same trade the
-    * MinHash signatures already make; at 100 TB gram cardinality, move
-    * to 128-bit before trusting exact counts).
+    * MinHash signatures already make; at 100 TB gram cardinality,
+    * pass `hashBits = 128` — see [[shingleKeyArray]] — before
+    * trusting exact counts).
     *
     * The input is first hash-repartitioned by doc_id: text corpora
     * often arrive as few large files, and shingling is the CPU-dense
@@ -175,12 +176,47 @@ object Dedup {
     * persist (or write) anyway; [[Persistence]] picks local vs
     * reliable storage. */
   private def shingleIndexWithSize(docs: DataFrame, n: Int,
-      persist: Persistence): DataFrame =
+      persist: Persistence, hashBits: Int = 64): DataFrame =
     persist(docs.repartition(col("doc_id"))
-      .select(col("doc_id"),
-        array_distinct(graft.functions.word_shingle_hashes(col("text"), n)).as("sh_arr"))
+      .select(col("doc_id"), shingleKeyArray(col("text"), n, hashBits).as("sh_arr"))
       .select(col("doc_id"), explode(col("sh_arr")).as("shingle"),
         size(col("sh_arr")).as("n_sh")))
+
+  /** The distinct shingle-KEY array at the configured hash width —
+    * the `hashBits` switch of the n-gram dedup family:
+    *   - 64 (default): `xxhash64(gram)` longs — right up to ~10⁹
+    *     distinct grams (collision note above);
+    *   - 128: STRUCT(h1, h2) of two independently-seeded xxhash64
+    *     runs over the same gram bytes (seeds 42 and 1042) — the
+    *     repo's own scale note's escalation for 100 TB gram
+    *     cardinality (~10¹²⁺ grams), where 64-bit birthday mass is no
+    *     longer negligible and exact counts must survive it. Struct
+    *     keys flow through every downstream stage unchanged — the
+    *     df aggregation, candidate self-join, and verification join
+    *     all key on the opaque `shingle` column — at 2× key bytes;
+    *   - 32: the low 32 bits of xxhash64 — NOT for production (a few
+    *     10⁴ grams already collide); it exists so specs can engineer
+    *     real collisions cheaply and demonstrate the width/exactness
+    *     trade the other two tiers make (OpsSpec does exactly that).
+    * Distinctness is per KEY, so a collision at a narrow width merges
+    * grams before counting — precisely the error the spec surfaces
+    * and the wider width removes. */
+  private def shingleKeyArray(text: Column, n: Int, hashBits: Int): Column =
+    hashBits match {
+      case 64 =>
+        array_distinct(graft.functions.word_shingle_hashes(text, n))
+      case 128 =>
+        array_distinct(arrays_zip(
+          graft.functions.word_shingle_hashes(text, n).as("h1"),
+          graft.functions.word_shingle_hashes(text, n, seed = 1042L).as("h2")))
+      case 32 =>
+        array_distinct(transform(
+          graft.functions.word_shingle_hashes(text, n),
+          h => h.bitwiseAND(lit(0xFFFFFFFFL))))
+      case other =>
+        throw new IllegalArgumentException(
+          s"hashBits must be 32, 64, or 128, got $other")
+    }
 
   /** Near-duplicate pairs by exact word-n-gram Jaccard similarity.
     * Candidates come from the inverted shingle index (only docs that
@@ -213,8 +249,9 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       maxShingleDf: Int = Int.MaxValue,
       persist: Persistence = Persistence.Local,
-      maxBroadcastHotShingles: Long = DefaultMaxBroadcastHotShingles): DataFrame =
-    pairsFromIndex(shingleIndexWithSize(docs, n, persist), threshold,
+      maxBroadcastHotShingles: Long = DefaultMaxBroadcastHotShingles,
+      hashBits: Int = 64): DataFrame =
+    pairsFromIndex(shingleIndexWithSize(docs, n, persist, hashBits), threshold,
       maxShingleDf, persist, maxBroadcastHotShingles)
 
   /** [[ngramJaccardPairs]] over a materialized TOKEN INDEX — a frame

@@ -2821,4 +2821,56 @@ class OpsSpec extends AnyFunSuite {
       s"histogram mismatch on ${ks.take(5)}"
     })
   }
+
+  test("ngramJaccardPairs hashBits: engineered narrow-hash collision, wider width restores exactness") {
+    // Find two distinct words whose xxhash64 values collide in the low
+    // 32 bits (birthday search over a few 10^5 candidates) — a REAL
+    // key collision for the hashBits=32 tier, engineering what 64-bit
+    // keys would only hit at ~10^9 grams and 128-bit never would.
+    def h64(w: String): Long = {
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(w)
+      org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+    }
+    val seen = scala.collection.mutable.HashMap.empty[Long, String]
+    var collide: (String, String) = null
+    var i = 0
+    while (collide == null) {
+      val w = s"w$i"
+      val k = h64(w) & 0xFFFFFFFFL
+      seen.get(k) match {
+        case Some(prev) if prev != w => collide = (prev, w)
+        case _ => seen(k) = w
+      }
+      i += 1
+    }
+    val (w1, w2) = collide
+    assert(h64(w1) != h64(w2)) // full-64 keys do NOT collide
+    // Unigram shingles: docs share {common1, common2}; the third word
+    // differs but collides at 32 bits -> the narrow tier sees J = 1.
+    val d = Seq(
+      (1L, s"common1 common2 $w1"),
+      (2L, s"common1 common2 $w2")
+    ).toDF("doc_id", "text")
+    def pairAt(bits: Int): Option[Double] =
+      Dedup.ngramJaccardPairs(d, 1, 0.1, hashBits = bits)
+        .as[(Long, Long, Double)].collect().headOption.map(_._3)
+    // String-gram truth: |{c1,c2}| / |{c1,c2,w1,w2}| = 2/4 = 0.5.
+    assert(pairAt(32).contains(1.0), "32-bit keys must merge the colliding grams")
+    assert(pairAt(64).contains(0.5), "64-bit keys must be exact here")
+    assert(pairAt(128).contains(0.5), "128-bit keys must be exact here")
+    // And at a threshold only the collision can reach, the narrow tier
+    // reports a spurious perfect duplicate; wider tiers stay silent.
+    assert(Dedup.ngramJaccardPairs(d, 1, 0.9, hashBits = 32).count() == 1)
+    assert(Dedup.ngramJaccardPairs(d, 1, 0.9, hashBits = 64).count() == 0)
+    assert(Dedup.ngramJaccardPairs(d, 1, 0.9, hashBits = 128).count() == 0)
+    // On the real corpus (collision-free at this size), 128-bit struct
+    // keys flow through candidate + verify stages and reproduce the
+    // 64-bit pair set exactly — including through the capped path.
+    def pairs(bits: Int, cap: Int) =
+      Dedup.ngramJaccardPairs(docs, 3, 0.8, maxShingleDf = cap, hashBits = bits)
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(pairs(128, Int.MaxValue) == pairs(64, Int.MaxValue))
+    assert(pairs(128, 10) == pairs(64, 10))
+  }
 }
