@@ -31,12 +31,14 @@ class PlanShapeSpec extends AnyFunSuite {
     }
 
   // sim_topk / dedup_embedding: broadcast bounded-build designs (see
-  // class doc). profile_hot_keys / text_lm_score: a ONE-ROW broadcast
-  // scalar (corpus total) cross-joined onto k winner rows / per-doc
-  // aggregates — bounded by construction, not a data-path nested loop.
-  // tfidf/bm25: the same one-row corpus-stats broadcast (N, avgdl).
+  // class doc). profile_hot_keys: a ONE-ROW broadcast scalar (corpus
+  // total) cross-joined onto k winner rows — bounded by construction,
+  // not a data-path nested loop. tfidf/bm25: the same one-row
+  // corpus-stats broadcast (N, avgdl). text_lm_score left this set in
+  // round 9: the native broadcast-model path ships the corpus total as
+  // a literal, so the plan has no join at all.
   private val declaredBnlj =
-    Set("sim_topk", "dedup_embedding", "profile_hot_keys", "text_lm_score",
+    Set("sim_topk", "dedup_embedding", "profile_hot_keys",
       "text_tfidf", "text_tfidf_prod", "text_bm25_prod", "text_source_terms")
 
   test("the CEP rule fan-out is a broadcast HASH join on the pivot key") {
@@ -203,6 +205,70 @@ class PlanShapeSpec extends AnyFunSuite {
     shuffleCounts.foreach { case (name, n) =>
       val expected = if (name.startsWith("cep_parse")) 0 else 1
       assert(n == expected, s"$name: $n shuffle exchanges, expected $expected")
+    }
+  }
+
+  test("AQE skew-join splits the hot-shingle partition at matched thresholds (result-identical)") {
+    // PERF_r8's honest negative: at local volumes no partition reaches
+    // the production 256 MB skew threshold, so the zipfian story
+    // rested on the explicit caps alone. This pin scales the
+    // THRESHOLDS to the data instead: with the splitter armed at KB
+    // sizes, the uncapped candidate self-join on a corpus with one
+    // boilerplate shingle must actually trip OptimizeSkewedJoin
+    // (skew=true in the FINAL adaptive plan — only visible after
+    // execution), and the split run must return the exact pair set of
+    // the unsplit run. Factor 1.2, not the default 5: lz4 shuffle
+    // compression flattens the hot partition (constant shingle value
+    // compresses far better than the spread of unique shingles), so
+    // the COMPRESSED skew ratio is well under the ~5x raw-row ratio —
+    // measured: the splitter engages at factor <= 1.1..1.2 here and
+    // not at 1.5. At production sizes the same flattening applies,
+    // which is exactly why thresholds must be sized to observed
+    // map-output bytes, not raw-row intuition.
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // One boilerplate unigram shared by every doc (the hot key) plus
+      // one unique word per doc: the hot shingle's shuffle partition
+      // carries ~5x the rows of the others before compression.
+      import spark.implicits._
+      val d = (0 until 1200).map(i => (i.toLong, s"boilerplate u$i"))
+        .toDF("doc_id", "text")
+      def run(skew: Boolean): (String, (Long, Double, Long)) = {
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew.toString)
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256b")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val pairs = graft.ops.Dedup.ngramJaccardPairs(d, 1, 0.3)
+        // Execute THIS queryExecution (collect() would build its own):
+        // the skew marker only exists in the final adaptive plan.
+        val qe = pairs.queryExecution
+        qe.toRdd.count()
+        // C(1200,2) pairs — compare exact checksums, not collected rows.
+        val sums = pairs.agg(count(lit(1)), round(sum(col("jaccard")), 6),
+          sum(col("id_a") * 3 + col("id_b")))
+          .as[(Long, Double, Long)].collect().head
+        (qe.executedPlan.toString, sums)
+      }
+      val (splitPlan, splitSums) = run(skew = true)
+      val (plainPlan, plainSums) = run(skew = false)
+      assert(splitPlan.contains("skew=true"),
+        s"skew splitter did not engage at matched thresholds:\n$splitPlan")
+      assert(!plainPlan.contains("skew=true"))
+      assert(splitSums == plainSums, "skew-split run changed the pair set")
+      assert(splitSums._1 == 1200L * 1199 / 2) // every pair: J = 1/3 >= 0.3
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 }
