@@ -18,7 +18,7 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
+    val fn = (SparkEntry.queries ++ SparkEntry.benchOnly)(name)
     fn(spark, sfDir).explain("formatted")
     var lastQe: org.apache.spark.sql.execution.QueryExecution = null
     (1 to laps).foreach { i =>

@@ -1960,6 +1960,14 @@ object SparkEntry {
     "curation_topics" -> ((s, d) =>
       graft.ops.Curation.topicProfile(
         documents(s, d), embeddings(s, d), nClusters = 16, topK = 5)),
+    // Label-only topic map against the memoized durable IVF artifact —
+    // the steady-state shape (the row above deliberately retrains per
+    // call; this one tracks what a pipeline that owns the index pays).
+    "curation_topics_label" -> ((s, d) =>
+      graft.ops.Curation.topicProfileWithIndex(
+        documents(s, d),
+        graft.ops.Similarity.loadIvfIndex(s, ivfArtifactPath(s, d)),
+        topK = 5)),
     // Cluster-balanced diversity sampling (result depends on k-means
     // float centroids — not oracle-portable; invariants spec'd).
     "sim_diversity" -> ((s, d) =>

@@ -105,12 +105,29 @@ object Curation {
     * frame; the top-k window sorts only each cluster's term list.
     * Cluster assignments depend on float k-means centroids, so (like
     * `sim_diversity`) the operator is benched + spec-pinned on
-    * invariants rather than oracle-gated. */
+    * invariants rather than oracle-gated.
+    *
+    * This entry point trains a fresh index per call (the standalone
+    * exploratory shape); a steady-state pipeline that already owns a
+    * durable [[Similarity.saveIvfIndex]] artifact labels WITHOUT
+    * retraining via [[topicProfileWithIndex]] — the k-means passes
+    * over the corpus are the dominant cost, and the assignments are
+    * exactly what the index already materialized. */
   def topicProfile(docs: DataFrame, emb: DataFrame,
-      nClusters: Int = 16, topK: Int = 5): DataFrame = {
+      nClusters: Int = 16, topK: Int = 5): DataFrame =
+    topicProfileWithIndex(docs, Similarity.buildIvfIndex(emb, nClusters), topK)
+
+  /** [[topicProfile]] against a pre-built [[Similarity.IvfIndex]]
+    * (in-session or [[Similarity.loadIvfIndex]]-reloaded): pure
+    * label+rank work — the doc→cluster join, the cluster-granular
+    * tf-idf, and the top-k window — with ZERO k-means training
+    * passes. nClusters is the index's own cluster count. */
+  def topicProfileWithIndex(docs: DataFrame, index: Similarity.IvfIndex,
+      topK: Int = 5): DataFrame = {
     require(topK >= 1, s"topK must be positive, got $topK")
     import org.apache.spark.sql.expressions.Window
-    val assigned = Similarity.buildIvfIndex(emb, nClusters).assigned
+    val nClusters = index.centroids.length
+    val assigned = index.assigned
       .select(col("vec_id").as("doc_id"), col("cid"))
     val joined = docs.join(assigned, "doc_id")
     val tf = joined

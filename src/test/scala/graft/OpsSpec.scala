@@ -2873,4 +2873,21 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs(128, Int.MaxValue) == pairs(64, Int.MaxValue))
     assert(pairs(128, 10) == pairs(64, 10))
   }
+
+  test("topicProfileWithIndex: label-only path matches per-call training, through save/load") {
+    val idx = Similarity.buildIvfIndex(emb, nClusters = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_topic_idx").toString
+    Similarity.saveIvfIndex(idx, dir)
+    val fresh = Curation.topicProfile(docs, emb, nClusters = 8, topK = 3)
+      .orderBy("cid", "rank").collect().toSeq
+    val withIdx = Curation.topicProfileWithIndex(docs, idx, topK = 3)
+      .orderBy("cid", "rank").collect().toSeq
+    val reloaded = Curation.topicProfileWithIndex(docs,
+      Similarity.loadIvfIndex(spark, dir), topK = 3)
+      .orderBy("cid", "rank").collect().toSeq
+    // Training is deterministic, so all three spellings agree exactly;
+    // the label-only paths must not retrain or drift.
+    assert(withIdx == fresh)
+    assert(reloaded == fresh)
+  }
 }
