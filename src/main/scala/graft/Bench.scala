@@ -77,7 +77,17 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
     calibLap(); calibLap() // JIT the calibration loop itself
-    lap() // warm-up: JIT, codegen cache, parquet footers
+    val warm = lap() // warm-up: JIT, codegen cache, parquet footers
+    // Heavy multi-join rows (e.g. profile_source_overlap) are not
+    // JIT-steady after ONE pass — r8's bench row read ~1.5x the
+    // graft.Explain steady state. Queries still above 1.5s after the
+    // global warm-up get one extra discarded pass so min-of-laps
+    // measures steady state, not warm-up tail.
+    warm.filter(_._2 > 1.5).foreach { case (name, _, _) =>
+      try queries.find(_._1 == name).foreach(_._2(spark, sfDir)
+        .queryExecution.toRdd.count())
+      catch { case _: Throwable => () } // error carried by timed laps
+    }
     // Three timed laps, min per query: the shared VM shows sporadic
     // external CPU interference (whole laps drift ±15%, sub-2s queries
     // spike ×5); the per-query min across laps is the faithful engine

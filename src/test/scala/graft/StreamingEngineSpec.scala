@@ -577,4 +577,70 @@ class StreamingEngineSpec extends AnyFunSuite {
     assert(got == Set((1, "1_business", 16.0), (1, "1_work", 16.0)))
     q.stop()
   }
+
+  test("ingest-time classifier scoring: batch-trained weights, stream-applied, batch==stream rows") {
+    // The deployment shape for the learned quality gate: train on a
+    // batch seed set (classifierTrain), ship the weights into the
+    // ingest stream as a pure projection (classifierScore). Stateless,
+    // so streaming output must be byte-identical to the batch plan.
+    implicit val sqlCtx = spark.sqlContext
+    val seed = Seq(
+      (1L, "insightful thorough analysis common words", 1),
+      (2L, "spam garbage clickbait common words", 0),
+      (3L, "insightful analysis of words", 1),
+      (4L, "clickbait garbage heap words", 0)).toDF("doc_id", "text", "label")
+    val dim = 64
+    val trained = graft.ops.TextAnalysis
+      .classifierTrain(seed, "label", dim = dim, iters = 8, meanPool = true,
+        lrNum = 16L, lrDen = 1L)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val weights = (0 until dim).map(b => trained.getOrElse(b.toLong, 0.0))
+    val bias = trained.getOrElse(-1L, 0.0)
+    def score(df: DataFrame) =
+      graft.ops.TextAnalysis.classifierScore(df, weights, bias = bias)
+    val incoming = Seq((10L, "insightful words"), (11L, "garbage words"),
+      (12L, ""), (13L, "naïve café 中文"))
+    val mem = MemoryStream[(Long, String)]
+    val q = score(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cls_score_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(incoming.take(2): _*); q.processAllAvailable()
+      mem.addData(incoming.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cls_score_stream").collect()
+      .map(r => (r.getLong(0), r.toSeq.drop(1).toString)).toMap
+    val batch = score(incoming.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.toSeq.drop(1).toString)).toMap
+    assert(streamed == batch && streamed.size == 4)
+    // The learned gate is live in the stream: good doc above bad doc.
+    val sc = spark.table("cls_score_stream").collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(sc(10L) > sc(11L))
+  }
+
+  test("ingest-time hashed doc vectors: operator-level batch==stream parity across batch splits") {
+    // hashedVectors is the text->vector bridge an ingest pipeline runs
+    // per arriving doc; the operator (not just its native expression)
+    // must be batch/stream identical and independent of micro-batch
+    // boundaries.
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((1L, "alpha beta alpha"), (2L, "gamma"), (3L, ""),
+      (4L, "中文 beta 中文"))
+    def vecs(df: DataFrame) =
+      graft.ops.TextAnalysis.hashedVectors(df, dim = 16)
+        .select(col("doc_id"), col("vec").cast("string").as("v"))
+    val mem = MemoryStream[(Long, String)]
+    val q = vecs(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("hvec_stream")
+      .outputMode("append").start()
+    try {
+      rows.foreach { r => mem.addData(r); q.processAllAvailable() } // one per micro-batch
+    } finally q.stop()
+    val streamed = spark.table("hvec_stream")
+      .as[(Long, String)].collect().toMap
+    val batch = vecs(rows.toDF("doc_id", "text"))
+      .as[(Long, String)].collect().toMap
+    assert(streamed == batch && streamed.size == 4)
+  }
 }
