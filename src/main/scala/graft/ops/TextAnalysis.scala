@@ -584,7 +584,11 @@ object TextAnalysis {
       val p = lit(0.5) + (lit(0.5) * md) / (lit(1.0) + abs(md))
       val resid = (col("y") * lit(1000000L)) -
         floor(p * lit(1000000.0) + lit(0.5)).cast("long")
-      val residDf = persist(margins.select(col("doc_id"), resid.as("resid")))
+      // NOT materialized: the residual frame has exactly one consumer
+      // (the intercept's gradient rides the same bk=-1 rows), so it
+      // computes inside the broadcast-exchange build — one job per
+      // iteration, not a checkpoint job plus a gradient job.
+      val residDf = margins.select(col("doc_id"), resid.as("resid"))
       val gradRows = feat.join(broadcast(residDf), "doc_id")
         .withColumn("rqNum", col("resid") * lit(1000000L))
         .withColumn("rq", when(col("rqNum") >= 0,
