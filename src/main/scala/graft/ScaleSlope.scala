@@ -114,7 +114,18 @@ object ScaleSlope {
       "text_tfidf" -> ((df, _) => TextAnalysis.tfidf(df, k = 5)),
       "profile_source_overlap" -> ((df, _) => Profiling.sourceOverlap(df, 3)),
       "text_sentence_dedup" -> ((df, _) => Dedup.dedupSentences(df)),
-      "text_novelty" -> ((df, _) => TextAnalysis.noveltyScores(df, 3)))
+      "text_novelty" -> ((df, _) => TextAnalysis.noveltyScores(df, 3)),
+      // Round-9 additions: the distributed trainer (per-iteration cost
+      // = two scans of the cached feature frame + a dim-bounded
+      // shuffle; 4 iterations keep the 16x cell honest about the
+      // data-dependent part) and the native-model LM scorer (model
+      // build + one zero-shuffle probe pass; the salted replicas grow
+      // the trigram model linearly but keep it under the broadcast
+      // gate, so the 100 TB-shaped native path is what's measured).
+      "text_classifier_train" -> ((df, _) => TextAnalysis.classifierTrain(
+        df.withColumn("label", pmod(col("doc_id"), lit(2)).cast("int")),
+        "label", dim = 256, iters = 4)),
+      "text_lm_score" -> ((df, _) => TextAnalysis.lmScore(df)))
 
     def time(mk: () => DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()
