@@ -938,6 +938,22 @@ object SparkEntry {
       graft.ops.TextAnalysis.classifierTrain(docs, "label", dim = 256,
         wordNgrams = 2, iters = 12, lrNum = 1L, lrDen = 2L)
     }),
+    // Classifier EVALUATION (the loop's third leg): confusion counts
+    // at margin threshold 0 plus exact Mann-Whitney AUC over the gate
+    // model's margin (sum_w / n_grams — cross-engine-exact doubles;
+    // the sigmoid is monotone so margin AUC ≡ score AUC). auc_num2 is
+    // an exact integer; every ratio is one IEEE division.
+    "text_classifier_eval" -> ((s, d) => {
+      val scored = graft.ops.TextAnalysis.classifierScore(
+        documents(s, d), classifierGateWeights, bias = 0.0, wordNgrams = 2)
+        .withColumn("margin", when(col("n_grams") > 0,
+          col("sum_w") / col("n_grams")).otherwise(lit(0.0)))
+      val lab = documents(s, d).select(col("doc_id"),
+        array_contains(graft.functions.word_tokens(col("text")), "spark")
+          .cast("int").as("label"))
+      graft.ops.TextAnalysis.classifierEval(
+        scored.join(lab, "doc_id"), "margin", "label", threshold = 0.0)
+    }),
     // True vocab-merge BPE: train 200 merges on the corpus, then pin
     // the portable projections — the md5 of the re-concatenated token
     // stream (equals md5(text) iff the ranked merge loop round-trips
@@ -1204,6 +1220,47 @@ object SparkEntry {
     // Full 12-iteration fixed-point training replay — every trained
     // weight must match the engine bit-for-bit (integer w_scaled).
     "text_classifier_train" -> classifierTrainOracle(256, 12, 1L, 2L),
+    // Exact confusion counts + integer Mann-Whitney AUC numerator over
+    // the gate model's portable margin; ratios are single divisions.
+    "text_classifier_eval" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN list_contains($dToks, 'spark') THEN 1 ELSE 0 END AS y,
+         |  $dToks w FROM documents),
+         |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),
+         |g AS (SELECT doc_id, tk AS g FROM tok
+         |      UNION ALL
+         |      SELECT t0.doc_id, t0.tk || ' ' || t1.tk
+         |      FROM tok t0 JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.i = t0.i + 1),
+         |b AS (SELECT doc_id,
+         |        CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 64 AS bk FROM g),
+         |sagg AS (SELECT doc_id, count(*) AS n_grams,
+         |        sum(CAST(((bk*37)%101 - 50) / 1000.0 AS DECIMAL(38,6))) AS sw
+         |      FROM b GROUP BY 1),
+         |sc AS (SELECT t.doc_id, CAST(t.y AS BIGINT) AS y,
+         |  CASE WHEN COALESCE(s.n_grams, 0) > 0
+         |       THEN CAST(COALESCE(s.sw, 0) AS DOUBLE) / s.n_grams
+         |       ELSE 0.0 END AS m
+         |  FROM t LEFT JOIN sagg s USING (doc_id)),
+         |conf AS (SELECT count(*) AS n, sum(y) AS p, sum(1 - y) AS n_neg,
+         |  sum(CASE WHEN m >= 0.0 THEN y ELSE 0 END) AS tp,
+         |  sum(CASE WHEN m >= 0.0 THEN 1 - y ELSE 0 END) AS fp,
+         |  sum(CASE WHEN m < 0.0 THEN 1 - y ELSE 0 END) AS tn,
+         |  sum(CASE WHEN m < 0.0 THEN y ELSE 0 END) AS fn FROM sc),
+         |bys AS (SELECT m, sum(y) AS np, sum(1 - y) AS nn FROM sc GROUP BY 1),
+         |acc AS (SELECT m, np, nn, COALESCE(sum(nn) OVER (ORDER BY m
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+         |  FROM bys),
+         |an AS (SELECT sum(np * (2*neg_below + nn)) AS auc_num2 FROM acc)
+         |SELECT CAST(n AS BIGINT) AS n, CAST(p AS BIGINT) AS p,
+         |  CAST(n_neg AS BIGINT) AS n_neg, CAST(tp AS BIGINT) AS tp,
+         |  CAST(fp AS BIGINT) AS fp, CAST(tn AS BIGINT) AS tn,
+         |  CAST(fn AS BIGINT) AS fn,
+         |  CAST(tp AS DOUBLE) / (tp + fp) AS "precision",
+         |  CAST(tp AS DOUBLE) / (tp + fn) AS recall,
+         |  CAST(2*tp AS DOUBLE) / (2*tp + fp + fn) AS f1,
+         |  CAST(auc_num2 AS BIGINT) AS auc_num2,
+         |  CAST(auc_num2 AS DOUBLE) / CAST(2 * p * n_neg AS DOUBLE) AS auc
+         |FROM conf, an""".stripMargin,
     // BPE round-trip: concatenated tokens == text exactly, and the
     // empty-merge segmentation is one symbol per codepoint.
     "text_bpe_encode" ->

@@ -475,6 +475,63 @@ object TextAnalysis {
           .as("score"))
   }
 
+  /** Classifier evaluation — the third leg of the learned-gate loop
+    * (train → score → EVALUATE → pick the threshold). Input: any
+    * frame with a score column and a {0,1} label column (the gate
+    * feeds [[classifierScore]]'s margin `sum_w / n_grams`, which is
+    * cross-engine-exact; the sigmoid is monotone, so margin-ranked
+    * AUC ≡ score-ranked AUC and a margin threshold ≡ a score
+    * threshold). Output: ONE row — confusion counts at `threshold`
+    * (predicted positive ⇔ score ≥ threshold), exact integer
+    * precision/recall/F1 numerators-and-denominators as doubles of
+    * one division each, and ROC AUC.
+    *
+    * AUC is the Mann-Whitney statistic computed EXACTLY and without
+    * an all-pairs join: aggregate to per-distinct-score
+    * (n_pos, n_neg) counts (map-side combined), sort ascending, and
+    * accumulate `auc_num2 = Σ_s n_pos(s)·(2·negBelow(s) + n_neg(s))`
+    * — twice the pair count where the positive outranks the negative
+    * plus ties counted half, an exact INTEGER the oracle replays
+    * bit-for-bit; `auc = auc_num2 / (2·P·N)` is one division. The
+    * window input is the pre-aggregated (score → counts) frame, so
+    * the single-partition sort is distinct-score-sized; for a
+    * continuous score whose distinct values approach corpus size,
+    * the monotone-bucket prefix-sum chaining of
+    * [[Sampling.budgetCap]] (bucket on score ranges, chain subtotal
+    * offsets) is the drop-in scale spelling. */
+  def classifierEval(scored: DataFrame, scoreCol: String, labelCol: String,
+      threshold: Double = 0.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = col(scoreCol)
+    val y = col(labelCol).cast("long")
+    val conf = scored.agg(
+      count(lit(1)).as("n"),
+      sum(y).as("p"),
+      sum(lit(1L) - y).as("n_neg"),
+      sum(when(s >= threshold, y).otherwise(0L)).as("tp"),
+      sum(when(s >= threshold, lit(1L) - y).otherwise(0L)).as("fp"),
+      sum(when(s < threshold, lit(1L) - y).otherwise(0L)).as("tn"),
+      sum(when(s < threshold, y).otherwise(0L)).as("fn"))
+    val byScore = scored.groupBy(s.as("sc"))
+      .agg(sum(y).as("np"), sum(lit(1L) - y).as("nn"))
+    val w = Window.orderBy(col("sc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val aucNum = byScore
+      .withColumn("neg_below", sum(col("nn")).over(w) - col("nn"))
+      .agg(sum(col("np") * (lit(2L) * col("neg_below") + col("nn")))
+        .as("auc_num2"))
+    conf.crossJoin(broadcast(aucNum))
+      .select(col("n"), col("p"), col("n_neg"),
+        col("tp"), col("fp"), col("tn"), col("fn"),
+        (col("tp").cast("double") / (col("tp") + col("fp"))).as("precision"),
+        (col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"),
+        ((lit(2L) * col("tp")).cast("double") /
+          (lit(2L) * col("tp") + col("fp") + col("fn"))).as("f1"),
+        col("auc_num2"),
+        (col("auc_num2").cast("double") /
+          (lit(2L) * col("p") * col("n_neg")).cast("double")).as("auc"))
+  }
+
   /** Distributed trainer for [[classifierScore]]'s model family:
     * deterministic full-batch logistic-style regression over the SAME
     * hashed bag-of-word-ngrams feature space (first-32-md5-bits mod

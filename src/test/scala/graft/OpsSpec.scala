@@ -2890,4 +2890,35 @@ class OpsSpec extends AnyFunSuite {
     assert(withIdx == fresh)
     assert(reloaded == fresh)
   }
+
+  test("classifierEval: confusion counts, single-division ratios, exact tie-aware AUC") {
+    // Hand-workable: scores with a tie straddling both classes.
+    val rows = Seq(
+      (1L, 0.9, 1), (2L, 0.5, 1), (3L, 0.5, 0), (4L, 0.1, 0),
+      (5L, -0.2, 1), (6L, -0.2, 0), (7L, -0.7, 0)).toDF("doc_id", "s", "y")
+    val r = TextAnalysis.classifierEval(rows, "s", "y", threshold = 0.0)
+      .collect().head
+    assert(r.getAs[Long]("n") == 7 && r.getAs[Long]("p") == 3 && r.getAs[Long]("n_neg") == 4)
+    assert(r.getAs[Long]("tp") == 2 && r.getAs[Long]("fp") == 2)
+    assert(r.getAs[Long]("tn") == 2 && r.getAs[Long]("fn") == 1)
+    assert(r.getAs[Double]("precision") == 0.5)
+    assert(r.getAs[Double]("recall") == 2.0 / 3)
+    assert(r.getAs[Double]("f1") == 4.0 / 7)
+    // Brute-force Mann-Whitney over the 3x4 pairs: wins + half-ties.
+    val pos = Seq(0.9, 0.5, -0.2); val neg = Seq(0.5, 0.1, -0.2, -0.7)
+    val num2 = (for (a <- pos; b <- neg) yield
+      if (a > b) 2L else if (a == b) 1L else 0L).sum
+    assert(r.getAs[Long]("auc_num2") == num2)
+    assert(r.getAs[Double]("auc") == num2.toDouble / (2.0 * 3 * 4))
+    // Randomized law: agrees with the brute-force pair count.
+    val rnd = new scala.util.Random(77)
+    val big = (0 until 300).map(i =>
+      (i.toLong, math.floor(rnd.nextGaussian() * 5) / 10, rnd.nextInt(2)))
+    val rb = TextAnalysis.classifierEval(
+      big.toDF("doc_id", "s", "y"), "s", "y").collect().head
+    val bp = big.filter(_._3 == 1).map(_._2); val bn = big.filter(_._3 == 0).map(_._2)
+    val bnum2 = (for (a <- bp; b <- bn) yield
+      if (a > b) 2L else if (a == b) 1L else 0L).sum
+    assert(rb.getAs[Long]("auc_num2") == bnum2)
+  }
 }
