@@ -532,6 +532,33 @@ object TextAnalysis {
           (lit(2L) * col("p") * col("n_neg")).cast("double")).as("auc"))
   }
 
+  /** Full ROC curve as data: one row per DISTINCT score, ordered by
+    * descending threshold — at threshold = that score (predicted
+    * positive ⇔ score ≥ threshold), the cumulative true/false
+    * positive counts and their single-division TPR/FPR. The
+    * threshold-sweep companion of [[classifierEval]]'s one-row
+    * summary: plot it, or pick the knee. Exact integers + one IEEE
+    * division per rate — fully oracle-portable. Same scale posture as
+    * the AUC pass: the window input is the pre-aggregated
+    * distinct-score count frame. */
+  def rocCurve(scored: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = col(scoreCol)
+    val y = col(labelCol).cast("long")
+    val totals = scored.agg(sum(y).as("p"), sum(lit(1L) - y).as("n_neg"))
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.groupBy(s.as("score"))
+      .agg(sum(y).as("np"), sum(lit(1L) - y).as("nn"))
+      .withColumn("cum_tp", sum(col("np")).over(w))
+      .withColumn("cum_fp", sum(col("nn")).over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("score"), col("cum_tp"), col("cum_fp"),
+        (col("cum_tp").cast("double") / col("p")).as("tpr"),
+        (col("cum_fp").cast("double") / col("n_neg")).as("fpr"))
+  }
+
   /** Distributed trainer for [[classifierScore]]'s model family:
     * deterministic full-batch logistic-style regression over the SAME
     * hashed bag-of-word-ngrams feature space (first-32-md5-bits mod
@@ -582,7 +609,8 @@ object TextAnalysis {
       wordNgrams: Int = 2, iters: Int = 12,
       lrNum: Long = 1L, lrDen: Long = 2L,
       meanPool: Boolean = false,
-      persist: Persistence = Persistence.Local): DataFrame = {
+      persist: Persistence = Persistence.Local,
+      init: DataFrame = null): DataFrame = {
     require(dim >= 1, s"dim must be positive, got $dim")
     require(wordNgrams >= 1, s"wordNgrams must be positive, got $wordNgrams")
     require(iters >= 0, s"iters must be non-negative, got $iters")
@@ -617,9 +645,21 @@ object TextAnalysis {
       .repartition(col("doc_id")))
 
     val nDocs = docs.count()
+    // Warm start: `init` is a prior classifierTrain OUTPUT frame
+    // (bucket, w_scaled, …) — continual retraining resumes the exact
+    // fixed-point state, so N iterations ≡ K iterations + a warm
+    // start of N−K (spec-pinned law). Init-only buckets (absent from
+    // this corpus, e.g. after a data refresh) receive no gradient and
+    // carry through unchanged.
+    val initWs: Map[Int, Long] =
+      if (init == null) Map.empty
+      else init.select(col("bucket").cast("long"), col("w_scaled").cast("long"))
+        .collect().map(r => (r.getLong(0).toInt, r.getLong(1))).toMap
     val buckets: Array[Int] =
-      feat.select("bk").distinct().collect().map(_.getInt(0)).sorted
-    val ws = scala.collection.mutable.HashMap(buckets.map(_ -> 0L): _*)
+      (feat.select("bk").distinct().collect().map(_.getInt(0)).toSet ++
+        initWs.keySet).toArray.sorted
+    val ws = scala.collection.mutable.HashMap(
+      buckets.map(b => b -> initWs.getOrElse(b, 0L)): _*)
     def divHalf(a: BigInt, d: BigInt): BigInt =
       BigInt(a.signum) * ((a.abs * 2 + d) / (d * 2))
 

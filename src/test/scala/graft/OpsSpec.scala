@@ -2921,4 +2921,41 @@ class OpsSpec extends AnyFunSuite {
       if (a > b) 2L else if (a == b) 1L else 0L).sum
     assert(rb.getAs[Long]("auc_num2") == bnum2)
   }
+
+  test("rocCurve: threshold sweep with exact cumulative counts; warm-start training law") {
+    val rows = Seq(
+      (1L, 0.9, 1), (2L, 0.5, 1), (3L, 0.5, 0), (4L, 0.1, 0),
+      (5L, -0.2, 1), (6L, -0.2, 0), (7L, -0.7, 0)).toDF("doc_id", "s", "y")
+    val curve = TextAnalysis.rocCurve(rows, "s", "y")
+      .orderBy(col("score").desc)
+      .as[(Double, Long, Long, Double, Double)].collect().toSeq
+    // Distinct scores desc: 0.9, 0.5, 0.1, -0.2, -0.7.
+    assert(curve.map(_._1) == Seq(0.9, 0.5, 0.1, -0.2, -0.7))
+    assert(curve.map(c => (c._2, c._3)) ==
+      Seq((1L, 0L), (2L, 1L), (2L, 2L), (3L, 3L), (3L, 4L)))
+    // Curve ends at (TPR, FPR) = (1, 1); both rates are monotone.
+    assert(curve.last._4 == 1.0 && curve.last._5 == 1.0)
+    assert(curve.map(_._4) == curve.map(_._4).sorted)
+    assert(curve.map(_._5) == curve.map(_._5).sorted)
+
+    // Warm-start law: N iterations == K iterations + warm start of N-K
+    // (the init frame resumes the exact fixed-point state).
+    val d = (0 until 40).map { i =>
+      val y = i % 2
+      val tokens = if (y == 1) s"good quality text t$i" else s"junk spam words t$i"
+      (i.toLong, tokens, y)
+    }.toDF("doc_id", "text", "label")
+    def w(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toMap
+    val full = w(TextAnalysis.classifierTrain(d, "label", dim = 64, iters = 9))
+    val first5 = TextAnalysis.classifierTrain(d, "label", dim = 64, iters = 5)
+    val resumed = w(TextAnalysis.classifierTrain(d, "label", dim = 64,
+      iters = 4, init = first5))
+    assert(resumed == full)
+    // Init-only buckets carry through unchanged on a shrunken corpus.
+    val tiny = d.limit(4)
+    val resumedTiny = w(TextAnalysis.classifierTrain(tiny, "label", dim = 64,
+      iters = 0, init = first5))
+    assert(resumedTiny == w(first5))
+  }
 }
