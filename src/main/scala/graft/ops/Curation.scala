@@ -33,12 +33,26 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** `classifierWeights` (optional) arms the LEARNED quality branch:
+    * documents are scored by [[TextAnalysis.classifierScoreFromTokens]]
+    * against the supplied model (typically a
+    * [[TextAnalysis.classifierTrain]] output) over the SAME shared
+    * token index, and `classifier_keep = margin ≥ classifierMinMargin`
+    * joins the verdict columns and the final `keep` conjunction. The
+    * margin (`sum_w / n_grams`) is the thresholded quantity — the
+    * monotone-equivalent of the sigmoid score and the cross-engine-
+    * exact one. Empty weights (the default) leave the output schema
+    * and semantics exactly as before — the heuristic quality gate
+    * alone. */
   def pipeline(docs: DataFrame, evalDocs: DataFrame,
       shingleN: Int = 3, jaccard: Double = 0.8, maxShingleDf: Int = 10,
       decontamN: Int = 13,
       minTokens: Int = 25, maxTokens: Int = 100000,
       maxTopGramFrac: Double = 0.09, maxDupGramFrac: Double = 0.09,
-      persist: Persistence = Persistence.Local): DataFrame = {
+      persist: Persistence = Persistence.Local,
+      classifierWeights: Seq[Double] = Nil,
+      classifierBias: Double = 0.0,
+      classifierMinMargin: Double = 0.0): DataFrame = {
     // Lazy: the dedup branch's (eager) shingle-index job is the first
     // consumer and materializes the token index inside ITS job — one
     // serial barrier instead of two; quality/decontamination then read
@@ -58,17 +72,36 @@ object Curation {
     val contaminated = Decontamination.flagContaminatedFromTokens(
         base, evalDocs, decontamN)
       .select(col("doc_id"), lit(true).as("contaminated"))
-    docs.select(col("doc_id"))
+    val joined = docs.select(col("doc_id"))
       .join(quality, Seq("doc_id"))
       .join(losers, Seq("doc_id"), "left")
       .join(contaminated, Seq("doc_id"), "left")
-      .select(
+    val heuristicKeep =
+      col("quality_keep") && !coalesce(col("dup_loser"), lit(false)) &&
+        !coalesce(col("contaminated"), lit(false))
+    if (classifierWeights.isEmpty)
+      joined.select(
         col("doc_id"),
         col("quality_keep"),
         coalesce(col("dup_loser"), lit(false)).as("dup_loser"),
         coalesce(col("contaminated"), lit(false)).as("contaminated"),
-        (col("quality_keep") && !coalesce(col("dup_loser"), lit(false)) &&
-          !coalesce(col("contaminated"), lit(false))).as("keep"))
+        heuristicKeep.as("keep"))
+    else {
+      val learned = TextAnalysis.classifierScoreFromTokens(
+          base, classifierWeights, classifierBias)
+        .select(col("doc_id"),
+          (when(col("n_grams") > 0, col("sum_w") / col("n_grams"))
+            .otherwise(lit(0.0)) >= lit(classifierMinMargin))
+            .as("classifier_keep"))
+      joined.join(learned, Seq("doc_id"))
+        .select(
+          col("doc_id"),
+          col("quality_keep"),
+          col("classifier_keep"),
+          coalesce(col("dup_loser"), lit(false)).as("dup_loser"),
+          coalesce(col("contaminated"), lit(false)).as("contaminated"),
+          (heuristicKeep && col("classifier_keep")).as("keep"))
+    }
   }
 
   /** Materialize the curated corpus: survivors of a [[pipeline]]

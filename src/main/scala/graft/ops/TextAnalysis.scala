@@ -443,6 +443,16 @@ object TextAnalysis {
     * the task closure, never per row); the corpus is never exploded,
     * joined, or re-partitioned. */
   def classifierScore(docs: DataFrame, weights: Seq[Double],
+      bias: Double = 0.0, wordNgrams: Int = 2): DataFrame =
+    classifierScoreFromTokens(
+      docs.withColumn("toks", graft.functions.word_tokens(col("text"))),
+      weights, bias, wordNgrams)
+
+  /** [[classifierScore]] over a materialized TOKEN INDEX (a frame
+    * carrying `doc_id` and a [[graft.functions.word_tokens]] `toks`
+    * column, e.g. [[Curation.pipeline]]'s shared base): byte-identical
+    * scores with zero re-tokenize. */
+  def classifierScoreFromTokens(tokensFrame: DataFrame, weights: Seq[Double],
       bias: Double = 0.0, wordNgrams: Int = 2): DataFrame = {
     require(weights.nonEmpty, "weights must be non-empty")
     require(wordNgrams >= 1, s"wordNgrams must be positive, got $wordNgrams")
@@ -459,8 +469,7 @@ object TextAnalysis {
         transform(sequence(lit(0), size(toks) - k),
           i => array_join(slice(toks, i + 1, lit(k)), " ")))
         .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
-    docs
-      .withColumn("toks", graft.functions.word_tokens(col("text")))
+    tokensFrame
       .withColumn("grams",
         concat((1 to wordNgrams).map(k => gramsOf(col("toks"), k)): _*))
       .withColumn("n_grams", size(col("grams")).cast("long"))

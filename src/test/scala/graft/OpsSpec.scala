@@ -2958,4 +2958,47 @@ class OpsSpec extends AnyFunSuite {
       iters = 0, init = first5))
     assert(resumedTiny == w(first5))
   }
+
+  test("pipeline classifier branch: trained gate joins the verdict; disabled default unchanged") {
+    // Train a quality model on planted seed docs, then arm the
+    // pipeline's learned branch with it: the full deployment loop
+    // (train -> pipeline) over the shared token index.
+    val seed = ((0 until 20).map(i =>
+      (i.toLong, s"insightful thorough analysis s$i filler words here", 1)) ++
+      (20 until 40).map(i =>
+        (i.toLong, s"spam garbage clickbait s$i filler words here", 0)))
+      .toDF("doc_id", "text", "label")
+    val dim = 128
+    val trained = TextAnalysis.classifierTrain(seed, "label", dim = dim, iters = 12)
+      .as[(Long, Long, Double)].collect()
+    val wMap = trained.map(r => (r._1, r._3)).toMap
+    val weights = (0 until dim).map(b => wMap.getOrElse(b.toLong, 0.0))
+    val bias = wMap.getOrElse(-1L, 0.0)
+    // Corpus: long-enough docs so the heuristic gate passes everything;
+    // the learned gate must be the discriminating branch.
+    def filler(tag: String) = (0 until 30).map(i => s"$tag$i").mkString(" ")
+    val corpus = Seq(
+      (100L, s"insightful thorough analysis ${filler("a")}"),
+      (101L, s"spam garbage clickbait ${filler("b")}")).toDF("doc_id", "text")
+    val none = corpus.limit(0)
+    val out = Curation.pipeline(corpus, none, minTokens = 5,
+        maxTopGramFrac = 1.0, maxDupGramFrac = 1.0,
+        classifierWeights = weights, classifierBias = bias)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.schema.fieldNames.toSeq).head ==
+      Seq("doc_id", "quality_keep", "classifier_keep", "dup_loser",
+        "contaminated", "keep"))
+    assert(out.forall(_.getAs[Boolean]("quality_keep")))
+    assert(out(0).getAs[Boolean]("classifier_keep") &&
+      out(0).getAs[Boolean]("keep"))
+    assert(!out(1).getAs[Boolean]("classifier_keep") &&
+      !out(1).getAs[Boolean]("keep"))
+    // Disabled default: schema and verdicts exactly as before.
+    val plain = Curation.pipeline(corpus, none, minTokens = 5,
+        maxTopGramFrac = 1.0, maxDupGramFrac = 1.0)
+      .orderBy("doc_id").collect()
+    assert(plain.map(_.schema.fieldNames.toSeq).head ==
+      Seq("doc_id", "quality_keep", "dup_loser", "contaminated", "keep"))
+    assert(plain.forall(_.getAs[Boolean]("keep")))
+  }
 }
