@@ -112,6 +112,30 @@ object AbRound9 {
     val enc200 = (0 until math.max(2, laps)).map(_ => encodeLap(merges200))
     val c2 = Bench.calibLap()
 
+    // -- classifier training at fastText-scale dims -----------------------
+    // The gate trains at dim 256; a production fastText-shape gate uses
+    // 2^16..2^20 buckets. Same iteration structure — the dim-bounded
+    // parts (broadcast weight frame, gradient shuffle, driver state)
+    // are what grow, so the dim slope is the evidence the broadcast
+    // path holds at real model sizes. 4 iterations, contains-'spark'
+    // label on the UNMODIFIED sf0.1 corpus.
+    val docsRaw = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("label",
+        array_contains(graft.functions.word_tokens(col("text")), "spark")
+          .cast("int"))
+      .localCheckpoint()
+    def trainDimLap(dim: Int): Double = {
+      val t0 = System.nanoTime()
+      TextAnalysis.classifierTrain(docsRaw, "label", dim = dim, iters = 4)
+        .queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    trainDimLap(256) // warm
+    val dimResults = Seq(256, 65536).map { dim =>
+      dim -> (0 until laps).map(_ => trainDimLap(dim)).min
+    }
+    val c3 = Bench.calibLap()
+
     // Approximate broadcast-table footprint: sum of merged-symbol
     // string chars (2 bytes each in-heap) + map entry overhead.
     def tableChars(ms: Seq[(String, String)]): Long =
@@ -127,11 +151,14 @@ object AbRound9 {
         f""""tokens":$toks,"tokens_per_sec":${toks / sec}%.0f,""" +
         f""""table_chars":${tableChars(ms)}}"""
     }
+    val dimJson = dimResults.map { case (dim, sec) =>
+      f""""d$dim":$sec%.3f""" }.mkString("{", ",", "}")
     println(s"""{"metric":"ab_round9","n_docs":$nDocs,""" +
       s""""train":$trainJson,""" +
       s""""encode_32k":${encJson(enc32k, merges32k)},""" +
       s""""encode_200":${encJson(enc200, merges200)},""" +
-      f""""calib":{"ref_sec":${Bench.CalibRefSec},"laps":[$c0%.4f,$c1%.4f,$c2%.4f]}}""")
+      s""""classifier_train_4it_sec":$dimJson,""" +
+      f""""calib":{"ref_sec":${Bench.CalibRefSec},"laps":[$c0%.4f,$c1%.4f,$c2%.4f,$c3%.4f]}}""")
     spark.stop()
   }
 }
