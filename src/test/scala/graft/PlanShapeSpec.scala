@@ -37,9 +37,13 @@ class PlanShapeSpec extends AnyFunSuite {
   // corpus-stats broadcast (N, avgdl). text_lm_score left this set in
   // round 9: the native broadcast-model path ships the corpus total as
   // a literal, so the plan has no join at all.
+  // classifier eval/roc: the same bounded shape — a ONE-ROW totals
+  // frame (confusion counts / P+N) cross-joined onto the AUC scalar
+  // or the distinct-score curve.
   private val declaredBnlj =
     Set("sim_topk", "dedup_embedding", "profile_hot_keys",
-      "text_tfidf", "text_tfidf_prod", "text_bm25_prod", "text_source_terms")
+      "text_tfidf", "text_tfidf_prod", "text_bm25_prod", "text_source_terms",
+      "text_classifier_eval", "text_classifier_roc")
 
   test("the CEP rule fan-out is a broadcast HASH join on the pivot key") {
     for (q <- Seq("cep_multi_rule", "cep_multi_rule_first_aligned")) {
