@@ -753,6 +753,18 @@ object SparkEntry {
     "curation_sample" -> ((s, d) =>
       graft.ops.Sampling.bernoulliSample(documents(s, d), col("doc_id"),
         0.25, "s1").select(col("doc_id"), col("lang"))),
+    // Quality-weighted selection: keep probability ∝ weight (n_chars
+    // as the deterministic gate weight), exact decimal mean + single
+    // IEEE ops, portable md5 uniform.
+    "curation_weighted_sample" -> ((s, d) =>
+      graft.ops.Sampling.weightedBernoulli(documents(s, d), col("doc_id"),
+        col("n_chars"), 0.3, "s1").select(col("doc_id"), col("p"), col("keep"))),
+    // Epochs-∝-quality repetition: stochastic-rounded copy counts,
+    // exploded to the per-copy frame a packing stage consumes.
+    "curation_weighted_repeat" -> ((s, d) =>
+      graft.ops.Sampling.weightedRepeat(documents(s, d), col("doc_id"),
+        col("n_chars"), 2.0, "s1", exploded = true)
+        .select(col("doc_id"), col("n_copies"), col("copy_idx"))),
     // Domain-mixture resampling: per-source keep rates compiled into
     // one CASE expression, deterministic in doc_id.
     "curation_mixture" -> ((s, d) =>
@@ -1539,6 +1551,28 @@ object SparkEntry {
       s"""SELECT doc_id, lang FROM documents
          |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8)) AS BIGINT)
          |      / 4294967296.0 < 0.25""".stripMargin,
+    "curation_weighted_sample" ->
+      s"""WITH s AS (SELECT sum(CAST(n_chars AS DECIMAL(38,6))) AS ws,
+         |             count(*) AS n FROM documents)
+         |SELECT doc_id,
+         |  least(1.0, (0.3 * CAST(CAST(n_chars AS DECIMAL(38,6)) AS DOUBLE))
+         |    / (CAST(s.ws AS DOUBLE) / CAST(s.n AS DOUBLE))) AS p,
+         |  (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8)) AS BIGINT)
+         |    / 4294967296.0) <
+         |  least(1.0, (0.3 * CAST(CAST(n_chars AS DECIMAL(38,6)) AS DOUBLE))
+         |    / (CAST(s.ws AS DOUBLE) / CAST(s.n AS DOUBLE))) AS keep
+         |FROM documents, s""".stripMargin,
+    "curation_weighted_repeat" ->
+      s"""WITH s AS (SELECT sum(CAST(n_chars AS DECIMAL(38,6))) AS ws,
+         |             count(*) AS n FROM documents),
+         |c AS (SELECT doc_id,
+         |  CAST(floor((2.0 * CAST(CAST(n_chars AS DECIMAL(38,6)) AS DOUBLE))
+         |    / (CAST(s.ws AS DOUBLE) / CAST(s.n AS DOUBLE)) +
+         |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8)) AS BIGINT)
+         |      / 4294967296.0) AS BIGINT) AS n_copies
+         |  FROM documents, s)
+         |SELECT doc_id, n_copies, unnest(range(0, n_copies)) AS copy_idx
+         |FROM c WHERE n_copies > 0""".stripMargin,
     "curation_mixture" ->
       s"""SELECT doc_id, source FROM documents
          |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8)) AS BIGINT)

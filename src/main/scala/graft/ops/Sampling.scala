@@ -37,6 +37,74 @@ object Sampling {
     df.filter(hashUniform(key, seed) < rate)
   }
 
+  /** Quality-WEIGHTED sampling: keep each row with probability
+    * `p = min(1, targetRate · w / mean(w))` — documents are selected
+    * in proportion to a weight column (a classifier margin shifted
+    * positive, an LM score, n_chars, …), the standard "sample web
+    * data ∝ quality" curation move, while the expected kept fraction
+    * stays ≈ `targetRate` (exactly, when no p clamps at 1). Output:
+    * every row with its `p` and `keep`; filter on `keep` downstream.
+    *
+    * Deterministic and ENGINE-PORTABLE end to end: the mean is an
+    * exact DECIMAL(38,6) sum (order-independent; weights quantized to
+    * 6dp on entry) followed by ONE double division; `p` is two more
+    * single IEEE ops (rate·w, ÷mean); the keep test compares the md5
+    * uniform against it. Negative weights are rejected — shift the
+    * signal first. Scale: one one-row aggregate broadcast (declared
+    * bounded BNLJ) + a pure projection; no shuffle of the corpus. */
+  def weightedBernoulli(df: DataFrame, key: Column, weight: Column,
+      targetRate: Double, seed: String = "graft"): DataFrame = {
+    require(targetRate >= 0.0, s"targetRate must be non-negative, got $targetRate")
+    val w6 = weight.cast("decimal(38,6)")
+    val stats = df.agg(
+      sum(w6).as("w_sum"), count(lit(1)).as("n_rows"),
+      sum(when(w6 < 0, 1L).otherwise(0L)).as("n_negative"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("_mean_w",
+        col("w_sum").cast("double") / col("n_rows").cast("double"))
+      .withColumn("p", least(lit(1.0),
+        (lit(targetRate) * w6.cast("double")) / col("_mean_w")))
+      .withColumn("keep", when(col("n_negative") > 0,
+          raise_error(lit("weightedBernoulli: negative weights — shift the signal first")))
+        .otherwise(hashUniform(key, seed) < col("p")))
+      .drop("w_sum", "n_rows", "n_negative", "_mean_w")
+  }
+
+  /** Weighted REPETITION ("epochs ∝ quality"): each document gets
+    * `n_copies = floor(targetEpochs · w / mean(w) + u)` — stochastic
+    * rounding by the portable uniform, so E[n_copies] is exactly the
+    * real-valued target and high-weight documents repeat while
+    * low-weight ones drop to zero — the duplicate-the-good-data
+    * mixture move (the multiplicative sibling of [[weightedBernoulli]],
+    * for when the knob is epochs, not survival). `exploded = true`
+    * emits one row per copy with `copy_idx` (0-based) — the frame a
+    * packing/shuffle stage consumes; otherwise one row per doc with
+    * its `n_copies`. Same exact-arithmetic portability story as
+    * [[weightedBernoulli]]: decimal mean, then single IEEE ops, then
+    * `floor` — an ANSI oracle reproduces every copy count. The
+    * explode fan-out is bounded by Σ n_copies ≈ targetEpochs · N. */
+  def weightedRepeat(df: DataFrame, key: Column, weight: Column,
+      targetEpochs: Double, seed: String = "graft",
+      exploded: Boolean = false): DataFrame = {
+    require(targetEpochs >= 0.0, s"targetEpochs must be non-negative, got $targetEpochs")
+    val w6 = weight.cast("decimal(38,6)")
+    val stats = df.agg(
+      sum(w6).as("w_sum"), count(lit(1)).as("n_rows"),
+      sum(when(w6 < 0, 1L).otherwise(0L)).as("n_negative"))
+    val base = df.crossJoin(broadcast(stats))
+      .withColumn("_mean_w",
+        col("w_sum").cast("double") / col("n_rows").cast("double"))
+      .withColumn("n_copies", when(col("n_negative") > 0,
+          raise_error(lit("weightedRepeat: negative weights — shift the signal first"))
+            .cast("long"))
+        .otherwise(floor((lit(targetEpochs) * w6.cast("double")) / col("_mean_w") +
+          hashUniform(key, seed))))
+      .drop("w_sum", "n_rows", "n_negative", "_mean_w")
+    if (!exploded) base
+    else base.filter(col("n_copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("n_copies") - 1)))
+  }
+
   /** Domain-mixture resampling: keep each row with a per-stratum rate
     * (e.g. downweight web crawl, keep all code), deterministically in
     * `key`. Strata missing from `rates` use `defaultRate`. Rates are

@@ -3001,4 +3001,48 @@ class OpsSpec extends AnyFunSuite {
       Seq("doc_id", "quality_keep", "dup_loser", "contaminated", "keep"))
     assert(plain.forall(_.getAs[Boolean]("keep")))
   }
+
+  test("weightedBernoulli / weightedRepeat: rate calibration, determinism, explode accounting") {
+    val d = docs
+    val ws = Sampling.weightedBernoulli(d, col("doc_id"), col("n_chars"), 0.3, "t1")
+    val rows = ws.select(col("doc_id"), col("p"), col("keep"))
+      .as[(Long, Double, Boolean)].collect()
+    assert(rows.length == d.count())
+    // p in [0,1], and expected kept fraction ~ targetRate when unclamped.
+    assert(rows.forall(r => r._2 >= 0.0 && r._2 <= 1.0))
+    val expected = rows.map(_._2).sum
+    val kept = rows.count(_._3)
+    assert(math.abs(kept - expected) < 4 * math.sqrt(expected + 1))
+    // Longer docs are proportionally likelier: p strictly ordered by weight.
+    val byChars = d.select(col("doc_id"), col("n_chars")).as[(Long, Long)].collect().toMap
+    val pmap = rows.map(r => (r._1, r._2)).toMap
+    for (a <- byChars.keys; b <- byChars.keys
+         if byChars(a) < byChars(b) && pmap(b) < 1.0)
+      assert(pmap(a) <= pmap(b))
+    // Determinism across runs.
+    val again = Sampling.weightedBernoulli(d, col("doc_id"), col("n_chars"), 0.3, "t1")
+      .select(col("doc_id"), col("keep")).as[(Long, Boolean)].collect().toMap
+    assert(rows.map(r => (r._1, r._3)).toMap == again)
+
+    val rep = Sampling.weightedRepeat(d, col("doc_id"), col("n_chars"), 2.0, "t1")
+      .select(col("doc_id"), col("n_copies")).as[(Long, Long)].collect()
+    assert(rep.length == d.count())
+    val total = rep.map(_._2).sum
+    assert(math.abs(total - 2.0 * rep.length) < 6 * math.sqrt(2.0 * rep.length))
+    // Exploded frame: one row per copy, copy_idx 0..n_copies-1.
+    val expl = Sampling.weightedRepeat(d, col("doc_id"), col("n_chars"), 2.0, "t1",
+        exploded = true)
+      .groupBy("doc_id").agg(count(lit(1)).as("c"), max("copy_idx").as("mx"),
+        min("copy_idx").as("mn"), first("n_copies").as("nc"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val repMap = rep.toMap
+    assert(expl.forall(r => r._2 == repMap(r._1) && r._5 == repMap(r._1) &&
+      r._4 == 0L && r._3 == repMap(r._1) - 1))
+    assert(expl.map(_._1).toSet == rep.filter(_._2 > 0).map(_._1).toSet)
+    // Negative weights are rejected at runtime.
+    val neg = Seq((1L, -5L), (2L, 3L)).toDF("doc_id", "w")
+    intercept[Exception] {
+      Sampling.weightedBernoulli(neg, col("doc_id"), col("w"), 0.5).collect()
+    }
+  }
 }

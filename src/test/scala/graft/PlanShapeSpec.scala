@@ -40,10 +40,13 @@ class PlanShapeSpec extends AnyFunSuite {
   // classifier eval/roc: the same bounded shape — a ONE-ROW totals
   // frame (confusion counts / P+N) cross-joined onto the AUC scalar
   // or the distinct-score curve.
+  // weighted sample/repeat: one-row (sum, count) stats broadcast onto
+  // the projection — the same bounded shape.
   private val declaredBnlj =
     Set("sim_topk", "dedup_embedding", "profile_hot_keys",
       "text_tfidf", "text_tfidf_prod", "text_bm25_prod", "text_source_terms",
-      "text_classifier_eval", "text_classifier_roc")
+      "text_classifier_eval", "text_classifier_roc",
+      "curation_weighted_sample", "curation_weighted_repeat")
 
   test("the CEP rule fan-out is a broadcast HASH join on the pivot key") {
     for (q <- Seq("cep_multi_rule", "cep_multi_rule_first_aligned")) {
