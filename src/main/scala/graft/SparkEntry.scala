@@ -950,6 +950,26 @@ object SparkEntry {
       graft.ops.TextAnalysis.classifierTrain(docs, "label", dim = 256,
         wordNgrams = 2, iters = 12, lrNum = 1L, lrDen = 2L)
     }),
+    // Per-SOURCE eval slice (the bias audit): one row per source with
+    // exact confusion counts + the integer AUC numerator. The gate
+    // pins the integer columns only — tiny scales can have
+    // single-class sources whose ratio columns are NaN (0/0), and the
+    // ratio arithmetic is already hash-gated on the global row.
+    "text_classifier_eval_by_source" -> ((s, d) => {
+      val scored = graft.ops.TextAnalysis.classifierScore(
+        documents(s, d), classifierGateWeights, bias = 0.0, wordNgrams = 2)
+        .withColumn("margin", when(col("n_grams") > 0,
+          col("sum_w") / col("n_grams")).otherwise(lit(0.0)))
+      val lab = documents(s, d).select(col("doc_id"),
+        col("source"),
+        array_contains(graft.functions.word_tokens(col("text")), "spark")
+          .cast("int").as("label"))
+      graft.ops.TextAnalysis.classifierEvalByGroup(
+        scored.join(lab, "doc_id"), "margin", "label", "source",
+        threshold = 0.0)
+        .select(col("grp"), col("n"), col("p"), col("n_neg"),
+          col("tp"), col("fp"), col("tn"), col("fn"), col("auc_num2"))
+    }),
     // Full ROC curve: one row per distinct margin (threshold sweep),
     // exact cumulative counts + single-division TPR/FPR.
     "text_classifier_roc" -> ((s, d) => {
@@ -1245,6 +1265,41 @@ object SparkEntry {
     // Full 12-iteration fixed-point training replay — every trained
     // weight must match the engine bit-for-bit (integer w_scaled).
     "text_classifier_train" -> classifierTrainOracle(256, 12, 1L, 2L),
+    // Per-source eval slice: exact integer columns only (see gate note).
+    "text_classifier_eval_by_source" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |  CASE WHEN list_contains($dToks, 'spark') THEN 1 ELSE 0 END AS y,
+         |  $dToks w FROM documents),
+         |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),
+         |g AS (SELECT doc_id, tk AS g FROM tok
+         |      UNION ALL
+         |      SELECT t0.doc_id, t0.tk || ' ' || t1.tk
+         |      FROM tok t0 JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.i = t0.i + 1),
+         |b AS (SELECT doc_id,
+         |        CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 64 AS bk FROM g),
+         |sagg AS (SELECT doc_id, count(*) AS n_grams,
+         |        sum(CAST(((bk*37)%101 - 50) / 1000.0 AS DECIMAL(38,6))) AS sw
+         |      FROM b GROUP BY 1),
+         |sc AS (SELECT t.doc_id, t.source AS grp, CAST(t.y AS BIGINT) AS y,
+         |  CASE WHEN COALESCE(s.n_grams, 0) > 0
+         |       THEN CAST(COALESCE(s.sw, 0) AS DOUBLE) / s.n_grams
+         |       ELSE 0.0 END AS m
+         |  FROM t LEFT JOIN sagg s USING (doc_id)),
+         |conf AS (SELECT grp, count(*) AS n, sum(y) AS p, sum(1 - y) AS n_neg,
+         |  sum(CASE WHEN m >= 0.0 THEN y ELSE 0 END) AS tp,
+         |  sum(CASE WHEN m >= 0.0 THEN 1 - y ELSE 0 END) AS fp,
+         |  sum(CASE WHEN m < 0.0 THEN 1 - y ELSE 0 END) AS tn,
+         |  sum(CASE WHEN m < 0.0 THEN y ELSE 0 END) AS fn FROM sc GROUP BY 1),
+         |bys AS (SELECT grp, m, sum(y) AS np, sum(1 - y) AS nn FROM sc GROUP BY 1, 2),
+         |acc AS (SELECT grp, np, nn, COALESCE(sum(nn) OVER (PARTITION BY grp
+         |    ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+         |  FROM bys),
+         |an AS (SELECT grp, sum(np * (2*neg_below + nn)) AS auc_num2 FROM acc GROUP BY 1)
+         |SELECT c.grp, CAST(n AS BIGINT) AS n, CAST(p AS BIGINT) AS p,
+         |  CAST(n_neg AS BIGINT) AS n_neg, CAST(tp AS BIGINT) AS tp,
+         |  CAST(fp AS BIGINT) AS fp, CAST(tn AS BIGINT) AS tn,
+         |  CAST(fn AS BIGINT) AS fn, CAST(auc_num2 AS BIGINT) AS auc_num2
+         |FROM conf c JOIN an USING (grp)""".stripMargin,
     // Threshold-sweep ROC: exact cumulative counts per distinct margin.
     "text_classifier_roc" ->
       s"""WITH t AS (SELECT doc_id,

@@ -532,13 +532,80 @@ object TextAnalysis {
     conf.crossJoin(broadcast(aucNum))
       .select(col("n"), col("p"), col("n_neg"),
         col("tp"), col("fp"), col("tn"), col("fn"),
-        (col("tp").cast("double") / (col("tp") + col("fp"))).as("precision"),
-        (col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"),
-        ((lit(2L) * col("tp")).cast("double") /
-          (lit(2L) * col("tp") + col("fp") + col("fn"))).as("f1"),
+        // ANSI mode errors on /0 even for doubles; an empty class or
+        // an empty predicted-positive set is data, not a crash — NaN.
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")))
+          .otherwise(lit(Double.NaN)).as("precision"),
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn")))
+          .otherwise(lit(Double.NaN)).as("recall"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          (lit(2L) * col("tp")).cast("double") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")))
+          .otherwise(lit(Double.NaN)).as("f1"),
         col("auc_num2"),
-        (col("auc_num2").cast("double") /
-          (lit(2L) * col("p") * col("n_neg")).cast("double")).as("auc"))
+        when(col("p") * col("n_neg") > 0,
+          col("auc_num2").cast("double") /
+            (lit(2L) * col("p") * col("n_neg")).cast("double"))
+          .otherwise(lit(Double.NaN)).as("auc"))
+  }
+
+  /** Per-GROUP [[classifierEval]]: the same confusion counts and
+    * exact Mann-Whitney AUC, one row per value of `groupCol` — the
+    * per-slice model-quality audit (does the learned gate hold on
+    * every source/language, or only on the dominant one?) read
+    * before trusting one global threshold. Better scale posture than
+    * the global row: the AUC window partitions BY GROUP, so no
+    * single-partition sort exists at any size; everything else is
+    * map-side-combined per-group aggregation. Same exact-arithmetic
+    * portability (integer auc_num2, single-division rates). Groups
+    * with only one class yield NaN AUC (0/0) — surfaced, not
+    * hidden. */
+  def classifierEvalByGroup(scored: DataFrame, scoreCol: String,
+      labelCol: String, groupCol: String,
+      threshold: Double = 0.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = col(scoreCol)
+    val y = col(labelCol).cast("long")
+    val g = col(groupCol)
+    val conf = scored.groupBy(g.as("grp")).agg(
+      count(lit(1)).as("n"),
+      sum(y).as("p"),
+      sum(lit(1L) - y).as("n_neg"),
+      sum(when(s >= threshold, y).otherwise(0L)).as("tp"),
+      sum(when(s >= threshold, lit(1L) - y).otherwise(0L)).as("fp"),
+      sum(when(s < threshold, lit(1L) - y).otherwise(0L)).as("tn"),
+      sum(when(s < threshold, y).otherwise(0L)).as("fn"))
+    val byScore = scored.groupBy(g.as("grp"), s.as("sc"))
+      .agg(sum(y).as("np"), sum(lit(1L) - y).as("nn"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("sc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val aucNum = byScore
+      .withColumn("neg_below", sum(col("nn")).over(w) - col("nn"))
+      .groupBy(col("grp"))
+      .agg(sum(col("np") * (lit(2L) * col("neg_below") + col("nn")))
+        .as("auc_num2"))
+    conf.join(aucNum, Seq("grp"))
+      .select(col("grp"), col("n"), col("p"), col("n_neg"),
+        col("tp"), col("fp"), col("tn"), col("fn"),
+        // ANSI mode errors on /0 even for doubles; an empty class or
+        // an empty predicted-positive set is data, not a crash — NaN.
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")))
+          .otherwise(lit(Double.NaN)).as("precision"),
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn")))
+          .otherwise(lit(Double.NaN)).as("recall"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          (lit(2L) * col("tp")).cast("double") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")))
+          .otherwise(lit(Double.NaN)).as("f1"),
+        col("auc_num2"),
+        when(col("p") * col("n_neg") > 0,
+          col("auc_num2").cast("double") /
+            (lit(2L) * col("p") * col("n_neg")).cast("double"))
+          .otherwise(lit(Double.NaN)).as("auc"))
   }
 
   /** Full ROC curve as data: one row per DISTINCT score, ordered by
@@ -564,8 +631,10 @@ object TextAnalysis {
       .withColumn("cum_fp", sum(col("nn")).over(w))
       .crossJoin(broadcast(totals))
       .select(col("score"), col("cum_tp"), col("cum_fp"),
-        (col("cum_tp").cast("double") / col("p")).as("tpr"),
-        (col("cum_fp").cast("double") / col("n_neg")).as("fpr"))
+        when(col("p") > 0, col("cum_tp").cast("double") / col("p"))
+          .otherwise(lit(Double.NaN)).as("tpr"),
+        when(col("n_neg") > 0, col("cum_fp").cast("double") / col("n_neg"))
+          .otherwise(lit(Double.NaN)).as("fpr"))
   }
 
   /** Distributed trainer for [[classifierScore]]'s model family:

@@ -3045,4 +3045,32 @@ class OpsSpec extends AnyFunSuite {
       Sampling.weightedBernoulli(neg, col("doc_id"), col("w"), 0.5).collect()
     }
   }
+
+  test("classifierEvalByGroup: per-slice rows sum to the global row; per-group AUC is brute-exact") {
+    val rnd = new scala.util.Random(99)
+    val rows = (0 until 240).map { i =>
+      (i.toLong, s"g${i % 3}", math.floor(rnd.nextGaussian() * 5) / 10, rnd.nextInt(2))
+    }
+    val df = rows.toDF("doc_id", "grp_in", "s", "y")
+    val per = TextAnalysis.classifierEvalByGroup(df, "s", "y", "grp_in", threshold = 0.1)
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(per.keySet == Set("g0", "g1", "g2"))
+    // Slices sum to the global confusion row at the same threshold.
+    val global = TextAnalysis.classifierEval(df, "s", "y", threshold = 0.1).collect().head
+    for (f <- Seq("n", "p", "n_neg", "tp", "fp", "tn", "fn"))
+      assert(per.values.map(_.getAs[Long](f)).sum == global.getAs[Long](f), f)
+    // Per-group AUC numerator matches the brute-force pair count.
+    for (gname <- Seq("g0", "g1", "g2")) {
+      val grp = rows.filter(_._2 == gname)
+      val pos = grp.filter(_._4 == 1).map(_._3); val neg = grp.filter(_._4 == 0).map(_._3)
+      val num2 = (for (a <- pos; b <- neg) yield
+        if (a > b) 2L else if (a == b) 1L else 0L).sum
+      assert(per(gname).getAs[Long]("auc_num2") == num2, gname)
+    }
+    // Single-class group: NaN AUC surfaced, integer columns still exact.
+    val oneClass = Seq((1L, "solo", 0.5, 1), (2L, "solo", 0.2, 1)).toDF("doc_id", "grp_in", "s", "y")
+    val solo = TextAnalysis.classifierEvalByGroup(oneClass, "s", "y", "grp_in").collect().head
+    assert(solo.getAs[Long]("p") == 2 && solo.getAs[Long]("n_neg") == 0)
+    assert(solo.getAs[Long]("auc_num2") == 0 && solo.getAs[Double]("auc").isNaN)
+  }
 }
