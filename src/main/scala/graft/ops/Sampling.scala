@@ -62,8 +62,10 @@ object Sampling {
     df.crossJoin(broadcast(stats))
       .withColumn("_mean_w",
         col("w_sum").cast("double") / col("n_rows").cast("double"))
-      .withColumn("p", least(lit(1.0),
-        (lit(targetRate) * w6.cast("double")) / col("_mean_w")))
+      .withColumn("p", when(col("_mean_w") > 0, least(lit(1.0),
+          (lit(targetRate) * w6.cast("double")) / col("_mean_w")))
+        .otherwise(raise_error(lit(
+          "weightedBernoulli: all weights are zero — nothing to weight by"))))
       .withColumn("keep", when(col("n_negative") > 0,
           raise_error(lit("weightedBernoulli: negative weights — shift the signal first")))
         .otherwise(hashUniform(key, seed) < col("p")))
@@ -97,6 +99,8 @@ object Sampling {
       .withColumn("n_copies", when(col("n_negative") > 0,
           raise_error(lit("weightedRepeat: negative weights — shift the signal first"))
             .cast("long"))
+        .when(col("_mean_w") <= 0, raise_error(lit(
+          "weightedRepeat: all weights are zero — nothing to weight by")).cast("long"))
         .otherwise(floor((lit(targetEpochs) * w6.cast("double")) / col("_mean_w") +
           hashUniform(key, seed))))
       .drop("w_sum", "n_rows", "n_negative", "_mean_w")

@@ -3044,6 +3044,16 @@ class OpsSpec extends AnyFunSuite {
     intercept[Exception] {
       Sampling.weightedBernoulli(neg, col("doc_id"), col("w"), 0.5).collect()
     }
+    // All-zero weights: a clear error, not an ANSI division crash.
+    val zeros = Seq((1L, 0L), (2L, 0L)).toDF("doc_id", "w")
+    val e1 = intercept[Exception] {
+      Sampling.weightedBernoulli(zeros, col("doc_id"), col("w"), 0.5).collect()
+    }
+    assert(e1.getMessage.contains("all weights are zero"))
+    val e2 = intercept[Exception] {
+      Sampling.weightedRepeat(zeros, col("doc_id"), col("w"), 2.0).collect()
+    }
+    assert(e2.getMessage.contains("all weights are zero"))
   }
 
   test("classifierEvalByGroup: per-slice rows sum to the global row; per-group AUC is brute-exact") {
