@@ -103,6 +103,12 @@ object GraftFunctions {
       expectArgs("hashed_token_counts", args, 2)
       HashedTokenCounts(args(0), litInt(args(1), "dim"))
     },
+    // trigram_lm_score is Column-API-only (its model is a plan-shipped
+    // object); the model-BUILD side has no model argument and
+    // registers fine.
+    "char_trigram_counts" -> { args =>
+      expectArgs("char_trigram_counts", args, 1); CharTrigramCounts(args(0))
+    },
     "rolling_fingerprint" -> { args =>
       expectArgs("rolling_fingerprint", args, 3)
       RollingHashFingerprint(args(0),

@@ -27,7 +27,8 @@ class OpsSpec extends AnyFunSuite {
         |  window_starts('sliding', 250L, 200L, 100L) AS ws,
         |  metric_route(map('eventTime','1000','t_g','x','cpu','5')) AS m,
         |  md5_winnow_fingerprint('the quick brown fox jumps over it', 16, 8) AS fp,
-        |  gram_stats('a b a b a', 2) AS gs
+        |  gram_stats('a b a b a', 2) AS gs,
+        |  map_keys(char_trigram_counts('abcab')) AS ct
         |""".stripMargin).collect().head
     assert(r.getDouble(0) == 11.0)
     assert(r.getBoolean(1))
@@ -38,6 +39,7 @@ class OpsSpec extends AnyFunSuite {
     assert(m.getAs[Map[String, Double]]("metrics") == Map("cpu" -> 5.0))
     assert(r.getSeq[String](4).nonEmpty)
     val gs = r.getStruct(5)
+    assert(r.getSeq[String](6).toSet == Set("abc", "bca", "cab"))
     assert(gs.getAs[Long]("n_grams") == 4L &&
       gs.getAs[Long]("n_distinct_grams") == 2L &&
       gs.getAs[Double]("top_gram_frac") == 0.5 &&
