@@ -931,6 +931,16 @@ object SparkEntry {
     // bucket index so the oracle can regenerate them without a 64-row
     // literal; the gate pins (n_grams, exact decimal sum_w) and keeps
     // the derived sigmoid out of the hash compare.
+    // Cross-corpus LM scoring: model from the src0 slice, scored over
+    // the REST of the corpus (the decontamination-adjacent branch —
+    // refDocs != null). Unseen trigrams count 0; same native path.
+    "text_lm_score_xcorpus" -> ((s, d) => {
+      val all = documents(s, d)
+      graft.ops.TextAnalysis.lmScore(
+        all.filter(col("source") =!= "src0"),
+        refDocs = all.filter(col("source") === "src0"))
+        .select(col("doc_id"), col("n_tri"), col("sum_cnt"), col("avg_p"))
+    }),
     "text_classifier_score" -> ((s, d) =>
       graft.ops.TextAnalysis.classifierScore(
         documents(s, d), classifierGateWeights, bias = 0.0, wordNgrams = 2)
@@ -1244,6 +1254,20 @@ object SparkEntry {
          |  CAST(COALESCE(sum(m.cnt), 0) AS DOUBLE) / count(*)
          |    / (SELECT total FROM tot) AS avg_p
          |FROM tri d LEFT JOIN m USING (tr) GROUP BY 1""".stripMargin,
+    // Cross-corpus LM: model trigrams from src0, scored on the rest.
+    "text_lm_score_xcorpus" ->
+      s"""WITH t AS (SELECT doc_id, source, $dNorm AS s FROM documents),
+         |tri AS (SELECT doc_id, source, unnest(list_transform(
+         |    range(1, greatest(length(s) - 1, 1)),
+         |    x -> substring(s, CAST(x AS INT), 3))) AS tr FROM t),
+         |m AS (SELECT tr, count(*) AS cnt FROM tri WHERE source = 'src0' GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM m)
+         |SELECT d.doc_id, count(*) AS n_tri,
+         |  CAST(COALESCE(sum(m.cnt), 0) AS BIGINT) AS sum_cnt,
+         |  CAST(COALESCE(sum(m.cnt), 0) AS DOUBLE) / count(*)
+         |    / (SELECT total FROM tot) AS avg_p
+         |FROM tri d LEFT JOIN m USING (tr)
+         |WHERE d.source <> 'src0' GROUP BY 1""".stripMargin,
     // Hashed bag-of-ngrams linear classifier: unigrams + bigrams,
     // bucket = first 32 md5 bits mod 64, weight regenerated from the
     // bucket-index formula (exact at 3dp), sum in DECIMAL(38,6).
