@@ -607,6 +607,13 @@ object SparkEntry {
     // genuinely pruning ~37% of shingles at the sf0.1 bench scale.
     "dedup_ngram" -> ((s, d) =>
       graft.ops.Dedup.ngramJaccardPairs(documents(s, d), 3, 0.8, maxShingleDf = 10)),
+    // The 128-bit key path through the SAME candidate/verify stages:
+    // collision-free at gate scale, so the string-gram oracle holds
+    // identically — the driver-level pin that struct keys change
+    // nothing but the collision mass.
+    "dedup_ngram_128" -> ((s, d) =>
+      graft.ops.Dedup.ngramJaccardPairs(documents(s, d), 3, 0.8,
+        maxShingleDf = 10, hashBits = 128)),
     "dedup_minhash" -> ((s, d) =>
       graft.ops.Dedup.minhashLshPairs(documents(s, d), 3, 64, 16, 0.8)),
     // Oracle-portable twin (md5-chunk token hash, same vote/band/
@@ -1129,6 +1136,7 @@ object SparkEntry {
       s"""SELECT min(doc_id) AS doc_id, md5($dNorm) AS fp, count(*) AS n_copies
          |FROM documents GROUP BY 2""".stripMargin,
     "dedup_ngram" -> dedupNgramOracle,
+    "dedup_ngram_128" -> dedupNgramOracle,
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_keep_one" -> (dedupClustersOracle.replace(
       "SELECT a AS doc_id, least(a, min(b)) AS component_id\nFROM reach GROUP BY a",
