@@ -146,6 +146,39 @@ case class ArrayShingleHashes(child: Expression, n: Int, seed: Long = 42L)
     copy(child = newChild)
 }
 
+/** TWO independently-seeded [[WordShingleHashes]] runs in ONE native
+  * pass: `array<struct<h1: long, h2: long>>`, where `h1`/`h2` are
+  * xxhash64 of the same gram bytes under `seed1`/`seed2`. This is the
+  * 128-bit key tier of the n-gram dedup family
+  * ([[graft.ops.Dedup]]'s `hashBits = 128`): the naive spelling
+  * (`arrays_zip` of two word_shingle_hashes calls) tokenizes and
+  * re-builds every gram string TWICE per document — doubling exactly
+  * the CPU-dense shingling stage the caller repartitioned to spread.
+  * Here the tokenize and gram-concat happen once; only the (cheap)
+  * hash runs twice. Bit-identical to the arrays_zip twin (spec). */
+case class WordShingleHashPairs(child: Expression, n: Int,
+    seed1: Long = 42L, seed2: Long = 1042L)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_shingle_hash_pairs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShinglesImpl.shingleHashPairs(input.asInstanceOf[UTF8String], n, seed1, seed2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.WordShinglesImpl.shingleHashPairs($c, $n, ${seed1}L, ${seed2}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashPairs =
+    copy(child = newChild)
+}
+
 object WordShinglesImpl {
   private val Whitespace = UTF8String.fromString("\\s+")
   private val Space = UTF8String.fromString(" ")
@@ -190,6 +223,29 @@ object WordShinglesImpl {
   def shingleHashes(s: UTF8String, n: Int, seed: Long): GenericArrayData =
     shingleHashesOf(tokenize(s), n, seed)
 
+  /** See [[WordShingleHashPairs]]. Static for codegen: one tokenize +
+    * one gram-concat pass, two XXH64 runs per gram. */
+  def shingleHashPairs(s: UTF8String, n: Int, seed1: Long,
+      seed2: Long): GenericArrayData = {
+    val toks = tokenize(s)
+    if (toks.length < n)
+      return new GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](toks.length - n + 1)
+    val slice = new Array[UTF8String](n)
+    var i = 0
+    while (i < out.length) {
+      System.arraycopy(toks, i, slice, 0, n)
+      val g = UTF8String.concatWs(Space, slice: _*)
+      val h1 = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, seed1)
+      val h2 = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, seed2)
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(h1, h2)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** See [[ArrayShingleHashes]]. Static for codegen. */
   def shingleHashesFromTokens(arr: ArrayData, n: Int, seed: Long): GenericArrayData = {
     val len = arr.numElements()
@@ -229,6 +285,10 @@ object WordShinglesColumns {
     ExpressionUtils.column(ArrayShingles(ExpressionUtils.expression(tokens), n))
   def wordShingleHashes(text: Column, n: Int, seed: Long = 42L): Column =
     ExpressionUtils.column(WordShingleHashes(ExpressionUtils.expression(text), n, seed))
+  def wordShingleHashPairs(text: Column, n: Int, seed1: Long = 42L,
+      seed2: Long = 1042L): Column =
+    ExpressionUtils.column(WordShingleHashPairs(
+      ExpressionUtils.expression(text), n, seed1, seed2))
   def arrayShingleHashes(tokens: Column, n: Int, seed: Long = 42L): Column =
     ExpressionUtils.column(ArrayShingleHashes(ExpressionUtils.expression(tokens), n, seed))
 }

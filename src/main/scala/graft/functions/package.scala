@@ -67,6 +67,15 @@ package object functions {
   def array_shingle_hashes(tokens: Column, n: Int, seed: Long = 42L): Column =
     WordShinglesColumns.arrayShingleHashes(tokens, n, seed)
 
+  /** TWO independently-seeded [[word_shingle_hashes]] runs in one
+    * native pass: `array<struct<h1, h2>>` — the 128-bit key tier of
+    * the n-gram dedup family, tokenizing and building each gram string
+    * once instead of twice — see
+    * [[org.apache.spark.sql.graft.WordShingleHashPairs]]. */
+  def word_shingle_hash_pairs(text: Column, n: Int, seed1: Long = 42L,
+      seed2: Long = 1042L): Column =
+    WordShinglesColumns.wordShingleHashPairs(text, n, seed1, seed2)
+
   /** Per-document word n-gram repetition stats struct
     * `{n_grams, n_distinct_grams, top_gram_frac, dup_gram_frac}` in
     * one native pass (codegen'd; zero-shuffle replacement for the

@@ -41,9 +41,12 @@ object Curation {
     * joins the verdict columns and the final `keep` conjunction. The
     * margin (`sum_w / n_grams`) is the thresholded quantity — the
     * monotone-equivalent of the sigmoid score and the cross-engine-
-    * exact one. Empty weights (the default) leave the output schema
-    * and semantics exactly as before — the heuristic quality gate
-    * alone. */
+    * exact one. `classifierWordNgrams` MUST match the value the
+    * weights were trained with ([[TextAnalysis.classifierTrain]]'s
+    * `wordNgrams`) — a mismatch silently applies the model to a
+    * different feature map and the verdicts are meaningless. Empty
+    * weights (the default) leave the output schema and semantics
+    * exactly as before — the heuristic quality gate alone. */
   def pipeline(docs: DataFrame, evalDocs: DataFrame,
       shingleN: Int = 3, jaccard: Double = 0.8, maxShingleDf: Int = 10,
       decontamN: Int = 13,
@@ -52,7 +55,8 @@ object Curation {
       persist: Persistence = Persistence.Local,
       classifierWeights: Seq[Double] = Nil,
       classifierBias: Double = 0.0,
-      classifierMinMargin: Double = 0.0): DataFrame = {
+      classifierMinMargin: Double = 0.0,
+      classifierWordNgrams: Int = 2): DataFrame = {
     // Lazy: the dedup branch's (eager) shingle-index job is the first
     // consumer and materializes the token index inside ITS job — one
     // serial barrier instead of two; quality/decontamination then read
@@ -88,7 +92,7 @@ object Curation {
         heuristicKeep.as("keep"))
     else {
       val learned = TextAnalysis.classifierScoreFromTokens(
-          base, classifierWeights, classifierBias)
+          base, classifierWeights, classifierBias, classifierWordNgrams)
         .select(col("doc_id"),
           (when(col("n_grams") > 0, col("sum_w") / col("n_grams"))
             .otherwise(lit(0.0)) >= lit(classifierMinMargin))

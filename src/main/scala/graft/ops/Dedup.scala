@@ -206,9 +206,11 @@ object Dedup {
       case 64 =>
         array_distinct(graft.functions.word_shingle_hashes(text, n))
       case 128 =>
-        array_distinct(arrays_zip(
-          graft.functions.word_shingle_hashes(text, n).as("h1"),
-          graft.functions.word_shingle_hashes(text, n, seed = 1042L).as("h2")))
+        // One native pass (tokenize + gram-concat once, hash twice) —
+        // the arrays_zip-of-two-runs spelling tokenized and rebuilt
+        // every gram string twice, doubling the CPU-dense shingling
+        // stage. Bit-identical output (spec-pinned).
+        array_distinct(graft.functions.word_shingle_hash_pairs(text, n))
       case 32 =>
         array_distinct(transform(
           graft.functions.word_shingle_hashes(text, n),

@@ -58,7 +58,12 @@ object Sampling {
     val w6 = weight.cast("decimal(38,6)")
     val stats = df.agg(
       sum(w6).as("w_sum"), count(lit(1)).as("n_rows"),
-      sum(when(w6 < 0, 1L).otherwise(0L)).as("n_negative"))
+      sum(when(w6 < 0, 1L).otherwise(0L)).as("n_negative"),
+      // NULL weights would silently propagate to null p/keep rows
+      // (sum() skips them) — rows that downstream filters drop or keep
+      // unpredictably. Loud error, like negative/all-zero weights:
+      // coalesce the signal to an explicit default first.
+      sum(when(w6.isNull, 1L).otherwise(0L)).as("n_null"))
     df.crossJoin(broadcast(stats))
       .withColumn("_mean_w",
         col("w_sum").cast("double") / col("n_rows").cast("double"))
@@ -68,8 +73,10 @@ object Sampling {
           "weightedBernoulli: all weights are zero — nothing to weight by"))))
       .withColumn("keep", when(col("n_negative") > 0,
           raise_error(lit("weightedBernoulli: negative weights — shift the signal first")))
+        .when(col("n_null") > 0,
+          raise_error(lit("weightedBernoulli: NULL weights — coalesce the signal first")))
         .otherwise(hashUniform(key, seed) < col("p")))
-      .drop("w_sum", "n_rows", "n_negative", "_mean_w")
+      .drop("w_sum", "n_rows", "n_negative", "n_null", "_mean_w")
   }
 
   /** Weighted REPETITION ("epochs ∝ quality"): each document gets
@@ -92,18 +99,24 @@ object Sampling {
     val w6 = weight.cast("decimal(38,6)")
     val stats = df.agg(
       sum(w6).as("w_sum"), count(lit(1)).as("n_rows"),
-      sum(when(w6 < 0, 1L).otherwise(0L)).as("n_negative"))
+      sum(when(w6 < 0, 1L).otherwise(0L)).as("n_negative"),
+      // Same policy as weightedBernoulli: NULL weights error loudly
+      // instead of yielding null n_copies rows with undefined fate.
+      sum(when(w6.isNull, 1L).otherwise(0L)).as("n_null"))
     val base = df.crossJoin(broadcast(stats))
       .withColumn("_mean_w",
         col("w_sum").cast("double") / col("n_rows").cast("double"))
       .withColumn("n_copies", when(col("n_negative") > 0,
           raise_error(lit("weightedRepeat: negative weights — shift the signal first"))
             .cast("long"))
+        .when(col("n_null") > 0,
+          raise_error(lit("weightedRepeat: NULL weights — coalesce the signal first"))
+            .cast("long"))
         .when(col("_mean_w") <= 0, raise_error(lit(
           "weightedRepeat: all weights are zero — nothing to weight by")).cast("long"))
         .otherwise(floor((lit(targetEpochs) * w6.cast("double")) / col("_mean_w") +
           hashUniform(key, seed))))
-      .drop("w_sum", "n_rows", "n_negative", "_mean_w")
+      .drop("w_sum", "n_rows", "n_negative", "n_null", "_mean_w")
     if (!exploded) base
     else base.filter(col("n_copies") > 0)
       .withColumn("copy_idx", explode(sequence(lit(0L), col("n_copies") - 1)))

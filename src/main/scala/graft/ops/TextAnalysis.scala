@@ -350,9 +350,16 @@ object TextAnalysis {
     * and shuffled it through the model join). A bigger model falls
     * back to the declarative explode → shuffle join → per-doc
     * aggregate (one extra exchange of the trigram frame, never a
-    * driver OOM). Both paths produce identical rows (spec-pinned):
-    * same half-open codepoint windows, same unseen-counts-0 contract,
-    * same accumulation order for the log1p mean. */
+    * driver OOM). Both paths agree row-for-row (spec-pinned): same
+    * half-open codepoint windows, same unseen-counts-0 contract; the
+    * integer columns (n_tri, sum_cnt) are exact across paths, while
+    * the float columns (avg_p, log_prob) agree to FP tolerance — the
+    * declarative avg() accumulates in shuffle-dependent order, so the
+    * log1p mean can differ by ulps between spellings (the parity spec
+    * pins 1e-9). An EMPTY reference model (no trigrams at all) yields
+    * NULL avg_p/log_prob on both paths — the fallback's sum over an
+    * empty frame is NULL, and the native path guards totalCnt == 0
+    * explicitly rather than emitting 0/0 NaNs. */
   def lmScore(docs: DataFrame, refDocs: DataFrame = null,
       persist: Persistence = Persistence.Local,
       maxBroadcastModel: Long = 1000000L): DataFrame = {
@@ -396,10 +403,17 @@ object TextAnalysis {
         .select(col("doc_id"),
           col("lm.n_tri").as("n_tri"),
           col("lm.sum_cnt").as("sum_cnt"),
-          (col("lm.sum_cnt").cast("double") / col("lm.n_tri") / lit(totalCnt))
-            .as("avg_p"),
-          ((col("lm.log1p_sum") / col("lm.n_tri")) -
-            log(lit(totalCnt).cast("double"))).as("log_prob"))
+          // totalCnt == 0 (empty reference model): the declarative
+          // fallback's `sum(cnt)` over zero model rows is NULL, making
+          // avg_p/log_prob NULL — mirror that here instead of 0/0 NaN
+          // and log(0) = -Inf (both paths must agree on the degenerate
+          // empty-model edge).
+          (if (totalCnt == 0L) lit(null).cast("double")
+           else (col("lm.sum_cnt").cast("double") / col("lm.n_tri") /
+             lit(totalCnt))).as("avg_p"),
+          (if (totalCnt == 0L) lit(null).cast("double")
+           else (col("lm.log1p_sum") / col("lm.n_tri")) -
+             log(lit(totalCnt).cast("double"))).as("log_prob"))
     } else {
       // Shuffle-join fallback (CJK-scale trigram spaces). Self-scoring
       // materializes the scoring frame: the explode allocates one small

@@ -151,6 +151,16 @@ class OpsSpec extends AnyFunSuite {
       .filter(col("native") =!= col("declarative") ||
         col("native_arr") =!= col("declarative"))
     assert(mismatches.count() == 0)
+    // The one-pass two-seed pair variant (128-bit dedup tier) is
+    // bit-identical to zipping two independent single-seed runs.
+    val pairMismatches = docs.select(
+        graft.functions.word_shingle_hash_pairs(col("text"), 3).as("pairs"),
+        arrays_zip(
+          graft.functions.word_shingle_hashes(col("text"), 3).as("h1"),
+          graft.functions.word_shingle_hashes(col("text"), 3, seed = 1042L)
+            .as("h2")).as("zipped"))
+      .filter(col("pairs") =!= col("zipped"))
+    assert(pairMismatches.count() == 0)
   }
 
   test("hashed-gram pair pipeline equals the string-gram spelling on the spec corpus") {
@@ -1918,6 +1928,18 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, Long, Double, Double)].collect()
     assert(cross.forall(r => r._2 == 0L && r._3 == 0.0))
     assert(cross.forall(_._4 < 0)) // smoothed log-likelihood stays finite
+    // EMPTY reference model (no trigrams at all): both paths agree on
+    // NULL avg_p/log_prob — not 0/0 NaN or log(0) infinities.
+    val emptyRef = Seq((8L, "xy")).toDF("doc_id", "text") // sub-trigram
+    Seq(TextAnalysis.lmScore(fx, emptyRef),               // native path
+        TextAnalysis.lmScore(fx, emptyRef, maxBroadcastModel = -1L)) // fallback
+      .foreach { scoredEmpty =>
+        val rows = scoredEmpty
+          .select("doc_id", "n_tri", "sum_cnt", "avg_p", "log_prob").collect()
+        assert(rows.length == 2) // docs 1 and 2 still have trigrams
+        assert(rows.forall(r => r.getLong(2) == 0L &&
+          r.isNullAt(3) && r.isNullAt(4)))
+      }
     // Self-scored real corpus: every doc's mean trigram count ≥ 1
     // (each trigram counts at least itself) and log_prob is finite.
     val real = TextAnalysis.lmScore(docs)
@@ -3002,6 +3024,28 @@ class OpsSpec extends AnyFunSuite {
     assert(plain.map(_.schema.fieldNames.toSeq).head ==
       Seq("doc_id", "quality_keep", "dup_loser", "contaminated", "keep"))
     assert(plain.forall(_.getAs[Boolean]("keep")))
+    // classifierWordNgrams reaches the scorer: weights trained at
+    // wordNgrams=1 and applied at 1 through the pipeline produce the
+    // same verdicts as applying the model directly at wordNgrams=1
+    // (before the fix the pipeline silently scored at the default 2 —
+    // a mismatched feature map).
+    val trained1 = TextAnalysis.classifierTrain(seed, "label", dim = dim,
+        iters = 12, wordNgrams = 1).as[(Long, Long, Double)].collect()
+    val wMap1 = trained1.map(r => (r._1, r._3)).toMap
+    val weights1 = (0 until dim).map(b => wMap1.getOrElse(b.toLong, 0.0))
+    val bias1 = wMap1.getOrElse(-1L, 0.0)
+    val out1 = Curation.pipeline(corpus, none, minTokens = 5,
+        maxTopGramFrac = 1.0, maxDupGramFrac = 1.0,
+        classifierWeights = weights1, classifierBias = bias1,
+        classifierWordNgrams = 1)
+      .select("doc_id", "classifier_keep").as[(Long, Boolean)].collect().toMap
+    val direct1 = TextAnalysis.classifierScore(corpus, weights1, bias1,
+        wordNgrams = 1)
+      .select(col("doc_id"),
+        (when(col("n_grams") > 0, col("sum_w") / col("n_grams"))
+          .otherwise(lit(0.0)) >= lit(0.0)).as("k"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(out1 == direct1)
   }
 
   test("weightedBernoulli / weightedRepeat: rate calibration, determinism, explode accounting") {
@@ -3056,6 +3100,17 @@ class OpsSpec extends AnyFunSuite {
       Sampling.weightedRepeat(zeros, col("doc_id"), col("w"), 2.0).collect()
     }
     assert(e2.getMessage.contains("all weights are zero"))
+    // NULL weights: loud error (sum() would silently skip them and
+    // the null rows' keep/n_copies fate would be undefined downstream).
+    val nulls = Seq((1L, Some(5L)), (2L, None)).toDF("doc_id", "w")
+    val e3 = intercept[Exception] {
+      Sampling.weightedBernoulli(nulls, col("doc_id"), col("w"), 0.5).collect()
+    }
+    assert(e3.getMessage.contains("NULL weights"))
+    val e4 = intercept[Exception] {
+      Sampling.weightedRepeat(nulls, col("doc_id"), col("w"), 2.0).collect()
+    }
+    assert(e4.getMessage.contains("NULL weights"))
   }
 
   test("classifierEvalByGroup: per-slice rows sum to the global row; per-group AUC is brute-exact") {
