@@ -125,7 +125,23 @@ object ScaleSlope {
       "text_classifier_train" -> ((df, _) => TextAnalysis.classifierTrain(
         df.withColumn("label", pmod(col("doc_id"), lit(2)).cast("int")),
         "label", dim = 256, iters = 4)),
-      "text_lm_score" -> ((df, _) => TextAnalysis.lmScore(df)))
+      "text_lm_score" -> ((df, _) => TextAnalysis.lmScore(df)),
+      // Round-10: the bucketed-prefix-sum ROC at gate shape. The
+      // salted replicas hash to fresh feature buckets, so the DISTINCT
+      // margin count grows with the corpus — exactly the axis the old
+      // single-window plan would funnel through one task (this row
+      // exists to show the bucketed plan's slope instead).
+      "text_classifier_roc" -> ((df, _) => {
+        val weights = (0 until 64).map(i => ((i * 37) % 101 - 50) / 1000.0)
+        val scored = TextAnalysis.classifierScore(df, weights, bias = 0.0,
+            wordNgrams = 2)
+          .withColumn("margin", when(col("n_grams") > 0,
+            col("sum_w") / col("n_grams")).otherwise(lit(0.0)))
+        val lab = df.select(col("doc_id"),
+          array_contains(graft.functions.word_tokens(col("text")), "spark")
+            .cast("int").as("label"))
+        TextAnalysis.rocCurve(scored.join(lab, "doc_id"), "margin", "label")
+      }))
 
     def time(mk: () => DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()

@@ -516,15 +516,15 @@ object TextAnalysis {
     * — twice the pair count where the positive outranks the negative
     * plus ties counted half, an exact INTEGER the oracle replays
     * bit-for-bit; `auc = auc_num2 / (2·P·N)` is one division. The
-    * window input is the pre-aggregated (score → counts) frame, so
-    * the single-partition sort is distinct-score-sized; for a
-    * continuous score whose distinct values approach corpus size,
-    * the monotone-bucket prefix-sum chaining of
-    * [[Sampling.budgetCap]] (bucket on score ranges, chain subtotal
-    * offsets) is the drop-in scale spelling. */
+    * running negatives-below sum is computed per score-range bucket
+    * with chained subtotals ([[bucketedRunningSums]] — the
+    * [[Sampling.budgetCap]] monotone-bucket pattern), so even a
+    * continuous score whose distinct count approaches corpus size
+    * never funnels through one unpartitioned window; `fanout = 1` is
+    * the plain spelling, result-identical (exact integers either
+    * way, spec-pinned). */
   def classifierEval(scored: DataFrame, scoreCol: String, labelCol: String,
-      threshold: Double = 0.0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      threshold: Double = 0.0, fanout: Int = 64): DataFrame = {
     val s = col(scoreCol)
     val y = col(labelCol).cast("long")
     val conf = scored.agg(
@@ -534,14 +534,15 @@ object TextAnalysis {
       sum(when(s >= threshold, y).otherwise(0L)).as("tp"),
       sum(when(s >= threshold, lit(1L) - y).otherwise(0L)).as("fp"),
       sum(when(s < threshold, lit(1L) - y).otherwise(0L)).as("tn"),
-      sum(when(s < threshold, y).otherwise(0L)).as("fn"))
+      sum(when(s < threshold, y).otherwise(0L)).as("fn"),
+      // Score range for the bucketed prefix sum below; one stats row
+      // serves both consumers (ReusedExchange on the broadcast).
+      min(s.cast("double")).as("s_min"), max(s.cast("double")).as("s_max"))
     val byScore = scored.groupBy(s.as("sc"))
       .agg(sum(y).as("np"), sum(lit(1L) - y).as("nn"))
-    val w = Window.orderBy(col("sc"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val aucNum = byScore
-      .withColumn("neg_below", sum(col("nn")).over(w) - col("nn"))
-      .agg(sum(col("np") * (lit(2L) * col("neg_below") + col("nn")))
+    val aucNum = bucketedRunningSums(byScore, "sc", conf, Seq("nn"),
+        ascending = true, fanout = fanout)
+      .agg(sum(col("np") * (lit(2L) * col("_pre_nn") + col("nn")))
         .as("auc_num2"))
     conf.crossJoin(broadcast(aucNum))
       .select(col("n"), col("p"), col("n_neg"),
@@ -622,27 +623,119 @@ object TextAnalysis {
           .otherwise(lit(Double.NaN)).as("auc"))
   }
 
+  /** The monotone-bucket two-phase prefix sum shared by [[rocCurve]]
+    * and [[classifierEval]] (the [[Sampling.budgetCap]] pattern): the
+    * running sums over the distinct-score frame are computed per
+    * `floor`-range bucket of the score — MONOTONE in the sort key, so
+    * chaining the per-bucket subtotals (a `fanout`-row window)
+    * reproduces the global prefix sum exactly while no task ever
+    * sorts more than one bucket's distinct scores. `fanout = 1` is
+    * the plain single-window spelling; results are identical
+    * (spec-pinned) because the arithmetic is exact integer sums
+    * either way. Returns the input frame plus one exclusive
+    * (`_pre_`) and one inclusive (`_cum_`) running total per summed
+    * column, in `ascending` (AUC) or descending (ROC) score order.
+    *
+    * `stats` must be a one-row frame carrying `s_min`/`s_max` (the
+    * score range, doubles — used only to ASSIGN buckets, so float
+    * rounding cannot affect results, just balance). NULL scores sort
+    * last in both orders (Spark's asc-nulls-last would differ, but
+    * both callers cast/coalesce away nulls upstream); they land in
+    * the final bucket via the coalesce. */
+  private def bucketedRunningSums(byScore: DataFrame, scoreCol: String,
+      stats: DataFrame, sumCols: Seq[String], ascending: Boolean,
+      fanout: Int): DataFrame = {
+    require(fanout >= 1, s"fanout must be positive, got $fanout")
+    val W = org.apache.spark.sql.expressions.Window
+    val sc = col(scoreCol)
+    val ord = if (ascending) sc.asc else sc.desc
+    if (fanout == 1) {
+      val w = W.orderBy(ord).rowsBetween(W.unboundedPreceding, W.currentRow)
+      val wx = W.orderBy(ord).rowsBetween(W.unboundedPreceding, -1)
+      sumCols.foldLeft(byScore) { (df, c) =>
+        df.withColumn(s"_cum_$c", sum(col(c)).over(w))
+          .withColumn(s"_pre_$c", coalesce(sum(col(c)).over(wx), lit(0L)))
+      }
+    } else {
+      // Bucket 0 holds the FIRST scores of the traversal order (the
+      // highest for descending, the lowest for ascending), so the
+      // subtotal chain always runs bucket-ascending.
+      val frac = when(col("s_max") === col("s_min"), lit(0.0))
+        .otherwise((sc.cast("double") - col("s_min")) /
+          (col("s_max") - col("s_min")))
+      val bucket = least(lit(fanout - 1), floor(
+        (if (ascending) frac else lit(1.0) - frac) * fanout)).cast("int")
+      val withB = byScore.crossJoin(broadcast(stats))
+        .withColumn("_rb", coalesce(bucket, lit(fanout - 1)))
+      val localW = W.partitionBy(col("_rb")).orderBy(ord)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val localWx = W.partitionBy(col("_rb")).orderBy(ord)
+        .rowsBetween(W.unboundedPreceding, -1)
+      // The chain input is the per-bucket subtotal frame — at most
+      // `fanout` rows by construction, so one partition is the DESIGN
+      // (the whole point is that only this tiny frame funnels). The
+      // constant-valued partition key states that boundedness to the
+      // planner instead of tripping the "no partition defined"
+      // heuristic that exists to catch UNBOUNDED single-task sorts; it
+      // must be non-foldable (pmod of the bucket, not a literal) or
+      // EliminateWindowPartitions strips it back to the warning case.
+      val chainW = W.partitionBy(pmod(col("_rb"), lit(1)))
+        .orderBy(col("_rb").asc)
+        .rowsBetween(W.unboundedPreceding, -1)
+      val offsets = sumCols.foldLeft(
+          withB.groupBy(col("_rb"))
+            .agg(sumCols.map(c => sum(col(c)).as(s"_bt_$c")).head,
+              sumCols.map(c => sum(col(c)).as(s"_bt_$c")).tail: _*)) {
+          (df, c) =>
+            df.withColumn(s"_off_$c",
+              coalesce(sum(col(s"_bt_$c")).over(chainW), lit(0L)))
+        }
+        .select(col("_rb") +: sumCols.map(c => col(s"_off_$c")): _*)
+      val local = sumCols.foldLeft(withB) { (df, c) =>
+        df.withColumn(s"_lc_$c", sum(col(c)).over(localW))
+          .withColumn(s"_lp_$c", coalesce(sum(col(c)).over(localWx), lit(0L)))
+      }
+      val joined = local.join(offsets, Seq("_rb"))
+      sumCols.foldLeft(joined) { (df, c) =>
+        df.withColumn(s"_cum_$c", col(s"_off_$c") + col(s"_lc_$c"))
+          .withColumn(s"_pre_$c", col(s"_off_$c") + col(s"_lp_$c"))
+      }.drop("_rb" +: stats.columns.toSeq ++:
+        sumCols.flatMap(c => Seq(s"_off_$c", s"_lc_$c", s"_lp_$c")): _*)
+    }
+  }
+
   /** Full ROC curve as data: one row per DISTINCT score, ordered by
     * descending threshold — at threshold = that score (predicted
     * positive ⇔ score ≥ threshold), the cumulative true/false
     * positive counts and their single-division TPR/FPR. The
     * threshold-sweep companion of [[classifierEval]]'s one-row
-    * summary: plot it, or pick the knee. Exact integers + one IEEE
-    * division per rate — fully oracle-portable. Same scale posture as
-    * the AUC pass: the window input is the pre-aggregated
-    * distinct-score count frame. */
+    * summary: plot it, or pick the knee ([[pickThreshold]]). Exact
+    * integers + one IEEE division per rate — fully oracle-portable.
+    *
+    * Scale posture: the running tp/fp sums are computed per
+    * score-range bucket and the tiny per-bucket subtotal frame is
+    * chained ([[bucketedRunningSums]] — the [[Sampling.budgetCap]]
+    * monotone-bucket pattern), so no task ever sorts more than one
+    * bucket of the distinct-score frame: a continuous score whose
+    * distinct count approaches corpus size no longer funnels through
+    * one unpartitioned window. `fanout = 1` is the plain spelling,
+    * result-identical (spec-pinned). */
   def rocCurve(scored: DataFrame, scoreCol: String,
-      labelCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      labelCol: String, fanout: Int = 64): DataFrame = {
     val s = col(scoreCol)
     val y = col(labelCol).cast("long")
-    val totals = scored.agg(sum(y).as("p"), sum(lit(1L) - y).as("n_neg"))
-    val w = Window.orderBy(col("score").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    scored.groupBy(s.as("score"))
+    // ONE stats row serves both the bucket assignment (s_min/s_max)
+    // and the final tpr/fpr divisions (p/n_neg): the two broadcast
+    // exchanges share an identical child plan, so the corpus-scan
+    // aggregate runs once (ReusedExchange).
+    val totals = scored.agg(sum(y).as("p"), sum(lit(1L) - y).as("n_neg"),
+      min(s.cast("double")).as("s_min"), max(s.cast("double")).as("s_max"))
+    val byScore = scored.groupBy(s.as("score"))
       .agg(sum(y).as("np"), sum(lit(1L) - y).as("nn"))
-      .withColumn("cum_tp", sum(col("np")).over(w))
-      .withColumn("cum_fp", sum(col("nn")).over(w))
+    bucketedRunningSums(byScore, "score", totals, Seq("np", "nn"),
+        ascending = false, fanout = fanout)
+      .withColumnRenamed("_cum_np", "cum_tp")
+      .withColumnRenamed("_cum_nn", "cum_fp")
       .crossJoin(broadcast(totals))
       .select(col("score"), col("cum_tp"), col("cum_fp"),
         when(col("p") > 0, col("cum_tp").cast("double") / col("p"))

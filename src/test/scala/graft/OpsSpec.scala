@@ -2944,6 +2944,11 @@ class OpsSpec extends AnyFunSuite {
     val bnum2 = (for (a <- bp; b <- bn) yield
       if (a > b) 2L else if (a == b) 1L else 0L).sum
     assert(rb.getAs[Long]("auc_num2") == bnum2)
+    // Bucketed prefix sum (default fanout) is identical to the plain
+    // single-window spelling (fanout = 1) — exact integers both ways.
+    val plain = TextAnalysis.classifierEval(
+      big.toDF("doc_id", "s", "y"), "s", "y", fanout = 1).collect().head
+    assert(plain.toSeq == rb.toSeq)
   }
 
   test("rocCurve: threshold sweep with exact cumulative counts; warm-start training law") {
@@ -2961,6 +2966,22 @@ class OpsSpec extends AnyFunSuite {
     assert(curve.last._4 == 1.0 && curve.last._5 == 1.0)
     assert(curve.map(_._4) == curve.map(_._4).sorted)
     assert(curve.map(_._5) == curve.map(_._5).sorted)
+    // The bucketed prefix sum is identical to the plain single-window
+    // spelling at every fanout — including fanouts that split the
+    // distinct scores across many part-empty buckets, and a
+    // degenerate single-score frame (s_max == s_min).
+    val rnd2 = new scala.util.Random(1234)
+    val many = (0 until 500).map(i =>
+      (i.toLong, math.floor(rnd2.nextGaussian() * 500) / 100, rnd2.nextInt(2)))
+      .toDF("doc_id", "s", "y")
+    def curveOf(df: org.apache.spark.sql.DataFrame, fanout: Int) =
+      TextAnalysis.rocCurve(df, "s", "y", fanout = fanout)
+        .orderBy(col("score")).collect().map(_.toSeq).toSeq
+    val ref = curveOf(many, 1)
+    for (f <- Seq(7, 64, 1000)) assert(curveOf(many, f) == ref,
+      s"bucketed rocCurve diverged from the plain spelling at fanout=$f")
+    val oneScore = Seq((1L, 0.5, 1), (2L, 0.5, 0)).toDF("doc_id", "s", "y")
+    assert(curveOf(oneScore, 64) == curveOf(oneScore, 1))
 
     // Warm-start law: N iterations == K iterations + warm start of N-K
     // (the init frame resumes the exact fixed-point state).
