@@ -125,6 +125,13 @@ object ScaleSlope {
       "text_classifier_train" -> ((df, _) => TextAnalysis.classifierTrain(
         df.withColumn("label", pmod(col("doc_id"), lit(2)).cast("int")),
         "label", dim = 256, iters = 4)),
+      // Round-10: the trainer's past-the-broadcast-cap shape — the
+      // residual frame equi-joins on the persisted doc_id partitioning
+      // instead of broadcasting. This is the 100 TB seed-set path; its
+      // slope vs the broadcast row above shows what the gate costs.
+      "text_classifier_train_join" -> ((df, _) => TextAnalysis.classifierTrain(
+        df.withColumn("label", pmod(col("doc_id"), lit(2)).cast("int")),
+        "label", dim = 256, iters = 4, maxBroadcastResid = 0L)),
       "text_lm_score" -> ((df, _) => TextAnalysis.lmScore(df)),
       // Round-10: the bucketed-prefix-sum ROC at gate shape. The
       // salted replicas hash to fresh feature buckets, so the DISTINCT

@@ -781,10 +781,18 @@ object TextAnalysis {
     * hash-partitioned by doc_id, and persisted; each iteration then
     * costs two scans of that cached frame and NO corpus-sized
     * shuffle — margins aggregate doc-locally (partitioning reused),
-    * the model (≤ dim+1 rows) rides a broadcast join, the per-doc
-    * residual frame (N rows, two columns) is re-broadcast for the
-    * gradient join, and the gradient shuffle carries map-side partial
-    * sums bounded by `dim`, not the corpus. Driver state is O(dim).
+    * the model (≤ dim+1 rows) rides a broadcast join, and the
+    * gradient shuffle carries map-side partial sums bounded by
+    * `dim`, not the corpus. The per-doc residual frame (N rows, two
+    * longs) joins back to the features GATED on the seed-set size
+    * already measured for the learning-rate denominator: within
+    * `maxBroadcastResid` rows it broadcasts (one exchange of a tiny
+    * frame, zero sort); a larger seed set equi-joins on the `doc_id`
+    * hash partitioning both sides ALREADY carry (feat's persisted
+    * repartition, margins' groupBy) — no new shuffle, never an
+    * executor OOM on the broadcast build. Both paths produce
+    * bit-identical weights (exact integer arithmetic; spec-pinned).
+    * Driver state is O(dim).
     * Magnitude bounds (documented, not checked): per-row gradient
     * terms are ≤ 1e12 by construction; margins need
     * |w|·n_doc < 9.2e6 in real units to stay in signed-64 partials
@@ -795,7 +803,8 @@ object TextAnalysis {
       lrNum: Long = 1L, lrDen: Long = 2L,
       meanPool: Boolean = false,
       persist: Persistence = Persistence.Local,
-      init: DataFrame = null): DataFrame = {
+      init: DataFrame = null,
+      maxBroadcastResid: Long = 1000000L): DataFrame = {
     require(dim >= 1, s"dim must be positive, got $dim")
     require(wordNgrams >= 1, s"wordNgrams must be positive, got $wordNgrams")
     require(iters >= 0, s"iters must be non-negative, got $iters")
@@ -868,10 +877,17 @@ object TextAnalysis {
         floor(p * lit(1000000.0) + lit(0.5)).cast("long")
       // NOT materialized: the residual frame has exactly one consumer
       // (the intercept's gradient rides the same bk=-1 rows), so it
-      // computes inside the broadcast-exchange build — one job per
-      // iteration, not a checkpoint job plus a gradient job.
+      // computes inside the join build — one job per iteration, not a
+      // checkpoint job plus a gradient job. The broadcast is GATED on
+      // nDocs (already counted for the learning-rate denominator — no
+      // extra action): a seed set past the cap would OOM the broadcast
+      // build, so it falls back to the equi-join on the doc_id hash
+      // partitioning that feat (persisted repartition) and margins
+      // (groupBy doc_id) both already carry — zero new exchanges.
       val residDf = margins.select(col("doc_id"), resid.as("resid"))
-      val gradRows = feat.join(broadcast(residDf), "doc_id")
+      val residJoined =
+        if (nDocs <= maxBroadcastResid) broadcast(residDf) else residDf
+      val gradRows = feat.join(residJoined, "doc_id")
         .withColumn("rqNum", col("resid") * lit(1000000L))
         .withColumn("rq", when(col("rqNum") >= 0,
             expr("(2*rqNum + nd) div (2*nd)"))

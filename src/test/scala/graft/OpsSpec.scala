@@ -3002,6 +3002,13 @@ class OpsSpec extends AnyFunSuite {
     val resumedTiny = w(TextAnalysis.classifierTrain(tiny, "label", dim = 64,
       iters = 0, init = first5))
     assert(resumedTiny == w(first5))
+    // Residual-broadcast gate: a seed set past maxBroadcastResid joins
+    // the residual frame on the existing doc_id partitioning instead
+    // of broadcasting it — bit-identical weights (exact integer
+    // arithmetic is join-strategy-independent).
+    val joined = w(TextAnalysis.classifierTrain(d, "label", dim = 64,
+      iters = 9, maxBroadcastResid = 0L))
+    assert(joined == full)
   }
 
   test("pipeline classifier branch: trained gate joins the verdict; disabled default unchanged") {
