@@ -1000,6 +1000,25 @@ object SparkEntry {
       graft.ops.TextAnalysis.rocCurve(
         scored.join(lab, "doc_id"), "margin", "label")
     }),
+    // Operating-point pick off the ROC sweep: the highest-recall
+    // threshold whose precision clears 0.78 (between the gate
+    // corpus's base rate and its best achievable precision at every
+    // sf, so the pick is non-trivial and non-empty at all scales).
+    // Exact integer counts + single-division rates — the one-row
+    // calibration output a deployed gate consumes.
+    "text_classifier_threshold" -> ((s, d) => {
+      val scored = graft.ops.TextAnalysis.classifierScore(
+        documents(s, d), classifierGateWeights, bias = 0.0, wordNgrams = 2)
+        .withColumn("margin", when(col("n_grams") > 0,
+          col("sum_w") / col("n_grams")).otherwise(lit(0.0)))
+      val lab = documents(s, d).select(col("doc_id"),
+        array_contains(graft.functions.word_tokens(col("text")), "spark")
+          .cast("int").as("label"))
+      graft.ops.TextAnalysis.pickThreshold(
+        graft.ops.TextAnalysis.rocCurve(
+          scored.join(lab, "doc_id"), "margin", "label"),
+        targetPrecision = Some(0.78))
+    }),
     // Classifier EVALUATION (the loop's third leg): confusion counts
     // at margin threshold 0 plus exact Mann-Whitney AUC over the gate
     // model's margin (sum_w / n_grams — cross-engine-exact doubles;
@@ -1365,6 +1384,45 @@ object SparkEntry {
          |  CAST(cum_tp AS DOUBLE) / p AS tpr,
          |  CAST(cum_fp AS DOUBLE) / n_neg AS fpr
          |FROM cum, tot""".stripMargin,
+    // The ROC sweep's operating-point pick: filter precision >= 0.78,
+    // max recall, ties toward fewer false positives then the higher
+    // threshold — the same exact-integer ordering Spark's
+    // TakeOrderedAndProject applies.
+    "text_classifier_threshold" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN list_contains($dToks, 'spark') THEN 1 ELSE 0 END AS y,
+         |  $dToks w FROM documents),
+         |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),
+         |g AS (SELECT doc_id, tk AS g FROM tok
+         |      UNION ALL
+         |      SELECT t0.doc_id, t0.tk || ' ' || t1.tk
+         |      FROM tok t0 JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.i = t0.i + 1),
+         |b AS (SELECT doc_id,
+         |        CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 64 AS bk FROM g),
+         |sagg AS (SELECT doc_id, count(*) AS n_grams,
+         |        sum(CAST(((bk*37)%101 - 50) / 1000.0 AS DECIMAL(38,6))) AS sw
+         |      FROM b GROUP BY 1),
+         |sc AS (SELECT t.doc_id, CAST(t.y AS BIGINT) AS y,
+         |  CASE WHEN COALESCE(s.n_grams, 0) > 0
+         |       THEN CAST(COALESCE(s.sw, 0) AS DOUBLE) / s.n_grams
+         |       ELSE 0.0 END AS m
+         |  FROM t LEFT JOIN sagg s USING (doc_id)),
+         |bys AS (SELECT m AS score, sum(y) AS np, sum(1 - y) AS nn FROM sc GROUP BY 1),
+         |cum AS (SELECT score,
+         |  sum(np) OVER (ORDER BY score DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+         |  sum(nn) OVER (ORDER BY score DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_fp
+         |  FROM bys),
+         |tot AS (SELECT sum(y) AS p, sum(1 - y) AS n_neg FROM sc)
+         |SELECT score AS threshold, CAST(cum_tp AS BIGINT) AS cum_tp,
+         |  CAST(cum_fp AS BIGINT) AS cum_fp,
+         |  CAST(cum_tp AS DOUBLE) / (cum_tp + cum_fp) AS "precision",
+         |  CAST(cum_tp AS DOUBLE) / p AS tpr,
+         |  CAST(cum_fp AS DOUBLE) / n_neg AS fpr
+         |FROM cum, tot
+         |WHERE CAST(cum_tp AS DOUBLE) / (cum_tp + cum_fp) >= 0.78
+         |ORDER BY cum_tp DESC, cum_fp ASC, score DESC LIMIT 1""".stripMargin,
     // Exact confusion counts + integer Mann-Whitney AUC numerator over
     // the gate model's portable margin; ratios are single divisions.
     "text_classifier_eval" ->

@@ -108,6 +108,49 @@ object Curation {
     }
   }
 
+  /** [[pipeline]] with the learned gate's margin threshold DERIVED
+    * from a labeled calibration frame instead of hand-set: the
+    * calibration docs (`doc_id`, `text`, `labelCol` ∈ {0,1} — a held-
+    * out labeled sample, typically the trainer's eval split) are
+    * scored with the same weights the gate will run, swept into a
+    * [[TextAnalysis.rocCurve]], and the operating point picked by
+    * [[TextAnalysis.pickThreshold]] at `targetPrecision` becomes
+    * `classifierMinMargin`. This closes the deployment loop: train →
+    * calibrate → gate, with no human-chosen magic number between the
+    * model and the corpus. Throws when no threshold meets the target
+    * (an uncalibratable gate must fail loudly, not run at an arbitrary
+    * point). The calibration pass is calibration-set-sized (score
+    * projection + the bucketed ROC) and collects ONE row; the corpus
+    * pipeline is unchanged. */
+  def pipelineWithCalibratedGate(docs: DataFrame, evalDocs: DataFrame,
+      calibDocs: DataFrame, labelCol: String, targetPrecision: Double,
+      classifierWeights: Seq[Double], classifierBias: Double = 0.0,
+      classifierWordNgrams: Int = 2,
+      shingleN: Int = 3, jaccard: Double = 0.8, maxShingleDf: Int = 10,
+      decontamN: Int = 13,
+      minTokens: Int = 25, maxTokens: Int = 100000,
+      maxTopGramFrac: Double = 0.09, maxDupGramFrac: Double = 0.09,
+      persist: Persistence = Persistence.Local): DataFrame = {
+    require(classifierWeights.nonEmpty,
+      "pipelineWithCalibratedGate needs classifier weights to calibrate")
+    val scored = TextAnalysis.classifierScore(calibDocs, classifierWeights,
+        classifierBias, classifierWordNgrams)
+      .withColumn("margin", when(col("n_grams") > 0,
+        col("sum_w") / col("n_grams")).otherwise(lit(0.0)))
+      .join(calibDocs.select(col("doc_id"), col(labelCol).as("label")),
+        "doc_id")
+    val pick = TextAnalysis.pickThreshold(
+      TextAnalysis.rocCurve(scored, "margin", "label"),
+      targetPrecision = Some(targetPrecision)).collect()
+    require(pick.nonEmpty, s"no margin threshold reaches precision " +
+      s"$targetPrecision on the calibration set — gate not deployable")
+    pipeline(docs, evalDocs, shingleN, jaccard, maxShingleDf, decontamN,
+      minTokens, maxTokens, maxTopGramFrac, maxDupGramFrac, persist,
+      classifierWeights, classifierBias,
+      classifierMinMargin = pick.head.getAs[Double]("threshold"),
+      classifierWordNgrams = classifierWordNgrams)
+  }
+
   /** Materialize the curated corpus: survivors of a [[pipeline]]
     * verdict frame, deterministically split-assigned and written as
     * parquet partitioned by split — the shard layout a training run

@@ -744,6 +744,44 @@ object TextAnalysis {
           .otherwise(lit(Double.NaN)).as("fpr"))
   }
 
+  /** Operating-point picker over a [[rocCurve]] frame: the single
+    * threshold a deployed gate should run at, derived from data
+    * instead of hand-set. Exactly one target must be given:
+    *   - `targetPrecision`: the highest-recall threshold whose
+    *     precision `cum_tp / (cum_tp + cum_fp)` still meets the
+    *     target — "keep as much as possible while at most X% of what
+    *     we keep is junk", the curation-gate calibration question;
+    *   - `targetFpr`: the highest-TPR threshold with `fpr` at or
+    *     under the target — the alarm-budget spelling.
+    * Ties on recall break toward fewer false positives, then the
+    * higher threshold, so the pick is total and deterministic. Output:
+    * ONE row `(threshold, cum_tp, cum_fp, precision, tpr, fpr)` — or
+    * ZERO rows when no threshold meets the target (a gate that cannot
+    * be calibrated should fail loudly at the caller, not silently run
+    * at an arbitrary point). All counts are the curve's exact
+    * integers; each rate is one IEEE division — fully oracle-portable.
+    *
+    * Scale posture: a filter plus an `orderBy(...).limit(1)` —
+    * TakeOrderedAndProject, every partition ships one candidate row;
+    * no global sort, no window. */
+  def pickThreshold(roc: DataFrame, targetPrecision: Option[Double] = None,
+      targetFpr: Option[Double] = None): DataFrame = {
+    require(targetPrecision.isDefined != targetFpr.isDefined,
+      "exactly one of targetPrecision / targetFpr must be set")
+    val prec = when(col("cum_tp") + col("cum_fp") > 0,
+      col("cum_tp").cast("double") / (col("cum_tp") + col("cum_fp")))
+      .otherwise(lit(Double.NaN))
+    val keep = targetPrecision match {
+      case Some(p) => prec >= lit(p)
+      case None => col("fpr") <= lit(targetFpr.get)
+    }
+    roc.filter(keep)
+      .orderBy(col("cum_tp").desc, col("cum_fp").asc, col("score").desc)
+      .limit(1)
+      .select(col("score").as("threshold"), col("cum_tp"), col("cum_fp"),
+        prec.as("precision"), col("tpr"), col("fpr"))
+  }
+
   /** Distributed trainer for [[classifierScore]]'s model family:
     * deterministic full-batch logistic-style regression over the SAME
     * hashed bag-of-word-ngrams feature space (first-32-md5-bits mod

@@ -3076,6 +3076,94 @@ class OpsSpec extends AnyFunSuite {
     assert(out1 == direct1)
   }
 
+  test("pickThreshold: precision- and FPR-targeted picks, empty when uncalibratable") {
+    // Hand-workable curve (from the rocCurve fixture): distinct scores
+    // desc 0.9, 0.5, 0.1, -0.2, -0.7 with cum (tp, fp) =
+    // (1,0) (2,1) (2,2) (3,3) (3,4); P=3, N=4.
+    val rows = Seq(
+      (1L, 0.9, 1), (2L, 0.5, 1), (3L, 0.5, 0), (4L, 0.1, 0),
+      (5L, -0.2, 1), (6L, -0.2, 0), (7L, -0.7, 0)).toDF("doc_id", "s", "y")
+    val roc = TextAnalysis.rocCurve(rows, "s", "y")
+    // precision >= 0.6: candidates 0.9 (1/1) and 0.5 (2/3); max recall
+    // wins -> threshold 0.5.
+    val p6 = TextAnalysis.pickThreshold(roc, targetPrecision = Some(0.6)).collect()
+    assert(p6.length == 1)
+    assert(p6.head.getAs[Double]("threshold") == 0.5)
+    assert(p6.head.getAs[Long]("cum_tp") == 2 && p6.head.getAs[Long]("cum_fp") == 1)
+    assert(p6.head.getAs[Double]("precision") == 2.0 / 3)
+    // fpr <= 0.5: candidates 0.9 (0/4), 0.5 (1/4), 0.1 (2/4); max tpr
+    // is shared by 0.5 and 0.1 -> fewer false positives wins (0.5).
+    val f5 = TextAnalysis.pickThreshold(roc, targetFpr = Some(0.5)).collect()
+    assert(f5.length == 1)
+    assert(f5.head.getAs[Double]("threshold") == 0.5)
+    assert(f5.head.getAs[Double]("fpr") == 0.25)
+    // Unreachable target: zero rows, not an arbitrary pick.
+    assert(TextAnalysis.pickThreshold(roc,
+      targetPrecision = Some(1.5)).collect().isEmpty)
+    // Exactly one target must be set.
+    intercept[IllegalArgumentException] {
+      TextAnalysis.pickThreshold(roc)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.pickThreshold(roc, Some(0.5), Some(0.5))
+    }
+  }
+
+  test("pipelineWithCalibratedGate: the derived threshold reproduces the hand-set pipeline") {
+    // Train on planted seeds, calibrate ON the seed set at a precision
+    // its margins can reach, and check the calibrated pipeline equals
+    // pipeline() with the picked threshold passed by hand.
+    val seed = ((0 until 20).map(i =>
+      (i.toLong, s"insightful thorough analysis s$i filler words here", 1)) ++
+      (20 until 40).map(i =>
+        (i.toLong, s"spam garbage clickbait s$i filler words here", 0)))
+      .toDF("doc_id", "text", "label")
+    val dim = 128
+    val trained = TextAnalysis.classifierTrain(seed, "label", dim = dim, iters = 12)
+      .as[(Long, Long, Double)].collect()
+    val wMap = trained.map(r => (r._1, r._3)).toMap
+    val weights = (0 until dim).map(b => wMap.getOrElse(b.toLong, 0.0))
+    val bias = wMap.getOrElse(-1L, 0.0)
+    def filler(tag: String) = (0 until 30).map(i => s"$tag$i").mkString(" ")
+    val corpus = Seq(
+      (100L, s"insightful thorough analysis ${filler("a")}"),
+      (101L, s"spam garbage clickbait ${filler("b")}")).toDF("doc_id", "text")
+    val none = corpus.limit(0)
+    val calibrated = Curation.pipelineWithCalibratedGate(
+        corpus, none, calibDocs = seed, labelCol = "label",
+        targetPrecision = 0.9, classifierWeights = weights,
+        classifierBias = bias, minTokens = 5,
+        maxTopGramFrac = 1.0, maxDupGramFrac = 1.0)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // Reproduce the pick by hand and compare verdict frames.
+    val scored = TextAnalysis.classifierScore(seed, weights, bias)
+      .withColumn("margin", when(col("n_grams") > 0,
+        col("sum_w") / col("n_grams")).otherwise(lit(0.0)))
+      .join(seed.select(col("doc_id"), col("label")), "doc_id")
+    val pick = TextAnalysis.pickThreshold(
+      TextAnalysis.rocCurve(scored, "margin", "label"),
+      targetPrecision = Some(0.9)).collect()
+    assert(pick.length == 1)
+    val thr = pick.head.getAs[Double]("threshold")
+    val manual = Curation.pipeline(corpus, none, minTokens = 5,
+        maxTopGramFrac = 1.0, maxDupGramFrac = 1.0,
+        classifierWeights = weights, classifierBias = bias,
+        classifierMinMargin = thr)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(calibrated == manual)
+    // A separable seed set calibrates to a gate that keeps the good
+    // doc and drops the junk one.
+    assert(calibrated.length == 2)
+    // An unreachable precision target fails loudly.
+    intercept[IllegalArgumentException] {
+      Curation.pipelineWithCalibratedGate(
+        corpus, none, calibDocs = seed, labelCol = "label",
+        targetPrecision = 1.5, classifierWeights = weights,
+        classifierBias = bias, minTokens = 5,
+        maxTopGramFrac = 1.0, maxDupGramFrac = 1.0)
+    }
+  }
+
   test("weightedBernoulli / weightedRepeat: rate calibration, determinism, explode accounting") {
     val d = docs
     val ws = Sampling.weightedBernoulli(d, col("doc_id"), col("n_chars"), 0.3, "t1")

@@ -46,6 +46,7 @@ class PlanShapeSpec extends AnyFunSuite {
     Set("sim_topk", "dedup_embedding", "profile_hot_keys",
       "text_tfidf", "text_tfidf_prod", "text_bm25_prod", "text_source_terms",
       "text_classifier_eval", "text_classifier_roc",
+      "text_classifier_threshold",
       "curation_weighted_sample", "curation_weighted_repeat")
 
   test("the CEP rule fan-out is a broadcast HASH join on the pivot key") {
