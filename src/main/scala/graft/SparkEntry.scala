@@ -1148,7 +1148,25 @@ object SparkEntry {
         graft.ops.Multimodal.mediaFromDocuments(documents(s, d)), 256, 256)
         .toDF().select(col("media_id"), col("width"), col("height"),
           col("out_width"), col("out_height"),
-          octet_length(col("payload")).as("out_bytes"))))
+          octet_length(col("payload")).as("out_bytes"))),
+    // Perceptual-hash media dedup over PLANTED near-duplicates: the
+    // corpus unions with a first-character-mutated copy of itself
+    // (same length, local edit — the canonical dHash near-dup: at most
+    // the grid cells sampling position 0 flip, ≤ 2 Hamming bits at the
+    // gate corpora's text lengths), and the banded dHash pipeline must
+    // recover every planted pair. The DuckDB oracle replays the whole
+    // thing: codepoint grid, band packing, banded candidate join,
+    // Hamming verification.
+    "mm_dedup" -> ((s, d) => {
+      val docs = documents(s, d)
+      val edited = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("x"), expr("substring(text, 2)")).as("text"),
+        col("source"))
+      graft.ops.Multimodal.dhashPairs(
+        graft.ops.Multimodal.mediaFromDocuments(docs)
+          .unionByName(graft.ops.Multimodal.mediaFromDocuments(edited)),
+        maxHamming = 8)
+    }))
 
   private val northStarOracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -1946,7 +1964,43 @@ object SparkEntry {
     "mm_frames" ->
       """SELECT doc_id AS media_id,
         |  unnest(range(0, 1 + octet_length(encode(text)) % 10)) AS frame_idx
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    // Full dHash replay: codepoint sample grid -> gradient bits ->
+    // 16-bit bands -> banded candidate join -> Hamming verification.
+    "mm_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id AS mid, text AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'x' || substring(text, 2) FROM documents),
+        |s AS (SELECT mid, t, length(t) AS n FROM m),
+        |g AS (SELECT mid, k,
+        |        CASE WHEN n = 0 THEN 0
+        |             ELSE unicode(substring(t, 1 + (k * n) // 72, 1)) END AS v
+        |      FROM s, (SELECT unnest(range(0, 72)) AS k) ks),
+        |cmp AS (SELECT a.mid, (a.k // 9) AS r, (a.k % 9) AS c,
+        |        CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+        |        FROM g a JOIN g b ON b.mid = a.mid AND b.k = a.k + 1
+        |        WHERE a.k % 9 < 8),
+        |bands AS (SELECT mid, r // 2 AS band_idx,
+        |        sum(bit * (1 << ((r % 2) * 8 + c))) AS band_val
+        |        FROM cmp GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.mid AS id_a, y.mid AS id_b
+        |        FROM bands x JOIN bands y
+        |          ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+        |            AND x.mid < y.mid),
+        |fp AS (SELECT mid,
+        |        max(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+        |        max(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+        |        max(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+        |        max(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+        |      FROM bands GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT id_a, id_b,
+        |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+        |         bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS INT)
+        |      AS hamming
+        |  FROM cand JOIN fp a ON cand.id_a = a.mid JOIN fp b ON cand.id_b = b.mid)
+        |WHERE hamming <= 8""".stripMargin)
 
   // ---------------------------------------------------------------------------
   // Relational surface (Catalyst-native joins/agg/top-k on the TPC-H corpus)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.graft.{AsciiClassCountsColumns, BpeEncodeColumns, BpeTokenCountColumns, HashedTokenCountsColumns, CepExprColumns, CompressRatioColumns, GramStatsColumns, LshBucketsColumns, MarkerCountsColumns, MatrixRowDotColumns, MetricRouteColumns, MinhashColumns, RollingHashColumns, SimhashColumns, TrigramScoresColumns, VecDotColumns, VecUnitColumns, WordShinglesColumns}
+import org.apache.spark.sql.graft.{AsciiClassCountsColumns, BpeEncodeColumns, BpeTokenCountColumns, DhashColumns, HashedTokenCountsColumns, CepExprColumns, CompressRatioColumns, GramStatsColumns, LshBucketsColumns, MarkerCountsColumns, MatrixRowDotColumns, MetricRouteColumns, MinhashColumns, RollingHashColumns, SimhashColumns, TrigramScoresColumns, VecDotColumns, VecUnitColumns, WordShinglesColumns}
 
 /** Public column-function surface for graft's native Catalyst
   * expressions (implementations under org.apache.spark.sql.graft). */
@@ -75,6 +75,14 @@ package object functions {
   def word_shingle_hash_pairs(text: Column, n: Int, seed1: Long = 42L,
       seed2: Long = 1042L): Column =
     WordShinglesColumns.wordShingleHashPairs(text, n, seed1, seed2)
+
+  /** Four 16-bit dHash band keys of a synthetic payload (72-codepoint
+    * sample grid, row-gradient bits) — the perceptual-hash key the
+    * multimodal dedup family buckets on; the decoded-luma production
+    * twin shares the band packing — see
+    * [[org.apache.spark.sql.graft.DhashBands]]. */
+  def dhash_bands(payload: Column): Column =
+    DhashColumns.dhashBands(payload)
 
   /** Per-document word n-gram repetition stats struct
     * `{n_grams, n_distinct_grams, top_gram_frac, dup_gram_frac}` in

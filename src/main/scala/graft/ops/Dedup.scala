@@ -877,7 +877,9 @@ object Dedup {
     * (= Σ per-band popcount of XOR) is ≤ `maxHamming`. The fingerprint
     * frame is materialized once — candidate generation and both
     * verification joins reuse it. */
-  private def bandedHammingPairs(fp4: DataFrame, maxHamming: Int,
+  // private[ops]: Multimodal.dhashPairs feeds perceptual-hash bands
+  // through the same candidate/verify machinery.
+  private[ops] def bandedHammingPairs(fp4: DataFrame, maxHamming: Int,
       persist: Persistence): DataFrame = {
     val f = persist(fp4)
     val banded = f.select(col("doc_id"),

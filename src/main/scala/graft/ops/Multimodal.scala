@@ -176,4 +176,100 @@ object Multimodal {
     media.select(col("media_id"),
       explode(sequence(lit(0), nFrames - 1, lit(everyNth))).as("frame_idx"))
   }
+
+  /** Perceptual-hash near-duplicate media pairs — the image-side
+    * sibling of [[Dedup.simhashPairs]]: each payload gets a 64-bit
+    * dHash (row-gradient bits over a 9×8 sample grid), candidates come
+    * from 16-bit banded bucket equi-joins (a true near-dup disagrees
+    * on ≤ `maxHamming` bits, so at maxHamming ≤ 15 at least one of
+    * the four bands matches exactly — never an all-pairs compare),
+    * and kept pairs verify full-fingerprint Hamming ≤ `maxHamming`.
+    * Output: (id_a, id_b, hamming), id_a < id_b — [[Dedup.components]]
+    * consumes it directly for cluster/keep-one parity with the text
+    * side.
+    *
+    * This entry point is the SYNTHETIC tier (the [[MediaDecoder.Fake]]
+    * posture, like [[extractFeaturesSql]]): bands come from
+    * [[graft.functions.dhash_bands]]'s deterministic codepoint grid
+    * over the payload-as-string, so the full band/bucket/Hamming
+    * pipeline is oracle-replayable in ANSI SQL. Real decoded-pixel
+    * dedup is [[dhashPairsDecoded]] — identical machinery behind the
+    * decode.
+    *
+    * Scale posture: one native projection per payload (binary never a
+    * shuffle key — only (media_id, 4 ints) travel), the banded
+    * candidate join of the simhash family, and a twice-joined
+    * verification against the persisted 4-int fingerprint frame. */
+  def dhashPairs(media: DataFrame, maxHamming: Int = 8,
+      persist: Persistence = Persistence.Local): DataFrame =
+    Dedup.bandedHammingPairs(
+      media.repartition(col("media_id"))
+        .select(col("media_id").as("doc_id"),
+          graft.functions.dhash_bands(col("payload").cast("string")).as("bands"))
+        .filter(col("bands").isNotNull)
+        .select(col("doc_id") +:
+          (0 until 4).map(k => element_at(col("bands"), k + 1).as(s"band$k")): _*),
+      maxHamming, persist)
+
+  /** [[dhashPairs]] over REAL decoded pixels: payloads decode via
+    * `javax.imageio` (per-partition batch, the [[extractFeatures]]
+    * path), the decoded raster is point-sampled to the 9×8 Rec. 601
+    * luma grid (bounded work per image — a 100 MP payload costs 72
+    * probes, not a full scan), and the same band packing / banded
+    * candidate join / Hamming verification runs downstream.
+    * Undecodable payloads drop from dedup (flag-and-filter posture —
+    * they can't be near-duplicates of anything decodable). dHash's
+    * comparisons are invariant under uniform brightness/contrast
+    * shifts and survive re-encoding — the perceptual property the
+    * spec pins with planted PNG near-duplicates. */
+  def dhashPairsDecoded(media: DataFrame, maxHamming: Int = 8,
+      persist: Persistence = Persistence.Local): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val bands = media
+      .select(col("media_id"), col("mime"), col("source"), col("payload"))
+      .as[MediaRow].mapPartitions { it =>
+        it.flatMap { m =>
+          val g = decodedLumaGrid(m.payload)
+          if (g == null) Iterator.empty
+          else {
+            val b = org.apache.spark.sql.graft.DhashImpl.bandsOfGrid(g)
+            Iterator.single((m.media_id, b.getInt(0), b.getInt(1),
+              b.getInt(2), b.getInt(3)))
+          }
+        }
+      }.toDF("doc_id", "band0", "band1", "band2", "band3")
+    Dedup.bandedHammingPairs(bands.repartition(col("doc_id")), maxHamming, persist)
+  }
+
+  /** The 72-cell (8 rows × 9 cols, row-major) point-sampled luma grid
+    * of an encoded image, or null when the payload doesn't decode.
+    * Cell (r, c) probes the pixel at the cell center — bounded per-row
+    * work regardless of image size, the same budget rule as
+    * [[MediaDecoder.JdkImageIO]]'s brightness sample. */
+  private[ops] def decodedLumaGrid(payload: Array[Byte]): Array[Int] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) null
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val grid = new Array[Int](72)
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 9) {
+          val x = math.min(w - 1, ((2 * c + 1) * w) / 18)
+          val y = math.min(h - 1, ((2 * r + 1) * h) / 16)
+          val rgb = img.getRGB(x, y)
+          grid(r * 9 + c) = ((299 * ((rgb >> 16) & 0xFF) +
+            587 * ((rgb >> 8) & 0xFF) + 114 * (rgb & 0xFF)) / 1000)
+          c += 1
+        }
+        r += 1
+      }
+      grid
+    }
+  }
 }

@@ -3076,6 +3076,106 @@ class OpsSpec extends AnyFunSuite {
     assert(out1 == direct1)
   }
 
+  test("dhash_bands: native expression matches an independent reference; edits perturb locally") {
+    // Independent reimplementation of the synthetic dHash (codepoint
+    // sample grid -> gradient bits -> 16-bit bands) to pin the native
+    // expression against — the BPE-spec pattern for non-SQL loops.
+    def refBands(s: String): Seq[Int] = {
+      val cps = s.codePoints().toArray
+      val n = cps.length
+      val grid = (0 until 72).map(k => if (n == 0) 0 else cps((k * n) / 72))
+      val bands = Array.fill(4)(0)
+      for (r <- 0 until 8; c <- 0 until 8)
+        if (grid(r * 9 + c) < grid(r * 9 + c + 1))
+          bands(r / 2) |= 1 << ((r % 2) * 8 + c)
+      bands.toSeq
+    }
+    val sample = docs.limit(50).select(col("doc_id"), col("text"))
+      .unionByName(Seq((900001L, ""), (900002L, "ab"),
+        (900003L, "naïve café 中文 mixed")).toDF("doc_id", "text"))
+    val got = sample
+      .select(col("doc_id"), col("text"),
+        graft.functions.dhash_bands(col("text")).as("bands"))
+      .as[(Long, String, Seq[Int])].collect()
+    got.foreach { case (id, text, bands) =>
+      assert(bands == refBands(text), s"dhash mismatch at doc $id")
+    }
+    // A same-length first-character edit flips at most the bits whose
+    // grid cells sample position 0 — the near-dup property the banded
+    // join exploits.
+    val long = "the quick brown fox jumps over the lazy dog " * 3 // n > 72
+    val a = refBands(long)
+    val b = refBands("x" + long.substring(1))
+    val hamming = (0 until 4).map(k =>
+      java.lang.Integer.bitCount(a(k) ^ b(k))).sum
+    assert(hamming <= 1)
+  }
+
+  test("dhashPairs: planted same-length edits pair up and cluster; keep-one parity with text dedup") {
+    // High-entropy per-doc texts: templated bodies would be genuine
+    // near-dups of EACH OTHER under a perceptual hash (that's the
+    // operator working, not a bug) and merge the planted clusters.
+    val rnd = new scala.util.Random(4242)
+    val base = (0 until 30).map(i =>
+      (i.toLong, (0 until 40).map(_ =>
+        Integer.toHexString(rnd.nextInt())).mkString(" ")))
+      .toDF("doc_id", "text")
+    val edited = base.select((col("doc_id") + 1000L).as("doc_id"),
+      concat(lit("x"), expr("substring(text, 2)")).as("text"))
+    val media = Multimodal.mediaFromDocuments(
+      base.withColumn("source", lit("a"))
+        .unionByName(edited.withColumn("source", lit("a"))))
+    val pairs = Multimodal.dhashPairs(media, maxHamming = 8)
+    val got = pairs.as[(Long, Long, Int)].collect()
+    // Every planted (i, i+1000) pair is found at tiny Hamming.
+    val planted = got.filter(p => p._2 - p._1 == 1000L)
+    assert(planted.length == 30)
+    assert(planted.forall(_._3 <= 2))
+    // The pair frame drops straight into the shared clustering: every
+    // component has exactly its planted pair (no accidental mergers on
+    // this corpus), and keep-one retains the min id.
+    val comp = Dedup.components(pairs).as[(Long, Long)].collect()
+      .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    assert((0 until 30).forall(i =>
+      comp.contains(Set(i.toLong, i + 1000L))))
+    val winners = Dedup.components(pairs)
+      .filter(col("component_id") === col("doc_id"))
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert((0 until 30).forall(i => winners.contains(i.toLong) &&
+      !winners.contains(i + 1000L)))
+  }
+
+  test("dhashPairsDecoded: planted PNG near-duplicates pair; brightness-shift invariant; undecodable drops") {
+    def png(w: Int, h: Int)(luma: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = math.max(0, math.min(255, luma(x, y)))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // Pattern values stay <= 180 so the +40 brightness copy never
+    // clamps — every luma comparison is preserved exactly and dHash is
+    // invariant (Hamming 0), the perceptual property under test.
+    val pat = (x: Int, y: Int) => (x * 13 + y * 7) % 180
+    val baseImg = png(100, 80)(pat)
+    val brightImg = png(100, 80)((x, y) => pat(x, y) + 40)
+    val otherImg = png(100, 80)((x, y) => 190 - ((x * 11 + y * 3) % 190))
+    val junk = Array[Byte](1, 2, 3, 4, 5)
+    val media = Seq(
+      (1L, "image/png", "t", baseImg),
+      (2L, "image/png", "t", brightImg),
+      (3L, "image/png", "t", otherImg),
+      (4L, "image/png", "t", junk))
+      .toDF("media_id", "mime", "source", "payload")
+    val got = Multimodal.dhashPairsDecoded(media, maxHamming = 8)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0)))
+  }
+
   test("pickThreshold: precision- and FPR-targeted picks, empty when uncalibratable") {
     // Hand-workable curve (from the rocCurve fixture): distinct scores
     // desc 0.9, 0.5, 0.1, -0.2, -0.7 with cum (tp, fp) =
