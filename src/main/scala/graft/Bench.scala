@@ -95,14 +95,39 @@ object Bench {
     // noisy THIS run was. A calibration lap brackets every query lap:
     // its min vs the recorded idle-host reference is the run's
     // steal-inflation factor.
+    //
+    // Steal-filtering (r10): a lap whose BOTH bracketing calibs are
+    // inflated (min of the pair > StealRejectRatio × reference) sat
+    // inside a sustained steal episode — every row of it is inflated
+    // together (r9's "_b artifact" showed a uniform ~20% lift across
+    // untouched rows from exactly this). Such laps are REJECTED from
+    // the per-query min, and replacement laps run (bounded) until two
+    // clean laps exist. min-of-bracket, not max: single calib laps
+    // read up to 1.14× even on an idle host (the r6 reference series),
+    // so one spiked calib means a transient blip — which per-query
+    // min-across-laps already absorbs — not a poisoned lap. If the
+    // budget exhausts with <2 clean laps the run falls back to all
+    // laps and says so (steal_filtered:false): a long steal episode
+    // makes numbers qualified, not silently missing.
+    val StealRejectRatio = 1.15
+    val MaxLaps = 6
     val calibs = scala.collection.mutable.ArrayBuffer(calibLap())
-    val timedLaps = Seq.fill(3) {
-      val l = lap(); calibs += calibLap(); l
-    }
-    val results = timedLaps.transpose.map { laps =>
+    val allLaps = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(String, Double, Option[String])]]
+    def runLap(): Unit = { allLaps += lap(); calibs += calibLap() }
+    (0 until 3).foreach(_ => runLap())
+    def lapRatios: Seq[Double] = allLaps.indices.map(i =>
+      math.min(calibs(i), calibs(i + 1)) / CalibRefSec)
+    def cleanIdx: Seq[Int] = lapRatios.zipWithIndex
+      .collect { case (r, i) if r <= StealRejectRatio => i }
+    while (cleanIdx.size < 2 && allLaps.size < MaxLaps) runLap()
+    val useIdx = if (cleanIdx.nonEmpty) cleanIdx else allLaps.indices.toSeq
+    val stealFiltered = cleanIdx.nonEmpty
+    val results = allLaps.toSeq.transpose.map { laps =>
       (laps.head._1, laps.map(_._2), laps.flatMap(_._3).headOption) }
     def fmtArr(xs: Seq[Double]): String = xs.mkString("[", ",", "]")
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v.min }
+    def minUsed(v: Seq[Double]): Double = useIdx.map(v).min
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + minUsed(v) }
       .mkString("{", ",", "}")
     val lapJson = results.map { case (k, v, _) =>
       s"\"" + k + "\":" + fmtArr(v) }.mkString("{", ",", "}")
@@ -118,9 +143,12 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) =>
       s"\"" + k + "\":\"" + jstr(e) + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2.min).sum
+    val total = results.map(r => minUsed(r._2)).sum
     val calibJson = s"""{"ref_sec":$CalibRefSec,"laps":${fmtArr(calibs.toSeq)},""" +
-      s""""ratio":${calibs.min / CalibRefSec}}"""
+      s""""ratio":${calibs.min / CalibRefSec},""" +
+      s""""lap_ratios":${fmtArr(lapRatios)},""" +
+      s""""clean_laps":${useIdx.mkString("[", ",", "]")},""" +
+      s""""steal_filtered":$stealFiltered}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"laps":$lapJson,"calib":$calibJson,"errors":$errs,"sf":"$sfDir"}""")
     if (results.exists(_._3.isDefined)) { spark.stop(); sys.exit(1) }
     spark.stop()

@@ -1080,6 +1080,19 @@ object SparkEntry {
     // distinct-gram and corpus-unique-gram counts + one division.
     "text_novelty" -> ((s, d) =>
       graft.ops.TextAnalysis.noveltyScores(documents(s, d), n = 3)),
+    // Cross-corpus novelty: docs outside src0 scored against the src0
+    // gram-df snapshot (the ingest-time deployment shape — the index
+    // is last night's corpus, the docs are today's arrivals). The
+    // gate-scale index clears the broadcast gate, so this exercises
+    // the native plan-shipped-set probe; the declarative join twin is
+    // spec-pinned identical.
+    "text_novelty_xcorpus" -> ((s, d) => {
+      val all = documents(s, d)
+      graft.ops.TextAnalysis.noveltyAgainstIndex(
+        all.filter(col("source") =!= "src0"),
+        graft.ops.TextAnalysis.gramIndex(
+          all.filter(col("source") === "src0"), n = 3), n = 3)
+    }),
     // Sentence segmentation: full content md5 per sentence plus split
     // positions (sentinel-insertion rule — portable, no lookbehind).
     "text_sentences" -> ((s, d) =>
@@ -1548,6 +1561,26 @@ object SparkEntry {
          |  CASE WHEN COALESCE(p.n_grams, 0) > 0
          |       THEN CAST(p.n_unique AS DOUBLE) / p.n_grams END AS novelty
          |FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id""".stripMargin,
+    // Cross-corpus novelty: distinct trigrams of non-src0 docs probed
+    // against the distinct-gram vocabulary of src0.
+    "text_novelty_xcorpus" ->
+      s"""WITH t AS (SELECT doc_id, source, $dToks w FROM documents),
+         |tok AS (SELECT doc_id, source, generate_subscripts(w,1) i, unnest(w) tk FROM t),
+         |sh AS (SELECT DISTINCT a.doc_id, a.source, a.tk || ' ' || b.tk || ' ' || c.tk AS g
+         |       FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.i=a.i+1
+         |                  JOIN tok c ON a.doc_id=c.doc_id AND c.i=a.i+2),
+         |idx AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'),
+         |p AS (SELECT sh.doc_id, count(*) AS n_grams,
+         |        sum(CASE WHEN idx.g IS NULL THEN 1 ELSE 0 END) AS n_new
+         |      FROM sh LEFT JOIN idx USING (g)
+         |      WHERE sh.source <> 'src0' GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(COALESCE(p.n_new, 0) AS BIGINT) AS n_new,
+         |  CASE WHEN COALESCE(p.n_grams, 0) > 0
+         |       THEN CAST(p.n_new AS DOUBLE) / p.n_grams END AS novelty
+         |FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id
+         |WHERE d.source <> 'src0'""".stripMargin,
     "text_source_terms" ->
       s"""WITH tok AS (SELECT source, unnest($dToks) AS term FROM documents),
          |tf AS (SELECT source AS "group", term, count(*) AS tf FROM tok GROUP BY 1, 2),

@@ -179,6 +179,57 @@ case class WordShingleHashPairs(child: Expression, n: Int,
     copy(child = newChild)
 }
 
+/** Per-document novelty counts against a plan-shipped reference gram
+  * set, in ONE native pass: `struct<n_grams: long, n_new: long>` where
+  * `n_grams` is the count of the document's DISTINCT word `n`-grams
+  * and `n_new` the count of those absent from `set` — the probe side
+  * of `TextAnalysis.noveltyAgainstIndex` when the reference index fits
+  * the broadcast gate (the `TrigramLmScore` deployment pattern, for
+  * the INGEST-TIME use: a stateless projection a structured stream
+  * can run per arriving document, batch ≡ stream by construction).
+  *
+  * Parity with the declarative spelling (spec-pinned): grams are the
+  * exact strings of `array_distinct(word_shingles(text, n))` — same
+  * trim/lowercase/split/concat routines, same distinctness (UTF8String
+  * byte equality). The set is a reference object in the serialized
+  * plan, index-bounded by the caller's gate, shipped once per executor. */
+case class GramSetNovelty(child: Expression, n: Int, set: GramSet)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("n_new", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "gram_set_novelty"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShinglesImpl.noveltyProbe(input.asInstanceOf[UTF8String], n, set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramSet", set, classOf[GramSet].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.WordShinglesImpl.noveltyProbe($c, $n, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramSetNovelty =
+    copy(child = newChild)
+}
+
+/** The broadcast reference vocabulary: the distinct grams of a corpus
+  * snapshot, UTF8String members so probes stay in Spark's native
+  * string representation (the `TrigramLmTable` convention). */
+final class GramSet(val grams: java.util.HashSet[UTF8String]) extends Serializable
+
+object GramSet {
+  def build(entries: Iterator[UTF8String]): GramSet = {
+    val s = new java.util.HashSet[UTF8String]()
+    entries.foreach(s.add)
+    new GramSet(s)
+  }
+}
+
 object WordShinglesImpl {
   private val Whitespace = UTF8String.fromString("\\s+")
   private val Space = UTF8String.fromString(" ")
@@ -222,6 +273,33 @@ object WordShinglesImpl {
   /** See [[WordShingleHashes]]. Static for codegen. */
   def shingleHashes(s: UTF8String, n: Int, seed: Long): GenericArrayData =
     shingleHashesOf(tokenize(s), n, seed)
+
+  /** See [[GramSetNovelty]]. Static for codegen. One tokenize + one
+    * gram-concat pass; per-doc distinctness via a local set (the
+    * `array_distinct` the declarative spelling pays as an extra array
+    * materialization). Sub-`n`-token docs emit (0, 0) — the caller
+    * maps that to a null novelty ratio, the noveltyScores contract. */
+  def noveltyProbe(s: UTF8String, n: Int, set: GramSet): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = tokenize(s)
+    var nGrams = 0L
+    var nNew = 0L
+    if (toks.length >= n) {
+      val seen = new java.util.HashSet[UTF8String]()
+      val slice = new Array[UTF8String](n)
+      var i = 0
+      val last = toks.length - n
+      while (i <= last) {
+        System.arraycopy(toks, i, slice, 0, n)
+        val g = UTF8String.concatWs(Space, slice: _*)
+        if (seen.add(g)) {
+          nGrams += 1L
+          if (!set.grams.contains(g)) nNew += 1L
+        }
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(nGrams, nNew)
+  }
 
   /** See [[WordShingleHashPairs]]. Static for codegen: one tokenize +
     * one gram-concat pass, two XXH64 runs per gram. */
@@ -289,6 +367,9 @@ object WordShinglesColumns {
       seed2: Long = 1042L): Column =
     ExpressionUtils.column(WordShingleHashPairs(
       ExpressionUtils.expression(text), n, seed1, seed2))
+  def gramSetNovelty(text: Column, n: Int, set: GramSet): Column =
+    ExpressionUtils.column(GramSetNovelty(
+      ExpressionUtils.expression(text), n, set))
   def arrayShingleHashes(tokens: Column, n: Int, seed: Long = 42L): Column =
     ExpressionUtils.column(ArrayShingleHashes(ExpressionUtils.expression(tokens), n, seed))
 }

@@ -76,6 +76,15 @@ package object functions {
       seed2: Long = 1042L): Column =
     WordShinglesColumns.wordShingleHashPairs(text, n, seed1, seed2)
 
+  /** Per-document `{n_grams, n_new}` novelty counts against a
+    * plan-shipped reference gram set in one native pass — the probe
+    * side of cross-corpus novelty when the index fits the broadcast
+    * gate, and the stateless ingest-time spelling — see
+    * [[org.apache.spark.sql.graft.GramSetNovelty]]. */
+  def gram_set_novelty(text: Column, n: Int,
+      set: org.apache.spark.sql.graft.GramSet): Column =
+    WordShinglesColumns.gramSetNovelty(text, n, set)
+
   /** Four 16-bit dHash band keys of a synthetic payload (72-codepoint
     * sample grid, row-gradient bits) — the perceptual-hash key the
     * multimodal dedup family buckets on; the decoded-luma production

@@ -1003,6 +1003,70 @@ object TextAnalysis {
           col("n_unique").cast("double") / col("n_grams")).as("novelty"))
   }
 
+  /** Per-gram document-frequency index of a reference corpus — the
+    * persistable snapshot [[noveltyAgainstIndex]] scores against
+    * (write it to parquet nightly; batch jobs and the ingest stream
+    * both read the same artifact). One distinct-gram explode + one
+    * map-side-combined groupBy; grams are the exact strings of
+    * `array_distinct(word_shingles(text, n))`. */
+  def gramIndex(refDocs: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    refDocs
+      .select(explode(array_distinct(graft.functions.array_shingles(
+        graft.functions.word_tokens(col("text")), n))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
+  }
+
+  /** Cross-corpus novelty: per document, the fraction of its DISTINCT
+    * word `n`-grams absent from a reference [[gramIndex]] — the
+    * against-a-snapshot form of [[noveltyScores]] (which scores a
+    * corpus against itself), and the one that runs INGEST-TIME: score
+    * each arriving document against last night's index, quarantine
+    * the boilerplate before it lands in the training shard.
+    *
+    * Two plans behind one contract (the [[lmScore]] dispatch pattern):
+    * when the measured index cardinality fits `maxBroadcastIndex`,
+    * the grams collect into a plan-shipped set and every document is
+    * scored by ONE codegen'd pass ([[graft.functions.gram_set_novelty]])
+    * — zero explode, zero join, zero shuffle, and STATELESS, so a
+    * structured stream runs it per micro-batch with batch-identical
+    * results (spec-pinned). Past the gate (open-vocabulary corpora),
+    * the declarative spelling explodes distinct grams and left-joins
+    * the index on the gram key — vocabulary-partitioned, the
+    * [[noveltyScores]] shape. Both emit one row per input document;
+    * sub-`n`-token docs get `n_grams = 0` and a null `novelty`. */
+  def noveltyAgainstIndex(docs: DataFrame, index: DataFrame, n: Int = 3,
+      maxBroadcastIndex: Long = 1000000L): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    if (index.count() <= maxBroadcastIndex) {
+      val set = org.apache.spark.sql.graft.GramSet.build(
+        index.select(col("gram")).collect().iterator.map(r =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))))
+      docs.select(col("doc_id"),
+          graft.functions.gram_set_novelty(col("text"), n, set).as("nv"))
+        .select(col("doc_id"),
+          col("nv.n_grams").as("n_grams"), col("nv.n_new").as("n_new"),
+          when(col("nv.n_grams") > 0,
+            col("nv.n_new").cast("double") / col("nv.n_grams")).as("novelty"))
+    } else {
+      val sh = docs.select(col("doc_id"),
+        explode(array_distinct(graft.functions.array_shingles(
+          graft.functions.word_tokens(col("text")), n))).as("gram"))
+      val perDoc = sh.join(index.select(col("gram"), lit(1).as("hit")),
+          Seq("gram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_new"))
+      docs.select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          when(col("n_grams") > 0,
+            col("n_new").cast("double") / col("n_grams")).as("novelty"))
+    }
+  }
+
   /** Sentence segmentation: one row per sentence with its 0-based
     * position — the granularity for sentence-level dedup, eval-set
     * sampling, and citation-grade provenance. The boundary rule is
@@ -1017,11 +1081,17 @@ object TextAnalysis {
     * stripped first (both engines), so a document that happens to
     * contain the sentinel byte cannot forge spurious sentence splits.
     * Zero-shuffle projection. */
+  /** The sentinel-insertion sentence split of [[chunkSentences]] as a
+    * bare array column — shared with the ingest-time sentence dedup
+    * ([[graft.streaming.StreamingDedup.sentenceArrivals]]) so stream
+    * and batch split text identically by construction. */
+  private[graft] def sentenceSplitCol(text: Column): Column =
+    split(regexp_replace(regexp_replace(text, "\u0001", ""),
+      "([.!?]+)\\s+", "$1\u0001"), "\u0001")
+
   def chunkSentences(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), posexplode(split(
-        regexp_replace(regexp_replace(col("text"), "\u0001", ""),
-          "([.!?]+)\\s+", "$1\u0001"), "\u0001"))
+      .select(col("doc_id"), posexplode(sentenceSplitCol(col("text")))
         .as(Seq("sent_idx", "sentence")))
       .filter(length(trim(col("sentence"))) > 0)
       .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"),

@@ -2327,6 +2327,74 @@ class OpsSpec extends AnyFunSuite {
       (r.isNullAt(2) || (r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))))
   }
 
+  test("noveltyAgainstIndex: hand-checked counts; native ≡ declarative; empty index; self-corpus law") {
+    val ref = Seq((1L, "alpha beta gamma delta"), (2L, "one two three four"))
+      .toDF("doc_id", "text")
+    val idx = TextAnalysis.gramIndex(ref, n = 2)
+    // ref bigrams: {alpha beta, beta gamma, gamma delta, one two,
+    // two three, three four}
+    val in = Seq(
+      (10L, "alpha beta gamma"),        // 2 grams, 0 new
+      (11L, "alpha beta zeta"),         // 2 grams, 1 new
+      (12L, "totally novel text here"), // 3 grams, 3 new
+      (13L, "single"),                  // sub-n: 0 grams, null novelty
+      (14L, "one two one two"))         // distinct {one two, two one}: 1 new
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyAgainstIndex(in, idx, n = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "n_new", "novelty").collect()
+    assert(got(0).getLong(1) == 2L && got(0).getLong(2) == 0L &&
+      got(0).getDouble(3) == 0.0)
+    assert(got(1).getLong(1) == 2L && got(1).getLong(2) == 1L &&
+      got(1).getDouble(3) == 0.5)
+    assert(got(2).getLong(1) == 3L && got(2).getLong(2) == 3L &&
+      got(2).getDouble(3) == 1.0)
+    assert(got(3).getLong(1) == 0L && got(3).isNullAt(3))
+    assert(got(4).getLong(1) == 2L && got(4).getLong(2) == 1L)
+
+    // Native broadcast-set path ≡ declarative join path, row for row,
+    // on the real corpus (maxBroadcastIndex = 0 forces the fallback).
+    val sample = docs.limit(150)
+    val realIdx = TextAnalysis.gramIndex(
+      docs.filter(col("source") === "src0"), n = 3)
+    def rows(df: DataFrame) = df.orderBy("doc_id").collect().toSeq
+    assert(rows(TextAnalysis.noveltyAgainstIndex(sample, realIdx, n = 3)) ==
+      rows(TextAnalysis.noveltyAgainstIndex(sample, realIdx, n = 3,
+        maxBroadcastIndex = 0L)))
+
+    // Empty reference index: every gram is new (novelty 1.0 for any
+    // doc with grams) on BOTH paths.
+    val empty = TextAnalysis.gramIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), n = 2)
+    Seq(1000000L, 0L).foreach { cap =>
+      val e = TextAnalysis.noveltyAgainstIndex(in, empty, n = 2,
+          maxBroadcastIndex = cap)
+        .orderBy("doc_id").select("n_grams", "novelty").collect()
+      assert(e.forall(r => r.getLong(0) == 0L || r.getDouble(1) == 1.0))
+    }
+
+    // Semantic link to self-corpus noveltyScores: a doc's corpus-unique
+    // grams (gdf = 1) are exactly its grams absent from the index of
+    // everyone ELSE.
+    val tiny = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma zeta eta"),
+      (3L, "alpha beta gamma delta epsilon"),
+      (4L, "xy")).toDF("doc_id", "text")
+    val self = TextAnalysis.noveltyScores(tiny, n = 3)
+      .orderBy("doc_id").collect()
+    (1L to 4L).foreach { id =>
+      val vsOthers = TextAnalysis.noveltyAgainstIndex(
+        tiny.filter(col("doc_id") === id),
+        TextAnalysis.gramIndex(tiny.filter(col("doc_id") =!= id), n = 3),
+        n = 3).collect().head
+      val s = self(id.toInt - 1)
+      assert(vsOthers.getLong(1) == s.getLong(1) &&
+        vsOthers.getLong(2) == s.getLong(2),
+        s"law mismatch at doc $id")
+    }
+  }
+
   test("groupTfidf: per-group distinctive terms, hand-computed, corpus laws") {
     val tiny = Seq(
       (1L, "A", "ml ml data"), (2L, "A", "ml models"),

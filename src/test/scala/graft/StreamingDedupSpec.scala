@@ -140,6 +140,102 @@ class StreamingDedupSpec extends AnyFunSuite {
     }
   }
 
+  // ---- Ingest-time sentence dedup ------------------------------------
+
+  private val sentenceEngines: Seq[(String,
+      DataFrame => Dataset[StreamingDedup.SentVerdict])] =
+    Seq("fmgws" -> (StreamingDedup.sentenceDedup(_)),
+      "tws" -> (StreamingDedup.sentenceDedupTws(_)))
+
+  sentenceEngines.foreach { case (engName, engine) =>
+    test(s"[$engName] sentence dedup: ordered arrival matches batch dedupSentences; boundary-independent") {
+      withEngine(engName) {
+        implicit val sqlCtx = spark.sqlContext
+        // Shared boilerplate across docs plus per-doc content; doc 2
+        // also repeats a sentence internally (the batch winner rule
+        // dedupes within a doc too).
+        val sentCorpus = Seq(
+          StreamingDoc(1, t0, "The quick fox runs. All rights reserved. Unique one here."),
+          StreamingDoc(2, t0 + 1000, "All rights reserved. Another thought entirely. All rights reserved."),
+          StreamingDoc(3, t0 + 2000, "Fresh content only! The quick fox runs."))
+        val batchDocs = sentCorpus.map(d => (d.doc_id, d.text))
+          .toDF("doc_id", "text")
+        val expected = graft.ops.Dedup.dedupSentences(batchDocs)
+          .select("doc_id", "text", "n_sentences", "n_removed")
+          .as[(Long, String, Long, Long)].collect()
+          .map(r => r._1 -> r).toMap
+
+        // Two arrival shapes, same verdicts: one doc per micro-batch,
+        // then everything in one batch (the fold's deterministic
+        // (time, doc, idx) order makes batch boundaries irrelevant
+        // for ordered event times).
+        val splits: Seq[Seq[Seq[StreamingDoc]]] =
+          Seq(sentCorpus.map(Seq(_)), Seq(sentCorpus))
+        splits.zipWithIndex.foreach { case (batches, bi) =>
+          val mem = MemoryStream[StreamingDoc]
+          val name = s"ssent_${engName}_$bi"
+          val q = engine(StreamingDedup.sentenceArrivals(toDocFrame(mem.toDF())))
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+          try {
+            batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+          } finally q.stop()
+          val verdicts = spark.table(name)
+            .select("doc_id", "sent_idx", "sentence", "kept")
+            .as[(Long, Long, String, Boolean)].collect().toSeq
+
+          // Rebuild each doc from kept verdicts -> must equal the
+          // batch operator's rebuilt text; duplicate counts agree.
+          sentCorpus.foreach { d =>
+            val mine = verdicts.filter(_._1 == d.doc_id)
+            val rebuilt = mine.filter(_._4).sortBy(_._2).map(_._3).mkString(" ")
+            val (_, bText, bSent, bRemoved) = expected(d.doc_id)
+            assert(rebuilt == bText, s"doc ${d.doc_id} rebuilt text")
+            assert(mine.size.toLong == bSent, s"doc ${d.doc_id} sentence count")
+            assert(mine.count(!_._4).toLong == bRemoved, s"doc ${d.doc_id} removed count")
+          }
+        }
+      }
+    }
+
+    test(s"[$engName] sentence dedup horizon: claims expire past the watermark; late arrivals drop") {
+      withEngine(engName) {
+        implicit val sqlCtx = spark.sqlContext
+        val mem = MemoryStream[StreamingDoc]
+        val name = s"ssent_hz_$engName"
+        val q = engine(StreamingDedup.sentenceArrivals(toDocFrame(mem.toDF()),
+            watermarkDelay = "10 minutes"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          val text = "All rights reserved."
+          mem.addData(StreamingDoc(1, t0, text)) // first claim
+          q.processAllAvailable()
+          // Inside the horizon: duplicate of doc 1's claim.
+          mem.addData(StreamingDoc(2, t0 + 1000, text))
+          q.processAllAvailable()
+          // Advance the watermark 20 min past the claim (horizon 10)
+          // with an unrelated doc — the watermark a batch USES is the
+          // one the previous batch established.
+          mem.addData(StreamingDoc(5, t0 + 1200000,
+            "Completely different sentence."))
+          q.processAllAvailable()
+          // The claim has expired: the sentence is fresh again. The
+          // same batch carries a LATE copy (behind the watermark)
+          // that must drop silently.
+          mem.addData(StreamingDoc(3, t0 + 1201000, text),
+            StreamingDoc(4, t0 + 2000, text))
+          q.processAllAvailable()
+          val got = spark.table(name)
+            .filter(col("sentence") === text)
+            .select("doc_id", "kept", "winner_doc_id")
+            .as[(Long, Boolean, Long)].collect().toSet
+          assert(got == Set((1L, true, 1L), (2L, false, 1L), (3L, true, 3L)))
+        } finally q.stop()
+      }
+    }
+  }
+
   cappedEngines.foreach { case (engName, engine) =>
     test(s"[$engName] hot-bucket cap bounds residents: each arrival pairs with at most cap") {
       withEngine(engName) {

@@ -643,4 +643,39 @@ class StreamingEngineSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap
     assert(streamed == batch && streamed.size == 4)
   }
+
+  test("ingest-time novelty against a batch gram-df snapshot: batch==stream rows") {
+    // The deployment shape for cross-corpus novelty: last night's
+    // batch builds the gram index (gramIndex -> parquet), the ingest
+    // stream scores each arriving doc against the plan-shipped set
+    // (noveltyAgainstIndex's native path). Stateless projection, so
+    // streaming output must be byte-identical to the batch plan.
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq((1L, "the quick brown fox jumps over it"),
+      (2L, "all rights reserved worldwide")).toDF("doc_id", "text")
+    val idx = graft.ops.TextAnalysis.gramIndex(ref, n = 2)
+    def score(df: DataFrame) =
+      graft.ops.TextAnalysis.noveltyAgainstIndex(df, idx, n = 2)
+    val incoming = Seq((10L, "the quick brown cat naps"),
+      (11L, "all rights reserved worldwide"), (12L, ""),
+      (13L, "naïve café 中文 mixed content"))
+    val mem = MemoryStream[(Long, String)]
+    val q = score(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("novelty_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(incoming.take(2): _*); q.processAllAvailable()
+      mem.addData(incoming.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("novelty_stream").collect()
+      .map(r => (r.getLong(0), r.toSeq.drop(1).toString)).toMap
+    val batch = score(incoming.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.toSeq.drop(1).toString)).toMap
+    assert(streamed == batch && streamed.size == 4)
+    // The signal is live: an exact copy of an indexed doc scores 0,
+    // fresh content scores 1.
+    val nv = spark.table("novelty_stream").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toMap
+    assert(nv(11L) == 0.0 && nv(10L) > 0.0 && nv(13L) == 1.0)
+  }
 }
