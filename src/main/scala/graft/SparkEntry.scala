@@ -697,6 +697,14 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, d) =>
       graft.ops.Similarity.lshDupPairs(embeddings(s, d), 0.4, 64,
         tables = 40, planesPerTable = 4)),
+    // SemDeDup: the gate runs the seed-centroid spelling (clustering
+    // is a deterministic argmax over ROUNDED cosines to the k
+    // lowest-id vectors, so DuckDB reproduces the exact cluster map
+    // and keep verdicts); production runs semanticDedup over the
+    // trained IVF index with the oversized-cluster sub-split cap
+    // (spec-pinned subset law in OpsSpec).
+    "dedup_semantic" -> ((s, d) =>
+      graft.ops.Similarity.semanticDedupSeeded(embeddings(s, d), 0.4, 8)),
     "sim_topk" -> ((s, d) =>
       graft.ops.Similarity.cosineTopK(embeddings(s, d), embQueries(s, d), 5)),
     "sim_ann_lsh" -> ((s, d) =>
@@ -1266,6 +1274,33 @@ object SparkEntry {
     // reports is exact-verified, and at recall 1 the result sets are
     // equal, not merely subsets.
     "dedup_embedding_lsh" -> dedupEmbeddingOracle,
+    // Replays the seeded SemDeDup exactly: same 8 lowest-id seed
+    // centroids, same round-to-6 cosine argmax with ties toward the
+    // lower cluster id, same within-cluster lower-id-mate rule.
+    "dedup_semantic" ->
+      """WITH seeds AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+        |         CAST(embedding AS DOUBLE[]) AS semb
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+        |scored AS (
+        |  SELECT e.vec_id, s.cid,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.semb), 6) AS d
+        |  FROM embeddings e CROSS JOIN seeds s),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rk
+        |    FROM scored) t WHERE rk = 1),
+        |pairs AS (
+        |  SELECT DISTINCT b.vec_id AS dup_id
+        |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+        |  WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |                                     CAST(eb.embedding AS DOUBLE[])), 6) >= 0.4)
+        |SELECT a.vec_id, a.cid,
+        |       a.vec_id NOT IN (SELECT dup_id FROM pairs) AS keep
+        |FROM assign a""".stripMargin,
     "sim_ann_lsh" -> simTopkOracle,
     "sim_ann_ivf" -> simTopkOracle,
     "sim_topk" -> simTopkOracle,

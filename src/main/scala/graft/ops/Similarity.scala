@@ -388,6 +388,98 @@ object Similarity {
     * code vector itself plus a portable md5 of the code string, the L1
     * mass, and the rounded scale. All-zero vectors quantize to all
     * zeros with scale 0. */
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings, then within each
+    * cluster drop every vector whose cosine to a LOWER-id cluster-mate
+    * reaches `threshold` — near-semantic-duplicates that exact and
+    * lexical dedup both miss (paraphrases, translations, templated
+    * rewrites). The whole point of the cluster stage is scale: the
+    * pairwise compare is quadratic only WITHIN a cluster (expected
+    * N²/k work instead of N²), and the pair stage is an equi-join on
+    * cluster id — shuffle-partitionable, never corpus×corpus.
+    *
+    * This production entry runs over a trained [[IvfIndex]] (build
+    * once, dedup and probe from the same artifact). Clusters larger
+    * than `maxClusterSize` are deterministically sub-split by a hash
+    * of `vec_id` before pairing, so no task's pair work exceeds
+    * cap² regardless of how lopsided the clustering came out — the
+    * trade is declared, not silent: a dup pair straddling two
+    * sub-splits of one oversized cluster is missed (removals under
+    * the cap are a SUBSET of uncapped removals — spec-pinned law),
+    * which matches SemDeDup's own within-cluster-only blindness one
+    * level down.
+    *
+    * Output: (vec_id, cid, keep) — `keep = false` iff some lower-id
+    * vector in the same (sub-)cluster has cosine ≥ threshold. The
+    * keep-lowest rule is a deterministic stand-in for the paper's
+    * arbitrary representative choice; the lowest id in every cluster
+    * is always kept. */
+  def semanticDedup(index: IvfIndex, threshold: Double,
+      maxClusterSize: Long = 1000000L): DataFrame = {
+    val sizes = index.assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("csz"))
+    // k rows — rides broadcast; each vector learns its cluster's
+    // sub-split fan-out without a corpus-wide window.
+    val assigned = index.assigned
+      .join(broadcast(sizes), Seq("cid"))
+      .withColumn("scid", concat_ws("#", col("cid"),
+        pmod(xxhash64(col("vec_id")),
+          greatest(lit(1L), ceil(col("csz") / lit(maxClusterSize.toDouble))
+            .cast("long")))))
+      .select(col("vec_id"), col("embedding"), col("cid"), col("scid"),
+        graft.functions.VecMath.vec_norm(col("embedding")).as("norm"))
+    semanticVerdict(assigned, threshold)
+  }
+
+  /** [[semanticDedup]] with a fully deterministic, cross-engine-
+    * replayable clustering: the centroids are the embeddings of the
+    * `nClusters` LOWEST vec_ids (no Lloyd iterations — a float
+    * fixed-point the oracle can't replay), and assignment is argmax
+    * cosine ROUNDED to 6 decimals with ties toward the lower centroid
+    * id, so an independent engine reproduces the exact cluster map
+    * and therefore the exact keep verdicts. Same downstream pair
+    * stage and output schema as the production path; this is the
+    * correctness gate's spelling (`dedup_semantic`), while real
+    * pipelines use the trained-index entry. */
+  def semanticDedupSeeded(emb: DataFrame, threshold: Double,
+      nClusters: Int, persist: Persistence = Persistence.Local): DataFrame = {
+    val seeds = emb.orderBy(col("vec_id")).limit(nClusters)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map { r =>
+        val v = r.getSeq[Double](0).toArray
+        (v, math.sqrt(v.map(x => x * x).sum))
+      }
+    val scored = seeds.zipWithIndex.map { case ((sv, sn), i) =>
+      struct(round(dot(col("embedding"), array(sv.map(lit).toIndexedSeq: _*)) /
+          (col("norm") * lit(sn)), 6).as("d"),
+        lit(-i).as("negid"))
+    }
+    val assigned = persist(withNorm(emb)
+      .withColumn("cid",
+        (-array_max(array(scored.toIndexedSeq: _*)).getField("negid"))
+          .cast("int"))
+      .withColumn("scid", col("cid").cast("string")))
+    semanticVerdict(assigned, threshold)
+  }
+
+  /** Shared verdict stage: pairs within each (sub-)cluster, exact
+    * verified cosine, keep = "no lower-id mate at or above the
+    * threshold". One shuffle on the cluster key; the anti-join side
+    * is the distinct dup-id set (far smaller than the corpus). */
+  private def semanticVerdict(assigned: DataFrame, threshold: Double): DataFrame = {
+    val dups = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.scid") === col("b.scid") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(dot(col("a.embedding"), col("b.embedding")) /
+        (col("a.norm") * col("b.norm")), 6) >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    assigned.select(col("vec_id"), col("cid"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(!col("is_dup"), lit(true)).as("keep"))
+  }
+
   def quantizeInt8(emb: DataFrame): DataFrame =
     emb
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))

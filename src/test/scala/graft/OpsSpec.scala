@@ -433,6 +433,60 @@ class OpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("semantic dedup: planted near-dups removed within clusters, cross-cluster blindness declared") {
+    // Hand-computable geometry, dim 4. Seeds (nClusters = 3) are the
+    // three lowest ids = the three axis vectors, so cluster membership
+    // and every within-cluster cosine are checkable by eye.
+    val vecs = Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),     // seed/cluster 0
+      1L -> Seq(0f, 1f, 0f, 0f),     // seed/cluster 1
+      2L -> Seq(0f, 0f, 1f, 0f),     // seed/cluster 2
+      3L -> Seq(0.99f, 0.14f, 0f, 0f), // cluster 0; cos(3,0)=0.990 -> dup
+      4L -> Seq(0f, 0.9f, 0.1f, 0f),   // cluster 1; cos(4,1)=0.994 -> dup
+      5L -> Seq(0f, 0f, -1f, 0f),      // anti-parallel to seed 2: lands
+                                       // in cluster 0 by tie (cos 0 to
+                                       // seeds 0 and 1), no near mate
+      6L -> Seq(0.6f, 0.8f, 0f, 0f),   // cluster 1; cos to 1 and 4 < 0.9
+      7L -> Seq(0.74f, 0.67f, 0f, 0f)) // cluster 0; cos(7,6)=0.982 but 6
+                                       // is in cluster 1 -> BOTH kept:
+                                       // SemDeDup is within-cluster-only
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedupSeeded(df, 0.9, 3)
+      .as[(Long, Int, Boolean)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0L to 7L))
+    val keep = out.map(r => r._1 -> r._3).toMap
+    assert(keep == Map(0L -> true, 1L -> true, 2L -> true, 3L -> false,
+      4L -> false, 5L -> true, 6L -> true, 7L -> true))
+    val cid = out.map(r => r._1 -> r._2).toMap
+    assert(cid(3L) == 0 && cid(4L) == 1 && cid(5L) == 0 &&
+      cid(6L) == 1 && cid(7L) == 0)
+  }
+
+  test("semantic dedup over the trained index: cap-removals are a subset, lowest id per cluster kept, repartition-stable") {
+    val index = Similarity.buildIvfIndex(emb, nClusters = 8)
+    val full = Similarity.semanticDedup(index, 0.4)
+      .as[(Long, Int, Boolean)].collect()
+    assert(full.length == emb.count())
+    val removedFull = full.filter(!_._3).map(_._1).toSet
+    assert(removedFull.nonEmpty, "sf0.001 corpus has cosine>=0.4 cluster-mates")
+    // Lowest id in each cluster can never have a LOWER-id mate.
+    full.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.minBy(_._1)._3, "lowest vec_id in a cluster must be kept")
+    }
+    // The oversized-cluster sub-split can only LOSE pairs (straddling
+    // dups), never invent them: removals under a tiny cap are a strict
+    // subset of the uncapped removals here.
+    val capped = Similarity.semanticDedup(index, 0.4, maxClusterSize = 8L)
+      .as[(Long, Int, Boolean)].collect()
+    val removedCapped = capped.filter(!_._3).map(_._1).toSet
+    assert(removedCapped.subsetOf(removedFull) && removedCapped != removedFull)
+    // Deterministic under any physical layout of the assigned frame.
+    val reIdx = Similarity.IvfIndex(index.centroids, index.assigned.repartition(7))
+    val again = Similarity.semanticDedup(reIdx, 0.4, maxClusterSize = 8L)
+      .as[(Long, Int, Boolean)].collect().toSet
+    assert(again == capped.toSet)
+  }
+
   test("multimodal: imperative (mapPartitions+decoder) equals declarative twin") {
     val media = Multimodal.mediaFromDocuments(docs)
     val imp = Multimodal.extractFeatures(media, Multimodal.MediaDecoder.Fake)
