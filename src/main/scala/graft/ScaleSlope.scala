@@ -30,6 +30,9 @@ import graft.ops._
 object ScaleSlope {
   def main(args: Array[String]): Unit = {
     val laps = args.headOption.map(_.toInt).getOrElse(2)
+    // Optional second arg: run only ops whose name contains it (dev
+    // loop for a single new row without re-measuring the matrix).
+    val opFilter = args.drop(1).headOption
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -71,9 +74,32 @@ object ScaleSlope {
         .write.mode("overwrite").parquet(corpusPath(k))
     }
 
+    // Embedding replication for the semantic-dedup row: replica `r`
+    // gets vec_id*k + r and its vector CIRCULARLY SHIFTED by r*13
+    // positions (r = 0 keeps the original). A shift is an orthogonal
+    // transform applied uniformly within a replica, so every replica
+    // reproduces the original corpus's pairwise-cosine structure —
+    // near-dup counts and cluster shapes scale linearly in k — while
+    // cross-replica cosines decorrelate (same reason the token salt
+    // avoids the k-clique blow-up above).
+    def embPath(k: Int): String = s"$scratch/xe$k/embeddings.parquet"
+    def writeReplicatedEmb(k: Int): Unit =
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0), lit(k - 1))).as("r"))
+        .select((col("vec_id") * k + col("r")).as("vec_id"),
+          expr("""transform(sequence(0, size(embedding) - 1),
+                 |  i -> element_at(embedding,
+                 |    CAST((i + r * 13) % size(embedding) AS INT) + 1))"""
+            .stripMargin).as("embedding"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(embPath(k))
+
     val ks = Seq(1, 4, 16)
     ks.foreach(writeReplicated)
+    ks.foreach(writeReplicatedEmb)
     def corpus(k: Int): DataFrame = spark.read.parquet(corpusPath(k))
+    def embCorpus(k: Int): DataFrame = spark.read.parquet(embPath(k))
 
     def rmrf(p: String): Unit = {
       import java.nio.file.{Files, Path, Paths}
@@ -148,6 +174,19 @@ object ScaleSlope {
           array_contains(graft.functions.word_tokens(col("text")), "spark")
             .cast("int").as("label"))
         TextAnalysis.rocCurve(scored.join(lab, "doc_id"), "margin", "label")
+      }),
+      // Round-10: SemDeDup end-to-end (IVF train + assign + within-
+      // cluster verdicts). Cluster count is a MODEL CONSTANT — the
+      // centroid table is a k×dim driver artifact, and per-row
+      // assignment costs O(k·dim), so growing k with the corpus makes
+      // train+assign N·k superlinear (measured: slope_16x 67.8 with
+      // nClusters = 16k — the trap, recorded in PERF_r10). Data growth
+      // is instead absorbed by the sub-split cap: clusters fatten
+      // linearly but every pair task stays ≤ cap², so total pair work
+      // is N·cap — the linear engine path measured here.
+      "dedup_semantic" -> ((_, k) => {
+        val idx = Similarity.buildIvfIndex(embCorpus(k), nClusters = 16)
+        Similarity.semanticDedup(idx, 0.4, maxClusterSize = 125L)
       }))
 
     def time(mk: () => DataFrame): (Double, Long) = {
@@ -159,10 +198,15 @@ object ScaleSlope {
     Bench.calibLap(); Bench.calibLap()
     val c0 = Bench.calibLap()
 
+    val opsRun = opFilter match {
+      case Some(f) => ops.filter(_._1.contains(f))
+      case None => ops
+    }
+
     // Warm-up at 1x, then per-op: all scales measured back to back so
     // within-op ratios share steal conditions as much as possible.
-    ops.foreach { case (_, fn) => time(() => fn(corpus(1), 1)) }
-    val cells = ops.map { case (name, fn) =>
+    opsRun.foreach { case (_, fn) => time(() => fn(corpus(1), 1)) }
+    val cells = opsRun.map { case (name, fn) =>
       val perK = ks.map { k =>
         val lapTimes = (0 until laps).map(_ => time(() => fn(corpus(k), k)))
         k -> (lapTimes.map(_._1).min, lapTimes.head._2,
@@ -172,12 +216,15 @@ object ScaleSlope {
     }
 
     // AQE skew evidence on the 16x span dedup: run once, read the
-    // final adaptive plan for skew-split shuffle reads.
-    val qe = Dedup.duplicatedSpans(corpus(16), 5).queryExecution
-    qe.toRdd.count()
-    val finalPlan = qe.executedPlan.toString
-    val skewEngaged = finalPlan.contains("skewed=true") ||
-      finalPlan.toLowerCase.contains("skew")
+    // final adaptive plan for skew-split shuffle reads. (Skipped when
+    // an op filter narrows the run — the span plan isn't in play.)
+    val skewEngaged = if (opFilter.isEmpty) {
+      val qe = Dedup.duplicatedSpans(corpus(16), 5).queryExecution
+      qe.toRdd.count()
+      val finalPlan = qe.executedPlan.toString
+      finalPlan.contains("skewed=true") ||
+        finalPlan.toLowerCase.contains("skew")
+    } else false
 
     val c1 = Bench.calibLap()
     def fmtArr(xs: Seq[Double]): String =
