@@ -864,6 +864,15 @@ object SparkEntry {
       graft.ops.Decontamination.flagContaminatedBloom(
         all.filter(col("doc_id") >= 10), all.filter(col("doc_id") < 10), n = 5)
     }),
+    // Semantic decontamination: eval = every 20th embedding (the
+    // self-members score cos 1.0, so the verdict set is non-trivially
+    // mixed at τ = 0.4). The gate runs the broadcast-matrix native
+    // path — its micro-floor integer arithmetic is what DuckDB
+    // replays; the LSH big-eval tier is subset-law spec-pinned.
+    "decontam_semantic" -> ((s, d) =>
+      graft.ops.Decontamination.flagContaminatedSemantic(
+        embeddings(s, d),
+        embeddings(s, d).filter(col("vec_id") % 20 === 0), 0.4)),
     // Weighted sample without replacement (Efraimidis-Spirakis
     // u^(1/w) top-k): 64 docs preferring token-heavy ones, selection
     // a pure function of (doc_id, seed). Plans as
@@ -1708,6 +1717,28 @@ object SparkEntry {
     // The Bloom spelling is a prefilter + exact verify — flagged set
     // identical to the broadcast twin, so the oracle is too.
     "curation_decontaminate_bloom" -> decontaminateOracle,
+    // Replays the broadcast-matrix path's exact integer arithmetic:
+    // micro-floored cosine, per-vector integer max, lowest-eval-id
+    // tiebreak, zero-norm rows excluded from scoring but present in
+    // the verdict frame.
+    "decontam_semantic" ->
+      """WITH ev AS (
+        |  SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS ee
+        |  FROM embeddings
+        |  WHERE vec_id % 20 = 0 AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
+        |scored AS (
+        |  SELECT e.vec_id, v.eval_id,
+        |         CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), v.ee) * 1e6 + 0.5) AS BIGINT) AS micros
+        |  FROM embeddings e CROSS JOIN ev v
+        |  WHERE list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) > 0),
+        |best AS (
+        |  SELECT vec_id, micros, eval_id FROM (
+        |    SELECT vec_id, micros, eval_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY micros DESC, eval_id) AS rk
+        |    FROM scored) t WHERE rk = 1)
+        |SELECT e.vec_id, b.micros AS max_cos_micros, b.eval_id AS near_eval_id,
+        |       coalesce(b.micros >= 400000, false) AS contaminated
+        |FROM embeddings e LEFT JOIN best b ON e.vec_id = b.vec_id""".stripMargin,
     // Same md5-uniform + floor-bucket arithmetic as curation_pack's
     // oracle; positions are a per-bucket row_number over (u, doc_id).
     "curation_shuffle" ->

@@ -252,3 +252,112 @@ object MatrixRowDotColumns {
       ExpressionUtils.expression(v), ExpressionUtils.expression(row),
       scala.collection.immutable.ArraySeq.unsafeWrapArray(matrix.clone()), dim))
 }
+
+/** Max micro-rounded cosine of a vector against EVERY row of a literal
+  * matrix, plus the argmax row: `struct<max_micros BIGINT, row INT>`
+  * where `micros(r) = floor((Σᵢ v[i]·m[r·dim+i]) / (norm · norms[r])
+  * · 1e6 + 0.5)` and ties keep the FIRST (lowest) row. The scan side
+  * of semantic decontamination: one O(rows·dim) primitive loop per
+  * corpus vector against a broadcast-referenced `double[]` — no join,
+  * no shuffle, no plan growth with the eval-set size.
+  *
+  * The arithmetic sequence (left-to-right [[VecDot]] sum, ONE divide
+  * by the norm product, `·1e6`, `+0.5`, floor) is exactly the
+  * declarative join spelling's `floor(vec_dot(a,b)/(na·nb)·1e6+0.5)`,
+  * so verdicts are bit-identical to the exact-join baseline
+  * (spec-pinned), and the micro-rounding makes max/argmax an INTEGER
+  * comparison — no float-tie ambiguity for an oracle to trip on.
+  *
+  * `norm` must be the caller's `vec_norm` of the same vector; a
+  * non-positive norm (zero/corrupt vector) or a length ≠ `dim` yields
+  * null — an unembeddable vector has no meaningful nearest eval item.
+  * An empty matrix yields `row = -1` (caller maps to "no flag"). The
+  * caller must exclude zero-norm MATRIX rows at build time. */
+case class MatrixMaxCos(left: Expression, right: Expression,
+    matrix: scala.collection.immutable.ArraySeq[Double],
+    norms: scala.collection.immutable.ArraySeq[Double], dim: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  @transient private lazy val matrixArr: Array[Double] = matrix.toArray
+  @transient private lazy val normsArr: Array[Double] = norms.toArray
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)), DoubleType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("max_micros", LongType, nullable = false),
+    StructField("row", IntegerType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "matrix_max_cos"
+
+  private def isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val norm = b.asInstanceOf[Double]
+    if (v.numElements() != dim || !(norm > 0.0)) null
+    else MatrixMaxCosImpl.maxCos(v, isFloat, norm, matrixArr, normsArr, dim)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("matrix", matrixArr, "double[]")
+    val ns = ctx.addReferenceObj("norms", normsArr, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |if ($a.numElements() != $dim || !($b > 0.0)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = org.apache.spark.sql.graft.MatrixMaxCosImpl
+         |    .maxCos($a, $isFloat, $b, $m, $ns, $dim);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MatrixMaxCos =
+    copy(left = newLeft, right = newRight)
+}
+
+object MatrixMaxCosImpl {
+  /** See [[MatrixMaxCos]]. Static for codegen. */
+  def maxCos(v: ArrayData, isFloat: Boolean, norm: Double,
+      matrix: Array[Double], norms: Array[Double],
+      dim: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    // One materialized copy of the vector: rows × dim reads against a
+    // primitive local instead of rows × dim ArrayData virtual calls.
+    val x = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      x(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      i += 1
+    }
+    var best = Long.MinValue
+    var bestRow = -1
+    var r = 0
+    while (r < norms.length) {
+      var s = 0.0
+      i = 0
+      val off = r * dim
+      while (i < dim) {
+        s += x(i) * matrix(off + i)
+        i += 1
+      }
+      val micros = Math.floor(s / (norm * norms(r)) * 1e6 + 0.5).toLong
+      if (micros > best) { best = micros; bestRow = r }
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](if (bestRow < 0) 0L else best, bestRow))
+  }
+}
+
+object MatrixMaxCosColumns {
+  def matrixMaxCos(v: Column, norm: Column, matrix: Array[Double],
+      norms: Array[Double], dim: Int): Column =
+    ExpressionUtils.column(MatrixMaxCos(
+      ExpressionUtils.expression(v), ExpressionUtils.expression(norm),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(matrix.clone()),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(norms.clone()), dim))
+}

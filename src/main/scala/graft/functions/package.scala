@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.graft.{AsciiClassCountsColumns, BpeEncodeColumns, BpeTokenCountColumns, DhashColumns, HashedTokenCountsColumns, CepExprColumns, CompressRatioColumns, GramStatsColumns, LshBucketsColumns, MarkerCountsColumns, MatrixRowDotColumns, MetricRouteColumns, MinhashColumns, RollingHashColumns, SimhashColumns, TrigramScoresColumns, VecDotColumns, VecUnitColumns, WordShinglesColumns}
+import org.apache.spark.sql.graft.{AsciiClassCountsColumns, BpeEncodeColumns, BpeTokenCountColumns, DhashColumns, HashedTokenCountsColumns, CepExprColumns, CompressRatioColumns, GramStatsColumns, LshBucketsColumns, MarkerCountsColumns, MatrixMaxCosColumns, MatrixRowDotColumns, MetricRouteColumns, MinhashColumns, RollingHashColumns, SimhashColumns, TrigramScoresColumns, VecDotColumns, VecUnitColumns, WordShinglesColumns}
 
 /** Public column-function surface for graft's native Catalyst
   * expressions (implementations under org.apache.spark.sql.graft). */
@@ -28,6 +28,15 @@ package object functions {
     def matrix_row_dot(v: Column, row: Column,
         matrix: Array[Double], dim: Int): Column =
       MatrixRowDotColumns.matrixRowDot(v, row, matrix, dim)
+
+    /** Max micro-rounded cosine of a vector column against every row
+      * of a literal matrix + the argmax row (first row wins ties):
+      * `struct<max_micros, row>` — the zero-shuffle probe of semantic
+      * decontamination; see
+      * [[org.apache.spark.sql.graft.MatrixMaxCos]]. */
+    def matrix_max_cos(v: Column, norm: Column, matrix: Array[Double],
+        norms: Array[Double], dim: Int): Column =
+      MatrixMaxCosColumns.matrixMaxCos(v, norm, matrix, norms, dim)
   }
 
   /** Winnowed Rabin–Karp rolling-hash fingerprints (ARRAY<BIGINT>) —

@@ -92,6 +92,150 @@ object Decontamination {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** SEMANTIC decontamination: flag training items whose EMBEDDING is
+    * within cosine `threshold` of any eval-set embedding — the
+    * paraphrase/translation/templated-rewrite leakage that n-gram
+    * overlap ([[flagContaminated]]) is blind to. Output, one row per
+    * corpus vector: `(vec_id, max_cos_micros, near_eval_id,
+    * contaminated)` — the max cosine in exact 1e-6 integer units, the
+    * eval item that attains it (lowest eval id on ties — provenance
+    * for the leakage report), and the τ verdict.
+    *
+    * Scale posture mirrors the n-gram family: eval sets are small
+    * against a 100 TB corpus, so up to `maxBroadcastEval` vectors
+    * (measured count) the eval matrix rides the PLAN and the corpus
+    * side is ONE zero-shuffle codegen'd scan — `rows·dim` multiplies
+    * per vector via [[graft.functions.VecMath.matrix_max_cos]], no
+    * join, no shuffle, no plan growth with eval size. Past the cap it
+    * falls back to LSH-bucketed candidate pairs (equi-join on bucket
+    * keys, never corpus×eval) + exact verification — recall < 1 like
+    * every LSH tier, rising with `tables`; flags are a SUBSET of the
+    * exact spelling's (spec-pinned), which for a leakage guard means
+    * a big-eval run can miss a paraphrase, never invent one.
+    *
+    * Micro-rounding (`floor(cos·1e6 + 0.5)`) makes max/argmax integer
+    * comparisons — deterministic under any partitioning, and exactly
+    * replayable by an independent engine. Zero-norm corpus vectors
+    * yield null scores and `contaminated = false` (an unembeddable
+    * row is the quality gate's business, not the leakage guard's);
+    * zero-norm eval vectors are excluded from the matrix. */
+  def flagContaminatedSemantic(emb: DataFrame, evalEmb: DataFrame,
+      threshold: Double, maxBroadcastEval: Long = 65536,
+      tables: Int = 40, planesPerTable: Int = 4,
+      persist: Persistence = Persistence.Local): DataFrame = {
+    val thr = math.round(threshold * 1e6)
+    val ev = persist.lazily(evalEmb
+      .select(col("vec_id").as("eval_id"), col("embedding").as("eemb"),
+        graft.functions.VecMath.vec_norm(col("embedding")).as("nb"))
+      .filter(col("nb") > 0))
+    if (ev.count() <= maxBroadcastEval) {
+      semanticProbe(ev.select(col("eval_id").as("vec_id"),
+        col("eemb").as("embedding")), threshold)(emb)
+    } else {
+      val dim = ev.select(size(col("eemb"))).head().getInt(0)
+      val cb = Similarity.lshBuckets(emb, tables, planesPerTable, dim)
+      val eb = Similarity
+        .lshBuckets(ev.select(col("eval_id").as("vec_id"),
+          col("eemb").as("embedding")), tables, planesPerTable, dim)
+        .toDF("eval_id", "table_idx", "bucket")
+      val cands = cb.join(eb, Seq("table_idx", "bucket"))
+        .select(col("vec_id"), col("eval_id")).distinct()
+      val scored = cands
+        .join(emb.select(col("vec_id"), col("embedding"),
+          graft.functions.VecMath.vec_norm(col("embedding")).as("na"))
+          .filter(col("na") > 0), "vec_id")
+        .join(ev, "eval_id")
+        .select(col("vec_id"), col("eval_id"),
+          floor(graft.functions.VecMath.vec_dot(col("embedding"), col("eemb")) /
+            (col("na") * col("nb")) * lit(1e6) + lit(0.5))
+            .cast("long").as("micros"))
+      semanticFlagAssemble(emb, scored, thr)
+    }
+  }
+
+  /** The broadcast-matrix probe of [[flagContaminatedSemantic]] as a
+    * reusable frame transform: collects the (small, zero-norm-free)
+    * eval matrix ONCE at build time and returns the stateless
+    * zero-shuffle projection that scores any embedding frame against
+    * it — including a STREAMING frame, which is the ingest-time
+    * deployment shape (score each arriving embedding against the
+    * frozen eval snapshot before it ever lands in the corpus;
+    * batch/stream parity spec-pinned). The dispatch entry routes its
+    * under-cap branch here, so probe verdicts are bit-identical to
+    * the batch operator's by construction. */
+  def semanticProbe(evalEmb: DataFrame,
+      threshold: Double): DataFrame => DataFrame = {
+    val thr = math.round(threshold * 1e6)
+    val rows = evalEmb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ed"),
+        graft.functions.VecMath.vec_norm(col("embedding")).as("nb"))
+      .filter(col("nb") > 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val dim = rows.headOption.map(_._2.length).getOrElse(0)
+    require(rows.forall(_._2.length == dim),
+      "eval embeddings must share one dimensionality")
+    val mc = graft.functions.VecMath.matrix_max_cos(
+      col("embedding"), col("na"),
+      rows.flatMap(_._2), rows.map(_._3), dim)
+    emb =>
+      emb
+        .select(col("vec_id"), col("embedding"),
+          graft.functions.VecMath.vec_norm(col("embedding")).as("na"))
+        .select(col("vec_id"), mc.as("mc"))
+        .select(col("vec_id"),
+          when(col("mc.row") >= 0, col("mc.max_micros"))
+            .as("max_cos_micros"),
+          when(col("mc.row") >= 0,
+            element_at(lit(rows.map(_._1)), col("mc.row") + 1))
+            .as("near_eval_id"),
+          coalesce(col("mc.row") >= 0 && col("mc.max_micros") >= thr,
+            lit(false)).as("contaminated"))
+  }
+
+  /** The exact corpus×eval verification baseline of
+    * [[flagContaminatedSemantic]] (broadcast nested-loop over the eval
+    * frame): bit-identical to the broadcast-matrix path by
+    * construction — same left-to-right dot, same single divide by the
+    * norm product, same micro-floor — and the superset reference the
+    * LSH tier's subset law is pinned against. O(N·E) compares with a
+    * corpus-side shuffle for the per-vector max; prefer the dispatch
+    * entry, which does the same arithmetic with no shuffle at all. */
+  private[graft] def flagContaminatedSemanticExact(emb: DataFrame,
+      evalEmb: DataFrame, threshold: Double): DataFrame = {
+    val thr = math.round(threshold * 1e6)
+    val ev = evalEmb
+      .select(col("vec_id").as("eval_id"), col("embedding").as("eemb"),
+        graft.functions.VecMath.vec_norm(col("embedding")).as("nb"))
+      .filter(col("nb") > 0)
+    val scored = emb
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VecMath.vec_norm(col("embedding")).as("na"))
+      .filter(col("na") > 0)
+      .crossJoin(broadcast(ev))
+      .select(col("vec_id"), col("eval_id"),
+        floor(graft.functions.VecMath.vec_dot(col("embedding"), col("eemb")) /
+          (col("na") * col("nb")) * lit(1e6) + lit(0.5))
+          .cast("long").as("micros"))
+    semanticFlagAssemble(emb, scored, thr)
+  }
+
+  /** Shared verdict assembly: per-vector integer max with the
+    * lowest-eval-id tiebreak, left-joined back so every corpus row
+    * gets a verdict (unscored rows — zero-norm, or no LSH candidate —
+    * come out null/false). */
+  private def semanticFlagAssemble(emb: DataFrame, scored: DataFrame,
+      thr: Long): DataFrame =
+    emb.select(col("vec_id"))
+      .join(scored.groupBy(col("vec_id"))
+        .agg(max(struct(col("micros"), (-col("eval_id")).as("neg"))).as("m")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        col("m.micros").as("max_cos_micros"),
+        (-col("m.neg")).as("near_eval_id"),
+        coalesce(col("m.micros") >= thr, lit(false)).as("contaminated"))
+
   private def flagAgainstEval(corpusGrams: DataFrame, evalDocs: DataFrame,
       n: Int, broadcastEval: Boolean): DataFrame = {
     val evalGrams = evalDocs

@@ -487,6 +487,64 @@ class OpsSpec extends AnyFunSuite {
     assert(again == capped.toSet)
   }
 
+  test("semantic decontamination: broadcast-matrix path is bit-identical to the exact join baseline") {
+    val evalSet = emb.filter(col("vec_id") % 7 === 0)
+    val native = Decontamination
+      .flagContaminatedSemantic(emb, evalSet, 0.4)
+      .as[(Long, Option[Long], Option[Long], Boolean)].collect().toSet
+    val exact = Decontamination
+      .flagContaminatedSemanticExact(emb, evalSet, 0.4)
+      .as[(Long, Option[Long], Option[Long], Boolean)].collect().toSet
+    assert(native == exact)
+    assert(native.exists(_._4) && native.exists(!_._4),
+      "threshold 0.4 must split the corpus non-trivially")
+    // Eval self-members score cos 1.0 against themselves.
+    native.filter(_._1 % 7 == 0).foreach { r =>
+      assert(r._2.contains(1000000L) && r._3.contains(r._1) && r._4)
+    }
+    // The native path is a pure projection: zero exchanges in the plan.
+    val plan = Decontamination.flagContaminatedSemantic(emb, evalSet, 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected zero-shuffle scan:\n$plan")
+  }
+
+  test("semantic decontamination: LSH big-eval tier flags a subset; ties and zero-norm rows pinned") {
+    val evalSet = emb.filter(col("vec_id") % 7 === 0)
+    val exact = Decontamination
+      .flagContaminatedSemanticExact(emb, evalSet, 0.4)
+      .as[(Long, Option[Long], Option[Long], Boolean)].collect()
+    val lsh = Decontamination
+      .flagContaminatedSemantic(emb, evalSet, 0.4, maxBroadcastEval = 0L)
+      .as[(Long, Option[Long], Option[Long], Boolean)].collect()
+    assert(lsh.length == exact.length, "one verdict row per corpus vector")
+    val exactFlags = exact.filter(_._4).map(_._1).toSet
+    val lshFlags = lsh.filter(_._4).map(_._1).toSet
+    assert(lshFlags.subsetOf(exactFlags),
+      "LSH candidates can miss a near pair, never invent one")
+    // Self-members share every bucket with themselves: recall 1 on them.
+    assert(exactFlags.filter(_ % 7 == 0).subsetOf(lshFlags))
+    // Hand geometry: duplicate eval vectors tie at the same micro
+    // cosine -> lowest eval id wins; a zero corpus vector is
+    // unscoreable -> null score, not contaminated.
+    val corpus = Seq(
+      0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f), 2L -> Seq(0f, 0f))
+      .toDF("vec_id", "embedding")
+    val dupEval = Seq(10L -> Seq(1f, 0f), 11L -> Seq(1f, 0f))
+      .toDF("vec_id", "embedding")
+    val out = Decontamination
+      .flagContaminatedSemantic(corpus, dupEval, 0.9)
+      .as[(Long, Option[Long], Option[Long], Boolean)].collect()
+      .sortBy(_._1)
+    assert(out(0) == ((0L, Some(1000000L), Some(10L), true)))
+    assert(out(1) == ((1L, Some(0L), Some(10L), false)))
+    assert(out(2) == ((2L, None, None, false)))
+    // Empty eval set: nothing to leak from.
+    val none = Decontamination
+      .flagContaminatedSemantic(corpus, dupEval.filter(col("vec_id") < 0), 0.9)
+      .as[(Long, Option[Long], Option[Long], Boolean)].collect()
+    assert(none.forall(r => r._2.isEmpty && !r._4))
+  }
+
   test("multimodal: imperative (mapPartitions+decoder) equals declarative twin") {
     val media = Multimodal.mediaFromDocuments(docs)
     val imp = Multimodal.extractFeatures(media, Multimodal.MediaDecoder.Fake)
@@ -3297,6 +3355,7 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, Long, Int)].collect().toSeq
     assert(got == Seq((1L, 2L, 0)))
   }
+
 
   test("pickThreshold: precision- and FPR-targeted picks, empty when uncalibratable") {
     // Hand-workable curve (from the rocCurve fixture): distinct scores

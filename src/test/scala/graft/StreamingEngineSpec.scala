@@ -619,6 +619,38 @@ class StreamingEngineSpec extends AnyFunSuite {
     assert(sc(10L) > sc(11L))
   }
 
+  test("ingest-time semantic decontamination: frozen eval matrix, stream-applied, batch==stream rows") {
+    // The leakage guard's deployment shape: freeze the eval-set
+    // matrix once (semanticProbe), score every ARRIVING embedding
+    // against it before it lands in the corpus. Stateless projection,
+    // so streaming rows must equal the batch operator's bit-for-bit.
+    implicit val sqlCtx = spark.sqlContext
+    val evalSet = Seq(100L -> Seq(1f, 0f, 0f), 101L -> Seq(0f, 1f, 0f))
+      .toDF("vec_id", "embedding")
+    val probe = graft.ops.Decontamination.semanticProbe(evalSet, 0.9)
+    val incoming = Seq(
+      10L -> Seq(0.99f, 0.14f, 0f), // near eval 100 -> contaminated
+      11L -> Seq(0f, 0f, 1f),       // orthogonal -> clean
+      12L -> Seq(0f, 0f, 0f))       // zero vector -> unscoreable
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = probe(mem.toDF().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("sem_decontam_stream")
+      .outputMode("append").start()
+    try {
+      incoming.foreach { r => mem.addData(r); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("sem_decontam_stream")
+      .as[(Long, Option[Long], Option[Long], Boolean)].collect().toSet
+    val batch = graft.ops.Decontamination
+      .flagContaminatedSemantic(incoming.toDF("vec_id", "embedding"),
+        evalSet, 0.9)
+      .as[(Long, Option[Long], Option[Long], Boolean)].collect().toSet
+    assert(streamed == batch && streamed.size == 3)
+    assert(streamed.find(_._1 == 10L).get._4 &&
+      !streamed.find(_._1 == 11L).get._4 &&
+      streamed.find(_._1 == 12L).get._2.isEmpty)
+  }
+
   test("ingest-time hashed doc vectors: operator-level batch==stream parity across batch splits") {
     // hashedVectors is the text->vector bridge an ingest pipeline runs
     // per arriving doc; the operator (not just its native expression)
