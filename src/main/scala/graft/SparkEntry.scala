@@ -1196,6 +1196,23 @@ object SparkEntry {
         graft.ops.Multimodal.mediaFromDocuments(docs)
           .unionByName(graft.ops.Multimodal.mediaFromDocuments(edited)),
         maxHamming = 8)
+    }),
+    // Audio near-duplicate dedup on the Haitsma–Kalker robust
+    // fingerprint (mm_dedup's acoustic sibling): same planted
+    // same-length edits, 140-sample signal grid, 17 overlapping
+    // frames × 4 energy bands, sign-of-second-derivative bits packed
+    // into four 12-bit band keys, banded candidate join + Hamming
+    // verify. The DuckDB oracle replays the whole thing in exact
+    // integer arithmetic.
+    "mm_audio_dedup" -> ((s, d) => {
+      val docs = documents(s, d)
+      val edited = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("x"), expr("substring(text, 2)")).as("text"),
+        col("source"))
+      graft.ops.Multimodal.audioPairs(
+        graft.ops.Multimodal.mediaFromDocuments(docs)
+          .unionByName(graft.ops.Multimodal.mediaFromDocuments(edited)),
+        maxHamming = 8)
     }))
 
   private val northStarOracles: Map[String, String] = Map(
@@ -2087,6 +2104,57 @@ object SparkEntry {
         |        FROM bands x JOIN bands y
         |          ON x.band_idx = y.band_idx AND x.band_val = y.band_val
         |            AND x.mid < y.mid),
+        |fp AS (SELECT mid,
+        |        max(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+        |        max(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+        |        max(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+        |        max(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+        |      FROM bands GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT id_a, id_b,
+        |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+        |         bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS INT)
+        |      AS hamming
+        |  FROM cand JOIN fp a ON cand.id_a = a.mid JOIN fp b ON cand.id_b = b.mid)
+        |WHERE hamming <= 8""".stripMargin,
+    // Replays AudioFpBands exactly: 140-codepoint signal, integer band
+    // energies E(f,b) = Σ v², difference-of-differences bits for
+    // f=1..16 b=0..2, band key (f-1)//4 at bit ((f-1)%4)*3+b, banded
+    // candidate join, 48-bit Hamming verify.
+    "mm_audio_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id AS mid, text AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'x' || substring(text, 2) FROM documents),
+        |s AS (SELECT mid, t, length(t) AS n FROM m),
+        |g AS (SELECT mid, k,
+        |        CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+        |             ELSE CAST(unicode(substring(t, 1 + (k * n) // 140, 1)) AS BIGINT)
+        |        END AS v
+        |      FROM s, (SELECT unnest(range(0, 140)) AS k) ks),
+        |fbi AS (SELECT f, b, i
+        |        FROM (SELECT unnest(range(0, 17)) AS f) fs,
+        |             (SELECT unnest(range(0, 4)) AS b) bs,
+        |             (SELECT unnest(range(0, 3)) AS i) "is"),
+        |e AS (SELECT g.mid, fbi.f, fbi.b, sum(g.v * g.v) AS en
+        |      FROM fbi JOIN g ON g.k = fbi.f * 8 + fbi.b * 3 + fbi.i
+        |      GROUP BY 1, 2, 3),
+        |d AS (SELECT lo.mid, lo.f, lo.b, lo.en - hi.en AS de
+        |      FROM e lo JOIN e hi
+        |        ON hi.mid = lo.mid AND hi.f = lo.f AND hi.b = lo.b + 1
+        |      WHERE lo.b < 3),
+        |bits AS (SELECT cur.mid, cur.f, cur.b,
+        |           CASE WHEN cur.de - prv.de > 0 THEN 1 ELSE 0 END AS bit
+        |         FROM d cur JOIN d prv
+        |           ON prv.mid = cur.mid AND prv.f = cur.f - 1 AND prv.b = cur.b
+        |         WHERE cur.f >= 1),
+        |bands AS (SELECT mid, (f - 1) // 4 AS band_idx,
+        |            sum(bit * (1 << (((f - 1) % 4) * 3 + b))) AS band_val
+        |          FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.mid AS id_a, y.mid AS id_b
+        |         FROM bands x JOIN bands y
+        |           ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+        |             AND x.mid < y.mid),
         |fp AS (SELECT mid,
         |        max(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
         |        max(CASE WHEN band_idx = 1 THEN band_val END) AS b1,

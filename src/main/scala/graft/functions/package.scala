@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.graft.{AsciiClassCountsColumns, BpeEncodeColumns, BpeTokenCountColumns, DhashColumns, HashedTokenCountsColumns, CepExprColumns, CompressRatioColumns, GramStatsColumns, LshBucketsColumns, MarkerCountsColumns, MatrixMaxCosColumns, MatrixRowDotColumns, MetricRouteColumns, MinhashColumns, RollingHashColumns, SimhashColumns, TrigramScoresColumns, VecDotColumns, VecUnitColumns, WordShinglesColumns}
+import org.apache.spark.sql.graft.{AsciiClassCountsColumns, AudioFpColumns, BpeEncodeColumns, BpeTokenCountColumns, DhashColumns, HashedTokenCountsColumns, CepExprColumns, CompressRatioColumns, GramStatsColumns, LshBucketsColumns, MarkerCountsColumns, MatrixMaxCosColumns, MatrixRowDotColumns, MetricRouteColumns, MinhashColumns, RollingHashColumns, SimhashColumns, TrigramScoresColumns, VecDotColumns, VecUnitColumns, WordShinglesColumns}
 
 /** Public column-function surface for graft's native Catalyst
   * expressions (implementations under org.apache.spark.sql.graft). */
@@ -101,6 +101,15 @@ package object functions {
     * [[org.apache.spark.sql.graft.DhashBands]]. */
   def dhash_bands(payload: Column): Column =
     DhashColumns.dhashBands(payload)
+
+  /** Four 12-bit Haitsma–Kalker audio-fingerprint band keys of a
+    * synthetic payload (140-sample grid, 17 overlapping frames, 4
+    * energy bands, sign-of-second-derivative bits) — the acoustic
+    * analogue of [[dhash_bands]]; the decoded-PCM production twin
+    * shares the band packing — see
+    * [[org.apache.spark.sql.graft.AudioFpBands]]. */
+  def audio_fp_bands(payload: Column): Column =
+    AudioFpColumns.audioFpBands(payload)
 
   /** Per-document word n-gram repetition stats struct
     * `{n_grams, n_distinct_grams, top_gram_frac, dup_gram_frac}` in

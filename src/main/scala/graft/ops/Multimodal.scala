@@ -272,4 +272,116 @@ object Multimodal {
       grid
     }
   }
+
+  /** Audio near-duplicate candidate pairs `(id_a, id_b, hamming)` by
+    * Haitsma–Kalker robust fingerprint: four 12-bit band keys per
+    * payload via the one-pass native
+    * [[graft.functions.audio_fp_bands]] (17 overlapping frames, 4
+    * energy bands, sign-of-second-derivative bits — gain-invariant by
+    * construction), then the SAME banded candidate join + Hamming
+    * verification the dHash/SimHash families run
+    * ([[Dedup.bandedHammingPairs]]). The synthetic-decode tier
+    * (payload codepoints as the signal) keeps the whole pipeline
+    * oracle-replayable in ANSI SQL; real decoded-PCM dedup is
+    * [[audioPairsDecoded]] — identical machinery behind the decode.
+    *
+    * Scale posture: one native projection per payload (binary never a
+    * shuffle key — only (media_id, 4 ints) travel), banded equi-join
+    * candidates, twice-joined verification against the persisted
+    * 4-int fingerprint frame. */
+  def audioPairs(media: DataFrame, maxHamming: Int = 8,
+      persist: Persistence = Persistence.Local): DataFrame =
+    Dedup.bandedHammingPairs(
+      media.repartition(col("media_id"))
+        .select(col("media_id").as("doc_id"),
+          graft.functions.audio_fp_bands(col("payload").cast("string")).as("bands"))
+        .filter(col("bands").isNotNull)
+        .select(col("doc_id") +:
+          (0 until 4).map(k => element_at(col("bands"), k + 1).as(s"band$k")): _*),
+      maxHamming, persist)
+
+  /** [[audioPairs]] over REAL decoded audio: payloads decode via
+    * `javax.sound.sampled` (JDK built-in — WAV/AIFF/AU PCM, headless,
+    * zero extra dependencies) per-partition, the PCM stream is
+    * converted to signed 16-bit mono-equivalent samples (first
+    * channel), point-sampled to the 140-slot signal grid (bounded
+    * work per payload — a 3-hour recording costs 140 probes over the
+    * decoded prefix, capped at `maxDecodedSamples` so per-row decode
+    * work is bounded in a 100 TB scan), and the same band packing /
+    * banded candidate join / Hamming verification runs downstream.
+    * Undecodable payloads drop from dedup (flag-and-filter posture).
+    * The fingerprint's gain invariance is real here: re-leveled
+    * copies of a recording produce identical band keys (spec-pinned
+    * with planted WAV near-duplicates). */
+  def audioPairsDecoded(media: DataFrame, maxHamming: Int = 8,
+      maxDecodedSamples: Int = 1 << 18,
+      persist: Persistence = Persistence.Local): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val cap = maxDecodedSamples
+    val bands = media
+      .select(col("media_id"), col("mime"), col("source"), col("payload"))
+      .as[MediaRow].mapPartitions { it =>
+        it.flatMap { m =>
+          val sig = decodedPcmGrid(m.payload, cap)
+          if (sig == null) Iterator.empty
+          else {
+            val b = org.apache.spark.sql.graft.AudioFpImpl.bandsOfGrid(sig)
+            Iterator.single((m.media_id, b.getInt(0), b.getInt(1),
+              b.getInt(2), b.getInt(3)))
+          }
+        }
+      }.toDF("doc_id", "band0", "band1", "band2", "band3")
+    Dedup.bandedHammingPairs(bands.repartition(col("doc_id")), maxHamming, persist)
+  }
+
+  /** The 140-slot point-sampled signed-16-bit PCM signal grid of an
+    * encoded audio payload (first channel), or null when the payload
+    * doesn't decode. Decoding stops after `maxDecodedSamples` frames
+    * so per-row work stays bounded regardless of recording length —
+    * the same budget rule as [[MediaDecoder.JdkImageIO]]'s luma
+    * sample. */
+  private[ops] def decodedPcmGrid(payload: Array[Byte],
+      maxDecodedSamples: Int): Array[Int] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val pcm: Array[Int] =
+      try {
+        val in = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val src = in.getFormat
+          val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            src.getSampleRate, 16, src.getChannels,
+            2 * src.getChannels, src.getSampleRate, false)
+          val dec = AudioSystem.getAudioInputStream(fmt, in)
+          val frameBytes = fmt.getFrameSize
+          val buf = new Array[Byte](frameBytes * 1024)
+          val out = new scala.collection.mutable.ArrayBuilder.ofInt
+          var total = 0
+          var read = dec.read(buf)
+          while (read > 0 && total < maxDecodedSamples) {
+            var off = 0
+            while (off + 1 < read && total < maxDecodedSamples) {
+              // little-endian 16-bit, first channel of each frame
+              out += ((buf(off + 1) << 8) | (buf(off) & 0xFF))
+              total += 1
+              off += frameBytes
+            }
+            read = if (total < maxDecodedSamples) dec.read(buf) else -1
+          }
+          out.result()
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => null }
+    if (pcm == null || pcm.isEmpty) null
+    else {
+      val sig = new Array[Int](org.apache.spark.sql.graft.AudioFpImpl.Samples)
+      val n = pcm.length
+      var k = 0
+      while (k < sig.length) {
+        sig(k) = pcm((k * n) / sig.length)
+        k += 1
+      }
+      sig
+    }
+  }
 }

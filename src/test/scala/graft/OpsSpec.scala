@@ -3356,6 +3356,127 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L, 0)))
   }
 
+  test("audio_fp_bands: native expression matches an independent reference; edits perturb locally") {
+    // Independent reimplementation of the Haitsma–Kalker fingerprint
+    // (140-sample grid -> 17×4 integer band energies -> 48
+    // difference-of-difference bits -> four 12-bit bands) to pin the
+    // native expression against.
+    def refBands(s: String): Seq[Int] = {
+      val cps = s.codePoints().toArray
+      val n = cps.length
+      val sig = (0 until 140).map(k => if (n == 0) 0L else cps((k * n) / 140).toLong)
+      def e(f: Int, b: Int): Long =
+        (0 until 3).map(i => { val v = sig(f * 8 + b * 3 + i); v * v }).sum
+      val bands = Array.fill(4)(0)
+      for (f <- 1 until 17; b <- 0 until 3) {
+        val cur = e(f, b) - e(f, b + 1)
+        val prv = e(f - 1, b) - e(f - 1, b + 1)
+        if (cur - prv > 0) bands((f - 1) / 4) |= 1 << (((f - 1) % 4) * 3 + b)
+      }
+      bands.toSeq
+    }
+    val sample = docs.limit(50).select(col("doc_id"), col("text"))
+      .unionByName(Seq((900001L, ""), (900002L, "ab"),
+        (900003L, "naïve café 中文 mixed")).toDF("doc_id", "text"))
+    val got = sample
+      .select(col("doc_id"), col("text"),
+        graft.functions.audio_fp_bands(col("text")).as("bands"))
+      .as[(Long, String, Seq[Int])].collect()
+    got.foreach { case (id, text, bands) =>
+      assert(bands == refBands(text), s"audio fp mismatch at doc $id")
+    }
+    // Keys are 12-bit by construction.
+    got.foreach { case (_, _, bands) =>
+      assert(bands.forall(b => b >= 0 && b < 4096))
+    }
+    // A same-length first-character edit on a long payload perturbs
+    // only sample 0 -> energy E(0,0) -> difference bits touching frame
+    // 0/band 0: at most the (f=1, b=0) bit.
+    val long = "the quick brown fox jumps over the lazy dog " * 4 // n > 140
+    val a = refBands(long)
+    val b = refBands("x" + long.substring(1))
+    val hamming = (0 until 4).map(k =>
+      java.lang.Integer.bitCount(a(k) ^ b(k))).sum
+    assert(hamming <= 1)
+  }
+
+  test("audioPairs: planted same-length edits pair; banded join finds exactly the band-sharing low-Hamming pairs") {
+    val rnd = new scala.util.Random(777)
+    val base = (0 until 30).map(i =>
+      (i.toLong, (0 until 60).map(_ =>
+        Integer.toHexString(rnd.nextInt())).mkString(" ")))
+      .toDF("doc_id", "text")
+    val edited = base.select((col("doc_id") + 1000L).as("doc_id"),
+      concat(lit("x"), expr("substring(text, 2)")).as("text"))
+    val media = Multimodal.mediaFromDocuments(
+      base.withColumn("source", lit("a"))
+        .unionByName(edited.withColumn("source", lit("a"))))
+    val pairs = Multimodal.audioPairs(media, maxHamming = 8)
+    val got = pairs.as[(Long, Long, Int)].collect()
+    val planted = got.filter(p => p._2 - p._1 == 1000L)
+    assert(planted.length == 30)
+    assert(planted.forall(_._3 <= 1))
+    // The banded join's contract, pinned brute-force: it returns
+    // EXACTLY the pairs within the Hamming radius that share at least
+    // one band key (a radius-8 pair with errors spread 2-2-2-2 across
+    // all four bands is out of candidate reach by design — the same
+    // recall trade every banded family in this engine documents).
+    val fps = media
+      .select(col("media_id"),
+        graft.functions.audio_fp_bands(col("payload").cast("string")).as("b"))
+      .as[(Long, Seq[Int])].collect().sortBy(_._1)
+    val brute = (for {
+      (ia, ba) <- fps; (ib, bb) <- fps if ia < ib
+      if (0 until 4).exists(k => ba(k) == bb(k))
+      h = (0 until 4).map(k => java.lang.Integer.bitCount(ba(k) ^ bb(k))).sum
+      if h <= 8
+    } yield (ia, ib, h)).toSet
+    assert(got.toSet == brute)
+  }
+
+  test("audioPairsDecoded: re-leveled WAV copies pair at Hamming 0 (gain invariance); undecodable drops") {
+    def wav(samples: Array[Short], rate: Int = 8000): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        data(2 * i) = (samples(i) & 0xFF).toByte
+        data(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        rate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // Deterministic pseudo-noise in [-8192, 8191]; the "loud" copy is
+    // 2× it EXACTLY, so band energies scale by exactly 4 and every
+    // difference-of-differences sign is preserved — the fingerprint's
+    // gain invariance with no rounding caveat.
+    def noise(seed: Long, n: Int): Array[Short] = {
+      var s = seed
+      Array.fill(n) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 33) % 16384 - 8192).toShort
+      }
+    }
+    val quiet = noise(1L, 2000)
+    val loud = quiet.map(v => (v * 2).toShort)
+    val other = noise(99L, 2000)
+    val media = Seq(
+      (1L, "audio/wav", "t", wav(loud)),
+      (2L, "audio/wav", "t", wav(quiet)),
+      (3L, "audio/wav", "t", wav(other)),
+      (4L, "audio/wav", "t", Array[Byte](9, 9, 9)))
+      .toDF("media_id", "mime", "source", "payload")
+    val got = Multimodal.audioPairsDecoded(media, maxHamming = 8)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0)))
+  }
+
 
   test("pickThreshold: precision- and FPR-targeted picks, empty when uncalibratable") {
     // Hand-workable curve (from the rocCurve fixture): distinct scores
