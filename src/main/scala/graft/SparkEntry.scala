@@ -437,6 +437,54 @@ object SparkEntry {
 
   /** Shared by `curation_decontaminate` and its Bloom-prefiltered
     * twin (identical flagged sets by construction). */
+  /** Shared pipeline-verdict oracle: the full quality/dedup/decontam
+    * CTE chain replayed in DuckDB — referenced by both
+    * `curation_pipeline` (as-is) and `curation_funnel` (wrapped in a
+    * per-source GROUP BY). */
+  private val curationPipelineOracle: String = {
+    val joins5 = (1 to 4).map(i =>
+      s"JOIN tok t$i ON t$i.doc_id=t0.doc_id AND t$i.i=t0.i+$i").mkString(" ")
+    val gram5 = (0 to 4).map(i => s"t$i.tk").mkString(" || ' ' || ")
+    s"""WITH RECURSIVE t AS (SELECT doc_id, $dToks w FROM documents),
+         |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),
+         |g2 AS (SELECT a.doc_id, a.tk || ' ' || b.tk AS gram
+         |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         |pg AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+         |rep AS (SELECT doc_id,
+         |          CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_f,
+         |          CAST(sum(cnt) - count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS dup_f
+         |        FROM pg GROUP BY 1),
+         |st AS (SELECT doc_id, len(w) AS n_tokens FROM t),
+         |qual AS (SELECT st.doc_id,
+         |           (n_tokens >= 25 AND n_tokens <= 1000 AND
+         |            coalesce(top_f, 0.0) <= 0.09 AND coalesce(dup_f, 0.0) <= 0.09)
+         |             AS quality_keep
+         |         FROM st LEFT JOIN rep ON st.doc_id = rep.doc_id),
+         |sh AS (SELECT DISTINCT a.doc_id, a.tk || ' ' || b.tk || ' ' || c.tk AS s
+         |       FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.i=a.i+1
+         |                  JOIN tok c ON a.doc_id=c.doc_id AND c.i=a.i+2),
+         |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         |common AS (SELECT x.doc_id id_a, y.doc_id id_b, count(*) c
+         |           FROM sh x JOIN sh y ON x.s=y.s AND x.doc_id<y.doc_id GROUP BY 1,2),
+         |pairs AS (SELECT id_a, id_b FROM common
+         |          JOIN sizes na ON na.doc_id=id_a JOIN sizes nb ON nb.doc_id=id_b
+         |          WHERE c*1.0/(na.n+nb.n-c) >= 0.8),
+         |sym AS (SELECT id_a a, id_b b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM sym
+         |                UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         |comp AS (SELECT a AS did, least(a, min(b)) AS cid FROM reach GROUP BY a),
+         |g5 AS (SELECT DISTINCT t0.doc_id, $gram5 AS g FROM tok t0 $joins5),
+         |ev AS (SELECT DISTINCT g FROM g5 WHERE doc_id < 10),
+         |contam AS (SELECT DISTINCT s.doc_id FROM g5 s JOIN ev USING (g))
+         |SELECT d.doc_id, q.quality_keep,
+         |  coalesce(comp.cid <> d.doc_id, FALSE) AS dup_loser,
+         |  (d.doc_id IN (SELECT doc_id FROM contam)) AS contaminated,
+         |  (q.quality_keep AND NOT coalesce(comp.cid <> d.doc_id, FALSE)
+         |   AND d.doc_id NOT IN (SELECT doc_id FROM contam)) AS keep
+         |FROM documents d JOIN qual q ON q.doc_id = d.doc_id
+         |LEFT JOIN comp ON comp.did = d.doc_id""".stripMargin
+  }
+
   private val decontaminateOracle: String = {
     val joins = (1 to 4).map(i =>
       s"JOIN tok t$i ON t$i.doc_id=t0.doc_id AND t$i.i=t0.i+$i").mkString(" ")
@@ -820,6 +868,18 @@ object SparkEntry {
         shingleN = 3, jaccard = 0.8, maxShingleDf = 10, decontamN = 5,
         minTokens = 25, maxTokens = 1000,
         maxTopGramFrac = 0.09, maxDupGramFrac = 0.09)
+    }),
+    // Per-source attrition funnel over the same pipeline verdicts:
+    // raw gate-flag counts + telescoping staged survivors, one
+    // map-side-combinable aggregation.
+    "curation_funnel" -> ((s, d) => {
+      val all = documents(s, d)
+      graft.ops.Curation.funnel(
+        graft.ops.Curation.pipeline(all, all.filter(col("doc_id") < 10),
+          shingleN = 3, jaccard = 0.8, maxShingleDf = 10, decontamN = 5,
+          minTokens = 25, maxTokens = 1000,
+          maxTopGramFrac = 0.09, maxDupGramFrac = 0.09),
+        all)
     }),
     // Split assignment composed with profiling: the sanity check run
     // after every re-split (did train/val/test land at the weights,
@@ -1940,49 +2000,27 @@ object SparkEntry {
     // ONE shared token CTE: bigram repetition → quality verdict,
     // 3-gram Jaccard pairs → recursive-CTE components → losers, and
     // 5-gram eval overlap → contamination (eval docs self-flag).
-    "curation_pipeline" -> {
-      val joins5 = (1 to 4).map(i =>
-        s"JOIN tok t$i ON t$i.doc_id=t0.doc_id AND t$i.i=t0.i+$i").mkString(" ")
-      val gram5 = (0 to 4).map(i => s"t$i.tk").mkString(" || ' ' || ")
-      s"""WITH RECURSIVE t AS (SELECT doc_id, $dToks w FROM documents),
-         |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),
-         |g2 AS (SELECT a.doc_id, a.tk || ' ' || b.tk AS gram
-         |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
-         |pg AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
-         |rep AS (SELECT doc_id,
-         |          CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_f,
-         |          CAST(sum(cnt) - count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS dup_f
-         |        FROM pg GROUP BY 1),
-         |st AS (SELECT doc_id, len(w) AS n_tokens FROM t),
-         |qual AS (SELECT st.doc_id,
-         |           (n_tokens >= 25 AND n_tokens <= 1000 AND
-         |            coalesce(top_f, 0.0) <= 0.09 AND coalesce(dup_f, 0.0) <= 0.09)
-         |             AS quality_keep
-         |         FROM st LEFT JOIN rep ON st.doc_id = rep.doc_id),
-         |sh AS (SELECT DISTINCT a.doc_id, a.tk || ' ' || b.tk || ' ' || c.tk AS s
-         |       FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.i=a.i+1
-         |                  JOIN tok c ON a.doc_id=c.doc_id AND c.i=a.i+2),
-         |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-         |common AS (SELECT x.doc_id id_a, y.doc_id id_b, count(*) c
-         |           FROM sh x JOIN sh y ON x.s=y.s AND x.doc_id<y.doc_id GROUP BY 1,2),
-         |pairs AS (SELECT id_a, id_b FROM common
-         |          JOIN sizes na ON na.doc_id=id_a JOIN sizes nb ON nb.doc_id=id_b
-         |          WHERE c*1.0/(na.n+nb.n-c) >= 0.8),
-         |sym AS (SELECT id_a a, id_b b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
-         |reach(a, b) AS (SELECT a, b FROM sym
-         |                UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-         |comp AS (SELECT a AS did, least(a, min(b)) AS cid FROM reach GROUP BY a),
-         |g5 AS (SELECT DISTINCT t0.doc_id, $gram5 AS g FROM tok t0 $joins5),
-         |ev AS (SELECT DISTINCT g FROM g5 WHERE doc_id < 10),
-         |contam AS (SELECT DISTINCT s.doc_id FROM g5 s JOIN ev USING (g))
-         |SELECT d.doc_id, q.quality_keep,
-         |  coalesce(comp.cid <> d.doc_id, FALSE) AS dup_loser,
-         |  (d.doc_id IN (SELECT doc_id FROM contam)) AS contaminated,
-         |  (q.quality_keep AND NOT coalesce(comp.cid <> d.doc_id, FALSE)
-         |   AND d.doc_id NOT IN (SELECT doc_id FROM contam)) AS keep
-         |FROM documents d JOIN qual q ON q.doc_id = d.doc_id
-         |LEFT JOIN comp ON comp.did = d.doc_id""".stripMargin
-    },
+    "curation_pipeline" -> curationPipelineOracle,
+    // The funnel oracle wraps the SAME pipeline verdict CTE in one
+    // per-source GROUP BY: exact integer counts, flag counts plus the
+    // telescoping staged survivors.
+    "curation_funnel" ->
+      s"""WITH v AS ($curationPipelineOracle)
+         |SELECT d.source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN NOT v.quality_keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_quality_fail,
+         |  CAST(sum(CASE WHEN v.dup_loser THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_loser,
+         |  CAST(sum(CASE WHEN v.contaminated THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_contaminated,
+         |  CAST(sum(CASE WHEN v.quality_keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_after_quality,
+         |  CAST(sum(CASE WHEN v.quality_keep AND NOT v.dup_loser THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_after_dedup,
+         |  CAST(sum(CASE WHEN v.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM v JOIN documents d ON d.doc_id = v.doc_id
+         |GROUP BY 1""".stripMargin,
     "curation_split_profile" ->
       s"""WITH a AS (SELECT text,
          |  CASE WHEN u < 0.75 THEN 'train' WHEN u < 0.875 THEN 'val'

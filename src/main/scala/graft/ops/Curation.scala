@@ -225,4 +225,38 @@ object Curation {
       .select(col("cid"), col("n_docs"), col("rank"), col("term"),
         col("tf"), col("df"), col("score"))
   }
+
+  /** Per-slice attrition FUNNEL of a [[pipeline]] verdict frame — the
+    * report a 100 TB curation run publishes alongside its shards:
+    * for each value of `dimCol` (source, language, shard…), how many
+    * documents entered, how many each gate flagged, and how many
+    * survived each successive stage in pipeline order
+    * (quality → dedup → decontamination). Exact integer counts, so
+    * the gate oracle replays it by wrapping the pipeline oracle in
+    * one GROUP BY.
+    *
+    * Columns: `n_docs`, raw flag counts (`n_quality_fail`,
+    * `n_dup_loser`, `n_contaminated` — flags can overlap, so these
+    * need not telescope), and the staged survivor counts
+    * (`n_after_quality ≥ n_after_dedup ≥ n_kept`, which do).
+    *
+    * Scale shape: ONE map-side-combinable aggregation over the
+    * verdict frame after an equi-join to the docs' dimension column —
+    * output is |distinct dim| rows, driver state zero. */
+  def funnel(verdicts: DataFrame, docs: DataFrame,
+      dimCol: String = "source"): DataFrame = {
+    def n(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    verdicts
+      .join(docs.select(col("doc_id"), col(dimCol)), "doc_id")
+      .groupBy(col(dimCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        n(!col("quality_keep")).as("n_quality_fail"),
+        n(col("dup_loser")).as("n_dup_loser"),
+        n(col("contaminated")).as("n_contaminated"),
+        n(col("quality_keep")).as("n_after_quality"),
+        n(col("quality_keep") && !col("dup_loser")).as("n_after_dedup"),
+        n(col("keep")).as("n_kept"))
+  }
 }

@@ -1941,6 +1941,37 @@ class OpsSpec extends AnyFunSuite {
     assert(eval.select("doc_id").as[Long].collect().toSet.subsetOf(contam))
   }
 
+  test("curation funnel: per-source counts replay the verdict frame; staged survivors telescope") {
+    val eval = docs.filter(col("doc_id") < 10)
+    val verdicts = Curation.pipeline(docs, eval,
+      shingleN = 3, jaccard = 0.8, maxShingleDf = 10, decontamN = 5,
+      minTokens = 25, maxTokens = 1000,
+      maxTopGramFrac = 0.09, maxDupGramFrac = 0.09)
+    val got = Curation.funnel(verdicts, docs)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // Independent replay: aggregate the collected verdict frame by the
+    // collected source map.
+    val src = docs.select("doc_id", "source").as[(Long, String)].collect().toMap
+    val v = verdicts.as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+    val bySrc = v.groupBy(r => src(r._1))
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (s, rows) =>
+      val (_, nDocs, nQf, nDl, nCo, nAq, nAd, nK) = got(s)
+      assert(nDocs == rows.length)
+      assert(nQf == rows.count(!_._2))
+      assert(nDl == rows.count(_._3))
+      assert(nCo == rows.count(_._4))
+      assert(nAq == rows.count(_._2))
+      assert(nAd == rows.count(r => r._2 && !r._3))
+      assert(nK == rows.count(_._5))
+      // Funnel law: staged survivor counts telescope.
+      assert(nDocs >= nAq && nAq >= nAd && nAd >= nK)
+    }
+    // Totals cover the corpus exactly once.
+    assert(got.values.map(_._2).sum == docs.count())
+  }
+
   test("writeCurated materializes exactly the keepers, split-partitioned, stable splits") {
     val eval = docs.filter(col("doc_id") < 10)
     val verdicts = Curation.pipeline(docs, eval,
