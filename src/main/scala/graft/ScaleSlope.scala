@@ -187,6 +187,18 @@ object ScaleSlope {
       "dedup_semantic" -> ((_, k) => {
         val idx = Similarity.buildIvfIndex(embCorpus(k), nClusters = 16)
         Similarity.semanticDedup(idx, 0.4, maxClusterSize = 125L)
+      }),
+      // Round-10: semantic decontamination at the deployment shape —
+      // the eval suite is a FIXED artifact (replica 0's every-20th
+      // vector: vec_id % 20k == 0 ⇔ original % 20 == 0 and r == 0)
+      // while the corpus grows 16×, so this measures the broadcast-
+      // matrix probe's zero-shuffle scan slope. Eval growing WITH the
+      // corpus would instead measure N·E — quadratic in the scale
+      // factor and not the operator's real-world axis.
+      "decontam_semantic" -> ((_, k) => {
+        val emb = embCorpus(k)
+        Decontamination.flagContaminatedSemantic(emb,
+          emb.filter(pmod(col("vec_id"), lit(20L * k)) === 0), 0.4)
       }))
 
     def time(mk: () => DataFrame): (Double, Long) = {

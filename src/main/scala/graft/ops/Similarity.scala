@@ -174,8 +174,11 @@ object Similarity {
   }
 
   /** Index of the nearest centroid by dot product (vectors should be
-    * unit-normalized). Ties break toward the lower cluster id. */
-  private def nearestCentroid(unitVec: Column, centroids: Array[Array[Double]]): Column = {
+    * unit-normalized). Ties break toward the lower cluster id.
+    * `private[graft]`: [[graft.streaming.StreamingSemanticDedup]]
+    * assigns arriving vectors with this SAME column expression, so
+    * ingest-time and batch cluster maps agree by construction. */
+  private[graft] def nearestCentroid(unitVec: Column, centroids: Array[Array[Double]]): Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       struct(dot(unitVec, array(c.map(lit).toIndexedSeq: _*)).as("d"),
         lit(-i).as("negid"))

@@ -267,4 +267,97 @@ class StreamingDedupSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming semantic dedup: id-ordered arrival reproduces the batch keep=false set; cluster maps agree") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingSemanticDedup
+    // Two planted directions: 1/2/4 along x (pairwise cos > 0.99),
+    // 3/5 along y (cos ≈ 0.985) — both families above τ = 0.9, the
+    // cross-family cosines far below it.
+    val vecs = Seq(
+      1L -> Seq(1f, 0f, 0f),
+      2L -> Seq(0.995f, 0.1f, 0f),
+      3L -> Seq(0f, 1f, 0f),
+      4L -> Seq(0.98f, 0.2f, 0f),
+      5L -> Seq(0.05f, 0.99f, 0.1f))
+    val batchEmb = vecs.toDF("vec_id", "embedding")
+    val index = graft.ops.Similarity.buildIvfIndex(batchEmb, nClusters = 2)
+    val batch = graft.ops.Similarity.semanticDedup(index, 0.9)
+      .as[(Long, Int, Boolean)].collect()
+    val batchDups = batch.filter(!_._3).map(_._1).toSet
+    val batchCids = batch.map(r => r._1 -> r._2).toMap
+
+    val mem = MemoryStream[(Long, Long, Seq[Float])]
+    val assigned = StreamingSemanticDedup.assigned(
+      mem.toDF().toDF("vec_id", "ms", "embedding")
+        .select(col("vec_id"), timestamp_millis(col("ms")).as("eventTime"),
+          col("embedding")),
+      index.centroids)
+    val q = StreamingSemanticDedup.run(assigned, 0.9)
+      .writeStream.format("memory").queryName("sem_dedup_stream")
+      .outputMode("append").start()
+    try {
+      // vec_id order across a batch split: hits must not depend on
+      // boundaries, and "later arrival vs resident" then mirrors the
+      // batch rule "dup iff a lower-id mate ≥ τ in the same cluster".
+      val arrivals = vecs.zipWithIndex.map { case ((id, e), i) =>
+        (id, t0 + i * 1000L, e)
+      }
+      mem.addData(arrivals.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(arrivals.drop(2): _*)
+      q.processAllAvailable()
+      val hits = spark.table("sem_dedup_stream")
+        .as[StreamingSemanticDedup.SemanticDupHit].collect()
+      assert(hits.map(_.id_b).toSet == batchDups)
+      assert(batchDups.nonEmpty && batchDups.subsetOf(Set(2L, 4L, 5L)))
+      // Every hit's cosine clears τ with batch-identical rounding.
+      assert(hits.forall(h => h.cos_sim >= 0.9 && h.id_a < h.id_b))
+      // Ingest-time assignment (the shared nearestCentroid expression)
+      // agrees with the index's cluster map.
+      val cidCheck = batchEmb
+        .select(col("vec_id"),
+          graft.ops.Similarity.nearestCentroid(
+            graft.functions.VecMath.vec_unit(col("embedding")),
+            index.centroids).as("cid"))
+        .as[(Long, Int)].collect().toMap
+      assert(cidCheck == batchCids)
+    } finally q.stop()
+  }
+
+  test("streaming semantic dedup: late vectors drop; watermark expires residents") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingSemanticDedup
+    val index = graft.ops.Similarity.buildIvfIndex(
+      Seq(1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f)).toDF("vec_id", "embedding"),
+      nClusters = 1)
+    val mem = MemoryStream[(Long, Long, Seq[Float])]
+    val assigned = StreamingSemanticDedup.assigned(
+      mem.toDF().toDF("vec_id", "ms", "embedding")
+        .select(col("vec_id"), timestamp_millis(col("ms")).as("eventTime"),
+          col("embedding")),
+      index.centroids, watermarkDelay = "10 minutes")
+    val q = StreamingSemanticDedup.run(assigned, 0.9)
+      .writeStream.format("memory").queryName("sem_dedup_horizon")
+      .outputMode("append").start()
+    try {
+      // Vector 1 arrives; a far-future vector advances the watermark
+      // past 1's expiry; an identical copy of 1 then arrives INSIDE
+      // the new horizon (so it is processed) but 1's residency has
+      // expired -> no hit; finally a LATE copy behind the watermark is
+      // dropped entirely.
+      val hour = 3600L * 1000
+      mem.addData((1L, t0, Seq(1f, 0f)))
+      q.processAllAvailable()
+      mem.addData((9L, t0 + 3 * hour, Seq(0f, 1f)))
+      q.processAllAvailable()
+      mem.addData((4L, t0 + 3 * hour + 1000, Seq(1f, 0f)))
+      q.processAllAvailable()
+      mem.addData((5L, t0 + 1000, Seq(1f, 0f))) // behind watermark: dropped
+      q.processAllAvailable()
+      val hits = spark.table("sem_dedup_horizon")
+        .as[StreamingSemanticDedup.SemanticDupHit].collect()
+      assert(hits.isEmpty)
+    } finally q.stop()
+  }
 }
