@@ -768,6 +768,25 @@ object SparkEntry {
     "sim_quantize" -> ((s, d) =>
       graft.ops.Similarity.quantizeInt8(embeddings(s, d))
         .select(col("vec_id"), col("scale"), col("q_md5"), col("q_l1"))),
+    // Contrastive pair mining: per anchor (the bounded query batch,
+    // broadcast), top-5 hard negatives (different label, highest
+    // cosine) and hard positives (same label, LOWEST cosine) — the
+    // offline mining step a metric-learning batch builder consumes.
+    // One corpus scan; ranking shuffle is batch×corpus, not
+    // corpus×corpus. LSH candidate path spec-tested separately.
+    "emb_contrastive" -> ((s, d) =>
+      graft.ops.Labels.contrastiveMine(embeddings(s, d), embQueries(s, d), 5)),
+    // kNN label propagation (auto-labeling from a labeled seed set —
+    // the whole table self-seeds at gate scale): majority label among
+    // the 5 nearest seeds, ranked at 6dp cosine with id tiebreaks,
+    // majority ties toward the smaller label. Sorted-slice AGGREGATION
+    // (not a window): the broadcast join keeps every vector's seed
+    // matches co-located, partial agg collapses them map-side, and the
+    // one shuffle carries one row per corpus vector.
+    "emb_knn_label" -> ((s, d) => {
+      val e = embeddings(s, d)
+      graft.ops.Labels.knnPropagate(e, e, 5)
+    }),
     // Corpus profiling — the one-line health check a curation pipeline
     // runs before/after every dedup or filter stage. Exact arithmetic
     // (decimal sum, double division) so the oracle hash-matches.
@@ -1101,6 +1120,22 @@ object SparkEntry {
     // model's margin (sum_w / n_grams — cross-engine-exact doubles;
     // the sigmoid is monotone so margin AUC ≡ score AUC). auc_num2 is
     // an exact integer; every ratio is one IEEE division.
+    // Label-error audit (confident-learning mean rule): label-0 docs
+    // whose margin clears the class-1 mean are suspected missed
+    // positives; label-1 docs at or below the class-0 mean, suspected
+    // mislabeled. Division-free decimal comparisons — every flag is
+    // exact cross-engine. One 4-scalar aggregate + its broadcast back.
+    "text_label_errors" -> ((s, d) => {
+      val scored = graft.ops.TextAnalysis.classifierScore(
+        documents(s, d), classifierGateWeights, bias = 0.0, wordNgrams = 2)
+        .withColumn("margin", when(col("n_grams") > 0,
+          col("sum_w") / col("n_grams")).otherwise(lit(0.0)))
+      val lab = documents(s, d).select(col("doc_id"),
+        array_contains(graft.functions.word_tokens(col("text")), "spark")
+          .cast("int").as("label"))
+      graft.ops.Labels.labelErrors(scored.join(lab, "doc_id"),
+        "margin", "label")
+    }),
     "text_classifier_eval" -> ((s, d) => {
       val scored = graft.ops.TextAnalysis.classifierScore(
         documents(s, d), classifierGateWeights, bias = 0.0, wordNgrams = 2)
@@ -1390,6 +1425,42 @@ object SparkEntry {
     "sim_ann_lsh" -> simTopkOracle,
     "sim_ann_ivf" -> simTopkOracle,
     "sim_topk" -> simTopkOracle,
+    // Contrastive mining replay: per (anchor, pair_type) ranking with
+    // the hard_neg order inverted (highest cosine first) and hard_pos
+    // plain (lowest first), id tiebreaks.
+    "emb_contrastive" ->
+      """WITH sc AS (
+        |  SELECT q.vec_id query_id, q.label query_label,
+        |    n.vec_id neighbor_id, n.label neighbor_label,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                 CAST(n.embedding AS DOUBLE[])), 6) cos_sim,
+        |    CASE WHEN n.label != q.label THEN 'hard_neg' ELSE 'hard_pos' END pair_type
+        |  FROM embeddings q JOIN embeddings n ON n.vec_id != q.vec_id
+        |  WHERE q.vec_id < 10),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id, pair_type
+        |    ORDER BY CASE WHEN pair_type = 'hard_neg' THEN -cos_sim ELSE cos_sim END,
+        |             neighbor_id) AS rank
+        |  FROM sc)
+        |SELECT query_id, query_label, neighbor_id, neighbor_label, pair_type,
+        |  cos_sim, rank
+        |FROM rk WHERE rank <= 5""".stripMargin,
+    // kNN propagation replay: rank-5 neighborhood per vector, vote
+    // counts per label, majority = (votes desc, label asc) first row.
+    "emb_knn_label" ->
+      """WITH sc AS (
+        |  SELECT a.vec_id vid, a.label lg, b.vec_id nid, b.label nlabel,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                 CAST(b.embedding AS DOUBLE[])), 6) cs
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY vid
+        |    ORDER BY cs DESC, nid) r FROM sc),
+        |v AS (SELECT vid, lg, nlabel, count(*) c FROM rk WHERE r <= 5
+        |      GROUP BY 1, 2, 3),
+        |m AS (SELECT *, row_number() OVER (PARTITION BY vid
+        |    ORDER BY c DESC, nlabel) mr FROM v)
+        |SELECT vid AS vec_id, lg AS label_given, nlabel AS label_knn,
+        |  CAST(c AS BIGINT) AS votes
+        |FROM m WHERE mr = 1""".stripMargin,
     // Same explicit floor(+0.5) code arithmetic; the md5 over the
     // comma-joined codes pins content, not just aggregates.
     "sim_quantize" ->
@@ -1577,6 +1648,37 @@ object SparkEntry {
          |ORDER BY cum_tp DESC, cum_fp ASC, score DESC LIMIT 1""".stripMargin,
     // Exact confusion counts + integer Mann-Whitney AUC numerator over
     // the gate model's portable margin; ratios are single divisions.
+    // Label-error flags: same margin CTE, scores quantized to
+    // DECIMAL(18,6), class means compared division-free (sc·n ≥ Σ).
+    "text_label_errors" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN list_contains($dToks, 'spark') THEN 1 ELSE 0 END AS y,
+         |  $dToks w FROM documents),
+         |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),
+         |g AS (SELECT doc_id, tk AS g FROM tok
+         |      UNION ALL
+         |      SELECT t0.doc_id, t0.tk || ' ' || t1.tk
+         |      FROM tok t0 JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.i = t0.i + 1),
+         |b AS (SELECT doc_id,
+         |        CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 64 AS bk FROM g),
+         |sagg AS (SELECT doc_id, count(*) AS n_grams,
+         |        sum(CAST(((bk*37)%101 - 50) / 1000.0 AS DECIMAL(38,6))) AS sw
+         |      FROM b GROUP BY 1),
+         |sc AS (SELECT t.doc_id, t.y,
+         |  CAST(round(CASE WHEN COALESCE(s.n_grams, 0) > 0
+         |       THEN CAST(COALESCE(s.sw, 0) AS DOUBLE) / s.n_grams
+         |       ELSE 0.0 END, 6) AS DECIMAL(18,6)) AS m
+         |  FROM t LEFT JOIN sagg s USING (doc_id)),
+         |st AS (SELECT
+         |  COALESCE(sum(CASE WHEN y = 1 THEN m END), 0) AS sum1,
+         |  count(CASE WHEN y = 1 THEN 1 END) AS n1,
+         |  COALESCE(sum(CASE WHEN y = 0 THEN m END), 0) AS sum0,
+         |  count(CASE WHEN y = 0 THEN 1 END) AS n0 FROM sc)
+         |SELECT doc_id, CAST(y AS BIGINT) AS label, CAST(m AS DOUBLE) AS score,
+         |  CASE WHEN y = 0 THEN 'flip_to_1' ELSE 'flip_to_0' END AS suspect
+         |FROM sc, st
+         |WHERE (y = 0 AND n1 > 0 AND m * CAST(n1 AS DECIMAL(18,0)) >= sum1)
+         |   OR (y = 1 AND n0 > 0 AND m * CAST(n0 AS DECIMAL(18,0)) <= sum0)""".stripMargin,
     "text_classifier_eval" ->
       s"""WITH t AS (SELECT doc_id,
          |  CASE WHEN list_contains($dToks, 'spark') THEN 1 ELSE 0 END AS y,

@@ -1,0 +1,195 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Label-centric training-data preparation over embedding and scored
+  * document frames: contrastive pair mining (hard negatives /
+  * positives), kNN label propagation (auto-labeling a corpus from a
+  * small labeled seed set), and classifier-vs-label disagreement
+  * flags (confident-learning-style label-error candidates,
+  * Northcutt et al. 2021, arXiv:1911.00068).
+  *
+  * These are the operators that turn a deduplicated corpus into
+  * supervised training data: metric-learning batches need hard pairs,
+  * weak labels come from propagating a seed set, and noisy labels
+  * need an audit pass before anything trains on them. All three are
+  * exact, deterministic, and oracle-replayable (ties broken by id /
+  * label, cosines rounded at 6dp — the same spelling the embedding
+  * dedup gates pin cross-engine).
+  */
+object Labels {
+
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.VecMath.vec_dot(a, b)
+
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"), col("embedding"),
+      graft.functions.VecMath.vec_norm(col("embedding")).as("norm"))
+
+  /** Contrastive pair mining for a bounded batch of anchor vectors:
+    * per anchor, the top-`k` HARD NEGATIVES (different label, highest
+    * cosine — the near-misses a contrastive loss learns most from)
+    * and the top-`k` HARD POSITIVES (same label, LOWEST cosine — the
+    * far-flung in-class examples that keep the class manifold
+    * connected). One ranking convention (SimCLR/InfoNCE-style offline
+    * mining).
+    *
+    * Output: (query_id, query_label, neighbor_id, neighbor_label,
+    * pair_type ∈ {hard_neg, hard_pos}, cos_sim, rank). Ties broken by
+    * neighbor id; cosine rounded at 6dp.
+    *
+    * Scale: the ANCHOR side is the bounded mining batch (broadcast —
+    * one corpus scan, no corpus shuffle to score); ranking shuffles
+    * the Q·N scored frame by (query, type), acceptable because Q is a
+    * batch, not the corpus. Mining every anchor of a 100 TB corpus
+    * runs this per batch, or takes the LSH candidate path
+    * ([[hardNegativesLsh]]) whose shuffle is bucket-bounded. */
+  def contrastiveMine(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be positive, got $k")
+    val scored = withNorm(emb).as("n")
+      .join(broadcast(withNorm(queries).as("q")),
+        col("q.vec_id") =!= col("n.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("q.label").as("query_label"),
+        col("n.vec_id").as("neighbor_id"), col("n.label").as("neighbor_label"),
+        round(dot(col("q.embedding"), col("n.embedding")) /
+          (col("q.norm") * col("n.norm")), 6).as("cos_sim"))
+      .withColumn("pair_type",
+        when(col("neighbor_label") =!= col("query_label"), lit("hard_neg"))
+          .otherwise(lit("hard_pos")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"), col("pair_type"))
+          .orderBy(when(col("pair_type") === "hard_neg", -col("cos_sim"))
+            .otherwise(col("cos_sim")), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** Hard-negative mining at scale: candidates come from shared
+    * random-hyperplane LSH buckets (equi-join on bucket keys — never
+    * query×corpus), are filtered to DIFFERENT-label vectors, then
+    * re-ranked by exact cosine. Same output schema as
+    * [[contrastiveMine]]'s hard_neg rows; recall < 1, rising with
+    * `tables` (spec-tested against the brute-force baseline). Hard
+    * POSITIVES deliberately have no LSH path: "same label, lowest
+    * cosine" is an anti-nearest-neighbor query that bucket locality
+    * cannot serve — batch the brute path for those. */
+  def hardNegativesLsh(emb: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      tables: Int = 16, planesPerTable: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be positive, got $k")
+    val corpusB = Similarity.lshBuckets(emb, tables, planesPerTable, dim)
+    val queryB = Similarity.lshBuckets(queries, tables, planesPerTable, dim)
+    val cand = queryB.as("qb")
+      .join(corpusB.as("nb"),
+        col("qb.table_idx") === col("nb.table_idx") &&
+          col("qb.bucket") === col("nb.bucket") &&
+          col("qb.vec_id") =!= col("nb.vec_id"))
+      .select(col("qb.vec_id").as("query_id"), col("nb.vec_id").as("neighbor_id"))
+      .distinct()
+    val qn = withNorm(queries)
+    val nn = withNorm(emb)
+    cand
+      .join(qn.select(col("vec_id"), col("label").as("query_label"),
+        col("embedding").as("q_emb"), col("norm").as("q_norm")),
+        col("query_id") === col("vec_id")).drop("vec_id")
+      .join(nn.select(col("vec_id"), col("label").as("neighbor_label"),
+        col("embedding").as("n_emb"), col("norm").as("n_norm")),
+        col("neighbor_id") === col("vec_id")).drop("vec_id")
+      .filter(col("neighbor_label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"),
+        col("neighbor_id"), col("neighbor_label"),
+        round(dot(col("q_emb"), col("n_emb")) /
+          (col("q_norm") * col("n_norm")), 6).as("cos_sim"))
+      .withColumn("pair_type", lit("hard_neg"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), col("pair_type"), col("cos_sim"), col("rank"))
+  }
+
+  /** kNN label propagation: every corpus vector takes the majority
+    * label among its `k` nearest LABELED seed vectors (cosine,
+    * excluding itself). The standard auto-labeling step when a small
+    * curated seed set must label a large corpus.
+    *
+    * Output: (vec_id, label_given, label_knn, votes). Deterministic
+    * end to end: neighbors ranked by (cos_sim desc at 6dp, vec_id),
+    * majority by (votes desc, label asc).
+    *
+    * Scale: the SEED side is broadcast (a labeled seed set is small
+    * by definition — thousands to low millions of rows; beyond that,
+    * feed a sampled seed). The corpus is scanned once; the top-k
+    * selection is a sorted-slice AGGREGATION, not a window — partial
+    * aggregation collapses each vector's seed matches map-side (the
+    * broadcast join is narrow, so all |seeds| matches of a vector are
+    * co-located), and the one shuffle carries ONE row per corpus
+    * vector, not |corpus|·|seeds| scored rows. The majority vote is
+    * then a per-row HOF over the k-array — no second shuffle. */
+  def knnPropagate(emb: DataFrame, labeled: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val corpus = withNorm(emb)
+    val seeds = withNorm(labeled).select(col("vec_id").as("nid"),
+      col("label").as("nlabel"), col("embedding").as("n_emb"),
+      col("norm").as("n_norm"))
+    val topk = corpus.join(broadcast(seeds), col("vec_id") =!= col("nid"))
+      .select(col("vec_id"), col("label"),
+        struct(
+          (-round(dot(col("embedding"), col("n_emb")) /
+            (col("norm") * col("n_norm")), 6)).as("neg_cos"),
+          col("nid"), col("nlabel")).as("cand"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(slice(array_sort(collect_list(col("cand"))), 1, k).as("topk"))
+    val votesArr = transform(col("topk"), x => x("nlabel"))
+    val tally = transform(array_distinct(votesArr), l =>
+      struct((-size(filter(votesArr, v => v === l))).as("neg_votes"),
+        l.as("lab")))
+    topk.select(col("vec_id"), col("label").as("label_given"),
+      array_min(tally).getField("lab").as("label_knn"),
+      (-array_min(tally).getField("neg_votes")).cast("long").as("votes"))
+  }
+
+  /** Label-error candidates (confident learning, simplified to the
+    * binary class-conditional mean rule): a doc labeled 0 whose
+    * classifier score clears the CLASS-1 mean score is a suspected
+    * missed positive (`flip_to_1`); a doc labeled 1 scoring at or
+    * below the class-0 mean is a suspected mislabeled negative
+    * (`flip_to_0`). The audit pass a labeled seed set gets before
+    * anything trains on it.
+    *
+    * Arithmetic is EXACT cross-engine: scores are rounded at 6dp into
+    * DECIMAL(18,6), class sums are exact decimal sums, and the mean
+    * comparison is spelled multiplication-free-of-division
+    * (`score·n₁ ≥ Σ₁` ⇔ `score ≥ mean₁`) so no engine ever divides —
+    * every flag is an integer-exact decimal comparison an oracle
+    * replays bit-for-bit.
+    *
+    * One aggregation (four scalars) + one broadcast of that one-row
+    * frame back over the scored input: zero corpus shuffles. Classes
+    * with no members flag nothing (their rule is vacuously off). */
+  def labelErrors(scored: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val sc = round(col(scoreCol), 6).cast("decimal(18,6)")
+    val s = scored.withColumn("sc", sc)
+    val stats = s.agg(
+      sum(when(col(labelCol) === 1, col("sc"))).as("sum1"),
+      count(when(col(labelCol) === 1, lit(1))).as("n1"),
+      sum(when(col(labelCol) === 0, col("sc"))).as("sum0"),
+      count(when(col(labelCol) === 0, lit(1))).as("n0"))
+    s.crossJoin(broadcast(stats))
+      .withColumn("suspect_pos",
+        col(labelCol) === 0 && col("n1") > 0 &&
+          col("sc") * col("n1") >= col("sum1"))
+      .withColumn("suspect_neg",
+        col(labelCol) === 1 && col("n0") > 0 &&
+          col("sc") * col("n0") <= col("sum0"))
+      .filter(col("suspect_pos") || col("suspect_neg"))
+      .select(col("doc_id"), col(labelCol).cast("long").as("label"),
+        col("sc").cast("double").as("score"),
+        when(col("suspect_pos"), lit("flip_to_1"))
+          .otherwise(lit("flip_to_0")).as("suspect"))
+  }
+}

@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops._
+
+/** Label-centric training-data ops: contrastive mining, kNN label
+  * propagation, and label-error flags — planted-geometry checks plus
+  * real-corpus laws against independent spellings. */
+class LabelsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def emb: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def docs: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  /** Tiny 2-D geometry where every answer is hand-checkable:
+    * label 0 along +x, label 1 along +y, one label-1 vector near +x
+    * (the planted hard negative for +x anchors / hard positive for
+    * +y anchors). */
+  private def plantedEmb: DataFrame = Seq(
+    (0L, Array(1.0f, 0.0f), 0),   // anchor, label 0
+    (1L, Array(0.99f, 0.14f), 0), // close same-label
+    (2L, Array(0.0f, 1.0f), 1),   // far diff-label
+    (3L, Array(0.95f, 0.31f), 1), // planted hard negative for id 0
+    (4L, Array(0.1f, 0.99f), 1)   // close to id 2
+  ).toDF("vec_id", "embedding", "label")
+
+  test("contrastiveMine: hard negatives are nearest diff-label, hard positives farthest same-label") {
+    val out = Labels.contrastiveMine(plantedEmb,
+      plantedEmb.filter(col("vec_id") === 0L), k = 2)
+      .orderBy(col("pair_type"), col("rank")).collect()
+    val negs = out.filter(_.getAs[String]("pair_type") == "hard_neg")
+    val poss = out.filter(_.getAs[String]("pair_type") == "hard_pos")
+    // diff-label neighbors of id0 by cosine: id3 (~0.95) > id4 (~0.10) > id2 (0.0)
+    assert(negs.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(3L, 4L))
+    assert(negs.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2))
+    // only one same-label candidate (id1), ranked 1, LOWEST cosine first trivially
+    assert(poss.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L))
+    // every row carries consistent labels and no self-pairs
+    assert(out.forall(r => r.getAs[Long]("neighbor_id") != 0L))
+    assert(negs.forall(r => r.getAs[Int]("neighbor_label") != r.getAs[Int]("query_label")))
+    assert(poss.forall(r => r.getAs[Int]("neighbor_label") == r.getAs[Int]("query_label")))
+  }
+
+  test("contrastiveMine: hard_pos ranks ASCEND in cosine (far-in-class first) on the real corpus") {
+    val q = emb.filter(col("vec_id") < 3)
+    val out = Labels.contrastiveMine(emb, q, k = 4)
+      .filter(col("pair_type") === "hard_pos")
+      .orderBy(col("query_id"), col("rank"))
+      .select(col("query_id"), col("cos_sim")).collect()
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val cs = rows.map(_.getDouble(1)).toSeq
+      assert(cs == cs.sorted, s"hard_pos cosines not ascending: $cs")
+    }
+  }
+
+  test("hardNegativesLsh: exact-verified, label-mismatched, recall >= 0.6 vs brute force") {
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Labels.contrastiveMine(emb, q, k = 5)
+      .filter(col("pair_type") === "hard_neg")
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Labels.hardNegativesLsh(emb, q, k = 5, dim = 64,
+      tables = 24, planesPerTable = 4)
+    val rows = lsh.collect()
+    assert(rows.forall(r =>
+      r.getAs[Int]("neighbor_label") != r.getAs[Int]("query_label")))
+    val got = rows.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall $recall")
+    // reported cosines are the exact ones (re-check a sample against brute values)
+    val bruteCos = Labels.contrastiveMine(emb, q, k = 5)
+      .filter(col("pair_type") === "hard_neg")
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      bruteCos.get(key).foreach(c => assert(c == r.getAs[Double]("cos_sim")))
+    }
+  }
+
+  test("knnPropagate: planted clusters outvote a wrong given label") {
+    // two tight clusters; id 5 sits in cluster A but carries label 9
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 7), (1L, Array(0.99f, 0.1f, 0.0f), 7),
+      (2L, Array(0.98f, 0.15f, 0.0f), 7), (3L, Array(0.0f, 1.0f, 0.0f), 4),
+      (4L, Array(0.0f, 0.99f, 0.1f), 4), (5L, Array(0.97f, 0.2f, 0.0f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Labels.knnPropagate(e, e, k = 3).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("label_knn"), r.getAs[Long]("votes"))).toMap
+    // id5's 3 nearest are the three label-7 vectors → propagated label 7, 3 votes
+    assert(out(5L) == ((7, 3L)))
+    // cluster-A members keep label 7 by majority
+    assert(out(0L)._1 == 7 && out(1L)._1 == 7 && out(2L)._1 == 7)
+  }
+
+  test("knnPropagate law: sorted-slice aggregation equals the window+groupBy spelling on the real corpus") {
+    import org.apache.spark.sql.expressions.Window
+    val k = 5
+    val got = Labels.knnPropagate(emb, emb, k)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label_given"),
+        r.getAs[Int]("label_knn"), r.getAs[Long]("votes"))).toSeq
+    // independent spelling: window rank over the scored self-join,
+    // explicit vote groupBy, majority window
+    val e = emb.select(col("vec_id"), col("label"), col("embedding"),
+      graft.functions.VecMath.vec_norm(col("embedding")).as("norm"))
+    val sc = e.as("a").join(e.as("b"), col("b.vec_id") =!= col("a.vec_id"))
+      .select(col("a.vec_id").as("vid"), col("a.label").as("lg"),
+        col("b.vec_id").as("nid"), col("b.label").as("nlabel"),
+        round(graft.functions.VecMath.vec_dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.norm") * col("b.norm")), 6).as("cs"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("vid")).orderBy(col("cs").desc, col("nid"))))
+      .filter(col("r") <= k)
+      .groupBy(col("vid"), col("lg"), col("nlabel"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("mr", row_number().over(
+        Window.partitionBy(col("vid")).orderBy(col("c").desc, col("nlabel"))))
+      .filter(col("mr") === 1)
+      .select(col("vid"), col("lg"), col("nlabel"), col("c"))
+      .orderBy("vid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(got == sc)
+  }
+
+  test("labelErrors: exact boundary flags, each direction on a self-consistent frame") {
+    // flip_to_1 boundary: class-1 mean is exactly 0.5 (label-0 probes
+    // don't shift it); a label-0 doc AT the mean flags (>=), one a
+    // hair below does not.
+    val a = Seq(
+      (1L, 0.40, 1), (2L, 0.60, 1),
+      (3L, 0.00, 0), (4L, 0.20, 0),
+      (5L, 0.50, 0), (6L, 0.499999, 0)
+    ).toDF("doc_id", "margin", "label")
+    val outA = Labels.labelErrors(a, "margin", "label").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("suspect")).toMap
+    assert(outA == Map(5L -> "flip_to_1"))
+    // flip_to_0 boundary: class-0 mean is exactly 0.1 (label-1 probes
+    // don't shift it); a label-1 doc AT the mean flags (<=), one a
+    // hair above does not.
+    val b = Seq(
+      (1L, 0.00, 0), (2L, 0.20, 0),
+      (3L, 0.10, 1), (4L, 0.101, 1), (5L, 0.90, 1)
+    ).toDF("doc_id", "margin", "label")
+    val outB = Labels.labelErrors(b, "margin", "label").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("suspect")).toMap
+    assert(outB == Map(3L -> "flip_to_0"))
+  }
+
+  test("labelErrors: a single-class input flags nothing (vacuous rules)") {
+    val scored = Seq((1L, 0.9, 1), (2L, 0.1, 1)).toDF("doc_id", "m", "label")
+    assert(Labels.labelErrors(scored, "m", "label").count() == 0)
+  }
+
+  test("labelErrors gate configuration is non-vacuous on the real corpus") {
+    val scored = TextAnalysis.classifierScore(
+      docs, (0 until 64).map(i => ((i * 37) % 101 - 50) / 1000.0),
+      bias = 0.0, wordNgrams = 2)
+      .withColumn("margin", when(col("n_grams") > 0,
+        col("sum_w") / col("n_grams")).otherwise(lit(0.0)))
+    val lab = docs.select(col("doc_id"),
+      array_contains(graft.functions.word_tokens(col("text")), "spark")
+        .cast("int").as("label"))
+    val flags = Labels.labelErrors(scored.join(lab, "doc_id"), "margin", "label")
+    assert(flags.count() > 0)
+    // flags carry both directions or at least one, and each row's label
+    // matches its direction
+    flags.collect().foreach { r =>
+      val (l, s) = (r.getAs[Long]("label"), r.getAs[String]("suspect"))
+      assert((l == 0L && s == "flip_to_1") || (l == 1L && s == "flip_to_0"))
+    }
+  }
+}

@@ -42,11 +42,17 @@ class PlanShapeSpec extends AnyFunSuite {
   // or the distinct-score curve.
   // weighted sample/repeat: one-row (sum, count) stats broadcast onto
   // the projection — the same bounded shape.
+  // label errors: the one-row class-mean stats frame broadcast back
+  // over the scored docs — the same bounded shape.
+  // contrastive mining / knn propagation: the bounded anchor batch /
+  // labeled seed set broadcast against the corpus scan under a
+  // non-equi (self-exclusion) condition — sim_topk's declared shape.
   private val declaredBnlj =
-    Set("sim_topk", "dedup_embedding", "profile_hot_keys",
+    Set("sim_topk", "emb_contrastive", "emb_knn_label",
+      "dedup_embedding", "profile_hot_keys",
       "text_tfidf", "text_tfidf_prod", "text_bm25_prod", "text_source_terms",
       "text_classifier_eval", "text_classifier_roc",
-      "text_classifier_threshold",
+      "text_classifier_threshold", "text_label_errors",
       "curation_weighted_sample", "curation_weighted_repeat")
 
   test("the CEP rule fan-out is a broadcast HASH join on the pivot key") {
