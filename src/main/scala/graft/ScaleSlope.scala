@@ -141,23 +141,17 @@ object ScaleSlope {
       "profile_source_overlap" -> ((df, _) => Profiling.sourceOverlap(df, 3)),
       "text_sentence_dedup" -> ((df, _) => Dedup.dedupSentences(df)),
       "text_novelty" -> ((df, _) => TextAnalysis.noveltyScores(df, 3)),
-      // Round-9 additions: the distributed trainer (per-iteration cost
-      // = two scans of the cached feature frame + a dim-bounded
-      // shuffle; 4 iterations keep the 16x cell honest about the
-      // data-dependent part) and the native-model LM scorer (model
-      // build + one zero-shuffle probe pass; the salted replicas grow
-      // the trigram model linearly but keep it under the broadcast
-      // gate, so the 100 TB-shaped native path is what's measured).
+      // The distributed trainer (r10 windowed iteration: per-iteration
+      // cost = ONE scan of the cached feature frame + a dim-bounded
+      // shuffle, no residual join of any kind; 4 iterations keep the
+      // 16x cell honest about the data-dependent part) and the
+      // native-model LM scorer (model build + one zero-shuffle probe
+      // pass; the salted replicas grow the trigram model linearly but
+      // keep it under the broadcast gate, so the 100 TB-shaped native
+      // path is what's measured).
       "text_classifier_train" -> ((df, _) => TextAnalysis.classifierTrain(
         df.withColumn("label", pmod(col("doc_id"), lit(2)).cast("int")),
         "label", dim = 256, iters = 4)),
-      // Round-10: the trainer's past-the-broadcast-cap shape — the
-      // residual frame equi-joins on the persisted doc_id partitioning
-      // instead of broadcasting. This is the 100 TB seed-set path; its
-      // slope vs the broadcast row above shows what the gate costs.
-      "text_classifier_train_join" -> ((df, _) => TextAnalysis.classifierTrain(
-        df.withColumn("label", pmod(col("doc_id"), lit(2)).cast("int")),
-        "label", dim = 256, iters = 4, maxBroadcastResid = 0L)),
       "text_lm_score" -> ((df, _) => TextAnalysis.lmScore(df)),
       // Round-10: the bucketed-prefix-sum ROC at gate shape. The
       // salted replicas hash to fresh feature buckets, so the DISTINCT

@@ -816,21 +816,21 @@ object TextAnalysis {
     *
     * Scale posture: the corpus-sized feature frame is built once
     * (one tokenize pass + one (doc,bucket) map-side-combined groupBy),
-    * hash-partitioned by doc_id, and persisted; each iteration then
-    * costs two scans of that cached frame and NO corpus-sized
-    * shuffle — margins aggregate doc-locally (partitioning reused),
-    * the model (≤ dim+1 rows) rides a broadcast join, and the
-    * gradient shuffle carries map-side partial sums bounded by
-    * `dim`, not the corpus. The per-doc residual frame (N rows, two
-    * longs) joins back to the features GATED on the seed-set size
-    * already measured for the learning-rate denominator: within
-    * `maxBroadcastResid` rows it broadcasts (one exchange of a tiny
-    * frame, zero sort); a larger seed set equi-joins on the `doc_id`
-    * hash partitioning both sides ALREADY carry (feat's persisted
-    * repartition, margins' groupBy) — no new shuffle, never an
-    * executor OOM on the broadcast build. Both paths produce
-    * bit-identical weights (exact integer arithmetic; spec-pinned).
-    * Driver state is O(dim).
+    * hash-partitioned by doc_id, and persisted; each iteration is
+    * then ONE linear pipeline over ONE scan of that cached frame with
+    * NO corpus-sized shuffle and NO join at all. The model rides the
+    * plan as a single dim+1-entry array LITERAL
+    * (`element_at(weights, bk + 2)` — one O(1) codegen'd lookup per
+    * row, one object per plan, no per-iteration broadcast build job),
+    * the margins groupBy rides the persisted doc_id partitioning (no
+    * exchange) and CARRIES each doc's (bk, c, nd) items through as a
+    * collect_list — per-doc buffer bounded by min(dim, grams-in-doc)
+    * — so the residual, re-derived per doc from the aggregated sums,
+    * flows straight into the gradient explode without a join-back
+    * (the former per-doc residual frame and its broadcast-vs-join
+    * dispatch are gone — there is nothing corpus-shaped to ship).
+    * The only shuffle is the gradient's map-side-combined groupBy
+    * bounded by `dim`, not the corpus. Driver state is O(dim).
     * Magnitude bounds (documented, not checked): per-row gradient
     * terms are ≤ 1e12 by construction; margins need
     * |w|·n_doc < 9.2e6 in real units to stay in signed-64 partials
@@ -841,8 +841,7 @@ object TextAnalysis {
       lrNum: Long = 1L, lrDen: Long = 2L,
       meanPool: Boolean = false,
       persist: Persistence = Persistence.Local,
-      init: DataFrame = null,
-      maxBroadcastResid: Long = 1000000L): DataFrame = {
+      init: DataFrame = null): DataFrame = {
     require(dim >= 1, s"dim must be positive, got $dim")
     require(wordNgrams >= 1, s"wordNgrams must be positive, got $wordNgrams")
     require(iters >= 0, s"iters must be non-negative, got $iters")
@@ -865,16 +864,29 @@ object TextAnalysis {
         explode(col("grams")).as("g"))
       .select(col("doc_id"), col("y"), bucket(col("g")).as("bk"))
     val counts = bk0.groupBy("doc_id", "y", "bk").agg(count(lit(1)).as("cnt"))
-    val totals = counts.groupBy("doc_id").agg(sum(col("cnt")).as("n"))
-    val content = counts.join(totals, "doc_id").select(
-      col("doc_id"), col("y"), col("bk"),
-      (if (meanPool) col("cnt") else lit(1L)).as("c"),
-      (if (meanPool) col("n") else lit(1L)).as("nd"))
+    // Binary-presence features (the default) need no per-doc gram
+    // total: c = nd = 1, so the totals aggregation and its join exist
+    // only on the meanPool path.
+    val content =
+      if (meanPool) {
+        val totals = counts.groupBy("doc_id").agg(sum(col("cnt")).as("n"))
+        counts.join(totals, "doc_id").select(
+          col("doc_id"), col("y"), col("bk"),
+          col("cnt").as("c"), col("n").as("nd"))
+      } else counts.select(
+        col("doc_id"), col("y"), col("bk"),
+        lit(1L).as("c"), lit(1L).as("nd"))
     val intercept = docs.select(col("doc_id"),
       col(labelCol).cast("long").as("y"),
       lit(-1).as("bk"), lit(1L).as("c"), lit(1L).as("nd"))
-    val feat = persist(content.unionByName(intercept)
-      .repartition(col("doc_id")))
+    // ONE row per doc: label + the (bk, c, nd) item array. Grouping
+    // happens ONCE here, not once per iteration; the per-doc buffer is
+    // bounded by min(dim, grams-in-doc) items.
+    val featDoc = persist(content.unionByName(intercept)
+      .repartition(col("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("y")).as("y"),
+        collect_list(struct(col("bk"), col("c"), col("nd"))).as("items")))
 
     val nDocs = docs.count()
     // Warm start: `init` is a prior classifierTrain OUTPUT frame
@@ -888,7 +900,8 @@ object TextAnalysis {
       else init.select(col("bucket").cast("long"), col("w_scaled").cast("long"))
         .collect().map(r => (r.getLong(0).toInt, r.getLong(1))).toMap
     val buckets: Array[Int] =
-      (feat.select("bk").distinct().collect().map(_.getInt(0)).toSet ++
+      (featDoc.select(explode(col("items.bk")).as("bk"))
+        .distinct().collect().map(_.getInt(0)).toSet ++
         initWs.keySet).toArray.sorted
     val ws = scala.collection.mutable.HashMap(
       buckets.map(b => b -> initWs.getOrElse(b, 0L)): _*)
@@ -897,35 +910,43 @@ object TextAnalysis {
 
     var it = 0
     while (it < iters) {
-      val wDf = broadcast(buckets.toSeq.map(b => (b, ws(b))).toDF("bk", "ws"))
-      val margins = feat.join(wDf, Seq("bk"), "left")
-        .withColumn("wc",
-          coalesce(col("ws"), lit(0L)).cast("decimal(38,0)") * col("c"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("y")).as("y"),
-          sum(when(col("bk") === -1, col("wc"))
-            .otherwise(lit(0).cast("decimal(38,0)"))).as("i0"),
-          sum(when(col("bk") =!= -1, col("wc"))
-            .otherwise(lit(0).cast("decimal(38,0)"))).as("ms"),
-          max(col("nd")).as("ndoc"))
+      // The model is a dim+1-entry array LITERAL indexed bk+2 (slot 1
+      // = the intercept bucket −1): one object in the plan, one O(1)
+      // codegen'd lookup per row — no join, no per-iteration broadcast
+      // build job. Unobserved buckets read 0, matching the former
+      // left-join coalesce.
+      val wLit = typedlit((-1 until dim).map(b => ws.getOrElse(b, 0L)))
+      // ONE narrow pipeline per iteration over the per-doc cached
+      // frame, zero joins, zero corpus-wide aggregation: margins are
+      // HOF folds over each doc's item array against the weight
+      // literal (exact DECIMAL(38,0) integer sums — fold order cannot
+      // change a bit), the residual derives per row, and the item
+      // explode flows straight into the gradient groupBy — the
+      // iteration's only shuffle, bounded by `dim`. The former
+      // per-doc residual frame and its broadcast-vs-join dispatch no
+      // longer exist.
+      val zeroDec = lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")
+      val wOf = (x: Column) =>
+        element_at(wLit, x.getField("bk") + 2).cast("decimal(38,0)") *
+          x.getField("c")
+      val margins = featDoc
+        .withColumn("i0", aggregate(col("items"), zeroDec,
+          (acc, x) => (acc + when(x.getField("bk") === -1, wOf(x))
+            .otherwise(zeroDec)).cast("decimal(38,0)")))
+        .withColumn("ms", aggregate(col("items"), zeroDec,
+          (acc, x) => (acc + when(x.getField("bk") =!= -1, wOf(x))
+            .otherwise(zeroDec)).cast("decimal(38,0)")))
+        .withColumn("ndoc", array_max(transform(col("items"),
+          x => x.getField("nd"))))
       val md = (col("i0").cast("double") / lit(1e12)) +
         (col("ms").cast("double") / lit(1e12)) / col("ndoc").cast("double")
       val p = lit(0.5) + (lit(0.5) * md) / (lit(1.0) + abs(md))
       val resid = (col("y") * lit(1000000L)) -
         floor(p * lit(1000000.0) + lit(0.5)).cast("long")
-      // NOT materialized: the residual frame has exactly one consumer
-      // (the intercept's gradient rides the same bk=-1 rows), so it
-      // computes inside the join build — one job per iteration, not a
-      // checkpoint job plus a gradient job. The broadcast is GATED on
-      // nDocs (already counted for the learning-rate denominator — no
-      // extra action): a seed set past the cap would OOM the broadcast
-      // build, so it falls back to the equi-join on the doc_id hash
-      // partitioning that feat (persisted repartition) and margins
-      // (groupBy doc_id) both already carry — zero new exchanges.
-      val residDf = margins.select(col("doc_id"), resid.as("resid"))
-      val residJoined =
-        if (nDocs <= maxBroadcastResid) broadcast(residDf) else residDf
-      val gradRows = feat.join(residJoined, "doc_id")
+      val gradRows = margins
+        .select(resid.as("resid"), explode(col("items")).as("item"))
+        .select(col("resid"), col("item.bk").as("bk"),
+          col("item.c").as("c"), col("item.nd").as("nd"))
         .withColumn("rqNum", col("resid") * lit(1000000L))
         .withColumn("rq", when(col("rqNum") >= 0,
             expr("(2*rqNum + nd) div (2*nd)"))

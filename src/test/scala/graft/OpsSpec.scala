@@ -3213,13 +3213,10 @@ class OpsSpec extends AnyFunSuite {
     val resumedTiny = w(TextAnalysis.classifierTrain(tiny, "label", dim = 64,
       iters = 0, init = first5))
     assert(resumedTiny == w(first5))
-    // Residual-broadcast gate: a seed set past maxBroadcastResid joins
-    // the residual frame on the existing doc_id partitioning instead
-    // of broadcasting it — bit-identical weights (exact integer
-    // arithmetic is join-strategy-independent).
-    val joined = w(TextAnalysis.classifierTrain(d, "label", dim = 64,
-      iters = 9, maxBroadcastResid = 0L))
-    assert(joined == full)
+    // (The r9 residual-broadcast gate law lived here; the r10 windowed
+    // iteration removed the residual frame and its broadcast-vs-join
+    // dispatch entirely — the randomized brute-force reference test
+    // above now carries the full arithmetic pin.)
   }
 
   test("pipeline classifier branch: trained gate joins the verdict; disabled default unchanged") {
