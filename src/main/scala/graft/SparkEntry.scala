@@ -510,6 +510,36 @@ object SparkEntry {
        |FROM common JOIN sizes na ON na.doc_id=id_a JOIN sizes nb ON nb.doc_id=id_b
        |WHERE c*1.0/(na.n+nb.n-c) >= 0.8""".stripMargin
 
+  /** Shared CTE prefix for the cross-split leakage gates: the
+    * dedup_ngram pair chain, the doc-keyed split hash
+    * (curation_split's spelling), and `leak` = pairs whose members
+    * straddle a split boundary. */
+  private val splitLeakageCtes: String =
+    s"""WITH t AS (SELECT doc_id, $dToks w FROM documents),
+       |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),
+       |sh AS (SELECT DISTINCT a.doc_id, a.tk || ' ' || b.tk || ' ' || c.tk AS s
+       |       FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.i=a.i+1
+       |                  JOIN tok c ON a.doc_id=c.doc_id AND c.i=a.i+2),
+       |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+       |common AS (SELECT x.doc_id id_a, y.doc_id id_b, count(*) c
+       |           FROM sh x JOIN sh y ON x.s=y.s AND x.doc_id<y.doc_id GROUP BY 1,2),
+       |pairs AS (SELECT id_a, id_b, c*1.0/(na.n+nb.n-c) AS jaccard
+       |          FROM common JOIN sizes na ON na.doc_id=id_a
+       |                      JOIN sizes nb ON nb.doc_id=id_b
+       |          WHERE c*1.0/(na.n+nb.n-c) >= 0.8),
+       |sp AS (SELECT doc_id,
+       |         CASE WHEN u < 0.75 THEN 'train' WHEN u < 0.875 THEN 'val'
+       |              ELSE 'test' END AS split
+       |       FROM (SELECT doc_id,
+       |               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8)) AS BIGINT)
+       |               / 4294967296.0 AS u
+       |             FROM documents)),
+       |leak AS (SELECT p.id_a, p.id_b, sa.split AS split_a,
+       |           sb.split AS split_b, p.jaccard
+       |         FROM pairs p JOIN sp sa ON sa.doc_id = p.id_a
+       |                      JOIN sp sb ON sb.doc_id = p.id_b
+       |         WHERE sa.split <> sb.split)""".stripMargin
+
   /** Connected components of the J≥0.8 n-gram near-dup graph, as a
     * DuckDB recursive CTE (transitive closure, then min reachable id). */
   private val dedupClustersOracle: String =
@@ -993,6 +1023,27 @@ object SparkEntry {
       graft.ops.Sampling.splitAssign(documents(s, d), col("source"),
         Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), "s1")
         .select(col("doc_id"), col("source"), col("split"))),
+    // Cross-split leakage audit: the near-dup pairs (same machinery
+    // and params as dedup_ngram) that STRADDLE the doc-keyed
+    // train/val/test cut above — the measurement that motivates the
+    // source-keyed split. Oracle = the pair CTE chain × the split
+    // hash applied to both ids.
+    "curation_split_leakage" -> ((s, d) => {
+      val docs = documents(s, d)
+      graft.ops.Curation.splitLeakage(docs,
+        graft.ops.Sampling.splitAssign(docs, col("doc_id"),
+          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), "s1")
+          .select(col("doc_id"), col("split")),
+        shingleN = 3, jaccard = 0.8, maxShingleDf = 10)
+    }),
+    "curation_split_leakage_report" -> ((s, d) => {
+      val docs = documents(s, d)
+      graft.ops.Curation.splitLeakageReport(docs,
+        graft.ops.Sampling.splitAssign(docs, col("doc_id"),
+          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), "s1")
+          .select(col("doc_id"), col("split")),
+        shingleN = 3, jaccard = 0.8, maxShingleDf = 10)
+    }),
     // Corpus-level line dedup (C4/CCNet boilerplate cleanup). The gate
     // corpus has no line structure (single-line docs, all distinct), so
     // this gate pins the IDENTITY contract: split → line-keyed window →
@@ -1083,6 +1134,25 @@ object SparkEntry {
         .select(col("grp"), col("n"), col("p"), col("n_neg"),
           col("tp"), col("fp"), col("tn"), col("fn"), col("auc_num2"))
     }),
+    // Active-learning uncertainty selection: the 50 docs whose margin
+    // sits closest to the decision boundary (TakeOrderedAndProject —
+    // no global sort), and the per-source budgeted variant (5 per
+    // source via a PARTITIONED window). Margin = one IEEE division of
+    // hash-exact integers, so ordering and values replay in DuckDB.
+    "label_uncertainty" -> ((s, d) =>
+      graft.ops.Labels.uncertaintySelect(
+        graft.ops.TextAnalysis.classifierScore(
+          documents(s, d), classifierGateWeights, bias = 0.0,
+          wordNgrams = 2),
+        k = 50)),
+    "label_uncertainty_by_source" -> ((s, d) =>
+      graft.ops.Labels.uncertaintyByGroup(
+        graft.ops.TextAnalysis.classifierScore(
+          documents(s, d), classifierGateWeights, bias = 0.0,
+          wordNgrams = 2)
+          .join(documents(s, d).select(col("doc_id"), col("source")),
+            "doc_id"),
+        "source", k = 5)),
     // Full ROC curve: one row per distinct margin (threshold sweep),
     // exact cumulative counts + single-division TPR/FPR.
     "text_classifier_roc" -> ((s, d) => {
@@ -1536,6 +1606,49 @@ object SparkEntry {
          |SELECT t.doc_id, COALESCE(s.n_grams, 0) AS n_grams,
          |  CAST(COALESCE(s.sw, 0) AS DOUBLE) AS sum_w
          |FROM t LEFT JOIN s USING (doc_id)""".stripMargin,
+    // Uncertainty selection: the classifier-score CTE chain, margin =
+    // one IEEE division, ORDER BY |margin| with a doc_id tie-break.
+    "label_uncertainty" ->
+      s"""WITH t AS (SELECT doc_id, $dToks w FROM documents),
+         |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),
+         |g AS (SELECT doc_id, tk AS g FROM tok
+         |      UNION ALL
+         |      SELECT t0.doc_id, t0.tk || ' ' || t1.tk
+         |      FROM tok t0 JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.i = t0.i + 1),
+         |b AS (SELECT doc_id,
+         |        CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 64 AS bk FROM g),
+         |s AS (SELECT doc_id, count(*) AS n_grams,
+         |        sum(CAST(((bk*37)%101 - 50) / 1000.0 AS DECIMAL(38,6))) AS sw
+         |      FROM b GROUP BY 1),
+         |m AS (SELECT t.doc_id,
+         |        CASE WHEN COALESCE(s.n_grams, 0) = 0 THEN 0.0
+         |             ELSE CAST(COALESCE(s.sw, 0) AS DOUBLE) / COALESCE(s.n_grams, 0)
+         |        END AS margin
+         |      FROM t LEFT JOIN s USING (doc_id))
+         |SELECT doc_id, margin, abs(margin) AS uncertainty
+         |FROM m ORDER BY abs(margin) ASC, doc_id ASC LIMIT 50""".stripMargin,
+    "label_uncertainty_by_source" ->
+      s"""WITH t AS (SELECT doc_id, source, $dToks w FROM documents),
+         |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),
+         |g AS (SELECT doc_id, tk AS g FROM tok
+         |      UNION ALL
+         |      SELECT t0.doc_id, t0.tk || ' ' || t1.tk
+         |      FROM tok t0 JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.i = t0.i + 1),
+         |b AS (SELECT doc_id,
+         |        CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 64 AS bk FROM g),
+         |s AS (SELECT doc_id, count(*) AS n_grams,
+         |        sum(CAST(((bk*37)%101 - 50) / 1000.0 AS DECIMAL(38,6))) AS sw
+         |      FROM b GROUP BY 1),
+         |m AS (SELECT t.doc_id, t.source,
+         |        CASE WHEN COALESCE(s.n_grams, 0) = 0 THEN 0.0
+         |             ELSE CAST(COALESCE(s.sw, 0) AS DOUBLE) / COALESCE(s.n_grams, 0)
+         |        END AS margin
+         |      FROM t LEFT JOIN s USING (doc_id))
+         |SELECT doc_id, source, margin, abs(margin) AS uncertainty,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY abs(margin) ASC, doc_id ASC) AS BIGINT) AS rank
+         |FROM m
+         |QUALIFY rank <= 5""".stripMargin,
     // Full 12-iteration fixed-point training replay — every trained
     // weight must match the engine bit-for-bit (integer w_scaled).
     "text_classifier_train" -> classifierTrainOracle(256, 12, 1L, 2L),
@@ -2028,6 +2141,18 @@ object SparkEntry {
          |        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8)) AS BIGINT)
          |        / 4294967296.0 AS u
          |      FROM documents)""".stripMargin,
+    // Near-dup pair CTE chain (dedup_ngram's oracle) × the split hash
+    // applied to both pair members; keep only straddling pairs.
+    "curation_split_leakage" -> (splitLeakageCtes +
+      "\nSELECT id_a, id_b, split_a, split_b, jaccard FROM leak"),
+    "curation_split_leakage_report" -> (splitLeakageCtes +
+      """
+        |SELECT least(split_a, split_b) AS split_lo,
+        |  greatest(split_a, split_b) AS split_hi,
+        |  count(*) // 2 AS n_pairs,
+        |  count(DISTINCT doc) AS n_docs
+        |FROM (SELECT split_a, split_b, unnest([id_a, id_b]) AS doc FROM leak)
+        |GROUP BY 1, 2""".stripMargin),
     "curation_weighted" ->
       s"""WITH d AS (SELECT doc_id, source, len($dToks) AS n_tokens,
          |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8)) AS BIGINT)

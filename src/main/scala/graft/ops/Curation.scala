@@ -259,4 +259,67 @@ object Curation {
         n(col("quality_keep") && !col("dup_loser")).as("n_after_dedup"),
         n(col("keep")).as("n_kept"))
   }
+
+  /** Cross-split leakage audit: near-duplicate pairs that STRADDLE a
+    * train/val/test boundary. A doc-keyed split cannot stop two
+    * near-identical documents from landing on opposite sides of the
+    * cut — the val/test metric then grades memorization, not
+    * generalization. This is the check a pipeline runs after every
+    * re-split, and the reason [[Sampling.splitAssign]] offers
+    * source-keyed splitting ([[splitLeakageReport]] quantifies what
+    * doc-keyed splitting leaks; the source-keyed gate pins that
+    * same-source template pairs then CANNOT straddle).
+    *
+    * Inputs: the corpus and a `(doc_id, split)` assignment frame
+    * (typically [[Sampling.splitAssign]] output — but any assignment
+    * works: this audits the assignment, so it must not recompute it).
+    * Output: one row per leaking pair — (id_a, id_b, split_a,
+    * split_b, jaccard), id_a < id_b from the pair machinery.
+    *
+    * Scale shape: candidate pairs come from the df-capped shingle
+    * inverted index ([[Dedup.ngramJaccardPairs]] — banded equi-joins,
+    * never all-pairs); the near-dup pair frame is selectivity-tiny
+    * relative to the corpus, and the two split lookups are keyed
+    * equi-joins against it (AQE broadcasts the pair side when it
+    * fits). No new corpus-wide shuffle beyond the pair machinery's
+    * own. */
+  def splitLeakage(docs: DataFrame, splits: DataFrame, shingleN: Int = 3,
+      jaccard: Double = 0.8, maxShingleDf: Int = Int.MaxValue,
+      persist: Persistence = Persistence.Local): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(docs, shingleN, jaccard,
+      maxShingleDf, persist)
+    val sp = splits.select(col("doc_id"), col("split"))
+    pairs
+      .join(sp.select(col("doc_id").as("id_a"), col("split").as("split_a")),
+        "id_a")
+      .join(sp.select(col("doc_id").as("id_b"), col("split").as("split_b")),
+        "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
+        col("jaccard"))
+  }
+
+  /** [[splitLeakage]] rolled up per UNORDERED split pair: how many
+    * near-dup pairs straddle each boundary (`n_pairs`) and how many
+    * distinct documents are implicated (`n_docs`). The one-page
+    * number a re-split decision reads ("train↔test leaks 40 template
+    * pairs — switch to source-keyed splitting").
+    *
+    * Exact integer counts over the (tiny) leak frame: each pair
+    * contributes two exploded doc rows, so `n_pairs = rows/2` and
+    * `n_docs = count(DISTINCT doc)` fall out of ONE
+    * map-side-combinable aggregation keyed by the canonicalized
+    * (least, greatest) split pair. */
+  def splitLeakageReport(docs: DataFrame, splits: DataFrame,
+      shingleN: Int = 3, jaccard: Double = 0.8,
+      maxShingleDf: Int = Int.MaxValue,
+      persist: Persistence = Persistence.Local): DataFrame =
+    splitLeakage(docs, splits, shingleN, jaccard, maxShingleDf, persist)
+      .select(
+        least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"),
+        explode(array(col("id_a"), col("id_b"))).as("doc"))
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        count_distinct(col("doc")).as("n_docs"))
 }

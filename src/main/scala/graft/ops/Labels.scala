@@ -192,4 +192,54 @@ object Labels {
         when(col("suspect_pos"), lit("flip_to_1"))
           .otherwise(lit("flip_to_0")).as("suspect"))
   }
+
+  /** Active-learning uncertainty selection: the `k` documents whose
+    * classifier MARGIN sits closest to the decision boundary — the
+    * rows a labeling budget buys the most model improvement from
+    * (uncertainty sampling, Lewis & Gale 1994). Input: a
+    * [[TextAnalysis.classifierScore]]-shaped frame (`doc_id`,
+    * `n_grams`, `sum_w`); the margin `sum_w / n_grams` is the
+    * thresholded quantity everywhere else in the repo (monotone in
+    * the sigmoid score, cross-engine exact — one IEEE division).
+    * Gram-less docs read margin 0 (maximally uncertain): the model
+    * genuinely knows nothing about them, and an annotator should see
+    * that before the pipeline drops them.
+    *
+    * Output: (doc_id, margin, uncertainty = |margin|), the k smallest
+    * uncertainties, ties broken by doc_id. Spark plans the selection
+    * as TakeOrderedAndProject — per-partition top-k heaps merged on
+    * the driver, never a global sort, at any corpus size. */
+  def uncertaintySelect(scored: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    scored
+      .withColumn("margin", when(col("n_grams") === 0, lit(0.0))
+        .otherwise(col("sum_w") / col("n_grams").cast("double")))
+      .withColumn("uncertainty", abs(col("margin")))
+      .orderBy(col("uncertainty").asc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("margin"), col("uncertainty"))
+  }
+
+  /** [[uncertaintySelect]] with a PER-GROUP budget: the `k` most
+    * uncertain documents within every `groupCol` value (per source,
+    * per language, …) — the spelling that keeps a labeling round from
+    * spending its whole budget on the one noisy domain the classifier
+    * is most confused by. A partitioned window (rank within group by
+    * uncertainty, doc_id) — every partition sorts only its own group;
+    * no global sort, no unpartitioned window. */
+  def uncertaintyByGroup(scored: DataFrame, groupCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be positive, got $k")
+    scored
+      .withColumn("margin", when(col("n_grams") === 0, lit(0.0))
+        .otherwise(col("sum_w") / col("n_grams").cast("double")))
+      .withColumn("uncertainty", abs(col("margin")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col("uncertainty").asc, col("doc_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col(groupCol), col("margin"),
+        col("uncertainty"), col("rank").cast("long").as("rank"))
+  }
 }

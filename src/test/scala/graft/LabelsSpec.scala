@@ -178,4 +178,63 @@ class LabelsSpec extends AnyFunSuite {
       assert((l == 0L && s == "flip_to_1") || (l == 1L && s == "flip_to_0"))
     }
   }
+
+  test("uncertaintySelect: boundary-nearest first, gram-less docs maximally uncertain, doc_id tie-break") {
+    val scored = Seq(
+      (1L, 10L, 5.0),   // margin 0.5
+      (2L, 10L, -1.0),  // margin -0.1  -> 2nd
+      (3L, 0L, 0.0),    // gram-less    -> margin 0, 1st
+      (4L, 10L, 2.0),   // margin 0.2   -> 3rd
+      (5L, 10L, -5.0),  // margin -0.5, ties |.5| with doc 1
+      (6L, 10L, 9.0)    // margin 0.9
+    ).toDF("doc_id", "n_grams", "sum_w")
+    val got = Labels.uncertaintySelect(scored, k = 4).collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("margin"),
+        r.getAs[Double]("uncertainty")))
+    assert(got.map(_._1).toSet == Set(3L, 2L, 4L, 1L)) // tie |0.5|: doc 1 < 5
+    assert(got.find(_._1 == 3L).get._2 == 0.0)
+    assert(got.find(_._1 == 2L).get._3 == 0.1)
+    // Scale pin: top-k plans as TakeOrderedAndProject, never a global sort.
+    val plan = Labels.uncertaintySelect(scored, 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("uncertaintySelect law: equals the sort-everything driver reference on the real corpus") {
+    val scored = TextAnalysis.classifierScore(
+      docs, (0 until 64).map(i => ((i * 37) % 101 - 50) / 1000.0),
+      bias = 0.0, wordNgrams = 2)
+    val k = 25
+    val got = Labels.uncertaintySelect(scored, k).collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("uncertainty")))
+    val ref = scored.select(col("doc_id"),
+      when(col("n_grams") === 0, lit(0.0))
+        .otherwise(col("sum_w") / col("n_grams").cast("double")).as("m"))
+      .collect().map(r => (r.getLong(0), math.abs(r.getDouble(1))))
+      .sortBy { case (id, u) => (u, id) }.take(k)
+    assert(got.sortBy(_._1).toSeq == ref.sortBy(_._1).toSeq)
+  }
+
+  test("uncertaintyByGroup: per-group budget, each group's picks are its k boundary-nearest") {
+    val scored = TextAnalysis.classifierScore(
+      docs, (0 until 64).map(i => ((i * 37) % 101 - 50) / 1000.0),
+      bias = 0.0, wordNgrams = 2)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val k = 3
+    val got = Labels.uncertaintyByGroup(scored, "source", k).collect()
+    val byGroup = got.groupBy(_.getAs[String]("source"))
+    assert(byGroup.values.forall(_.length <= k))
+    assert(got.forall(r => r.getAs[Long]("rank") >= 1L &&
+      r.getAs[Long]("rank") <= k))
+    // Per group, the selected set equals the brute-force k smallest.
+    val all = scored.select(col("source"), col("doc_id"),
+      when(col("n_grams") === 0, lit(0.0))
+        .otherwise(col("sum_w") / col("n_grams").cast("double")).as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1), math.abs(r.getDouble(2))))
+    byGroup.foreach { case (src, rows) =>
+      val want = all.filter(_._1 == src)
+        .sortBy { case (_, id, u) => (u, id) }.take(k).map(_._2).toSet
+      assert(rows.map(_.getAs[Long]("doc_id")).toSet == want, src)
+    }
+  }
 }

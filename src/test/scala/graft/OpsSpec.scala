@@ -1972,6 +1972,77 @@ class OpsSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum == docs.count())
   }
 
+  test("splitLeakage: planted cross-split near-dup pair found; same-split twin suppressed; report counts exact") {
+    val w = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+    // Derive split membership from the REAL assignment function so the
+    // plant can't drift from the hash: pick ids landing in different
+    // splits (a,b) and in the same split (c,d).
+    val ids = (0L until 200L).toDF("doc_id")
+    val sp = Sampling.splitAssign(ids, col("doc_id"), w, "s1")
+      .as[(Long, String)].collect().toMap
+    val a = sp.keys.find(sp(_) == "train").get
+    val b = sp.keys.find(sp(_) == "test").get
+    val Seq(c, d) = sp.keys.toSeq.sorted.filter(sp(_) == "train").take(2)
+    require(Set(a, b, c, d).size == 4)
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near2 = near + " extra"
+    val docsP = Seq(
+      (a, near), (b, near2),                 // cross-split near-dup pair
+      (c, "one two three four five six seven eight nine ten"),
+      (d, "one two three four five six seven eight nine ten eleven"),
+      (999L, "totally unrelated text about nothing shared with others")
+    ).toDF("doc_id", "text")
+    val splits = Sampling.splitAssign(docsP, col("doc_id"), w, "s1")
+      .select(col("doc_id"), col("split"))
+    val leaks = Curation.splitLeakage(docsP, splits, shingleN = 3,
+      jaccard = 0.5).collect()
+    assert(leaks.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((math.min(a, b), math.max(a, b))))
+    val r0 = leaks.head
+    assert(Set(r0.getAs[String]("split_a"), r0.getAs[String]("split_b")) ==
+      Set("train", "test"))
+    val rep = Curation.splitLeakageReport(docsP, splits, shingleN = 3,
+      jaccard = 0.5).collect()
+    assert(rep.length == 1)
+    assert(rep.head.getAs[String]("split_lo") == "test" &&
+      rep.head.getAs[String]("split_hi") == "train")
+    assert(rep.head.getAs[Long]("n_pairs") == 1L &&
+      rep.head.getAs[Long]("n_docs") == 2L)
+  }
+
+  test("splitLeakage laws on the real corpus: leaks = pairs minus same-split; source-keyed split leaks no same-source pair") {
+    val w = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+    val splits = Sampling.splitAssign(docs, col("doc_id"), w, "s1")
+      .select(col("doc_id"), col("split"))
+    val leaks = Curation.splitLeakage(docs, splits, shingleN = 3,
+      jaccard = 0.5).collect()
+    // Independent replay: all pairs at the same threshold, split map
+    // collected, filter in the driver.
+    val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty, "law needs near-dup pairs at J>=0.5")
+    val spMap = splits.as[(Long, String)].collect().toMap
+    val want = pairs.filter(p => spMap(p._1) != spMap(p._2))
+      .map(p => (p._1, p._2)).toSet
+    assert(leaks.map(r => (r.getLong(0), r.getLong(1))).toSet == want)
+    assert(want.nonEmpty, "law is vacuous without a straddling pair")
+    // Splits carried on each row match the assignment.
+    leaks.foreach { r =>
+      assert(r.getAs[String]("split_a") == spMap(r.getLong(0)))
+      assert(r.getAs[String]("split_b") == spMap(r.getLong(1)))
+    }
+    // Source-keyed split: same-source near-dup pairs CANNOT straddle.
+    val bySource = Sampling.splitAssign(docs, col("source"), w, "s1")
+      .select(col("doc_id"), col("split"))
+    val srcOf = docs.select(col("doc_id"), col("source"))
+      .as[(Long, String)].collect().toMap
+    Curation.splitLeakage(docs, bySource, shingleN = 3, jaccard = 0.5)
+      .collect().foreach { r =>
+        assert(srcOf(r.getLong(0)) != srcOf(r.getLong(1)),
+          "same-source pair straddled a source-keyed split")
+      }
+  }
+
   test("writeCurated materializes exactly the keepers, split-partitioned, stable splits") {
     val eval = docs.filter(col("doc_id") < 10)
     val verdicts = Curation.pipeline(docs, eval,
