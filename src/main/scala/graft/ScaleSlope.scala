@@ -153,6 +153,16 @@ object ScaleSlope {
         df.withColumn("label", pmod(col("doc_id"), lit(2)).cast("int")),
         "label", dim = 256, iters = 4)),
       "text_lm_score" -> ((df, _) => TextAnalysis.lmScore(df)),
+      // Round-10: the cross-split leakage audit — the pair machinery's
+      // slope plus two keyed equi-joins against the (tiny) leak frame.
+      // Replica token spaces are disjoint, so pair counts scale
+      // linearly and the join sides stay proportional.
+      "curation_split_leakage" -> ((df, _) => Curation.splitLeakage(
+        df,
+        Sampling.splitAssign(df, col("doc_id"),
+          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), "s1")
+          .select(col("doc_id"), col("split")),
+        shingleN = 3, jaccard = 0.8, maxShingleDf = 10)),
       // Round-10: the bucketed-prefix-sum ROC at gate shape. The
       // salted replicas hash to fresh feature buckets, so the DISTINCT
       // margin count grows with the corpus — exactly the axis the old

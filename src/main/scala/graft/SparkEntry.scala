@@ -1044,6 +1044,19 @@ object SparkEntry {
           .select(col("doc_id"), col("split")),
         shingleN = 3, jaccard = 0.8, maxShingleDf = 10)
     }),
+    // SEMANTIC cross-split leakage: the same audit over embedding-
+    // cosine pairs (seeded-centroid SemDeDup spelling) — catches the
+    // paraphrase/translation straddles n-gram Jaccard cannot see.
+    "curation_split_leakage_semantic" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      graft.ops.Curation.splitLeakageFromPairs(
+        graft.ops.Similarity.semanticPairsSeeded(emb, 0.4, 8),
+        graft.ops.Sampling.splitAssign(emb.select(col("vec_id")),
+          col("vec_id"),
+          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), "s1")
+          .select(col("vec_id"), col("split")),
+        simCol = "cos_sim", splitKey = "vec_id")
+    }),
     // Corpus-level line dedup (C4/CCNet boilerplate cleanup). The gate
     // corpus has no line structure (single-line docs, all distinct), so
     // this gate pins the IDENTITY contract: split → line-keyed window →
@@ -1153,6 +1166,22 @@ object SparkEntry {
           .join(documents(s, d).select(col("doc_id"), col("source")),
             "doc_id"),
         "source", k = 5)),
+    // Per-source CALIBRATED quality cut: each source keeps its own
+    // top quarter by margin (exact integer rank·4 ≤ n rule — no float
+    // quantile), instead of a global threshold that over-filters
+    // noisy sources and under-filters clean ones.
+    "curation_calibrated_cut" -> ((s, d) => {
+      val scored = graft.ops.TextAnalysis.classifierScore(
+        documents(s, d), classifierGateWeights, bias = 0.0, wordNgrams = 2)
+        .withColumn("margin", when(col("n_grams") > 0,
+          col("sum_w") / col("n_grams")).otherwise(lit(0.0)))
+        .join(documents(s, d).select(col("doc_id"), col("source")),
+          "doc_id")
+      graft.ops.Sampling.topFracByScore(scored, col("source"),
+        col("doc_id"), col("margin"), keepNum = 1L, keepDen = 4L)
+        .select(col("doc_id"), col("source"), col("margin"),
+          col("stratum_rank"), col("n_stratum"))
+    }),
     // Full ROC curve: one row per distinct margin (threshold sweep),
     // exact cumulative counts + single-division TPR/FPR.
     "text_classifier_roc" -> ((s, d) => {
@@ -1649,6 +1678,29 @@ object SparkEntry {
          |    ORDER BY abs(margin) ASC, doc_id ASC) AS BIGINT) AS rank
          |FROM m
          |QUALIFY rank <= 5""".stripMargin,
+    "curation_calibrated_cut" ->
+      s"""WITH t AS (SELECT doc_id, source, $dToks w FROM documents),
+         |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),
+         |g AS (SELECT doc_id, tk AS g FROM tok
+         |      UNION ALL
+         |      SELECT t0.doc_id, t0.tk || ' ' || t1.tk
+         |      FROM tok t0 JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.i = t0.i + 1),
+         |b AS (SELECT doc_id,
+         |        CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 64 AS bk FROM g),
+         |s AS (SELECT doc_id, count(*) AS n_grams,
+         |        sum(CAST(((bk*37)%101 - 50) / 1000.0 AS DECIMAL(38,6))) AS sw
+         |      FROM b GROUP BY 1),
+         |m AS (SELECT t.doc_id, t.source,
+         |        CASE WHEN COALESCE(s.n_grams, 0) = 0 THEN 0.0
+         |             ELSE CAST(COALESCE(s.sw, 0) AS DOUBLE) / COALESCE(s.n_grams, 0)
+         |        END AS margin
+         |      FROM t LEFT JOIN s USING (doc_id))
+         |SELECT doc_id, source, margin,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY margin DESC, doc_id ASC) AS BIGINT) AS stratum_rank,
+         |  count(*) OVER (PARTITION BY source) AS n_stratum
+         |FROM m
+         |QUALIFY stratum_rank * 4 <= n_stratum * 1""".stripMargin,
     // Full 12-iteration fixed-point training replay — every trained
     // weight must match the engine bit-for-bit (integer w_scaled).
     "text_classifier_train" -> classifierTrainOracle(256, 12, 1L, 2L),
@@ -2153,6 +2205,42 @@ object SparkEntry {
         |  count(DISTINCT doc) AS n_docs
         |FROM (SELECT split_a, split_b, unnest([id_a, id_b]) AS doc FROM leak)
         |GROUP BY 1, 2""".stripMargin),
+    // The dedup_semantic CTE chain emitting the PAIRS, crossed with
+    // the vec_id-keyed split hash.
+    "curation_split_leakage_semantic" ->
+      """WITH seeds AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+        |         CAST(embedding AS DOUBLE[]) AS semb
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+        |scored AS (
+        |  SELECT e.vec_id, s.cid,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.semb), 6) AS d
+        |  FROM embeddings e CROSS JOIN seeds s),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rk
+        |    FROM scored) t WHERE rk = 1),
+        |prs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |                                      CAST(eb.embedding AS DOUBLE[])), 6) AS cos_sim
+        |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+        |  WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |                                     CAST(eb.embedding AS DOUBLE[])), 6) >= 0.4),
+        |sp AS (SELECT vec_id,
+        |         CASE WHEN u < 0.75 THEN 'train' WHEN u < 0.875 THEN 'val'
+        |              ELSE 'test' END AS split
+        |       FROM (SELECT vec_id,
+        |               CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR) || ':s1'), 1, 8)) AS BIGINT)
+        |               / 4294967296.0 AS u
+        |             FROM embeddings))
+        |SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b, p.cos_sim
+        |FROM prs p JOIN sp sa ON sa.vec_id = p.id_a
+        |           JOIN sp sb ON sb.vec_id = p.id_b
+        |WHERE sa.split <> sb.split""".stripMargin,
     "curation_weighted" ->
       s"""WITH d AS (SELECT doc_id, source, len($dToks) AS n_tokens,
          |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8)) AS BIGINT)

@@ -285,18 +285,29 @@ object Curation {
     * own. */
   def splitLeakage(docs: DataFrame, splits: DataFrame, shingleN: Int = 3,
       jaccard: Double = 0.8, maxShingleDf: Int = Int.MaxValue,
-      persist: Persistence = Persistence.Local): DataFrame = {
-    val pairs = Dedup.ngramJaccardPairs(docs, shingleN, jaccard,
-      maxShingleDf, persist)
-    val sp = splits.select(col("doc_id"), col("split"))
+      persist: Persistence = Persistence.Local): DataFrame =
+    splitLeakageFromPairs(
+      Dedup.ngramJaccardPairs(docs, shingleN, jaccard, maxShingleDf, persist),
+      splits, simCol = "jaccard")
+
+  /** The audit's generic core: any near-dup PAIR frame
+    * (`id_a < id_b` plus a similarity column — n-gram Jaccard,
+    * MinHash, SimHash, or [[Similarity.semanticPairsSeeded]]'s
+    * embedding cosine) crossed with any `(splitKey, split)`
+    * assignment. Lexical dedup misses paraphrases and translations;
+    * running this once per pair family gives the leakage audit the
+    * same reach as the dedup stack itself. */
+  def splitLeakageFromPairs(pairs: DataFrame, splits: DataFrame,
+      simCol: String, splitKey: String = "doc_id"): DataFrame = {
+    val sp = splits.select(col(splitKey), col("split"))
     pairs
-      .join(sp.select(col("doc_id").as("id_a"), col("split").as("split_a")),
+      .join(sp.select(col(splitKey).as("id_a"), col("split").as("split_a")),
         "id_a")
-      .join(sp.select(col("doc_id").as("id_b"), col("split").as("split_b")),
+      .join(sp.select(col(splitKey).as("id_b"), col("split").as("split_b")),
         "id_b")
       .filter(col("split_a") =!= col("split_b"))
       .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
-        col("jaccard"))
+        col(simCol))
   }
 
   /** [[splitLeakage]] rolled up per UNORDERED split pair: how many

@@ -291,6 +291,40 @@ object Sampling {
       .filter(col("stratum_rank") <= k)
   }
 
+  /** Per-stratum CALIBRATED selection: keep each stratum's top
+    * `keepNum/keepDen` FRACTION of rows by `score` — the per-source
+    * quality cut a GLOBAL threshold gets wrong when score
+    * distributions differ by source (a clean-encyclopedia source
+    * would sail through a corpus-wide bar that rejects nearly all of
+    * a noisy crawl; cutting each source at its own quantile keeps
+    * every source's best slice and preserves the mixture).
+    *
+    * The keep rule is exact integer arithmetic — keep ⇔
+    * `rank·keepDen ≤ n·keepNum`, rank by (`score` desc, `key` asc)
+    * within the stratum — so the kept set replays bit-for-bit in any
+    * engine; no float quantile estimate is involved. Every stratum
+    * with ≥ keepDen/keepNum rows keeps ≥ 1; a floor of one row per
+    * non-empty stratum is deliberately NOT applied (an all-junk
+    * source should be allowed to vanish — apply [[stratifiedCap]]
+    * first if a presence floor is wanted).
+    *
+    * Scale shape: ONE partitioned window computes both the rank and
+    * the stratum size (shared window frame, one exchange keyed by the
+    * stratum) — each task sorts only its own stratum, never the
+    * corpus. Skewed strata are bounded by the largest single source,
+    * the same exposure every per-source operator here carries. */
+  def topFracByScore(df: DataFrame, stratum: Column, key: Column,
+      score: Column, keepNum: Long, keepDen: Long): DataFrame = {
+    require(keepNum >= 0, s"keepNum must be non-negative, got $keepNum")
+    require(keepDen >= 1, s"keepDen must be positive, got $keepDen")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum)
+    val wo = w.orderBy(score.desc, key.asc)
+    df.withColumn("stratum_rank", row_number().over(wo).cast("long"))
+      .withColumn("n_stratum", count(lit(1)).over(w))
+      .filter(col("stratum_rank") * keepDen <= col("n_stratum") * keepNum)
+  }
+
   /** Token-budget cap per stratum: keep documents, in deterministic
     * portable-hash order, until the stratum's running token total
     * reaches `budget` — "at most N tokens of web crawl per source",

@@ -445,7 +445,13 @@ object Similarity {
     * correctness gate's spelling (`dedup_semantic`), while real
     * pipelines use the trained-index entry. */
   def semanticDedupSeeded(emb: DataFrame, threshold: Double,
-      nClusters: Int, persist: Persistence = Persistence.Local): DataFrame = {
+      nClusters: Int, persist: Persistence = Persistence.Local): DataFrame =
+    semanticVerdict(seededAssign(emb, nClusters, persist), threshold)
+
+  /** The seeded deterministic cluster assignment shared by
+    * [[semanticDedupSeeded]] and [[semanticPairsSeeded]]. */
+  private def seededAssign(emb: DataFrame, nClusters: Int,
+      persist: Persistence): DataFrame = {
     val seeds = emb.orderBy(col("vec_id")).limit(nClusters)
       .select(col("embedding").cast("array<double>")).collect()
       .map { r =>
@@ -457,25 +463,42 @@ object Similarity {
           (col("norm") * lit(sn)), 6).as("d"),
         lit(-i).as("negid"))
     }
-    val assigned = persist(withNorm(emb)
+    persist(withNorm(emb)
       .withColumn("cid",
         (-array_max(array(scored.toIndexedSeq: _*)).getField("negid"))
           .cast("int"))
       .withColumn("scid", col("cid").cast("string")))
-    semanticVerdict(assigned, threshold)
   }
 
   /** Shared verdict stage: pairs within each (sub-)cluster, exact
     * verified cosine, keep = "no lower-id mate at or above the
     * threshold". One shuffle on the cluster key; the anti-join side
     * is the distinct dup-id set (far smaller than the corpus). */
-  private def semanticVerdict(assigned: DataFrame, threshold: Double): DataFrame = {
-    val dups = assigned.as("a")
+  /** The verdict machinery's pair sub-stage, exposed: within-
+    * (sub-)cluster vector pairs at or above the cosine threshold —
+    * (id_a < id_b, cos_sim at 6dp). Same one-shuffle equi-join on the
+    * cluster key; consumers that need the EDGES rather than the keep
+    * verdicts (cross-split leakage audits, duplicate-cluster
+    * analysis) compose from here. */
+  private def semanticPairs(assigned: DataFrame, threshold: Double): DataFrame =
+    assigned.as("a")
       .join(assigned.as("b"),
         col("a.scid") === col("b.scid") && col("a.vec_id") < col("b.vec_id"))
-      .filter(round(dot(col("a.embedding"), col("b.embedding")) /
-        (col("a.norm") * col("b.norm")), 6) >= threshold)
-      .select(col("b.vec_id").as("vec_id")).distinct()
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.norm") * col("b.norm")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+
+  /** [[semanticDedupSeeded]]'s pair edges (deterministic seeded
+    * clustering — the oracle-replayable spelling): every within-
+    * cluster pair with cosine ≥ threshold. */
+  def semanticPairsSeeded(emb: DataFrame, threshold: Double,
+      nClusters: Int, persist: Persistence = Persistence.Local): DataFrame =
+    semanticPairs(seededAssign(emb, nClusters, persist), threshold)
+
+  private def semanticVerdict(assigned: DataFrame, threshold: Double): DataFrame = {
+    val dups = semanticPairs(assigned, threshold)
+      .select(col("id_b").as("vec_id")).distinct()
       .withColumn("is_dup", lit(true))
     assigned.select(col("vec_id"), col("cid"))
       .join(dups, Seq("vec_id"), "left")

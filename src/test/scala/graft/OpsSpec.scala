@@ -462,6 +462,30 @@ class OpsSpec extends AnyFunSuite {
       cid(6L) == 1 && cid(7L) == 0)
   }
 
+  test("semanticPairsSeeded: pair edges consistent with verdicts; semantic split leakage matches the driver replay") {
+    // Law on the real corpus: keep = false exactly for vectors that
+    // appear as id_b in some pair (the verdict stage IS this pair
+    // stage + an anti-join).
+    val pairs = Similarity.semanticPairsSeeded(emb, 0.4, 8)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty && pairs.forall(p => p._1 < p._2))
+    val verdicts = Similarity.semanticDedupSeeded(emb, 0.4, 8)
+      .as[(Long, Int, Boolean)].collect()
+    assert(verdicts.filter(!_._3).map(_._1).toSet == pairs.map(_._2).toSet)
+    // Semantic leakage = pairs whose members straddle the vec_id split.
+    val w = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+    val splits = Sampling.splitAssign(emb.select(col("vec_id")),
+      col("vec_id"), w, "s1").select(col("vec_id"), col("split"))
+    val leaks = Curation.splitLeakageFromPairs(
+      Similarity.semanticPairsSeeded(emb, 0.4, 8), splits,
+      simCol = "cos_sim", splitKey = "vec_id").collect()
+    val spMap = splits.as[(Long, String)].collect().toMap
+    val want = pairs.filter(p => spMap(p._1) != spMap(p._2))
+      .map(p => (p._1, p._2)).toSet
+    assert(leaks.map(r => (r.getLong(0), r.getLong(1))).toSet == want)
+    assert(want.nonEmpty, "law is vacuous without a straddling pair")
+  }
+
   test("semantic dedup over the trained index: cap-removals are a subset, lowest id per cluster kept, repartition-stable") {
     val index = Similarity.buildIvfIndex(emb, nClusters = 8)
     val full = Similarity.semanticDedup(index, 0.4)
@@ -1311,6 +1335,37 @@ class OpsSpec extends AnyFunSuite {
     perSource.foreach { case (src, n) =>
       assert(keptPerSource.getOrElse(src, 0L) == math.min(n, k), src)
     }
+  }
+
+  test("topFracByScore: planted quartile cut, sub-threshold stratum vanishes, real-corpus law vs brute force") {
+    // Planted: source A has 8 rows scoring 1..8 -> keep 1/4 = top 2;
+    // source B has 3 rows -> rank*4 <= 3 never holds, B vanishes.
+    val planted = ((1 to 8).map(i => (i.toLong, "A", i.toDouble)) ++
+      (20 to 22).map(i => (i.toLong, "B", 100.0 + i)))
+      .toDF("doc_id", "src", "sc")
+    val got = Sampling.topFracByScore(planted, col("src"), col("doc_id"),
+      col("sc"), 1L, 4L).collect()
+    assert(got.map(_.getLong(0)).toSet == Set(8L, 7L))
+    assert(got.forall(_.getAs[Long]("n_stratum") == 8L))
+    // Tie handling: equal scores break by key ascending.
+    val tied = Seq((1L, "A", 5.0), (2L, "A", 5.0), (3L, "A", 5.0),
+      (4L, "A", 5.0)).toDF("doc_id", "src", "sc")
+    val t = Sampling.topFracByScore(tied, col("src"), col("doc_id"),
+      col("sc"), 1L, 4L).collect()
+    assert(t.map(_.getLong(0)).toSeq == Seq(1L))
+    // Real-corpus law: equals the driver brute force at 1/4 per source.
+    val base = docs.select(col("doc_id"), col("source"),
+      size(graft.ops.TextOps.tokens(col("text"))).cast("double").as("sc"))
+    val rows = base.as[(Long, String, Double)].collect()
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+      val sorted = ds.toSeq.sortBy { case (id, _, s) => (-s, id) }
+      sorted.zipWithIndex.collect {
+        case ((id, _, _), i) if (i + 1) * 4 <= sorted.length => id
+      }
+    }.toSet
+    val kept = Sampling.topFracByScore(base, col("source"), col("doc_id"),
+      col("sc"), 1L, 4L).select("doc_id").as[Long].collect().toSet
+    assert(kept == expected && kept.nonEmpty)
   }
 
   test("budget cap: hash-ordered prefix per stratum, >=1 doc kept, fanout invisible") {
