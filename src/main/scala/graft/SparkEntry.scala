@@ -1391,6 +1391,27 @@ object SparkEntry {
           .unionByName(graft.ops.Multimodal.mediaFromDocuments(edited)),
         maxHamming = 8)
     }),
+    // Caption-conflict audit over the same planted near-dup images:
+    // the edited twins' captions get every token zz-prefixed (a
+    // token-level rewrite both engines spell identically — string
+    // reversal is NOT cross-engine-stable on unicode), so image
+    // near-dups with near-disjoint caption token sets surface as
+    // conflicts (the label-noise rows of an image-text pair corpus).
+    "mm_caption_conflict" -> ((s, d) => {
+      val docs = documents(s, d)
+      val edited = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("x"), expr("substring(text, 2)")).as("text"),
+        col("source"))
+      val media = graft.ops.Multimodal.mediaFromDocuments(docs)
+        .unionByName(graft.ops.Multimodal.mediaFromDocuments(edited))
+      val captions = docs
+        .select(col("doc_id").as("media_id"), col("text").as("caption"))
+        .unionByName(edited.select(col("doc_id").as("media_id"),
+          regexp_replace(col("text"), "(\\S+)", "zz$1").as("caption")))
+      graft.ops.Multimodal.captionConflicts(
+        graft.ops.Multimodal.dhashPairs(media, maxHamming = 8),
+        captions, maxCaptionJaccard = 0.3)
+    }),
     // Audio near-duplicate dedup on the Haitsma–Kalker robust
     // fingerprint (mm_dedup's acoustic sibling): same planted
     // same-length edits, 140-sample signal grid, 17 overlapping
@@ -2470,6 +2491,65 @@ object SparkEntry {
         |      AS hamming
         |  FROM cand JOIN fp a ON cand.id_a = a.mid JOIN fp b ON cand.id_b = b.mid)
         |WHERE hamming <= 8""".stripMargin,
+    // The mm_dedup pair chain + distinct-caption-token Jaccard per
+    // pair; conflicts = near-dup images whose captions disagree.
+    "mm_caption_conflict" ->
+      """WITH m AS (
+        |  SELECT doc_id AS mid, text AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'x' || substring(text, 2) FROM documents),
+        |s AS (SELECT mid, t, length(t) AS n FROM m),
+        |g AS (SELECT mid, k,
+        |        CASE WHEN n = 0 THEN 0
+        |             ELSE unicode(substring(t, 1 + (k * n) // 72, 1)) END AS v
+        |      FROM s, (SELECT unnest(range(0, 72)) AS k) ks),
+        |cmp AS (SELECT a.mid, (a.k // 9) AS r, (a.k % 9) AS c,
+        |        CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+        |        FROM g a JOIN g b ON b.mid = a.mid AND b.k = a.k + 1
+        |        WHERE a.k % 9 < 8),
+        |bands AS (SELECT mid, r // 2 AS band_idx,
+        |        sum(bit * (1 << ((r % 2) * 8 + c))) AS band_val
+        |        FROM cmp GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT x.mid AS id_a, y.mid AS id_b
+        |        FROM bands x JOIN bands y
+        |          ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+        |            AND x.mid < y.mid),
+        |fp AS (SELECT mid,
+        |        max(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+        |        max(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+        |        max(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+        |        max(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+        |      FROM bands GROUP BY 1),
+        |ph AS (SELECT * FROM (
+        |  SELECT id_a, id_b,
+        |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+        |         bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS INT)
+        |      AS hamming
+        |  FROM cand JOIN fp a ON cand.id_a = a.mid JOIN fp b ON cand.id_b = b.mid)
+        |  WHERE hamming <= 8),
+        |cap AS (SELECT doc_id AS mid, text AS caption FROM documents
+        |        UNION ALL
+        |        SELECT doc_id + 1000000, regexp_replace(text, '(\S+)', 'zz\1', 'g')
+        |        FROM documents),
+        |ct AS (SELECT DISTINCT mid, tk FROM (
+        |         SELECT mid, unnest(string_split_regex(lower(trim(caption)), '\s+')) AS tk
+        |         FROM cap)),
+        |csz AS (SELECT mid, count(*) AS n FROM ct GROUP BY 1),
+        |com AS (SELECT p.id_a, p.id_b, count(*) AS c
+        |        FROM ph p JOIN ct x ON x.mid = p.id_a
+        |                  JOIN ct y ON y.mid = p.id_b AND y.tk = x.tk
+        |        GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT p.id_a, p.id_b, p.hamming,
+        |    round(CASE WHEN COALESCE(ca.n, 0) + COALESCE(cb.n, 0)
+        |                    - COALESCE(com.c, 0) = 0 THEN 1.0
+        |          ELSE COALESCE(com.c, 0) * 1.0 /
+        |               (COALESCE(ca.n, 0) + COALESCE(cb.n, 0) - COALESCE(com.c, 0))
+        |          END, 6) AS caption_jaccard
+        |  FROM ph p LEFT JOIN csz ca ON ca.mid = p.id_a
+        |            LEFT JOIN csz cb ON cb.mid = p.id_b
+        |            LEFT JOIN com ON com.id_a = p.id_a AND com.id_b = p.id_b)
+        |WHERE caption_jaccard <= 0.3""".stripMargin,
     // Replays AudioFpBands exactly: 140-codepoint signal, integer band
     // energies E(f,b) = Σ v², difference-of-differences bits for
     // f=1..16 b=0..2, band key (f-1)//4 at bit ((f-1)%4)*3+b, banded

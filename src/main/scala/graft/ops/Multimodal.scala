@@ -211,6 +211,49 @@ object Multimodal {
           (0 until 4).map(k => element_at(col("bands"), k + 1).as(s"band$k")): _*),
       maxHamming, persist)
 
+  /** Caption-conflict audit for image-text training pairs: perceptual
+    * near-duplicate images ([[dhashPairs]] / [[dhashPairsDecoded]]
+    * edges) whose CAPTIONS disagree — the same picture teaching the
+    * model two different things. In web-scraped pair corpora these
+    * are label-noise candidates (one caption is alt-text spam, a
+    * watermark, or the wrong language); the rows a caption-cleaning
+    * pass reviews first. The complementary reading also holds: a
+    * near-dup image pair whose captions AGREE is a true duplicate the
+    * image dedup alone already catches.
+    *
+    * `pairs` is any (id_a, id_b, hamming) frame from the dhash
+    * machinery; `captions` maps media_id → caption text. Disagreement
+    * is distinct-word-token Jaccard ≤ `maxCaptionJaccard` (exact
+    * integer set counts, one IEEE division, rounded at 6dp — the
+    * cross-engine spelling the dedup gates pin). Two empty captions
+    * read Jaccard 1 (identical — no conflict).
+    *
+    * Scale shape: two keyed equi-joins of the (selectivity-tiny) pair
+    * frame against the caption map, then per-ROW token-set HOFs — no
+    * shuffle beyond the pair machinery's own, no token explode. */
+  def captionConflicts(pairs: DataFrame, captions: DataFrame,
+      maxCaptionJaccard: Double = 0.3): DataFrame = {
+    val cap = captions.select(col("media_id"), col("caption"))
+    def toks(c: org.apache.spark.sql.Column) =
+      array_distinct(graft.functions.word_tokens(c))
+    pairs
+      .join(cap.select(col("media_id").as("id_a"),
+        col("caption").as("cap_a")), "id_a")
+      .join(cap.select(col("media_id").as("id_b"),
+        col("caption").as("cap_b")), "id_b")
+      .withColumn("ta", toks(col("cap_a")))
+      .withColumn("tb", toks(col("cap_b")))
+      .withColumn("n_union",
+        size(array_union(col("ta"), col("tb"))))
+      .withColumn("caption_jaccard",
+        round(when(col("n_union") === 0, lit(1.0))
+          .otherwise(size(array_intersect(col("ta"), col("tb")))
+            .cast("double") / col("n_union")), 6))
+      .filter(col("caption_jaccard") <= maxCaptionJaccard)
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        col("caption_jaccard"))
+  }
+
   /** [[dhashPairs]] over REAL decoded pixels: payloads decode via
     * `javax.imageio` (per-partition batch, the [[extractFeatures]]
     * path), the decoded raster is point-sampled to the 9×8 Rec. 601

@@ -3479,6 +3479,55 @@ class OpsSpec extends AnyFunSuite {
       !winners.contains(i + 1000L)))
   }
 
+  test("captionConflicts: disagreeing captions on near-dup images flagged, agreeing suppressed; driver-replay law") {
+    // Reuse the planted same-length-edit image corpus; captions:
+    // originals keep their text, HALF the edited twins get a disjoint
+    // spam caption (conflict), the other half get the original
+    // caption plus one word (agree, Jaccard high).
+    val rnd = new scala.util.Random(4242)
+    val base = (0 until 30).map(i =>
+      (i.toLong, (0 until 40).map(_ =>
+        Integer.toHexString(rnd.nextInt())).mkString(" ")))
+      .toDF("doc_id", "text")
+    val edited = base.select((col("doc_id") + 1000L).as("doc_id"),
+      concat(lit("x"), expr("substring(text, 2)")).as("text"),
+      col("text").as("orig"))
+    val media = Multimodal.mediaFromDocuments(
+      base.withColumn("source", lit("a"))
+        .unionByName(edited.drop("orig").withColumn("source", lit("a"))))
+    // Spam tokens all contain 'z' (hex tokens never do) -> disjoint
+    // sets, Jaccard exactly 0 for the planted conflicts.
+    val captions = base.select(col("doc_id").as("media_id"),
+        col("text").as("caption"))
+      .unionByName(edited.select(col("doc_id").as("media_id"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("zzspam zzwatermark zzstock zzphoto zz"),
+            col("doc_id").cast("string")))
+          .otherwise(concat(col("orig"), lit(" extraword")))
+          .as("caption")))
+    val pairs = Multimodal.dhashPairs(media, maxHamming = 8)
+    val conflicts = Multimodal.captionConflicts(pairs, captions, 0.3)
+      .as[(Long, Long, Int, Double)].collect()
+    // Planted conflicts (even i): disjoint spam caption -> flagged.
+    // Planted agreements (odd i): one extra token on 40 -> J ~ 40/41.
+    val plantedPairs = conflicts.filter(p => p._2 - p._1 == 1000L)
+    assert(plantedPairs.map(_._1).toSet == (0 until 30 by 2).map(_.toLong).toSet)
+    assert(plantedPairs.forall(_._4 == 0.0))
+    // Law: conflicts == driver replay of (pairs x caption jaccard).
+    val capMap = captions.as[(Long, String)].collect().toMap
+    def tk(s: String): Set[String] =
+      s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+    val want = pairs.as[(Long, Long, Int)].collect().flatMap { p =>
+      val (ta, tb) = (tk(capMap(p._1)), tk(capMap(p._2)))
+      val u = ta.union(tb).size
+      val j = if (u == 0) 1.0
+        else BigDecimal(ta.intersect(tb).size.toDouble / u)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (j <= 0.3) Some((p._1, p._2)) else None
+    }.toSet
+    assert(conflicts.map(p => (p._1, p._2)).toSet == want)
+  }
+
   test("dhashPairsDecoded: planted PNG near-duplicates pair; brightness-shift invariant; undecodable drops") {
     def png(w: Int, h: Int)(luma: (Int, Int) => Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
