@@ -851,6 +851,14 @@ object SparkEntry {
       graft.ops.Decontamination.flagContaminated(
         all.filter(col("doc_id") >= 10), all.filter(col("doc_id") < 10), n = 5)
     }),
+    // Attributed decontamination: the same fixture, reported per
+    // (training doc, eval doc) pair — which benchmark item leaked
+    // where, the provenance the flag counts can't answer.
+    "curation_decontaminate_attributed" -> ((s, d) => {
+      val all = documents(s, d)
+      graft.ops.Decontamination.attributeContamination(
+        all.filter(col("doc_id") >= 10), all.filter(col("doc_id") < 10), n = 5)
+    }),
     // Per-(source, lang) corpus profile — the curation dashboard's
     // breakdown axis. Decimal-exact average.
     "curation_source_profile" -> ((s, d) =>
@@ -2079,6 +2087,18 @@ object SparkEntry {
         |  CAST(top_cnt AS DOUBLE) * n_keys / n_rows AS skew_uniform
         |FROM a""".stripMargin,
     "curation_decontaminate" -> decontaminateOracle,
+    "curation_decontaminate_attributed" -> {
+      val joins = (1 to 4).map(i =>
+        s"JOIN tok t$i ON t$i.doc_id=t0.doc_id AND t$i.i=t0.i+$i").mkString(" ")
+      val gram = (0 to 4).map(i => s"t$i.tk").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, $dToks w FROM documents),
+         |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),
+         |sh AS (SELECT DISTINCT t0.doc_id, $gram AS g FROM tok t0 $joins),
+         |ev AS (SELECT DISTINCT doc_id AS eval_id, g FROM sh WHERE doc_id < 10)
+         |SELECT s.doc_id, e.eval_id, count(*) AS n_shared
+         |FROM sh s JOIN ev e USING (g)
+         |WHERE s.doc_id >= 10 GROUP BY 1, 2""".stripMargin
+    },
     // The Bloom spelling is a prefilter + exact verify — flagged set
     // identical to the broadcast twin, so the oracle is too.
     "curation_decontaminate_bloom" -> decontaminateOracle,

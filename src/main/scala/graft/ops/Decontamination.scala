@@ -236,6 +236,37 @@ object Decontamination {
         (-col("m.neg")).as("near_eval_id"),
         coalesce(col("m.micros") >= thr, lit(false)).as("contaminated"))
 
+  /** ATTRIBUTED decontamination: not just "this training doc is
+    * contaminated" but by WHICH eval document — one row per
+    * (doc_id, eval_id) pair sharing ≥ 1 word n-gram, with the count of
+    * distinct shared grams. The report a benchmark owner reads:
+    * "task X leaked into 40 crawl pages; task Y is clean" — per-doc
+    * flags ([[flagContaminated]]) can't answer that, and the semantic
+    * family already carries provenance (`near_eval_id`).
+    *
+    * Same scale posture as the flag path: the eval side broadcasts as
+    * (eval_id, gram-hash) pairs (marginally wider than the distinct
+    * gram set, still eval-sized), the corpus is ONE scan + explode,
+    * and the only shuffle is the (doc, eval) count — map-side
+    * combinable, keyed by the pair. A training doc contaminated by k
+    * eval docs emits k rows; `distinct doc_id` here equals the flag
+    * path's flagged set (spec-pinned law). */
+  def attributeContamination(docs: DataFrame, evalDocs: DataFrame,
+      n: Int = 13, broadcastEval: Boolean = true): DataFrame = {
+    val evalGrams = evalDocs
+      .select(col("doc_id").as("eval_id"), explode(
+        array_distinct(graft.functions.word_shingle_hashes(col("text"), n))).as("g"))
+      .distinct()
+    val ev = if (broadcastEval) broadcast(evalGrams) else evalGrams
+    docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(
+        array_distinct(graft.functions.word_shingle_hashes(col("text"), n))).as("g"))
+      .join(ev, "g")
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   private def flagAgainstEval(corpusGrams: DataFrame, evalDocs: DataFrame,
       n: Int, broadcastEval: Boolean): DataFrame = {
     val evalGrams = evalDocs

@@ -943,6 +943,46 @@ class OpsSpec extends AnyFunSuite {
     assert(shuffled == flagged)
   }
 
+  test("attributed decontamination: per-eval provenance rows; distinct flagged docs equal the flag path; multi-eval fan-out") {
+    val eval = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      // Eval 3 shares its 5-gram run with eval 1's tail.
+      (3L, "delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // Hits eval 1 (2 windows) AND eval 3 (1 window:
+      // "delta epsilon zeta eta theta").
+      (10L, "prefix beta gamma delta epsilon zeta eta theta suffix"),
+      (11L, "alpha beta gamma five six seven delta epsilon"),
+      (12L, "one two three four five oops six seven eight nine"))
+      .toDF("doc_id", "text")
+    val att = Decontamination.attributeContamination(train, eval, n = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 10 vs eval 1: shared windows of "beta gamma delta epsilon
+    // zeta eta theta" = 3; vs eval 3: "delta epsilon zeta eta theta"
+    // = 1. doc 12 vs eval 2: "one two three four five" = 1.
+    assert(att == Set((10L, 1L, 3L), (10L, 3L, 1L), (12L, 2L, 1L)))
+    // Law on the real corpus: distinct attributed doc set == flag set.
+    val all = docs
+    val tr = all.filter(col("doc_id") >= 10)
+    val ev = all.filter(col("doc_id") < 10)
+    val attributed = Decontamination.attributeContamination(tr, ev, n = 5)
+    val flaggedSet = Decontamination.flagContaminated(tr, ev, n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(attributed.select("doc_id").distinct().as[Long].collect().toSet
+      == flaggedSet)
+    assert(flaggedSet.nonEmpty, "law is vacuous with no contamination")
+    // Per-pair counts never exceed the per-doc distinct-gram hit count
+    // ... but can SUM above it (a gram shared with two evals counts
+    // once in n_hits, twice across attribution rows).
+    val hits = Decontamination.flagContaminated(tr, ev, n = 5)
+      .as[(Long, Long)].collect().toMap
+    attributed.as[(Long, Long, Long)].collect().foreach { case (d, _, c) =>
+      assert(c <= hits(d))
+    }
+  }
+
   test("hashed-gram decontamination equals the string-gram spelling on the spec corpus") {
     val eval = docs.filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 1000L).as("doc_id"), col("text"))
