@@ -179,6 +179,15 @@ object ScaleSlope {
             .cast("int").as("label"))
         TextAnalysis.rocCurve(scored.join(lab, "doc_id"), "margin", "label")
       }),
+      // Round-10: CCNet perplexity terciles — lmScore + the bucketed
+      // competition-rank chain. Salted replica trigrams shift every
+      // replica's avg_p values, so the DISTINCT-score frame grows with
+      // the corpus — exactly the axis a single RANK() window would
+      // funnel through one task; this row measures the chained
+      // per-bucket plan instead.
+      "text_ppl_buckets" -> ((df, _) =>
+        TextAnalysis.pplBuckets(df, tiles = 3, perSource = false,
+          fanout = 64)),
       // Round-10: SemDeDup end-to-end (IVF train + assign + within-
       // cluster verdicts). Cluster count is a MODEL CONSTANT — the
       // centroid table is a k×dim driver artifact, and per-row

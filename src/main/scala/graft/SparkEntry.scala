@@ -783,6 +783,14 @@ object SparkEntry {
     // (spec-pinned subset law in OpsSpec).
     "dedup_semantic" -> ((s, d) =>
       graft.ops.Similarity.semanticDedupSeeded(embeddings(s, d), 0.4, 8)),
+    // Embedding-space cluster health (hotKeys' embedding sibling):
+    // per-cluster population, exact-decimal cosine mass to the own
+    // centroid, tightness, share — the pre-flight that sizes
+    // nClusters/maxClusterSize before any semantic pair stage. Same
+    // seeded spelling as dedup_semantic; trained-index twin
+    // spec-pinned.
+    "sim_cluster_stats" -> ((s, d) =>
+      graft.ops.Similarity.clusterStatsSeeded(embeddings(s, d), 8)),
     "sim_topk" -> ((s, d) =>
       graft.ops.Similarity.cosineTopK(embeddings(s, d), embQueries(s, d), 5)),
     "sim_ann_lsh" -> ((s, d) =>
@@ -1052,6 +1060,18 @@ object SparkEntry {
           .select(col("doc_id"), col("split")),
         shingleN = 3, jaccard = 0.8, maxShingleDf = 10)
     }),
+    // The repair the audit motivates: quarantine the lower-priority
+    // member of every straddling pair (test > val > train — eval
+    // splits are sacred), emitting the full repaired assignment.
+    "curation_split_repair" -> ((s, d) => {
+      val docs = documents(s, d)
+      val splits = graft.ops.Sampling.splitAssign(docs, col("doc_id"),
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), "s1")
+        .select(col("doc_id"), col("split"))
+      graft.ops.Curation.splitRepair(splits,
+        graft.ops.Curation.splitLeakage(docs, splits,
+          shingleN = 3, jaccard = 0.8, maxShingleDf = 10))
+    }),
     // SEMANTIC cross-split leakage: the same audit over embedding-
     // cosine pairs (seeded-centroid SemDeDup spelling) — catches the
     // paraphrase/translation straddles n-gram Jaccard cannot see.
@@ -1116,6 +1136,43 @@ object SparkEntry {
         refDocs = all.filter(col("source") === "src0"))
         .select(col("doc_id"), col("n_tri"), col("sum_cnt"), col("avg_p"))
     }),
+    // CCNet-style perplexity buckets: equal-population head/middle/
+    // tail terciles of the LM score, global (the bucketed no-group
+    // rank chain) and per source (the grouped chain — CCNet's
+    // per-language shape). Competition ranks over bit-identical
+    // avg_p doubles; tile arithmetic is exact integer DIV.
+    "text_ppl_buckets" -> ((s, d) =>
+      graft.ops.TextAnalysis.pplBuckets(documents(s, d), tiles = 3,
+          perSource = false, fanout = 8)
+        .select(col("doc_id"), col("n_tri"), col("sum_cnt"), col("avg_p"),
+          col("rank"), col("n_group"), col("tile"), col("bucket"))),
+    "text_ppl_buckets_by_source" -> ((s, d) =>
+      graft.ops.TextAnalysis.pplBuckets(documents(s, d), tiles = 3,
+          perSource = true, fanout = 8)
+        .select(col("doc_id"), col("source"), col("n_tri"), col("sum_cnt"),
+          col("avg_p"), col("rank"), col("n_group"), col("tile"),
+          col("bucket"))),
+    // The deployment artifact: per-tile frozen cutoffs (min avg_p of
+    // each tercile) + calibration mass — the constants an ingest-time
+    // bucket projection ships instead of re-ranking the corpus.
+    "text_ppl_cutoffs" -> ((s, d) =>
+      graft.ops.Ranking.tileThresholds(
+        graft.ops.TextAnalysis.pplBuckets(documents(s, d), tiles = 3,
+          perSource = false, fanout = 8), "avg_p")),
+    // Reciprocal-rank fusion of three incomparable quality signals
+    // into one ordering — per-signal competition ranks (no global
+    // sort: the bucketed prefix-sum chain per signal) and the fixed
+    // left-to-right reciprocal sum.
+    "curation_rank_fusion" -> ((s, d) =>
+      graft.ops.Ranking.rankFusion(
+        documents(s, d).select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(graft.functions.word_tokens(col("text"))).cast("long")
+            .as("n_words"),
+          size(array_distinct(graft.functions.word_tokens(col("text"))))
+            .cast("long").as("n_types")),
+        Seq(("n_chars", true), ("n_words", true), ("n_types", true)),
+        k = 60, fanout = 8)),
     "text_classifier_score" -> ((s, d) =>
       graft.ops.TextAnalysis.classifierScore(
         documents(s, d), classifierGateWeights, bias = 0.0, wordNgrams = 2)
@@ -1355,6 +1412,12 @@ object SparkEntry {
     // this library shuffles on).
     "profile_hot_keys" -> ((s, d) =>
       graft.ops.Profiling.hotKeys(events(s, d), col("user_id"), 20)),
+    // Boilerplate pre-flight: the top-20 word trigrams by document
+    // frequency — the table that sets maxShingleDf and names the
+    // C4-style boilerplate lines. Exact counts, total-order tie-break,
+    // TakeOrderedAndProject.
+    "profile_heavy_grams" -> ((s, d) =>
+      graft.ops.Profiling.heavyGrams(documents(s, d), n = 3, k = 20)),
     "profile_key_stats" -> ((s, d) =>
       graft.ops.Profiling.keyStats(events(s, d), col("user_id"))),
     // Corpus vocabulary head: top-20 terms by corpus frequency with
@@ -1550,6 +1613,29 @@ object SparkEntry {
         |SELECT a.vec_id, a.cid,
         |       a.vec_id NOT IN (SELECT dup_id FROM pairs) AS keep
         |FROM assign a""".stripMargin,
+    // Cluster health over the same seeded assignment: per-cid counts
+    // + DECIMAL(38,6) cosine mass (order-independent exact sum), one
+    // division each for mean/share.
+    "sim_cluster_stats" ->
+      """WITH seeds AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+        |         CAST(embedding AS DOUBLE[]) AS semb
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+        |scored AS (
+        |  SELECT e.vec_id, s.cid,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.semb), 6) AS d
+        |  FROM embeddings e CROSS JOIN seeds s),
+        |assign AS (
+        |  SELECT vec_id, cid, d FROM (
+        |    SELECT vec_id, cid, d,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rk
+        |    FROM scored) t WHERE rk = 1),
+        |tot AS (SELECT count(*) AS nt FROM embeddings)
+        |SELECT cid, count(*) AS n_vecs,
+        |  CAST(sum(CAST(d AS DECIMAL(38,6))) AS DOUBLE) AS sum_cos,
+        |  CAST(sum(CAST(d AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS mean_cos,
+        |  CAST(count(*) AS DOUBLE) / (SELECT nt FROM tot) AS share
+        |FROM assign GROUP BY 1""".stripMargin,
     "sim_ann_lsh" -> simTopkOracle,
     "sim_ann_ivf" -> simTopkOracle,
     "sim_topk" -> simTopkOracle,
@@ -1632,6 +1718,89 @@ object SparkEntry {
          |  CAST(COALESCE(sum(m.cnt), 0) AS DOUBLE) / count(*)
          |    / (SELECT total FROM tot) AS avg_p
          |FROM tri d LEFT JOIN m USING (tr) GROUP BY 1""".stripMargin,
+    // CCNet perplexity terciles: the lm CTE chain + RANK() over the
+    // bit-identical avg_p doubles (competition ranks make ties
+    // engine-invariant), tile = exact integer DIV.
+    "text_ppl_buckets" ->
+      s"""WITH t AS (SELECT doc_id, $dNorm AS s FROM documents),
+         |tri AS (SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(length(s) - 1, 1)),
+         |    x -> substring(s, CAST(x AS INT), 3))) AS tr FROM t),
+         |m AS (SELECT tr, count(*) AS cnt FROM tri GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM m),
+         |lm AS (SELECT d.doc_id, count(*) AS n_tri,
+         |    CAST(COALESCE(sum(m.cnt), 0) AS BIGINT) AS sum_cnt,
+         |    CAST(COALESCE(sum(m.cnt), 0) AS DOUBLE) / count(*)
+         |      / (SELECT total FROM tot) AS avg_p
+         |  FROM tri d LEFT JOIN m USING (tr) GROUP BY 1),
+         |r AS (SELECT doc_id, n_tri, sum_cnt, avg_p,
+         |    RANK() OVER (ORDER BY avg_p DESC) AS rank,
+         |    count(*) OVER () AS n_group FROM lm)
+         |SELECT doc_id, n_tri, sum_cnt, avg_p, rank, n_group,
+         |  CAST(((rank - 1) * 3) // n_group AS INT) AS tile,
+         |  CASE CAST(((rank - 1) * 3) // n_group AS INT)
+         |    WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM r""".stripMargin,
+    // Per-source variant: same chain, RANK/count PARTITION BY source
+    // (the grouped subtotal-chain path on the Spark side).
+    "text_ppl_buckets_by_source" ->
+      s"""WITH t AS (SELECT doc_id, $dNorm AS s FROM documents),
+         |tri AS (SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(length(s) - 1, 1)),
+         |    x -> substring(s, CAST(x AS INT), 3))) AS tr FROM t),
+         |m AS (SELECT tr, count(*) AS cnt FROM tri GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM m),
+         |lm AS (SELECT d.doc_id, count(*) AS n_tri,
+         |    CAST(COALESCE(sum(m.cnt), 0) AS BIGINT) AS sum_cnt,
+         |    CAST(COALESCE(sum(m.cnt), 0) AS DOUBLE) / count(*)
+         |      / (SELECT total FROM tot) AS avg_p
+         |  FROM tri d LEFT JOIN m USING (tr) GROUP BY 1),
+         |ls AS (SELECT lm.*, dd.source FROM lm
+         |       JOIN documents dd USING (doc_id)),
+         |r AS (SELECT doc_id, source, n_tri, sum_cnt, avg_p,
+         |    RANK() OVER (PARTITION BY source ORDER BY avg_p DESC) AS rank,
+         |    count(*) OVER (PARTITION BY source) AS n_group FROM ls)
+         |SELECT doc_id, source, n_tri, sum_cnt, avg_p, rank, n_group,
+         |  CAST(((rank - 1) * 3) // n_group AS INT) AS tile,
+         |  CASE CAST(((rank - 1) * 3) // n_group AS INT)
+         |    WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM r""".stripMargin,
+    // Frozen tercile cutoffs: the ppl CTE + per-tile min/count.
+    "text_ppl_cutoffs" ->
+      s"""WITH t AS (SELECT doc_id, $dNorm AS s FROM documents),
+         |tri AS (SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(length(s) - 1, 1)),
+         |    x -> substring(s, CAST(x AS INT), 3))) AS tr FROM t),
+         |m AS (SELECT tr, count(*) AS cnt FROM tri GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM m),
+         |lm AS (SELECT d.doc_id,
+         |    CAST(COALESCE(sum(m.cnt), 0) AS DOUBLE) / count(*)
+         |      / (SELECT total FROM tot) AS avg_p
+         |  FROM tri d LEFT JOIN m USING (tr) GROUP BY 1),
+         |r AS (SELECT avg_p,
+         |    RANK() OVER (ORDER BY avg_p DESC) AS rank,
+         |    count(*) OVER () AS n_group FROM lm)
+         |SELECT CAST(((rank - 1) * 3) // n_group AS INT) AS tile,
+         |  min(avg_p) AS cutoff, count(*) AS n_rows
+         |FROM r GROUP BY 1""".stripMargin,
+    // Reciprocal-rank fusion: three RANK() windows over exact integer
+    // signals, reciprocals summed in the same left-to-right order as
+    // the Spark expression.
+    "curation_rank_fusion" ->
+      s"""WITH b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len($dToks) AS BIGINT) AS n_words,
+         |    CAST(len(list_distinct($dToks)) AS BIGINT) AS n_types
+         |  FROM documents),
+         |r AS (SELECT doc_id, n_chars, n_words, n_types,
+         |    RANK() OVER (ORDER BY n_chars DESC) AS rank_n_chars,
+         |    RANK() OVER (ORDER BY n_words DESC) AS rank_n_words,
+         |    RANK() OVER (ORDER BY n_types DESC) AS rank_n_types FROM b)
+         |SELECT doc_id, n_chars, n_words, n_types,
+         |  rank_n_chars, rank_n_words, rank_n_types,
+         |  CAST(1 AS DOUBLE) / (60 + rank_n_chars)
+         |    + CAST(1 AS DOUBLE) / (60 + rank_n_words)
+         |    + CAST(1 AS DOUBLE) / (60 + rank_n_types) AS rrf
+         |FROM r""".stripMargin,
     // Cross-corpus LM: model trigrams from src0, scored on the rest.
     "text_lm_score_xcorpus" ->
       s"""WITH t AS (SELECT doc_id, source, $dNorm AS s FROM documents),
@@ -2077,6 +2246,24 @@ object SparkEntry {
         |SELECT rank, key_value, cnt,
         |  CAST(cnt AS DOUBLE) / (SELECT total FROM t) AS share
         |FROM k WHERE rank <= 20""".stripMargin,
+    // Heavy-hitter trigrams: the tok-join gram chain WITHOUT distinct
+    // (n_occ counts occurrences), doc frequency via count(DISTINCT),
+    // total-order tie-break, top-20.
+    "profile_heavy_grams" ->
+      s"""WITH t AS (SELECT doc_id, $dToks w FROM documents),
+         |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),
+         |sh AS (SELECT t0.doc_id, t0.tk || ' ' || t1.tk || ' ' || t2.tk AS g
+         |       FROM tok t0 JOIN tok t1 ON t1.doc_id=t0.doc_id AND t1.i=t0.i+1
+         |                   JOIN tok t2 ON t2.doc_id=t0.doc_id AND t2.i=t0.i+2),
+         |c AS (SELECT g AS gram, count(*) AS n_occ,
+         |        count(DISTINCT doc_id) AS n_docs FROM sh GROUP BY 1),
+         |tt AS (SELECT count(*) AS nd FROM documents),
+         |k AS (SELECT gram, n_docs, n_occ,
+         |        CAST(row_number() OVER (ORDER BY n_docs DESC, n_occ DESC,
+         |          gram ASC) AS INT) AS rank FROM c)
+         |SELECT rank, gram, n_docs, n_occ,
+         |  CAST(n_docs AS DOUBLE) / (SELECT nd FROM tt) AS doc_share
+         |FROM k WHERE rank <= 20""".stripMargin,
     "profile_key_stats" ->
       """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS v, count(*) AS cnt
         |           FROM events GROUP BY 1),
@@ -2246,6 +2433,23 @@ object SparkEntry {
         |  count(DISTINCT doc) AS n_docs
         |FROM (SELECT split_a, split_b, unnest([id_a, id_b]) AS doc FROM leak)
         |GROUP BY 1, 2""".stripMargin),
+    // Repair = the leak CTE ranked by split priority (test 0 > val 1
+    // > train 2): the higher-ranked (lower-priority) member of every
+    // pair is quarantined; everything else keeps its split.
+    "curation_split_repair" -> (splitLeakageCtes +
+      """,
+        |pr AS (SELECT id_a, id_b,
+        |         CASE split_a WHEN 'test' THEN 0 WHEN 'val' THEN 1
+        |              WHEN 'train' THEN 2 ELSE 3 END AS pa,
+        |         CASE split_b WHEN 'test' THEN 0 WHEN 'val' THEN 1
+        |              WHEN 'train' THEN 2 ELSE 3 END AS pb
+        |       FROM leak),
+        |q AS (SELECT DISTINCT CASE WHEN pa > pb THEN id_a ELSE id_b END AS doc_id
+        |      FROM pr)
+        |SELECT sp.doc_id, sp.split,
+        |  CASE WHEN q.doc_id IS NOT NULL THEN 'quarantined' ELSE sp.split END
+        |    AS split_repaired
+        |FROM sp LEFT JOIN q USING (doc_id)""".stripMargin),
     // The dedup_semantic CTE chain emitting the PAIRS, crossed with
     // the vec_id-keyed split hash.
     "curation_split_leakage_semantic" ->

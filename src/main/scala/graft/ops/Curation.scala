@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The end-to-end curation decision: one call that composes the
@@ -308,6 +308,55 @@ object Curation {
       .filter(col("split_a") =!= col("split_b"))
       .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
         col(simCol))
+  }
+
+  /** The repair the audit motivates: a new assignment in which no
+    * leaking pair straddles a boundary, produced by QUARANTINING the
+    * lower-priority member of every [[splitLeakage]] pair. Priority
+    * order (highest first, default test > val > train) encodes the
+    * rule every eval-hygiene stack runs: the eval splits are sacred,
+    * so the train-side twin of a train↔test near-dup is the one that
+    * leaves. Quarantine — not reassignment to the eval split — because
+    * a near-dup of a test doc placed in val just moves the leak.
+    *
+    * Input: any `(splitKey, split)` assignment and any leak-pair frame
+    * shaped like [[splitLeakageFromPairs]] output (id_a, id_b,
+    * split_a, split_b, …) — lexical, semantic, or both unioned: the
+    * repair is agnostic to what flagged the pair. Splits not named in
+    * `priority` rank below all named ones; a pair tied on priority
+    * quarantines `id_b` (the pair machinery's higher id) so the
+    * verdict stays total and deterministic. Output = the assignment
+    * frame + `split_repaired` (= `split`, or `quarantined`).
+    *
+    * Scale: the quarantine set is distinct ids drawn from the leak
+    * frame — selectivity-tiny relative to the corpus — and the only
+    * corpus-side work is ONE left join against it (AQE broadcasts the
+    * small side). Pure CASE arithmetic otherwise; fully
+    * oracle-portable. Quarantining both members of val↔test pairs
+    * would also be defensible — this op keeps the higher-priority doc
+    * so exactly one side of every leak moves, which a spec pins. */
+  def splitRepair(splits: DataFrame, leaks: DataFrame,
+      priority: Seq[String] = Seq("test", "val", "train"),
+      splitKey: String = "doc_id",
+      quarantineLabel: String = "quarantined"): DataFrame = {
+    require(priority.distinct.size == priority.size,
+      s"priority must not repeat a split name: $priority")
+    def rankOf(c: Column): Column =
+      priority.zipWithIndex.foldRight(lit(priority.size): Column) {
+        case ((s, i), acc) => when(c === lit(s), lit(i)).otherwise(acc)
+      }
+    val ra = rankOf(col("split_a"))
+    val rb = rankOf(col("split_b"))
+    val toDrop = leaks
+      .select(when(ra > rb, col("id_a")).otherwise(col("id_b"))
+        .as(splitKey))
+      .distinct()
+      .withColumn("_quarantined", lit(true))
+    splits.join(toDrop, Seq(splitKey), "left")
+      .withColumn("split_repaired",
+        when(col("_quarantined"), lit(quarantineLabel))
+          .otherwise(col("split")))
+      .drop("_quarantined")
   }
 
   /** [[splitLeakage]] rolled up per UNORDERED split pair: how many

@@ -104,6 +104,45 @@ object Profiling {
           .otherwise(lit("changed")).as("status"))
   }
 
+  /** Heavy-hitter word `n`-grams: the `k` gram types present in the
+    * most documents, with exact document frequency (`n_docs`), total
+    * occurrence count (`n_occ`) and the fraction of the corpus
+    * carrying each (`doc_share`). This is the pre-flight that SETS
+    * the dedup stack's `maxShingleDf` cap: the boilerplate gram that
+    * would make an inverted-index bucket's self-join df²/2 shows up
+    * here first, by name, with its blast radius quantified — and the
+    * same table is the C4-style "remove the boilerplate line" work
+    * list.
+    *
+    * Scale: one map-side-combining groupBy on the gram (the hottest
+    * gram reaches its reducer pre-combined per map task) feeding a
+    * `TakeOrderedAndProject` top-k — the gram space is never globally
+    * sorted and only k winner rows cross the driver boundary. The
+    * doc-frequency distinct is exact (count_distinct per gram); the
+    * tie-break (n_docs desc, n_occ desc, gram asc) is a total order,
+    * so the cut is deterministic and oracle-portable. */
+  def heavyGrams(docs: DataFrame, n: Int = 3, k: Int = 50): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    require(k >= 1, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col("doc_id"), explode(graft.functions.array_shingles(
+        graft.functions.word_tokens(col("text")), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occ"), count_distinct(col("doc_id")).as("n_docs"))
+    val total = docs.agg(count(lit(1)).as("nd"))
+    counts
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram").asc)
+      .limit(k)
+      // k winner rows only — the partition-less window is benign here
+      // (hotKeys' pattern).
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_docs").desc, col("n_occ").desc, col("gram").asc)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("gram"), col("n_docs"), col("n_occ"),
+        (col("n_docs").cast("double") / col("nd")).as("doc_share"))
+  }
+
   def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
     require(n >= 1, s"n must be positive, got $n")
     val sh = docs.select(col("doc_id"), col("source"),

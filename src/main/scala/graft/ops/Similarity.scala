@@ -464,10 +464,62 @@ object Similarity {
         lit(-i).as("negid"))
     }
     persist(withNorm(emb)
-      .withColumn("cid",
-        (-array_max(array(scored.toIndexedSeq: _*)).getField("negid"))
-          .cast("int"))
-      .withColumn("scid", col("cid").cast("string")))
+      .withColumn("_best", array_max(array(scored.toIndexedSeq: _*)))
+      .withColumn("cid", (-col("_best").getField("negid")).cast("int"))
+      // Cosine to the OWN centroid (the argmax d) — free here, and
+      // what [[clusterStatsSeeded]] aggregates per cluster.
+      .withColumn("d_own", col("_best").getField("d"))
+      .withColumn("scid", col("cid").cast("string"))
+      .drop("_best"))
+  }
+
+  /** Embedding-space cluster health: one row per cluster with its
+    * population, exact-decimal cosine mass to the own centroid
+    * (`sum_cos`, the 6-dp assignment cosines summed in
+    * DECIMAL(38,6) — order-independent, so engine-exact), the derived
+    * tightness `mean_cos` (one IEEE division), and corpus `share`.
+    * The embedding-side sibling of [[Profiling.hotKeys]]: a cluster
+    * holding 30% of the corpus says "raise nClusters or lower
+    * `maxClusterSize` before the pair stage"; a low `mean_cos`
+    * cluster is the junk drawer whose members deserve the
+    * [[outlierScores]] gate first. Seeded deterministic clustering
+    * (the `dedup_semantic` gate's spelling) so an independent engine
+    * replays every row; [[clusterStats]] is the trained-index twin.
+    *
+    * Scale: ONE map-side-combinable aggregation on cid (k rows out);
+    * the total behind `share` re-aggregates the k-row counts frame,
+    * not the corpus. */
+  def clusterStatsSeeded(emb: DataFrame, nClusters: Int,
+      persist: Persistence = Persistence.Local): DataFrame =
+    clusterStatsFrom(seededAssign(emb, nClusters, persist))
+
+  /** [[clusterStatsSeeded]] over a trained [[buildIvfIndex]] artifact
+    * (production path — Lloyd centroids are a float fixed-point no
+    * SQL oracle replays, so this twin is spec-pinned instead). The
+    * own-centroid cosine is the same zero-shuffle
+    * [[graft.functions.VecMath.matrix_row_dot]] projection
+    * [[outlierScores]] uses, rounded to the seeded spelling's 6 dp. */
+  def clusterStats(index: IvfIndex): DataFrame = {
+    val dim = index.centroids.headOption.map(_.length).getOrElse(0)
+    val flat = index.centroids.flatten
+    clusterStatsFrom(index.assigned
+      .select(col("vec_id"), col("cid"),
+        graft.functions.VecMath.vec_unit(col("embedding")).as("e"))
+      .withColumn("d_own",
+        round(graft.functions.VecMath.matrix_row_dot(
+          col("e"), col("cid"), flat, dim), 6)))
+  }
+
+  private def clusterStatsFrom(assigned: DataFrame): DataFrame = {
+    val counts = assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("d_own").cast("decimal(38,6)")).as("_sc"))
+    val total = counts.agg(sum(col("n_vecs")).as("_nt"))
+    counts.crossJoin(broadcast(total))
+      .select(col("cid"), col("n_vecs"),
+        col("_sc").cast("double").as("sum_cos"),
+        (col("_sc").cast("double") / col("n_vecs")).as("mean_cos"),
+        (col("n_vecs").cast("double") / col("_nt")).as("share"))
   }
 
   /** Shared verdict stage: pairs within each (sub-)cluster, exact

@@ -434,6 +434,47 @@ object TextAnalysis {
     }
   }
 
+  /** CCNet-style perplexity bucketing: split the corpus into `tiles`
+    * equal-population bands of LM score — head / middle / tail for
+    * the classic `tiles = 3` — optionally per source (CCNet buckets
+    * per language; source is this corpus's grouping analog). The
+    * selection primitive behind "train on the head, sample the
+    * middle, drop the tail": downstream, the `bucket` column feeds
+    * [[graft.ops.Sampling.mixtureSample]] with per-bucket rates.
+    *
+    * Ranks by [[lmScore]]'s `avg_p` DESCENDING — highest average
+    * trigram probability = lowest perplexity = tile 0 = `head` — via
+    * [[graft.ops.Ranking.rankTiles]]' exact competition-rank
+    * arithmetic (ties share a tile on every engine; no task ever
+    * sorts more than one score-range bucket of one group's distinct
+    * scores). `avg_p` doubles are bit-identical across engines (the
+    * `text_lm_score` gate pins that), so an ANSI `RANK()` oracle
+    * reproduces every bucket exactly. Docs with no trigrams carry no
+    * LM evidence and are absent, as in [[lmScore]].
+    *
+    * Scale: the [[lmScore]] pass (broadcast-model projection under
+    * the gate), one keyed join to recover `source` when `perSource`
+    * (the LM frame is doc-keyed already), and the rank machinery's
+    * distinct-score pass. No global sort, no corpus-shaped driver
+    * state. */
+  def pplBuckets(docs: DataFrame, refDocs: DataFrame = null,
+      tiles: Int = 3, perSource: Boolean = false,
+      fanout: Int = 64): DataFrame = {
+    val scored = lmScore(docs, refDocs)
+    val (frame, grp) =
+      if (perSource)
+        (scored.join(docs.select(col("doc_id"), col("source")), "doc_id"),
+          Seq("source"))
+      else (scored, Nil)
+    val tiled = graft.ops.Ranking.rankTiles(frame, "avg_p", tiles,
+      groupCols = grp, ascending = false, fanout = fanout)
+    val label =
+      if (tiles == 3) when(col("tile") === 0, lit("head"))
+        .when(col("tile") === 1, lit("middle")).otherwise(lit("tail"))
+      else concat(lit("t"), col("tile"))
+    tiled.withColumn("bucket", label)
+  }
+
   /** Broadcast linear quality classifier — the fastText-style shape
     * real curation stacks run for learned quality/langid gating:
     * `score = σ(bias + mean_g w[h(g) mod D])` over the document's

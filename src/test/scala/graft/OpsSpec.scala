@@ -3901,4 +3901,229 @@ class OpsSpec extends AnyFunSuite {
     assert(solo.getAs[Long]("p") == 2 && solo.getAs[Long]("n_neg") == 0)
     assert(solo.getAs[Long]("auc_num2") == 0 && solo.getAs[Double]("auc").isNaN)
   }
+
+  test("scoreRanks: bucketed chain ≡ plain window; competition ties; asc/desc; NaN greatest; NULL raises") {
+    val df = Seq(
+      (1L, "a", 5.0), (2L, "a", 5.0), (3L, "a", 3.0), (4L, "b", 7.0),
+      (5L, "b", 3.0), (6L, "b", 3.0), (7L, "b", 1.0)).toDF("id", "grp", "s")
+    def byId(r: DataFrame): Seq[(Long, Long, Long)] =
+      r.select(col("id"), col("rank"), col("n_group")).collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sortBy(_._1).toSeq
+    // Global descending: 7,5,5,3,3,3,1 → competition ranks 1,2,2,4,4,4,7.
+    val plainG = byId(Ranking.scoreRanks(df, "s", Nil, ascending = false, fanout = 1))
+    assert(plainG == Seq((1L, 2L, 7L), (2L, 2L, 7L), (3L, 4L, 7L),
+      (4L, 1L, 7L), (5L, 4L, 7L), (6L, 4L, 7L), (7L, 7L, 7L)))
+    // Bucketed spelling is bit-identical (fanout wider than the
+    // distinct-score count exercises empty buckets too).
+    for (f <- Seq(2, 4, 64))
+      assert(byId(Ranking.scoreRanks(df, "s", Nil, ascending = false, fanout = f)) == plainG)
+    // Grouped: a = (5,5,3) → 1,1,3 of 3; b = (7,3,3,1) → 1,2,2,4 of 4.
+    val plainGr = byId(Ranking.scoreRanks(df, "s", Seq("grp"), ascending = false, fanout = 1))
+    assert(plainGr == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 3L, 3L),
+      (4L, 1L, 4L), (5L, 2L, 4L), (6L, 2L, 4L), (7L, 4L, 4L)))
+    assert(byId(Ranking.scoreRanks(df, "s", Seq("grp"), ascending = false, fanout = 4)) == plainGr)
+    // Ascending flips the order: global 1,3,3,3,5,5,7 → 1,2,2,2,5,5,7.
+    val asc = byId(Ranking.scoreRanks(df, "s", Nil, ascending = true, fanout = 4))
+    assert(asc == Seq((1L, 5L, 7L), (2L, 5L, 7L), (3L, 2L, 7L),
+      (4L, 7L, 7L), (5L, 2L, 7L), (6L, 2L, 7L), (7L, 1L, 7L)))
+    // NaN compares greater than every real double → rank 1 descending,
+    // last ascending; identical in both spellings.
+    val withNaN = Seq((1L, 2.0), (2L, Double.NaN), (3L, 1.0)).toDF("id", "s")
+    for (f <- Seq(1, 4)) {
+      val d = Ranking.scoreRanks(withNaN, "s", Nil, ascending = false, fanout = f)
+        .select("id", "rank").collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+      assert(d == Map(2L -> 1L, 1L -> 2L, 3L -> 3L), s"desc fanout=$f")
+      val a = Ranking.scoreRanks(withNaN, "s", Nil, ascending = true, fanout = f)
+        .select("id", "rank").collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+      assert(a == Map(3L -> 1L, 1L -> 2L, 2L -> 3L), s"asc fanout=$f")
+    }
+    // NULL scores have no rank position: loud error, not a silent row.
+    val withNull = Seq((1L, Some(2.0)), (2L, None)).toDF("id", "s")
+    for (f <- Seq(1, 4))
+      intercept[Exception] {
+        Ranking.scoreRanks(withNull, "s", Nil, ascending = false, fanout = f).collect()
+      }
+  }
+
+  test("rankTiles + pplBuckets: exact DIV tiles, ties share a tile, head = lowest perplexity") {
+    // 9 distinct scores, tiles=3 → exactly 3/3/3.
+    val nine = (1 to 9).map(i => (i.toLong, 100.0 - i)).toDF("id", "s")
+    val t9 = Ranking.rankTiles(nine, "s", 3, fanout = 4)
+      .select("id", "tile").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert((1 to 9).forall(i => t9(i.toLong) == (i - 1) / 3))
+    // A tie mass straddling the cut lands in ONE tile: scores
+    // 9,5,5,5,1 tiles=3 → ranks 1,2,2,2,5 → tiles 0,0,0,0,2 (the
+    // shared rank keeps all three 5s together; no 1/2 split).
+    val tied = Seq((1L, 9.0), (2L, 5.0), (3L, 5.0), (4L, 5.0), (5L, 1.0)).toDF("id", "s")
+    val tt = Ranking.rankTiles(tied, "s", 3, fanout = 4)
+      .select("id", "tile").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(tt == Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 2))
+    // pplBuckets on the corpus: head/middle/tail populations within
+    // one tie mass of N/3, and bucket order tracks avg_p — every head
+    // avg_p >= every middle >= every tail.
+    val pb = TextAnalysis.pplBuckets(docs, tiles = 3, fanout = 8)
+      .select("avg_p", "bucket").collect()
+    val byBucket = pb.groupBy(_.getString(1)).view.mapValues(_.map(_.getDouble(0))).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // Equal scores share a rank, hence a tile — so bucket ranges can
+    // never overlap: every head avg_p >= every middle >= every tail.
+    assert(byBucket("head").min >= byBucket("middle").max)
+    assert(byBucket("middle").min >= byBucket("tail").max)
+    // Per-source variant ranks within each source independently.
+    val ps = TextAnalysis.pplBuckets(docs, tiles = 3, perSource = true, fanout = 8)
+    val perSrc = ps.groupBy("source").agg(
+      max(when(col("bucket") === "head", col("rank"))).as("max_head_rank"),
+      max(col("n_group")).as("n")).collect()
+    perSrc.foreach { r =>
+      assert(r.getAs[Long]("max_head_rank") <= r.getAs[Long]("n") / 3 + 1)
+    }
+  }
+
+  test("rankFusion: per-signal competition ranks match RANK(); rrf is the fixed-order reciprocal sum") {
+    val df = Seq(
+      (1L, 10L, 1L), (2L, 8L, 2L), (3L, 8L, 9L), (4L, 2L, 4L)).toDF("id", "s1", "s2")
+    val fused = Ranking.rankFusion(df, Seq(("s1", true), ("s2", true)), k = 60, fanout = 2)
+      .select("id", "rank_s1", "rank_s2", "rrf").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // s1 desc: 10,8,8,2 → 1,2,2,4; s2 desc: 9,4,2,1 → id3=1, id4=2, id2=3, id1=4.
+    assert(fused(1L)._1 == 1 && fused(2L)._1 == 2 && fused(3L)._1 == 2 && fused(4L)._1 == 4)
+    assert(fused(3L)._2 == 1 && fused(4L)._2 == 2 && fused(2L)._2 == 3 && fused(1L)._2 == 4)
+    def rrf(a: Long, b: Long): Double = 1.0 / (60.0 + a) + 1.0 / (60.0 + b)
+    fused.foreach { case (_, (r1, r2, v)) => assert(v == rrf(r1, r2)) }
+    // The fused winner beats a doc that is top on one signal but weak
+    // on the other only when its rank sum is better: id3 (2,1) > id1 (1,4).
+    assert(fused(3L)._3 > fused(1L)._3)
+  }
+
+  test("splitRepair: one side per leak quarantined, eval side kept, re-audit clean, tie → id_b") {
+    val splits = Sampling.splitAssign(docs, col("doc_id"),
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), "s1")
+      .select(col("doc_id"), col("split"))
+    val leaks = Curation.splitLeakage(docs, splits,
+      shingleN = 3, jaccard = 0.8, maxShingleDf = 10)
+    val leakRows = leaks.collect()
+    assert(leakRows.nonEmpty, "gate corpus must produce straddling pairs")
+    val repaired = Curation.splitRepair(splits, leaks)
+    val status = repaired.collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getString(1), r.getString(2))).toMap
+    val prio = Map("test" -> 0, "val" -> 1, "train" -> 2)
+    leakRows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+      val aQ = status(a)._2 == "quarantined"
+      val bQ = status(b)._2 == "quarantined"
+      assert(aQ || bQ, s"pair ($a,$b) untouched")
+      // The side that KEPT its split is never the lower-priority one.
+      val (pa, pb) = (prio(r.getString(2)), prio(r.getString(3)))
+      if (pa < pb) assert(!aQ, s"higher-priority $a quarantined") // a outranks b → b leaves
+      if (pb < pa) assert(!bQ, s"higher-priority $b quarantined")
+    }
+    // Non-quarantined docs keep their split verbatim.
+    status.values.foreach { case (s0, s1) => assert(s1 == s0 || s1 == "quarantined") }
+    // Re-audit: restrict the assignment to surviving docs — no leak
+    // pair survives with both members present.
+    val surviving = status.collect { case (id, (_, s)) if s != "quarantined" => id }.toSet
+    leakRows.foreach { r =>
+      assert(!(surviving(r.getAs[Long]("id_a")) && surviving(r.getAs[Long]("id_b"))))
+    }
+    // Splits outside the priority list rank below all named ones, and
+    // an unlisted-vs-unlisted tie drops id_b (the pair order's higher id).
+    val oddSplits = Seq((1L, "x"), (2L, "y"), (3L, "test")).toDF("doc_id", "split")
+    val oddLeaks = Seq((1L, 2L, "x", "y", 0.9), (2L, 3L, "y", "test", 0.9))
+      .toDF("id_a", "id_b", "split_a", "split_b", "jaccard")
+    val odd = Curation.splitRepair(oddSplits, oddLeaks).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getString(2)).toMap
+    assert(odd(2L) == "quarantined") // ties toward id_b; y loses to test too
+    assert(odd(1L) == "x" && odd(3L) == "test")
+  }
+
+  test("tileThresholds + applyTileThresholds: self-application law, frozen-cutoff bucketing, NaN/unseen-group policy") {
+    val base = Seq((1L, "a", 9.0), (2L, "a", 7.0), (3L, "a", 5.0),
+      (4L, "a", 5.0), (5L, "a", 1.0), (6L, "b", 4.0), (7L, "b", 2.0))
+      .toDF("id", "grp", "s")
+    val tiled = Ranking.rankTiles(base, "s", 3, Seq("grp"), fanout = 4)
+    val th = Ranking.tileThresholds(tiled, "s", Seq("grp"))
+    // Cutoff = inclusive inner bound (min per tile descending):
+    // grp a tiles {9,7},{5,5},{1} → 7,5,1; grp b {4},{2} → 4,2.
+    val thMap = th.collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(thMap == Map(("a", 0) -> (7.0, 2L), ("a", 1) -> (5.0, 2L),
+      ("a", 2) -> (1.0, 1L), ("b", 0) -> (4.0, 1L), ("b", 1) -> (2.0, 1L)))
+    // LAW: applying a corpus's own thresholds back to it reproduces
+    // rankTiles' assignment exactly (tie mass shares a tile, so tile
+    // score ranges never overlap).
+    val self = Ranking.applyTileThresholds(base, th, "s", Seq("grp"))
+      .select("id", "tile").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val want = tiled.select("id", "tile").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(self == want)
+    // Frozen cutoffs bucket NEW scores: above all → 0, in a gap → the
+    // tile whose bound it clears, below all → clamped last, NaN
+    // (compares greatest) → 0; unseen groups are dropped (inner join).
+    val nw = Seq((10L, "a", 100.0), (11L, "a", 6.0), (12L, "a", 0.0),
+      (13L, "a", Double.NaN), (14L, "c", 5.0), (15L, "b", 3.0))
+      .toDF("id", "grp", "s")
+    val applied = Ranking.applyTileThresholds(nw, th, "s", Seq("grp"))
+      .select("id", "tile").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(applied == Map(10L -> 0, 11L -> 1, 12L -> 2, 13L -> 0, 15L -> 1))
+    // Ascending orientation flips the bound direction (max per tile).
+    val asc = Ranking.applyTileThresholds(
+      Seq((20L, 0.5), (21L, 3.5), (22L, 9.9)).toDF("id", "s"),
+      Ranking.tileThresholds(
+        Ranking.rankTiles(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0),
+          (5L, 5.0), (6L, 6.0)).toDF("id", "s"), "s", 3,
+          ascending = true, fanout = 4),
+        "s", ascending = true),
+      "s", ascending = true)
+      .select("id", "tile").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(asc == Map(20L -> 0, 21L -> 1, 22L -> 2))
+  }
+
+  test("clusterStats: seeded stats exact on planted clusters; trained-index twin; shares sum to 1") {
+    // Two orthogonal families; seeds = the two lowest vec_ids. Vector
+    // 7 sits at 45° (cos .707107 to both) and tie-breaks to cid 0.
+    val e = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0)),
+      (3L, Seq(1.0, 0.0, 0.0)), (4L, Seq(2.0, 0.0, 0.0)),
+      (5L, Seq(0.0, 3.0, 0.0)), (6L, Seq(0.0, 1.0, 0.0)),
+      (7L, Seq(1.0, 1.0, 0.0))).toDF("vec_id", "embedding")
+    val st = Similarity.clusterStatsSeeded(e, 2).collect()
+      .map(r => r.getInt(0) -> (r.getAs[Long]("n_vecs"),
+        r.getAs[Double]("sum_cos"), r.getAs[Double]("mean_cos"),
+        r.getAs[Double]("share"))).toMap
+    assert(st(0)._1 == 4 && st(1)._1 == 3)
+    assert(st(0)._2 == 3.707107 && st(1)._2 == 3.0) // exact decimal sums
+    assert(st(0)._3 == 3.707107 / 4 && st(1)._3 == 1.0)
+    assert(st(0)._4 == 4.0 / 7 && st(1)._4 == 3.0 / 7)
+    // Trained-index twin: same schema, k rows at most, shares
+    // partition the corpus, tightness bounded by 1 + rounding.
+    val tw = Similarity.clusterStats(Similarity.buildIvfIndex(emb, 4))
+    assert(tw.columns.toSeq ==
+      Seq("cid", "n_vecs", "sum_cos", "mean_cos", "share"))
+    val rows = tw.collect()
+    assert(rows.nonEmpty && rows.length <= 4)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    assert(rows.forall(_.getAs[Double]("mean_cos") <= 1.000001))
+  }
+
+  test("heavyGrams: exact df/occurrence counts on planted boilerplate; top-k plan, no global sort") {
+    val planted = Seq(
+      (1L, "the same footer line x"), (2L, "the same footer line y"),
+      (3L, "the same footer line z"), (4L, "unique words only here"),
+      (5L, "the same footer twice the same footer twice")).toDF("doc_id", "text")
+    val hg = Profiling.heavyGrams(planted, n = 3, k = 3).collect()
+    // "the same footer": docs 1,2,3,5 (doc 5 twice) → n_docs=4, n_occ=5.
+    val top = hg.head
+    assert(top.getAs[String]("gram") == "the same footer")
+    assert(top.getAs[Long]("n_docs") == 4 && top.getAs[Long]("n_occ") == 5)
+    assert(top.getAs[Int]("rank") == 1 && top.getAs[Double]("doc_share") == 0.8)
+    // "same footer line" in 1,2,3 ranks second.
+    assert(hg(1).getAs[String]("gram") == "same footer line" &&
+      hg(1).getAs[Long]("n_docs") == 3)
+    assert(hg.length == 3)
+    // Scale shape: the k-cut is TakeOrderedAndProject — the gram space
+    // is never globally sorted.
+    val plan = Profiling.heavyGrams(docs, n = 3, k = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
 }

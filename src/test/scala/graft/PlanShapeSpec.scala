@@ -53,7 +53,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "text_tfidf", "text_tfidf_prod", "text_bm25_prod", "text_source_terms",
       "text_classifier_eval", "text_classifier_roc",
       "text_classifier_threshold", "text_label_errors",
-      "curation_weighted_sample", "curation_weighted_repeat")
+      "curation_weighted_sample", "curation_weighted_repeat",
+      // Round-10 rank/profiling family: each crossJoins ONE broadcast
+      // one-row (or fanout-row) stats/total frame — bounded builds by
+      // construction (scoreRanks' global stats row, heavyGrams' corpus
+      // count, the cutoff artifact's groupless aggregate).
+      "curation_rank_fusion", "profile_heavy_grams",
+      "text_ppl_buckets", "text_ppl_cutoffs", "sim_cluster_stats")
 
   test("the CEP rule fan-out is a broadcast HASH join on the pivot key") {
     for (q <- Seq("cep_multi_rule", "cep_multi_rule_first_aligned")) {

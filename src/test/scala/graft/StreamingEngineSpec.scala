@@ -710,4 +710,37 @@ class StreamingEngineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toMap
     assert(nv(11L) == 0.0 && nv(10L) > 0.0 && nv(13L) == 1.0)
   }
+
+  test("ingest-time perplexity bucketing: frozen tile cutoffs, stream-applied, batch==stream rows") {
+    // Rank tiles are corpus-relative and cannot run on a stream; the
+    // deployment shape (CCNet's) freezes the reference corpus's
+    // per-tile cutoffs (tileThresholds) and buckets each ARRIVING
+    // score with a pure projection (applyTileThresholds). Stateless,
+    // so streaming rows must equal the batch operator's bit-for-bit.
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq((1L, 9.0), (2L, 7.0), (3L, 5.0), (4L, 5.0), (5L, 1.0),
+      (6L, 0.5)).toDF("doc_id", "score")
+    val th = graft.ops.Ranking.tileThresholds(
+      graft.ops.Ranking.rankTiles(ref, "score", 3, fanout = 4), "score")
+    def bucket(df: DataFrame) =
+      graft.ops.Ranking.applyTileThresholds(df, th, "score")
+    val incoming = Seq((10L, 8.0), (11L, 5.0), (12L, 0.1), (13L, 100.0))
+    val mem = MemoryStream[(Long, Double)]
+    val q = bucket(mem.toDF().toDF("doc_id", "score"))
+      .writeStream.format("memory").queryName("ppl_bucket_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(incoming.take(2): _*); q.processAllAvailable()
+      mem.addData(incoming.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ppl_bucket_stream")
+      .as[(Long, Double, Int)].collect().toSet
+    val batch = bucket(incoming.toDF("doc_id", "score"))
+      .as[(Long, Double, Int)].collect().toSet
+    assert(streamed == batch && streamed.size == 4)
+    // The gate is live: top-of-head scores tile 0, below-all-cutoffs
+    // scores clamp to the last tile.
+    val t = streamed.map(r => r._1 -> r._3).toMap
+    assert(t(13L) == 0 && t(10L) == 0 && t(12L) == 2)
+  }
 }
