@@ -965,6 +965,12 @@ object SparkEntry {
       graft.ops.Sampling.packSequences(documents(s, d), col("doc_id"),
         char_length(col("text")), budget = 8192, buckets = 8, seed = "s1")
         .select(col("doc_id"), col("bucket"), col("pack_seq"), col("pack_id"))),
+    // The shard-reproducibility artifact: per-pack population, token
+    // mass, fill ratio, and the md5 fingerprint of the ascending
+    // member-id list — what a resumed trainer diffs instead of data.
+    "curation_manifest" -> ((s, d) =>
+      graft.ops.Sampling.packManifest(documents(s, d), col("doc_id"),
+        char_length(col("text")), budget = 8192, buckets = 8, seed = "s1")),
     // Context-window chunking: 32-token windows every 24 tokens (the
     // gate corpus tops out at 99 tokens, so multi-chunk docs with
     // overlap and short tails all occur); chunk content pinned by md5.
@@ -2607,6 +2613,26 @@ object SparkEntry {
          |SELECT doc_id, bucket, cum // 8192 AS pack_seq,
          |  CAST(bucket AS BIGINT) * 4294967296 + (cum // 8192) AS pack_id
          |FROM c""".stripMargin,
+    // The pack CTE chain rolled up per pack: counts, token mass, fill
+    // vs the 8192 budget, md5 of the ascending member-id list.
+    "curation_manifest" ->
+      s"""WITH t AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_tok,
+         |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8)) AS BIGINT)
+         |    / 4294967296.0 AS u
+         |  FROM documents),
+         |b AS (SELECT doc_id, n_tok, u, CAST(floor(u * 8) AS INT) AS bucket FROM t),
+         |c AS (SELECT doc_id, n_tok, bucket,
+         |        CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY bucket ORDER BY u, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+         |      FROM b),
+         |p AS (SELECT doc_id, n_tok, bucket, cum // 8192 AS pack_seq,
+         |        CAST(bucket AS BIGINT) * 4294967296 + (cum // 8192) AS pack_id
+         |      FROM c)
+         |SELECT pack_id, bucket, pack_seq, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_tok) AS DOUBLE) / 8192 AS fill_ratio,
+         |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+         |FROM p GROUP BY 1, 2, 3""".stripMargin,
     // Same split/window/reassembly arithmetic as Dedup.dedupLines
     // (generate_subscripts is 1-based — shifted to posexplode's 0-base).
     "text_line_dedup" ->

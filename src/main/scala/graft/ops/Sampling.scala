@@ -442,6 +442,41 @@ object Sampling {
       .drop(uCol, cumCol)
   }
 
+  /** Shard manifest over [[packSequences]]' assignment: ONE row per
+    * pack with its population (`n_docs`), token mass (`n_tokens`),
+    * budget fill ratio, and a content fingerprint (`ids_md5`, the md5
+    * of the ascending comma-joined member keys). This is the
+    * reproducibility artifact a training run publishes next to its
+    * shards — a resumed or re-provisioned trainer diffs manifests
+    * instead of re-reading data, and any engine/partitioning change
+    * that silently moved a document between packs shows up as a
+    * fingerprint mismatch, by pack, before a single batch trains.
+    *
+    * Scale: the pack assignment's own per-bucket window plus one
+    * groupBy(pack_id) whose per-group state is budget-bounded (a
+    * pack holds at most `budget` tokens, so its member list is
+    * bounded for any corpus whose docs have ≥ 1 token — degenerate
+    * zero-token floods belong to the quality gate upstream). Exact
+    * integers + md5 — fully oracle-portable. */
+  def packManifest(df: DataFrame, key: Column, nTokens: Column,
+      budget: Long, buckets: Int = 1024,
+      seed: String = "graft"): DataFrame = {
+    val packed = packSequences(df, key, nTokens, budget, buckets, seed)
+      .withColumn("_mk", key).withColumn("_mt", nTokens.cast("long"))
+    packed.groupBy(col("pack_id"))
+      .agg(min(col("bucket")).as("bucket"),
+        min(col("pack_seq")).as("pack_seq"),
+        count(lit(1)).as("n_docs"),
+        sum(col("_mt")).as("n_tokens"),
+        md5(concat_ws(",",
+          transform(array_sort(collect_list(col("_mk"))),
+            _.cast("string")))).as("ids_md5"))
+      .select(col("pack_id"), col("bucket"), col("pack_seq"),
+        col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / lit(budget.toDouble))
+          .as("fill_ratio"), col("ids_md5"))
+  }
+
   /** Deterministic global shuffle for training-data ordering: assigns
     * every row a reproducible position — `(shuffle_bucket, shuffle_pos)`,
     * globally ordered as bucket-major — that is a pure function of

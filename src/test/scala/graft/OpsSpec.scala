@@ -4105,6 +4105,39 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Double]("mean_cos") <= 1.000001))
   }
 
+  test("packManifest: per-pack rows replay packSequences exactly (independent driver-side recompute)") {
+    val df = docs.select(col("doc_id"), col("text"))
+    val budget = 8192L
+    val packed = Sampling.packSequences(df, col("doc_id"),
+      char_length(col("text")), budget, buckets = 8, seed = "s1")
+      .select(col("doc_id"), char_length(col("text")).cast("long").as("nt"),
+        col("pack_id"), col("bucket"), col("pack_seq"))
+      .collect()
+    // Independent recompute: group the assignment in plain Scala and
+    // hash the ascending id list with java.security directly.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val want = packed.groupBy(_.getAs[Long]("pack_id")).map { case (pid, rows) =>
+      pid -> (rows.length.toLong, rows.map(_.getAs[Long]("nt")).sum,
+        md5hex(rows.map(_.getAs[Long]("doc_id")).sorted.mkString(",")))
+    }
+    val got = Sampling.packManifest(df, col("doc_id"),
+      char_length(col("text")), budget, buckets = 8, seed = "s1")
+      .collect()
+      .map(r => r.getAs[Long]("pack_id") -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[String]("ids_md5"),
+        r.getAs[Double]("fill_ratio"))).toMap
+    assert(got.size == want.size)
+    want.foreach { case (pid, (nd, nt, h)) =>
+      val g = got(pid)
+      assert(g._1 == nd && g._2 == nt && g._3 == h, s"pack $pid drifted")
+      assert(g._4 == nt.toDouble / budget)
+    }
+    // The manifest partitions the corpus: populations sum to N.
+    assert(want.values.map(_._1).sum == df.count())
+  }
+
   test("heavyGrams: exact df/occurrence counts on planted boilerplate; top-k plan, no global sort") {
     val planted = Seq(
       (1L, "the same footer line x"), (2L, "the same footer line y"),
