@@ -1424,6 +1424,16 @@ object SparkEntry {
     // TakeOrderedAndProject.
     "profile_heavy_grams" -> ((s, d) =>
       graft.ops.Profiling.heavyGrams(documents(s, d), n = 3, k = 20)),
+    // Per-source exact interpolated quantiles (PERCENTILE_CONT
+    // semantics) off the distinct-rank frame — no per-group sort task,
+    // no per-group value map; explicit fixed-order IEEE interpolation
+    // so the oracle replays the doubles bit-for-bit.
+    "profile_quantiles_by_source" -> ((s, d) =>
+      graft.ops.Ranking.groupQuantiles(
+        documents(s, d).select(col("source"),
+          size(graft.functions.word_tokens(col("text"))).cast("double")
+            .as("n_tokens")),
+        "n_tokens", Seq(0.25, 0.5, 0.75, 0.9), Seq("source"), fanout = 8)),
     "profile_key_stats" -> ((s, d) =>
       graft.ops.Profiling.keyStats(events(s, d), col("user_id"))),
     // Corpus vocabulary head: top-20 terms by corpus frequency with
@@ -2270,6 +2280,29 @@ object SparkEntry {
          |SELECT rank, gram, n_docs, n_occ,
          |  CAST(n_docs AS DOUBLE) / (SELECT nd FROM tt) AS doc_share
          |FROM k WHERE rank <= 20""".stripMargin,
+    // Distinct-value ranks per source, position lookup, explicit
+    // type-7 interpolation — same arithmetic order as the Spark side.
+    "profile_quantiles_by_source" ->
+      s"""WITH d AS (SELECT source, CAST(len($dToks) AS DOUBLE) AS v FROM documents),
+         |c AS (SELECT source, v, count(*) AS cnt FROM d GROUP BY 1, 2),
+         |r AS (SELECT source, v, cnt,
+         |        CAST(COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY v
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) + 1 AS rk,
+         |        CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+         |      FROM c),
+         |g AS (SELECT source, n, CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q
+         |      FROM (SELECT DISTINCT source, n FROM r)),
+         |p AS (SELECT source, q,
+         |        1.0 + CAST(n - 1 AS DOUBLE) * q AS pos FROM g),
+         |p2 AS (SELECT source, q, pos, CAST(floor(pos) AS BIGINT) AS lo,
+         |        CAST(ceil(pos) AS BIGINT) AS hi FROM p),
+         |l AS (SELECT p2.source, p2.q, min(pos) AS pos, min(lo) AS lo,
+         |        min(CASE WHEN lo BETWEEN rk AND rk + cnt - 1 THEN v END) AS v_lo,
+         |        min(CASE WHEN hi BETWEEN rk AND rk + cnt - 1 THEN v END) AS v_hi
+         |      FROM p2 JOIN r USING (source) GROUP BY 1, 2)
+         |SELECT source, q, v_lo, v_hi,
+         |  v_lo + (pos - CAST(lo AS DOUBLE)) * (v_hi - v_lo) AS value
+         |FROM l""".stripMargin,
     "profile_key_stats" ->
       """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS v, count(*) AS cnt
         |           FROM events GROUP BY 1),

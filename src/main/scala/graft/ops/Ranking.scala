@@ -46,7 +46,20 @@ object Ranking {
   def scoreRanks(df: DataFrame, scoreCol: String,
       groupCols: Seq[String] = Nil, ascending: Boolean = false,
       fanout: Int = 64, rankCol: String = "rank",
-      nCol: String = "n_group"): DataFrame = {
+      nCol: String = "n_group"): DataFrame =
+    df.join(
+      distinctRanks(df, scoreCol, groupCols, ascending, fanout,
+        rankCol, nCol).drop("_rk_tie"),
+      groupCols :+ scoreCol)
+
+  /** The machinery's core, also consumed by [[groupQuantiles]]: ONE
+    * row per DISTINCT (group, score) with its competition rank, the
+    * group total (`nCol`) and the tie count (`_rk_tie` — how many
+    * rows share the score, i.e. the width of the rank's row-position
+    * interval `[rank, rank + _rk_tie - 1]`). */
+  private def distinctRanks(df: DataFrame, scoreCol: String,
+      groupCols: Seq[String], ascending: Boolean,
+      fanout: Int, rankCol: String, nCol: String): DataFrame = {
     require(fanout >= 1, s"fanout must be positive, got $fanout")
     require(!groupCols.contains(scoreCol),
       s"scoreCol $scoreCol cannot also be a group column")
@@ -128,7 +141,7 @@ object Ranking {
         .drop(bCol, offCol, "_rk_smin", "_rk_smax")
     }
 
-    val rankFrame = (if (fanout == 1) {
+    (if (fanout == 1) {
       // Plain path still needs n_group + the null guard: join the
       // per-group stats (bounded by the group count) back in.
       if (groupCols.isEmpty) ranked.crossJoin(broadcast(stats))
@@ -137,8 +150,8 @@ object Ranking {
       .withColumn(rankCol, when(col(nullGuard) > 0, raise_error(lit(
           s"scoreRanks: NULL values in $scoreCol — coalesce the signal first")))
         .otherwise(col(preCol) + 1L))
-      .select((groupCols :+ scoreCol).map(col) :+ col(rankCol) :+ col(nCol): _*)
-    df.join(rankFrame, groupCols :+ scoreCol)
+      .select((groupCols :+ scoreCol).map(col) :+ col(rankCol) :+
+        col(nCol) :+ col(cntCol).as("_rk_tie"): _*)
   }
 
   /** Reciprocal-rank fusion of several quality signals into ONE
@@ -195,6 +208,72 @@ object Ranking {
     scoreRanks(df, scoreCol, groupCols, ascending, fanout)
       .withColumn("tile",
         expr(s"CAST(((rank - 1) * $tiles) DIV n_group AS INT)"))
+  }
+
+  /** Exact interpolated quantiles PER GROUP without a per-group sort
+    * task: linear interpolation at row position `1 + (n−1)·q`
+    * (R type-7 / ANSI PERCENTILE_CONT semantics) read off the
+    * distinct-score rank frame. The two spellings Spark offers both
+    * hit a wall at corpus scale — a `PARTITION BY group` sort window
+    * funnels each group through one task, and the `percentile`
+    * aggregate builds an in-memory value→count map per group
+    * (distinct-value-shaped executor state). Here position lookup is
+    * a broadcast join of the (groups × |qs|) position frame against
+    * the distinct-rank frame: a score at competition rank r with t
+    * ties covers row positions `[r, r + t − 1]`, so each distinct
+    * score answers the ≤ |qs| positions it covers and ONE
+    * map-side-combinable aggregation per (group, q) collapses the
+    * rest. No sort, no per-group state beyond the tie counts already
+    * shuffled.
+    *
+    * Output: one row per (group, q) — the bracketing values
+    * `v_lo`/`v_hi` and `value = v_lo + frac·(v_hi − v_lo)` with
+    * `frac = pos − floor(pos)`. Every step is a single
+    * correctly-rounded IEEE op in fixed order, so an ANSI oracle
+    * spelled with the same explicit arithmetic reproduces the doubles
+    * bit-for-bit (scores are cast to double; quantile positions use
+    * the double value of each q). NULL scores error loudly (the
+    * [[scoreRanks]] guard); NaN scores sort greatest, as everywhere
+    * in this library. */
+  def groupQuantiles(df: DataFrame, scoreCol: String, qs: Seq[Double],
+      groupCols: Seq[String] = Nil, fanout: Int = 64): DataFrame = {
+    require(qs.nonEmpty, "groupQuantiles needs at least one q")
+    qs.foreach(q => require(q >= 0.0 && q <= 1.0, s"q out of [0,1]: $q"))
+    val dr = distinctRanks(
+      df.select((groupCols :+ scoreCol).map(col): _*)
+        .withColumn(scoreCol, col(scoreCol).cast("double")),
+      scoreCol, groupCols, ascending = true, fanout = fanout,
+      rankCol = "_gq_rank", nCol = "_gq_n")
+    val groups = dr.select((groupCols.map(col) :+ col("_gq_n")): _*).distinct()
+    val positions = groups
+      .select(groupCols.map(col) :+ col("_gq_n") :+
+        explode(array(qs.map(lit): _*)).as("q"): _*)
+      .withColumn("_gq_pos",
+        lit(1.0) + (col("_gq_n") - 1L).cast("double") * col("q"))
+      .withColumn("_gq_lo", floor(col("_gq_pos")).cast("long"))
+      .withColumn("_gq_hi", ceil(col("_gq_pos")).cast("long"))
+      .drop("_gq_n")
+    val sc = col(scoreCol)
+    val hit = (if (groupCols.isEmpty) dr.crossJoin(broadcast(positions))
+      else dr.join(broadcast(positions), groupCols))
+      .filter(
+        (col("_gq_lo") >= col("_gq_rank") &&
+          col("_gq_lo") <= col("_gq_rank") + col("_rk_tie") - 1L) ||
+        (col("_gq_hi") >= col("_gq_rank") &&
+          col("_gq_hi") <= col("_gq_rank") + col("_rk_tie") - 1L))
+    hit.groupBy((groupCols.map(col) :+ col("q")): _*)
+      .agg(
+        min(col("_gq_pos")).as("_gq_p"),
+        min(col("_gq_lo")).as("_gq_l"),
+        min(when(col("_gq_lo") >= col("_gq_rank") &&
+            col("_gq_lo") <= col("_gq_rank") + col("_rk_tie") - 1L, sc))
+          .as("v_lo"),
+        min(when(col("_gq_hi") >= col("_gq_rank") &&
+            col("_gq_hi") <= col("_gq_rank") + col("_rk_tie") - 1L, sc))
+          .as("v_hi"))
+      .select(groupCols.map(col) :+ col("q") :+ col("v_lo") :+ col("v_hi") :+
+        (col("v_lo") + (col("_gq_p") - col("_gq_l").cast("double")) *
+          (col("v_hi") - col("v_lo"))).as("value"): _*)
   }
 
   /** The deployment half of [[rankTiles]]: freeze each tile's score

@@ -4105,6 +4105,39 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Double]("mean_cos") <= 1.000001))
   }
 
+  test("groupQuantiles: matches Spark's percentile aggregate, global and grouped, through ties and n=1") {
+    // Grouped with ties: independent reference = Spark's own exact
+    // percentile aggregate (same type-7 interpolation, different
+    // plan: in-memory value map vs the distinct-rank lookup).
+    val df = Seq(
+      ("a", 1.0), ("a", 3.0), ("a", 3.0), ("a", 7.0), ("a", 10.0),
+      ("b", 5.0), ("b", 2.0), ("c", 42.0)).toDF("grp", "v")
+    val qs = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)
+    val got = Ranking.groupQuantiles(df, "v", qs, Seq("grp"), fanout = 4)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(4))
+      .toMap
+    val want = df.groupBy("grp")
+      .agg(expr(s"percentile(v, array(${qs.mkString(",")}))").as("p"))
+      .collect().flatMap(r =>
+        qs.zip(r.getSeq[Double](1)).map { case (q, v) => (r.getString(0), q) -> v })
+      .toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-12, s"$k: $v vs ${want(k)}") }
+    // v_lo / v_hi bracket the position: q=0.5 over grp a (n=5) is the
+    // exact middle value, integer position → v_lo == v_hi == value.
+    val mid = Ranking.groupQuantiles(df, "v", Seq(0.5), Seq("grp"), fanout = 4)
+      .filter(col("grp") === "a").collect().head
+    assert(mid.getDouble(2) == 3.0 && mid.getDouble(3) == 3.0 &&
+      mid.getDouble(4) == 3.0)
+    // Global (no group) spelling, plain vs bucketed identical.
+    val g1 = Ranking.groupQuantiles(df, "v", Seq(0.5), Nil, fanout = 1)
+      .collect().head.getDouble(3)
+    val g4 = Ranking.groupQuantiles(df, "v", Seq(0.5), Nil, fanout = 4)
+      .collect().head.getDouble(3)
+    assert(g1 == g4)
+  }
+
   test("packManifest: per-pack rows replay packSequences exactly (independent driver-side recompute)") {
     val df = docs.select(col("doc_id"), col("text"))
     val budget = 8192L
