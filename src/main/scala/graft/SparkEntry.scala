@@ -708,6 +708,14 @@ object SparkEntry {
         graft.ops.Dedup.ngramJaccardPairs(docs, 3, 0.8, maxShingleDf = 10))
         .select(col("doc_id"), col("lang"), col("source"))
     }),
+    // Governance rollup of the same verdicts: per-source duplication
+    // rate — the number that decides which source needs dedup (or a
+    // mixture downweight) before corpora are blended.
+    "profile_dup_by_source" -> ((s, d) => {
+      val docs = documents(s, d)
+      graft.ops.Dedup.dupRateBySource(docs,
+        graft.ops.Dedup.ngramJaccardPairs(docs, 3, 0.8, maxShingleDf = 10))
+    }),
     // Oracle-portable twin (md5 gram hash + window-function winnow,
     // same selection rule as the native rolling-hash production path).
     "dedup_fingerprint" -> ((s, d) =>
@@ -971,6 +979,15 @@ object SparkEntry {
     "curation_manifest" -> ((s, d) =>
       graft.ops.Sampling.packManifest(documents(s, d), col("doc_id"),
         char_length(col("text")), budget = 8192, buckets = 8, seed = "s1")),
+    // Pack materialization: each pack's member texts assembled in the
+    // pack's own deterministic order into one training-example string
+    // (gate pins count/length/md5 of the assembled bytes).
+    "curation_pack_text" -> ((s, d) =>
+      graft.ops.Sampling.packText(documents(s, d), col("doc_id"),
+        col("text"), char_length(col("text")), budget = 8192, buckets = 8,
+        seed = "s1")
+        .select(col("pack_id"), col("bucket"), col("pack_seq"),
+          col("n_docs"), col("n_chars"), col("text_md5"))),
     // Context-window chunking: 32-token windows every 24 tokens (the
     // gate corpus tops out at 99 tokens, so multi-chunk docs with
     // overlap and short tails all occur); chunk content pinned by md5.
@@ -1529,6 +1546,16 @@ object SparkEntry {
       """, comp AS (SELECT a AS did, least(a, min(b)) AS cid FROM reach GROUP BY a)
         |SELECT doc_id, lang, source FROM documents
         |WHERE doc_id NOT IN (SELECT did FROM comp WHERE cid <> did)""".stripMargin)),
+    "profile_dup_by_source" -> (dedupClustersOracle.replace(
+      "SELECT a AS doc_id, least(a, min(b)) AS component_id\nFROM reach GROUP BY a",
+      """, comp AS (SELECT a AS did, least(a, min(b)) AS cid FROM reach GROUP BY a),
+        |dup AS (SELECT did FROM comp WHERE cid <> did)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id IN (SELECT did FROM dup) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dups,
+        |  CAST(sum(CASE WHEN doc_id IN (SELECT did FROM dup) THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*) AS dup_frac
+        |FROM documents GROUP BY 1""".stripMargin)),
     // MinHash LSH with 16 bands of 4 rows has recall ≈ 1 at J ≥ 0.8
     // (miss prob (1−J⁴)¹⁶ < 3e-4); verified equal to the exact n-gram
     // result on the gate corpus, so it shares the exact oracle.
@@ -2646,6 +2673,26 @@ object SparkEntry {
          |SELECT doc_id, bucket, cum // 8192 AS pack_seq,
          |  CAST(bucket AS BIGINT) * 4294967296 + (cum // 8192) AS pack_id
          |FROM c""".stripMargin,
+    // The pack CTE chain carrying text: assembly order = (u, doc_id)
+    // inside each pack, separator = blank line.
+    "curation_pack_text" ->
+      s"""WITH t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_tok,
+         |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8)) AS BIGINT)
+         |    / 4294967296.0 AS u
+         |  FROM documents),
+         |b AS (SELECT doc_id, text, n_tok, u, CAST(floor(u * 8) AS INT) AS bucket FROM t),
+         |c AS (SELECT doc_id, text, u, bucket,
+         |        CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY bucket ORDER BY u, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+         |      FROM b),
+         |p AS (SELECT doc_id, text, u, bucket, cum // 8192 AS pack_seq,
+         |        CAST(bucket AS BIGINT) * 4294967296 + (cum // 8192) AS pack_id
+         |      FROM c)
+         |SELECT pack_id, bucket, pack_seq, count(*) AS n_docs,
+         |  CAST(length(string_agg(text, chr(10) || chr(10) ORDER BY u, doc_id))
+         |    AS BIGINT) AS n_chars,
+         |  md5(string_agg(text, chr(10) || chr(10) ORDER BY u, doc_id)) AS text_md5
+         |FROM p GROUP BY 1, 2, 3""".stripMargin,
     // The pack CTE chain rolled up per pack: counts, token mass, fill
     // vs the 8192 budget, md5 of the ascending member-id list.
     "curation_manifest" ->

@@ -557,6 +557,30 @@ object Dedup {
   /** The dedup decision applied: keep each cluster's keeper (smallest
     * reachable doc_id) and every document that appears in no pair.
     * This is the frame a training pipeline actually consumes. */
+  /** Corpus-governance rollup of the near-dup verdicts: per source,
+    * how many documents exist, how many lose their cluster's
+    * keep-one election ([[components]] min-id winners — the same
+    * drop set [[keepOnePerCluster]] removes), and the duplication
+    * fraction. The one-page number that decides which source gets
+    * cross-source dedup before mixing ("src3 is 40% internal dups —
+    * dedup it or downweight it in [[Sampling.mixtureSample]]").
+    * Exact integers + one division; the drop set is
+    * selectivity-tiny, so the corpus-side cost is one left join
+    * against it plus one map-side-combinable groupBy(source). */
+  def dupRateBySource(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val dropped = components(pairs)
+      .filter(col("component_id") =!= col("doc_id"))
+      .select(col("doc_id"))
+      .withColumn("_dup", lit(true))
+    docs.select(col("doc_id"), col("source"))
+      .join(dropped, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_dup"), 1L).otherwise(0L)).as("n_dups"))
+      .select(col("source"), col("n_docs"), col("n_dups"),
+        (col("n_dups").cast("double") / col("n_docs")).as("dup_frac"))
+  }
+
   def keepOnePerCluster(docs: DataFrame, pairs: DataFrame,
       persist: Persistence = Persistence.Local): DataFrame = {
     val losers = components(pairs, persist = persist)

@@ -477,6 +477,42 @@ object Sampling {
           .as("fill_ratio"), col("ids_md5"))
   }
 
+  /** The materialization step of [[packSequences]]: assemble each
+    * pack's member texts — in the pack's own deterministic
+    * (uniform, key) order — into ONE training-example string joined
+    * by `sep`, plus the bookkeeping a writer wants next to it
+    * (member count, character total, md5 of the assembled bytes).
+    * This is the last hop before tokenize-and-train: packs become
+    * rows a shard writer dumps verbatim, and the md5 column makes the
+    * written shards diffable the same way [[packManifest]] makes the
+    * assignment diffable.
+    *
+    * Scale: the pack assignment's window plus one groupBy(pack_id)
+    * whose per-group state is the pack's own members — budget-bounded
+    * like [[packManifest]]'s. The in-pack order is recomputed from
+    * the same pure (key, seed) uniform, so assembly is deterministic
+    * across engines, partitionings and re-runs (oracle replays the
+    * md5 exactly). */
+  def packText(df: DataFrame, key: Column, textCol: Column,
+      nTokens: Column, budget: Long, buckets: Int = 1024,
+      seed: String = "graft", sep: String = "\n\n"): DataFrame = {
+    val packed = packSequences(df, key, nTokens, budget, buckets, seed)
+      .withColumn("_pt_u", hashUniform(key, seed))
+      .withColumn("_pt_k", key)
+      .withColumn("_pt_t", textCol)
+    packed.groupBy(col("pack_id"))
+      .agg(min(col("bucket")).as("bucket"),
+        min(col("pack_seq")).as("pack_seq"),
+        count(lit(1)).as("n_docs"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("_pt_u"), col("_pt_k"),
+            col("_pt_t")))),
+          _.getField("_pt_t")), sep).as("text"))
+      .select(col("pack_id"), col("bucket"), col("pack_seq"),
+        col("n_docs"), length(col("text")).cast("long").as("n_chars"),
+        md5(col("text")).as("text_md5"), col("text"))
+  }
+
   /** Deterministic global shuffle for training-data ordering: assigns
     * every row a reproducible position — `(shuffle_bucket, shuffle_pos)`,
     * globally ordered as bucket-major — that is a pure function of

@@ -4171,6 +4171,60 @@ class OpsSpec extends AnyFunSuite {
     assert(want.values.map(_._1).sum == df.count())
   }
 
+  test("packText: assembly is the pack order verbatim; round-trips members; manifest agreement") {
+    val df = docs.select(col("doc_id"), col("text"))
+    def u(id: Long): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:s1".getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map("%02x".format(_)).mkString, 16) / 4294967296.0
+    }
+    val texts = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val packed = Sampling.packSequences(df, col("doc_id"),
+      char_length(col("text")), 8192L, buckets = 8, seed = "s1")
+      .select("doc_id", "pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val wantText = packed.groupBy(_._2).map { case (pid, rows) =>
+      pid -> rows.map(_._1).sortBy(id => (u(id), id)).map(texts).mkString("\n\n")
+    }
+    val got = Sampling.packText(df, col("doc_id"), col("text"),
+      char_length(col("text")), 8192L, buckets = 8, seed = "s1")
+      .collect().map(r => r.getAs[Long]("pack_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[String]("text"),
+          r.getAs[Long]("n_chars"), r.getAs[String]("text_md5"))).toMap
+    assert(got.keySet == wantText.keySet)
+    wantText.foreach { case (pid, t) =>
+      val g = got(pid)
+      assert(g._2 == t, s"pack $pid assembled text drifted")
+      assert(g._3 == t.length.toLong)
+    }
+    // Bookkeeping agrees with the manifest's population per pack.
+    val mani = Sampling.packManifest(df, col("doc_id"),
+      char_length(col("text")), 8192L, buckets = 8, seed = "s1")
+      .collect().map(r => r.getAs[Long]("pack_id") -> r.getAs[Long]("n_docs")).toMap
+    assert(got.view.mapValues(_._1).toMap == mani)
+  }
+
+  test("dupRateBySource: rates replay the keep-one drop set; dup-free sources rate 0") {
+    val d = docs
+    val pairs = Dedup.ngramJaccardPairs(d, 3, 0.8, maxShingleDf = 10)
+    val dropSet = Dedup.components(pairs)
+      .filter(col("component_id") =!= col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dropSet.nonEmpty, "gate corpus must have near-dup clusters")
+    val bySrc = d.select("doc_id", "source").collect()
+      .groupBy(_.getString(1))
+    val got = Dedup.dupRateBySource(d, pairs).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_dups"), r.getAs[Double]("dup_frac"))).toMap
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, rows) =>
+      val nd = rows.count(r => dropSet(r.getLong(0))).toLong
+      val g = got(src)
+      assert(g._1 == rows.length.toLong && g._2 == nd)
+      assert(g._3 == nd.toDouble / rows.length)
+    }
+  }
+
   test("heavyGrams: exact df/occurrence counts on planted boilerplate; top-k plan, no global sort") {
     val planted = Seq(
       (1L, "the same footer line x"), (2L, "the same footer line y"),
