@@ -170,15 +170,22 @@ object Ranking {
     * Output = input + one `rank_<signal>` per signal + `rrf`
     * (higher = better). Scale: one distinct-score rank pass per
     * signal — no global sort anywhere ([[scoreRanks]]' bucketed
-    * prefix sums), costs S keyed joins for S signals. */
+    * prefix sums), costs S keyed joins for S signals. Each signal's
+    * rank frame is derived from the BASE frame's single-column
+    * projection, not the accumulating join tree — signal N's
+    * distinct-score pass must not replay signals 1..N−1's joins, and
+    * the narrow projection lets column pruning reach the scan. */
   def rankFusion(df: DataFrame, signals: Seq[(String, Boolean)],
       k: Int = 60, fanout: Int = 64): DataFrame = {
     require(signals.nonEmpty, "rankFusion needs at least one signal")
     require(k >= 1, s"k must be positive, got $k")
     val ranked = signals.foldLeft(df) { case (acc, (s, higherIsBetter)) =>
-      scoreRanks(acc, s, groupCols = Nil, ascending = !higherIsBetter,
-        fanout = fanout, rankCol = s"rank_$s", nCol = s"_n_$s")
-        .drop(s"_n_$s")
+      acc.join(
+        distinctRanks(df.select(col(s)), s, groupCols = Nil,
+          ascending = !higherIsBetter, fanout = fanout,
+          rankCol = s"rank_$s", nCol = s"_n_$s")
+          .drop("_rk_tie", s"_n_$s"),
+        Seq(s))
     }
     val rrf = signals.map { case (s, _) =>
       lit(1.0) / (lit(k.toDouble) + col(s"rank_$s").cast("double"))
