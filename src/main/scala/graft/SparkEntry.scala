@@ -1453,6 +1453,17 @@ object SparkEntry {
         "n_tokens", Seq(0.25, 0.5, 0.75, 0.9), Seq("source"), fanout = 8)),
     "profile_key_stats" -> ((s, d) =>
       graft.ops.Profiling.keyStats(events(s, d), col("user_id"))),
+    // Ingest drift monitor (batch spelling of the stream op): hourly
+    // event-time windows of the user_id%4 mix scored as total-
+    // variation distance vs a uniform-quarters baseline; sorted HOF
+    // fold keeps the doubles engine-deterministic.
+    "profile_drift" -> ((s, d) =>
+      graft.ops.Drift.categoryDrift(
+        events(s, d).withColumn("category",
+          pmod(col("user_id"), lit(4L)).cast("string")),
+        col("ts"), col("category"), "1 hour",
+        Map("0" -> 0.25, "1" -> 0.25, "2" -> 0.25, "3" -> 0.25),
+        alertAt = 0.05)),
     // Corpus vocabulary head: top-20 terms by corpus frequency with
     // doc frequency — exact integers, deterministic tie-break, planned
     // as TakeOrderedAndProject (the vocab is never globally sorted).
@@ -2307,6 +2318,36 @@ object SparkEntry {
          |SELECT rank, gram, n_docs, n_occ,
          |  CAST(n_docs AS DOUBLE) / (SELECT nd FROM tt) AS doc_share
          |FROM k WHERE rank <= 20""".stripMargin,
+    // Hourly category histogram per window, then the SAME sorted fold
+    // as the Spark side (list ORDER BY cat + list_reduce) so the TVD
+    // doubles accumulate in one deterministic order on both engines.
+    "profile_drift" ->
+      """WITH e AS (SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS wb,
+        |             CAST(user_id % 4 AS VARCHAR) AS cat FROM events),
+        |c AS (SELECT wb, cat, count(*) AS n FROM e GROUP BY 1, 2),
+        |t AS (SELECT wb, CAST(sum(n) AS BIGINT) AS n_rows,
+        |        count(*) AS n_categories,
+        |        list(struct_pack(cat := cat, n := n) ORDER BY cat) AS items
+        |      FROM c GROUP BY 1),
+        |v AS (SELECT wb, n_rows, n_categories,
+        |        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(items,
+        |          x -> abs(CAST(x.n AS DOUBLE) / n_rows -
+        |                   CASE WHEN x.cat IN ('0','1','2','3')
+        |                        THEN CAST(0.25 AS DOUBLE)
+        |                        ELSE CAST(0 AS DOUBLE) END))),
+        |          (a, b) -> a + b) AS sd,
+        |        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(items,
+        |          x -> CASE WHEN x.cat IN ('0','1','2','3')
+        |                    THEN CAST(0.25 AS DOUBLE)
+        |                    ELSE CAST(0 AS DOUBLE) END)),
+        |          (a, b) -> a + b) AS pb
+        |      FROM t)
+        |SELECT make_timestamp(wb * 3600000000) AS window_start,
+        |  make_timestamp((wb + 1) * 3600000000) AS window_end,
+        |  n_rows, n_categories,
+        |  (sd + (CAST(1 AS DOUBLE) - pb)) * 0.5 AS tvd,
+        |  (sd + (CAST(1 AS DOUBLE) - pb)) * 0.5 >= 0.05 AS drifted
+        |FROM v""".stripMargin,
     // Distinct-value ranks per source, position lookup, explicit
     // type-7 interpolation — same arithmetic order as the Spark side.
     "profile_quantiles_by_source" ->

@@ -743,4 +743,47 @@ class StreamingEngineSpec extends AnyFunSuite {
     val t = streamed.map(r => r._1 -> r._3).toMap
     assert(t(13L) == 0 && t(10L) == 0 && t(12L) == 2)
   }
+
+  test("categoryDrift: windowed TVD vs frozen baseline, planted shift alarms, batch==stream") {
+    // The frozen-artifact degradation alarm: calibrated on a 50/50
+    // a/b mix, the monitor scores each event-time window's total-
+    // variation distance from that baseline. Window 1 matches the
+    // baseline (tvd 0); window 2 drops source b and grows a novel
+    // source c (tvd 0.5 — 0.25 excess a, 0.25 novel c, 0.5 missing b,
+    // halved). Sorted HOF fold → doubles are deterministic, so batch
+    // and stream rows compare EXACTLY.
+    implicit val sqlCtx = spark.sqlContext
+    val baseline = Map("a" -> 0.5, "b" -> 0.5)
+    val events = Seq( // (epoch sec, source)
+      (1L, "a"), (3L, "a"), (5L, "b"), (7L, "b"),     // window [0,10)
+      (11L, "a"), (13L, "a"), (15L, "a"), (17L, "c")) // window [10,20)
+    def drift(df: DataFrame) = graft.ops.Drift.categoryDrift(
+      df, col("ts"), col("source"), "10 seconds", baseline, alertAt = 0.2)
+    def withTs(df: DataFrame) =
+      df.withColumn("ts", timestamp_seconds(col("sec")))
+    val batch = drift(withTs(events.toDF("sec", "source")))
+      .filter(col("window_start") < timestamp_seconds(lit(100L)))
+      .collect().map(_.toSeq.toString).sorted.toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = drift(withTs(mem.toDF().toDF("sec", "source"))
+        .withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("drift_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(events: _*); q.processAllAvailable()
+      mem.addData((1000L, "a")); q.processAllAvailable() // advance watermark
+    } finally q.stop()
+    val streamed = spark.table("drift_stream")
+      .filter(col("window_start") < timestamp_seconds(lit(100L)))
+      .collect().map(_.toSeq.toString).sorted.toSeq
+    assert(streamed == batch && streamed.size == 2)
+    // The arithmetic: w1 exact baseline → 0.0, no alarm; w2 →
+    // (|0.75−0.5| + |0.25−0| + (1 − 0.5))/2 = 0.5, alarmed.
+    val rows = drift(withTs(events.toDF("sec", "source"))).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("window_start").getTime / 1000 ->
+        (r.getAs[Double]("tvd"), r.getAs[Boolean]("drifted"),
+          r.getAs[Long]("n_rows"), r.getAs[Long]("n_categories"))).toMap
+    assert(rows(0L) == ((0.0, false, 4L, 2L)))
+    assert(rows(10L)._1 == 0.5 && rows(10L)._2 && rows(10L)._4 == 2L)
+  }
 }
