@@ -1283,6 +1283,20 @@ object SparkEntry {
       graft.ops.TextAnalysis.rocCurve(
         scored.join(lab, "doc_id"), "margin", "label")
     }),
+    // Reliability diagram over the same margin/label frame: fast-
+    // sigmoid probabilities bucketed into 10 fixed-width bins, exact
+    // per-bin counts + empirical positive rate.
+    "text_classifier_calibration" -> ((s, d) => {
+      val scored = graft.ops.TextAnalysis.classifierScore(
+        documents(s, d), classifierGateWeights, bias = 0.0, wordNgrams = 2)
+        .withColumn("margin", when(col("n_grams") > 0,
+          col("sum_w") / col("n_grams")).otherwise(lit(0.0)))
+      val lab = documents(s, d).select(col("doc_id"),
+        array_contains(graft.functions.word_tokens(col("text")), "spark")
+          .cast("int").as("label"))
+      graft.ops.TextAnalysis.classifierCalibration(
+        scored.join(lab, "doc_id"), "margin", "label", bins = 10)
+    }),
     // Operating-point pick off the ROC sweep: the highest-recall
     // threshold whose precision clears 0.78 (between the gate
     // corpus's base rate and its best achievable precision at every
@@ -1451,6 +1465,15 @@ object SparkEntry {
           size(graft.functions.word_tokens(col("text"))).cast("double")
             .as("n_tokens")),
         "n_tokens", Seq(0.25, 0.5, 0.75, 0.9), Seq("source"), fanout = 8)),
+    // Outlier truncation on those bounds: drop docs outside their
+    // source's [q10, q90] token-length band (heavy-tail cleaning that
+    // respects per-source length norms).
+    "curation_winsorize" -> ((s, d) =>
+      graft.ops.Ranking.trimOutliers(
+        documents(s, d).select(col("doc_id"), col("source"),
+          size(graft.functions.word_tokens(col("text"))).cast("double")
+            .as("n_tokens")),
+        "n_tokens", 0.1, 0.9, Seq("source"), clip = false, fanout = 8)),
     "profile_key_stats" -> ((s, d) =>
       graft.ops.Profiling.keyStats(events(s, d), col("user_id"))),
     // Ingest drift monitor (batch spelling of the stream op): hourly
@@ -1992,6 +2015,35 @@ object SparkEntry {
          |  CAST(fn AS BIGINT) AS fn, CAST(auc_num2 AS BIGINT) AS auc_num2
          |FROM conf c JOIN an USING (grp)""".stripMargin,
     // Threshold-sweep ROC: exact cumulative counts per distinct margin.
+    // The margin CTE chain mapped through the exact fast sigmoid,
+    // fixed-width probability bins, exact counts + one division.
+    "text_classifier_calibration" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN list_contains($dToks, 'spark') THEN 1 ELSE 0 END AS y,
+         |  $dToks w FROM documents),
+         |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),
+         |g AS (SELECT doc_id, tk AS g FROM tok
+         |      UNION ALL
+         |      SELECT t0.doc_id, t0.tk || ' ' || t1.tk
+         |      FROM tok t0 JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.i = t0.i + 1),
+         |b AS (SELECT doc_id,
+         |        CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 64 AS bk FROM g),
+         |sagg AS (SELECT doc_id, count(*) AS n_grams,
+         |        sum(CAST(((bk*37)%101 - 50) / 1000.0 AS DECIMAL(38,6))) AS sw
+         |      FROM b GROUP BY 1),
+         |sc AS (SELECT t.doc_id, CAST(t.y AS BIGINT) AS y,
+         |  CASE WHEN COALESCE(s.n_grams, 0) > 0
+         |       THEN CAST(COALESCE(s.sw, 0) AS DOUBLE) / s.n_grams
+         |       ELSE 0.0 END AS m
+         |  FROM t LEFT JOIN sagg s USING (doc_id)),
+         |pb AS (SELECT y, CAST(least(9, floor(
+         |        (0.5 + 0.5 * m / (1.0 + abs(m))) * 10.0)) AS INT) AS bin
+         |      FROM sc)
+         |SELECT bin, CAST(bin AS DOUBLE) / 10.0 AS bin_lo,
+         |  CAST(bin + 1 AS DOUBLE) / 10.0 AS bin_hi,
+         |  count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+         |  CAST(sum(y) AS DOUBLE) / count(*) AS pos_rate
+         |FROM pb GROUP BY 1""".stripMargin,
     "text_classifier_roc" ->
       s"""WITH t AS (SELECT doc_id,
          |  CASE WHEN list_contains($dToks, 'spark') THEN 1 ELSE 0 END AS y,
@@ -2371,6 +2423,36 @@ object SparkEntry {
          |SELECT source, q, v_lo, v_hi,
          |  v_lo + (pos - CAST(lo AS DOUBLE)) * (v_hi - v_lo) AS value
          |FROM l""".stripMargin,
+    // Quantile CTE chain at q10/q90, pivoted per source, inclusive
+    // band filter — same doubles as profile_quantiles_by_source.
+    "curation_winsorize" ->
+      s"""WITH d AS (SELECT doc_id, source, CAST(len($dToks) AS DOUBLE) AS v
+         |  FROM documents),
+         |c AS (SELECT source, v, count(*) AS cnt FROM d GROUP BY 1, 2),
+         |r AS (SELECT source, v, cnt,
+         |        CAST(COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY v
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) + 1 AS rk,
+         |        CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+         |      FROM c),
+         |g AS (SELECT source, n, CAST(unnest([0.1, 0.9]) AS DOUBLE) AS q
+         |      FROM (SELECT DISTINCT source, n FROM r)),
+         |p2 AS (SELECT source, q, pos, CAST(floor(pos) AS BIGINT) AS lo,
+         |        CAST(ceil(pos) AS BIGINT) AS hi
+         |      FROM (SELECT source, q, 1.0 + CAST(n - 1 AS DOUBLE) * q AS pos FROM g)),
+         |l AS (SELECT p2.source, p2.q, min(pos) AS pos, min(lo) AS lo,
+         |        min(CASE WHEN lo BETWEEN rk AND rk + cnt - 1 THEN v END) AS v_lo,
+         |        min(CASE WHEN hi BETWEEN rk AND rk + cnt - 1 THEN v END) AS v_hi
+         |      FROM p2 JOIN r USING (source) GROUP BY 1, 2),
+         |qv AS (SELECT source, q,
+         |        v_lo + (pos - CAST(lo AS DOUBLE)) * (v_hi - v_lo) AS value
+         |      FROM l),
+         |b AS (SELECT source,
+         |        min(CASE WHEN q = CAST(0.1 AS DOUBLE) THEN value END) AS blo,
+         |        min(CASE WHEN q = CAST(0.9 AS DOUBLE) THEN value END) AS bhi
+         |      FROM qv GROUP BY 1)
+         |SELECT doc_id, d.source, v AS n_tokens
+         |FROM d JOIN b ON b.source = d.source
+         |WHERE v >= blo AND v <= bhi""".stripMargin,
     "profile_key_stats" ->
       """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS v, count(*) AS cnt
         |           FROM events GROUP BY 1),

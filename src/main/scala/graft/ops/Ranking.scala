@@ -283,6 +283,44 @@ object Ranking {
           (col("v_hi") - col("v_lo"))).as("value"): _*)
   }
 
+  /** Per-group outlier trim on [[groupQuantiles]] bounds: winsorize
+    * (`clip = true`, clamp the score into `[q_lo, q_hi]` as
+    * `<score>_winsorized`) or truncate (`clip = false`, DROP rows
+    * outside the band — the "discard length outliers per source"
+    * cleaning move). Heavy-tailed signals (doc length, repetition,
+    * perplexity) otherwise let a few extreme documents dominate
+    * means, budgets and packing; trimming per GROUP respects that a
+    * code corpus's normal length is a web corpus's outlier.
+    *
+    * The bounds are exact interpolated quantiles ([[groupQuantiles]]
+    * — no per-group sort task, no value-map state) pivoted to one row
+    * per group and broadcast; the apply side is a pure projection /
+    * filter. Band membership is inclusive on both ends, so
+    * `clip = false` keeps exactly the rows whose clipped value equals
+    * their raw value (spec-pinned law). Fully oracle-portable. */
+  def trimOutliers(df: DataFrame, scoreCol: String, qLo: Double,
+      qHi: Double, groupCols: Seq[String] = Nil, clip: Boolean = false,
+      fanout: Int = 64): DataFrame = {
+    require(qLo < qHi, s"qLo must be below qHi, got $qLo >= $qHi")
+    val bounds = groupQuantiles(df, scoreCol, Seq(qLo, qHi), groupCols,
+        fanout)
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(when(col("q") === lit(qLo), col("value"))).as("_tw_lo"),
+        min(when(col("q") === lit(qHi), col("value"))).as("_tw_hi"))
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(bounds))
+      else df.join(broadcast(bounds), groupCols)
+    val sc = col(scoreCol).cast("double")
+    if (clip)
+      joined
+        .withColumn(s"${scoreCol}_winsorized",
+          least(greatest(sc, col("_tw_lo")), col("_tw_hi")))
+        .drop("_tw_lo", "_tw_hi")
+    else
+      joined.filter(sc >= col("_tw_lo") && sc <= col("_tw_hi"))
+        .drop("_tw_lo", "_tw_hi")
+  }
+
   /** The deployment half of [[rankTiles]]: freeze each tile's score
     * cutoff — its inclusive INNER bound (min score per tile
     * descending, max ascending) — into a bounded

@@ -823,6 +823,43 @@ object TextAnalysis {
         prec.as("precision"), col("tpr"), col("fpr"))
   }
 
+  /** Reliability diagram as data — the calibration companion of
+    * [[rocCurve]]: map each margin through the same algebraic fast
+    * sigmoid the trainer uses (`p = 0.5 + 0.5·m/(1+|m|)` — single
+    * correctly-rounded IEEE ops, no libm), bucket `p` into `bins`
+    * fixed-width probability bins, and report each bin's population
+    * and EMPIRICAL positive rate. A well-calibrated gate's
+    * `pos_rate` tracks its bin's probability range; a sigmoid that
+    * says 0.9 where only half the docs are positive is how a
+    * threshold picked on yesterday's corpus quietly rots — this is
+    * the table that shows it. ROC/AUC rank; calibration tells you
+    * whether the SCORES mean anything, which matters the moment a
+    * pipeline treats them as keep-probabilities
+    * ([[graft.ops.Sampling.weightedBernoulli]] on classifier scores).
+    *
+    * Output: one row per non-empty bin — (bin, bin_lo, bin_hi, n,
+    * n_pos, pos_rate). Exact integer counts, one division per rate,
+    * fixed-order bin arithmetic — fully oracle-portable. Scale: ONE
+    * map-side-combinable aggregation on a bounded key (≤ `bins`
+    * rows out); nothing else. */
+  def classifierCalibration(scored: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be positive, got $bins")
+    val m = col(scoreCol).cast("double")
+    val p = lit(0.5) + lit(0.5) * m / (lit(1.0) + abs(m))
+    val y = col(labelCol).cast("long")
+    scored
+      .withColumn("bin",
+        least(lit(bins - 1), floor(p * lit(bins.toDouble))).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(y).as("n_pos"))
+      .select(col("bin"),
+        (col("bin").cast("double") / lit(bins.toDouble)).as("bin_lo"),
+        ((col("bin") + 1).cast("double") / lit(bins.toDouble)).as("bin_hi"),
+        col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n")).as("pos_rate"))
+  }
+
   /** Distributed trainer for [[classifierScore]]'s model family:
     * deterministic full-batch logistic-style regression over the SAME
     * hashed bag-of-word-ngrams feature space (first-32-md5-bits mod

@@ -4138,6 +4138,54 @@ class OpsSpec extends AnyFunSuite {
     assert(g1 == g4)
   }
 
+  test("classifierCalibration: fast-sigmoid bins, exact rates, bins partition the frame") {
+    val df = Seq((0.0, 1), (0.0, 0), (1.0, 1), (-1.0, 0), (1e12, 1))
+      .toDF("margin", "label")
+    val cal = TextAnalysis.classifierCalibration(df, "margin", "label",
+      bins = 10).collect()
+      .map(r => r.getInt(0) -> (r.getAs[Long]("n"), r.getAs[Long]("n_pos"),
+        r.getAs[Double]("pos_rate"), r.getAs[Double]("bin_lo"))).toMap
+    // p(0)=0.5 → bin 5; p(1)=0.75 → bin 7; p(−1)=0.25 → bin 2;
+    // p(1e12)≈1 → bin 9 (the least() clamp keeps p=1.0 in range).
+    assert(cal.keySet == Set(2, 5, 7, 9))
+    assert(cal(5) == ((2L, 1L, 0.5, 0.5)))
+    assert(cal(7) == ((1L, 1L, 1.0, 0.7)))
+    assert(cal(2) == ((1L, 0L, 0.0, 0.2)))
+    assert(cal(9)._1 == 1L && cal(9)._2 == 1L)
+    // Bin populations partition the frame.
+    assert(cal.values.map(_._1).sum == df.count())
+  }
+
+  test("trimOutliers: interpolated bands per group; drop keeps exactly the clip-fixed-point rows") {
+    val df = ((1 to 10).map(i => ("a", i.toDouble)) ++
+      Seq(("b", 100.0), ("b", 200.0), ("b", 300.0))).toDF("grp", "v")
+    // Group a: q10 position 1+9*0.1=1.9 → 1 + 0.9*(2−1) = 1.9; q90
+    // position 9.1 → 9 + 0.1*(10−9) = 9.1; band [1.9, 9.1] keeps 2..9.
+    val kept = Ranking.trimOutliers(df, "v", 0.1, 0.9, Seq("grp"), clip = false,
+        fanout = 4)
+      .filter(col("grp") === "a").collect().map(_.getAs[Double]("v")).sorted
+    assert(kept.toSeq == (2 to 9).map(_.toDouble))
+    // Clip law: truncation keeps exactly the rows the winsorized
+    // projection leaves unchanged.
+    val clipped = Ranking.trimOutliers(df, "v", 0.1, 0.9, Seq("grp"),
+        clip = true, fanout = 4)
+    val fixedPoints = clipped.filter(col("v_winsorized") === col("v"))
+      .select("grp", "v").collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    val dropped = Ranking.trimOutliers(df, "v", 0.1, 0.9, Seq("grp"),
+        clip = false, fanout = 4)
+      .select("grp", "v").collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(fixedPoints == dropped)
+    // Clipped extremes land ON the band bounds (group b: positions
+    // 1.2 / 2.8 → bounds ≈ 120 / 280 up to double rounding of the
+    // 0.1-step position arithmetic; the interior value is untouched
+    // exactly).
+    val b = clipped.filter(col("grp") === "b")
+      .collect().map(r => r.getDouble(1) -> r.getAs[Double]("v_winsorized")).toMap
+    assert(math.abs(b(100.0) - 120.0) < 1e-9)
+    assert(math.abs(b(300.0) - 280.0) < 1e-9)
+    assert(b(200.0) == 200.0)
+  }
+
   test("packManifest: per-pack rows replay packSequences exactly (independent driver-side recompute)") {
     val df = docs.select(col("doc_id"), col("text"))
     val budget = 8192L
