@@ -1476,6 +1476,21 @@ object SparkEntry {
         "n_tokens", 0.1, 0.9, Seq("source"), clip = false, fanout = 8)),
     "profile_key_stats" -> ((s, d) =>
       graft.ops.Profiling.keyStats(events(s, d), col("user_id"))),
+    // Lexical divergence between src0 and the rest of the corpus:
+    // exact integer-TVD over unigram distributions (no logs), one
+    // number + the top-20 movers behind it.
+    "profile_vocab_divergence" -> ((s, d) => {
+      val all = documents(s, d)
+      graft.ops.Profiling.vocabDivergence(
+        all.filter(col("source") === "src0"),
+        all.filter(col("source") =!= "src0"), n = 1)
+    }),
+    "profile_vocab_movers" -> ((s, d) => {
+      val all = documents(s, d)
+      graft.ops.Profiling.vocabMovers(
+        all.filter(col("source") === "src0"),
+        all.filter(col("source") =!= "src0"), n = 1, k = 20)
+    }),
     // Ingest drift monitor (batch spelling of the stream op): hourly
     // event-time windows of the user_id%4 mix scored as total-
     // variation distance vs a uniform-quarters baseline; sorted HOF
@@ -2370,6 +2385,44 @@ object SparkEntry {
          |SELECT rank, gram, n_docs, n_occ,
          |  CAST(n_docs AS DOUBLE) / (SELECT nd FROM tt) AS doc_share
          |FROM k WHERE rank <= 20""".stripMargin,
+    // Exact integer TVD: cross-multiplied per-gram deltas summed in
+    // HUGEINT (Spark DECIMAL(38,0)), three fixed-order divisions.
+    "profile_vocab_divergence" ->
+      s"""WITH ta AS (SELECT unnest($dToks) AS g FROM documents WHERE source = 'src0'),
+         |tb AS (SELECT unnest($dToks) AS g FROM documents WHERE source <> 'src0'),
+         |ca AS (SELECT g, count(*) AS na FROM ta GROUP BY 1),
+         |cb AS (SELECT g, count(*) AS nb FROM tb GROUP BY 1),
+         |u AS (SELECT COALESCE(ca.g, cb.g) AS gram, COALESCE(na, 0) AS na,
+         |        COALESCE(nb, 0) AS nb
+         |      FROM ca FULL OUTER JOIN cb ON ca.g = cb.g),
+         |t AS (SELECT count(*) AS ng, CAST(sum(na) AS BIGINT) AS ta_b,
+         |        CAST(sum(nb) AS BIGINT) AS tb_b,
+         |        CAST(sum(na) AS HUGEINT) AS t1,
+         |        CAST(sum(nb) AS HUGEINT) AS t2 FROM u),
+         |nm AS (SELECT sum(abs(CAST(na AS HUGEINT) * t2
+         |                      - CAST(nb AS HUGEINT) * t1)) AS num
+         |       FROM u, t)
+         |SELECT ng AS n_grams_union, ta_b AS t_a, tb_b AS t_b,
+         |  CAST(num AS DOUBLE) / CAST(t1 AS DOUBLE) / CAST(t2 AS DOUBLE)
+         |    / 2.0 AS tvd
+         |FROM t, nm""".stripMargin,
+    "profile_vocab_movers" ->
+      s"""WITH ta AS (SELECT unnest($dToks) AS g FROM documents WHERE source = 'src0'),
+         |tb AS (SELECT unnest($dToks) AS g FROM documents WHERE source <> 'src0'),
+         |ca AS (SELECT g, count(*) AS na FROM ta GROUP BY 1),
+         |cb AS (SELECT g, count(*) AS nb FROM tb GROUP BY 1),
+         |u AS (SELECT COALESCE(ca.g, cb.g) AS gram, COALESCE(na, 0) AS na,
+         |        COALESCE(nb, 0) AS nb
+         |      FROM ca FULL OUTER JOIN cb ON ca.g = cb.g),
+         |t AS (SELECT CAST(sum(na) AS HUGEINT) AS t1,
+         |        CAST(sum(nb) AS HUGEINT) AS t2 FROM u),
+         |m AS (SELECT gram, na, nb,
+         |        abs(CAST(na AS HUGEINT) * t2 - CAST(nb AS HUGEINT) * t1) AS delta,
+         |        CAST(na AS DOUBLE) / CAST(t1 AS DOUBLE) AS share_a,
+         |        CAST(nb AS DOUBLE) / CAST(t2 AS DOUBLE) AS share_b
+         |      FROM u, t)
+         |SELECT gram, na, nb, share_a, share_b
+         |FROM m ORDER BY delta DESC, gram ASC LIMIT 20""".stripMargin,
     // Hourly category histogram per window, then the SAME sorted fold
     // as the Spark side (list ORDER BY cat + list_reduce) so the TVD
     // doubles accumulate in one deterministic order on both engines.

@@ -143,6 +143,79 @@ object Profiling {
         (col("n_docs").cast("double") / col("nd")).as("doc_share"))
   }
 
+  /** Lexical divergence between two corpora as EXACT arithmetic:
+    * total-variation distance between their word `n`-gram unigram
+    * distributions, `tvd = Σ_g |cnt_a(g)·T_b − cnt_b(g)·T_a| /
+    * (2·T_a·T_b)`. The cross-multiplied integer numerator makes the
+    * whole computation order-independent DECIMAL sums plus a fixed
+    * chain of three IEEE divisions at the end — no logs (KL/JS's libm
+    * calls are the known cross-engine hazard), no per-group state, no
+    * collect. This is the corpus-governance "how far apart are these
+    * two sources / how far did the corpus move between snapshots"
+    * number — the lexical sibling of [[graft.ops.Drift.categoryDrift]]
+    * (which watches a BOUNDED category mix; this watches the unbounded
+    * vocabulary, which is why it must stay a groupBy, never a
+    * histogram fold).
+    *
+    * Output: ONE row — (n_grams_union, t_a, t_b, tvd). Scale: one
+    * map-side-combinable gram count per side, one full-outer equi-join
+    * on the gram, one aggregation; gram frames are vocabulary-sized,
+    * never occurrence-sized. */
+  def vocabDivergence(a: DataFrame, b: DataFrame, n: Int = 1): DataFrame =
+    vocabJoined(a, b, n)
+      .agg(count(lit(1)).as("n_grams_union"),
+        sum(col("na")).as("t_a"), sum(col("nb")).as("t_b"),
+        sum(abs(col("na").cast("decimal(38,0)") * col("_gtb") -
+          col("nb").cast("decimal(38,0)") * col("_gta"))).as("_num"),
+        // The per-gram frame carries each side's (constant) total on
+        // every row — max() just reads it back without a second pass.
+        max(col("_gta")).as("_t1"), max(col("_gtb")).as("_t2"))
+      .select(col("n_grams_union"), col("t_a"), col("t_b"),
+        (col("_num").cast("double") / col("_t1").cast("double") /
+          col("_t2").cast("double") / lit(2.0)).as("tvd"))
+
+  /** The top-`k` grams DRIVING a [[vocabDivergence]] gap: ranked by
+    * the same exact cross-multiplied delta, with each side's count
+    * and single-division share. The review list a governance pass
+    * reads when the one-number divergence moves ("`function` and
+    * `copyright` exploded in the new snapshot"). TakeOrderedAndProject
+    * — the vocabulary is never globally sorted; ties break by gram. */
+  def vocabMovers(a: DataFrame, b: DataFrame, n: Int = 1,
+      k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    vocabJoined(a, b, n)
+      .withColumn("_delta",
+        abs(col("na").cast("decimal(38,0)") * col("_gtb") -
+          col("nb").cast("decimal(38,0)") * col("_gta")))
+      .orderBy(col("_delta").desc, col("gram").asc)
+      .limit(k)
+      .select(col("gram"), col("na"), col("nb"),
+        (col("na").cast("double") / col("_gta").cast("double"))
+          .as("share_a"),
+        (col("nb").cast("double") / col("_gtb").cast("double"))
+          .as("share_b"))
+  }
+
+  /** Shared core: per-gram counts of both corpora full-outer-joined,
+    * zero-coalesced, with each side's total (`_gta`/`_gtb`, one-row
+    * broadcast) attached. */
+  private def vocabJoined(a: DataFrame, b: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    def counts(df: DataFrame, out: String): DataFrame = df
+      .select(explode(graft.functions.array_shingles(
+        graft.functions.word_tokens(col("text")), n)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as(out))
+    val ca = counts(a, "na")
+    val cb = counts(b, "nb")
+    val joined = ca.join(cb, Seq("gram"), "full_outer")
+      .select(col("gram"), coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    joined
+      .crossJoin(broadcast(joined.agg(
+        sum(col("na").cast("decimal(38,0)")).as("_gta"),
+        sum(col("nb").cast("decimal(38,0)")).as("_gtb"))))
+  }
+
   def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
     require(n >= 1, s"n must be positive, got $n")
     val sh = docs.select(col("doc_id"), col("source"),

@@ -4138,6 +4138,32 @@ class OpsSpec extends AnyFunSuite {
     assert(g1 == g4)
   }
 
+  test("vocabDivergence/vocabMovers: exact integer TVD on planted corpora; identity is zero") {
+    val a = Seq((1L, "x x x y")).toDF("doc_id", "text")
+    val b = Seq((2L, "x y y z")).toDF("doc_id", "text")
+    // p_a = (x .75, y .25); p_b = (x .25, y .5, z .25) →
+    // tvd = (0.5 + 0.25 + 0.25)/2 = 0.5 — exact in the integer
+    // numerator spelling (num 16 over 2·4·4).
+    val d = Profiling.vocabDivergence(a, b).collect().head
+    assert(d.getAs[Long]("n_grams_union") == 3 &&
+      d.getAs[Long]("t_a") == 4 && d.getAs[Long]("t_b") == 4)
+    assert(d.getAs[Double]("tvd") == 0.5)
+    // Movers ranked by the cross-multiplied delta (x 8, then the y/z
+    // tie broken by gram), shares single-division exact.
+    val m = Profiling.vocabMovers(a, b, n = 1, k = 3).collect()
+    assert(m.map(_.getString(0)).toSeq == Seq("x", "y", "z"))
+    assert(m.head.getAs[Double]("share_a") == 0.75 &&
+      m.head.getAs[Double]("share_b") == 0.25)
+    // A corpus diverges from itself by exactly zero.
+    assert(Profiling.vocabDivergence(a, a).collect().head
+      .getAs[Double]("tvd") == 0.0)
+    // Real-corpus sanity: tvd in (0, 1], union covers both vocabs.
+    val r = Profiling.vocabDivergence(
+      docs.filter(col("source") === "src0"),
+      docs.filter(col("source") =!= "src0")).collect().head
+    assert(r.getAs[Double]("tvd") > 0.0 && r.getAs[Double]("tvd") <= 1.0)
+  }
+
   test("classifierCalibration: fast-sigmoid bins, exact rates, bins partition the frame") {
     val df = Seq((0.0, 1), (0.0, 0), (1.0, 1), (-1.0, 0), (1e12, 1))
       .toDF("margin", "label")
