@@ -799,6 +799,11 @@ object SparkEntry {
     // spec-pinned.
     "sim_cluster_stats" -> ((s, d) =>
       graft.ops.Similarity.clusterStatsSeeded(embeddings(s, d), 8)),
+    // Embedding-corpus QA: zero/non-finite counts, dim range, 6-dp
+    // norm quartiles — the pre-flight before any index build trusts
+    // the vectors.
+    "sim_embedding_health" -> ((s, d) =>
+      graft.ops.Similarity.embeddingHealth(embeddings(s, d))),
     "sim_topk" -> ((s, d) =>
       graft.ops.Similarity.cosineTopK(embeddings(s, d), embQueries(s, d), 5)),
     "sim_ann_lsh" -> ((s, d) =>
@@ -1476,6 +1481,14 @@ object SparkEntry {
         "n_tokens", 0.1, 0.9, Seq("source"), clip = false, fanout = 8)),
     "profile_key_stats" -> ((s, d) =>
       graft.ops.Profiling.keyStats(events(s, d), col("user_id"))),
+    // Mixture planning: corpus inventory × target shares → the rate /
+    // epochs / deficit knobs the samplers consume. Unlisted sources
+    // plan to zero but stay visible.
+    "curation_mixture_plan" -> ((s, d) =>
+      graft.ops.Sampling.mixturePlan(documents(s, d), col("source"),
+        size(graft.functions.word_tokens(col("text"))),
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+        budgetTokens = 20000L)),
     // Lexical divergence between src0 and the rest of the corpus:
     // exact integer-TVD over unigram distributions (no logs), one
     // number + the top-20 movers behind it.
@@ -1728,6 +1741,43 @@ object SparkEntry {
         |  CAST(sum(CAST(d AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS mean_cos,
         |  CAST(count(*) AS DOUBLE) / (SELECT nt FROM tot) AS share
         |FROM assign GROUP BY 1""".stripMargin,
+    // Per-row norm/dim/finite projection, exact counts, then the
+    // explicit type-7 quantile CTE over the distinct 6-dp norms.
+    "sim_embedding_health" ->
+      """WITH e AS (SELECT len(embedding) AS dim,
+        |    round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> x * x))), 6) AS nrm,
+        |    CASE WHEN len(list_filter(CAST(embedding AS DOUBLE[]),
+        |      x -> isnan(x) OR isinf(x))) > 0 THEN 1 ELSE 0 END AS bad
+        |  FROM embeddings),
+        |s AS (SELECT count(*) AS n_vecs,
+        |    CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |    CAST(sum(bad) AS BIGINT) AS n_nonfinite,
+        |    CAST(min(dim) AS BIGINT) AS dim_min,
+        |    CAST(max(dim) AS BIGINT) AS dim_max FROM e),
+        |c AS (SELECT nrm AS v, count(*) AS cnt FROM e GROUP BY 1),
+        |r AS (SELECT v, cnt,
+        |        CAST(COALESCE(SUM(cnt) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) + 1 AS rk,
+        |        CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM c),
+        |g AS (SELECT n, CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS q
+        |      FROM (SELECT DISTINCT n FROM r)),
+        |p2 AS (SELECT q, pos, CAST(floor(pos) AS BIGINT) AS lo,
+        |        CAST(ceil(pos) AS BIGINT) AS hi
+        |      FROM (SELECT q, 1.0 + CAST(n - 1 AS DOUBLE) * q AS pos FROM g)),
+        |l AS (SELECT p2.q, min(pos) AS pos, min(lo) AS lo,
+        |        min(CASE WHEN lo BETWEEN rk AND rk + cnt - 1 THEN v END) AS v_lo,
+        |        min(CASE WHEN hi BETWEEN rk AND rk + cnt - 1 THEN v END) AS v_hi
+        |      FROM p2 CROSS JOIN r GROUP BY 1),
+        |qv AS (SELECT q,
+        |        v_lo + (pos - CAST(lo AS DOUBLE)) * (v_hi - v_lo) AS value
+        |      FROM l),
+        |pivoted AS (SELECT
+        |    min(CASE WHEN q = CAST(0.25 AS DOUBLE) THEN value END) AS norm_q25,
+        |    min(CASE WHEN q = CAST(0.5 AS DOUBLE) THEN value END) AS norm_q50,
+        |    min(CASE WHEN q = CAST(0.75 AS DOUBLE) THEN value END) AS norm_q75
+        |  FROM qv)
+        |SELECT * FROM s, pivoted""".stripMargin,
     "sim_ann_lsh" -> simTopkOracle,
     "sim_ann_ivf" -> simTopkOracle,
     "sim_topk" -> simTopkOracle,
@@ -2385,6 +2435,28 @@ object SparkEntry {
          |SELECT rank, gram, n_docs, n_occ,
          |  CAST(n_docs AS DOUBLE) / (SELECT nd FROM tt) AS doc_share
          |FROM k WHERE rank <= 20""".stripMargin,
+    // Inventory aggregate + CASE shares + floor/least arithmetic.
+    "curation_mixture_plan" ->
+      s"""WITH s AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len($dToks)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1)
+         |SELECT source, n_docs, n_tokens,
+         |  CAST(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+         |       WHEN 'src2' THEN 0.2 ELSE 0 END AS DOUBLE) AS target_share,
+         |  CAST(floor(CAST(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+         |       WHEN 'src2' THEN 0.2 ELSE 0 END AS DOUBLE) * 20000.0) AS BIGINT)
+         |    AS target_tokens,
+         |  least(CAST(1 AS DOUBLE),
+         |    CAST(CAST(floor(CAST(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+         |         WHEN 'src2' THEN 0.2 ELSE 0 END AS DOUBLE) * 20000.0) AS BIGINT)
+         |      AS DOUBLE) / n_tokens) AS rate,
+         |  CAST(CAST(floor(CAST(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+         |       WHEN 'src2' THEN 0.2 ELSE 0 END AS DOUBLE) * 20000.0) AS BIGINT)
+         |    AS DOUBLE) / n_tokens AS epochs,
+         |  CAST(floor(CAST(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+         |       WHEN 'src2' THEN 0.2 ELSE 0 END AS DOUBLE) * 20000.0) AS BIGINT)
+         |    > n_tokens AS deficit
+         |FROM s""".stripMargin,
     // Exact integer TVD: cross-multiplied per-gram deltas summed in
     // HUGEINT (Spark DECIMAL(38,0)), three fixed-order divisions.
     "profile_vocab_divergence" ->

@@ -122,6 +122,48 @@ object Sampling {
       .withColumn("copy_idx", explode(sequence(lit(0L), col("n_copies") - 1)))
   }
 
+  /** The planning step BEFORE [[mixtureSample]]/[[weightedRepeat]]:
+    * given the corpus's actual per-stratum token inventory, a target
+    * mixture (shares of a token budget), turn intent into the knobs
+    * the samplers consume. Per stratum: its inventory (`n_docs`,
+    * `n_tokens`), its `target_share` and `target_tokens`
+    * (`floor(share·budget)`), the capped sampling `rate`
+    * (`min(1, target/available)` — what [[mixtureSample]] takes), the
+    * uncapped `epochs` ratio (what [[weightedRepeat]] takes when a
+    * stratum must repeat to meet its share), and a `deficit` flag
+    * (the stratum cannot meet its target at one epoch — the row a
+    * mixture review reads first). Strata missing from `targetShares`
+    * plan to zero — present in the output so the reviewer sees what
+    * the plan EXCLUDES, not just what it keeps.
+    *
+    * Every number is an exact integer aggregate or a single IEEE
+    * op (one multiply + floor, one division) — fully oracle-portable.
+    * Scale: one map-side-combinable groupBy(stratum); the output is
+    * strata-sized. */
+  def mixturePlan(df: DataFrame, stratum: Column, nTokens: Column,
+      targetShares: Map[String, Double],
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 1, s"budget must be positive, got $budgetTokens")
+    targetShares.values.foreach(v =>
+      require(v >= 0.0 && v <= 1.0, s"target share out of [0,1]: $v"))
+    val share = coalesce(
+      targetShares.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
+        case (acc, (k, v)) =>
+          when(col("source") === lit(k), lit(v)).otherwise(acc)
+      }, lit(0.0))
+    df.groupBy(stratum.as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(nTokens.cast("long")).as("n_tokens"))
+      .withColumn("target_share", share)
+      .withColumn("target_tokens",
+        floor(col("target_share") * lit(budgetTokens.toDouble)).cast("long"))
+      .withColumn("rate", least(lit(1.0),
+        col("target_tokens").cast("double") / col("n_tokens")))
+      .withColumn("epochs",
+        col("target_tokens").cast("double") / col("n_tokens"))
+      .withColumn("deficit", col("target_tokens") > col("n_tokens"))
+  }
+
   /** Domain-mixture resampling: keep each row with a per-stratum rate
     * (e.g. downweight web crawl, keep all code), deterministically in
     * `key`. Strata missing from `rates` use `defaultRate`. Rates are

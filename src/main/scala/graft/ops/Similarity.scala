@@ -558,6 +558,43 @@ object Similarity {
         coalesce(!col("is_dup"), lit(true)).as("keep"))
   }
 
+  /** Embedding-corpus QA: the one-row health check run BEFORE any
+    * index build or pair stage trusts the vectors. Counts
+    * (`n_vecs`), zero vectors (`n_zero` — unscoreable by every
+    * cosine op here), non-finite contamination (`n_nonfinite` — one
+    * NaN element poisons every dot it touches), the dimension range
+    * (`dim_min`/`dim_max` — ragged dims mean a broken embedder or a
+    * mixed model version), and the 6-dp norm quartiles
+    * (`norm_q25/q50/q75` — a healthy same-model corpus is tightly
+    * banded; a wide spread says mixed models or truncated rows).
+    *
+    * Scale: one projection pass + one aggregate for the counts; the
+    * quantiles ride [[graft.ops.Ranking.groupQuantiles]]' distinct-
+    * rank lookup (no sort task, no value-map state). Norms are
+    * squared/summed per row in fixed element order and rounded to
+    * 6 dp, the sim-family convention — fully oracle-portable. */
+  def embeddingHealth(emb: DataFrame): DataFrame = {
+    val base = emb.select(
+      size(col("embedding")).cast("long").as("dim"),
+      round(graft.functions.VecMath.vec_norm(
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))")), 6)
+        .as("nrm"),
+      expr("""CASE WHEN exists(embedding, x -> isnan(CAST(x AS DOUBLE))
+             |  OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))
+             |THEN 1L ELSE 0L END""".stripMargin).as("bad"))
+    val counts = base.agg(count(lit(1)).as("n_vecs"),
+      sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+      sum(col("bad")).as("n_nonfinite"),
+      min(col("dim")).as("dim_min"), max(col("dim")).as("dim_max"))
+    val quart = graft.ops.Ranking.groupQuantiles(
+        base.select(col("nrm")), "nrm", Seq(0.25, 0.5, 0.75), Nil,
+        fanout = 16)
+      .agg(min(when(col("q") === 0.25, col("value"))).as("norm_q25"),
+        min(when(col("q") === 0.5, col("value"))).as("norm_q50"),
+        min(when(col("q") === 0.75, col("value"))).as("norm_q75"))
+    counts.crossJoin(broadcast(quart))
+  }
+
   def quantizeInt8(emb: DataFrame): DataFrame =
     emb
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))

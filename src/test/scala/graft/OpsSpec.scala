@@ -4138,6 +4138,48 @@ class OpsSpec extends AnyFunSuite {
     assert(g1 == g4)
   }
 
+  test("embeddingHealth: zero/non-finite/ragged detection, norm quartiles on planted vectors") {
+    val planted = Seq(
+      (1L, Seq(3.0f, 4.0f)),            // norm 5
+      (2L, Seq(0.0f, 0.0f)),            // zero vector
+      (3L, Seq(Float.NaN, 1.0f)),       // non-finite
+      (4L, Seq(1.0f, 0.0f, 0.0f)),      // ragged dim 3, norm 1
+      (5L, Seq(6.0f, 8.0f))             // norm 10
+    ).toDF("vec_id", "embedding")
+    val h = Similarity.embeddingHealth(planted).collect().head
+    assert(h.getAs[Long]("n_vecs") == 5 && h.getAs[Long]("n_zero") == 1)
+    assert(h.getAs[Long]("n_nonfinite") == 1)
+    assert(h.getAs[Long]("dim_min") == 2 && h.getAs[Long]("dim_max") == 3)
+    // Norms sorted: 0, 1, 5, 10, NaN (greatest) → q25 pos 2 → 1;
+    // q50 pos 3 → 5; q75 pos 4 → 10.
+    assert(h.getAs[Double]("norm_q25") == 1.0)
+    assert(h.getAs[Double]("norm_q50") == 5.0)
+    assert(h.getAs[Double]("norm_q75") == 10.0)
+    // Real corpus: clean by construction.
+    val r = Similarity.embeddingHealth(emb).collect().head
+    assert(r.getAs[Long]("n_zero") == 0 && r.getAs[Long]("n_nonfinite") == 0)
+    assert(r.getAs[Long]("dim_min") == r.getAs[Long]("dim_max"))
+    assert(r.getAs[Double]("norm_q25") <= r.getAs[Double]("norm_q50") &&
+      r.getAs[Double]("norm_q50") <= r.getAs[Double]("norm_q75"))
+  }
+
+  test("mixturePlan: inventory × target shares → rate/epochs/deficit; unlisted plans to zero") {
+    val df = Seq(("a", 8), ("a", 2), ("b", 5), ("c", 100))
+      .toDF("source", "nt")
+    val plan = Sampling.mixturePlan(df, col("source"), col("nt"),
+      Map("a" -> 0.5, "b" -> 0.5), budgetTokens = 30L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("target_tokens"), r.getAs[Double]("rate"),
+          r.getAs[Double]("epochs"), r.getAs[Boolean]("deficit"))).toMap
+    // a: 10 tokens toward a 15-token target → rate caps at 1, epochs
+    // 1.5, deficit; b: 5 toward 15 → epochs 3; c unlisted → zero plan,
+    // still visible.
+    assert(plan("a") == ((2L, 10L, 15L, 1.0, 1.5, true)))
+    assert(plan("b") == ((1L, 5L, 15L, 1.0, 3.0, true)))
+    assert(plan("c") == ((1L, 100L, 0L, 0.0, 0.0, false)))
+  }
+
   test("vocabDivergence/vocabMovers: exact integer TVD on planted corpora; identity is zero") {
     val a = Seq((1L, "x x x y")).toDF("doc_id", "text")
     val b = Seq((2L, "x y y z")).toDF("doc_id", "text")

@@ -60,7 +60,8 @@ class PlanShapeSpec extends AnyFunSuite {
       // count, the cutoff artifact's groupless aggregate).
       "curation_rank_fusion", "profile_heavy_grams",
       "text_ppl_buckets", "text_ppl_cutoffs", "sim_cluster_stats",
-      "profile_vocab_divergence", "profile_vocab_movers")
+      "profile_vocab_divergence", "profile_vocab_movers",
+      "sim_embedding_health")
 
   test("the CEP rule fan-out is a broadcast HASH join on the pivot key") {
     for (q <- Seq("cep_multi_rule", "cep_multi_rule_first_aligned")) {
