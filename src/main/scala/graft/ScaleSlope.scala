@@ -188,6 +188,13 @@ object ScaleSlope {
       "text_ppl_buckets" -> ((df, _) =>
         TextAnalysis.pplBuckets(df, tiles = 3, perSource = false,
           fanout = 64)),
+      // Round-10 wave 3: lexical corpus divergence — the salted
+      // replicas grow BOTH sides' gram vocabularies linearly, so this
+      // measures the full-outer gram join + decimal aggregation slope.
+      "profile_vocab_divergence" -> ((df, _) =>
+        Profiling.vocabDivergence(
+          df.filter(col("source") === "src0"),
+          df.filter(col("source") =!= "src0"), n = 1)),
       // Round-10: SemDeDup end-to-end (IVF train + assign + within-
       // cluster verdicts). Cluster count is a MODEL CONSTANT — the
       // centroid table is a k×dim driver artifact, and per-row
