@@ -1449,6 +1449,18 @@ object SparkEntry {
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       graft.ops.Profiling.corpusDiff(dd.select("doc_id", "text"), newSnap)
     }),
+    // The diff rolled up to the nightly-report line: per-status counts
+    // + churn fraction over the same synthetic snapshot pair.
+    "profile_corpus_churn" -> ((s, d) => {
+      val dd = documents(s, d)
+      val newSnap = dd.filter(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 4, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(dd.filter(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.ops.Profiling.corpusChurn(dd.select("doc_id", "text"), newSnap)
+    }),
     // Skew pre-flight: exact top-20 hot keys + one-row key health on
     // the events stream's user_id (the key every CEP/temporal join in
     // this library shuffles on).
@@ -2408,6 +2420,29 @@ object SparkEntry {
         |       WHEN old_md5 = new_md5 THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM j""".stripMargin,
+    "profile_corpus_churn" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents),
+        |nn AS (SELECT doc_id, md5(CASE WHEN doc_id % 10 = 4
+        |                               THEN text || ' v2' ELSE text END) AS new_md5
+        |       FROM documents WHERE doc_id % 10 <> 3
+        |       UNION ALL
+        |       SELECT doc_id + 1000000, md5(text) FROM documents
+        |       WHERE doc_id % 10 = 7),
+        |j AS (SELECT o.old_md5, nn.new_md5
+        |      FROM o FULL OUTER JOIN nn ON o.doc_id = nn.doc_id),
+        |st AS (SELECT CASE WHEN old_md5 IS NULL THEN 'added'
+        |              WHEN new_md5 IS NULL THEN 'removed'
+        |              WHEN old_md5 = new_md5 THEN 'unchanged'
+        |              ELSE 'changed' END AS status FROM j),
+        |a AS (SELECT count(*) AS n_union,
+        |    CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |    CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |    CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |    CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        |  FROM st)
+        |SELECT n_union, n_added, n_removed, n_changed, n_unchanged,
+        |  CAST(n_added + n_removed + n_changed AS DOUBLE) / n_union AS churn_frac
+        |FROM a""".stripMargin,
     "profile_hot_keys" ->
       """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key_value, count(*) AS cnt
         |           FROM events GROUP BY 1),

@@ -216,6 +216,25 @@ object Profiling {
         sum(col("nb").cast("decimal(38,0)")).as("_gtb"))))
   }
 
+  /** [[corpusDiff]] rolled up to the one-row governance number: how
+    * much moved between two corpus snapshots — per-status counts and
+    * `churn_frac` (changed + added + removed over the union size).
+    * The line a nightly ingest report leads with; when it jumps, the
+    * per-doc diff is the drill-down. Exact integer counts + one
+    * division; one aggregation over the diff frame (which itself
+    * shuffles only (doc_id, md5) pairs, never text). */
+  def corpusChurn(oldDocs: DataFrame, newDocs: DataFrame): DataFrame =
+    corpusDiff(oldDocs, newDocs)
+      .agg(count(lit(1)).as("n_union"),
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L))
+          .as("n_unchanged"))
+      .withColumn("churn_frac",
+        (col("n_added") + col("n_removed") + col("n_changed"))
+          .cast("double") / col("n_union"))
+
   def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
     require(n >= 1, s"n must be positive, got $n")
     val sh = docs.select(col("doc_id"), col("source"),

@@ -4138,6 +4138,20 @@ class OpsSpec extends AnyFunSuite {
     assert(g1 == g4)
   }
 
+  test("corpusChurn: per-status counts and churn fraction on a planted snapshot pair") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("doc_id", "text")
+    val nw = Seq((1L, "a"), (2L, "B"), (4L, "d"), (5L, "e")).toDF("doc_id", "text")
+    val r = Profiling.corpusChurn(old, nw).collect().head
+    assert(r.getAs[Long]("n_union") == 5 && r.getAs[Long]("n_added") == 1 &&
+      r.getAs[Long]("n_removed") == 1 && r.getAs[Long]("n_changed") == 1 &&
+      r.getAs[Long]("n_unchanged") == 2)
+    assert(r.getAs[Double]("churn_frac") == 3.0 / 5)
+    // Identity law: a snapshot churns zero against itself.
+    val id = Profiling.corpusChurn(old, old).collect().head
+    assert(id.getAs[Double]("churn_frac") == 0.0 &&
+      id.getAs[Long]("n_unchanged") == 4)
+  }
+
   test("embeddingHealth: zero/non-finite/ragged detection, norm quartiles on planted vectors") {
     val planted = Seq(
       (1L, Seq(3.0f, 4.0f)),            // norm 5
