@@ -497,6 +497,26 @@ object SparkEntry {
        |WHERE s.doc_id >= 10 GROUP BY 1""".stripMargin
   }
 
+  /** kNN propagation replay: rank-5 neighborhood per vector, vote
+    * counts per label, majority = (votes desc, label asc) first row.
+    * Shared by `emb_knn_label` (brute force) and `emb_knn_label_ivf`
+    * (every cluster probed → candidates equal brute force). */
+  private val knnLabelOracle: String =
+    """WITH sc AS (
+      |  SELECT a.vec_id vid, a.label lg, b.vec_id nid, b.label nlabel,
+      |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                 CAST(b.embedding AS DOUBLE[])), 6) cs
+      |  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY vid
+      |    ORDER BY cs DESC, nid) r FROM sc),
+      |v AS (SELECT vid, lg, nlabel, count(*) c FROM rk WHERE r <= 5
+      |      GROUP BY 1, 2, 3),
+      |m AS (SELECT *, row_number() OVER (PARTITION BY vid
+      |    ORDER BY c DESC, nlabel) mr FROM v)
+      |SELECT vid AS vec_id, lg AS label_given, nlabel AS label_knn,
+      |  CAST(c AS BIGINT) AS votes
+      |FROM m WHERE mr = 1""".stripMargin
+
   private val dedupNgramOracle: String =
     s"""WITH t AS (SELECT doc_id, $dToks w FROM documents),
        |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),
@@ -830,13 +850,27 @@ object SparkEntry {
     // kNN label propagation (auto-labeling from a labeled seed set —
     // the whole table self-seeds at gate scale): majority label among
     // the 5 nearest seeds, ranked at 6dp cosine with id tiebreaks,
-    // majority ties toward the smaller label. Sorted-slice AGGREGATION
-    // (not a window): the broadcast join keeps every vector's seed
-    // matches co-located, partial agg collapses them map-side, and the
-    // one shuffle carries one row per corpus vector.
+    // majority ties toward the smaller label. BOUNDED top-k insertion
+    // fold (collect_top_k_asc — k-element priority queue, never the
+    // whole seed set per corpus row), not a window: the broadcast join
+    // keeps every vector's seed matches co-located, partial agg
+    // collapses them map-side, and the one shuffle carries one
+    // k-bounded row per corpus vector.
     "emb_knn_label" -> ((s, d) => {
       val e = embeddings(s, d)
       graft.ops.Labels.knnPropagate(e, e, 5)
+    }),
+    // IVF-pruned kNN propagation (the 100k+ seed-set spelling: seeds
+    // multi-probe their nProbe nearest centroids, corpus rows score
+    // only the seeds probing their own cluster). Gate probes EVERY
+    // cluster, which pins the assign→probe→vote plumbing exactly to
+    // brute force (same oracle); nProbe < nClusters is the
+    // approximate production mode, recall spec-tested separately.
+    "emb_knn_label_ivf" -> ((s, d) => {
+      val e = embeddings(s, d)
+      graft.ops.Labels.knnPropagateWithIndex(
+        graft.ops.Similarity.buildIvfIndex(e, nClusters = 8), e, e, 5,
+        nProbe = 8)
     }),
     // Corpus profiling — the one-line health check a curation pipeline
     // runs before/after every dedup or filter stage. Exact arithmetic
@@ -1812,23 +1846,10 @@ object SparkEntry {
         |SELECT query_id, query_label, neighbor_id, neighbor_label, pair_type,
         |  cos_sim, rank
         |FROM rk WHERE rank <= 5""".stripMargin,
-    // kNN propagation replay: rank-5 neighborhood per vector, vote
-    // counts per label, majority = (votes desc, label asc) first row.
-    "emb_knn_label" ->
-      """WITH sc AS (
-        |  SELECT a.vec_id vid, a.label lg, b.vec_id nid, b.label nlabel,
-        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                                 CAST(b.embedding AS DOUBLE[])), 6) cs
-        |  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id),
-        |rk AS (SELECT *, row_number() OVER (PARTITION BY vid
-        |    ORDER BY cs DESC, nid) r FROM sc),
-        |v AS (SELECT vid, lg, nlabel, count(*) c FROM rk WHERE r <= 5
-        |      GROUP BY 1, 2, 3),
-        |m AS (SELECT *, row_number() OVER (PARTITION BY vid
-        |    ORDER BY c DESC, nlabel) mr FROM v)
-        |SELECT vid AS vec_id, lg AS label_given, nlabel AS label_knn,
-        |  CAST(c AS BIGINT) AS votes
-        |FROM m WHERE mr = 1""".stripMargin,
+    "emb_knn_label" -> knnLabelOracle,
+    // The IVF gate probes every cluster → candidate set equals brute
+    // force → the same replay (the sim_ann_ivf convention).
+    "emb_knn_label_ivf" -> knnLabelOracle,
     // Same explicit floor(+0.5) code arithmetic; the md5 over the
     // comma-joined codes pins content, not just aggregates.
     "sim_quantize" ->

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.graft.{AsciiClassCountsColumns, AudioFpColumns, BpeEncodeColumns, BpeTokenCountColumns, DhashColumns, HashedTokenCountsColumns, CepExprColumns, CompressRatioColumns, GramStatsColumns, LshBucketsColumns, MarkerCountsColumns, MatrixMaxCosColumns, MatrixRowDotColumns, MetricRouteColumns, MinhashColumns, RollingHashColumns, SimhashColumns, TrigramScoresColumns, VecDotColumns, VecUnitColumns, WordShinglesColumns}
+import org.apache.spark.sql.graft.{AsciiClassCountsColumns, AudioFpColumns, BpeEncodeColumns, BpeTokenCountColumns, DhashColumns, HashedTokenCountsColumns, CepExprColumns, CompressRatioColumns, GramStatsColumns, LshBucketsColumns, MarkerCountsColumns, MatrixMaxCosColumns, MatrixRowDotColumns, MetricRouteColumns, MinhashColumns, RollingHashColumns, SimhashColumns, TopKColumns, TrigramScoresColumns, VecDotColumns, VecUnitColumns, WordShinglesColumns}
 
 /** Public column-function surface for graft's native Catalyst
   * expressions (implementations under org.apache.spark.sql.graft). */
@@ -222,6 +222,14 @@ package object functions {
     * recompute; `false` the faster xxhash64. */
   def simhash_bands(tokens: Column, portable: Boolean = false): Column =
     SimhashColumns.simhashBands(tokens, portable)
+
+  /** Bounded top-k aggregation: the k SMALLEST values per group,
+    * ascending — element-identical to
+    * `slice(array_sort(collect_list(e)), 1, k)` (for totally-ordered
+    * groups) with O(k) per-group state instead of O(|group|) — see
+    * [[org.apache.spark.sql.graft.TopKColumns]]. */
+  def collect_top_k_asc(e: Column, k: Int): Column =
+    TopKColumns.collectTopKAsc(e, k)
 
   /** MinHash signature of a shingle array (ARRAY<BIGINT> of
     * `numHashes` permutation minima, one native pass; null for an

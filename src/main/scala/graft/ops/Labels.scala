@@ -122,27 +122,86 @@ object Labels {
     *
     * Scale: the SEED side is broadcast (a labeled seed set is small
     * by definition — thousands to low millions of rows; beyond that,
-    * feed a sampled seed). The corpus is scanned once; the top-k
-    * selection is a sorted-slice AGGREGATION, not a window — partial
-    * aggregation collapses each vector's seed matches map-side (the
-    * broadcast join is narrow, so all |seeds| matches of a vector are
-    * co-located), and the one shuffle carries ONE row per corpus
-    * vector, not |corpus|·|seeds| scored rows. The majority vote is
-    * then a per-row HOF over the k-array — no second shuffle. */
+    * feed a sampled seed, or take [[knnPropagateWithIndex]] so each
+    * corpus row scores only the seeds probing its cluster). The
+    * corpus is scanned once; the top-k selection is a BOUNDED
+    * insertion fold ([[graft.functions.collect_top_k_asc]], a
+    * k-element priority queue — never the whole seed set in memory),
+    * partial aggregation collapses each vector's seed matches
+    * map-side (the broadcast join is narrow, so all |seeds| matches
+    * of a vector are co-located), and the one shuffle carries ONE
+    * k-bounded row per corpus vector, not |corpus|·|seeds| scored
+    * rows. The majority vote is then a per-row HOF over the k-array —
+    * no second shuffle. */
   def knnPropagate(emb: DataFrame, labeled: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     val corpus = withNorm(emb)
     val seeds = withNorm(labeled).select(col("vec_id").as("nid"),
       col("label").as("nlabel"), col("embedding").as("n_emb"),
       col("norm").as("n_norm"))
-    val topk = corpus.join(broadcast(seeds), col("vec_id") =!= col("nid"))
+    voteFromCandidates(
+      corpus.join(broadcast(seeds), col("vec_id") =!= col("nid")), k)
+  }
+
+  /** [[knnPropagate]] with IVF-pruned candidates — the spelling a
+    * 100k+ labeled set needs: instead of scoring every corpus vector
+    * against EVERY seed, each seed is multi-probed to its `nProbe`
+    * nearest centroids of a trained [[Similarity.IvfIndex]] and each
+    * corpus vector (assigned to its own nearest centroid by the same
+    * frozen model, a zero-join O(k·dim) projection) scores only the
+    * seeds probing its cluster — expected `nProbe/nClusters` of the
+    * brute-force work. Exact same ranking/vote arithmetic downstream;
+    * recall < 1 against [[knnPropagate]], rising with `nProbe`, and
+    * IDENTICAL at `nProbe = nClusters` (every seed then reaches every
+    * cluster — spec-pinned, and the `emb_knn_label_ivf` gate's
+    * oracle-exact configuration).
+    *
+    * `emb` supplies (vec_id, label, embedding) for the corpus (the
+    * index's assigned frame carries no label and is not read here —
+    * only the bounded centroid model is). Ties in a seed's centroid
+    * ranking break toward the lower centroid id (micro-rounded dot,
+    * the [[Similarity.nearestCentroid]] convention). */
+  def knnPropagateWithIndex(index: Similarity.IvfIndex, emb: DataFrame,
+      labeled: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val centroids = index.centroids
+    require(centroids.nonEmpty, "empty IVF index")
+    require(nProbe >= 1 && nProbe <= centroids.length,
+      s"nProbe must be in [1, ${centroids.length}], got $nProbe")
+    val corpus = withNorm(emb)
+      .withColumn("cid", Similarity.nearestCentroid(
+        graft.functions.VecMath.vec_unit(col("embedding")), centroids))
+    // Seed side: nProbe nearest centroids per seed (the ivfProbe
+    // probing spelling — rank centroid dots in an array expression,
+    // explode the top slice). Seed count × nProbe rows, still
+    // broadcast-sized by the labeled-set premise.
+    val probeCols = centroids.zipWithIndex.map { case (c, i) =>
+      struct(dot(col("e"), array(c.map(lit).toIndexedSeq: _*)).as("d"),
+        lit(i).as("cid"))
+    }
+    val seeds = withNorm(labeled)
+      .withColumn("e", graft.functions.VecMath.vec_unit(col("embedding")))
+      .select(col("vec_id").as("nid"), col("label").as("nlabel"),
+        col("embedding").as("n_emb"), col("norm").as("n_norm"),
+        explode(slice(reverse(array_sort(array(probeCols.toIndexedSeq: _*))),
+          1, nProbe).getField("cid")).as("cid"))
+    voteFromCandidates(
+      corpus.join(broadcast(seeds),
+        corpus("cid") === seeds("cid") && col("vec_id") =!= col("nid")), k)
+  }
+
+  /** Shared tail of the kNN propagation family: bounded top-k fold
+    * over (neg_cos, nid, nlabel) candidate structs, then the majority
+    * vote as a per-row HOF — one shuffle total, k-bounded state. */
+  private def voteFromCandidates(cands: DataFrame, k: Int): DataFrame = {
+    val topk = cands
       .select(col("vec_id"), col("label"),
         struct(
           (-round(dot(col("embedding"), col("n_emb")) /
             (col("norm") * col("n_norm")), 6)).as("neg_cos"),
           col("nid"), col("nlabel")).as("cand"))
       .groupBy(col("vec_id"), col("label"))
-      .agg(slice(array_sort(collect_list(col("cand"))), 1, k).as("topk"))
+      .agg(graft.functions.collect_top_k_asc(col("cand"), k).as("topk"))
     val votesArr = transform(col("topk"), x => x("nlabel"))
     val tally = transform(array_distinct(votesArr), l =>
       struct((-size(filter(votesArr, v => v === l))).as("neg_votes"),

@@ -131,6 +131,66 @@ class LabelsSpec extends AnyFunSuite {
     assert(got == sc)
   }
 
+  test("knnPropagate law: bounded top-k fold equals the unbounded sorted-slice spelling") {
+    // The r10 spelling buffered the WHOLE seed set per corpus row
+    // (collect_list → array_sort → slice); the shipped fold keeps a
+    // k-element priority queue. Same candidates, same ordering key →
+    // identical frames, element for element.
+    val k = 5
+    val e = emb.select(col("vec_id"), col("label"), col("embedding"),
+      graft.functions.VecMath.vec_norm(col("embedding")).as("norm"))
+    val seeds = e.select(col("vec_id").as("nid"), col("label").as("nlabel"),
+      col("embedding").as("n_emb"), col("norm").as("n_norm"))
+    val unbounded = e.join(broadcast(seeds), col("vec_id") =!= col("nid"))
+      .select(col("vec_id"), col("label"),
+        struct(
+          (-round(graft.functions.VecMath.vec_dot(col("embedding"), col("n_emb")) /
+            (col("norm") * col("n_norm")), 6)).as("neg_cos"),
+          col("nid"), col("nlabel")).as("cand"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(slice(array_sort(collect_list(col("cand"))), 1, k).as("topk"))
+      .select(col("vec_id"), col("topk")).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Any](1).toSeq)).toSeq
+    val bounded = e.join(broadcast(seeds), col("vec_id") =!= col("nid"))
+      .select(col("vec_id"), col("label"),
+        struct(
+          (-round(graft.functions.VecMath.vec_dot(col("embedding"), col("n_emb")) /
+            (col("norm") * col("n_norm")), 6)).as("neg_cos"),
+          col("nid"), col("nlabel")).as("cand"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(graft.functions.collect_top_k_asc(col("cand"), k).as("topk"))
+      .select(col("vec_id"), col("topk")).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Any](1).toSeq)).toSeq
+    assert(bounded == unbounded)
+  }
+
+  test("knnPropagateWithIndex: nProbe = nClusters is identical to brute force; pruned probes keep high agreement") {
+    val index = Similarity.buildIvfIndex(emb, nClusters = 8)
+    val brute = Labels.knnPropagate(emb, emb, k = 5)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label_given"),
+        r.getAs[Int]("label_knn"), r.getAs[Long]("votes"))).toSeq
+    // Every seed probed to every cluster → every corpus row sees every
+    // seed exactly once → candidate set equals brute force.
+    val full = Labels.knnPropagateWithIndex(index, emb, emb, k = 5, nProbe = 8)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label_given"),
+        r.getAs[Int]("label_knn"), r.getAs[Long]("votes"))).toSeq
+    assert(full == brute)
+    // Pruned: each corpus row scores only seeds probing its cluster —
+    // a recall trade, measured as label agreement with brute force.
+    val bruteMap = brute.map(t => t._1 -> t._3).toMap
+    val pruned = Labels.knnPropagateWithIndex(index, emb, emb, k = 5, nProbe = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label_knn"))
+    assert(pruned.nonEmpty)
+    val agree = pruned.count { case (v, l) => bruteMap.get(v).contains(l) }
+    val rate = agree.toDouble / pruned.length
+    // The sf0.001 embeddings are near-uniform, so majority votes sit
+    // close to ties and flip easily under candidate pruning; measured
+    // agreement at nProbe=4/8 is 0.658 (deterministic corpus + seed).
+    assert(rate >= 0.6, s"label agreement $rate at nProbe=4/8")
+  }
+
   test("labelErrors: exact boundary flags, each direction on a self-consistent frame") {
     // flip_to_1 boundary: class-1 mean is exactly 0.5 (label-0 probes
     // don't shift it); a label-0 doc AT the mean flags (>=), one a
