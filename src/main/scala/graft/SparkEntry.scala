@@ -832,6 +832,28 @@ object SparkEntry {
     "sim_ann_ivf" -> ((s, d) =>
       graft.ops.Similarity.ivfTopK(embeddings(s, d), embQueries(s, d), 5,
         nClusters = 16, nProbe = 16)),
+    // IVF rolling-append workflow end-to-end — the daily-ingest half
+    // of the ANN story: index two thirds of the vectors, APPEND the
+    // remaining third (re-keyed +1e6) assigned by the FROZEN centroid
+    // model (no retrain, no base re-scan), then probe the GROWN index
+    // from a reload. Probing every cluster pins the grown corpus
+    // exactly to brute force over base ∪ delta, so the oracle replays
+    // it without knowing the clustering; each query's own appended
+    // copy ranks as its cos-1 top neighbor, so a garbage or missing
+    // append fails the gate loudly.
+    "sim_ann_ivf_append" -> ((s, d) => {
+      val dir = scratchDir("graft_ivf_app", d)
+      val emb = embeddings(s, d)
+      val base = emb.filter(col("vec_id") % 3 =!= 0)
+      graft.ops.Similarity.saveIvfIndex(
+        graft.ops.Similarity.buildIvfIndex(base, nClusters = 8), dir)
+      val batch = emb.filter(col("vec_id") % 3 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      graft.ops.Similarity.appendToIvfIndex(batch, dir)
+      graft.ops.Similarity.ivfTopKWithIndex(
+        graft.ops.Similarity.loadIvfIndex(s, dir), embQueries(s, d), 5,
+        nProbe = 8)
+    }),
     // Int8 scalar quantization (4× embedding memory cut): codes are
     // pinned content-exactly through the portable md5; the code
     // vector itself stays in the operator output but out of the gate
@@ -1827,6 +1849,22 @@ object SparkEntry {
     "sim_ann_lsh" -> simTopkOracle,
     "sim_ann_ivf" -> simTopkOracle,
     "sim_topk" -> simTopkOracle,
+    // Grown corpus = base thirds ∪ re-keyed appended third; every
+    // cluster probed → brute-force replay over that union.
+    "sim_ann_ivf_append" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings
+        |  WHERE vec_id % 3 = 0)
+        |SELECT query_id, neighbor_id, rank, cos_sim FROM (
+        |  SELECT q.vec_id query_id, n.vec_id neighbor_id,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])), 6) cos_sim,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])), 6) DESC, n.vec_id) rank
+        |  FROM embeddings q JOIN corpus n ON n.vec_id != q.vec_id
+        |  WHERE q.vec_id < 10
+        |) WHERE rank <= 5""".stripMargin,
     // Contrastive mining replay: per (anchor, pair_type) ranking with
     // the hard_neg order inverted (highest cosine first) and hard_pos
     // plain (lowest first), id tiebreaks.

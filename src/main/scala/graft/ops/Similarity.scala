@@ -204,7 +204,9 @@ object Similarity {
     IvfIndex(centroids, persist(assignToCentroids(emb, centroids)))
   }
 
-  private def assignToCentroids(
+  /** `private[graft]`: the IVF-append spec derives a rebuild-
+    * equivalent assigned frame with a frozen model through this. */
+  private[graft] def assignToCentroids(
       emb: DataFrame, centroids: Array[Array[Double]]): DataFrame =
     unitized(emb)
       .withColumn("cid", nearestCentroid(col("e"), centroids))
@@ -239,6 +241,7 @@ object Similarity {
     * is the ephemeral cousin. */
   def saveIvfIndex(index: IvfIndex, path: String): Unit = {
     val spark = index.assigned.sparkSession
+    import spark.implicits._
     spark.createDataFrame(
         index.centroids.zipWithIndex.toSeq
           .map { case (c, i) => (i, c.toSeq) })
@@ -247,6 +250,72 @@ object Similarity {
       .write.mode("overwrite").parquet(path + "/centroids")
     index.assigned
       .write.mode("overwrite").partitionBy("cid").parquet(path + "/assigned")
+    // Params LAST: the commit marker (the saveDedupIndex protocol). A
+    // rebuild that dies mid-write leaves stale (or no) params over
+    // partial artifacts, so the append/load guard fails loudly instead
+    // of assigning against a half-written model.
+    Seq((index.centroids.length,
+        index.centroids.headOption.map(_.length).getOrElse(0)))
+      .toDF("n_clusters", "dim")
+      .write.mode("overwrite").parquet(path + "/params")
+  }
+
+  /** Rolling append to a [[saveIvfIndex]] artifact — the daily-ingest
+    * half of the ANN workflow: arriving embeddings are assigned with
+    * the FROZEN centroid model (the same
+    * [[nearestCentroid]] column expression every probe and the
+    * streaming semantic dedup use, so ingest-time and batch cluster
+    * maps agree by construction) and appended to the `assigned/`
+    * corpus, with no base re-scan and no retrain. Probes against the
+    * grown index see the delta immediately; append ≡ rebuild-with-
+    * the-same-centroids for probe results (spec-pinned — all
+    * artifacts are plain parquet and probes read whole directories).
+    *
+    * The ONLY index reads in this path are the one-row params guard
+    * and the k×dim centroid model (PlanShapeSpec pins that the delta
+    * write never scans `assigned/`). The caller must not append
+    * vec_ids already present (the corpus is a bag — duplicates would
+    * double-report as their own neighbors). Not atomic: a crash
+    * mid-append can leave a partial delta (re-append after an
+    * anti-join of the batch ids against the index).
+    *
+    * Retrain note: the frozen model means cluster BALANCE decays as
+    * the corpus drifts — [[clusterStats]] on the grown index is the
+    * monitor; rebuild when a cluster's share says so. */
+  def appendToIvfIndex(emb: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    val centroids = readCentroidModel(spark, path)
+    assignToCentroids(emb, centroids)
+      .write.mode("append").partitionBy("cid").parquet(path + "/assigned")
+  }
+
+  /** Loud artifact guard shared by append and load: params must exist
+    * (they commit last — absence means a dead rebuild or a
+    * pre-params artifact) and must match the centroid matrix shape. */
+  private def readCentroidModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Double]] = {
+    val paramsPath = new org.apache.hadoop.fs.Path(s"$path/params")
+    val fs = paramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(paramsPath),
+      s"no params/ under $path — either the index predates parameter " +
+        "tracking or a rebuild died before its final params write " +
+        "(params commit last); re-run saveIvfIndex before appending " +
+        "or probing")
+    val saved = spark.read.parquet(s"$path/params")
+      .select("n_clusters", "dim").head()
+    val centroids = spark.read.parquet(path + "/centroids")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    require(
+      saved == org.apache.spark.sql.Row(centroids.length,
+        centroids.headOption.map(_.length).getOrElse(0)),
+      s"index at $path: params say (n_clusters, dim) = $saved but the " +
+        s"centroid model has (${centroids.length}, " +
+        s"${centroids.headOption.map(_.length).getOrElse(0)}) — " +
+        "mismatched artifacts assign garbage clusters; rebuild with " +
+        "saveIvfIndex")
+    centroids
   }
 
   /** Cluster-balanced ("semantic diversity") sampling: cap every IVF
@@ -286,19 +355,15 @@ object Similarity {
           col("e"), col("cid"), flat, dim)).as("outlier_score"))
   }
 
-  /** Reload a [[saveIvfIndex]] artifact. The assigned frame comes back
-    * partition-pruned by `cid`; probes are bit-identical to the
-    * in-session index (spec-pinned). */
+  /** Reload a [[saveIvfIndex]] artifact (params-guarded — a
+    * half-written rebuild fails loudly here, not as a garbage probe).
+    * The assigned frame comes back partition-pruned by `cid`; probes
+    * are bit-identical to the in-session index (spec-pinned). */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): IvfIndex = {
-    val centroids = spark.read.parquet(path + "/centroids")
-      .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1).map(_._2)
-    IvfIndex(centroids,
+      path: String): IvfIndex =
+    IvfIndex(readCentroidModel(spark, path),
       spark.read.parquet(path + "/assigned")
         .select(col("vec_id"), col("embedding"), col("cid")))
-  }
 
   private def ivfProbe(centroids: Array[Array[Double]], corpus: DataFrame,
       queries: DataFrame, k: Int, nProbe: Int): DataFrame = {

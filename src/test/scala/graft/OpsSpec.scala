@@ -859,6 +859,64 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF rolling append: probe-identical to a frozen-model rebuild, delta visible, params guard loud") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_app").toString
+    try {
+      val queries = emb.filter(col("vec_id") < 10)
+      val base = emb.filter(col("vec_id") % 3 =!= 0)
+      val built = Similarity.buildIvfIndex(base, nClusters = 8)
+      Similarity.saveIvfIndex(built, dir)
+      val batch = emb.filter(col("vec_id") % 3 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Similarity.appendToIvfIndex(batch, dir)
+      val grown = Similarity.loadIvfIndex(spark, dir)
+      // Append ≡ rebuild with the SAME frozen centroids: the grown
+      // artifact's probes match an in-memory index whose assigned
+      // frame is base ∪ batch assigned by built.centroids —
+      // bit-identical rows including the verified cosine.
+      val rebuilt = Similarity.IvfIndex(built.centroids,
+        built.assigned.unionByName(
+          Similarity.assignToCentroids(batch, built.centroids)))
+      val a = Similarity.ivfTopKWithIndex(grown, queries, 5, nProbe = 3)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+        .as[(Long, Long, Int, Double)].collect().toSet
+      val b = Similarity.ivfTopKWithIndex(rebuilt, queries, 5, nProbe = 3)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+        .as[(Long, Long, Int, Double)].collect().toSet
+      assert(a.nonEmpty && a == b)
+      // The delta is genuinely probed: every query whose own re-keyed
+      // copy was appended must see it as its cos-1.0 rank-1 neighbor.
+      val full = Similarity.ivfTopKWithIndex(grown, queries, 5, nProbe = 8)
+        .filter(col("rank") === 1).collect()
+        .map(r => r.getAs[Long]("query_id") ->
+          (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toMap
+      queries.select("vec_id").as[Long].collect()
+        .filter(_ % 3 == 0).foreach { q =>
+          assert(full(q) == ((q + 1000000L, 1.0)),
+            s"appended copy of $q not its top neighbor: ${full(q)}")
+        }
+      // Params guard: an artifact without the commit marker refuses
+      // both append and load (a dead rebuild must fail loudly).
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(dir + "/params"))
+      intercept[IllegalArgumentException] {
+        Similarity.appendToIvfIndex(batch, dir)
+      }
+      intercept[IllegalArgumentException] {
+        Similarity.loadIvfIndex(spark, dir)
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("salted join: identical results to the plain join on a skewed key, salt column dropped") {
     val left = spark.range(0, 5000).select(
       when(col("id") % 5 === 0, lit("hot"))

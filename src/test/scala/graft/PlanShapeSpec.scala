@@ -199,6 +199,25 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF rolling append derives its delta from the batch alone (no base-corpus scan)") {
+    // appendToIvfIndex's 100 TB contract: the delta write reads the
+    // batch plus the k×dim centroid model (a plan literal) — never
+    // the accumulated assigned/ corpus. Pin: the delta frame plans
+    // exactly one parquet scan, and it is the batch table.
+    import org.apache.spark.sql.functions.col
+    val batch = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val centroids = Array.tabulate(8, 64)((r, i) => (r * 64 + i + 1).toDouble)
+    val delta = graft.ops.Similarity.assignToCentroids(batch, centroids)
+    val plan = delta.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"IVF append delta plans $scans parquet scans:\n$plan")
+    assert(plan.contains("embeddings.parquet"),
+      s"IVF append delta does not scan the batch table:\n$plan")
+    assert(!plan.contains("/assigned"),
+      s"IVF append delta re-scans the base corpus:\n$plan")
+  }
+
   test("bench-only queries produce rows (a silently-empty bench row times nothing)") {
     for ((name, fn) <- SparkEntry.benchOnly) {
       assert(fn(spark, sfDir).count() > 0, s"$name returned no rows at $sfDir")
