@@ -712,6 +712,18 @@ object SparkEntry {
     "dedup_ngram_128" -> ((s, d) =>
       graft.ops.Dedup.ngramJaccardPairs(documents(s, d), 3, 0.8,
         maxShingleDf = 10, hashBits = 128)),
+    // Char-shingle mode (codepoint 8-grams over the normalized text):
+    // the dedup spelling for unsegmented scripts, here gated on the
+    // word corpus so the DuckDB substring oracle replays it exactly.
+    // Char grams run hot (common substrings cross word boundaries:
+    // measured max df 3859 at sf0.1), so the df cap is LOAD-BEARING
+    // for the candidate join — and unlike the word gates, the cap is
+    // spelled INTO the oracle (cold-gram candidate generation + full-
+    // set verification), pinning the cap semantics cross-engine
+    // instead of relying on a corpus where it never binds.
+    "dedup_ngram_char" -> ((s, d) =>
+      graft.ops.Dedup.ngramJaccardPairs(documents(s, d), 8, 0.8,
+        maxShingleDf = 10, shingler = graft.ops.Shingler.Char)),
     "dedup_minhash" -> ((s, d) =>
       graft.ops.Dedup.minhashLshPairs(documents(s, d), 3, 64, 16, 0.8)),
     // Oracle-portable twin (md5-chunk token hash, same vote/band/
@@ -1670,6 +1682,28 @@ object SparkEntry {
          |FROM documents GROUP BY 2""".stripMargin,
     "dedup_ngram" -> dedupNgramOracle,
     "dedup_ngram_128" -> dedupNgramOracle,
+    // Codepoint 8-gram replay WITH the df cap: candidates only from
+    // grams in <= 10 docs (the engine's maxShingleDf), Jaccard
+    // verified over the FULL gram sets of the surviving candidates —
+    // the engine's exact two-phase semantics.
+    "dedup_ngram_char" ->
+      s"""WITH t AS (SELECT doc_id, $dNorm s FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, substring(s, CAST(i AS INT), 8) g
+         |       FROM (SELECT doc_id, s, unnest(range(1, length(s) - 8 + 2)) i
+         |             FROM t WHERE length(s) >= 8)),
+         |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         |cold AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 10),
+         |cand AS (SELECT DISTINCT x.doc_id id_a, y.doc_id id_b
+         |         FROM sh x JOIN sh y ON x.g=y.g AND x.doc_id<y.doc_id
+         |         JOIN cold ON cold.g = x.g),
+         |common AS (SELECT x.doc_id id_a, y.doc_id id_b, count(*) c
+         |           FROM sh x JOIN sh y ON x.g=y.g AND x.doc_id<y.doc_id
+         |           JOIN cand ON cand.id_a=x.doc_id AND cand.id_b=y.doc_id
+         |           GROUP BY 1,2)
+         |SELECT id_a, id_b, c*1.0/(na.n+nb.n-c) AS jaccard
+         |FROM common JOIN sizes na ON na.doc_id=id_a
+         |            JOIN sizes nb ON nb.doc_id=id_b
+         |WHERE c*1.0/(na.n+nb.n-c) >= 0.8""".stripMargin,
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_keep_one" -> (dedupClustersOracle.replace(
       "SELECT a AS doc_id, least(a, min(b)) AS component_id\nFROM reach GROUP BY a",

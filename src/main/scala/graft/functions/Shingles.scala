@@ -179,6 +179,197 @@ case class WordShingleHashPairs(child: Expression, n: Int,
     copy(child = newChild)
 }
 
+/** CODEPOINT n-gram shingles of a document in one native pass:
+  * `trim → lowercase → collapse \s+ runs to ' ' → slide an n-codepoint
+  * window` — the character-level twin of [[WordShingles]] for
+  * unsegmented scripts (CJK and friends), where whitespace
+  * tokenization yields degenerate sentence-length "words" and the
+  * word-gram dedup family goes blind (VERDICT r10 "What's missing
+  * #3").
+  *
+  * The normalized form is byte-identical to the declarative
+  * `TextOps.normalized` spelling (`regexp_replace(lower(trim(text)),
+  * "\\s+", " ")`): UTF8String.trim/toLowerCase are what Spark's
+  * trim/lower call, and the collapse replaces runs of Java-regex `\s`
+  * (= `[ \t\n\x0B\f\r]`, all single-byte and never part of a
+  * multibyte UTF-8 sequence, so the byte scan is safe). Grams are the
+  * exact strings of `substring(norm, i, n)` — Spark's substring counts
+  * codepoints, and so does the offset walk here (spec-pinned byte
+  * identity). Fewer than n codepoints → empty array. */
+case class CharShingles(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharShinglesImpl.shingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.CharShinglesImpl.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingles =
+    copy(child = newChild)
+}
+
+/** 64-bit HASHES of the codepoint n-gram shingles — `xxhash64(gram)`
+  * for each gram of [[CharShingles]], hashed STRAIGHT from the
+  * normalized byte buffer (no gram string is ever allocated) — the
+  * char-mode key tier of the n-gram dedup family, same collision
+  * budget as [[WordShingleHashes]]. */
+case class CharShingleHashes(child: Expression, n: Int, seed: Long = 42L)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharShinglesImpl.shingleHashes(input.asInstanceOf[UTF8String], n, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.CharShinglesImpl.shingleHashes($c, $n, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingleHashes =
+    copy(child = newChild)
+}
+
+/** TWO independently-seeded [[CharShingleHashes]] runs in ONE native
+  * pass (`array<struct<h1, h2>>`) — the 128-bit char-mode key tier,
+  * normalizing and walking the codepoint offsets once. */
+case class CharShingleHashPairs(child: Expression, n: Int,
+    seed1: Long = 42L, seed2: Long = 1042L)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_shingle_hash_pairs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharShinglesImpl.shingleHashPairs(input.asInstanceOf[UTF8String], n, seed1, seed2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.CharShinglesImpl.shingleHashPairs($c, $n, ${seed1}L, ${seed2}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingleHashPairs =
+    copy(child = newChild)
+}
+
+object CharShinglesImpl {
+  // Java regex \s — the exact set regexp_replace(…, "\\s+", " ")
+  // collapses. All ASCII: never a continuation byte of a multibyte
+  // UTF-8 sequence.
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0B || b == 0x0C || b == 0x0D
+
+  /** trim → lowercase → collapse \s+ runs to single 0x20, as bytes. */
+  private def normalize(s: UTF8String): Array[Byte] = {
+    val t = s.trim().toLowerCase()
+    val in = t.getBytes
+    val out = new Array[Byte](in.length)
+    var i = 0
+    var o = 0
+    var inRun = false
+    while (i < in.length) {
+      if (isWs(in(i))) {
+        if (!inRun) { out(o) = 0x20; o += 1; inRun = true }
+      } else {
+        out(o) = in(i); o += 1; inRun = false
+      }
+      i += 1
+    }
+    if (o == in.length) out else java.util.Arrays.copyOf(out, o)
+  }
+
+  /** Byte offsets of each codepoint start, plus the end offset —
+    * offsets(i) .. offsets(i+n) brackets the i-th n-codepoint gram. */
+  private def cpOffsets(bytes: Array[Byte]): Array[Int] = {
+    var cps = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) cps += 1
+      i += 1
+    }
+    val off = new Array[Int](cps + 1)
+    var c = 0
+    i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) { off(c) = i; c += 1 }
+      i += 1
+    }
+    off(cps) = bytes.length
+    off
+  }
+
+  /** See [[CharShingles]]. Static for codegen. */
+  def shingles(s: UTF8String, n: Int): GenericArrayData = {
+    val bytes = normalize(s)
+    val off = cpOffsets(bytes)
+    val cps = off.length - 1
+    if (cps < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](cps - n + 1)
+    var i = 0
+    while (i < out.length) {
+      out(i) = UTF8String.fromBytes(bytes, off(i), off(i + n) - off(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** See [[CharShingleHashes]]. Static for codegen. Hashes straight
+    * from the normalized buffer (builtin xxhash64 = XXH64 seed 42 over
+    * the gram bytes — identical to hashing the [[shingles]] strings). */
+  def shingleHashes(s: UTF8String, n: Int, seed: Long): GenericArrayData = {
+    val bytes = normalize(s)
+    val off = cpOffsets(bytes)
+    val cps = off.length - 1
+    if (cps < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](cps - n + 1)
+    var i = 0
+    while (i < out.length) {
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off(i),
+        off(i + n) - off(i), seed)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** See [[CharShingleHashPairs]]. Static for codegen. */
+  def shingleHashPairs(s: UTF8String, n: Int, seed1: Long,
+      seed2: Long): GenericArrayData = {
+    val bytes = normalize(s)
+    val off = cpOffsets(bytes)
+    val cps = off.length - 1
+    if (cps < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](cps - n + 1)
+    var i = 0
+    while (i < out.length) {
+      val base = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off(i)
+      val len = off(i + n) - off(i)
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(bytes, base, len, seed1),
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(bytes, base, len, seed2))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Per-document novelty counts against a plan-shipped reference gram
   * set, in ONE native pass: `struct<n_grams: long, n_new: long>` where
   * `n_grams` is the count of the document's DISTINCT word `n`-grams
@@ -372,4 +563,12 @@ object WordShinglesColumns {
       ExpressionUtils.expression(text), n, set))
   def arrayShingleHashes(tokens: Column, n: Int, seed: Long = 42L): Column =
     ExpressionUtils.column(ArrayShingleHashes(ExpressionUtils.expression(tokens), n, seed))
+  def charShingles(text: Column, n: Int): Column =
+    ExpressionUtils.column(CharShingles(ExpressionUtils.expression(text), n))
+  def charShingleHashes(text: Column, n: Int, seed: Long = 42L): Column =
+    ExpressionUtils.column(CharShingleHashes(ExpressionUtils.expression(text), n, seed))
+  def charShingleHashPairs(text: Column, n: Int, seed1: Long = 42L,
+      seed2: Long = 1042L): Column =
+    ExpressionUtils.column(CharShingleHashPairs(
+      ExpressionUtils.expression(text), n, seed1, seed2))
 }

@@ -85,6 +85,28 @@ package object functions {
       seed2: Long = 1042L): Column =
     WordShinglesColumns.wordShingleHashPairs(text, n, seed1, seed2)
 
+  /** CODEPOINT n-gram shingles over whitespace-normalized lowercased
+    * text, one native pass — the character-level twin of
+    * [[word_shingles]] for unsegmented scripts (byte-identical to the
+    * `substring(TextOps.normalized(text), i, n)` spelling) — see
+    * [[org.apache.spark.sql.graft.CharShingles]]. */
+  def char_shingles(text: Column, n: Int): Column =
+    WordShinglesColumns.charShingles(text, n)
+
+  /** 64-bit xxhash64 of each codepoint n-gram of [[char_shingles]],
+    * hashed straight from the normalized byte buffer (no gram string
+    * allocation) — see
+    * [[org.apache.spark.sql.graft.CharShingleHashes]]. */
+  def char_shingle_hashes(text: Column, n: Int, seed: Long = 42L): Column =
+    WordShinglesColumns.charShingleHashes(text, n, seed)
+
+  /** TWO independently-seeded [[char_shingle_hashes]] runs in one
+    * native pass (`array<struct<h1, h2>>`) — the 128-bit char-mode key
+    * tier — see [[org.apache.spark.sql.graft.CharShingleHashPairs]]. */
+  def char_shingle_hash_pairs(text: Column, n: Int, seed1: Long = 42L,
+      seed2: Long = 1042L): Column =
+    WordShinglesColumns.charShingleHashPairs(text, n, seed1, seed2)
+
   /** Per-document `{n_grams, n_new}` novelty counts against a
     * plan-shipped reference gram set in one native pass — the probe
     * side of cross-corpus novelty when the index fits the broadcast

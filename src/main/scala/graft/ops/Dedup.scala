@@ -176,9 +176,11 @@ object Dedup {
     * persist (or write) anyway; [[Persistence]] picks local vs
     * reliable storage. */
   private def shingleIndexWithSize(docs: DataFrame, n: Int,
-      persist: Persistence, hashBits: Int = 64): DataFrame =
+      persist: Persistence, hashBits: Int = 64,
+      shingler: Shingler = Shingler.Word): DataFrame =
     persist(docs.repartition(col("doc_id"))
-      .select(col("doc_id"), shingleKeyArray(col("text"), n, hashBits).as("sh_arr"))
+      .select(col("doc_id"),
+        shingleKeyArray(col("text"), n, hashBits, shingler).as("sh_arr"))
       .select(col("doc_id"), explode(col("sh_arr")).as("shingle"),
         size(col("sh_arr")).as("n_sh")))
 
@@ -201,21 +203,30 @@ object Dedup {
     * Distinctness is per KEY, so a collision at a narrow width merges
     * grams before counting — precisely the error the spec surfaces
     * and the wider width removes. */
-  private def shingleKeyArray(text: Column, n: Int, hashBits: Int): Column =
-    hashBits match {
-      case 64 =>
+  private def shingleKeyArray(text: Column, n: Int, hashBits: Int,
+      shingler: Shingler = Shingler.Word): Column =
+    (hashBits, shingler) match {
+      case (64, Shingler.Word) =>
         array_distinct(graft.functions.word_shingle_hashes(text, n))
-      case 128 =>
+      case (64, Shingler.Char) =>
+        array_distinct(graft.functions.char_shingle_hashes(text, n))
+      case (128, Shingler.Word) =>
         // One native pass (tokenize + gram-concat once, hash twice) —
         // the arrays_zip-of-two-runs spelling tokenized and rebuilt
         // every gram string twice, doubling the CPU-dense shingling
         // stage. Bit-identical output (spec-pinned).
         array_distinct(graft.functions.word_shingle_hash_pairs(text, n))
-      case 32 =>
+      case (128, Shingler.Char) =>
+        array_distinct(graft.functions.char_shingle_hash_pairs(text, n))
+      case (32, Shingler.Word) =>
         array_distinct(transform(
           graft.functions.word_shingle_hashes(text, n),
           h => h.bitwiseAND(lit(0xFFFFFFFFL))))
-      case other =>
+      case (32, Shingler.Char) =>
+        array_distinct(transform(
+          graft.functions.char_shingle_hashes(text, n),
+          h => h.bitwiseAND(lit(0xFFFFFFFFL))))
+      case (other, _) =>
         throw new IllegalArgumentException(
           s"hashBits must be 32, 64, or 128, got $other")
     }
@@ -252,9 +263,10 @@ object Dedup {
       maxShingleDf: Int = Int.MaxValue,
       persist: Persistence = Persistence.Local,
       maxBroadcastHotShingles: Long = DefaultMaxBroadcastHotShingles,
-      hashBits: Int = 64): DataFrame =
-    pairsFromIndex(shingleIndexWithSize(docs, n, persist, hashBits), threshold,
-      maxShingleDf, persist, maxBroadcastHotShingles)
+      hashBits: Int = 64,
+      shingler: Shingler = Shingler.Word): DataFrame =
+    pairsFromIndex(shingleIndexWithSize(docs, n, persist, hashBits, shingler),
+      threshold, maxShingleDf, persist, maxBroadcastHotShingles)
 
   /** [[ngramJaccardPairs]] over a materialized TOKEN INDEX — a frame
     * carrying `doc_id` and a `toks` [[graft.functions.word_tokens]]
@@ -623,12 +635,13 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5,
-      persist: Persistence = Persistence.Local): DataFrame = {
+      persist: Persistence = Persistence.Local,
+      shingler: Shingler = Shingler.Word): DataFrame = {
     // The materialized shingle index feeds BOTH sides of the
     // verification join; signatures are recomputed from the raw text
     // (one native pass/doc beats re-aggregating the exploded index).
-    val idx = shingleIndexWithSize(docs, n, persist)
-    val banded = bandedFrame(minhashSignatures(docs, n, numHashes),
+    val idx = shingleIndexWithSize(docs, n, persist, shingler = shingler)
+    val banded = bandedFrame(minhashSignatures(docs, n, numHashes, shingler),
       numHashes, bands)
     val cand = banded.as("x")
       .join(banded.as("y"),
@@ -643,13 +656,17 @@ object Dedup {
 
   /** (doc_id, sig) one-pass native MinHash signatures. */
   private def minhashSignatures(docs: DataFrame, n: Int,
-      numHashes: Int): DataFrame =
+      numHashes: Int, shingler: Shingler = Shingler.Word): DataFrame = {
+    val grams = shingler match {
+      case Shingler.Word => graft.functions.word_shingles(col("text"), n)
+      case Shingler.Char => graft.functions.char_shingles(col("text"), n)
+    }
     docs.repartition(col("doc_id"))
       .select(col("doc_id"),
-        graft.functions.minhash_signature(
-          array_distinct(graft.functions.word_shingles(col("text"), n)),
-          numHashes).as("sig"))
+        graft.functions.minhash_signature(array_distinct(grams), numHashes)
+          .as("sig"))
       .filter(col("sig").isNotNull)
+  }
 
   /** (doc_id, band_idx, band_hash) exploded banded LSH keys of a
     * signature frame. */

@@ -1083,11 +1083,16 @@ object TextAnalysis {
     * the join back is gram-keyed (vocabulary-partitioned). Exact
     * integers + one fixed-order division — oracle-portable. Documents
     * with fewer than `n` tokens emit zero grams and a null novelty. */
-  def noveltyScores(docs: DataFrame, n: Int = 3): DataFrame = {
+  def noveltyScores(docs: DataFrame, n: Int = 3,
+      shingler: Shingler = Shingler.Word): DataFrame = {
     require(n >= 1, s"n must be positive, got $n")
+    val grams = shingler match {
+      case Shingler.Word => graft.functions.array_shingles(
+        graft.functions.word_tokens(col("text")), n)
+      case Shingler.Char => graft.functions.char_shingles(col("text"), n)
+    }
     val sh = docs.select(col("doc_id"),
-      explode(array_distinct(graft.functions.array_shingles(
-        graft.functions.word_tokens(col("text")), n))).as("gram"))
+      explode(array_distinct(grams)).as("gram"))
     val dfFrame = sh.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
     val perDoc = sh.join(dfFrame, "gram")
       .groupBy(col("doc_id"))

@@ -163,6 +163,80 @@ class OpsSpec extends AnyFunSuite {
     assert(pairMismatches.count() == 0)
   }
 
+  test("native char_shingles is byte-identical to the declarative normalized+substring spelling") {
+    // The corpus plus a multibyte/whitespace torture frame: CJK (3-byte
+    // codepoints, no spaces), an astral emoji (4-byte, surrogate pair
+    // in UTF-16 — substring counts CODEPOINTS), mixed \t\n\x0B\f\r
+    // runs, a too-short doc, and uppercase Unicode.
+    val torture = Seq(
+      (9001L, "深度学习模型训练数据"),
+      (9002L, "深度学习模型训练数据集"),
+      (9003L, "a\t\tb\ncd  e\ff\rg"),
+      (9004L, "ab"),
+      (9005L, "ÉCOLE Früh 東京 𝄞 clef 𝄞x"),
+      (9006L, "   padded   ")
+    ).toDF("doc_id", "text")
+    for (frame <- Seq(docs, torture)) {
+      val norm = TextOps.normalized(col("text"))
+      val declarative = when(char_length(norm) >= 3,
+        transform(sequence(lit(1), char_length(norm) - 3 + 1),
+          i => substring(norm, i, lit(3))))
+        .otherwise(array().cast("array<string>"))
+      val mismatches = frame.select(col("doc_id"),
+          graft.functions.char_shingles(col("text"), 3).as("native"),
+          declarative.as("declarative"))
+        .filter(col("native") =!= col("declarative"))
+      assert(mismatches.count() == 0)
+    }
+  }
+
+  test("native char shingle hashes are bit-identical to transform(char_shingles, xxhash64)") {
+    val mismatches = docs.select(col("doc_id"),
+        graft.functions.char_shingle_hashes(col("text"), 8).as("native"),
+        transform(graft.functions.char_shingles(col("text"), 8),
+          s => xxhash64(s)).as("declarative"))
+      .filter(col("native") =!= col("declarative"))
+    assert(mismatches.count() == 0)
+    val pairMismatches = docs.select(
+        graft.functions.char_shingle_hash_pairs(col("text"), 8).as("pairs"),
+        arrays_zip(
+          graft.functions.char_shingle_hashes(col("text"), 8).as("h1"),
+          graft.functions.char_shingle_hashes(col("text"), 8, seed = 1042L)
+            .as("h2")).as("zipped"))
+      .filter(col("pairs") =!= col("zipped"))
+    assert(pairMismatches.count() == 0)
+  }
+
+  test("char-shingle mode catches CJK near-duplicates that word shingling provably misses") {
+    // Unsegmented script: each document is ONE whitespace token, so
+    // word 3-grams are empty and the word-mode dedup family sees
+    // nothing. Codepoint 4-grams see two near-identical docs (one
+    // char edit mid-string) plus an unrelated third.
+    val cjk = Seq(
+      (1L, "深度学习模型需要大规模高质量的训练数据来获得良好的泛化能力"),
+      (2L, "深度学习模型需要大规模高质量的训练数据集来获得良好的泛化能力"),
+      (3L, "东京塔位于日本东京都港区芝公园四丁目二番八号")
+    ).toDF("doc_id", "text")
+    val word = Dedup.ngramJaccardPairs(cjk, 3, 0.5)
+    assert(word.count() == 0, "word shingling should be blind here")
+    val char = Dedup.ngramJaccardPairs(cjk, 4, 0.5,
+        shingler = Shingler.Char)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(char == Set((1L, 2L)))
+    // The MinHash-LSH path in char mode agrees (same pair, exact
+    // verified Jaccard from the same char-gram index).
+    val mh = Dedup.minhashLshPairs(cjk, 4, 64, 16, 0.5,
+        shingler = Shingler.Char)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mh == Set((1L, 2L)))
+    // Novelty in char mode scores the near-dup pair low and the
+    // unrelated doc high (word mode has no grams at all).
+    val nov = TextAnalysis.noveltyScores(cjk, 4, Shingler.Char)
+      .select("doc_id", "novelty").as[(Long, Double)].collect().toMap
+    assert(nov(3L) == 1.0)
+    assert(nov(1L) < 0.5 && nov(2L) < 0.5)
+  }
+
   test("hashed-gram pair pipeline equals the string-gram spelling on the spec corpus") {
     // ngramJaccardPairs rides gram hashes; this pins the result to the
     // string-gram arithmetic it replaced (equal unless a 64-bit
