@@ -797,6 +797,27 @@ object SparkEntry {
         .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
       graft.ops.Dedup.dedupAgainstIndex(batchB, dir, 0.8, 3, 64, 16)
     }),
+    // Raw-web ingestion contract (the corpus front door): serialize
+    // the documents table as gzipped WET shards (writeWet), parse them
+    // back with the Content-Length-driven record walker (readWet), and
+    // gate the recovered ids, octet lengths, and content md5s against
+    // the parquet source — an engine-level round-trip the oracle
+    // replays without ever seeing the WET bytes. The in-repo binary
+    // fixture (WetSpec) pins the wire format against hand-built
+    // records; this pins the corpus-scale path.
+    "wet_roundtrip" -> ((s, d) => {
+      val dir = scratchDir("graft_wet", d) + "/corpus"
+      graft.sources.Wet.writeWet(
+        documents(s, d).select(
+          concat(lit("http://graft.test/doc/"), col("doc_id")).as("uri"),
+          lit("2026-01-01T00:00:00Z").as("date"), col("text")), dir)
+      graft.sources.Wet.readWet(s, dir)
+        .filter(col("warc_type") === "conversion")
+        .select(
+          regexp_extract(col("target_uri"), "/(\\d+)$", 1).cast("long")
+            .as("doc_id"),
+          col("content_length"), md5(col("text")).as("text_md5"))
+    }),
     // Size-dispatched: ≤1000 vectors (sf0.01 gate) runs the exact
     // all-pairs baseline, larger corpora (sf0.1+) run the banded-LSH
     // candidate path at recall-1 parameters (measured: 920/920 pairs,
@@ -1880,6 +1901,14 @@ object SparkEntry {
         |    min(CASE WHEN q = CAST(0.75 AS DOUBLE) THEN value END) AS norm_q75
         |  FROM qv)
         |SELECT * FROM s, pivoted""".stripMargin,
+    // The WET round-trip must hand back exactly the parquet corpus:
+    // ids from the URI tail, Content-Length as UTF-8 octets, md5 over
+    // the same bytes.
+    "wet_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+        |  md5(text) AS text_md5
+        |FROM documents""".stripMargin,
     "sim_ann_lsh" -> simTopkOracle,
     "sim_ann_ivf" -> simTopkOracle,
     "sim_topk" -> simTopkOracle,

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Wet
+
+/** Raw-web (WET) ingestion contract: the in-repo binary fixture pins
+  * the wire format (warcinfo skipping, Content-Length-driven bodies
+  * with embedded blank lines / "WARC/1.0", empty bodies, multibyte
+  * UTF-8, case-insensitive headers, multi-member gzip), and the
+  * writer/reader round-trip pins octet-exact text recovery — the
+  * closure pattern of the kafka connector contract (no real crawl
+  * data ships in this environment). */
+class WetSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def fixturePath: String =
+    getClass.getResource("/fixture.warc.wet.gz").getPath
+
+  test("fixture parses byte-exactly: 4 records, headers, Content-Length-driven bodies") {
+    val rows = Wet.readWet(spark, fixturePath)
+      .orderBy("record_idx").collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[String]("warc_type")).toSeq ==
+      Seq("warcinfo", "conversion", "conversion", "conversion"))
+    assert(rows.map(_.getAs[String]("target_uri")).toSeq == Seq("",
+      "http://fixture.test/page/101", "http://fixture.test/page/102",
+      "http://fixture.test/unicode/103"))
+    assert(rows.map(_.getAs[String]("warc_date")).toSeq == Seq(
+      "2026-08-15T00:00:00Z", "2026-08-15T01:02:03Z",
+      "2026-08-15T01:02:04Z", "2026-08-15T01:02:05Z"))
+    // Bodies recovered by OCTET length, not separator scanning: the
+    // first conversion body embeds a blank CRLF line, a bare-LF line,
+    // and the literal string "WARC/1.0"; the second is EMPTY; the
+    // third is multibyte (94 octets, far fewer codepoints).
+    assert(rows(1).getAs[String]("text") ==
+      "This body contains a blank line\r\n\r\nand even the string " +
+        "WARC/1.0 mid-record,\nplus a bare LF line.")
+    assert(rows(1).getAs[Long]("content_length") == 96L)
+    assert(rows(2).getAs[String]("text") == "")
+    assert(rows(2).getAs[Long]("content_length") == 0L)
+    assert(rows(3).getAs[String]("text") ==
+      "深度学習モデルの訓練データ — multibyte body with emoji 😀 and accents éàü.")
+    assert(rows(3).getAs[Long]("content_length") == 94L)
+  }
+
+  test("wetDocuments: conversion-only, trailing-integer doc ids, hash fallback for URL-keyed crawls") {
+    val docs = Wet.wetDocuments(Wet.readWet(spark, fixturePath))
+      .orderBy("doc_id").collect()
+    assert(docs.length == 3)
+    assert(docs.map(_.getAs[Long]("doc_id")).toSeq == Seq(101L, 102L, 103L))
+    // A URI without a trailing integer falls back to a stable hash.
+    val urlKeyed = Seq(("warcinfo", "", "d", 0L, "x", "f", 0L),
+      ("conversion", "http://a.test/article-about-cats", "2026-01-01T00:00:00Z",
+        3L, "cat", "f", 1L))
+      .toDF("warc_type", "target_uri", "warc_date", "content_length",
+        "text", "file", "record_idx")
+    val fallback = Wet.wetDocuments(urlKeyed).collect()
+    assert(fallback.length == 1 && fallback(0).getAs[Long]("doc_id") > 0L)
+  }
+
+  test("write/read round-trip is octet-exact on the real corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("wet_rt").toString
+    try {
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      Wet.writeWet(docs.select(
+        concat(lit("http://graft.test/doc/"), col("doc_id")).as("uri"),
+        lit("2026-01-01T00:00:00Z").as("date"), col("text")), dir)
+      val back = Wet.wetDocuments(Wet.readWet(spark, dir))
+        .select(col("doc_id"), col("text").as("text_rt"))
+      val diff = docs.join(back, Seq("doc_id"), "full")
+        .filter(col("text").isNull || col("text_rt").isNull ||
+          col("text") =!= col("text_rt"))
+      assert(docs.count() > 0 && diff.count() == 0)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("malformed shards fail loudly: truncated body, missing Content-Length, bad magic") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    val truncated = gz(("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "Content-Length: 50\r\n\r\nonly ten b").getBytes("UTF-8"))
+    intercept[java.io.EOFException] {
+      Wet.parseWet("t", truncated).toList
+    }
+    val noLen = gz(("WARC/1.0\r\nWARC-Type: conversion\r\n\r\nbody"
+      ).getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      Wet.parseWet("t", noLen).toList
+    }
+    val badMagic = gz("HTTP/1.1 200 OK\r\n\r\n".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      Wet.parseWet("t", badMagic).toList
+    }
+  }
+}
