@@ -566,9 +566,6 @@ object Dedup {
     parent.keys.toArray.sorted.map(id => (id, find(id)))
   }
 
-  /** The dedup decision applied: keep each cluster's keeper (smallest
-    * reachable doc_id) and every document that appears in no pair.
-    * This is the frame a training pipeline actually consumes. */
   /** Corpus-governance rollup of the near-dup verdicts: per source,
     * how many documents exist, how many lose their cluster's
     * keep-one election ([[components]] min-id winners — the same
@@ -593,6 +590,9 @@ object Dedup {
         (col("n_dups").cast("double") / col("n_docs")).as("dup_frac"))
   }
 
+  /** The dedup decision applied: keep each cluster's keeper (smallest
+    * reachable doc_id) and every document that appears in no pair.
+    * This is the frame a training pipeline actually consumes. */
   def keepOnePerCluster(docs: DataFrame, pairs: DataFrame,
       persist: Persistence = Persistence.Local): DataFrame = {
     val losers = components(pairs, persist = persist)

@@ -161,8 +161,9 @@ object Profiling {
     * map-side-combinable gram count per side, one full-outer equi-join
     * on the gram, one aggregation; gram frames are vocabulary-sized,
     * never occurrence-sized. */
-  def vocabDivergence(a: DataFrame, b: DataFrame, n: Int = 1): DataFrame =
-    vocabJoined(a, b, n)
+  def vocabDivergence(a: DataFrame, b: DataFrame, n: Int = 1,
+      persist: Persistence = Persistence.Local): DataFrame =
+    vocabJoined(a, b, n, persist)
       .agg(count(lit(1)).as("n_grams_union"),
         sum(col("na")).as("t_a"), sum(col("nb")).as("t_b"),
         sum(abs(col("na").cast("decimal(38,0)") * col("_gtb") -
@@ -181,9 +182,9 @@ object Profiling {
     * `copyright` exploded in the new snapshot"). TakeOrderedAndProject
     * — the vocabulary is never globally sorted; ties break by gram. */
   def vocabMovers(a: DataFrame, b: DataFrame, n: Int = 1,
-      k: Int = 20): DataFrame = {
+      k: Int = 20, persist: Persistence = Persistence.Local): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
-    vocabJoined(a, b, n)
+    vocabJoined(a, b, n, persist)
       .withColumn("_delta",
         abs(col("na").cast("decimal(38,0)") * col("_gtb") -
           col("nb").cast("decimal(38,0)") * col("_gta")))
@@ -198,8 +199,13 @@ object Profiling {
 
   /** Shared core: per-gram counts of both corpora full-outer-joined,
     * zero-coalesced, with each side's total (`_gta`/`_gtb`, one-row
-    * broadcast) attached. */
-  private def vocabJoined(a: DataFrame, b: DataFrame, n: Int): DataFrame = {
+    * broadcast) attached. The joined gram frame is MATERIALIZED
+    * (`persist`) before the totals branch reads it: the totals
+    * aggregate and the main frame are two consumers, and without the
+    * checkpoint both the full-outer gram join and the two per-side
+    * counts would execute twice per call (ADVICE r10). */
+  private def vocabJoined(a: DataFrame, b: DataFrame, n: Int,
+      persist: Persistence): DataFrame = {
     require(n >= 1, s"n must be positive, got $n")
     def counts(df: DataFrame, out: String): DataFrame = df
       .select(explode(graft.functions.array_shingles(
@@ -207,9 +213,9 @@ object Profiling {
       .groupBy(col("gram")).agg(count(lit(1)).as(out))
     val ca = counts(a, "na")
     val cb = counts(b, "nb")
-    val joined = ca.join(cb, Seq("gram"), "full_outer")
+    val joined = persist(ca.join(cb, Seq("gram"), "full_outer")
       .select(col("gram"), coalesce(col("na"), lit(0L)).as("na"),
-        coalesce(col("nb"), lit(0L)).as("nb"))
+        coalesce(col("nb"), lit(0L)).as("nb")))
     joined
       .crossJoin(broadcast(joined.agg(
         sum(col("na").cast("decimal(38,0)")).as("_gta"),

@@ -139,7 +139,14 @@ object Sampling {
     * Every number is an exact integer aggregate or a single IEEE
     * op (one multiply + floor, one division) — fully oracle-portable.
     * Scale: one map-side-combinable groupBy(stratum); the output is
-    * strata-sized. */
+    * strata-sized.
+    *
+    * A stratum with ZERO (or all-NULL) tokens can supply nothing:
+    * its `rate` and `epochs` pin to 0.0 and `deficit` is true
+    * whenever its target is positive — the explicit "this stratum
+    * cannot contribute" row, rather than a NULL/NaN division leaking
+    * into the samplers (which would silently plan nothing without
+    * flagging the shortfall). */
   def mixturePlan(df: DataFrame, stratum: Column, nTokens: Column,
       targetShares: Map[String, Double],
       budgetTokens: Long): DataFrame = {
@@ -157,11 +164,16 @@ object Sampling {
       .withColumn("target_share", share)
       .withColumn("target_tokens",
         floor(col("target_share") * lit(budgetTokens.toDouble)).cast("long"))
-      .withColumn("rate", least(lit(1.0),
-        col("target_tokens").cast("double") / col("n_tokens")))
-      .withColumn("epochs",
-        col("target_tokens").cast("double") / col("n_tokens"))
-      .withColumn("deficit", col("target_tokens") > col("n_tokens"))
+      .withColumn("_empty",
+        col("n_tokens").isNull || col("n_tokens") === 0L)
+      .withColumn("rate", when(col("_empty"), lit(0.0))
+        .otherwise(least(lit(1.0),
+          col("target_tokens").cast("double") / col("n_tokens"))))
+      .withColumn("epochs", when(col("_empty"), lit(0.0))
+        .otherwise(col("target_tokens").cast("double") / col("n_tokens")))
+      .withColumn("deficit",
+        col("target_tokens") > coalesce(col("n_tokens"), lit(0L)))
+      .drop("_empty")
   }
 
   /** Domain-mixture resampling: keep each row with a per-stratum rate
@@ -503,15 +515,24 @@ object Sampling {
   def packManifest(df: DataFrame, key: Column, nTokens: Column,
       budget: Long, buckets: Int = 1024,
       seed: String = "graft"): DataFrame = {
-    val packed = packSequences(df, key, nTokens, budget, buckets, seed)
-      .withColumn("_mk", key).withColumn("_mt", nTokens.cast("long"))
+    val assigned = packSequences(df, key, nTokens, budget, buckets, seed)
+    // Collision-guarded temp names (the fresh() pattern of
+    // packSequences / Ranking.distinctRanks): an input frame already
+    // carrying a bookkeeping name must not be silently overwritten.
+    val taken = assigned.columns.toSet
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => s"_${base}_$i").find(!taken(_)).get
+    val mk = fresh("mk")
+    val mt = fresh("mt")
+    val packed = assigned
+      .withColumn(mk, key).withColumn(mt, nTokens.cast("long"))
     packed.groupBy(col("pack_id"))
       .agg(min(col("bucket")).as("bucket"),
         min(col("pack_seq")).as("pack_seq"),
         count(lit(1)).as("n_docs"),
-        sum(col("_mt")).as("n_tokens"),
+        sum(col(mt)).as("n_tokens"),
         md5(concat_ws(",",
-          transform(array_sort(collect_list(col("_mk"))),
+          transform(array_sort(collect_list(col(mk))),
             _.cast("string")))).as("ids_md5"))
       .select(col("pack_id"), col("bucket"), col("pack_seq"),
         col("n_docs"), col("n_tokens"),
@@ -538,18 +559,24 @@ object Sampling {
   def packText(df: DataFrame, key: Column, textCol: Column,
       nTokens: Column, budget: Long, buckets: Int = 1024,
       seed: String = "graft", sep: String = "\n\n"): DataFrame = {
-    val packed = packSequences(df, key, nTokens, budget, buckets, seed)
-      .withColumn("_pt_u", hashUniform(key, seed))
-      .withColumn("_pt_k", key)
-      .withColumn("_pt_t", textCol)
+    val assigned = packSequences(df, key, nTokens, budget, buckets, seed)
+    val taken = assigned.columns.toSet
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => s"_${base}_$i").find(!taken(_)).get
+    val u = fresh("pt_u")
+    val k = fresh("pt_k")
+    val t = fresh("pt_t")
+    val packed = assigned
+      .withColumn(u, hashUniform(key, seed))
+      .withColumn(k, key)
+      .withColumn(t, textCol)
     packed.groupBy(col("pack_id"))
       .agg(min(col("bucket")).as("bucket"),
         min(col("pack_seq")).as("pack_seq"),
         count(lit(1)).as("n_docs"),
         array_join(transform(
-          array_sort(collect_list(struct(col("_pt_u"), col("_pt_k"),
-            col("_pt_t")))),
-          _.getField("_pt_t")), sep).as("text"))
+          array_sort(collect_list(struct(col(u), col(k), col(t)))),
+          _.getField(t)), sep).as("text"))
       .select(col("pack_id"), col("bucket"), col("pack_seq"),
         col("n_docs"), length(col("text")).cast("long").as("n_chars"),
         md5(col("text")).as("text_md5"), col("text"))

@@ -4326,6 +4326,46 @@ class OpsSpec extends AnyFunSuite {
     assert(plan("c") == ((1L, 100L, 0L, 0.0, 0.0, false)))
   }
 
+  test("mixturePlan: a zero-token stratum pins rate/epochs to 0 and flags its target as deficit") {
+    // ADVICE r10: 0 (or all-NULL) token inventories must not leak a
+    // NULL/NaN division into the samplers — the stratum can supply
+    // nothing, so it plans to zero LOUDLY (deficit iff target > 0).
+    val df = Seq(("a", Some(10)), ("z", Some(0)), ("z", Some(0)),
+      ("n", None: Option[Int]))
+      .toDF("source", "nt")
+    val plan = Sampling.mixturePlan(df, col("source"), col("nt"),
+      Map("a" -> 0.2, "z" -> 0.5, "n" -> 0.3), budgetTokens = 10L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("rate"), r.getAs[Double]("epochs"),
+          r.getAs[Boolean]("deficit"))).toMap
+    assert(plan("a") == ((0.2, 0.2, false)))
+    assert(plan("z") == ((0.0, 0.0, true)))
+    assert(plan("n") == ((0.0, 0.0, true)))
+  }
+
+  test("packManifest/packText: temp bookkeeping names never collide with caller columns") {
+    // ADVICE r10: the old spelling hardcoded _mk/_mt/_pt_u/_pt_k/_pt_t
+    // and silently overwrote an input column of the same name. Poison
+    // the input with all five and pin identical outputs.
+    val base = Seq((1L, "alpha beta", 2), (2L, "gamma", 1),
+      (3L, "delta epsilon zeta", 3)).toDF("doc_id", "text", "nt")
+    val poisoned = Seq(
+      (1L, "alpha beta", 2, "X", "X", "X", "X", "X"),
+      (2L, "gamma", 1, "X", "X", "X", "X", "X"),
+      (3L, "delta epsilon zeta", 3, "X", "X", "X", "X", "X"))
+      .toDF("doc_id", "text", "nt", "_mk", "_mt", "_pt_u", "_pt_k", "_pt_t")
+    def maniOf(df: org.apache.spark.sql.DataFrame) =
+      Sampling.packManifest(df, col("doc_id"), col("nt"), budget = 4,
+        buckets = 2).select("pack_id", "n_docs", "n_tokens", "ids_md5")
+        .as[(Long, Long, Long, String)].collect().toSet
+    def textOf(df: org.apache.spark.sql.DataFrame) =
+      Sampling.packText(df, col("doc_id"), col("text"), col("nt"),
+        budget = 4, buckets = 2).select("pack_id", "text_md5")
+        .as[(Long, String)].collect().toSet
+    assert(maniOf(base).nonEmpty && maniOf(poisoned) == maniOf(base))
+    assert(textOf(base).nonEmpty && textOf(poisoned) == textOf(base))
+  }
+
   test("vocabDivergence/vocabMovers: exact integer TVD on planted corpora; identity is zero") {
     val a = Seq((1L, "x x x y")).toDF("doc_id", "text")
     val b = Seq((2L, "x y y z")).toDF("doc_id", "text")
