@@ -128,6 +128,41 @@ object ScaleSlope {
           df.select((col("doc_id") + 100000000L).as("doc_id"), col("text")),
           dir, 0.8, 3, 64, 16)
       }),
+      // Round-11: the FULL rolling-ingest cycle at the gate's shape —
+      // index two thirds, probe batch A, append A's survivors, probe
+      // batch B against the grown index. The heaviest bench row
+      // (VERDICT r10 Next #4) previously had no slope evidence; every
+      // stage is bucket-keyed, so the cycle should scale ~linearly in
+      // the corpus (all of index, batches, and deltas grow with k).
+      "dedup_incremental_append" -> ((df, k) => {
+        val dir = s"$scratch/app_$k"
+        rmrf(dir)
+        val base = df.filter(col("doc_id") % 3 =!= 0)
+        Dedup.saveDedupIndex(base, dir, 3, 64, 16)
+        val batchA = df.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
+        val matchedA = Dedup.dedupAgainstIndex(batchA, dir, 0.8, 3, 64, 16)
+        val survivors = batchA.join(
+          matchedA.select(col("doc_id")).distinct(), Seq("doc_id"),
+          "left_anti")
+        Dedup.appendToDedupIndex(survivors, dir, 3, 64, 16)
+        Dedup.dedupAgainstIndex(
+          df.filter(col("doc_id") % 3 === 1 || col("doc_id") % 6 === 0)
+            .select((col("doc_id") + 200000000L).as("doc_id"), col("text")),
+          dir, 0.8, 3, 64, 16)
+      }),
+      // Round-11: kNN propagation on the SEED-SET axis (VERDICT r10
+      // Next #1) — the corpus is fixed at 1× while the labeled seed
+      // set grows 1×/4×/16×. Work is corpus×seeds (linear in S) and,
+      // with the bounded top-k fold, per-row state is O(topK) at every
+      // S — the exact axis the old collect_list spelling blew up on
+      // (O(S) per-row buffers). Labels are derived (vec_id mod 4):
+      // the slope does not depend on label content.
+      "emb_knn_label_seed_axis" -> ((_, k) => {
+        def lbl(df: DataFrame): DataFrame =
+          df.withColumn("label", pmod(col("vec_id"), lit(4L)).cast("int"))
+        Labels.knnPropagate(lbl(embCorpus(1)), lbl(embCorpus(k)), 5)
+      }),
       // Round-8 additions: trainer + encoder (driver merge loop is
       // vocab-capped, distributed pass corpus-sized), the tf/df family,
       // and the S-bounded-fan-out source audit.
