@@ -696,24 +696,31 @@ object Dedup {
     *
     * All three are plain parquet — `mode=overwrite` rebuilds; rolling
     * appends write the delta with `mode=append` after dedup. A
-    * `params/` frame records (n, numHashes, bands, bandBuckets);
-    * [[dedupAgainstIndex]] validates its own parameters against it and
-    * fails LOUDLY on mismatch — mismatched banding would otherwise
-    * silently match nothing, the inverted failure direction for a
-    * dedup guard. */
+    * `params/` frame records (n, numHashes, bands, bandBuckets,
+    * shingler — the gram mode, so a CJK corpus can run the same
+    * ingest loop on codepoint grams); [[dedupAgainstIndex]] validates
+    * its own parameters against it and fails LOUDLY on mismatch —
+    * mismatched banding or gram mode would otherwise silently match
+    * nothing, the inverted failure direction for a dedup guard. */
   def saveDedupIndex(docs: DataFrame, path: String, n: Int = 3,
-      numHashes: Int = 64, bands: Int = 16, bandBuckets: Int = 64): Unit = {
+      numHashes: Int = 64, bands: Int = 16, bandBuckets: Int = 64,
+      shingler: Shingler = Shingler.Word): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     writeIndexArtifacts(docs, path, n, numHashes, bands, bandBuckets,
-      mode = "overwrite")
+      mode = "overwrite", shingler)
     // Params LAST: they are the commit marker. A rebuild that dies
     // mid-write leaves stale (or no) params over partial artifacts, so
     // the probe's params read fails loudly instead of validating new
     // params against old artifacts.
-    Seq((n, numHashes, bands, bandBuckets))
-      .toDF("n", "num_hashes", "bands", "band_buckets")
+    Seq((n, numHashes, bands, bandBuckets, shinglerName(shingler)))
+      .toDF("n", "num_hashes", "bands", "band_buckets", "shingler")
       .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  private def shinglerName(s: Shingler): String = s match {
+    case Shingler.Word => "word"
+    case Shingler.Char => "char"
   }
 
   /** Rolling append to a [[saveDedupIndex]] artifact — the daily
@@ -733,11 +740,12 @@ object Dedup {
     * partially-appended batch (re-run after deduping the batch ids
     * against the index again). */
   def appendToDedupIndex(docs: DataFrame, path: String, n: Int = 3,
-      numHashes: Int = 64, bands: Int = 16, bandBuckets: Int = 64): Unit = {
+      numHashes: Int = 64, bands: Int = 16, bandBuckets: Int = 64,
+      shingler: Shingler = Shingler.Word): Unit = {
     validateIndexParams(docs.sparkSession, path, n, numHashes, bands,
-      bandBuckets)
+      bandBuckets, shingler)
     writeIndexArtifacts(docs, path, n, numHashes, bands, bandBuckets,
-      mode = "append")
+      mode = "append", shingler)
   }
 
   /** The three index-artifact frames (shingles / sigs / banded keys)
@@ -745,15 +753,17 @@ object Dedup {
     * a rolling APPEND's write jobs never scan the existing index (the
     * only index read in the append path is the one-row params guard). */
   private[graft] def indexArtifactFrames(docs: DataFrame, n: Int,
-      numHashes: Int, bands: Int,
-      bandBuckets: Int): (DataFrame, DataFrame, DataFrame) = {
+      numHashes: Int, bands: Int, bandBuckets: Int,
+      shingler: Shingler = Shingler.Word): (DataFrame, DataFrame, DataFrame) = {
+    val hashes = shingler match {
+      case Shingler.Word => graft.functions.word_shingle_hashes(col("text"), n)
+      case Shingler.Char => graft.functions.char_shingle_hashes(col("text"), n)
+    }
     val shingles = docs.repartition(col("doc_id"))
-      .select(col("doc_id"),
-        array_distinct(graft.functions.word_shingle_hashes(col("text"), n))
-          .as("sh_arr"))
+      .select(col("doc_id"), array_distinct(hashes).as("sh_arr"))
       .select(col("doc_id"), explode(col("sh_arr")).as("shingle"),
         size(col("sh_arr")).as("n_sh"))
-    val sig = minhashSignatures(docs, n, numHashes)
+    val sig = minhashSignatures(docs, n, numHashes, shingler)
     val banded = bandedFrame(sig, numHashes, bands)
       .withColumn("bucket", pmod(col("band_hash"), lit(bandBuckets)).cast("int"))
     (shingles, sig, banded)
@@ -763,9 +773,10 @@ object Dedup {
     * `docs`, written under `path` — `overwrite` for a rebuild,
     * `append` for a rolling delta. */
   private def writeIndexArtifacts(docs: DataFrame, path: String, n: Int,
-      numHashes: Int, bands: Int, bandBuckets: Int, mode: String): Unit = {
+      numHashes: Int, bands: Int, bandBuckets: Int, mode: String,
+      shingler: Shingler = Shingler.Word): Unit = {
     val (shingles, sig, banded) =
-      indexArtifactFrames(docs, n, numHashes, bands, bandBuckets)
+      indexArtifactFrames(docs, n, numHashes, bands, bandBuckets, shingler)
     shingles.write.mode(mode).parquet(s"$path/shingles")
     sig.write.mode(mode).parquet(s"$path/sigs")
     banded.write.mode(mode).partitionBy("bucket").parquet(s"$path/bands")
@@ -776,7 +787,7 @@ object Dedup {
     * failure direction for a dedup guard. */
   private def validateIndexParams(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, n: Int, numHashes: Int, bands: Int,
-      bandBuckets: Int): Unit = {
+      bandBuckets: Int, shingler: Shingler = Shingler.Word): Unit = {
     val paramsPath = new org.apache.hadoop.fs.Path(s"$indexPath/params")
     val fs = paramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(paramsPath),
@@ -784,7 +795,8 @@ object Dedup {
         "parameter tracking or a rebuild died before its final " +
         "params write (params commit last); re-run saveDedupIndex " +
         "to rebuild before probing")
-    val saved = spark.read.parquet(s"$indexPath/params")
+    val params = spark.read.parquet(s"$indexPath/params")
+    val saved = params
       .select("n", "num_hashes", "bands", "band_buckets").head()
     require(
       saved == org.apache.spark.sql.Row(n, numHashes, bands, bandBuckets),
@@ -792,6 +804,17 @@ object Dedup {
         s"bandBuckets) = $saved but the caller asked for " +
         s"(${n}, ${numHashes}, ${bands}, ${bandBuckets}) — mismatched " +
         "banding silently matches nothing; rebuild or re-parameterize")
+    // Gram mode: an index predating mode tracking is a word index
+    // (the only mode that existed); char probes against it must fail
+    // loudly, not silently match nothing.
+    val savedMode =
+      if (params.columns.contains("shingler"))
+        params.select("shingler").head().getString(0)
+      else "word"
+    require(savedMode == shinglerName(shingler),
+      s"index at $indexPath was built with $savedMode shingles but the " +
+        s"caller asked for ${shinglerName(shingler)} — mismatched gram " +
+        "modes silently match nothing; rebuild or re-parameterize")
   }
 
   /** Near-duplicate matches of a NEW batch against a
@@ -807,10 +830,12 @@ object Dedup {
   def dedupAgainstIndex(newDocs: DataFrame, indexPath: String,
       threshold: Double = 0.5, n: Int = 3, numHashes: Int = 64,
       bands: Int = 16, bandBuckets: Int = 64, exactVerify: Boolean = true,
-      persist: Persistence = Persistence.Local): DataFrame = {
+      persist: Persistence = Persistence.Local,
+      shingler: Shingler = Shingler.Word): DataFrame = {
     val spark = newDocs.sparkSession
-    validateIndexParams(spark, indexPath, n, numHashes, bands, bandBuckets)
-    val sig = persist(minhashSignatures(newDocs, n, numHashes))
+    validateIndexParams(spark, indexPath, n, numHashes, bands, bandBuckets,
+      shingler)
+    val sig = persist(minhashSignatures(newDocs, n, numHashes, shingler))
     val cand = bandedFrame(sig, numHashes, bands)
       .withColumn("bucket", pmod(col("band_hash"), lit(bandBuckets)).cast("int"))
       .as("x")
@@ -821,10 +846,14 @@ object Dedup {
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("dup_of"))
       .distinct()
     if (exactVerify) {
+      val probeHashes = shingler match {
+        case Shingler.Word =>
+          graft.functions.word_shingle_hashes(col("text"), n)
+        case Shingler.Char =>
+          graft.functions.char_shingle_hashes(col("text"), n)
+      }
       val newIdx = newDocs.repartition(col("doc_id"))
-        .select(col("doc_id"),
-          array_distinct(graft.functions.word_shingle_hashes(col("text"), n))
-            .as("sh_arr"))
+        .select(col("doc_id"), array_distinct(probeHashes).as("sh_arr"))
         .select(col("doc_id"), explode(col("sh_arr")).as("shingle"),
           size(col("sh_arr")).as("n_sh"))
       cand

@@ -69,6 +69,34 @@ object Wet {
       .toDF()
   }
 
+  /** STREAMING twin of [[readWet]]: new `.wet.gz` shards arriving in
+    * `path` become WET records as they land — the ingest-time front
+    * door (crawl shards drop into a directory; the stream parses each
+    * exactly once and downstream stateless ops — quality, langid,
+    * novelty probes, streaming dedup — run per micro-batch). The
+    * parser is the SAME stateless walker as the batch read, so batch
+    * ≡ stream per shard by construction (spec-pinned); use
+    * `maxFilesPerTrigger` to bound micro-batch size. */
+  def readWetStream(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .load(path)
+      .filter(col("length") > 0)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (file, gz) => parseWet(file, gz) }
+      .toDF()
+  }
+
   /** The `documents`-shaped view of [[readWet]]: conversion records
     * only, `doc_id` = the trailing integer of the target URI when one
     * exists (the [[writeWet]] round-trip convention), else a stable

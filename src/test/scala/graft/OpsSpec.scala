@@ -1339,6 +1339,54 @@ class OpsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("mismatched"))
   }
 
+  test("char-mode incremental dedup index: CJK ingest loop works end to end; gram-mode mismatch fails loudly") {
+    def tmp(tag: String): java.nio.file.Path = {
+      val p = java.nio.file.Files.createTempDirectory(tag)
+      p.toFile.deleteOnExit(); p
+    }
+    val dir = tmp("graft_idx_cjk").toString
+    // Unsegmented corpus: word mode would index one degenerate token
+    // per doc; char 4-grams carry the near-dup structure.
+    val corpus = Seq(
+      (1L, "深度学习模型需要大规模高质量的训练数据来获得良好的泛化能力"),
+      (2L, "东京塔位于日本东京都港区芝公园四丁目二番八号"),
+      (3L, "自然言語処理の事前学習には大量のテキストコーパスが必要である")
+    ).toDF("doc_id", "text")
+    Dedup.saveDedupIndex(corpus, dir, n = 4, 64, 16,
+      shingler = Shingler.Char)
+    // Batch: a one-char edit of doc 1 (must match), a fresh doc (must
+    // not), and an exact copy of doc 3 (must match at J = 1).
+    val batch = Seq(
+      (101L, "深度学习模型需要大规模高质量的训练数据集来获得良好的泛化能力"),
+      (102L, "全く無関係な新しい文書がここに現れる"),
+      (103L, "自然言語処理の事前学習には大量のテキストコーパスが必要である")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.dedupAgainstIndex(batch, dir, 0.5, n = 4, 64, 16,
+        shingler = Shingler.Char)
+      .select("doc_id", "dup_of", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(hits.map(h => (h._1, h._2)).toSet == Set((101L, 1L), (103L, 3L)))
+    assert(hits.find(_._1 == 103L).get._3 == 1.0)
+    // Rolling append keeps char mode: survivors land, and the NEXT
+    // batch's copy of a survivor matches only via the delta.
+    val survivors = Seq((102L, "全く無関係な新しい文書がここに現れる"))
+      .toDF("doc_id", "text")
+    Dedup.appendToDedupIndex(survivors, dir, n = 4, 64, 16,
+      shingler = Shingler.Char)
+    val next = Seq((201L, "全く無関係な新しい文書がここに現れる"))
+      .toDF("doc_id", "text")
+    val nextHits = Dedup.dedupAgainstIndex(next, dir, 0.5, n = 4, 64, 16,
+        shingler = Shingler.Char)
+      .select("doc_id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(nextHits == Set((201L, 102L)))
+    // Mode mismatch: probing (or appending to) a char index with word
+    // grams would silently match nothing — it must refuse instead.
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstIndex(next, dir, 0.5, n = 4, 64, 16)
+    }
+    assert(ex.getMessage.contains("gram mode"))
+  }
+
   test("interval join: unbounded sentinel interval fails loudly, capped guard passes") {
     val left = Seq((1L, "u1", 100L)).toDF("event_id", "user", "ts")
     val open = Seq(("u1", 0L, Long.MaxValue)) // "still open" sentinel

@@ -84,6 +84,41 @@ class WetSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming ingest parity: arriving shards parse identically to the batch read") {
+    val dir = java.nio.file.Files.createTempDirectory("wet_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("wet_ckpt").toString
+    try {
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(50).select(col("doc_id"), col("text"))
+      Wet.writeWet(docs.select(
+        concat(lit("http://graft.test/doc/"), col("doc_id")).as("uri"),
+        lit("2026-01-01T00:00:00Z").as("date"), col("text")), dir)
+      val q = Wet.readWetStream(spark, dir)
+        .writeStream.format("memory").queryName("wet_stream_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      val streamed = spark.table("wet_stream_out")
+        .select("target_uri", "content_length", "text")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        .toSet
+      val batch = Wet.readWet(spark, dir)
+        .select("target_uri", "content_length", "text")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        .toSet
+      assert(batch.size == 50 && streamed == batch)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS wet_stream_out")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(dir)); rm(new java.io.File(ckpt))
+    }
+  }
+
   test("malformed shards fail loudly: truncated body, missing Content-Length, bad magic") {
     def gz(b: Array[Byte]): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
