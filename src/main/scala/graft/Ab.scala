@@ -77,7 +77,51 @@ object Ab {
         Similarity.buildIvfIndex(emb, nClusters = 16).assigned)))
   }
 
+  /** r11 kNN-propagation cost attribution: the bounded CollectTopK
+    * fold vs the r10 collect_list+sort+slice spelling (element-
+    * identical, LabelsSpec), plus the IVF-pruned production path at
+    * nProbe = 4/16. Hypothesis check for VERDICT r10 Next #1's "bench
+    * row dropping materially": if bounded ≈ collect_list, the row is
+    * dominated by the O(N·S·dim) scoring join, not the aggregation
+    * buffer — the fold's win is bounded MEMORY, and the wall-time
+    * lever at scale is candidate pruning (the IVF variant). */
+  private def knnFold(spark: SparkSession): Seq[(String, () => Unit)] = {
+    val emb = spark.read.parquet(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        + "/embeddings.parquet").localCheckpoint()
+    def oldSpelling(): DataFrame = {
+      val corpus = emb.select(col("vec_id"), col("label"), col("embedding"),
+        graft.functions.VecMath.vec_norm(col("embedding")).as("norm"))
+      val seeds = corpus.select(col("vec_id").as("nid"),
+        col("label").as("nlabel"), col("embedding").as("n_emb"),
+        col("norm").as("n_norm"))
+      val topk = corpus.join(broadcast(seeds), col("vec_id") =!= col("nid"))
+        .select(col("vec_id"), col("label"),
+          struct(
+            (-round(graft.functions.VecMath.vec_dot(
+              col("embedding"), col("n_emb")) /
+              (col("norm") * col("n_norm")), 6)).as("neg_cos"),
+            col("nid"), col("nlabel")).as("cand"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(slice(array_sort(collect_list(col("cand"))), 1, 5).as("topk"))
+      val votesArr = transform(col("topk"), x => x("nlabel"))
+      val tally = transform(array_distinct(votesArr), l =>
+        struct((-size(filter(votesArr, v => v === l))).as("neg_votes"),
+          l.as("lab")))
+      topk.select(col("vec_id"), col("label").as("label_given"),
+        array_min(tally).getField("lab").as("label_knn"),
+        (-array_min(tally).getField("neg_votes")).cast("long").as("votes"))
+    }
+    val index = Similarity.buildIvfIndex(emb, nClusters = 16)
+    Seq(
+      "bounded_fold" -> (() => force(Labels.knnPropagate(emb, emb, 5))),
+      "collect_list_r10" -> (() => force(oldSpelling())),
+      "ivf_nprobe4" -> (() => force(
+        Labels.knnPropagateWithIndex(index, emb, emb, 5, nProbe = 4))))
+  }
+
   private val registry: Map[String, Experiment] = Map(
+    "knn_fold" -> Experiment("ab_r11_knn_fold", knnFold),
     "sim_outliers" -> Experiment("ab_r11_sim_outliers", simOutliers,
       preflight = { spark =>
         // Identity license: the two spellings must score identically

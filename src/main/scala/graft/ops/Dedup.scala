@@ -1063,16 +1063,22 @@ object Dedup {
     * pins the at-the-cap / below-the-cap behavior). */
   def duplicatedSpans(docs: DataFrame, n: Int = 8,
       persist: Persistence = Persistence.Local,
-      maxGramOcc: Long = Long.MaxValue): DataFrame = {
+      maxGramOcc: Long = Long.MaxValue,
+      shingler: Shingler = Shingler.Word): DataFrame = {
     require(n >= 1, s"gram length must be positive, got $n")
     require(maxGramOcc >= 2, s"maxGramOcc must allow a duplicate, got $maxGramOcc")
+    val gramHash = shingler match {
+      case Shingler.Word => graft.functions.word_shingle_hashes(col("text"), n)
+      case Shingler.Char => graft.functions.char_shingle_hashes(col("text"), n)
+    }
     // Materialized: both the gram aggregate and the position join
     // consume this frame — unpersisted, Spark would tokenize+shingle
-    // the whole corpus twice.
+    // the whole corpus twice. Under Shingler.Char, `pos`/span bounds
+    // are CODEPOINT offsets into the normalized text (n_words counts
+    // codepoints) — the unit CJK span dedup needs.
     val pos = persist(docs
       .repartition(col("doc_id"))
-      .select(col("doc_id"), posexplode(
-        graft.functions.word_shingle_hashes(col("text"), n)).as(Seq("pos", "g"))))
+      .select(col("doc_id"), posexplode(gramHash).as(Seq("pos", "g"))))
     // maxGramOcc is the zipfian insurance (ngramJaccardPairs'
     // maxShingleDf analogue): a boilerplate gram occurring everywhere
     // is dropped from the dup set — its positions then never converge
@@ -1142,9 +1148,23 @@ object Dedup {
     * explode ever re-shuffles the corpus. */
   def cutDuplicatedSpans(docs: DataFrame, n: Int = 8,
       persist: Persistence = Persistence.Local,
-      verify: Boolean = false): DataFrame =
-    cutDuplicatedSpansImpl(docs, n, persist, verify,
-      graft.functions.word_shingle_hashes(_, _))
+      verify: Boolean = false,
+      shingler: Shingler = Shingler.Word): DataFrame =
+    shingler match {
+      case Shingler.Word =>
+        cutDuplicatedSpansImpl(docs, n, persist, verify,
+          graft.functions.word_shingle_hashes(_, _))
+      case Shingler.Char =>
+        // Codepoint mode: units are the codepoints of the normalized
+        // text (same index space as char_shingle_hashes positions,
+        // spec-pinned), rebuilt with an empty joiner. n_words counts
+        // codepoints.
+        cutDuplicatedSpansImpl(docs, n, persist, verify,
+          graft.functions.char_shingle_hashes(_, _),
+          units = t => filter(split(TextOps.normalized(t), ""),
+            x => x =!= lit("")),
+          sep = "")
+    }
 
   /** [[cutDuplicatedSpans]] with the gram-hash function injectable so
     * the adversarial spec can force hash collisions (a real 64-bit
@@ -1152,7 +1172,9 @@ object Dedup {
     * suppresses the spurious cut. */
   private[graft] def cutDuplicatedSpansImpl(docs: DataFrame, n: Int,
       persist: Persistence, verify: Boolean,
-      gramHash: (Column, Int) => Column): DataFrame = {
+      gramHash: (Column, Int) => Column,
+      units: Column => Column = graft.functions.word_tokens(_),
+      sep: String = " "): DataFrame = {
     require(n >= 1, s"gram length must be positive, got $n")
     val pos = persist(docs
       .repartition(col("doc_id"))
@@ -1176,12 +1198,11 @@ object Dedup {
         .filter(col("doc_id") > col("owner"))
         .select(col("doc_id"), col("pos"))
     } else {
-      val toks = docs.select(col("doc_id"),
-        graft.functions.word_tokens(col("text")).as("toks"))
+      val toks = docs.select(col("doc_id"), units(col("text")).as("toks"))
       val content = pos.join(owners, "g")
         .join(toks, "doc_id")
         .select(col("doc_id"), col("pos"),
-          array_join(slice(col("toks"), col("pos") + 1, lit(n)), " ").as("gc"))
+          array_join(slice(col("toks"), col("pos") + 1, lit(n)), sep).as("gc"))
       val contentOwners = content
         .groupBy(col("gc"))
         .agg(min(col("doc_id")).as("cowner"), max(col("doc_id")).as("cmx"))
@@ -1203,11 +1224,11 @@ object Dedup {
       .agg(collect_list(struct(col("s"), col("e"))).as("cut_spans"))
     docs
       .join(cutSpans, Seq("doc_id"), "left")
-      .withColumn("toks", graft.functions.word_tokens(col("text")))
+      .withColumn("toks", units(col("text")))
       .withColumn("kept", when(col("cut_spans").isNull, col("toks")).otherwise(
         expr(s"filter(toks, (tk, i) -> NOT exists(cut_spans, sp -> sp.s <= i AND i < sp.e))")))
       .select(col("doc_id"),
-        array_join(col("kept"), " ").as("text"),
+        array_join(col("kept"), sep).as("text"),
         size(col("toks")).cast("long").as("n_words"),
         (size(col("toks")) - size(col("kept"))).cast("long").as("n_cut"))
   }

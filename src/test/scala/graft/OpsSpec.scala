@@ -237,6 +237,38 @@ class OpsSpec extends AnyFunSuite {
     assert(nov(1L) < 0.5 && nov(2L) < 0.5)
   }
 
+  test("char-mode span dedup: reports and cuts a shared CJK run that word mode cannot see") {
+    // Two documents share a 12-codepoint run mid-text; no whitespace
+    // anywhere, so word mode sees one giant token per doc and zero
+    // spans. Char mode must report the run in CODEPOINT offsets and
+    // cut it from the non-owner only.
+    val shared = "大规模高质量的训练数据集合" // 13 codepoints
+    val cjk = Seq(
+      (1L, "甲乙丙丁" + shared + "戊己庚辛"),
+      (2L, "子丑寅卯辰巳" + shared + "午未申酉"),
+      (3L, "完全独立した別の文書である")
+    ).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(cjk, 6).count() == 0,
+      "word mode should be blind here")
+    val spans = Dedup.duplicatedSpans(cjk, 6, shingler = Shingler.Char)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("span_start"), r.getAs[Long]("span_end"))).toSet
+    // Doc 1: run starts at codepoint 4; doc 2: at 6. Span = the full
+    // 13-codepoint shared run in each carrier.
+    assert(spans == Set((1L, 4L, 17L), (2L, 6L, 19L)))
+    // The cut keeps the owner (lowest doc id) intact and removes the
+    // run from doc 2; unverified and verified agree (no collisions).
+    for (verify <- Seq(false, true)) {
+      val cut = Dedup.cutDuplicatedSpans(cjk, 6, verify = verify,
+          shingler = Shingler.Char)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("text"), r.getAs[Long]("n_cut"))).toMap
+      assert(cut(1L) == (("甲乙丙丁" + shared + "戊己庚辛", 0L)))
+      assert(cut(2L) == (("子丑寅卯辰巳" + "午未申酉", 13L)))
+      assert(cut(3L)._2 == 0L)
+    }
+  }
+
   test("hashed-gram pair pipeline equals the string-gram spelling on the spec corpus") {
     // ngramJaccardPairs rides gram hashes; this pins the result to the
     // string-gram arithmetic it replaced (equal unless a 64-bit
