@@ -237,6 +237,36 @@ class OpsSpec extends AnyFunSuite {
     assert(nov(1L) < 0.5 && nov(2L) < 0.5)
   }
 
+  test("domain curation: profile concentration and allow/block semantics incl. null domains") {
+    val docs = Seq(
+      (1L, "https://a.example.com/1"), (2L, "https://b.example.com/2"),
+      (3L, "https://example.com/3"), (4L, "https://news.bbc.co.uk/4"),
+      (5L, "https://spam.example.org/5"), (6L, "garbage"),
+      (7L, "https://x.example.com/7")).toDF("doc_id", "url")
+    val prof = Domains.domainProfile(docs, col("url"), k = 10)
+      .collect().map(r => r.getAs[String]("key_value") ->
+        (r.getAs[Long]("cnt"), r.getAs[Double]("share"))).toMap
+    // example.com concentrates 4/7 of the corpus; the unparseable URL
+    // profiles under the null key rather than vanishing.
+    assert(prof("example.com") == ((4L, 4.0 / 7)))
+    assert(prof("bbc.co.uk")._1 == 1L && prof("example.org")._1 == 1L)
+    assert(prof(null)._1 == 1L)
+    val block = Seq("example.org").toDF("domain")
+    val blocked = Domains.filterByDomainList(docs, col("url"), block,
+      allow = false).select("doc_id").as[Long].collect().toSet
+    // Block mode drops only the listed domain; the unparseable URL
+    // survives (it matches no blocked domain).
+    assert(blocked == Set(1L, 2L, 3L, 4L, 6L, 7L))
+    val allowL = Seq("example.com").toDF("domain")
+    val allowed = Domains.filterByDomainList(docs, col("url"), allowL,
+      allow = true).select("doc_id").as[Long].collect().toSet
+    // Allow mode keeps only the listed domain; unparseable drops.
+    assert(allowed == Set(1L, 2L, 3L, 7L))
+    // The filter hands back the caller's schema (no leaked temp cols).
+    assert(Domains.filterByDomainList(docs, col("url"), block,
+      allow = false).columns.toSeq == Seq("doc_id", "url"))
+  }
+
   test("char-mode span dedup: reports and cuts a shared CJK run that word mode cannot see") {
     // Two documents share a 12-codepoint run mid-text; no whitespace
     // anywhere, so word mode sees one giant token per doc and zero
