@@ -3744,6 +3744,18 @@ object SparkEntry {
       graft.ops.Similarity.ivfTopKWithIndex(
         graft.ops.Similarity.loadIvfIndex(s, ivfArtifactPath(s, d)),
         embQueries(s, d), 5, nProbe = 8)),
+    // Production kNN auto-labeling cost: the IVF-pruned propagation
+    // at nProbe 4/16 against the memoized durable index. The
+    // emb_knn_label / emb_knn_label_ivf GATE rows are deliberately
+    // exact/brute-pinning (every seed scored / every cluster probed);
+    // this row tracks what a pipeline labeling against a frozen index
+    // actually pays (AB_r11b: 2.4x under exact at gate scale).
+    "emb_knn_ivf_probe" -> ((s, d) => {
+      val e = embeddings(s, d)
+      graft.ops.Labels.knnPropagateWithIndex(
+        graft.ops.Similarity.loadIvfIndex(s, ivfArtifactPath(s, d)),
+        e, e, 5, nProbe = 4)
+    }),
     // Steady-state incremental-dedup cost: probe a 10%-of-corpus batch
     // against a memoized saveDedupIndex artifact. The dedup_incremental
     // gate row deliberately pays the full index build + write each
