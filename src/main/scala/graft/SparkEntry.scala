@@ -1625,6 +1625,15 @@ object SparkEntry {
         size(graft.functions.word_tokens(col("text"))),
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
         budgetTokens = 20000L)),
+    // Temperature mixture planning: targets derived from the
+    // inventory itself (share ∝ n_tokens^alpha) instead of a
+    // hand-written map; alpha = 0.5 is the oracle-exact tier (sqrt is
+    // correctly rounded; the weight-sum folds a stratum-sorted array,
+    // the engine-deterministic-double-sum idiom).
+    "curation_mixture_temp" -> ((s, d) =>
+      graft.ops.Sampling.mixturePlanByTemperature(documents(s, d),
+        col("source"), size(graft.functions.word_tokens(col("text"))),
+        alpha = 0.5, budgetTokens = 20000L)),
     // Lexical divergence between src0 and the rest of the corpus:
     // exact integer-TVD over unigram distributions (no logs), one
     // number + the top-20 movers behind it.
@@ -2688,6 +2697,34 @@ object SparkEntry {
          |       WHEN 'src2' THEN 0.2 ELSE 0 END AS DOUBLE) * 20000.0) AS BIGINT)
          |    > n_tokens AS deficit
          |FROM s""".stripMargin,
+    // sqrt weights, stratum-sorted list_reduce fold for the share
+    // denominator, then the mixturePlan arithmetic verbatim.
+    "curation_mixture_temp" ->
+      s"""WITH s AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len($dToks)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |w AS (SELECT *, sqrt(CAST(coalesce(n_tokens, 0) AS DOUBLE))
+         |        AS weight FROM s),
+         |t AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(list(weight ORDER BY source), x -> x)),
+         |        (a, b) -> a + b) AS wsum FROM w),
+         |p AS (SELECT source, n_docs, n_tokens, weight,
+         |    CASE WHEN wsum > CAST(0 AS DOUBLE) THEN weight / wsum
+         |         ELSE CAST(0 AS DOUBLE) END AS target_share
+         |  FROM w, t),
+         |q AS (SELECT *,
+         |    CAST(floor(target_share * CAST(20000 AS DOUBLE)) AS BIGINT)
+         |      AS target_tokens
+         |  FROM p)
+         |SELECT source, n_docs, n_tokens, weight, target_share,
+         |  target_tokens,
+         |  CASE WHEN n_tokens IS NULL OR n_tokens = 0 THEN CAST(0 AS DOUBLE)
+         |       ELSE least(CAST(1 AS DOUBLE),
+         |         CAST(target_tokens AS DOUBLE) / n_tokens) END AS rate,
+         |  CASE WHEN n_tokens IS NULL OR n_tokens = 0 THEN CAST(0 AS DOUBLE)
+         |       ELSE CAST(target_tokens AS DOUBLE) / n_tokens END AS epochs,
+         |  target_tokens > coalesce(n_tokens, 0) AS deficit
+         |FROM q""".stripMargin,
     // Exact integer TVD: cross-multiplied per-gram deltas summed in
     // HUGEINT (Spark DECIMAL(38,0)), three fixed-order divisions.
     "profile_vocab_divergence" ->

@@ -176,6 +176,65 @@ object Sampling {
       .drop("_empty")
   }
 
+  /** [[mixturePlan]] with TEMPERATURE-derived targets instead of a
+    * hand-written share map: `share_s ∝ n_tokens_s^alpha`, the
+    * standard multilingual/multi-source rebalancing rule (alpha = 1
+    * keeps natural proportions, alpha → 0 approaches uniform;
+    * alpha ≈ 0.3–0.7 is the usual up-weight-the-tails band). Output
+    * schema = [[mixturePlan]]'s plus `weight` (the stratum's
+    * unnormalized n_tokens^alpha), with the same zero-token guard
+    * (rate/epochs 0.0, deficit iff target > 0 — vacuous here since a
+    * zero-token stratum also gets target 0).
+    *
+    * Arithmetic portability tiers: alpha = 0.5 is exact cross-engine
+    * (`sqrt` is a correctly-rounded IEEE op — the oracle gate's
+    * configuration) and alpha = 1 trivially so; other alphas go
+    * through `pow` (libm, ~1-ulp engine variance — spec-covered, not
+    * hash-gated). The weight-sum behind the shares is an
+    * ORDER-INDEPENDENT fold of the stratum-sorted weight array (the
+    * round-10 engine-deterministic-double-sum idiom), so shares are
+    * identical on every run, partitioning, and engine.
+    *
+    * Scale: one map-side-combinable groupBy(stratum); the fold and
+    * broadcast are strata-sized (one row each). */
+  def mixturePlanByTemperature(df: DataFrame, stratum: Column,
+      nTokens: Column, alpha: Double, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 1, s"budget must be positive, got $budgetTokens")
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha out of [0,1]: $alpha")
+    val inv = df.groupBy(stratum.as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(nTokens.cast("long")).as("n_tokens"))
+      .withColumn("weight", {
+        val t = coalesce(col("n_tokens"), lit(0L)).cast("double")
+        alpha match {
+          case 1.0 => t
+          case 0.5 => sqrt(t)
+          case a => pow(t, a)
+        }
+      })
+    val wsum = inv.agg(
+      aggregate(
+        transform(array_sort(collect_list(struct(col("source"), col("weight")))),
+          x => x.getField("weight")),
+        lit(0.0), (acc, w) => acc + w).as("_wsum"))
+    inv.crossJoin(broadcast(wsum))
+      .withColumn("target_share",
+        when(col("_wsum") > 0.0, col("weight") / col("_wsum"))
+          .otherwise(lit(0.0)))
+      .withColumn("target_tokens",
+        floor(col("target_share") * lit(budgetTokens.toDouble)).cast("long"))
+      .withColumn("_empty",
+        col("n_tokens").isNull || col("n_tokens") === 0L)
+      .withColumn("rate", when(col("_empty"), lit(0.0))
+        .otherwise(least(lit(1.0),
+          col("target_tokens").cast("double") / col("n_tokens"))))
+      .withColumn("epochs", when(col("_empty"), lit(0.0))
+        .otherwise(col("target_tokens").cast("double") / col("n_tokens")))
+      .withColumn("deficit",
+        col("target_tokens") > coalesce(col("n_tokens"), lit(0L)))
+      .drop("_empty", "_wsum")
+  }
+
   /** Domain-mixture resampling: keep each row with a per-stratum rate
     * (e.g. downweight web crawl, keep all code), deterministically in
     * `key`. Strata missing from `rates` use `defaultRate`. Rates are

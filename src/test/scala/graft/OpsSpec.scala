@@ -4436,6 +4436,35 @@ class OpsSpec extends AnyFunSuite {
     assert(plan("c") == ((1L, 100L, 0L, 0.0, 0.0, false)))
   }
 
+  test("mixturePlanByTemperature: alpha=1 keeps natural proportions, alpha=0.5 up-weights the tail, zero strata plan to zero") {
+    val df = Seq.fill(90)(("big", 10)) ++ Seq.fill(10)(("small", 10)) ++
+      Seq(("empty", 0))
+    val frame = df.toDF("source", "nt")
+    def planOf(alpha: Double) =
+      Sampling.mixturePlanByTemperature(frame, col("source"), col("nt"),
+        alpha, budgetTokens = 1000L)
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Double]("target_share"), r.getAs[Long]("target_tokens"),
+            r.getAs[Double]("rate"), r.getAs[Boolean]("deficit"))).toMap
+    // alpha = 1: shares are the natural token proportions (900:100:0).
+    val nat = planOf(1.0)
+    assert(nat("big")._1 == 0.9 && nat("small")._1 == 0.1)
+    assert(nat("empty") == ((0.0, 0L, 0.0, false)))
+    // alpha = 0.5: sqrt(900):sqrt(100) = 3:1 — the tail triples its
+    // share (0.1 → 0.25) and the head gives it up.
+    val half = planOf(0.5)
+    assert(half("big")._1 == 0.75 && half("small")._1 == 0.25)
+    // The small stratum's 250-token target exceeds its 100 available:
+    // epochs > 1 and deficit, the weightedRepeat signal.
+    assert(half("small")._2 == 250L && half("small")._4)
+    assert(half("small")._3 == 1.0) // rate caps at 1
+    assert(half("empty") == ((0.0, 0L, 0.0, false)))
+    intercept[IllegalArgumentException] {
+      Sampling.mixturePlanByTemperature(frame, col("source"), col("nt"),
+        alpha = 1.5, budgetTokens = 1000L)
+    }
+  }
+
   test("mixturePlan: a zero-token stratum pins rate/epochs to 0 and flags its target as deficit") {
     // ADVICE r10: 0 (or all-NULL) token inventories must not leak a
     // NULL/NaN division into the samplers — the stratum can supply

@@ -61,7 +61,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "curation_rank_fusion", "profile_heavy_grams",
       "text_ppl_buckets", "text_ppl_cutoffs", "sim_cluster_stats",
       "profile_vocab_divergence", "profile_vocab_movers",
-      "sim_embedding_health")
+      "sim_embedding_health",
+      // r11: the temperature plan crossJoins its one-row weight-sum.
+      "curation_mixture_temp")
 
   test("the CEP rule fan-out is a broadcast HASH join on the pivot key") {
     for (q <- Seq("cep_multi_rule", "cep_multi_rule_first_aligned")) {
