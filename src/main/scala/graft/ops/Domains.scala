@@ -81,7 +81,16 @@ object Domains {
     * in it (`allow = false`). Null domains (unparseable URLs) are
     * DROPPED in allow mode (they match no allowed domain) and KEPT in
     * block mode (they match no blocked domain) — set semantics, not a
-    * special case. */
+    * special case.
+    *
+    * Works UNCHANGED on a streaming corpus against a static list (the
+    * ingest-time deployment: crawl shards stream in, the blocklist is
+    * a nightly artifact): allow mode is a stream-static left-semi
+    * join; block mode is deliberately spelled left_outer + null
+    * filter rather than left_anti — identical semantics (the list is
+    * deduplicated, so the join never multiplies rows) and, unlike
+    * left_anti, supported for stream-static joins. Batch ≡ stream
+    * spec-pinned end-to-end in WetSpec. */
   def filterByDomainList(docs: DataFrame, urlCol: Column, list: DataFrame,
       allow: Boolean,
       multiPartSuffixes: Seq[String] = DefaultMultiPartSuffixes): DataFrame = {
@@ -89,7 +98,11 @@ object Domains {
     val dl = list.select(col("domain")).distinct()
     val kept =
       if (allow) tagged.join(dl, Seq("domain"), "left_semi")
-      else tagged.join(dl, Seq("domain"), "left_anti")
+      else tagged
+        .join(dl.withColumn("_blocked", lit(true)), Seq("domain"),
+          "left_outer")
+        .filter(col("_blocked").isNull)
+        .drop("_blocked")
     kept.drop("host", "domain")
   }
 }

@@ -119,6 +119,58 @@ class WetSpec extends AnyFunSuite {
     }
   }
 
+  test("crawl-to-curated streaming path: WET stream -> documents -> domain block -> quality verdicts equals the batch chain") {
+    // The ingest deployment this round's pieces compose into: crawl
+    // shards land in a directory, the stream parses them once, the
+    // nightly blocklist (static frame) drops bad domains via the
+    // stream-safe left_outer spelling, and the quality gate projects
+    // verdicts — all stateless/stream-static, so batch ≡ stream by
+    // construction. Urls are synthesized so doc_id % 3 == 0 lands on
+    // a blocked domain.
+    val dir = java.nio.file.Files.createTempDirectory("wet_e2e").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("wet_e2e_ck").toString
+    try {
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(60).select(col("doc_id"), col("text"))
+      Wet.writeWet(docs.select(
+        concat(lit("https://"),
+          when(col("doc_id") % 3 === 0, lit("spam.example.org"))
+            .otherwise(lit("good.example.com")),
+          lit("/doc/"), col("doc_id")).as("uri"),
+        lit("2026-01-01T00:00:00Z").as("date"), col("text")), dir)
+      val block = Seq("example.org").toDF("domain")
+      def chain(wet: org.apache.spark.sql.DataFrame) = {
+        val d = graft.ops.Domains.filterByDomainList(
+          Wet.wetDocuments(wet), col("url"), block, allow = false)
+        graft.ops.TextAnalysis.qualityFilter(d, minTokens = 10)
+      }
+      val q = chain(Wet.readWetStream(spark, dir))
+        .writeStream.format("memory").queryName("wet_e2e_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      val streamed = spark.table("wet_e2e_out")
+        .select("doc_id", "keep").as[(Long, Boolean)].collect().toSet
+      val batch = chain(Wet.readWet(spark, dir))
+        .select("doc_id", "keep").as[(Long, Boolean)].collect().toSet
+      assert(streamed == batch)
+      // The blocked third is gone; survivors are exactly the
+      // non-blocked ids.
+      assert(batch.nonEmpty && batch.forall(_._1 % 3 != 0))
+      assert(batch.map(_._1) ==
+        docs.select("doc_id").as[Long].collect().filter(_ % 3 != 0).toSet)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS wet_e2e_out")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(dir)); rm(new java.io.File(ckpt))
+    }
+  }
+
   test("malformed shards fail loudly: truncated body, missing Content-Length, bad magic") {
     def gz(b: Array[Byte]): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
