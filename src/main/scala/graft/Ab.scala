@@ -43,26 +43,27 @@ object Ab {
     * pre-built index — if the full-path ratio moves while the
     * projection ratio sits at ~1, the drift lives in the train laps
     * (or was ambient), not the r10 rewrite. */
+  /** The r9 outlier spelling, verbatim (when-chain of per-cluster
+    * vec_dot against array literals — O(k) branch tests per row).
+    * ONE definition shared by the timed variant and the identity
+    * preflight, so they cannot desynchronize. */
+  private def outlierScoresR9(index: Similarity.IvfIndex): DataFrame = {
+    val cosOwn = index.centroids.zipWithIndex.map { case (c, i) =>
+        (i, Similarity.dot(col("e"), array(c.map(lit).toIndexedSeq: _*)))
+      }.foldLeft(Option.empty[Column]) { case (acc, (i, d)) =>
+        Some(acc.fold(when(col("cid") === i, d))(_.when(col("cid") === i, d)))
+      }.fold(lit(Double.NaN))(_.otherwise(lit(Double.NaN)))
+    index.assigned
+      .select(col("vec_id"), col("cid"),
+        graft.functions.VecMath.vec_unit(col("embedding")).as("e"))
+      .select(col("vec_id"), col("cid"),
+        (lit(1.0) - cosOwn).as("outlier_score"))
+  }
+
   private def simOutliers(spark: SparkSession): Seq[(String, () => Unit)] = {
     val emb = spark.read.parquet(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         + "/embeddings.parquet")
-
-    // The r9 spelling, verbatim (when-chain of per-cluster vec_dot
-    // against array literals — O(k) branch tests per row).
-    def outlierScoresR9(index: Similarity.IvfIndex): DataFrame = {
-      val cosOwn = index.centroids.zipWithIndex.map { case (c, i) =>
-          (i, Similarity.dot(col("e"), array(c.map(lit).toIndexedSeq: _*)))
-        }.foldLeft(Option.empty[Column]) { case (acc, (i, d)) =>
-          Some(acc.fold(when(col("cid") === i, d))(_.when(col("cid") === i, d)))
-        }.fold(lit(Double.NaN))(_.otherwise(lit(Double.NaN)))
-      index.assigned
-        .select(col("vec_id"), col("cid"),
-          graft.functions.VecMath.vec_unit(col("embedding")).as("e"))
-        .select(col("vec_id"), col("cid"),
-          (lit(1.0) - cosOwn).as("outlier_score"))
-    }
-
     val shared = Similarity.buildIvfIndex(emb, nClusters = 16)
     force(shared.assigned)
 
@@ -130,18 +131,9 @@ object Ab {
           sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
             + "/embeddings.parquet").limit(2000)
         val idx = Similarity.buildIvfIndex(emb, nClusters = 8)
-        val r10 = Similarity.outlierScores(idx)
-        val cosOwn = idx.centroids.zipWithIndex.map { case (c, i) =>
-            (i, Similarity.dot(col("e"), array(c.map(lit).toIndexedSeq: _*)))
-          }.foldLeft(Option.empty[Column]) { case (acc, (i, d)) =>
-            Some(acc.fold(when(col("cid") === i, d))(
-              _.when(col("cid") === i, d)))
-          }.fold(lit(Double.NaN))(_.otherwise(lit(Double.NaN)))
-        val r9 = idx.assigned
-          .select(col("vec_id"), col("cid"),
-            graft.functions.VecMath.vec_unit(col("embedding")).as("e"))
-          .select(col("vec_id"), (lit(1.0) - cosOwn).as("outlier_score"))
-        val diff = r10.as("a").join(r9.as("b"), "vec_id")
+        val diff = Similarity.outlierScores(idx).as("a")
+          .join(outlierScoresR9(idx)
+            .select(col("vec_id"), col("outlier_score")).as("b"), "vec_id")
           .filter(col("a.outlier_score") =!= col("b.outlier_score"))
           .count()
         require(diff == 0, s"r9/r10 outlier spellings disagree on $diff rows")

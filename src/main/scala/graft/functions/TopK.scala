@@ -29,8 +29,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object TopKColumns {
   /** The k smallest values of `e` per group, ascending —
     * `slice(array_sort(collect_list(e)), 1, k)` with O(k) state. */
-  def collectTopKAsc(e: Column, k: Int): Column =
+  def collectTopKAsc(e: Column, k: Int): Column = {
+    // Fail at plan-build time with the offending parameter: k <= 0
+    // would otherwise surface as an opaque PriorityQueue
+    // IllegalArgumentException inside an executor task.
+    require(k >= 1, s"k must be positive, got $k")
     ExpressionUtils.column(
       GraftCollectTopK.ascending(ExpressionUtils.expression(e), k)
         .toAggregateExpression())
+  }
 }

@@ -795,9 +795,14 @@ object Dedup {
         "parameter tracking or a rebuild died before its final " +
         "params write (params commit last); re-run saveDedupIndex " +
         "to rebuild before probing")
+    // ONE head() over all columns — this guard runs on the daily
+    // probe/append hot path, so it must not cost two driver jobs.
     val params = spark.read.parquet(s"$indexPath/params")
-    val saved = params
-      .select("n", "num_hashes", "bands", "band_buckets").head()
+    val hasMode = params.columns.contains("shingler")
+    val row = params.head()
+    val saved = org.apache.spark.sql.Row(
+      row.getAs[Int]("n"), row.getAs[Int]("num_hashes"),
+      row.getAs[Int]("bands"), row.getAs[Int]("band_buckets"))
     require(
       saved == org.apache.spark.sql.Row(n, numHashes, bands, bandBuckets),
       s"index at $indexPath was saved with (n, numHashes, bands, " +
@@ -808,9 +813,7 @@ object Dedup {
     // (the only mode that existed); char probes against it must fail
     // loudly, not silently match nothing.
     val savedMode =
-      if (params.columns.contains("shingler"))
-        params.select("shingler").head().getString(0)
-      else "word"
+      if (hasMode) row.getAs[String]("shingler") else "word"
     require(savedMode == shinglerName(shingler),
       s"index at $indexPath was built with $savedMode shingles but the " +
         s"caller asked for ${shinglerName(shingler)} — mismatched gram " +

@@ -54,12 +54,19 @@ object Domains {
       .otherwise(last2)
   }
 
-  /** (doc_id, url, host, domain) projection — the standard prefix of
-    * every operator below. */
+  /** Input frame + `host` and `domain` columns — the standard prefix
+    * of every operator below. Refuses an input that ALREADY carries
+    * either name (overwriting caller metadata silently is the failure
+    * mode; project it away or rename first). [[filterByDomainList]]
+    * is collision-proof on its own — it derives the domain under a
+    * fresh temp name and hands back the caller's schema untouched. */
   def withDomain(docs: DataFrame, urlCol: Column,
       multiPartSuffixes: Seq[String] = DefaultMultiPartSuffixes): DataFrame = {
-    val h = host(urlCol)
-    docs.withColumn("host", h)
+    for (c <- Seq("host", "domain"))
+      require(!docs.columns.contains(c),
+        s"input already has a '$c' column — withDomain would silently " +
+          "overwrite it; rename or drop it first")
+    docs.withColumn("host", host(urlCol))
       .withColumn("domain", registrableDomain(col("host"), multiPartSuffixes))
   }
 
@@ -94,15 +101,23 @@ object Domains {
   def filterByDomainList(docs: DataFrame, urlCol: Column, list: DataFrame,
       allow: Boolean,
       multiPartSuffixes: Seq[String] = DefaultMultiPartSuffixes): DataFrame = {
-    val tagged = withDomain(docs, urlCol, multiPartSuffixes)
-    val dl = list.select(col("domain")).distinct()
+    // Fresh temp names (the packManifest collision guard): the
+    // caller's own host/domain/_blocked columns, if any, pass through
+    // untouched.
+    val taken = docs.columns.toSet
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => s"_${base}_$i").find(!taken(_)).get
+    val dcol = fresh("dom")
+    val bcol = fresh("blocked")
+    val tagged = docs.withColumn(dcol,
+      registrableDomain(host(urlCol), multiPartSuffixes))
+    val dl = list.select(col("domain").as(dcol)).distinct()
     val kept =
-      if (allow) tagged.join(dl, Seq("domain"), "left_semi")
+      if (allow) tagged.join(dl, Seq(dcol), "left_semi")
       else tagged
-        .join(dl.withColumn("_blocked", lit(true)), Seq("domain"),
-          "left_outer")
-        .filter(col("_blocked").isNull)
-        .drop("_blocked")
-    kept.drop("host", "domain")
+        .join(dl.withColumn(bcol, lit(true)), Seq(dcol), "left_outer")
+        .filter(col(bcol).isNull)
+        .drop(bcol)
+    kept.drop(dcol)
   }
 }

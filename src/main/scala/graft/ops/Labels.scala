@@ -159,8 +159,16 @@ object Labels {
     * `emb` supplies (vec_id, label, embedding) for the corpus (the
     * index's assigned frame carries no label and is not read here —
     * only the bounded centroid model is). Ties in a seed's centroid
-    * ranking break toward the lower centroid id (micro-rounded dot,
-    * the [[Similarity.nearestCentroid]] convention). */
+    * ranking break toward the lower centroid id (the
+    * [[Similarity.nearestCentroid]] convention, via the same negated-
+    * id struct ordering).
+    *
+    * Output contract matches [[knnPropagate]]: ONE row per corpus
+    * vector. A vector whose cluster NO seed probes (possible at small
+    * nProbe with concentrated seeds) has no candidates — it comes
+    * back with `label_knn` null and `votes` 0 rather than silently
+    * vanishing (a pipeline counting labeled rows must see the
+    * coverage gap, not a shrunken corpus). */
   def knnPropagateWithIndex(index: Similarity.IvfIndex, emb: DataFrame,
       labeled: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
@@ -173,21 +181,30 @@ object Labels {
         graft.functions.VecMath.vec_unit(col("embedding")), centroids))
     // Seed side: nProbe nearest centroids per seed (the ivfProbe
     // probing spelling — rank centroid dots in an array expression,
-    // explode the top slice). Seed count × nProbe rows, still
-    // broadcast-sized by the labeled-set premise.
+    // explode the top slice; negid makes dot-ties break toward the
+    // LOWER cid after the reverse, like nearestCentroid). Seed count
+    // × nProbe rows, still broadcast-sized by the labeled-set
+    // premise.
     val probeCols = centroids.zipWithIndex.map { case (c, i) =>
       struct(dot(col("e"), array(c.map(lit).toIndexedSeq: _*)).as("d"),
-        lit(i).as("cid"))
+        lit(-i).as("negid"))
     }
     val seeds = withNorm(labeled)
       .withColumn("e", graft.functions.VecMath.vec_unit(col("embedding")))
       .select(col("vec_id").as("nid"), col("label").as("nlabel"),
         col("embedding").as("n_emb"), col("norm").as("n_norm"),
-        explode(slice(reverse(array_sort(array(probeCols.toIndexedSeq: _*))),
-          1, nProbe).getField("cid")).as("cid"))
-    voteFromCandidates(
+        explode(transform(
+          slice(reverse(array_sort(array(probeCols.toIndexedSeq: _*))),
+            1, nProbe),
+          x => -x.getField("negid"))).as("cid"))
+    val voted = voteFromCandidates(
       corpus.join(broadcast(seeds),
         corpus("cid") === seeds("cid") && col("vec_id") =!= col("nid")), k)
+    emb.select(col("vec_id"), col("label").as("label_given"))
+      .join(voted.select(col("vec_id"), col("label_knn"), col("votes")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label_given"), col("label_knn"),
+        coalesce(col("votes"), lit(0L)).as("votes"))
   }
 
   /** Shared tail of the kNN propagation family: bounded top-k fold

@@ -164,6 +164,16 @@ object Sampling {
       .withColumn("target_share", share)
       .withColumn("target_tokens",
         floor(col("target_share") * lit(budgetTokens.toDouble)).cast("long"))
+      .transform(attachBudgetKnobs)
+  }
+
+  /** Shared tail of the mixture planners: given `n_tokens` and
+    * `target_tokens`, attach the sampler knobs — capped `rate`,
+    * uncapped `epochs`, `deficit` — with the zero-/null-token guard
+    * (an empty stratum plans rate/epochs 0.0 explicitly; deficit iff
+    * its target is positive). */
+  private def attachBudgetKnobs(planned: DataFrame): DataFrame =
+    planned
       .withColumn("_empty",
         col("n_tokens").isNull || col("n_tokens") === 0L)
       .withColumn("rate", when(col("_empty"), lit(0.0))
@@ -174,7 +184,6 @@ object Sampling {
       .withColumn("deficit",
         col("target_tokens") > coalesce(col("n_tokens"), lit(0L)))
       .drop("_empty")
-  }
 
   /** [[mixturePlan]] with TEMPERATURE-derived targets instead of a
     * hand-written share map: `share_s ∝ n_tokens_s^alpha`, the
@@ -195,13 +204,18 @@ object Sampling {
     * round-10 engine-deterministic-double-sum idiom), so shares are
     * identical on every run, partitioning, and engine.
     *
-    * Scale: one map-side-combinable groupBy(stratum); the fold and
-    * broadcast are strata-sized (one row each). */
+    * Scale: one map-side-combinable groupBy(stratum); the inventory
+    * is MATERIALIZED (`persist`) before its two consumers (the
+    * weight-sum fold and the main frame) read it — unpersisted, the
+    * corpus-sized groupBy would execute twice per call (the
+    * vocabJoined lesson, ADVICE r10). The fold and broadcast are
+    * strata-sized (one row each). */
   def mixturePlanByTemperature(df: DataFrame, stratum: Column,
-      nTokens: Column, alpha: Double, budgetTokens: Long): DataFrame = {
+      nTokens: Column, alpha: Double, budgetTokens: Long,
+      persist: Persistence = Persistence.Local): DataFrame = {
     require(budgetTokens >= 1, s"budget must be positive, got $budgetTokens")
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha out of [0,1]: $alpha")
-    val inv = df.groupBy(stratum.as("source"))
+    val inv = persist(df.groupBy(stratum.as("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(nTokens.cast("long")).as("n_tokens"))
       .withColumn("weight", {
@@ -211,7 +225,7 @@ object Sampling {
           case 0.5 => sqrt(t)
           case a => pow(t, a)
         }
-      })
+      }))
     val wsum = inv.agg(
       aggregate(
         transform(array_sort(collect_list(struct(col("source"), col("weight")))),
@@ -223,16 +237,8 @@ object Sampling {
           .otherwise(lit(0.0)))
       .withColumn("target_tokens",
         floor(col("target_share") * lit(budgetTokens.toDouble)).cast("long"))
-      .withColumn("_empty",
-        col("n_tokens").isNull || col("n_tokens") === 0L)
-      .withColumn("rate", when(col("_empty"), lit(0.0))
-        .otherwise(least(lit(1.0),
-          col("target_tokens").cast("double") / col("n_tokens"))))
-      .withColumn("epochs", when(col("_empty"), lit(0.0))
-        .otherwise(col("target_tokens").cast("double") / col("n_tokens")))
-      .withColumn("deficit",
-        col("target_tokens") > coalesce(col("n_tokens"), lit(0L)))
-      .drop("_empty", "_wsum")
+      .drop("_wsum")
+      .transform(attachBudgetKnobs)
   }
 
   /** Domain-mixture resampling: keep each row with a per-stratum rate

@@ -369,15 +369,20 @@ object Similarity {
       queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // nProbe nearest centroids per query: k small, so rank centroid
-    // dots in an array expression and explode the top slice.
+    // dots in an array expression and explode the top slice (negid →
+    // dot-ties break toward the LOWER cid after the reverse — the
+    // [[nearestCentroid]] convention, so probing and assignment agree
+    // on ties).
     val probeCols = centroids.zipWithIndex.map { case (c, i) =>
       struct(dot(col("e"), array(c.map(lit).toIndexedSeq: _*)).as("d"),
-        lit(i).as("cid"))
+        lit(-i).as("negid"))
     }
     val probed = unitized(queries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        explode(slice(reverse(array_sort(array(probeCols.toIndexedSeq: _*))),
-          1, nProbe).getField("cid")).as("cid"))
+        explode(transform(
+          slice(reverse(array_sort(array(probeCols.toIndexedSeq: _*))),
+            1, nProbe),
+          x => -x.getField("negid"))).as("cid"))
     val qn = graft.functions.VecMath.vec_norm(col("q_emb"))
     val nn = graft.functions.VecMath.vec_norm(col("embedding"))
     probed.join(corpus, Seq("cid"))

@@ -101,13 +101,16 @@ object Wet {
     * only, `doc_id` = the trailing integer of the target URI when one
     * exists (the [[writeWet]] round-trip convention), else a stable
     * 63-bit hash of (uri, date) — URL-keyed crawls have no integer
-    * ids. */
+    * ids. The integer match is bounded at 18 digits: anything longer
+    * (21-digit session/tracking ids are common in the wild) cannot
+    * overflow the ANSI-mode long cast and falls to the hash id
+    * instead of killing the ingest task. */
   def wetDocuments(wet: DataFrame): DataFrame =
     wet.filter(col("warc_type") === "conversion")
       .select(
         coalesce(
-          nullif(regexp_extract(col("target_uri"), "/(\\d+)$", 1), lit(""))
-            .cast("long"),
+          nullif(regexp_extract(col("target_uri"),
+            "/([0-9]{1,18})$", 1), lit("")).cast("long"),
           pmod(xxhash64(col("target_uri"), col("warc_date")),
             lit(Long.MaxValue))).as("doc_id"),
         col("target_uri").as("url"), col("warc_date").as("fetch_date"),
@@ -145,13 +148,16 @@ object Wet {
       private var done = false
 
       private def readLine(): String = {
-        // Header lines are ASCII per spec; char-per-byte decode is
-        // safe and never throws on wild bytes.
-        val sb = new java.lang.StringBuilder(64)
+        // Header NAMES are ASCII per spec, but VALUES may carry UTF-8
+        // (IRIs in WARC-Target-URI): accumulate bytes and decode as
+        // UTF-8 — a char-per-byte decode would mojibake the URI and
+        // silently change the hash-fallback doc_id and any re-write.
+        val buf = new java.io.ByteArrayOutputStream(64)
         var b = in.read()
         if (b < 0) return null
-        while (b >= 0 && b != '\n') { sb.append(b.toChar); b = in.read() }
-        var s = sb.toString
+        while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
+        var s = new String(buf.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8)
         if (s.endsWith("\r")) s = s.substring(0, s.length - 1)
         s
       }

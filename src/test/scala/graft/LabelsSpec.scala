@@ -189,6 +189,17 @@ class LabelsSpec extends AnyFunSuite {
     // close to ties and flip easily under candidate pruning; measured
     // agreement at nProbe=4/8 is 0.658 (deterministic corpus + seed).
     assert(rate >= 0.6, s"label agreement $rate at nProbe=4/8")
+    // Output contract: ONE row per corpus vector even when pruning
+    // leaves a cluster with no probing seed — coverage gaps surface
+    // as null label_knn with 0 votes, never as missing rows.
+    val total = emb.count()
+    assert(pruned.length == total)
+    val sparse = Labels.knnPropagateWithIndex(index, emb,
+        emb.limit(25), k = 5, nProbe = 1)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        Option(r.getAs[Integer]("label_knn")), r.getAs[Long]("votes")))
+    assert(sparse.length == total)
+    assert(sparse.forall { case (_, l, v) => l.isDefined || v == 0L })
   }
 
   test("labelErrors: exact boundary flags, each direction on a self-consistent frame") {
