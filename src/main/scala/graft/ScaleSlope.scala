@@ -95,11 +95,32 @@ object ScaleSlope {
         .repartition(32)
         .write.mode("overwrite").parquet(embPath(k))
 
+    // Char-gram replication: per-replica disjoint CODEPOINT-gram
+    // spaces. Replica r > 0 substitutes every whitespace run with one
+    // replica-unique letter, so any 8-gram spanning a token boundary
+    // (nearly all of them — tokens here are 3-6 chars) carries the
+    // salt; within a replica the substitution is uniform, so the
+    // original corpus's near-dup gram-overlap structure is preserved.
+    def charPath(k: Int): String = s"$scratch/xc$k/documents.parquet"
+    def writeReplicatedChar(k: Int): Unit =
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(k - 1))).as("r"))
+        .select((col("doc_id") * k + col("r")).as("doc_id"),
+          when(col("r") === 0, col("text")).otherwise(
+            regexp_replace(col("text"), lit("\\s+"),
+              substring(lit("abcdefghijklmnop"), col("r") + 1, lit(1))))
+            .as("text"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(charPath(k))
+
     val ks = Seq(1, 4, 16)
     ks.foreach(writeReplicated)
     ks.foreach(writeReplicatedEmb)
+    ks.foreach(writeReplicatedChar)
     def corpus(k: Int): DataFrame = spark.read.parquet(corpusPath(k))
     def embCorpus(k: Int): DataFrame = spark.read.parquet(embPath(k))
+    def charCorpus(k: Int): DataFrame = spark.read.parquet(charPath(k))
 
     def rmrf(p: String): Unit = {
       import java.nio.file.{Files, Path, Paths}
@@ -151,6 +172,21 @@ object ScaleSlope {
             .select((col("doc_id") + 200000000L).as("doc_id"), col("text")),
           dir, 0.8, 3, 64, 16)
       }),
+      // Round-11: the char-gram pair family at gate parameters, over
+      // the CHAR-SALTED replica corpus (see charCorpus below): the
+      // word-token salt leaves intra-token char grams shared across
+      // replicas, so gram document-frequency would grow with k — a
+      // HARDER workload per unit data, not the engine's slope
+      // (measured: slope 12.8 and an 8 GB-driver broadcast OOM under
+      // the word-salted corpus, both artifacts of cross-replica gram
+      // heat). Substituting each replica's whitespace with a
+      // replica-unique character restores near-disjoint per-replica
+      // gram spaces (only grams inside ≥8-char tokens stay shared —
+      // a handful, absorbed by the df cap), the same invariant the
+      // token salt provides the word-gram rows.
+      "dedup_ngram_char" -> ((_, k) =>
+        Dedup.ngramJaccardPairs(charCorpus(k), 8, 0.8, maxShingleDf = 10,
+          shingler = Shingler.Char)),
       // Round-11: kNN propagation on the SEED-SET axis (VERDICT r10
       // Next #1) — the corpus is fixed at 1× while the labeled seed
       // set grows 1×/4×/16×. Work is corpus×seeds (linear in S) and,

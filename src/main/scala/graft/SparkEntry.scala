@@ -3781,6 +3781,14 @@ object SparkEntry {
       graft.ops.Similarity.ivfTopKWithIndex(
         graft.ops.Similarity.loadIvfIndex(s, ivfArtifactPath(s, d)),
         embQueries(s, d), 5, nProbe = 8)),
+    // WET parse throughput: read+parse a memoized WET serialization
+    // of the corpus (one write per sf dir, paid outside the laps).
+    // The wet_roundtrip GATE row deliberately pays write+read each
+    // call (the whole-contract number); this row tracks what ingest
+    // actually costs per already-landed shard batch.
+    "wet_parse_probe" -> ((s, d) =>
+      graft.sources.Wet.wetDocuments(
+        graft.sources.Wet.readWet(s, wetArtifactPath(s, d)))),
     // Production kNN auto-labeling cost: the IVF-pruned propagation
     // at nProbe 4/16 against the memoized durable index. The
     // emb_knn_label / emb_knn_label_ivf GATE rows are deliberately
@@ -3819,6 +3827,19 @@ object SparkEntry {
             .forEach(f => Files.deleteIfExists(f))
       }))
       p.toString
+    })
+
+  /** One WET serialization of the corpus per sf dir, written on first
+    * use (see `wet_parse_probe`). */
+  private val wetArtifacts = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def wetArtifactPath(s: SparkSession, d: String): String =
+    wetArtifacts.getOrElseUpdate(d, {
+      val path = scratchDir("graft_wet_probe", d) + "/corpus"
+      graft.sources.Wet.writeWet(
+        documents(s, d).select(
+          concat(lit("http://graft.test/doc/"), col("doc_id")).as("uri"),
+          lit("2026-01-01T00:00:00Z").as("date"), col("text")), path)
+      path
     })
 
   /** One saved-IVF artifact per sf dir, built on first use (see

@@ -369,7 +369,7 @@ object Dedup {
         .filter(ubCommon.cast("double") /
           (col("n_a") + col("n_b") - ubCommon) >= threshold)
         .select(col("id_a"), col("id_b"))
-      verifyJaccard(cand, sh, threshold)
+      verifyJaccard(cand, sh, threshold, persist)
     }
   }
 
@@ -382,12 +382,32 @@ object Dedup {
 
   /** Exact-Jaccard verification of candidate pairs against the full
     * shingle index (n_sh rides on the index rows — no separate size
-    * branches). Shared by the MinHash-LSH and df-capped n-gram paths. */
+    * branches). Shared by the MinHash-LSH and df-capped n-gram paths.
+    *
+    * THE INDEX SIDE IS NEVER A BROADCAST BUILD. The index is a
+    * localCheckpoint whose logical stats are carried over from the
+    * PRE-checkpoint plan — a few MB of parquet that the shingle
+    * explode multiplied a thousandfold — so the static planner
+    * happily picked the corpus-sized index as the hash-build side of
+    * both joins (observed: a driver OOM at 16× corpus in the r11
+    * char-gram ScaleSlope run; the same plan merely wasted memory at
+    * gate scale). The candidate frame is materialized (it is about to
+    * be consumed anyway) and size-dispatched: the common case — a
+    * selective candidate set — broadcasts EXPLICITLY (build side =
+    * candidates, pairs-many rows); a pathological candidate flood
+    * falls back to merge-hinted sort-merge joins. The index joins
+    * carry the merge hint in both branches so no statistics estimate
+    * can ever re-elect the index as a build side (an explicit
+    * broadcast hint on the other side outranks it where present). */
   private def verifyJaccard(
-      cand: DataFrame, idx: DataFrame, threshold: Double): DataFrame =
-    cand
-      .join(idx.as("a"), col("id_a") === col("a.doc_id"))
-      .join(idx.as("b"),
+      cand: DataFrame, idx: DataFrame, threshold: Double,
+      persist: Persistence = Persistence.Local,
+      maxBroadcastCand: Long = 4L << 20): DataFrame = {
+    val c0 = persist.lazily(cand)
+    val c = if (c0.count() <= maxBroadcastCand) broadcast(c0) else c0
+    c
+      .join(idx.as("a").hint("merge"), col("id_a") === col("a.doc_id"))
+      .join(idx.as("b").hint("merge"),
         col("id_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_common"),
@@ -396,6 +416,7 @@ object Dedup {
         (col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
 
   /** Connected components over near-duplicate pairs: every doc that
     * appears in a pair is labeled with the smallest doc_id reachable
@@ -651,7 +672,7 @@ object Dedup {
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
     // Verify candidates with exact Jaccard against the full index.
-    verifyJaccard(cand, idx, threshold)
+    verifyJaccard(cand, idx, threshold, persist)
   }
 
   /** (doc_id, sig) one-pass native MinHash signatures. */
