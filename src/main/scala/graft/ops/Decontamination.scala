@@ -25,6 +25,15 @@ import org.apache.spark.sql.functions._
   */
 object Decontamination {
 
+  /** Gram tokenization of the contamination guard: word n-grams by
+    * default; [[Shingler.Char]] switches every path to codepoint
+    * n-grams for unsegmented scripts (pick a larger `n` — the
+    * published 13-word choice corresponds to ~50+ codepoints). */
+  private def gramHashes(n: Int, shingler: Shingler) = shingler match {
+    case Shingler.Word => graft.functions.word_shingle_hashes(col("text"), n)
+    case Shingler.Char => graft.functions.char_shingle_hashes(col("text"), n)
+  }
+
   /** (doc_id, n_hits): training docs sharing ≥1 word n-gram with the
     * eval corpus, with the count of DISTINCT shared grams. Docs also
     * present in `evalDocs` are the caller's business to exclude —
@@ -34,15 +43,16 @@ object Decontamination {
     * published choice for natural text; small fixture corpora need
     * smaller). */
   def flagContaminated(docs: DataFrame, evalDocs: DataFrame, n: Int = 13,
-      broadcastEval: Boolean = true): DataFrame =
+      broadcastEval: Boolean = true,
+      shingler: Shingler = Shingler.Word): DataFrame =
     flagAgainstEval(
       docs
         // Shingling is the CPU-dense stage — spread it across all cores
         // rather than inherit file-split parallelism.
         .repartition(col("doc_id"))
-        .select(col("doc_id"), explode(
-          array_distinct(graft.functions.word_shingle_hashes(col("text"), n))).as("g")),
-      evalDocs, n, broadcastEval)
+        .select(col("doc_id"),
+          explode(array_distinct(gramHashes(n, shingler))).as("g")),
+      evalDocs, n, broadcastEval, shingler)
 
   /** [[flagContaminated]] over a materialized token index (`doc_id` +
     * `toks` [[graft.functions.word_tokens]] column, already spread):
@@ -69,11 +79,11 @@ object Decontamination {
     * every gram in the corpus. The same oracle as the broadcast path
     * gates it. */
   def flagContaminatedBloom(docs: DataFrame, evalDocs: DataFrame,
-      n: Int = 13, fpp: Double = 0.01): DataFrame = {
+      n: Int = 13, fpp: Double = 0.01,
+      shingler: Shingler = Shingler.Word): DataFrame = {
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
     val evalGrams = evalDocs
-      .select(explode(
-        array_distinct(graft.functions.word_shingle_hashes(col("text"), n))).as("g"))
+      .select(explode(array_distinct(gramHashes(n, shingler))).as("g"))
       .distinct()
     // Two eval-side jobs (count + sketch build) are control-plane: the
     // eval corpus is KBs-GBs against a 100 TB training corpus, and the
@@ -84,8 +94,8 @@ object Decontamination {
     val mightContain = udf((g: Long) => bloomBc.value.mightContainLong(g))
     docs
       .repartition(col("doc_id"))
-      .select(col("doc_id"), explode(
-        array_distinct(graft.functions.word_shingle_hashes(col("text"), n))).as("g"))
+      .select(col("doc_id"),
+        explode(array_distinct(gramHashes(n, shingler))).as("g"))
       .filter(mightContain(col("g")))
       .join(evalGrams, "g")
       .groupBy(col("doc_id"))
@@ -252,26 +262,27 @@ object Decontamination {
     * eval docs emits k rows; `distinct doc_id` here equals the flag
     * path's flagged set (spec-pinned law). */
   def attributeContamination(docs: DataFrame, evalDocs: DataFrame,
-      n: Int = 13, broadcastEval: Boolean = true): DataFrame = {
+      n: Int = 13, broadcastEval: Boolean = true,
+      shingler: Shingler = Shingler.Word): DataFrame = {
     val evalGrams = evalDocs
-      .select(col("doc_id").as("eval_id"), explode(
-        array_distinct(graft.functions.word_shingle_hashes(col("text"), n))).as("g"))
+      .select(col("doc_id").as("eval_id"),
+        explode(array_distinct(gramHashes(n, shingler))).as("g"))
       .distinct()
     val ev = if (broadcastEval) broadcast(evalGrams) else evalGrams
     docs
       .repartition(col("doc_id"))
-      .select(col("doc_id"), explode(
-        array_distinct(graft.functions.word_shingle_hashes(col("text"), n))).as("g"))
+      .select(col("doc_id"),
+        explode(array_distinct(gramHashes(n, shingler))).as("g"))
       .join(ev, "g")
       .groupBy(col("doc_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
   }
 
   private def flagAgainstEval(corpusGrams: DataFrame, evalDocs: DataFrame,
-      n: Int, broadcastEval: Boolean): DataFrame = {
+      n: Int, broadcastEval: Boolean,
+      shingler: Shingler = Shingler.Word): DataFrame = {
     val evalGrams = evalDocs
-      .select(explode(
-        array_distinct(graft.functions.word_shingle_hashes(col("text"), n))).as("g"))
+      .select(explode(array_distinct(gramHashes(n, shingler))).as("g"))
       .distinct()
     val ev = if (broadcastEval) broadcast(evalGrams) else evalGrams
     corpusGrams

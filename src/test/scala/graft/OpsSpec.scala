@@ -235,6 +235,25 @@ class OpsSpec extends AnyFunSuite {
       .select("doc_id", "novelty").as[(Long, Double)].collect().toMap
     assert(nov(3L) == 1.0)
     assert(nov(1L) < 0.5 && nov(2L) < 0.5)
+    // Decontamination in char mode: an eval doc embedded in doc 1
+    // flags docs 1 and 2 (the near-copy carries the same grams) but
+    // not doc 3; word mode sees zero shared grams and flags nothing.
+    val evalSet = Seq((100L, "大规模高质量的训练数据"))
+      .toDF("doc_id", "text")
+    assert(Decontamination.flagContaminated(cjk, evalSet, n = 6)
+      .count() == 0, "word-mode decontamination should be blind here")
+    for (flagged <- Seq(
+        Decontamination.flagContaminated(cjk, evalSet, n = 6,
+          shingler = Shingler.Char),
+        Decontamination.flagContaminatedBloom(cjk, evalSet, n = 6,
+          shingler = Shingler.Char))) {
+      assert(flagged.select("doc_id").as[Long].collect().toSet ==
+        Set(1L, 2L))
+    }
+    val attributed = Decontamination.attributeContamination(cjk, evalSet,
+        n = 6, shingler = Shingler.Char)
+      .select("doc_id", "eval_id").as[(Long, Long)].collect().toSet
+    assert(attributed == Set((1L, 100L), (2L, 100L)))
   }
 
   test("domain curation: profile concentration and allow/block semantics incl. null domains") {
