@@ -391,23 +391,44 @@ object Dedup {
     * happily picked the corpus-sized index as the hash-build side of
     * both joins (observed: a driver OOM at 16× corpus in the r11
     * char-gram ScaleSlope run; the same plan merely wasted memory at
-    * gate scale). The candidate frame is materialized (it is about to
-    * be consumed anyway) and size-dispatched: the common case — a
-    * selective candidate set — broadcasts EXPLICITLY (build side =
-    * candidates, pairs-many rows); a pathological candidate flood
-    * falls back to merge-hinted sort-merge joins. The index joins
-    * carry the merge hint in both branches so no statistics estimate
-    * can ever re-elect the index as a build side (an explicit
+    * gate scale). The candidate frame is materialized (the size
+    * dispatch needs a count and three plan branches consume it) and
+    * size-dispatched. The common case — a selective candidate set —
+    * stays candidate-proportional END TO END: the first join
+    * broadcasts the candidates (build side = pairs-many rows, the
+    * full index STREAMS through with no shuffle), and the second
+    * join's index side is first semi-restricted to the candidate
+    * `id_b` docs by another candidate broadcast, so the closing
+    * sort-merge join shuffles two candidate-proportional frames, not
+    * the corpus-sized index (broadcast hints don't propagate up
+    * through a Join node, so without the restriction the second join
+    * would sort-merge the FULL index however tiny the candidate set —
+    * ADVICE r11). A pathological candidate flood falls back to
+    * merge-hinted sort-merge joins of the full index. Index-side
+    * merge hints ride in all branches so no statistics estimate can
+    * ever re-elect an index frame as a hash-build side (an explicit
     * broadcast hint on the other side outranks it where present). */
   private def verifyJaccard(
       cand: DataFrame, idx: DataFrame, threshold: Double,
       persist: Persistence = Persistence.Local,
       maxBroadcastCand: Long = 4L << 20): DataFrame = {
-    val c0 = persist.lazily(cand)
-    val c = if (c0.count() <= maxBroadcastCand) broadcast(c0) else c0
+    // Always at least localCheckpoint the candidates, even under
+    // Persistence.Off: the count gate plus the two/three consuming
+    // branches would otherwise recompute the entire candidate-
+    // generation plan per consumer. Off keeps governing the big
+    // shingle-index intermediates, where its small-corpus win lives.
+    val mat = if (persist == Persistence.Off) Persistence.Local else persist
+    val c0 = mat.lazily(cand)
+    val selective = c0.count() <= maxBroadcastCand
+    val (c, idxB) =
+      if (selective)
+        (broadcast(c0),
+          idx.join(broadcast(c0.select(col("id_b").as("doc_id")).distinct()),
+            Seq("doc_id"), "left_semi"))
+      else (c0, idx)
     c
       .join(idx.as("a").hint("merge"), col("id_a") === col("a.doc_id"))
-      .join(idx.as("b").hint("merge"),
+      .join(idxB.as("b").hint("merge"),
         col("id_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_common"),
@@ -728,12 +749,18 @@ object Dedup {
       shingler: Shingler = Shingler.Word): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // Params FIRST-deleted, LAST-written. Params-last alone only
+    // protects first-time builds: a REBUILD with the SAME params over
+    // an existing index that dies between the artifact overwrites
+    // would leave old params validating mixed old/new artifacts (the
+    // guard compares values, which match). Deleting params up front
+    // makes any mid-rebuild crash leave a params-less artifact, which
+    // the probe/append guard refuses loudly.
+    val paramsPath = new org.apache.hadoop.fs.Path(s"$path/params")
+    val fs = paramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(paramsPath)) fs.delete(paramsPath, true)
     writeIndexArtifacts(docs, path, n, numHashes, bands, bandBuckets,
       mode = "overwrite", shingler)
-    // Params LAST: they are the commit marker. A rebuild that dies
-    // mid-write leaves stale (or no) params over partial artifacts, so
-    // the probe's params read fails loudly instead of validating new
-    // params against old artifacts.
     Seq((n, numHashes, bands, bandBuckets, shinglerName(shingler)))
       .toDF("n", "num_hashes", "bands", "band_buckets", "shingler")
       .write.mode("overwrite").parquet(s"$path/params")

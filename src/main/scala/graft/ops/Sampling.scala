@@ -220,11 +220,16 @@ object Sampling {
         sum(nTokens.cast("long")).as("n_tokens"))
       .withColumn("weight", {
         val t = coalesce(col("n_tokens"), lit(0L)).cast("double")
-        alpha match {
+        // A zero-/null-token stratum must weigh 0.0 at EVERY alpha:
+        // pow(0.0, 0.0) = 1.0, so an unguarded alpha = 0 would hand an
+        // empty stratum a full uniform share of the budget it cannot
+        // supply. Guarding here (not in the pow branch) keeps the
+        // scaladoc's "zero-token stratum gets target 0" true.
+        when(t > 0.0, alpha match {
           case 1.0 => t
           case 0.5 => sqrt(t)
           case a => pow(t, a)
-        }
+        }).otherwise(lit(0.0))
       }))
     val wsum = inv.agg(
       aggregate(

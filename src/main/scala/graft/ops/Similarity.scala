@@ -242,6 +242,17 @@ object Similarity {
   def saveIvfIndex(index: IvfIndex, path: String): Unit = {
     val spark = index.assigned.sparkSession
     import spark.implicits._
+    // Params FIRST-deleted, LAST-written: params-last alone only
+    // protects first-time builds — a REBUILD over an existing index
+    // (the retrain-after-drift case) that dies between the artifact
+    // overwrites and the params write would leave the OLD params
+    // validating NEW centroids over OLD assigned/ (shape-compatible,
+    // so readCentroidModel passes and probes return garbage).
+    // Deleting params up front makes any mid-rebuild crash leave a
+    // params-less artifact, which the guard refuses loudly.
+    val paramsPath = new org.apache.hadoop.fs.Path(s"$path/params")
+    val fs = paramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(paramsPath)) fs.delete(paramsPath, true)
     spark.createDataFrame(
         index.centroids.zipWithIndex.toSeq
           .map { case (c, i) => (i, c.toSeq) })

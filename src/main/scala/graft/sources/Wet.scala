@@ -142,6 +142,15 @@ object Wet {
   private[graft] def parseWet(file: String, gz: Array[Byte]): Iterator[WetRecord] = {
     val in = new BufferedInputStream(
       new GZIPInputStream(new ByteArrayInputStream(gz)), 1 << 16)
+    // GZIPInputStream holds a NATIVE Inflater: relying on the
+    // drained-to-EOF close alone leaks it (until GC finalization) for
+    // abandoned iterators — a pushed-down limit/take or a task kill —
+    // and for every require/EOF failure path below, one per shard per
+    // task. Inside a task, completion closes it unconditionally
+    // (idempotent); driver-side spec use (no TaskContext) relies on
+    // the failure-path closes + clean-EOF close.
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
     new Iterator[WetRecord] {
       private var idx = 0L
       private var nextRec: WetRecord = null
@@ -174,6 +183,18 @@ object Wet {
 
       private def advance(): Unit = {
         if (done || nextRec != null) return
+        try doAdvance()
+        catch {
+          // Malformed-shard failures must not leak the native
+          // inflater while the exception unwinds the task.
+          case e: Throwable =>
+            done = true
+            try in.close() catch { case _: Throwable => () }
+            throw e
+        }
+      }
+
+      private def doAdvance(): Unit = {
         // Skip inter-record blank lines; EOF here is a clean end.
         var line = readLine()
         while (line != null && line.isEmpty) line = readLine()
