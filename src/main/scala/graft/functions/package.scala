@@ -266,4 +266,12 @@ package object functions {
   def lsh_buckets(emb: Column, planes: IndexedSeq[Double],
       tables: Int, planesPerTable: Int): Column =
     LshBucketsColumns.lshBuckets(emb, planes, tables, planesPerTable)
+
+  /** Registrable domain of a lowercase host under a parsed Public
+    * Suffix List snapshot (wildcard `*.x` and exception `!y.x` rules
+    * included; NULL when the host is itself a public suffix) — see
+    * [[org.apache.spark.sql.graft.PslRegistrableDomain]]. */
+  def psl_registrable_domain(host: Column,
+      rules: org.apache.spark.sql.graft.PslRules): Column =
+    org.apache.spark.sql.graft.PslDomainColumns.pslRegistrableDomain(host, rules)
 }

@@ -1420,6 +1420,52 @@ class OpsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("mismatched"))
   }
 
+  test("index rebuild that crashes mid-write leaves a params-less artifact the guards refuse") {
+    // ADVICE r11 (medium): params-LAST alone only protects first-time
+    // builds — a REBUILD over an existing index that dies between the
+    // artifact overwrites and the params write used to leave the OLD
+    // params validating mixed artifacts (values match on a same-params
+    // retrain, shapes match on an IVF retrain). Both savers now delete
+    // params/ FIRST, so any mid-rebuild crash trips the loud
+    // params-absent guard instead of probing garbage.
+    def tmp(tag: String): java.nio.file.Path = {
+      val p = java.nio.file.Files.createTempDirectory(tag)
+      p.toFile.deleteOnExit(); p
+    }
+    val boom = when(col("doc_id") >= 0,
+      raise_error(lit("boom")).cast("string")).otherwise(col("text"))
+
+    // MinHash dedup index: healthy build, then a rebuild whose shingle
+    // write job fails per-row.
+    val dir = tmp("graft_idx_crash").toString
+    val base = docs.limit(20).select(col("doc_id"), col("text"))
+    Dedup.saveDedupIndex(base, dir, 3, 64, 16)
+    Dedup.dedupAgainstIndex(base.limit(1), dir, 0.9, 3, 64, 16).collect()
+    intercept[Exception] {
+      Dedup.saveDedupIndex(base.withColumn("text", boom), dir, 3, 64, 16)
+    }
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstIndex(base.limit(1), dir, 0.9, 3, 64, 16)
+    }
+    assert(ex.getMessage.contains("no params/"))
+
+    // IVF index: healthy build, then a rebuild whose assigned/ write
+    // fails; probe-side load and append must both refuse.
+    val ivfDir = tmp("graft_ivf_crash").toString
+    val embSlice = emb.select(col("vec_id"), col("embedding")).limit(64)
+    val idx = Similarity.buildIvfIndex(embSlice, nClusters = 4, iters = 1)
+    Similarity.saveIvfIndex(idx, ivfDir)
+    val crashing = Similarity.IvfIndex(idx.centroids,
+      idx.assigned.withColumn("cid",
+        when(col("vec_id") >= 0, raise_error(lit("boom")).cast("int"))
+          .otherwise(col("cid"))))
+    intercept[Exception] { Similarity.saveIvfIndex(crashing, ivfDir) }
+    val ivfEx = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(embSlice.limit(1), ivfDir)
+    }
+    assert(ivfEx.getMessage.contains("no params/"))
+  }
+
   test("char-mode incremental dedup index: CJK ingest loop works end to end; gram-mode mismatch fails loudly") {
     def tmp(tag: String): java.nio.file.Path = {
       val p = java.nio.file.Files.createTempDirectory(tag)
@@ -4478,6 +4524,13 @@ class OpsSpec extends AnyFunSuite {
     assert(half("small")._2 == 250L && half("small")._4)
     assert(half("small")._3 == 1.0) // rate caps at 1
     assert(half("empty") == ((0.0, 0L, 0.0, false)))
+    // alpha = 0: uniform over NON-EMPTY strata only. pow(0.0, 0.0) =
+    // 1.0, so an unguarded weight would hand the empty stratum a full
+    // uniform share of budget it cannot supply (ADVICE r11).
+    val unif = planOf(0.0)
+    assert(unif("big")._1 == 0.5 && unif("small")._1 == 0.5)
+    assert(unif("big")._2 == 500L && unif("small")._2 == 500L)
+    assert(unif("empty") == ((0.0, 0L, 0.0, false)))
     intercept[IllegalArgumentException] {
       Sampling.mixturePlanByTemperature(frame, col("source"), col("nt"),
         alpha = 1.5, budgetTokens = 1000L)
@@ -4499,6 +4552,137 @@ class OpsSpec extends AnyFunSuite {
     assert(plan("a") == ((0.2, 0.2, false)))
     assert(plan("z") == ((0.0, 0.0, true)))
     assert(plan("n") == ((0.0, 0.0, true)))
+  }
+
+  test("PSL wire-format parser + published algorithm: wildcard, exception, default rules match the publicsuffix.org test vectors") {
+    // Fixture list in the real public_suffix_list.dat format —
+    // comments, whitespace tails, wildcard and exception rules.
+    val dat =
+      """// ===BEGIN ICANN DOMAINS===
+        |com
+        |uk
+        |co.uk
+        |jp
+        |ac.jp
+        |*.ck
+        |!www.ck
+        |*.kobe.jp
+        |!city.kobe.jp
+        |// ===END ICANN DOMAINS===
+        |
+        |io
+        |github.io   this tail is ignored (read up to first whitespace)
+        |""".stripMargin
+    val rules = Domains.parsePsl(dat)
+    assert(rules.size == 11)
+    // Expected values are the published checkPublicSuffix test vectors
+    // (publicsuffix.org/list/) for these rules.
+    val cases = Seq(
+      "example.com" -> Some("example.com"),
+      "www.example.com" -> Some("example.com"),
+      "com" -> None,
+      "example.co.uk" -> Some("example.co.uk"),
+      "www.example.co.uk" -> Some("example.co.uk"),
+      "co.uk" -> None,
+      "uk" -> None,
+      // wildcard *.ck
+      "ck" -> None,
+      "test.ck" -> None,
+      "b.test.ck" -> Some("b.test.ck"),
+      "a.b.test.ck" -> Some("b.test.ck"),
+      // exception !www.ck
+      "www.ck" -> Some("www.ck"),
+      "www.www.ck" -> Some("www.ck"),
+      // wildcard *.kobe.jp + exception !city.kobe.jp
+      "jp" -> None,
+      "kobe.jp" -> Some("kobe.jp"), // '*.kobe.jp' needs 3 labels; 'jp' rule prevails
+      "c.kobe.jp" -> None,
+      "b.c.kobe.jp" -> Some("b.c.kobe.jp"),
+      "a.b.c.kobe.jp" -> Some("b.c.kobe.jp"),
+      "city.kobe.jp" -> Some("city.kobe.jp"),
+      "www.city.kobe.jp" -> Some("city.kobe.jp"),
+      // private-domain style exact rule
+      "github.io" -> None,
+      "user.github.io" -> Some("user.github.io"),
+      "deep.user.github.io" -> Some("user.github.io"),
+      // unlisted TLD → implicit default rule '*'
+      "example" -> None,
+      "example.example" -> Some("example.example"),
+      "b.example.example" -> Some("example.example"),
+      // IPv4 literals stay their own domain (PSL does not apply)
+      "192.168.0.1" -> Some("192.168.0.1"),
+      // FQDN trailing dot is ignored, result undotted
+      "www.example.com." -> Some("example.com"))
+    val got = cases.map(_._1).toDF("host")
+      .select(col("host"),
+        graft.functions.psl_registrable_domain(col("host"), rules).as("d"))
+      .as[(String, Option[String])].collect().toMap
+    cases.foreach { case (h, want) =>
+      assert(got(h) == want, s"host $h: got ${got(h)}, want $want")
+    }
+    // NULL host propagates; malformed rules refuse loudly.
+    val nullRow = Seq((1, Option.empty[String])).toDF("i", "host")
+      .select(graft.functions.psl_registrable_domain(col("host"), rules))
+      .collect().head
+    assert(nullRow.isNullAt(0))
+    intercept[IllegalArgumentException] { Domains.parsePsl("a.*.b") }
+    intercept[IllegalArgumentException] { Domains.parsePsl("// only comments") }
+    // loadPsl round-trips through a file.
+    val f = java.nio.file.Files.createTempFile("graft_psl", ".dat")
+    java.nio.file.Files.write(f, dat.getBytes("UTF-8"))
+    val loaded = Domains.loadPsl(spark, f.toString)
+    assert(loaded.size == rules.size)
+    // withDomainPsl wires host + domain and keeps the collision guard.
+    val tagged = Domains.withDomainPsl(
+      Seq((1L, "https://News.BBC.co.uk/x")).toDF("doc_id", "url"),
+      col("url"), rules)
+      .select("host", "domain").as[(String, String)].collect().head
+    assert(tagged == (("news.bbc.co.uk", "bbc.co.uk")))
+    intercept[IllegalArgumentException] {
+      Domains.withDomainPsl(
+        Seq((1L, "x", "h")).toDF("doc_id", "url", "host"), col("url"), rules)
+    }
+  }
+
+  test("canonicalUrl strips fragments/tracking/default ports and dedupUrls keeps the min-id winner per canonical URL") {
+    val urls = Seq(
+      (1L, "HTTP://Example.COM:80/Path/Page?utm_source=x&id=5&utm_campaign=y#frag"),
+      (2L, "http://example.com/Path/Page?id=5"),
+      (3L, "https://example.com:443/?gclid=abc"),
+      (4L, "https://example.com/"),
+      (5L, "https://example.com"),
+      (6L, "http://example.com/Path/Page?id=6"),
+      (7L, "http://user@example.com/a"),
+      (8L, "not a url"),
+      (9L, "http://EXAMPLE.com/Path/Page?id=5&utm_medium=z"),
+      (10L, "https://example.com:8443/x"),
+      (11L, "http://example.com/search?q=a&q=b"),
+      (12L, "http://example.com/search?fbclid=1&q=a&q=b"))
+      .toDF("doc_id", "url")
+    val canon = urls
+      .select(col("doc_id"), Domains.canonicalUrl(col("url")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(canon(1L) == "http://example.com/Path/Page?id=5")
+    assert(canon(1L) == canon(2L) && canon(2L) == canon(9L))
+    assert(canon(3L) == "https://example.com/")
+    assert(canon(3L) == canon(4L) && canon(4L) == canon(5L))
+    assert(canon(7L) == "http://user@example.com/a") // userinfo case kept
+    assert(canon(8L) == "not a url") // schemeless passes through
+    assert(canon(10L) == "https://example.com:8443/x") // non-default port
+    assert(canon(11L) == "http://example.com/search?q=a&q=b") // order kept
+    assert(canon(11L) == canon(12L))
+    val kept = Domains.dedupUrls(urls, col("url"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 6L, 7L, 8L, 10L, 11L))
+    // Output carries the full input schema + canonical_url.
+    val row = Domains.dedupUrls(urls, col("url"), col("doc_id"))
+      .filter(col("doc_id") === 3L)
+      .select("canonical_url", "url").as[(String, String)].collect().head
+    assert(row == (("https://example.com/", "https://example.com:443/?gclid=abc")))
+    intercept[IllegalArgumentException] {
+      Domains.dedupUrls(urls.withColumn("canonical_url", lit("x")),
+        col("url"), col("doc_id"))
+    }
   }
 
   test("packManifest/packText: temp bookkeeping names never collide with caller columns") {
