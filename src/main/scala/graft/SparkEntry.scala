@@ -914,6 +914,36 @@ object SparkEntry {
     // replays without ever seeing the WET bytes. The in-repo binary
     // fixture (WetSpec) pins the wire format against hand-built
     // records; this pins the corpus-scale path.
+    // Raw-HTML boilerplate extraction contract (the WARC front door's
+    // downstream half): deterministic HTML is SYNTHESIZED around each
+    // document's (entity-escaped) text — title, script trap with an
+    // embedded "<p>WARC/1.0</p>", link-dense nav/footer chrome — and
+    // the native html_blocks extractor must hand back exactly the
+    // original text (whitespace-collapsed) for documents of >= 10
+    // words and drop everything else; the oracle re-derives both from
+    // the raw text without ever parsing HTML. The in-repo
+    // fixture.warc.gz + WarcSpec pin the wire format and the
+    // adversarial segmentation cases; this pins the corpus-scale
+    // extraction path.
+    "warc_html_extract" -> ((s, d) => {
+      val esc = replace(replace(replace(col("text"),
+        lit("&"), lit("&amp;")), lit("<"), lit("&lt;")),
+        lit(">"), lit("&gt;"))
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><script>var x=\"<p>WARC/1.0</p>\";</script></head>" +
+          "<body><nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+          "<a href=\"/contact\">Contact</a></nav><div id=\"main\"><p>"),
+        esc,
+        lit("</p></div><footer><a href=\"/terms\">Terms</a> " +
+          "<a href=\"/privacy\">Privacy</a></footer></body></html>"))
+      documents(s, d)
+        .select(col("doc_id"), graft.functions.html_blocks(html).as("b"))
+        .select(col("doc_id"),
+          size(col("b")).as("n_blocks"),
+          md5(graft.sources.Warc.extractTextFromBlocks(col("b")))
+            .as("text_md5"))
+    }),
     "wet_roundtrip" -> ((s, d) => {
       val dir = scratchDir("graft_wet", d) + "/corpus"
       graft.sources.Wet.writeWet(
@@ -2178,6 +2208,23 @@ object SparkEntry {
         |  FROM canon)
         |SELECT canonical_url, CAST(doc_id AS BIGINT) AS doc_id, url
         |FROM win WHERE rn = 1""".stripMargin,
+    // The extractor must return exactly the whitespace-collapsed
+    // document text for >= 10-word documents (entities and chrome
+    // stripped) and '' otherwise; the synthesized page yields 4
+    // blocks (title, nav, content, footer), 3 when the text is empty.
+    "warc_html_extract" ->
+      """WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |w AS (SELECT doc_id, norm,
+        |    CASE WHEN norm = '' THEN 0
+        |         ELSE len(string_split(norm, ' ')) END AS nw
+        |  FROM n)
+        |SELECT doc_id,
+        |  CAST(3 + CASE WHEN norm <> '' THEN 1 ELSE 0 END AS INT)
+        |    AS n_blocks,
+        |  md5(CASE WHEN nw >= 10 THEN norm ELSE '' END) AS text_md5
+        |FROM w""".stripMargin,
     // The WET round-trip must hand back exactly the parquet corpus:
     // ids from the URI tail, Content-Length as UTF-8 octets, md5 over
     // the same bytes.

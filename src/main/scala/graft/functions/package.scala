@@ -267,6 +267,13 @@ package object functions {
       tables: Int, planesPerTable: Int): Column =
     LshBucketsColumns.lshBuckets(emb, planes, tables, planesPerTable)
 
+  /** HTML text blocks with boilerplate-filter signals
+    * (ARRAY<STRUCT<text, n_words, link_density>>, one linear pass,
+    * script/style/comment-aware) — see
+    * [[org.apache.spark.sql.graft.HtmlBlocks]]. */
+  def html_blocks(html: Column): Column =
+    org.apache.spark.sql.graft.HtmlBlocksColumns.htmlBlocks(html)
+
   /** Registrable domain of a lowercase host under a parsed Public
     * Suffix List snapshot (wildcard `*.x` and exception `!y.x` rules
     * included; NULL when the host is itself a public suffix) — see

@@ -1,9 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, ByteArrayInputStream, EOFException, InputStream}
-import java.util.zip.GZIPInputStream
-
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One parsed WET record (WARC/1.0 conversion format — the plain-text
@@ -135,119 +132,13 @@ object Wet {
       .option("compression", "gzip").option("lineSep", "\r\n")
       .text(path)
 
-  /** Streaming record walker. `private[graft]` so the fixture spec can
-    * drive it byte-exactly. Multi-member gzip streams (the standard
-    * per-record-gzipped WARC layout) decode transparently —
-    * GZIPInputStream consumes concatenated members. */
-  private[graft] def parseWet(file: String, gz: Array[Byte]): Iterator[WetRecord] = {
-    val in = new BufferedInputStream(
-      new GZIPInputStream(new ByteArrayInputStream(gz)), 1 << 16)
-    // GZIPInputStream holds a NATIVE Inflater: relying on the
-    // drained-to-EOF close alone leaks it (until GC finalization) for
-    // abandoned iterators — a pushed-down limit/take or a task kill —
-    // and for every require/EOF failure path below, one per shard per
-    // task. Inside a task, completion closes it unconditionally
-    // (idempotent); driver-side spec use (no TaskContext) relies on
-    // the failure-path closes + clean-EOF close.
-    Option(org.apache.spark.TaskContext.get())
-      .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
-    new Iterator[WetRecord] {
-      private var idx = 0L
-      private var nextRec: WetRecord = null
-      private var done = false
-
-      private def readLine(): String = {
-        // Header NAMES are ASCII per spec, but VALUES may carry UTF-8
-        // (IRIs in WARC-Target-URI): accumulate bytes and decode as
-        // UTF-8 — a char-per-byte decode would mojibake the URI and
-        // silently change the hash-fallback doc_id and any re-write.
-        val buf = new java.io.ByteArrayOutputStream(64)
-        var b = in.read()
-        if (b < 0) return null
-        while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
-        var s = new String(buf.toByteArray,
-          java.nio.charset.StandardCharsets.UTF_8)
-        if (s.endsWith("\r")) s = s.substring(0, s.length - 1)
-        s
-      }
-
-      private def readFully(buf: Array[Byte]): Unit = {
-        var off = 0
-        while (off < buf.length) {
-          val r = in.read(buf, off, buf.length - off)
-          if (r < 0) throw new EOFException(
-            s"$file record $idx: body truncated at $off/${buf.length} bytes")
-          off += r
-        }
-      }
-
-      private def advance(): Unit = {
-        if (done || nextRec != null) return
-        try doAdvance()
-        catch {
-          // Malformed-shard failures must not leak the native
-          // inflater while the exception unwinds the task.
-          case e: Throwable =>
-            done = true
-            try in.close() catch { case _: Throwable => () }
-            throw e
-        }
-      }
-
-      private def doAdvance(): Unit = {
-        // Skip inter-record blank lines; EOF here is a clean end.
-        var line = readLine()
-        while (line != null && line.isEmpty) line = readLine()
-        if (line == null) { done = true; in.close(); return }
-        require(line.startsWith("WARC/"),
-          s"$file record $idx: expected WARC/ magic, got '$line'")
-        var wtype = ""
-        var uri = ""
-        var date = ""
-        var len = -1L
-        var h = readLine()
-        while (h != null && h.nonEmpty) {
-          val colon = h.indexOf(':')
-          if (colon > 0) {
-            val k = h.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
-            val v = h.substring(colon + 1).trim
-            k match {
-              case "warc-type" => wtype = v
-              case "warc-target-uri" => uri = v
-              case "warc-date" => date = v
-              case "content-length" =>
-                len = try v.toLong catch {
-                  case _: NumberFormatException => throw new
-                      IllegalArgumentException(
-                        s"$file record $idx: malformed Content-Length '$v'")
-                }
-              case _ => // unknown headers are legal; ignore
-            }
-          }
-          h = readLine()
-        }
-        require(h != null,
-          s"$file record $idx: EOF inside the header block")
-        require(len >= 0,
-          s"$file record $idx: missing Content-Length")
-        require(len <= Int.MaxValue - 16,
-          s"$file record $idx: Content-Length $len exceeds the 2 GB " +
-            "single-record bound")
-        val body = new Array[Byte](len.toInt)
-        readFully(body)
-        nextRec = WetRecord(file, idx, wtype, uri, date, len,
-          new String(body, java.nio.charset.StandardCharsets.UTF_8))
-        idx += 1
-      }
-
-      override def hasNext: Boolean = { advance(); nextRec != null }
-      override def next(): WetRecord = {
-        advance()
-        if (nextRec == null) throw new NoSuchElementException
-        val r = nextRec
-        nextRec = null
-        r
-      }
-    }
-  }
+  /** Streaming record walker — the shared [[WarcWalker]] (raw-WARC
+    * reader [[Warc]] uses the same envelope grammar) with the WET
+    * interpretation of the payload: UTF-8 plain text. `private[graft]`
+    * so the fixture spec can drive it byte-exactly. */
+  private[graft] def parseWet(file: String, gz: Array[Byte]): Iterator[WetRecord] =
+    WarcWalker.records(file, gz).map(r =>
+      WetRecord(r.file, r.recordIdx, r.warcType, r.targetUri, r.warcDate,
+        r.contentLength,
+        new String(r.body, java.nio.charset.StandardCharsets.UTF_8)))
 }

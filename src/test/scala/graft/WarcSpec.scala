@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Warc
+
+/** Raw-WARC (HTML response) ingestion contract: the in-repo binary
+  * fixture pins the wire format (chunked transfer coding with a chunk
+  * extension, gzip content coding, ISO-8859-1 charset, 404 and
+  * non-HTML filtering, request/warcinfo skipping, multi-member gzip,
+  * an embedded "WARC/1.0" body line) and the html_blocks extractor is
+  * pinned on adversarial HTML — the same closure pattern as WetSpec
+  * (no real crawl data ships in this environment). */
+class WarcSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def fixturePath: String =
+    getClass.getResource("/fixture.warc.gz").getPath
+
+  private val p1 = "This paragraph is the real content of the fixture " +
+    "page, long enough to survive the ten word minimum, with an entity " +
+    "& a numeric é and 1 < 2 math."
+  private val p2 = "WARC/1.0 looks like a record boundary but is body " +
+    "text, padded past ten words."
+
+  test("fixture parses byte-exactly: 9 records, HTTP layer, chunked + gzip codings, charsets") {
+    val rows = Warc.readWarc(spark, fixturePath)
+      .orderBy("record_idx").collect()
+    assert(rows.length == 9)
+    assert(rows.map(_.getAs[String]("warc_type")).toSeq == Seq(
+      "warcinfo", "response", "response", "response", "response",
+      "response", "response", "request", "response"))
+    assert(rows.map(_.getAs[Int]("http_status")).toSeq ==
+      Seq(0, 200, 200, 200, 200, 404, 200, 0, 200))
+    assert(rows.map(_.getAs[String]("http_content_type")).toSeq == Seq(
+      "", "text/html", "text/html", "text/html", "text/html",
+      "text/html", "application/pdf", "", "text/html"))
+    // Charset decode: latin-1 é (0xE9 on the wire) survives.
+    assert(rows(2).getAs[String]("html").contains("Café au lait"))
+    // Chunked transfer coding reassembles exactly (incl. the bare '<').
+    assert(rows(3).getAs[String]("html") ==
+      "<html><body><p>Chunked transfer coding delivered this paragraph " +
+        "with more than ten words total, and 3 < 4 stays literal text." +
+        "</p></body></html>")
+    // Gzip content coding inflates exactly.
+    assert(rows(4).getAs[String]("html").contains(
+      "Gzip content coding delivered this paragraph"))
+    // Multibyte + astral emoji.
+    assert(rows(8).getAs[String]("html").contains(
+      "深度学習") &&
+      rows(8).getAs[String]("html").contains("😀"))
+  }
+
+  test("warcHtmlDocuments keeps 2xx HTML only; warcTextDocuments extracts boilerplate-stripped text") {
+    val docs = Warc.warcHtmlDocuments(Warc.readWarc(spark, fixturePath))
+      .orderBy("doc_id").collect()
+    // 404 (205), pdf (206), request, warcinfo are all excluded.
+    assert(docs.map(_.getAs[Long]("doc_id")).toSeq ==
+      Seq(201L, 202L, 203L, 204L, 208L))
+    val text = Warc.warcTextDocuments(Warc.readWarc(spark, fixturePath))
+      .orderBy("doc_id")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    // Fixture page 1: title (3 words), nav/footer (link density 1) and
+    // the short paragraph are dropped; the two long content paragraphs
+    // survive in document order — including the "WARC/1.0" body-text
+    // trap and decoded entities (&amp; &#233; &lt;).
+    assert(text(201L) == p1 + "\n" + p2)
+    assert(text(202L) == "Café au lait paragraphs need at least " +
+      "ten words to survive extraction thresholds.")
+    assert(text(203L) == "Chunked transfer coding delivered this " +
+      "paragraph with more than ten words total, and 3 < 4 stays " +
+      "literal text.")
+    assert(text(204L) == "Gzip content coding delivered this paragraph " +
+      "of exactly eleven words total.")
+    assert(text(208L) == "深度学習 multibyte paragraph " +
+      "with emoji 😀 needs ten or more words to be kept.")
+  }
+
+  test("html_blocks: adversarial segmentation — quoted '>', script traps, entities, inline vs block tags") {
+    def blocksOf(html: String): Seq[(String, Int, Double)] =
+      Seq(html).toDF("h")
+        .select(explode(graft.functions.html_blocks(col("h"))).as("b"))
+        .select("b.text", "b.n_words", "b.link_density")
+        .as[(String, Int, Double)].collect().toSeq
+    // Quoted '>' inside an attribute does not close the tag; inline
+    // tags join words without spaces; block tags split.
+    assert(blocksOf("""<div data-x="a > b">one <b>two</b></div><p>three</p>""")
+      == Seq(("one two", 2, 0.0), ("three", 1, 0.0)))
+    assert(blocksOf("<p>a<span>b</span>c</p>") == Seq(("abc", 1, 0.0)))
+    // Script/style/comment/CDATA/doctype content never leaks text.
+    assert(blocksOf("<!DOCTYPE html><script>x = '<p>no</p>';</script>" +
+      "<style>p{}</style><!-- <p>no</p> --><![CDATA[<p>no</p>]]><p>yes</p>")
+      == Seq(("yes", 1, 0.0)))
+    // Case-insensitive tags; </SCRIPT> closes <script>.
+    assert(blocksOf("<SCRIPT>hidden</SCRIPT><P>Visible</P>")
+      == Seq(("Visible", 1, 0.0)))
+    // Entities: the named five + nbsp (a space) + numeric dec/hex;
+    // unrecognized stays literal.
+    assert(blocksOf("<p>a&amp;b &lt;x&gt; &quot;q&quot; &apos;s&apos; " +
+      "c&nbsp;d &#65;&#x42; &unknown; e</p>")
+      == Seq(("a&b <x> \"q\" 's' c d AB &unknown; e", 9, 0.0)))
+    // Bare '<' in text stays literal; unterminated tag at EOF is
+    // swallowed, not thrown.
+    assert(blocksOf("<p>3 < 4 and 5<6</p>") == Seq(("3 < 4 and 5", 5, 0.0)))
+    assert(blocksOf("<p>ok</p><div unterminated") == Seq(("ok", 1, 0.0)))
+    // Link density: anchor text vs plain text, nested anchors bounded.
+    val Seq((navText, navWords, navLd)) =
+      blocksOf("""<nav><a href="/">Home</a> <a href="/x">About</a></nav>""")
+    assert(navText == "Home About" && navWords == 2 && navLd == 1.0)
+    val Seq((_, _, ld)) = blocksOf("<p><a>link</a> plain</p>")
+    assert(math.abs(ld - 4.0 / 9.0) < 1e-12)
+    // Self-closing <a/> does not open an anchor; <br/> splits blocks.
+    assert(blocksOf("<p>x<br/>y</p>") == Seq(("x", 1, 0.0), ("y", 1, 0.0)))
+    // Whitespace collapse covers the full ASCII class.
+    assert(blocksOf("<p>a \t\r\n\fb</p>") == Seq(("a b", 2, 0.0)))
+  }
+
+  test("streaming ingest parity: arriving shards parse identically to the batch read") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("warc_ckpt").toString
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(fixturePath),
+        java.nio.file.Paths.get(dir, "shard0.warc.gz"))
+      val q = Warc.readWarcStream(spark, dir + "/*.warc.gz")
+        .writeStream.format("memory").queryName("warc_stream_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select("record_idx", "warc_type", "target_uri", "http_status",
+          "html")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getInt(3), r.getString(4))).toSet
+      val streamed = key(spark.table("warc_stream_out"))
+      val batch = key(Warc.readWarc(spark, dir + "/*.warc.gz"))
+      assert(batch.size == 9 && streamed == batch)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS warc_stream_out")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(dir)); rm(new java.io.File(ckpt))
+    }
+  }
+
+  test("malformed payloads fail loudly: bad chunk size, truncated chunk, corrupt gzip, unsupported coding") {
+    val exChunk = intercept[IllegalArgumentException] {
+      Warc.dechunk("zz\r\nbody".getBytes("UTF-8"), "t")
+    }
+    assert(exChunk.getMessage.contains("malformed chunk size"))
+    val exTrunc = intercept[IllegalArgumentException] {
+      Warc.dechunk("ff\r\nonly a few bytes".getBytes("UTF-8"), "t")
+    }
+    assert(exTrunc.getMessage.contains("truncated"))
+    val exGz = intercept[IllegalArgumentException] {
+      Warc.gunzip("not gzip at all".getBytes("UTF-8"), "t")
+    }
+    assert(exGz.getMessage.contains("corrupt gzip"))
+    val exEnc = intercept[IllegalArgumentException] {
+      Warc.parseHttpResponse(
+        ("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nbody")
+          .getBytes("UTF-8"), "t")
+    }
+    assert(exEnc.getMessage.contains("unsupported Content-Encoding"))
+    // Lenient paths: unknown charset falls back to UTF-8; a payload
+    // that is not HTTP at all reports status 0.
+    val (st, ct, body) = Warc.parseHttpResponse(
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=bogus-9\r\n" +
+        "\r\nplain").getBytes("UTF-8"), "t")
+    assert(st == 200 && ct == "text/html" && body == "plain")
+    assert(Warc.parseHttpResponse("junk".getBytes("UTF-8"), "t") ==
+      ((0, "", "")))
+  }
+}
