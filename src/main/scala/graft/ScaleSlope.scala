@@ -122,6 +122,20 @@ object ScaleSlope {
     def embCorpus(k: Int): DataFrame = spark.read.parquet(embPath(k))
     def charCorpus(k: Int): DataFrame = spark.read.parquet(charPath(k))
 
+    // WET shard replication for the shard-axis row: the k× corpus
+    // written as 2k equal gzip shards — constant bytes PER SHARD, so
+    // the read measures per-file parallelism, not per-task growth.
+    // Written here (setup), so the timed op is the READ alone.
+    def wetPath(k: Int): String = s"$scratch/wet_x$k"
+    ks.foreach { k =>
+      graft.sources.Wet.writeWet(
+        corpus(k).repartition(2 * k)
+          .select(
+            concat(lit("http://graft.test/doc/"), col("doc_id")).as("uri"),
+            lit("2026-01-01T00:00:00Z").as("date"), col("text")),
+        wetPath(k))
+    }
+
     def rmrf(p: String): Unit = {
       import java.nio.file.{Files, Path, Paths}
       import java.util.Comparator
@@ -199,6 +213,15 @@ object ScaleSlope {
           df.withColumn("label", pmod(col("vec_id"), lit(4L)).cast("int"))
         Labels.knnPropagate(lbl(embCorpus(1)), lbl(embCorpus(k)), 5)
       }),
+      // Round-12: the WET shard axis (VERDICT r11 Next #5) — the
+      // per-file parallelism claim measured, not asserted. gzip is
+      // unsplittable, so the reader's scale story is "one task per
+      // shard, parallel ACROSS shards": with constant bytes per shard
+      // and shard count 2k ≤ cores, reading 16× the bytes should be
+      // near-FLAT in wall time with linear record counts; a
+      // superlinear slope would mean per-file work serializes.
+      "wet_shard_axis" -> ((_, k) =>
+        graft.sources.Wet.readWet(spark, wetPath(k))),
       // Round-8 additions: trainer + encoder (driver merge loop is
       // vocab-capped, distributed pass corpus-sized), the tf/df family,
       // and the S-bounded-fan-out source audit.

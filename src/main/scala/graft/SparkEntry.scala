@@ -441,11 +441,18 @@ object SparkEntry {
     * CTE chain replayed in DuckDB — referenced by both
     * `curation_pipeline` (as-is) and `curation_funnel` (wrapped in a
     * per-source GROUP BY). */
-  private val curationPipelineOracle: String = {
+  /** CTE chain (no leading WITH) re-deriving Curation.pipeline's
+    * verdict table over `base` (a table or earlier CTE with doc_id +
+    * text): quality gate, J≥0.8 3-gram near-dup components, 5-gram
+    * eval decontamination (eval = doc_id < 10), ending in a
+    * `verdicts` CTE. Parameterized so the e2e composition gate can
+    * run the SAME chain over a domain-filtered survivor CTE. Uses the
+    * recursive `reach` CTE — the caller's WITH must say RECURSIVE. */
+  private def pipelineVerdictCtes(base: String): String = {
     val joins5 = (1 to 4).map(i =>
       s"JOIN tok t$i ON t$i.doc_id=t0.doc_id AND t$i.i=t0.i+$i").mkString(" ")
     val gram5 = (0 to 4).map(i => s"t$i.tk").mkString(" || ' ' || ")
-    s"""WITH RECURSIVE t AS (SELECT doc_id, $dToks w FROM documents),
+    s"""t AS (SELECT doc_id, $dToks w FROM $base),
          |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),
          |g2 AS (SELECT a.doc_id, a.tk || ' ' || b.tk AS gram
          |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
@@ -475,15 +482,20 @@ object SparkEntry {
          |comp AS (SELECT a AS did, least(a, min(b)) AS cid FROM reach GROUP BY a),
          |g5 AS (SELECT DISTINCT t0.doc_id, $gram5 AS g FROM tok t0 $joins5),
          |ev AS (SELECT DISTINCT g FROM g5 WHERE doc_id < 10),
-         |contam AS (SELECT DISTINCT s.doc_id FROM g5 s JOIN ev USING (g))
-         |SELECT d.doc_id, q.quality_keep,
+         |contam AS (SELECT DISTINCT s.doc_id FROM g5 s JOIN ev USING (g)),
+         |verdicts AS (SELECT d.doc_id, q.quality_keep,
          |  coalesce(comp.cid <> d.doc_id, FALSE) AS dup_loser,
          |  (d.doc_id IN (SELECT doc_id FROM contam)) AS contaminated,
          |  (q.quality_keep AND NOT coalesce(comp.cid <> d.doc_id, FALSE)
          |   AND d.doc_id NOT IN (SELECT doc_id FROM contam)) AS keep
-         |FROM documents d JOIN qual q ON q.doc_id = d.doc_id
-         |LEFT JOIN comp ON comp.did = d.doc_id""".stripMargin
+         |FROM $base d JOIN qual q ON q.doc_id = d.doc_id
+         |LEFT JOIN comp ON comp.did = d.doc_id)""".stripMargin
   }
+
+  private val curationPipelineOracle: String =
+    s"""WITH RECURSIVE ${pipelineVerdictCtes("documents")}
+       |SELECT doc_id, quality_keep, dup_loser, contaminated, keep
+       |FROM verdicts""".stripMargin
 
   private val decontaminateOracle: String = {
     val joins = (1 to 4).map(i =>
@@ -1174,6 +1186,46 @@ object SparkEntry {
         shingleN = 3, jaccard = 0.8, maxShingleDf = 10, decontamN = 5,
         minTokens = 25, maxTokens = 1000,
         maxTopGramFrac = 0.09, maxDupGramFrac = 0.09)
+    }),
+    // End-to-end COMPOSITION gate (VERDICT r11 Next #6): the raw-web
+    // pipeline a user actually runs, as ONE query — WET shards →
+    // parsed documents → domain blocklist → quality gate + near-dup
+    // keep-one + decontamination (Curation.pipeline over the
+    // SURVIVORS, so pair sets and eval grams differ from the
+    // full-corpus curation_pipeline gate — exactly the stage-order
+    // sensitivity single-stage gates can't see) → token-budgeted pack
+    // manifest. Every stage is individually gated; this pins their
+    // composition (column collisions, filter ordering, id plumbing).
+    // URLs are synthesized so doc_id % 7 == 0 lands on the blocked
+    // domain; the oracle replays the whole chain from the documents
+    // table, domain arithmetic included.
+    "e2e_wet_to_pack" -> ((s, d) => {
+      import s.implicits._
+      val dir = scratchDir("graft_e2e_wet", d) + "/corpus"
+      graft.sources.Wet.writeWet(
+        documents(s, d).select(
+          concat(lit("https://"),
+            when(col("doc_id") % 7 === 0, lit("spam.example.org"))
+              .otherwise(lit("good.example.com")),
+            lit("/doc/"), col("doc_id")).as("uri"),
+          lit("2026-01-01T00:00:00Z").as("date"), col("text")), dir)
+      val ingested = graft.sources.Wet.wetDocuments(
+        graft.sources.Wet.readWet(s, dir))
+      // The list carries REGISTRABLE domains (filterByDomainList's
+      // contract): blocking example.org drops the spam host.
+      val unblocked = graft.ops.Domains.filterByDomainList(
+        ingested, col("url"), Seq("example.org").toDF("domain"),
+        allow = false)
+        .select(col("doc_id"), col("text"))
+      val verdicts = graft.ops.Curation.pipeline(
+        unblocked, unblocked.filter(col("doc_id") < 10),
+        shingleN = 3, jaccard = 0.8, maxShingleDf = 10, decontamN = 5,
+        minTokens = 25, maxTokens = 1000,
+        maxTopGramFrac = 0.09, maxDupGramFrac = 0.09)
+      val kept = unblocked.join(
+        verdicts.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+      graft.ops.Sampling.packManifest(kept, col("doc_id"),
+        char_length(col("text")), budget = 8192, buckets = 8, seed = "s1")
     }),
     // Per-source attrition funnel over the same pipeline verdicts:
     // raw gate-flag counts + telescoping staged survivors, one
@@ -3384,6 +3436,53 @@ object SparkEntry {
     // 3-gram Jaccard pairs → recursive-CTE components → losers, and
     // 5-gram eval overlap → contamination (eval docs self-flag).
     "curation_pipeline" -> curationPipelineOracle,
+    // Full-chain replay: synthesized URLs → host/domain label
+    // arithmetic → blocklist survivors → the SAME pipeline-verdict
+    // CTE chain over the survivors → pack-manifest arithmetic over
+    // the keepers. (The WET round-trip contributes identity — gated
+    // separately by wet_roundtrip — so the oracle starts from the
+    // documents table.)
+    "e2e_wet_to_pack" ->
+      s"""WITH RECURSIVE u AS (SELECT doc_id, text,
+         |    'https://' || CASE WHEN doc_id % 7 = 0 THEN 'spam.example.org'
+         |                       ELSE 'good.example.com' END
+         |      || '/doc/' || doc_id AS url
+         |  FROM documents),
+         |hh AS (SELECT doc_id, text,
+         |    lower(nullif(regexp_extract(url,
+         |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+).*', 1),
+         |      '')) AS host
+         |  FROM u),
+         |dm AS (SELECT doc_id, text,
+         |    CASE WHEN host IS NULL THEN NULL
+         |         WHEN regexp_matches(host, '^[0-9.]+$$')
+         |              OR len(string_split(host, '.')) < 2 THEN host
+         |         ELSE array_to_string(string_split(host, '.')[-2:], '.')
+         |    END AS domain
+         |  FROM hh),
+         |surv AS (SELECT doc_id, text FROM dm
+         |  WHERE domain IS NULL OR domain <> 'example.org'),
+         |${pipelineVerdictCtes("surv")},
+         |kept AS (SELECT s.doc_id, s.text FROM surv s
+         |  JOIN verdicts v ON v.doc_id = s.doc_id WHERE v.keep),
+         |mt AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_tok,
+         |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8)) AS BIGINT)
+         |    / 4294967296.0 AS uu
+         |  FROM kept),
+         |mb AS (SELECT doc_id, n_tok, uu,
+         |    CAST(floor(uu * 8) AS INT) AS bucket FROM mt),
+         |mc AS (SELECT doc_id, n_tok, bucket,
+         |        CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY bucket ORDER BY uu, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+         |      FROM mb),
+         |mp AS (SELECT doc_id, n_tok, bucket, cum // 8192 AS pack_seq,
+         |        CAST(bucket AS BIGINT) * 4294967296 + (cum // 8192) AS pack_id
+         |      FROM mc)
+         |SELECT pack_id, bucket, pack_seq, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_tok) AS DOUBLE) / 8192 AS fill_ratio,
+         |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+         |FROM mp GROUP BY 1, 2, 3""".stripMargin,
     // The funnel oracle wraps the SAME pipeline verdict CTE in one
     // per-source GROUP BY: exact integer counts, flag counts plus the
     // telescoping staged survivors.

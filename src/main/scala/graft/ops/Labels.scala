@@ -168,7 +168,16 @@ object Labels {
     * nProbe with concentrated seeds) has no candidates — it comes
     * back with `label_knn` null and `votes` 0 rather than silently
     * vanishing (a pipeline counting labeled rows must see the
-    * coverage gap, not a shrunken corpus). */
+    * coverage gap, not a shrunken corpus).
+    *
+    * Picking nProbe: RECALL_r12.json (graft.RecallSweep, 16 clusters,
+    * k = 5, sf0.1) measures label agreement with brute force at
+    * 0.24 / 0.31 / 0.45 / 0.68 / 1.00 for nProbe 1/2/4/8/16 with full
+    * coverage throughout — the gate corpus is near-uniform synthetic
+    * vectors, IVF's WORST case (no cluster structure to exploit), so
+    * treat those as a floor and re-run the sweep on real embeddings
+    * before choosing; wall time scales roughly with nProbe (AB_r11b:
+    * nProbe 4 ≈ 2.4× faster than exact on the same corpus). */
   def knnPropagateWithIndex(index: Similarity.IvfIndex, emb: DataFrame,
       labeled: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")

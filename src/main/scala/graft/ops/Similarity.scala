@@ -226,7 +226,15 @@ object Similarity {
     ivfProbe(centroids, assignToCentroids(emb, centroids), queries, k, nProbe)
   }
 
-  /** [[ivfTopK]] against a pre-built [[IvfIndex]]. */
+  /** [[ivfTopK]] against a pre-built [[IvfIndex]].
+    *
+    * Picking nProbe: RECALL_r12.json (graft.RecallSweep, 16 clusters,
+    * k = 5, sf0.1) measures recall@5 of 0.26 / 0.38 / 0.58 / 0.82 /
+    * 1.00 at nProbe 1/2/4/8/16 — on near-uniform SYNTHETIC vectors,
+    * IVF's worst case; real clustered embeddings concentrate true
+    * neighbors in fewer cells, so re-run the sweep on the deployment
+    * corpus and pick the knee. nProbe = nClusters is exact by
+    * construction (spec-pinned). */
   def ivfTopKWithIndex(index: IvfIndex, queries: DataFrame, k: Int,
       nProbe: Int = 4): DataFrame =
     ivfProbe(index.centroids, index.assigned, queries, k, nProbe)
