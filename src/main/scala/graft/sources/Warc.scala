@@ -19,6 +19,12 @@ final case class WarcHtmlRecord(
     content_length: Long,
     http_status: Int,
     http_content_type: String,
+    /** Lowercased Content-Encoding the body arrived under: '' /
+      * 'identity' / 'gzip' are decoded; anything else (br, deflate…)
+      * leaves `html` EMPTY and this column is the countable signal —
+      * an unsupported-but-legal coding is a data fact, not a task
+      * killer (one brotli record must not fail a 150 MB shard task). */
+    content_encoding: String,
     html: String)
 
 /** Raw-web RAW-HTML ingestion — the front half the WET reader cannot
@@ -35,8 +41,10 @@ final case class WarcHtmlRecord(
   *  - `Transfer-Encoding: chunked` de-chunked and `Content-Encoding:
   *    gzip` inflated (structurally corrupt chunk sizes / gzip streams
   *    fail LOUDLY with file + record index — silent tail-dropping is
-  *    the corpus-corruption failure mode; unknown encodings refuse
-  *    loudly too);
+  *    the corpus-corruption failure mode); an UNSUPPORTED content
+  *    coding (br, deflate…) is legal HTTP, not corruption: the body
+  *    stays undecoded (`html` empty) and the `content_encoding`
+  *    column is the countable signal;
   *  - body decoded per the Content-Type `charset=` parameter
   *    (unsupported/missing charsets fall back to UTF-8 with
   *    replacement — wild-crawl charset junk is a data fact, not a
@@ -102,7 +110,10 @@ object Warc {
     warc.filter(col("warc_type") === "response" &&
         col("http_status") >= 200 && col("http_status") <= 299 &&
         (col("http_content_type").startsWith("text/html") ||
-          col("http_content_type").startsWith("application/xhtml")))
+          col("http_content_type").startsWith("application/xhtml")) &&
+        // Undecoded codings (br, deflate…) carry no text — excluded
+        // here, countable upstream via the content_encoding column.
+        col("content_encoding").isin("", "identity", "gzip", "x-gzip"))
       .select(
         coalesce(
           nullif(regexp_extract(col("target_uri"),
@@ -158,29 +169,30 @@ object Warc {
       file: String, gz: Array[Byte]): Iterator[WarcHtmlRecord] =
     WarcWalker.records(file, gz).map { r =>
       val where = s"${r.file} record ${r.recordIdx}"
-      val (status, ctype, html) =
+      val (status, ctype, cenc, html) =
         if (r.warcType == "response") parseHttpResponse(r.body, where)
-        else (0, "", "")
+        else (0, "", "", "")
       WarcHtmlRecord(r.file, r.recordIdx, r.warcType, r.targetUri,
-        r.warcDate, r.contentLength, status, ctype, html)
+        r.warcDate, r.contentLength, status, ctype, cenc, html)
     }
 
   /** Parse an HTTP response message: (status, lowercased media type,
-    * decoded body). Not-an-HTTP-message → (0, "", ""). */
+    * lowercased content coding, decoded body — empty for an
+    * unsupported coding). Not-an-HTTP-message → (0, "", "", ""). */
   private[graft] def parseHttpResponse(
-      payload: Array[Byte], where: String): (Int, String, String) = {
+      payload: Array[Byte], where: String): (Int, String, String, String) = {
     val headerEnd = findHeaderEnd(payload)
     val head = new String(payload, 0,
       if (headerEnd < 0) payload.length else headerEnd,
       java.nio.charset.StandardCharsets.ISO_8859_1)
     val lines = head.split("\r?\n")
-    if (lines.isEmpty || !lines(0).startsWith("HTTP/")) return (0, "", "")
+    if (lines.isEmpty || !lines(0).startsWith("HTTP/")) return (0, "", "", "")
     val statusParts = lines(0).split(" ", 3)
     val status =
       if (statusParts.length >= 2)
         try statusParts(1).toInt catch { case _: NumberFormatException => 0 }
       else 0
-    if (status == 0) return (0, "", "")
+    if (status == 0) return (0, "", "", "")
     var contentTypeRaw = ""
     var transferEncoding = ""
     var contentEncoding = ""
@@ -205,13 +217,12 @@ object Warc {
     // Layer order on the wire: body = gzip(content) then chunked(gzip)
     // — so decode chunked FIRST, then the content coding.
     if (transferEncoding.contains("chunked")) body = dechunk(body, where)
-    contentEncoding match {
-      case "" | "identity" => ()
-      case "gzip" | "x-gzip" => body = gunzip(body, where)
-      case other => throw new IllegalArgumentException(
-        s"$where: unsupported Content-Encoding '$other' — silently " +
-          "skipping the body would drop the document; extend the " +
-          "decoder or pre-filter these records")
+    val decodable = contentEncoding match {
+      case "" | "identity" => true
+      case "gzip" | "x-gzip" => body = gunzip(body, where); true
+      // Legal-but-unsupported coding (br, deflate…): body stays
+      // undecoded, content_encoding is the countable signal.
+      case _ => false
     }
     val mediaType = contentTypeRaw.split(";")(0).trim
       .toLowerCase(java.util.Locale.ROOT)
@@ -232,11 +243,13 @@ object Warc {
       }
     // Replacement decoding: wild-crawl charset junk becomes U+FFFD,
     // never a task failure.
-    val decoder = cs.newDecoder()
-      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
-      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
-    val text = decoder.decode(java.nio.ByteBuffer.wrap(body)).toString
-    (status, mediaType, text)
+    val text = if (!decodable) "" else {
+      val decoder = cs.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+      decoder.decode(java.nio.ByteBuffer.wrap(body)).toString
+    }
+    (status, mediaType, contentEncoding, text)
   }
 
   /** Offset just past the first blank line (CRLFCRLF or LFLF); -1 if

@@ -151,6 +151,42 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("round-12 front-door plans: zero-shuffle HTML extraction + PSL domains, skew-safe URL dedup") {
+    // warc_html_extract (native html_blocks + filter/join HOFs) and
+    // curation_domains_psl (plan-shipped rule set) are pure
+    // projections — a reintroduced shuffle is an architecture
+    // regression, not a tuning choice.
+    for (q <- Seq("warc_html_extract", "curation_domains_psl")) {
+      val n = "Exchange".r.findAllIn(plans(q)).size
+      assert(n == 0, s"$q plans $n Exchange nodes; expected a pure projection")
+    }
+    // URL dedup: the keep-one winner is a partial-aggregated
+    // min-struct (dedupLines' skew posture — the hottest canonical
+    // URL reaches its reducer as one candidate per map task), never a
+    // window over the canonical key, and exactly one exchange.
+    val p = plans("curation_url_dedup")
+    assert(p.contains("partial_min"),
+      s"expected map-side partial_min in:\n$p")
+    assert(!p.contains("Window ["),
+      "URL dedup must not use a window over the canonical key")
+    val ex = "Exchange".r.findAllIn(p).size
+    assert(ex == 1, s"curation_url_dedup plans $ex Exchange nodes; expected 1")
+  }
+
+  test("near-dup verification's selective path is candidate-proportional end to end (ADVICE r11 pin)") {
+    // verifyJaccard's broadcast branch: candidates broadcast into the
+    // first index join, and the SECOND join's index side semi-
+    // restricted to candidate id_b docs before its sort-merge — the
+    // corpus-sized index must never shuffle whole (broadcast hints
+    // don't propagate up through a Join node). The LeftSemi +
+    // SortMergeJoin pair in the gate plan is the drift guard.
+    val p = plans("dedup_minhash")
+    assert(p.contains("LeftSemi"),
+      s"dedup_minhash lost the candidate id_b semi-restriction:\n$p")
+    assert(p.contains("SortMergeJoin"),
+      s"dedup_minhash verification joins drifted off sort-merge:\n$p")
+  }
+
   test("hotKeys computes its total from the counts frame via AQE exchange reuse (one input pass)") {
     // The share denominator re-aggregates the groupBy output instead of
     // re-scanning the raw input; the two plan branches sit on the same

@@ -24,18 +24,24 @@ class WarcSpec extends AnyFunSuite {
   private val p2 = "WARC/1.0 looks like a record boundary but is body " +
     "text, padded past ten words."
 
-  test("fixture parses byte-exactly: 9 records, HTTP layer, chunked + gzip codings, charsets") {
+  test("fixture parses byte-exactly: 10 records, HTTP layer, chunked + gzip codings, charsets") {
     val rows = Warc.readWarc(spark, fixturePath)
       .orderBy("record_idx").collect()
-    assert(rows.length == 9)
+    assert(rows.length == 10)
     assert(rows.map(_.getAs[String]("warc_type")).toSeq == Seq(
       "warcinfo", "response", "response", "response", "response",
-      "response", "response", "request", "response"))
+      "response", "response", "request", "response", "response"))
     assert(rows.map(_.getAs[Int]("http_status")).toSeq ==
-      Seq(0, 200, 200, 200, 200, 404, 200, 0, 200))
+      Seq(0, 200, 200, 200, 200, 404, 200, 0, 200, 200))
     assert(rows.map(_.getAs[String]("http_content_type")).toSeq == Seq(
       "", "text/html", "text/html", "text/html", "text/html",
-      "text/html", "application/pdf", "", "text/html"))
+      "text/html", "application/pdf", "", "text/html", "text/html"))
+    // Legal-but-unsupported coding: lenient — status kept, body
+    // undecoded, the coding surfaced as the countable signal.
+    assert(rows(9).getAs[String]("content_encoding") == "br" &&
+      rows(9).getAs[String]("html") == "")
+    assert(rows(4).getAs[String]("content_encoding") == "gzip")
+    assert(rows(1).getAs[String]("content_encoding") == "")
     // Charset decode: latin-1 é (0xE9 on the wire) survives.
     assert(rows(2).getAs[String]("html").contains("Café au lait"))
     // Chunked transfer coding reassembles exactly (incl. the bare '<').
@@ -55,7 +61,8 @@ class WarcSpec extends AnyFunSuite {
   test("warcHtmlDocuments keeps 2xx HTML only; warcTextDocuments extracts boilerplate-stripped text") {
     val docs = Warc.warcHtmlDocuments(Warc.readWarc(spark, fixturePath))
       .orderBy("doc_id").collect()
-    // 404 (205), pdf (206), request, warcinfo are all excluded.
+    // 404 (205), pdf (206), undecodable br (209), request, warcinfo
+    // are all excluded.
     assert(docs.map(_.getAs[Long]("doc_id")).toSeq ==
       Seq(201L, 202L, 203L, 204L, 208L))
     val text = Warc.warcTextDocuments(Warc.readWarc(spark, fixturePath))
@@ -136,7 +143,7 @@ class WarcSpec extends AnyFunSuite {
           r.getInt(3), r.getString(4))).toSet
       val streamed = key(spark.table("warc_stream_out"))
       val batch = key(Warc.readWarc(spark, dir + "/*.warc.gz"))
-      assert(batch.size == 9 && streamed == batch)
+      assert(batch.size == 10 && streamed == batch)
     } finally {
       spark.sql("DROP TABLE IF EXISTS warc_stream_out")
       def rm(f: java.io.File): Unit = {
@@ -160,19 +167,18 @@ class WarcSpec extends AnyFunSuite {
       Warc.gunzip("not gzip at all".getBytes("UTF-8"), "t")
     }
     assert(exGz.getMessage.contains("corrupt gzip"))
-    val exEnc = intercept[IllegalArgumentException] {
-      Warc.parseHttpResponse(
-        ("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nbody")
-          .getBytes("UTF-8"), "t")
-    }
-    assert(exEnc.getMessage.contains("unsupported Content-Encoding"))
-    // Lenient paths: unknown charset falls back to UTF-8; a payload
-    // that is not HTTP at all reports status 0.
-    val (st, ct, body) = Warc.parseHttpResponse(
+    // Lenient paths: an unsupported-but-legal content coding keeps
+    // the record (html empty, coding surfaced); unknown charset falls
+    // back to UTF-8; a payload that is not HTTP reports status 0.
+    assert(Warc.parseHttpResponse(
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        "Content-Encoding: br\r\n\r\nbody").getBytes("UTF-8"), "t") ==
+      ((200, "text/html", "br", "")))
+    val (st, ct, ce, body) = Warc.parseHttpResponse(
       ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=bogus-9\r\n" +
         "\r\nplain").getBytes("UTF-8"), "t")
-    assert(st == 200 && ct == "text/html" && body == "plain")
+    assert(st == 200 && ct == "text/html" && ce == "" && body == "plain")
     assert(Warc.parseHttpResponse("junk".getBytes("UTF-8"), "t") ==
-      ((0, "", "")))
+      ((0, "", "", "")))
   }
 }

@@ -145,6 +145,15 @@ records_b = [
                 http("HTTP/1.1 200 OK",
                      [("Content-Type", "text/html; charset=UTF-8")],
                      HTML8_UTF8.encode("utf-8"))),
+    # Legal-but-unsupported content coding: must parse leniently
+    # (status kept, html empty, content_encoding = 'br'), never kill
+    # the shard task.
+    warc_record("response", "http://fixture.test/html/209",
+                "2026-08-15T01:00:09Z",
+                http("HTTP/1.1 200 OK",
+                     [("Content-Type", "text/html"),
+                      ("Content-Encoding", "br")],
+                     b"\x1b\x03\x00fake brotli bytes")),
 ]
 
 # Two gzip members: the reader must consume concatenated members.
