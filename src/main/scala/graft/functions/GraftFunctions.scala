@@ -130,6 +130,11 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"portable must be a boolean literal, got: $other")
       })
+    },
+    // psl_registrable_domain is Column-API-only: its rule set is a
+    // parsed model object (same status as bpe_encode).
+    "html_blocks" -> { args =>
+      expectArgs("html_blocks", args, 1); HtmlBlocks(args(0))
     })
 
   private def info(name: String): ExpressionInfo =

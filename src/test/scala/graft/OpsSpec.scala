@@ -68,6 +68,12 @@ class OpsSpec extends AnyFunSuite {
         |""".stripMargin).collect().head
     assert(r4.getSeq[Long](0) == r4.getSeq[Long](2) &&
       r4.getSeq[Long](1) == r4.getSeq[Long](2))
+    val r5 = spark.sql(
+      "SELECT html_blocks('<nav><a href=x>Home</a></nav><p>hello world</p>') AS b")
+      .collect().head
+    val blocks = r5.getSeq[org.apache.spark.sql.Row](0)
+    assert(blocks.map(b => (b.getString(0), b.getInt(1), b.getDouble(2))) ==
+      Seq(("Home", 1, 1.0), ("hello world", 2, 0.0)))
   }
 
   test("native simhash_bands matches the declarative vote/band spelling, both hash families") {
