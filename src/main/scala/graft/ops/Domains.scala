@@ -205,7 +205,9 @@ object Domains {
   }
 
   /** URL-level keep-one dedup: rows sharing a [[canonicalUrl]] keep
-    * only the winner (smallest `idCol`), returned with their full
+    * only the winner (smallest `idCol` — to keep the LATEST fetch of
+    * a recrawled URL instead, pass a descending key such as a negated
+    * fetch epoch), returned with their full
     * input schema plus the `canonical_url` key. Skew-safe the
     * [[Dedup.dedupLines]] way: the winner per canonical URL is a
     * partial-aggregated min-struct groupBy — the hottest URL reaches

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{ByteArrayInputStream, EOFException}
+import java.io.ByteArrayInputStream
 import java.util.zip.GZIPInputStream
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
