@@ -4689,6 +4689,23 @@ class OpsSpec extends AnyFunSuite {
       Domains.dedupUrls(urls.withColumn("canonical_url", lit("x")),
         col("url"), col("doc_id"))
     }
+    // Idempotence: a canonical URL is its own canonical form — the
+    // property that makes the key safe to persist and re-canonicalize
+    // across pipeline stages. Checked over a generated cross-product
+    // of schemes × hosts × ports × paths × queries × fragments.
+    val parts = for {
+      scheme <- Seq("http", "HTTPS", "ftp", "")
+      host <- Seq("Example.COM", "a.b.org", "user@Host.net")
+      port <- Seq("", ":80", ":443", ":8080")
+      path <- Seq("", "/", "/A/b")
+      q <- Seq("", "?utm_source=x", "?id=1&utm_a=2&x", "?gclid=9&q=a")
+      f <- Seq("", "#frag")
+    } yield (if (scheme.isEmpty) "" else scheme + "://") + host + port +
+      path + q + f
+    val once = parts.toDF("url")
+      .select(Domains.canonicalUrl(col("url")).as("c1"))
+      .withColumn("c2", Domains.canonicalUrl(col("c1")))
+    assert(once.filter(col("c1") =!= col("c2")).count() == 0)
   }
 
   test("packManifest/packText: temp bookkeeping names never collide with caller columns") {
