@@ -956,6 +956,22 @@ object SparkEntry {
           md5(graft.sources.Warc.extractTextFromBlocks(col("b")))
             .as("text_md5"))
     }),
+    // HTML metadata extraction (the declared-language prior a crawl
+    // pipeline cross-checks against DETECTED language, plus the raw
+    // title): quoted/unquoted/missing lang attributes and
+    // whitespace-dirty titles synthesized per doc; the oracle replays
+    // the same RE2-safe regexes over the same synthesized pages.
+    "warc_html_meta" -> ((s, d) => {
+      val langAttr = when(col("doc_id") % 3 === 0, lit(" lang=\"EN-gb\""))
+        .when(col("doc_id") % 3 === 1, lit(" lang=de"))
+        .otherwise(lit(""))
+      val html = concat(lit("<html"), langAttr,
+        lit("><head><title> Doc\t"), col("doc_id"),
+        lit("  page </title></head><body><p>x</p></body></html>"))
+      documents(s, d).select(col("doc_id"),
+        graft.sources.Warc.htmlLang(html).as("lang"),
+        graft.sources.Warc.htmlTitle(html).as("title"))
+    }),
     "wet_roundtrip" -> ((s, d) => {
       val dir = scratchDir("graft_wet", d) + "/corpus"
       graft.sources.Wet.writeWet(
@@ -2277,6 +2293,25 @@ object SparkEntry {
         |    AS n_blocks,
         |  md5(CASE WHEN nw >= 10 THEN norm ELSE '' END) AS text_md5
         |FROM w""".stripMargin,
+    // Same synthesized pages; the same (?i) regexes replayed (RE2 and
+    // Java agree on every construct used: inline flag, negated class,
+    // explicit ASCII whitespace class, optional quote).
+    "warc_html_meta" ->
+      """WITH h AS (SELECT doc_id,
+         |    '<html' || CASE WHEN doc_id % 3 = 0 THEN ' lang="EN-gb"'
+         |                    WHEN doc_id % 3 = 1 THEN ' lang=de'
+         |                    ELSE '' END ||
+         |    '><head><title> Doc' || chr(9) || doc_id ||
+         |    '  page </title></head><body><p>x</p></body></html>' AS html
+         |  FROM documents)
+         |SELECT doc_id,
+         |  lower(nullif(regexp_extract(html,
+         |    '(?i)<html[^>]*[ \t\n\x0B\f\r]lang[ ]*=[ ]*["'']?([a-zA-Z][a-zA-Z-]*)',
+         |    1), '')) AS lang,
+         |  nullif(trim(regexp_replace(
+         |    regexp_extract(html, '(?i)<title[^>]*>([^<]*)', 1),
+         |    '[ \t\n\x0B\f\r]+', ' ', 'g')), '') AS title
+         |FROM h""".stripMargin,
     // The WET round-trip must hand back exactly the parquet corpus:
     // ids from the URI tail, Content-Length as UTF-8 octets, md5 over
     // the same bytes.

@@ -132,23 +132,61 @@ object Warc {
     * shuffles; thresholds are the standard published ballpark
     * (jusText's length/link-density gates). */
   def extractText(html: Column, minWords: Int = 10,
-      maxLinkDensity: Double = 0.33): Column =
+      maxLinkDensity: Double = 0.33, stopwords: Seq[String] = Nil,
+      minStopwordFrac: Double = 0.0): Column =
     extractTextFromBlocks(graft.functions.html_blocks(html),
-      minWords, maxLinkDensity)
+      minWords, maxLinkDensity, stopwords, minStopwordFrac)
 
   /** [[extractText]] over a pre-computed
     * [[graft.functions.html_blocks]] column — for plans that also
     * consume the block array itself (block counts, density
-    * profiling) and must not re-scan the HTML. */
+    * profiling) and must not re-scan the HTML.
+    *
+    * `stopwords` (jusText's third published signal, off by default):
+    * when non-empty, a block must also have at least
+    * `minStopwordFrac` of its lowercased words in the list — the
+    * signal that separates prose from same-language menus and
+    * keyword-stuffed chrome that clear the length and link-density
+    * gates. Stopword lists are language data a deployment ships
+    * (like the PSL); the list is compiled into the plan, so the
+    * filter stays a zero-shuffle projection. */
   def extractTextFromBlocks(blocks: Column, minWords: Int = 10,
-      maxLinkDensity: Double = 0.33): Column =
-    array_join(
-      transform(
-        filter(blocks, b =>
-          b.getField("n_words") >= minWords &&
-            b.getField("link_density") <= maxLinkDensity),
-        b => b.getField("text")),
-      "\n")
+      maxLinkDensity: Double = 0.33, stopwords: Seq[String] = Nil,
+      minStopwordFrac: Double = 0.0): Column = {
+    val keep = (b: Column) => {
+      val base = b.getField("n_words") >= minWords &&
+        b.getField("link_density") <= maxLinkDensity
+      if (stopwords.isEmpty) base
+      else base && (
+        size(filter(split(lower(b.getField("text")), " "),
+          t => t.isin(stopwords: _*)))
+          .cast("double") / b.getField("n_words").cast("double")
+          >= minStopwordFrac)
+    }
+    array_join(transform(filter(blocks, keep), b => b.getField("text")), "\n")
+  }
+
+  /** DECLARED language of an HTML document (the `<html lang="…">`
+    * attribute, lowercased; null when absent/empty). The cheap prior
+    * a crawl pipeline cross-checks against DETECTED language
+    * ([[graft.ops.TextAnalysis]] langid) — a mismatch is a standard
+    * mislabeled-or-boilerplate signal. One RE2-safe regexp (`xml:lang`
+    * deliberately does not match — the preceding `:` fails the
+    * whitespace requirement). */
+  def htmlLang(html: Column): Column =
+    lower(nullif(regexp_extract(html,
+      "(?i)<html[^>]*[ \\t\\n\\x0B\\f\\r]lang[ ]*=[ ]*[\"']?([a-zA-Z][a-zA-Z-]*)", 1),
+      lit("")))
+
+  /** `<title>` text of an HTML document, whitespace-collapsed (null
+    * when absent/empty). Raw — entities are NOT decoded (titles are a
+    * metadata signal, not training text; [[extractText]] owns decoded
+    * content). `[^<]*` instead of a non-greedy span keeps the regexp
+    * engine-portable and linear. */
+  def htmlTitle(html: Column): Column =
+    nullif(trim(regexp_replace(
+      regexp_extract(html, "(?i)<title[^>]*>([^<]*)", 1),
+      "[ \\t\\n\\x0B\\f\\r]+", " ")), lit(""))
 
   /** [[warcHtmlDocuments]] + [[extractText]]: the WARC front door's
     * (doc_id, url, fetch_date, text) corpus frame — drop-in where a

@@ -156,7 +156,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // curation_domains_psl (plan-shipped rule set) are pure
     // projections — a reintroduced shuffle is an architecture
     // regression, not a tuning choice.
-    for (q <- Seq("warc_html_extract", "curation_domains_psl")) {
+    for (q <- Seq("warc_html_extract", "warc_html_meta",
+        "curation_domains_psl")) {
       val n = "Exchange".r.findAllIn(plans(q)).size
       assert(n == 0, s"$q plans $n Exchange nodes; expected a pure projection")
     }

@@ -123,6 +123,29 @@ class WarcSpec extends AnyFunSuite {
     assert(blocksOf("<p>a \t\r\n\fb</p>") == Seq(("a b", 2, 0.0)))
   }
 
+  test("extractText stopword-density gate drops same-language keyword chrome that beats the other signals") {
+    // A keyword-stuffed block (category tags, related-searches chrome)
+    // clears minWords and has zero links — only the stopword signal
+    // separates it from prose. The prose block carries function words;
+    // the chrome carries none.
+    val html = "<p>the cat sat on the mat and then it slept for a while " +
+      "in the sun</p>" +
+      "<p>laptops phones tablets cameras printers monitors keyboards " +
+      "speakers routers chargers cables adapters</p>"
+    val stop = Seq("the", "a", "an", "and", "on", "in", "it", "for", "of",
+      "to", "then")
+    def extracted(sw: Seq[String]): String =
+      Seq(html).toDF("h")
+        .select(Warc.extractText(col("h"), minWords = 10,
+          maxLinkDensity = 0.33, stopwords = sw,
+          minStopwordFrac = 0.2).as("t"))
+        .as[String].collect().head
+    // Without the signal both blocks survive; with it only prose does.
+    assert(extracted(Nil).split("\n").length == 2)
+    assert(extracted(stop) == "the cat sat on the mat and then it slept " +
+      "for a while in the sun")
+  }
+
   test("streaming ingest parity: arriving shards parse identically to the batch read") {
     val dir = java.nio.file.Files.createTempDirectory("warc_stream").toString
     val ckpt = java.nio.file.Files.createTempDirectory("warc_ckpt").toString
