@@ -375,6 +375,30 @@ object SparkEntry {
   private def embQueries(spark: SparkSession, dir: String): DataFrame =
     embeddings(spark, dir).filter(col("vec_id") < 10)
 
+  /** Synthesized crawl pages for the link-graph gates (shared by
+    * `curation_link_graph` and `curation_domain_rank`): every doc gets
+    * a site URL plus five outlinks — absolute external, root-relative
+    * (internal), protocol-relative, absolute SAME-registrable-domain
+    * (internal via a different host), and a nofollow external — so the
+    * edge builder's resolution + internal-drop + counting logic is all
+    * exercised and the oracle re-derives the edges from doc_id
+    * arithmetic without parsing HTML. */
+  private def linkGraphPages(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val url = concat(lit("http://www.site"), id % 5,
+      lit("-example.org/p/"), id)
+    val html = concat(
+      lit("<html><body><a href=\"https://news.hub"), id % 3,
+      lit(".org/a/"), id,
+      lit("\">story</a> <a href=\"/about\">about</a> <a href='//img.assets"),
+      id % 2,
+      lit(".net/i.png'>img</a> <a href=\"http://other.site"), id % 5,
+      lit("-example.org/x\">same domain</a> " +
+        "<a href=\"https://spam.tracker.biz/\" rel=\"nofollow\">spam</a>" +
+        "</body></html>"))
+    documents(spark, dir).select(url.as("url"), html.as("html"))
+  }
+
   /** DuckDB spelling of TextOps.normalized / TextOps.tokens. */
   private val dNorm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
   private val dToks = """string_split_regex(lower(trim(text)), '\s+')"""
@@ -971,6 +995,110 @@ object SparkEntry {
       documents(s, d).select(col("doc_id"),
         graft.sources.Warc.htmlLang(html).as("lang"),
         graft.sources.Warc.htmlTitle(html).as("title"))
+    }),
+    // HTML outlink extraction (the link layer of the WARC front
+    // door): pages synthesized per doc with four href-carrying
+    // anchors (quoted/single-quoted/unquoted, entity-escaped hrefs
+    // and anchors, a rel to lowercase) plus a named anchor and a
+    // script trap that must NOT emit; the oracle re-derives all four
+    // links per doc from doc_id arithmetic — fully independent of the
+    // extractor.
+    "warc_html_links" -> ((s, d) => {
+      val id = col("doc_id")
+      val html = concat(
+        lit("<html><body><nav><a href=\"/\">Home</a></nav><p>Read "),
+        lit("<a href=\"https://ext"), id % 7,
+        lit(".example.org/p/"), id,
+        lit("?a=1&amp;utm_src=x\" rel=\"NoFollow\">Doc "), id,
+        lit(" &amp; notes</a> plus <a href='//cdn"), id % 3,
+        lit(".example.net/lib'>CDN "), id,
+        lit("</a> <a name=\"top\">named</a>" +
+          "<script>var t=\"<a href='/trap'>x</a>\";</script>"),
+        lit("<a href=/rel/"), id,
+        lit(">rel link</a></p></body></html>"))
+      documents(s, d)
+        .select(col("doc_id"),
+          posexplode(graft.functions.html_links(html)))
+        .select(col("doc_id"), col("pos").cast("int").as("link_idx"),
+          col("col.href").as("href"), col("col.rel").as("rel"),
+          col("col.anchor").as("anchor"))
+    }),
+    // Declared-canonical + robots META extraction: four page variants
+    // by doc_id (rel-first quoted, href-first single-quoted, fully
+    // unquoted, absent — plus noindex / index,follow / absent robots
+    // metas); the oracle derives every value from doc_id % 4 alone.
+    "warc_html_canonical" -> ((s, d) => {
+      val id = col("doc_id")
+      val m4 = id % 4
+      val canonTag = when(m4 === 0, concat(
+          lit("<link rel=\"canonical\" href=\"https://canon.example.com/a/"),
+          id, lit("?x=1&amp;y=2\">")))
+        .when(m4 === 1, concat(
+          lit("<link href='https://canon.example.com/b/"), id,
+          lit("' rel='canonical'>")))
+        .when(m4 === 2, concat(
+          lit("<link rel=canonical href=https://canon.example.com/c/"),
+          id, lit(">")))
+        .otherwise(lit("<link rel=\"stylesheet\" href=\"/style.css\">"))
+      val robotsTag = when(m4 === 0,
+          lit("<meta name=\"robots\" content=\"NOINDEX, nofollow\">"))
+        .when(m4 === 2,
+          lit("<meta content=\"index, follow\" name=\"robots\">"))
+        .otherwise(lit(""))
+      val html = concat(lit("<html><head>"), canonTag, robotsTag,
+        lit("</head><body><p>x</p></body></html>"))
+      documents(s, d).select(col("doc_id"),
+        graft.sources.Warc.htmlCanonicalUrl(html).as("canonical"),
+        graft.sources.Warc.htmlMetaRobots(html).as("robots"),
+        graft.sources.Warc.hasNoindex(html).as("noindex"))
+    }),
+    // The registrable-domain link graph over the synthesized crawl
+    // pages: html_links extraction → host-level target resolution
+    // (absolute / protocol-relative / page-relative) → registrable
+    // domains → internal-edge drop → counted edges. The oracle
+    // re-derives the three surviving edges per doc (external hub,
+    // assets CDN, nofollow'd tracker — the root-relative and
+    // same-domain links are internal and must vanish) from doc_id
+    // arithmetic.
+    "curation_link_graph" -> ((s, d) =>
+      graft.ops.Domains.outlinkDomainEdges(
+        linkGraphPages(s, d), col("url"), col("html"))),
+    // Fixed-point PageRank over that domain graph (3 iterations,
+    // damping 85/100, scale 1e12): every step is long integer
+    // arithmetic — (r*85) div (outdeg*100) per edge, long sums,
+    // teleport base (15*scale) div 100 — so the oracle replays the
+    // identical iteration in DuckDB integer SQL and the result
+    // hash-matches exactly (float PageRank could never gate this
+    // way).
+    "curation_domain_rank" -> ((s, d) =>
+      graft.ops.Domains.pageRankFixedPoint(
+        graft.ops.Domains.outlinkDomainEdges(
+          linkGraphPages(s, d), col("url"), col("html")),
+        iterations = 3)),
+    // Declared-canonical keep-one dedup: mirrors and parameterized
+    // variants declaring the same <link rel=canonical> target merge
+    // with plain string canonicalization in one pass; a RELATIVE
+    // declared canonical falls back to the page URL (never guess a
+    // merge). Literal fixture; the oracle carries the hand-derived
+    // effective key per row and replays the keep-one window.
+    "curation_canonical_dedup" -> ((s, _) => {
+      import s.implicits._
+      val docs = Seq(
+        (1L, "https://ex.com/article", "<p>original, no canonical</p>"),
+        (2L, "https://ex.com/article?utm_source=feed",
+          "<link rel=\"canonical\" href=\"https://ex.com/article\">"),
+        (3L, "https://mirror.ex.com/article-copy",
+          "<link href='https://ex.com/article' rel='canonical'>"),
+        (4L, "https://ex.com/other",
+          "<link rel=\"canonical\" href=\"relative/path\">"),
+        (5L, "https://ex.com/Other", "<p>case-sensitive path</p>"),
+        (6L, "HTTPS://EX.COM:443/article#frag",
+          "<p>string canonicalization only</p>"),
+        (7L, "https://ex.com/third?gclid=1",
+          "<link rel=\"canonical\" href=\"https://ex.com/third?x=1&amp;y=2\">"))
+        .toDF("doc_id", "url", "html")
+      graft.ops.Domains.dedupByDeclaredCanonical(
+        docs, col("url"), col("html"), col("doc_id"))
     }),
     "wet_roundtrip" -> ((s, d) => {
       val dir = scratchDir("graft_wet", d) + "/corpus"
@@ -2312,6 +2440,129 @@ object SparkEntry {
          |    regexp_extract(html, '(?i)<title[^>]*>([^<]*)', 1),
          |    '[ \t\n\x0B\f\r]+', ' ', 'g')), '') AS title
          |FROM h""".stripMargin,
+    // Four links per doc, re-derived from doc_id arithmetic alone —
+    // the named anchor and the script trap must not appear, entity
+    // escapes must come back decoded, rel lowercased.
+    "warc_html_links" ->
+      """WITH l AS (
+        |  SELECT doc_id, 0 AS link_idx, '/' AS href, '' AS rel,
+        |         'Home' AS anchor FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1,
+        |         'https://ext' || (doc_id % 7) || '.example.org/p/' ||
+        |           doc_id || '?a=1&utm_src=x',
+        |         'nofollow', 'Doc ' || doc_id || ' & notes'
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 2, '//cdn' || (doc_id % 3) || '.example.net/lib',
+        |         '', 'CDN ' || doc_id FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 3, '/rel/' || doc_id, '', 'rel link'
+        |  FROM documents)
+        |SELECT doc_id, CAST(link_idx AS INT) AS link_idx, href, rel,
+        |       anchor
+        |FROM l""".stripMargin,
+    // Every value derived from doc_id % 4 alone — independent of the
+    // extraction regexes.
+    "warc_html_canonical" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'https://canon.example.com/a/' || doc_id ||
+        |                '?x=1&y=2'
+        |    WHEN 1 THEN 'https://canon.example.com/b/' || doc_id
+        |    WHEN 2 THEN 'https://canon.example.com/c/' || doc_id
+        |    ELSE NULL END AS canonical,
+        |  CASE doc_id % 4 WHEN 0 THEN 'noindex, nofollow'
+        |                  WHEN 2 THEN 'index, follow'
+        |                  ELSE NULL END AS robots,
+        |  (doc_id % 4 = 0) AS noindex
+        |FROM documents""".stripMargin,
+    // Three surviving edges per doc (the root-relative and
+    // same-registrable-domain links are internal and vanish),
+    // re-derived from doc_id arithmetic.
+    "curation_link_graph" ->
+      """WITH e AS (
+        |  SELECT 'site' || (doc_id % 5) || '-example.org' AS src_domain,
+        |         'hub' || (doc_id % 3) || '.org' AS dst_domain
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'site' || (doc_id % 5) || '-example.org',
+        |         'assets' || (doc_id % 2) || '.net' FROM documents
+        |  UNION ALL
+        |  SELECT 'site' || (doc_id % 5) || '-example.org', 'tracker.biz'
+        |  FROM documents)
+        |SELECT src_domain, dst_domain,
+        |       CAST(count(*) AS BIGINT) AS n_links
+        |FROM e GROUP BY 1, 2""".stripMargin,
+    // The identical fixed-point iteration in DuckDB integer SQL:
+    // // is BIGINT floor division (all values non-negative, so it
+    // equals Spark's `div` truncation), long sums commute exactly.
+    "curation_domain_rank" ->
+      """WITH e0 AS (
+        |  SELECT 'site' || (doc_id % 5) || '-example.org' AS src,
+        |         'hub' || (doc_id % 3) || '.org' AS dst FROM documents
+        |  UNION ALL
+        |  SELECT 'site' || (doc_id % 5) || '-example.org',
+        |         'assets' || (doc_id % 2) || '.net' FROM documents
+        |  UNION ALL
+        |  SELECT 'site' || (doc_id % 5) || '-example.org', 'tracker.biz'
+        |  FROM documents),
+        |e AS (SELECT DISTINCT src, dst FROM e0),
+        |nodes AS (SELECT src AS domain FROM e
+        |          UNION SELECT dst FROM e),
+        |outdeg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        |r0 AS (SELECT domain, CAST(1000000000000 AS BIGINT) AS r
+        |       FROM nodes),
+        |c1 AS (SELECT e.dst AS domain,
+        |              SUM((r0.r * 85) // (o.d * 100)) AS cin
+        |       FROM e JOIN r0 ON r0.domain = e.src
+        |              JOIN outdeg o ON o.src = e.src GROUP BY 1),
+        |r1 AS (SELECT n.domain, 150000000000 + COALESCE(c1.cin, 0) AS r
+        |       FROM nodes n LEFT JOIN c1 ON c1.domain = n.domain),
+        |c2 AS (SELECT e.dst AS domain,
+        |              SUM((r1.r * 85) // (o.d * 100)) AS cin
+        |       FROM e JOIN r1 ON r1.domain = e.src
+        |              JOIN outdeg o ON o.src = e.src GROUP BY 1),
+        |r2 AS (SELECT n.domain, 150000000000 + COALESCE(c2.cin, 0) AS r
+        |       FROM nodes n LEFT JOIN c2 ON c2.domain = n.domain),
+        |c3 AS (SELECT e.dst AS domain,
+        |              SUM((r2.r * 85) // (o.d * 100)) AS cin
+        |       FROM e JOIN r2 ON r2.domain = e.src
+        |              JOIN outdeg o ON o.src = e.src GROUP BY 1),
+        |r3 AS (SELECT n.domain, 150000000000 + COALESCE(c3.cin, 0) AS r
+        |       FROM nodes n LEFT JOIN c3 ON c3.domain = n.domain)
+        |SELECT domain, CAST(r AS BIGINT) AS rank_fp FROM r3""".stripMargin,
+    // Literal fixture with the hand-derived effective canonical key
+    // per row (docs 1/2/3/6 merge — utm strip, declared canonical,
+    // scheme/host case + default port + fragment; doc 4's RELATIVE
+    // canonical falls back to its own URL; doc 7's declared key
+    // decodes &amp;), then the keep-one window replayed.
+    "curation_canonical_dedup" ->
+      """WITH t(doc_id, url, html, key) AS (VALUES
+        |  (1, 'https://ex.com/article', '<p>original, no canonical</p>',
+        |   'https://ex.com/article'),
+        |  (2, 'https://ex.com/article?utm_source=feed',
+        |   '<link rel="canonical" href="https://ex.com/article">',
+        |   'https://ex.com/article'),
+        |  (3, 'https://mirror.ex.com/article-copy',
+        |   '<link href=''https://ex.com/article'' rel=''canonical''>',
+        |   'https://ex.com/article'),
+        |  (4, 'https://ex.com/other',
+        |   '<link rel="canonical" href="relative/path">',
+        |   'https://ex.com/other'),
+        |  (5, 'https://ex.com/Other', '<p>case-sensitive path</p>',
+        |   'https://ex.com/Other'),
+        |  (6, 'HTTPS://EX.COM:443/article#frag',
+        |   '<p>string canonicalization only</p>',
+        |   'https://ex.com/article'),
+        |  (7, 'https://ex.com/third?gclid=1',
+        |   '<link rel="canonical" href="https://ex.com/third?x=1&amp;y=2">',
+        |   'https://ex.com/third?x=1&y=2')),
+        |win AS (SELECT key AS canonical_url, doc_id, url, html,
+        |    row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn
+        |  FROM t)
+        |SELECT canonical_url, CAST(doc_id AS BIGINT) AS doc_id, url, html
+        |FROM win WHERE rn = 1""".stripMargin,
     // The WET round-trip must hand back exactly the parquet corpus:
     // ids from the URI tail, Content-Length as UTF-8 octets, md5 over
     // the same bytes.

@@ -135,6 +135,9 @@ object GraftFunctions {
     // parsed model object (same status as bpe_encode).
     "html_blocks" -> { args =>
       expectArgs("html_blocks", args, 1); HtmlBlocks(args(0))
+    },
+    "html_links" -> { args =>
+      expectArgs("html_links", args, 1); HtmlLinks(args(0))
     })
 
   private def info(name: String): ExpressionInfo =

@@ -274,6 +274,13 @@ package object functions {
   def html_blocks(html: Column): Column =
     org.apache.spark.sql.graft.HtmlBlocksColumns.htmlBlocks(html)
 
+  /** Outlinks of an HTML document
+    * (ARRAY<STRUCT<href, rel, anchor>>, one linear pass, entity- and
+    * script/comment-aware) — see
+    * [[org.apache.spark.sql.graft.HtmlLinks]]. */
+  def html_links(html: Column): Column =
+    org.apache.spark.sql.graft.HtmlLinksColumns.htmlLinks(html)
+
   /** Registrable domain of a lowercase host under a parsed Public
     * Suffix List snapshot (wildcard `*.x` and exception `!y.x` rules
     * included; NULL when the host is itself a public suffix) — see

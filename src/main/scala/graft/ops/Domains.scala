@@ -216,18 +216,180 @@ object Domains {
     * row per distinct canonical URL per map task. */
   def dedupUrls(docs: DataFrame, urlCol: Column, idCol: Column,
       dropNames: Seq[String] = DefaultTrackingParams,
+      dropPrefixes: Seq[String] = DefaultTrackingParamPrefixes): DataFrame =
+    keepOneByKey(docs, canonicalUrl(urlCol, dropNames, dropPrefixes), idCol,
+      "canonical_url", "dedupUrls")
+
+  /** URL-level keep-one dedup by the page's EFFECTIVE canonical URL:
+    * the declared `<link rel="canonical">` target when the page
+    * declares an ABSOLUTE one ([[graft.sources.Warc.htmlCanonicalUrl]]
+    * — mirrors and parameterized variants of one page declare the
+    * same canonical, which string canonicalization alone cannot
+    * merge), else the page's own URL; both sides then pass through
+    * [[canonicalUrl]] string canonicalization. A RELATIVE declared
+    * canonical falls back to the page URL — resolving it needs full
+    * RFC 3986 reference resolution, and a wrong merge is corpus
+    * corruption while a missed merge is only a leftover near-dup
+    * (the content-based dedup family still sees it). Same skew-safe
+    * min-struct winner as [[dedupUrls]]. */
+  def dedupByDeclaredCanonical(docs: DataFrame, urlCol: Column,
+      htmlCol: Column, idCol: Column,
+      dropNames: Seq[String] = DefaultTrackingParams,
       dropPrefixes: Seq[String] = DefaultTrackingParamPrefixes): DataFrame = {
-    require(!docs.columns.contains("canonical_url"),
-      "input already has a 'canonical_url' column — dedupUrls would " +
-        "silently overwrite it; rename or drop it first")
+    val declared = graft.sources.Warc.htmlCanonicalUrl(htmlCol)
+    val effective = when(
+      declared.isNotNull &&
+        declared.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), declared)
+      .otherwise(urlCol)
+    keepOneByKey(docs, canonicalUrl(effective, dropNames, dropPrefixes),
+      idCol, "canonical_url", "dedupByDeclaredCanonical")
+  }
+
+  /** Shared keep-one winner: rows sharing `key` keep only the row
+    * with the smallest `idCol`, returned with the full input schema
+    * plus the key under `keyName`. Skew-safe the [[Dedup.dedupLines]]
+    * way: a partial-aggregated min-struct groupBy — the hottest key
+    * reaches its reducer as one candidate row per map task, and
+    * winners ARE the kept rows (no join back on the hot key). One
+    * shuffle of one row per distinct key per map task. */
+  private def keepOneByKey(docs: DataFrame, key: Column, idCol: Column,
+      keyName: String, op: String): DataFrame = {
+    require(!docs.columns.contains(keyName),
+      s"input already has a '$keyName' column — $op would silently " +
+        "overwrite it; rename or drop it first")
     val cols = docs.columns
     val taken = cols.toSet
     val w = Iterator.from(0).map(i => s"_w_$i").find(!taken(_)).get
     docs
-      .groupBy(canonicalUrl(urlCol, dropNames, dropPrefixes)
-        .as("canonical_url"))
+      .groupBy(key.as(keyName))
       .agg(min(struct(idCol.as(w) +: cols.map(col): _*)).as(w))
-      .select(col("canonical_url") +: cols.map(c => col(s"$w.$c").as(c)): _*)
+      .select(col(keyName) +: cols.map(c => col(s"$w.$c").as(c)): _*)
+  }
+
+  // ------------------------------------------------------------------
+  // Outlink domain graph + link-based ranking — the link layer of the
+  // WARC front door (html_links): link-based quality signals
+  // (centrality, link farms) are the curation axis raw text cannot
+  // supply.
+  // ------------------------------------------------------------------
+
+  /** Target HOST of one outlink `href` on a page at `pageUrl`:
+    * absolute (`scheme://…`) hrefs resolve to their own host,
+    * protocol-relative (`//host/…`) to their host with the scheme
+    * irrelevant, and everything else (path-relative, root-relative,
+    * query/fragment-only) stays on the PAGE's host. Host-level
+    * resolution only, deliberately: a domain graph needs the target
+    * registrable domain, and RFC 3986 path merging cannot change the
+    * host. `<base href>` overrides are out of scope (rare, and
+    * base-relative links stay same-site in the overwhelming case). */
+  def linkTargetHost(pageUrl: Column, href: Column): Column =
+    when(href.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), host(href))
+      .when(href.startsWith("//"),
+        host(concat(lit("http:"), href)))
+      .otherwise(host(pageUrl))
+
+  /** The registrable-domain LINK GRAPH of an HTML page corpus:
+    * `(src_domain, dst_domain, n_links)` aggregated over every
+    * [[graft.functions.html_links]] outlink. Intra-domain edges are
+    * dropped by default (`includeInternal = true` keeps them — e.g.
+    * for per-site nav profiling); `skipNofollow = true` drops links
+    * whose `rel` carries the `nofollow` token (publishers' "don't
+    * count this endorsement" signal — the standard choice when the
+    * graph feeds a ranking). Rows with an unparseable page URL or
+    * link target (null domain on either side) are dropped.
+    *
+    * Shape at 100 TB: link extraction is the zero-shuffle html_links
+    * scan; the single shuffle is the (src, dst)-keyed count with
+    * map-side partial aggregation, and the output is domain-graph-
+    * sized (orders of magnitude below the page corpus). */
+  def outlinkDomainEdges(pages: DataFrame, urlCol: Column, htmlCol: Column,
+      includeInternal: Boolean = false, skipNofollow: Boolean = false,
+      multiPartSuffixes: Seq[String] = DefaultMultiPartSuffixes): DataFrame = {
+    val l = pages.select(urlCol.as("_page_url"),
+      explode(graft.functions.html_links(htmlCol)).as("_l"))
+    val l2 = if (skipNofollow)
+      l.filter(!col("_l.rel").rlike("(^|[ \\t])nofollow([ \\t]|$)"))
+    else l
+    val edges = l2.select(
+        registrableDomain(host(col("_page_url")), multiPartSuffixes)
+          .as("src_domain"),
+        registrableDomain(
+          linkTargetHost(col("_page_url"), col("_l.href")),
+          multiPartSuffixes).as("dst_domain"))
+      .filter(col("src_domain").isNotNull && col("dst_domain").isNotNull)
+    val e = if (includeInternal) edges
+      else edges.filter(col("src_domain") =!= col("dst_domain"))
+    e.groupBy("src_domain", "dst_domain").agg(count(lit(1)).as("n_links"))
+  }
+
+  /** FIXED-POINT PageRank over a domain edge frame (`src_domain`,
+    * `dst_domain` string columns; duplicates collapse — the graph is
+    * unweighted): ranks are LONGs in units of 1/`scale`, and every
+    * step is integer arithmetic —
+    *
+    * {{{ r_0(v) = scale
+    *     r_{t+1}(v) = ((dampDen - dampNum) * scale) div dampDen
+    *                  + Σ_{u→v} (r_t(u) * dampNum) div (outdeg(u) * dampDen) }}}
+    *
+    * so the result is DETERMINISTIC and ORDER-INDEPENDENT (long sums
+    * commute exactly; float PageRank differs run-to-run with shuffle
+    * order) and ENGINE-PORTABLE — the `curation_domain_rank` oracle
+    * replays the identical iteration in DuckDB integer SQL. Dangling
+    * mass (domains with no outlinks) evaporates rather than being
+    * redistributed — the original simplified iteration; ranks then
+    * UNDER-state rather than over-state, the safe direction for a
+    * quality gate. Default damping 85/100, the published constant.
+    *
+    * Shape at 100 TB: the input is the domain graph (bounded by
+    * distinct registrable domains squared in the worst case, in
+    * practice ~10⁷–10⁸ edges for a full crawl — executor-scale, not
+    * corpus-scale); each iteration is one equi-join on `src` + one
+    * re-keyed aggregation, localCheckpoint'ed so lineage stays flat
+    * at any iteration count. Overflow is GUARDED, not hoped: the rank
+    * invariant Σr_t ≤ N·scale means per-node ranks never exceed
+    * N·scale, so the guard requires N·scale·dampNum to fit a long —
+    * lower `scale` for planet-scale graphs. */
+  def pageRankFixedPoint(edges: DataFrame, iterations: Int = 3,
+      scale: Long = 1000000000000L, dampNum: Long = 85,
+      dampDen: Long = 100): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations must be in [1, 100], got $iterations")
+    require(dampNum > 0 && dampDen > dampNum,
+      s"need 0 < dampNum < dampDen, got $dampNum/$dampDen")
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    // Materialize the derived GRAPH once: edges feed every iteration
+    // (and outdeg, and nodes) — without the checkpoint each iteration
+    // re-runs the whole upstream edge-building plan (HTML extraction,
+    // domain resolution, the count shuffle) from the source.
+    val e = edges.select(col("src_domain").cast("string").as("src"),
+      col("dst_domain").cast("string").as("dst")).distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("domain"))
+      .union(e.select(col("dst").as("domain"))).distinct()
+      .localCheckpoint()
+    val nNodes = nodes.count()
+    require(nNodes == 0 ||
+      scale <= Long.MaxValue / dampNum / math.max(nNodes, 1L),
+      s"fixed-point overflow bound: n_domains($nNodes) * scale($scale) " +
+        s"* dampNum($dampNum) must fit a long — lower scale")
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("_outdeg"))
+      .localCheckpoint()
+    val base = (dampDen - dampNum) * scale / dampDen
+    var ranks = nodes.withColumn("rank_fp", lit(scale))
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("domain", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("domain"),
+          expr(s"(rank_fp * $dampNum) div (_outdeg * $dampDen)").as("_c"))
+        .groupBy("domain").agg(sum("_c").as("_in"))
+      ranks = nodes
+        .join(contrib, Seq("domain"), "left_outer")
+        .select(col("domain"),
+          (lit(base) + coalesce(col("_in"), lit(0L))).as("rank_fp"))
+        .localCheckpoint()
+    }
+    ranks
   }
 
   /** Allow/block a corpus by a domain LIST (a frame with one `domain`

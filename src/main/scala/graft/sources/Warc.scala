@@ -188,6 +188,77 @@ object Warc {
       regexp_extract(html, "(?i)<title[^>]*>([^<]*)", 1),
       "[ \\t\\n\\x0B\\f\\r]+", " ")), lit(""))
 
+  /** Decode the five named XML character references in an extracted
+    * ATTRIBUTE value (`&amp;` last, so `&amp;lt;` correctly yields
+    * `&lt;` — the standard replace-chain order); `&#NN;` numeric
+    * references are out of scope for URL attributes. Engine-portable:
+    * the DuckDB oracle replays the same chain. */
+  private def decodeAttr(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(c, "&lt;", "<"), "&gt;", ">"), "&quot;", "\""),
+      "&apos;", "'"), "&amp;", "&")
+
+  /** The DECLARED canonical URL of an HTML document (`<link
+    * rel="canonical" href="…">`, either attribute order; null when
+    * absent) — the crawl-standard second URL-dedup signal after
+    * [[graft.ops.Domains.canonicalUrl]] string canonicalization:
+    * recrawled mirrors and parameterized variants of one page declare
+    * the same canonical. First matching tag wins; named character
+    * references in the href are decoded (`?a=1&amp;b=2` → real `&`).
+    * RE2-safe regexps (whitespace required before the attribute name,
+    * so `data-rel`/`data-href` never match; `[^>]*` spans cannot
+    * cross a tag boundary). Known miss, documented: an UNQUOTED
+    * `rel=canonical` immediately followed by `/>` (no whitespace)
+    * does not match — real pages quote rel. */
+  def htmlCanonicalUrl(html: Column): Column = {
+    val ws = "[ \\t\\n\\x0B\\f\\r]"
+    // The boundary char after `canonical` (closing quote or the single
+    // space before the next attribute) is CONSUMED by its class, so
+    // the span to `href` is `(?:[^>]*ws)?` — optional, because in
+    // `rel=canonical href=…` that one space was the boundary itself.
+    // `href` must still sit right after a whitespace/quote (the
+    // optional group ends in ws), so `data-href` never matches.
+    val relFirst = regexp_extract(html,
+      s"(?i)<link[^>]*${ws}rel[ ]*=[ ]*[\"']?canonical[\"' \\t\\n\\x0B\\f\\r]" +
+        s"(?:[^>]*$ws)?href[ ]*=[ ]*[\"']?([^\"'> \\t\\n\\x0B\\f\\r]+)", 1)
+    val hrefFirst = regexp_extract(html,
+      s"(?i)<link[^>]*${ws}href[ ]*=[ ]*[\"']?([^\"'> \\t\\n\\x0B\\f\\r]+)[\"']?" +
+        s"[^>]*${ws}rel[ ]*=[ ]*[\"']?canonical[\"' \\t\\n\\x0B\\f\\r>]", 1)
+    decodeAttr(coalesce(nullif(relFirst, lit("")), nullif(hrefFirst, lit(""))))
+  }
+
+  /** The robots META directive of an HTML document (`<meta
+    * name="robots" content="…">`, either attribute order, lowercased
+    * and trimmed; null when absent). The `content` value must be
+    * quoted (directive lists contain commas — unquoted single-token
+    * content is out of scope, documented). Pair with [[hasNoindex]]:
+    * a corpus builder drops noindex pages — the publisher asked not
+    * to be indexed, and the same flag marks thin/duplicate chrome. */
+  def htmlMetaRobots(html: Column): Column = {
+    val ws = "[ \\t\\n\\x0B\\f\\r]"
+    // Same consumed-boundary structure as htmlCanonicalUrl's relFirst:
+    // `name=robots content=…` has one space, which the boundary class
+    // consumes — the span to `content` is optional.
+    val nameFirst = regexp_extract(html,
+      s"(?i)<meta[^>]*${ws}name[ ]*=[ ]*[\"']?robots[\"' \\t\\n\\x0B\\f\\r]" +
+        s"(?:[^>]*$ws)?content[ ]*=[ ]*[\"']([^\"'>]*)", 1)
+    val contentFirst = regexp_extract(html,
+      s"(?i)<meta[^>]*${ws}content[ ]*=[ ]*[\"']([^\"'>]*)[\"']" +
+        s"[^>]*${ws}name[ ]*=[ ]*[\"']?robots[\"' \\t\\n\\x0B\\f\\r>]", 1)
+    lower(trim(coalesce(nullif(nameFirst, lit("")),
+      nullif(contentFirst, lit("")))))
+  }
+
+  /** True when [[htmlMetaRobots]] declares `noindex` (token match —
+    * `noindex` as a comma/space-separated directive, never a
+    * substring of another directive). False when no robots meta is
+    * present (absence means indexable). */
+  def hasNoindex(html: Column): Column = {
+    val robots = htmlMetaRobots(html)
+    robots.isNotNull &&
+      robots.rlike("(^|[ ,\\t])noindex([ ,\\t]|$)")
+  }
+
   /** [[warcHtmlDocuments]] + [[extractText]]: the WARC front door's
     * (doc_id, url, fetch_date, text) corpus frame — drop-in where a
     * WET `documents` frame is consumed. */

@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Warc
+
+/** The HTML LINK layer of the WARC front door: html_links outlink
+  * extraction (adversarial tag-stream cases), declared-canonical and
+  * meta-robots extraction, the outlink domain graph, fixed-point
+  * PageRank (hand-computed exact integers), and declared-canonical
+  * dedup. */
+class HtmlLinksSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def links(html: String): Seq[(String, String, String)] =
+    Seq(html).toDF("html")
+      .select(explode(graft.functions.html_links(col("html"))).as("l"))
+      .select("l.href", "l.rel", "l.anchor")
+      .as[(String, String, String)].collect().toSeq
+
+  test("html_links: basic extraction, document order, rel lowercased") {
+    val got = links(
+      """<html><body>
+        |<a href="/">Home</a>
+        |<p>See <a href="https://x.example.com/p" rel="NoFollow Sponsored">the  page</a> now.</p>
+        |<a href='/single'>single quotes</a>
+        |</body></html>""".stripMargin)
+    assert(got == Seq(
+      ("/", "", "Home"),
+      ("https://x.example.com/p", "nofollow sponsored", "the page"),
+      ("/single", "", "single quotes")))
+  }
+
+  test("html_links: entities decode in href and anchor; unquoted href keeps trailing slash") {
+    val got = links(
+      """<a href="/s?a=1&amp;b=2">Tom &amp; Jerry &#233;</a>
+        |<A HREF=http://ex.org/path/>upper, unquoted</A>""".stripMargin)
+    assert(got == Seq(
+      ("/s?a=1&b=2", "", "Tom & Jerry é"),
+      ("http://ex.org/path/", "", "upper, unquoted")))
+  }
+
+  test("html_links: script/comment/CDATA traps are not links; quoted '>' does not close the tag") {
+    val got = links(
+      """<script>var s = "<a href='/trap1'>x</a>";</script>
+        |<!-- <a href="/trap2">y</a> -->
+        |<![CDATA[<a href="/trap3">z</a>]]>
+        |<a title="a > b" href="/real">kept</a>""".stripMargin)
+    assert(got == Seq(("/real", "", "kept")))
+  }
+
+  test("html_links: nested <a> implicitly closes; EOF-open anchor emits; no-href anchors emit nothing") {
+    val got = links(
+      """<a href="/one">first <a href="/two">second</a> tail
+        |<a name="top">named anchor</a>
+        |<a href="/eof">still open at eof""".stripMargin)
+    assert(got == Seq(
+      ("/one", "", "first"),
+      ("/two", "", "second"),
+      ("/eof", "", "still open at eof")))
+  }
+
+  test("html_links: nested inline/block tags contribute anchor text; whitespace collapses") {
+    val got = links(
+      "<a href=\"/x\"> <b>bold</b>\t and <span>inline</span>\n text </a>")
+    assert(got == Seq(("/x", "", "bold and inline text")))
+  }
+
+  test("html_links: first href wins on duplicate attributes; empty href emits") {
+    val got = links("""<a href="/first" href="/second">dup</a><a href="">self</a>""")
+    assert(got == Seq(("/first", "", "dup"), ("", "", "self")))
+  }
+
+  test("htmlCanonicalUrl: both attribute orders, quote styles, entity decode, first tag wins") {
+    def canon(html: String): Option[String] =
+      Seq(html).toDF("html")
+        .select(Warc.htmlCanonicalUrl(col("html")).as("c"))
+        .collect().headOption.flatMap(r => Option(r.getString(0)))
+    assert(canon("""<link rel="canonical" href="https://ex.com/a?x=1&amp;y=2">""")
+      .contains("https://ex.com/a?x=1&y=2"))
+    assert(canon("""<link href='https://ex.com/b' rel='canonical'>""")
+      .contains("https://ex.com/b"))
+    assert(canon("""<link rel=canonical href=https://ex.com/c>""")
+      .contains("https://ex.com/c"))
+    // A stylesheet link before the canonical must not win, and the
+    // regexp must not stitch attributes across tag boundaries.
+    assert(canon(
+      """<link rel="stylesheet" href="/style.css">
+        |<link rel="canonical" href="https://ex.com/d">""".stripMargin)
+      .contains("https://ex.com/d"))
+    assert(canon("""<link rel="canonical-ish" href="/nope">""").isEmpty)
+    assert(canon("""<link data-rel="canonical" data-href="/nope">""").isEmpty)
+    assert(canon("<p>no links at all</p>").isEmpty)
+  }
+
+  test("htmlMetaRobots + hasNoindex: both orders, case folding, token matching") {
+    val df = Seq(
+      (1L, """<meta name="robots" content="NOINDEX, nofollow">"""),
+      (2L, """<meta content="index, follow" name="robots">"""),
+      (3L, """<meta name="viewport" content="width=device-width">"""),
+      (4L, """<meta name="robots" content="nofollow">"""),
+      (5L, """<p>none</p>""")).toDF("id", "html")
+    val got = df.select(col("id"), Warc.htmlMetaRobots(col("html")).as("r"),
+        Warc.hasNoindex(col("html")).as("ni"))
+      .orderBy("id").as[(Long, Option[String], Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, Some("noindex, nofollow"), true),
+      (2L, Some("index, follow"), false),
+      (3L, None, false),
+      (4L, Some("nofollow"), false),
+      (5L, None, false)))
+  }
+
+  test("outlinkDomainEdges: relative links stay on-site, protocol-relative resolve, nofollow skippable") {
+    val pages = Seq(
+      (1L, "http://www.site1.example.com/a",
+        """<a href="https://news.bbc.co.uk/x">bbc</a>
+          |<a href="/about">internal</a>
+          |<a href="//cdn.other.org/l">cdn</a>
+          |<a href="//cdn.other.org/m">cdn again</a>
+          |<a href="https://spam.example.net/" rel="nofollow sponsored">spam</a>""".stripMargin),
+      (2L, "not a url", """<a href="https://news.bbc.co.uk/y">unparseable src</a>"""))
+      .toDF("doc_id", "url", "html")
+    def edges(includeInternal: Boolean, skipNofollow: Boolean) =
+      graft.ops.Domains.outlinkDomainEdges(pages, col("url"), col("html"),
+          includeInternal = includeInternal, skipNofollow = skipNofollow)
+        .orderBy("src_domain", "dst_domain")
+        .as[(String, String, Long)].collect().toSeq
+    assert(edges(false, false) == Seq(
+      ("example.com", "bbc.co.uk", 1L),
+      ("example.com", "example.net", 1L),
+      ("example.com", "other.org", 2L)))
+    assert(edges(true, false).contains(("example.com", "example.com", 1L)))
+    assert(edges(false, true) == Seq(
+      ("example.com", "bbc.co.uk", 1L),
+      ("example.com", "other.org", 2L)))
+  }
+
+  test("pageRankFixedPoint: hand-computed exact integers on A->B, A->C, B->C, C->A") {
+    val edges = Seq(("a.com", "b.com"), ("a.com", "c.com"),
+      ("b.com", "c.com"), ("c.com", "a.com"))
+      .toDF("src_domain", "dst_domain")
+    // scale 1e6, damping 85/100, base = 150000. By hand:
+    // iter1: A = 150000 + 850000 = 1000000
+    //        B = 150000 + 425000 =  575000
+    //        C = 150000 + 425000 + 850000 = 1425000
+    // iter2: A = 150000 + (1425000*85) div 100      = 1361250
+    //        B = 150000 + (1000000*85) div 200      =  575000
+    //        C = 150000 + 425000 + (575000*85) div 100 = 1063750
+    val r1 = graft.ops.Domains.pageRankFixedPoint(edges, iterations = 1,
+      scale = 1000000L).as[(String, Long)].collect().toMap
+    assert(r1 == Map("a.com" -> 1000000L, "b.com" -> 575000L,
+      "c.com" -> 1425000L))
+    val r2 = graft.ops.Domains.pageRankFixedPoint(edges, iterations = 2,
+      scale = 1000000L).as[(String, Long)].collect().toMap
+    assert(r2 == Map("a.com" -> 1361250L, "b.com" -> 575000L,
+      "c.com" -> 1063750L))
+  }
+
+  test("pageRankFixedPoint: dangling node keeps teleport share only; duplicate edges collapse") {
+    val edges = Seq(("a.com", "d.com"), ("a.com", "d.com"))
+      .toDF("src_domain", "dst_domain")
+    val r = graft.ops.Domains.pageRankFixedPoint(edges, iterations = 1,
+      scale = 1000000L).as[(String, Long)].collect().toMap
+    // One distinct edge: a's whole damped mass flows to d once.
+    assert(r == Map("a.com" -> 150000L, "d.com" -> 1000000L))
+  }
+
+  test("pageRankFixedPoint: overflow guard trips on planet-scale scale") {
+    val edges = Seq(("a.com", "b.com")).toDF("src_domain", "dst_domain")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Domains.pageRankFixedPoint(edges, iterations = 1,
+        scale = Long.MaxValue / 10)
+    }
+    assert(e.getMessage.contains("overflow"))
+  }
+
+  test("dedupByDeclaredCanonical: absolute declared canonical merges; relative falls back to page URL") {
+    val docs = Seq(
+      (1L, "https://ex.com/article", "<p>original</p>"),
+      (2L, "https://ex.com/article?utm_source=feed",
+        """<link rel="canonical" href="https://ex.com/article">"""),
+      (3L, "https://mirror.ex.com/article-copy",
+        """<link rel="canonical" href="https://ex.com/article">"""),
+      (4L, "https://ex.com/other",
+        """<link rel="canonical" href="relative/path">"""))
+      .toDF("doc_id", "url", "html")
+    val kept = graft.ops.Domains.dedupByDeclaredCanonical(
+        docs, col("url"), col("html"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    // 1, 2 (string-canonicalized same URL after utm strip) and 3
+    // (declared canonical) all merge to https://ex.com/article -> keep 1.
+    // 4's relative canonical falls back to its own URL -> kept.
+    assert(kept == Seq(1L, 4L))
+  }
+
+  test("html_links registered for SQL use") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val got = spark.sql(
+      """SELECT inline(html_links('<a href="/x" rel="ME">t</a>'))""")
+      .as[(String, String, String)].collect().toSeq
+    assert(got == Seq(("/x", "me", "t")))
+  }
+}

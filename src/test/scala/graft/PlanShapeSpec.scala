@@ -174,6 +174,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(ex == 1, s"curation_url_dedup plans $ex Exchange nodes; expected 1")
   }
 
+  test("link-layer plans: zero-shuffle extraction, one-exchange graph, skew-safe canonical dedup") {
+    // html_links / canonical / robots extraction are pure projections
+    // (native expression + RE2-safe regexps) — zero Exchange.
+    for (q <- Seq("warc_html_links", "warc_html_canonical")) {
+      val n = "Exchange".r.findAllIn(plans(q)).size
+      assert(n == 0, s"$q plans $n Exchange nodes; expected a pure projection")
+    }
+    // The domain link graph: extraction + resolution + internal-drop
+    // are all projection work; the ONLY exchange is the (src, dst)
+    // count with map-side partial aggregation.
+    val g = plans("curation_link_graph")
+    assert("Exchange".r.findAllIn(g).size == 1,
+      s"curation_link_graph: expected exactly 1 Exchange in:\n$g")
+    assert(g.contains("partial_count"),
+      s"expected map-side partial_count in:\n$g")
+    // Declared-canonical dedup keeps the keep-one posture of
+    // curation_url_dedup: partial-aggregated min-struct winner, no
+    // window over the key.
+    val c = plans("curation_canonical_dedup")
+    assert(c.contains("partial_min"), s"expected partial_min in:\n$c")
+    assert(!c.contains("Window ["),
+      "canonical dedup must not use a window over the canonical key")
+  }
+
   test("near-dup verification's selective path is candidate-proportional end to end (ADVICE r11 pin)") {
     // verifyJaccard's broadcast branch: candidates broadcast into the
     // first index join, and the SECOND join's index side semi-
