@@ -144,6 +144,27 @@ object ScaleSlope {
           .forEach(f => Files.deleteIfExists(f))
     }
 
+    // Synthesized crawl pages for the link-family rows (the gate's
+    // linkGraphPages with k-scaled moduli: registrable-domain count
+    // grows with the corpus, as a real crawl's does).
+    def slopeLinkPages(df: DataFrame, k: Int): DataFrame = {
+      val id = col("doc_id")
+      val url = concat(lit("http://www.site"), id % (5 * k),
+        lit("-example.org/p/"), id)
+      val html = concat(
+        lit("<html><body><a href=\"https://news.hub"), id % (3 * k),
+        lit(".org/a/"), id,
+        lit("\">story</a> <a href=\"/about\">about</a> " +
+          "<a href='//img.assets"),
+        id % (2 * k),
+        lit(".net/i.png'>img</a> <a href=\"http://other.site"),
+        id % (5 * k),
+        lit("-example.org/x\">same domain</a> " +
+          "<a href=\"https://spam.tracker.biz/\" rel=\"nofollow\">spam</a>" +
+          "</body></html>"))
+      df.select(url.as("url"), html.as("html"))
+    }
+
     // Each op at its gate parameters; eval sets keyed on the ORIGINAL
     // id (doc_id div k) so their size also scales linearly.
     val ops: Seq[(String, (DataFrame, Int) => DataFrame)] = Seq(
@@ -222,6 +243,20 @@ object ScaleSlope {
       // superlinear slope would mean per-file work serializes.
       "wet_shard_axis" -> ((_, k) =>
         graft.sources.Wet.readWet(spark, wetPath(k))),
+      // Round-12: the link-graph family on the GRAPH axis — moduli
+      // scale with k, so domains, edges, AND page count all grow ~k
+      // (a fixed domain set would leave the rank loop constant-size
+      // and measure only the extraction). curation_link_graph is
+      // extraction + resolution + the one count shuffle;
+      // curation_domain_rank adds the 3-iteration fixed-point loop
+      // over the (k-growing) materialized graph.
+      "curation_link_graph" -> ((df, k) =>
+        Domains.outlinkDomainEdges(slopeLinkPages(df, k),
+          col("url"), col("html"))),
+      "curation_domain_rank" -> ((df, k) =>
+        Domains.pageRankFixedPoint(
+          Domains.outlinkDomainEdges(slopeLinkPages(df, k),
+            col("url"), col("html")), iterations = 3)),
       // Round-8 additions: trainer + encoder (driver merge loop is
       // vocab-capped, distributed pass corpus-sized), the tf/df family,
       // and the S-bounded-fan-out source audit.

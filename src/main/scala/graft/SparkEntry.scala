@@ -1075,6 +1075,41 @@ object SparkEntry {
         graft.ops.Domains.outlinkDomainEdges(
           linkGraphPages(s, d), col("url"), col("html")),
         iterations = 3)),
+    // Domain-graph connected components (site-family detection:
+    // mirror networks and link farms span many registrable domains
+    // but one component): a literal edge fixture with a chain, a
+    // 2-cycle, and a self-looped isolate; the oracle replays the
+    // undirected transitive closure with a recursive CTE
+    // (component id = lexicographically smallest reachable domain,
+    // the same convention dedup_clusters pins for long ids).
+    "curation_domain_components" -> ((s, _) => {
+      import s.implicits._
+      val edges = Seq(
+        ("a.com", "b.com"), ("b.com", "c.com"), ("g.io", "a.com"),
+        ("d.org", "e.org"), ("e.org", "d.org"),
+        ("f.net", "f.net"))
+        .toDF("src_domain", "dst_domain")
+      graft.ops.Domains.domainComponents(edges)
+    }),
+    // URL-level spam prefilter (the crawl-standard keyword screen
+    // applied before any content is scored): distinct-word substring
+    // hits over the lowercased URL, plus the keep verdict at zero
+    // tolerance. Literal fixture; the oracle replays the contains
+    // arithmetic per word.
+    "curation_url_spam" -> ((s, _) => {
+      import s.implicits._
+      val urls = Seq(
+        (1L, "https://news.example.com/politics/story"),
+        (2L, "https://BestCasino777.example.biz/win"),
+        (3L, "https://example.org/health/viagra-casino-deals"),
+        (4L, "https://example.net/sports/betting/odds"),
+        (5L, "https://example.com/adult-education/courses"),
+        (6L, "https://example.io/xXx/clips"))
+        .toDF("doc_id", "url")
+      urls.select(col("doc_id"), col("url"),
+        graft.ops.Domains.urlSpamScore(col("url")).as("spam_hits"),
+        (graft.ops.Domains.urlSpamScore(col("url")) <= 0).as("kept"))
+    }),
     // Declared-canonical keep-one dedup: mirrors and parameterized
     // variants declaring the same <link rel=canonical> target merge
     // with plain string canonicalization in one pass; a RELATIVE
@@ -2532,6 +2567,45 @@ object SparkEntry {
         |r3 AS (SELECT n.domain, 150000000000 + COALESCE(c3.cin, 0) AS r
         |       FROM nodes n LEFT JOIN c3 ON c3.domain = n.domain)
         |SELECT domain, CAST(r AS BIGINT) AS rank_fp FROM r3""".stripMargin,
+    // Undirected transitive closure over the literal edge fixture —
+    // same component convention as dedup_clusters (least reachable).
+    "curation_domain_components" ->
+      """WITH RECURSIVE e(a, b) AS (VALUES
+        |  ('a.com', 'b.com'), ('b.com', 'c.com'), ('g.io', 'a.com'),
+        |  ('d.org', 'e.org'), ('e.org', 'd.org'), ('f.net', 'f.net')),
+        |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |reach(a, b) AS (SELECT a, b FROM sym
+        |                UNION SELECT r.a, s.b FROM reach r
+        |                      JOIN sym s ON r.b = s.a)
+        |SELECT a AS domain, least(a, min(b)) AS component_id
+        |FROM reach GROUP BY a""".stripMargin,
+    // Distinct-word substring hits replayed per word over the
+    // lowercased URL.
+    "curation_url_spam" ->
+      """WITH t(doc_id, url) AS (VALUES
+        |  (1, 'https://news.example.com/politics/story'),
+        |  (2, 'https://BestCasino777.example.biz/win'),
+        |  (3, 'https://example.org/health/viagra-casino-deals'),
+        |  (4, 'https://example.net/sports/betting/odds'),
+        |  (5, 'https://example.com/adult-education/courses'),
+        |  (6, 'https://example.io/xXx/clips')),
+        |h AS (SELECT doc_id, url,
+        |  (CASE WHEN contains(lower(url), 'casino') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(lower(url), 'porn') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(lower(url), 'xxx') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(lower(url), 'viagra') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(lower(url), 'poker') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(lower(url), 'escort') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(lower(url), 'betting') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(lower(url), 'adult-') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(lower(url), 'sexcam') THEN 1 ELSE 0 END +
+        |   CASE WHEN contains(lower(url), 'freebet') THEN 1 ELSE 0 END)
+        |    AS spam_hits
+        |  FROM t)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, url,
+        |       CAST(spam_hits AS INT) AS spam_hits,
+        |       (spam_hits <= 0) AS kept
+        |FROM h""".stripMargin,
     // Literal fixture with the hand-derived effective canonical key
     // per row (docs 1/2/3/6 merge — utm strip, declared canonical,
     // scheme/host case + default port + fragment; doc 4's RELATIVE

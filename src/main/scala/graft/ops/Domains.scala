@@ -392,6 +392,52 @@ object Domains {
     ranks
   }
 
+  /** Connected components of the domain graph (the UNDIRECTED view of
+    * an [[outlinkDomainEdges]]-shaped frame): `(domain, component_id)`
+    * where the component id is the lexicographically smallest domain
+    * reachable — deterministic, so the gate oracle replays it with a
+    * recursive CTE. Thin composition over [[Dedup.components]]
+    * (distributed label propagation + path-halving; string keys always
+    * take the distributed path — the driver union-find fast path is
+    * long-keyed only). The crawl use: SITE-FAMILY detection — mirror
+    * networks and link farms span many registrable domains but land in
+    * one component, which a curation pass then caps or drops as a
+    * unit. */
+  def domainComponents(edges: DataFrame): DataFrame =
+    Dedup.components(edges.select(col("src_domain").as("id_a"),
+        col("dst_domain").as("id_b")))
+      .select(col("doc_id").as("domain"), col("component_id"))
+
+  /** Substrings whose presence in a URL marks it spam/adult — the
+    * crawl-standard URL-level quality prefilter (soft keyword matching
+    * over the full URL, applied BEFORE any content is fetched or
+    * scored). A deployment ships its own curated list (like the PSL
+    * and stopword lists); this default exists so the operator is
+    * runnable out of the box. */
+  val DefaultUrlSpamWords: Seq[String] = Seq(
+    "casino", "porn", "xxx", "viagra", "poker", "escort", "betting",
+    "adult-", "sexcam", "freebet")
+
+  /** Number of DISTINCT `words` entries contained in the lowercased
+    * URL (substring match — the published URL filters match subwords
+    * deliberately: `pornhub`, `casino777` should hit). A pure
+    * codegen'd projection; the word list is compiled into the plan. */
+  def urlSpamScore(url: Column,
+      words: Seq[String] = DefaultUrlSpamWords): Column = {
+    require(words.nonEmpty, "urlSpamScore needs a non-empty word list")
+    words.map(w => when(lower(url).contains(w.toLowerCase(
+        java.util.Locale.ROOT)), 1).otherwise(0))
+      .reduce(_ + _)
+  }
+
+  /** Keep rows whose [[urlSpamScore]] is at most `maxHits` (default:
+    * zero tolerance). Null URLs score 0 on every word and are KEPT —
+    * URL spam filtering cannot judge a missing URL; drop nulls
+    * upstream if unsourced rows are unwanted. */
+  def filterByUrlSpam(docs: DataFrame, urlCol: Column, maxHits: Int = 0,
+      words: Seq[String] = DefaultUrlSpamWords): DataFrame =
+    docs.filter(coalesce(urlSpamScore(urlCol, words), lit(0)) <= maxHits)
+
   /** Allow/block a corpus by a domain LIST (a frame with one `domain`
     * column — blocklists run to millions of rows, so this is a
     * broadcast-eligible equi-join, never an isin literal): keeps rows

@@ -196,6 +196,28 @@ class HtmlLinksSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 4L))
   }
 
+  test("domainComponents: string-keyed label propagation converges on a long chain") {
+    // An 8-domain chain needs several propagation rounds (labels move
+    // one hop per round before path-halving kicks in) — pins the
+    // string-keyed distributed path end to end.
+    val chain = (0 until 7).map(i => (s"d$i.com", s"d${i + 1}.com"))
+    val edges = (chain :+ (("z.org", "z.org")))
+      .toDF("src_domain", "dst_domain")
+    val got = graft.ops.Domains.domainComponents(edges)
+      .as[(String, String)].collect().toMap
+    assert((0 to 7).forall(i => got(s"d$i.com") == "d0.com"))
+    assert(got("z.org") == "z.org")
+  }
+
+  test("urlSpamScore: null URL scores 0 and survives filterByUrlSpam") {
+    val docs = Seq((1L, "https://ok.example.com/x"),
+      (2L, "https://casino.example.biz/"), (3L, null))
+      .toDF("doc_id", "url")
+    val kept = graft.ops.Domains.filterByUrlSpam(docs, col("url"))
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(1L, 3L))
+  }
+
   test("html_links registered for SQL use") {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     val got = spark.sql(
