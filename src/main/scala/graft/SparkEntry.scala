@@ -1135,6 +1135,32 @@ object SparkEntry {
       graft.ops.Domains.dedupByDeclaredCanonical(
         docs, col("url"), col("html"), col("doc_id"))
     }),
+    // Raw-WARC round trip (writeWarc's counterpart of wet_roundtrip):
+    // entity-escaped HTML pages synthesized per doc, serialized as
+    // gzipped WARC response shards, parsed back through the full HTTP
+    // layer — ids from the URI tail, status/media-type from the HTTP
+    // head, the envelope Content-Length as HTTP-message octets, and
+    // the page byte-exact by md5. The oracle rebuilds the page AND the
+    // HTTP message from raw text, never seeing the WARC bytes.
+    "warc_roundtrip" -> ((s, d) => {
+      val dir = scratchDir("graft_warc", d) + "/corpus"
+      val esc = replace(replace(replace(col("text"),
+        lit("&"), lit("&amp;")), lit("<"), lit("&lt;")),
+        lit(">"), lit("&gt;"))
+      val html = concat(lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title></head><body><p>"), esc, lit("</p></body></html>"))
+      graft.sources.Warc.writeWarc(
+        documents(s, d).select(
+          concat(lit("http://graft.test/doc/"), col("doc_id")).as("uri"),
+          lit("2026-01-01T00:00:00Z").as("date"), html.as("html")), dir)
+      graft.sources.Warc.readWarc(s, dir)
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/(\\d+)$", 1).cast("long")
+            .as("doc_id"),
+          col("http_status"), col("http_content_type"),
+          col("content_length"), md5(col("html")).as("text_md5"))
+    }),
     "wet_roundtrip" -> ((s, d) => {
       val dir = scratchDir("graft_wet", d) + "/corpus"
       graft.sources.Wet.writeWet(
@@ -2637,6 +2663,30 @@ object SparkEntry {
         |  FROM t)
         |SELECT canonical_url, CAST(doc_id AS BIGINT) AS doc_id, url, html
         |FROM win WHERE rn = 1""".stripMargin,
+    // The raw-WARC round trip re-derived from raw text: the page
+    // (same escape chain), the HTTP message (fixed head +
+    // octet-counted body), and the envelope length as octets of that
+    // message.
+    "warc_roundtrip" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id ||
+        |    '</title></head><body><p>' ||
+        |    replace(replace(replace(text, '&', '&amp;'),
+        |      '<', '&lt;'), '>', '&gt;') ||
+        |    '</p></body></html>' AS html
+        |  FROM documents),
+        |m AS (SELECT doc_id, html,
+        |    'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+        |    'Content-Type: text/html; charset=utf-8' ||
+        |    chr(13) || chr(10) ||
+        |    'Content-Length: ' || octet_length(encode(html)) ||
+        |    chr(13) || chr(10) || chr(13) || chr(10) || html AS http
+        |  FROM h)
+        |SELECT doc_id, CAST(200 AS INT) AS http_status,
+        |  'text/html' AS http_content_type,
+        |  CAST(octet_length(encode(http)) AS BIGINT) AS content_length,
+        |  md5(html) AS text_md5
+        |FROM m""".stripMargin,
     // The WET round-trip must hand back exactly the parquet corpus:
     // ids from the URI tail, Content-Length as UTF-8 octets, md5 over
     // the same bytes.

@@ -268,6 +268,42 @@ object Warc {
       .withColumn("text", extractText(col("html"), minWords, maxLinkDensity))
       .drop("html")
 
+  /** Serialize a `(uri, date, html)` frame as raw-WARC `response`
+    * shards under `path` — the write half of the raw-HTML front door
+    * ([[Wet.writeWet]]'s counterpart for un-extracted pages: curated
+    * crawl SUBSETS go back out in the format crawl tooling consumes).
+    * One gzipped shard per partition via the text writer, each a
+    * self-contained valid WARC stream. The HTTP message is a plain
+    * 200 response with `Content-Type: text/html; charset=utf-8` and
+    * an identity body; BOTH Content-Lengths are UTF-8 OCTET counts
+    * (the envelope's covers the whole HTTP message), so multibyte
+    * pages round-trip exactly through [[readWarc]] (`warc_roundtrip`
+    * gate). Same header-value contract as [[Wet.writeWet]]: uri/date
+    * must not contain CR/LF (WARC headers are single-line). */
+  def writeWarc(records: DataFrame, path: String): Unit = {
+    val crlf = "\r\n"
+    val http = concat(
+      lit("HTTP/1.1 200 OK" + crlf +
+        "Content-Type: text/html; charset=utf-8" + crlf +
+        "Content-Length: "),
+      octet_length(col("html")).cast("string"),
+      lit(crlf + crlf), col("html"))
+    records
+      .select(col("uri"), col("date"), http.as("_http"))
+      .select(concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+          "WARC-Target-URI: "),
+        col("uri"),
+        lit(crlf + "WARC-Date: "), col("date"),
+        lit(crlf + "Content-Type: application/http; msgtype=response" +
+          crlf + "Content-Length: "),
+        octet_length(col("_http")).cast("string"),
+        lit(crlf + crlf), col("_http"), lit(crlf)).as("value"))
+      .write.mode("overwrite")
+      .option("compression", "gzip").option("lineSep", crlf)
+      .text(path)
+  }
+
   // ------------------------------------------------------------------
   // HTTP payload layer
   // ------------------------------------------------------------------

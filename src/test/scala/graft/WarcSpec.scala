@@ -253,4 +253,36 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.parseHttpResponse("junk".getBytes("UTF-8"), "t") ==
       ((0, "", "", "")))
   }
+
+  test("writeWarc -> readWarc round-trips adversarial HTML byte-exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_warc_rt").toString + "/out"
+    // Adversarial bodies: an embedded "WARC/1.0" line at line start,
+    // blank lines (the record-separator look-alike), multibyte +
+    // astral text, and an empty page — the Content-Length walker must
+    // never scan for separators.
+    val pages = Seq(
+      (101L, "<html><body><p>plain page</p></body></html>"),
+      (102L, "<html><body>\r\nWARC/1.0\r\n\r\n<p>trap body</p></body></html>"),
+      (103L, "<html><body><p>深度学習 😀 café</p></body></html>"),
+      (104L, ""))
+      .toDF("doc_id", "html")
+      .select(concat(lit("http://graft.test/doc/"), col("doc_id")).as("uri"),
+        lit("2026-02-02T00:00:00Z").as("date"), col("html"))
+    Warc.writeWarc(pages, dir)
+    val back = Warc.readWarc(spark, dir)
+      .filter(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("target_uri"), "/(\\d+)$", 1).cast("long"),
+        col("http_status"), col("http_content_type"), col("html"))
+      .as[(Long, Int, String, String)].collect()
+      .sortBy(_._1)
+    assert(back.map(_._1).toSeq == Seq(101L, 102L, 103L, 104L))
+    assert(back.forall(r => r._2 == 200 && r._3 == "text/html"))
+    assert(back(1)._4 ==
+      "<html><body>\r\nWARC/1.0\r\n\r\n<p>trap body</p></body></html>")
+    assert(back(2)._4 == "<html><body><p>深度学習 😀 café</p></body></html>")
+    assert(back(3)._4 == "")
+  }
 }
