@@ -1161,6 +1161,57 @@ object SparkEntry {
           col("http_status"), col("http_content_type"),
           col("content_length"), md5(col("html")).as("text_md5"))
     }),
+    // The COMPOSED raw-HTML pipeline as one gate (the e2e_wet_to_pack
+    // counterpart for the WARC front door): pages with chrome,
+    // declared canonicals (doc_id % 6 = 3 points at the previous
+    // doc's URL), noindex metas (doc_id % 5 = 2), and spam hosts
+    // (doc_id % 10 = 7) are serialized as WARC response shards, read
+    // back through the HTTP layer, then filtered (indexable only →
+    // URL spam screen) → boilerplate-extracted (>= 10 words survives)
+    // → declared-canonical keep-one dedup. Single-stage gates pin each
+    // step; THIS pins their composition (column collisions, filter
+    // order) — the oracle replays every verdict from doc_id
+    // arithmetic + raw text.
+    "e2e_warc_to_curated" -> ((s, d) => {
+      val dir = scratchDir("graft_warc_e2e", d) + "/corpus"
+      def urlOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(c % 10 === 7, concat(lit("http://www.casino-site"),
+          c % 5, lit(".example.org/p/"), c))
+          .otherwise(concat(lit("http://www.site"), c % 5,
+            lit("-example.org/p/"), c))
+      val id = col("doc_id")
+      val canonTag = when(id % 6 === 3, concat(
+          lit("<link rel=\"canonical\" href=\""), urlOf(id - 1),
+          lit("\">"))).otherwise(lit(""))
+      val robotsTag = when(id % 5 === 2,
+        lit("<meta name=\"robots\" content=\"noindex\">"))
+        .otherwise(lit(""))
+      val esc = replace(replace(replace(col("text"),
+        lit("&"), lit("&amp;")), lit("<"), lit("&lt;")),
+        lit(">"), lit("&gt;"))
+      val html = concat(
+        lit("<html><head><title>Doc "), id, lit("</title>"), canonTag,
+        robotsTag,
+        lit("</head><body><nav><a href=\"/\">Home</a> " +
+          "<a href=\"/about\">About</a></nav><div><p>"),
+        esc,
+        lit("</p></div><footer><a href=\"/terms\">Terms</a>" +
+          "</footer></body></html>"))
+      graft.sources.Warc.writeWarc(
+        documents(s, d).select(urlOf(id).as("uri"),
+          lit("2026-01-01T00:00:00Z").as("date"), html.as("html")), dir)
+      val docs = graft.sources.Warc.warcHtmlDocuments(
+        graft.sources.Warc.readWarc(s, dir))
+      val indexable = docs.filter(
+        !graft.sources.Warc.hasNoindex(col("html")))
+      val clean = graft.ops.Domains.filterByUrlSpam(indexable, col("url"))
+      val extracted = clean
+        .withColumn("text", graft.sources.Warc.extractText(col("html")))
+        .filter(length(col("text")) > 0)
+      graft.ops.Domains.dedupByDeclaredCanonical(
+          extracted, col("url"), col("html"), col("doc_id"))
+        .select(col("doc_id"), col("url"), md5(col("text")).as("text_md5"))
+    }),
     "wet_roundtrip" -> ((s, d) => {
       val dir = scratchDir("graft_wet", d) + "/corpus"
       graft.sources.Wet.writeWet(
@@ -2662,6 +2713,42 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn
         |  FROM t)
         |SELECT canonical_url, CAST(doc_id AS BIGINT) AS doc_id, url, html
+        |FROM win WHERE rn = 1""".stripMargin,
+    // Every composed verdict replayed from doc_id arithmetic + raw
+    // text: noindex (id % 5 = 2) and spam hosts (id % 10 = 7) drop,
+    // short extractions (< 10 words) drop, then keep-one per
+    // effective canonical key (id % 6 = 3 declares the previous
+    // doc's URL).
+    "e2e_warc_to_curated" ->
+      """WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))
+        |      AS norm
+        |  FROM documents),
+        |base AS (SELECT doc_id, norm,
+        |    CASE WHEN doc_id % 10 = 7
+        |      THEN 'http://www.casino-site' || (doc_id % 5) ||
+        |           '.example.org/p/' || doc_id
+        |      ELSE 'http://www.site' || (doc_id % 5) ||
+        |           '-example.org/p/' || doc_id END AS url,
+        |    CASE WHEN (doc_id - 1) % 10 = 7
+        |      THEN 'http://www.casino-site' || ((doc_id - 1) % 5) ||
+        |           '.example.org/p/' || (doc_id - 1)
+        |      ELSE 'http://www.site' || ((doc_id - 1) % 5) ||
+        |           '-example.org/p/' || (doc_id - 1) END AS prev_url,
+        |    CASE WHEN norm = '' THEN 0
+        |         ELSE len(string_split(norm, ' ')) END AS nw
+        |  FROM n),
+        |surv AS (SELECT doc_id, url, norm,
+        |    CASE WHEN doc_id % 6 = 3 THEN prev_url ELSE url END AS key
+        |  FROM base
+        |  WHERE doc_id % 5 <> 2
+        |    AND doc_id % 10 <> 7
+        |    AND nw >= 10),
+        |win AS (SELECT doc_id, url, norm, key,
+        |    row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn
+        |  FROM surv)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, url,
+        |       md5(norm) AS text_md5
         |FROM win WHERE rn = 1""".stripMargin,
     // The raw-WARC round trip re-derived from raw text: the page
     // (same escape chain), the HTTP message (fixed head +
