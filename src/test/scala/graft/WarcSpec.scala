@@ -226,6 +226,59 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("link-layer filters are stream-safe: noindex + URL spam screen + extraction equal the batch chain") {
+    // The round's new filters are stateless projections, so they
+    // compose into the streaming ingest unchanged (declared-canonical
+    // DEDUP is an aggregation and stays a batch stage by design —
+    // the e2e_warc_to_curated gate covers it). Pages written by
+    // writeWarc: one clean, one noindex, one spam host, one
+    // short-text (extraction drops it).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warc_link_s").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("warc_link_ck").toString
+    try {
+      val body = "<p>" + (1 to 15).map(i => s"word$i").mkString(" ") + "</p>"
+      val pages = Seq(
+        (301L, "http://ok.example.org/p/301", "", body),
+        (302L, "http://ok.example.org/p/302",
+          "<meta name=\"robots\" content=\"noindex\">", body),
+        (303L, "http://casino.example.biz/p/303", "", body),
+        (304L, "http://ok.example.org/p/304", "", "<p>too short</p>"))
+        .toDF("doc_id", "u", "meta", "b")
+        .select(col("u").as("uri"), lit("2026-02-02T00:00:00Z").as("date"),
+          concat(lit("<html><head>"), col("meta"), lit("</head><body>"),
+            col("b"), lit("</body></html>")).as("html"))
+      Warc.writeWarc(pages, dir + "/shards")
+      def chain(warc: org.apache.spark.sql.DataFrame) = {
+        val docs = Warc.warcHtmlDocuments(warc)
+          .filter(!Warc.hasNoindex(col("html")))
+        graft.ops.Domains.filterByUrlSpam(docs, col("url"))
+          .withColumn("text", Warc.extractText(col("html")))
+          .filter(length(col("text")) > 0)
+          .select("doc_id", "url", "text")
+      }
+      val q = chain(Warc.readWarcStream(spark, dir + "/shards/*.gz"))
+        .writeStream.format("memory").queryName("warc_link_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      val streamed = spark.table("warc_link_out")
+        .as[(Long, String, String)].collect().toSet
+      val batch = chain(Warc.readWarc(spark, dir + "/shards/*.gz"))
+        .as[(Long, String, String)].collect().toSet
+      assert(streamed == batch)
+      assert(batch.map(_._1) == Set(301L))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS warc_link_out")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(dir)); rm(new java.io.File(ckpt))
+    }
+  }
+
   test("malformed payloads fail loudly: bad chunk size, truncated chunk, corrupt gzip, unsupported coding") {
     val exChunk = intercept[IllegalArgumentException] {
       Warc.dechunk("zz\r\nbody".getBytes("UTF-8"), "t")
