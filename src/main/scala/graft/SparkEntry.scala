@@ -980,6 +980,29 @@ object SparkEntry {
           md5(graft.sources.Warc.extractTextFromBlocks(col("b")))
             .as("text_md5"))
     }),
+    // Context-smoothed extraction (jusText's second signal): a short
+    // clean heading between two long content blocks must SURVIVE
+    // smoothing (plain extraction drops it), while title/nav/footer
+    // chrome stays dropped; when the document text is too short to
+    // yield good neighbors, nothing is rescued. The oracle re-derives
+    // the exact smoothed text from raw text + doc_id.
+    "warc_html_extract_smoothed" -> ((s, d) => {
+      val esc = replace(replace(replace(col("text"),
+        lit("&"), lit("&amp;")), lit("<"), lit("&lt;")),
+        lit(">"), lit("&gt;"))
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title></head><body><nav><a href=\"/\">Home</a> " +
+          "<a href=\"/about\">About</a> <a href=\"/contact\">Contact" +
+          "</a></nav><p>"),
+        esc,
+        lit("</p><h2>Overview "), col("doc_id"),
+        lit(" notes</h2><p>"), esc,
+        lit("</p><footer><a href=\"/terms\">Terms</a> " +
+          "<a href=\"/privacy\">Privacy</a></footer></body></html>"))
+      documents(s, d).select(col("doc_id"),
+        md5(graft.sources.Warc.extractTextSmoothed(html)).as("text_md5"))
+    }),
     // HTML metadata extraction (the declared-language prior a crawl
     // pipeline cross-checks against DETECTED language, plus the raw
     // title): quoted/unquoted/missing lang attributes and
@@ -2532,6 +2555,25 @@ object SparkEntry {
         |  CAST(3 + CASE WHEN norm <> '' THEN 1 ELSE 0 END AS INT)
         |    AS n_blocks,
         |  md5(CASE WHEN nw >= 10 THEN norm ELSE '' END) AS text_md5
+        |FROM w""".stripMargin,
+    // Smoothed text from raw text alone: both content paragraphs
+    // survive at >= 10 words and rescue the 3-word heading between
+    // them; below the threshold no block is good, so smoothing keeps
+    // nothing.
+    "warc_html_extract_smoothed" ->
+      """WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))
+        |      AS norm
+        |  FROM documents),
+        |w AS (SELECT doc_id, norm,
+        |    CASE WHEN norm = '' THEN 0
+        |         ELSE len(string_split(norm, ' ')) END AS nw
+        |  FROM n)
+        |SELECT doc_id,
+        |  md5(CASE WHEN nw >= 10
+        |    THEN norm || chr(10) || 'Overview ' || doc_id || ' notes' ||
+        |         chr(10) || norm
+        |    ELSE '' END) AS text_md5
         |FROM w""".stripMargin,
     // Same synthesized pages; the same (?i) regexes replayed (RE2 and
     // Java agree on every construct used: inline flag, negated class,

@@ -166,6 +166,42 @@ object Warc {
     array_join(transform(filter(blocks, keep), b => b.getField("text")), "\n")
   }
 
+  /** CONTEXT-SMOOTHED extraction — the second half of the jusText
+    * heuristic ([[extractTextFromBlocks]] is the length/link-density
+    * half): a SHORT block (under `minWords`) that is not link-dense
+    * is kept when BOTH its immediate neighbors are good blocks, so
+    * headings and short connector paragraphs inside an article
+    * survive while isolated chrome snippets (neighbored by nav or
+    * footer) stay dropped. Edge blocks have no qualifying pair of
+    * neighbors and are never rescued; a document with no good block
+    * keeps nothing. Pure indexed-lambda HOFs over the block array —
+    * zero UDFs, zero shuffles, the same codegen posture as the plain
+    * extractor. */
+  def extractTextSmoothed(html: Column, minWords: Int = 10,
+      maxLinkDensity: Double = 0.33): Column =
+    extractTextSmoothedFromBlocks(graft.functions.html_blocks(html),
+      minWords, maxLinkDensity)
+
+  /** [[extractTextSmoothed]] over a pre-computed
+    * [[graft.functions.html_blocks]] column. */
+  def extractTextSmoothedFromBlocks(blocks: Column, minWords: Int = 10,
+      maxLinkDensity: Double = 0.33): Column = {
+    val good = (b: Column) => b.getField("n_words") >= minWords &&
+      b.getField("link_density") <= maxLinkDensity
+    val shortClean = (b: Column) => b.getField("n_words") < minWords &&
+      b.getField("link_density") <= maxLinkDensity
+    // element_at is 1-based; the when() guards keep out-of-range
+    // probes unevaluated (ANSI element_at throws on index 0).
+    val kept = filter(blocks, (b: Column, i: Column) => {
+      val prevGood = when(i >= 1,
+        good(element_at(blocks, i))).otherwise(lit(false))
+      val nextGood = when(i < size(blocks) - 1,
+        good(element_at(blocks, i + 2))).otherwise(lit(false))
+      good(b) || (shortClean(b) && prevGood && nextGood)
+    })
+    array_join(transform(kept, b => b.getField("text")), "\n")
+  }
+
   /** DECLARED language of an HTML document (the `<html lang="…">`
     * attribute, lowercased; null when absent/empty). The cheap prior
     * a crawl pipeline cross-checks against DETECTED language

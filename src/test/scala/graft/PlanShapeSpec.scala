@@ -177,7 +177,8 @@ class PlanShapeSpec extends AnyFunSuite {
   test("link-layer plans: zero-shuffle extraction, one-exchange graph, skew-safe canonical dedup") {
     // html_links / canonical / robots extraction are pure projections
     // (native expression + RE2-safe regexps) — zero Exchange.
-    for (q <- Seq("warc_html_links", "warc_html_canonical")) {
+    for (q <- Seq("warc_html_links", "warc_html_canonical",
+        "warc_html_extract_smoothed")) {
       val n = "Exchange".r.findAllIn(plans(q)).size
       assert(n == 0, s"$q plans $n Exchange nodes; expected a pure projection")
     }

@@ -307,6 +307,35 @@ class WarcSpec extends AnyFunSuite {
       ((0, "", "", "")))
   }
 
+  test("extractTextSmoothed: short clean blocks survive only between two good neighbors") {
+    import spark.implicits._
+    val long1 = (1 to 12).map(i => s"alpha$i").mkString(" ")
+    val long2 = (1 to 12).map(i => s"beta$i").mkString(" ")
+    def smoothed(html: String): String =
+      Seq(html).toDF("h")
+        .select(Warc.extractTextSmoothed(col("h"))).as[String].head()
+    // Heading between two good paragraphs: rescued (plain extraction
+    // drops it).
+    val article =
+      s"<nav><a href='/'>Home</a> <a href='/a'>A</a> <a href='/b'>B</a></nav>" +
+        s"<p>$long1</p><h2>Section title</h2><p>$long2</p>" +
+        "<footer><a href='/t'>T</a> <a href='/p'>P</a></footer>"
+    assert(smoothed(article) == s"$long1\nSection title\n$long2")
+    assert(Seq(article).toDF("h")
+      .select(Warc.extractText(col("h"))).as[String].head() ==
+      s"$long1\n$long2")
+    // Same heading next to chrome: NOT rescued (neighbor is bad).
+    assert(smoothed(s"<p>$long1</p><h2>Orphan heading</h2>" +
+      "<nav><a href='/'>x</a> <a href='/y'>y</a></nav>") == long1)
+    // Edge block: no neighbor pair, never rescued.
+    assert(smoothed(s"<h2>Leading heading</h2><p>$long1</p>") == long1)
+    // Link-dense short block between good neighbors: stays dropped.
+    assert(smoothed(s"<p>$long1</p><p><a href='/x'>only links here</a></p>" +
+      s"<p>$long2</p>") == s"$long1\n$long2")
+    // No good block at all: nothing rescued.
+    assert(smoothed("<h2>Just a heading</h2>") == "")
+  }
+
   test("writeWarc -> readWarc round-trips adversarial HTML byte-exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files
