@@ -144,26 +144,11 @@ object ScaleSlope {
           .forEach(f => Files.deleteIfExists(f))
     }
 
-    // Synthesized crawl pages for the link-family rows (the gate's
-    // linkGraphPages with k-scaled moduli: registrable-domain count
-    // grows with the corpus, as a real crawl's does).
-    def slopeLinkPages(df: DataFrame, k: Int): DataFrame = {
-      val id = col("doc_id")
-      val url = concat(lit("http://www.site"), id % (5 * k),
-        lit("-example.org/p/"), id)
-      val html = concat(
-        lit("<html><body><a href=\"https://news.hub"), id % (3 * k),
-        lit(".org/a/"), id,
-        lit("\">story</a> <a href=\"/about\">about</a> " +
-          "<a href='//img.assets"),
-        id % (2 * k),
-        lit(".net/i.png'>img</a> <a href=\"http://other.site"),
-        id % (5 * k),
-        lit("-example.org/x\">same domain</a> " +
-          "<a href=\"https://spam.tracker.biz/\" rel=\"nofollow\">spam</a>" +
-          "</body></html>"))
-      df.select(url.as("url"), html.as("html"))
-    }
+    // Synthesized crawl pages for the link-family rows: the gate's
+    // OWN fixture (SparkEntry.linkGraphPages) with k-scaled moduli,
+    // so the slope rows can never drift from what the oracle pins.
+    def slopeLinkPages(df: DataFrame, k: Int): DataFrame =
+      SparkEntry.linkGraphPages(df, k)
 
     // Each op at its gate parameters; eval sets keyed on the ORIGINAL
     // id (doc_id div k) so their size also scales linearly.

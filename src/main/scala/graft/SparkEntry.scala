@@ -383,20 +383,27 @@ object SparkEntry {
     * edge builder's resolution + internal-drop + counting logic is all
     * exercised and the oracle re-derives the edges from doc_id
     * arithmetic without parsing HTML. */
-  private def linkGraphPages(spark: SparkSession, dir: String): DataFrame = {
+  private def linkGraphPages(spark: SparkSession, dir: String): DataFrame =
+    linkGraphPages(documents(spark, dir), 1)
+
+  /** The page synthesis itself, k-parameterized and shared with
+    * graft.ScaleSlope's graph-axis rows (moduli scale with k there so
+    * domains/edges grow with the corpus) — ONE fixture, so the slope
+    * rows can never silently drift from what the gate oracle pins. */
+  private[graft] def linkGraphPages(docs: DataFrame, k: Int): DataFrame = {
     val id = col("doc_id")
-    val url = concat(lit("http://www.site"), id % 5,
+    val url = concat(lit("http://www.site"), id % (5 * k),
       lit("-example.org/p/"), id)
     val html = concat(
-      lit("<html><body><a href=\"https://news.hub"), id % 3,
+      lit("<html><body><a href=\"https://news.hub"), id % (3 * k),
       lit(".org/a/"), id,
       lit("\">story</a> <a href=\"/about\">about</a> <a href='//img.assets"),
-      id % 2,
-      lit(".net/i.png'>img</a> <a href=\"http://other.site"), id % 5,
+      id % (2 * k),
+      lit(".net/i.png'>img</a> <a href=\"http://other.site"), id % (5 * k),
       lit("-example.org/x\">same domain</a> " +
         "<a href=\"https://spam.tracker.biz/\" rel=\"nofollow\">spam</a>" +
         "</body></html>"))
-    documents(spark, dir).select(url.as("url"), html.as("html"))
+    docs.select(url.as("url"), html.as("html"))
   }
 
   /** DuckDB spelling of TextOps.normalized / TextOps.tokens. */
@@ -1188,7 +1195,10 @@ object SparkEntry {
     // counterpart for the WARC front door): pages with chrome,
     // declared canonicals (doc_id % 6 = 3 points at the previous
     // doc's URL), noindex metas (doc_id % 5 = 2), and spam hosts
-    // (doc_id % 10 = 7) are serialized as WARC response shards, read
+    // (doc_id % 10 = 6 — a residue DISJOINT from the noindex one:
+    // 7 mod 5 = 2 would have let the noindex screen drop every spam
+    // page first, leaving the spam branch untested) are serialized
+    // as WARC response shards, read
     // back through the HTTP layer, then filtered (indexable only →
     // URL spam screen) → boilerplate-extracted (>= 10 words survives)
     // → declared-canonical keep-one dedup. Single-stage gates pin each
@@ -1198,7 +1208,7 @@ object SparkEntry {
     "e2e_warc_to_curated" -> ((s, d) => {
       val dir = scratchDir("graft_warc_e2e", d) + "/corpus"
       def urlOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        when(c % 10 === 7, concat(lit("http://www.casino-site"),
+        when(c % 10 === 6, concat(lit("http://www.casino-site"),
           c % 5, lit(".example.org/p/"), c))
           .otherwise(concat(lit("http://www.site"), c % 5,
             lit("-example.org/p/"), c))
@@ -2757,7 +2767,7 @@ object SparkEntry {
         |SELECT canonical_url, CAST(doc_id AS BIGINT) AS doc_id, url, html
         |FROM win WHERE rn = 1""".stripMargin,
     // Every composed verdict replayed from doc_id arithmetic + raw
-    // text: noindex (id % 5 = 2) and spam hosts (id % 10 = 7) drop,
+    // text: noindex (id % 5 = 2) and spam hosts (id % 10 = 6) drop,
     // short extractions (< 10 words) drop, then keep-one per
     // effective canonical key (id % 6 = 3 declares the previous
     // doc's URL).
@@ -2767,12 +2777,12 @@ object SparkEntry {
         |      AS norm
         |  FROM documents),
         |base AS (SELECT doc_id, norm,
-        |    CASE WHEN doc_id % 10 = 7
+        |    CASE WHEN doc_id % 10 = 6
         |      THEN 'http://www.casino-site' || (doc_id % 5) ||
         |           '.example.org/p/' || doc_id
         |      ELSE 'http://www.site' || (doc_id % 5) ||
         |           '-example.org/p/' || doc_id END AS url,
-        |    CASE WHEN (doc_id - 1) % 10 = 7
+        |    CASE WHEN (doc_id - 1) % 10 = 6
         |      THEN 'http://www.casino-site' || ((doc_id - 1) % 5) ||
         |           '.example.org/p/' || (doc_id - 1)
         |      ELSE 'http://www.site' || ((doc_id - 1) % 5) ||
@@ -2784,7 +2794,7 @@ object SparkEntry {
         |    CASE WHEN doc_id % 6 = 3 THEN prev_url ELSE url END AS key
         |  FROM base
         |  WHERE doc_id % 5 <> 2
-        |    AND doc_id % 10 <> 7
+        |    AND doc_id % 10 <> 6
         |    AND nw >= 10),
         |win AS (SELECT doc_id, url, norm, key,
         |    row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn

@@ -69,6 +69,48 @@ case class HtmlBlocks(child: Expression)
     copy(child = newChild)
 }
 
+/** The character-reference decoder shared by the HTML front-door
+  * expressions ([[HtmlBlocks]] block text, [[HtmlLinks]] anchor text
+  * and attribute values): five named XML entities, `&nbsp;`
+  * (→ space), numeric `&#NN;`/`&#xHH;`; anything else stays a
+  * literal `&`. One definition so the supported set can never
+  * silently diverge between text and attribute decoding. */
+object HtmlEntities {
+  /** Decode the reference starting at `s(i) == '&'`. Packed result:
+    * high 32 bits = codepoint (-1 → unrecognized, emit literal '&'),
+    * low 32 bits = index to resume at. */
+  def decodeAt(s: String, i: Int): Long = {
+    val n = s.length
+    var j = i + 1
+    val max = Math.min(n, i + 12)
+    while (j < max && s.charAt(j) != ';') j += 1
+    var decoded = -1
+    if (j < max && j > i + 1) {
+      val name = s.substring(i + 1, j)
+      if (name == "amp") decoded = '&'
+      else if (name == "lt") decoded = '<'
+      else if (name == "gt") decoded = '>'
+      else if (name == "quot") decoded = '"'
+      else if (name == "apos") decoded = '\''
+      else if (name == "nbsp") decoded = ' '
+      else if (name.length > 1 && name.charAt(0) == '#') {
+        try {
+          val cp =
+            if (name.charAt(1) == 'x' || name.charAt(1) == 'X')
+              Integer.parseInt(name.substring(2), 16)
+            else Integer.parseInt(name.substring(1))
+          if (Character.isValidCodePoint(cp)) decoded = cp
+        } catch { case _: NumberFormatException => () }
+      }
+    }
+    val next = if (decoded >= 0) j + 1 else i + 1
+    (decoded.toLong << 32) | (next.toLong & 0xFFFFFFFFL)
+  }
+
+  def cp(packed: Long): Int = (packed >> 32).toInt
+  def next(packed: Long): Int = (packed & 0xFFFFFFFFL).toInt
+}
+
 object HtmlBlocksImpl {
   val blockSchema: StructType = StructType(Seq(
     StructField("text", StringType, nullable = false),
@@ -229,36 +271,11 @@ object HtmlBlocksImpl {
           }
         }
       } else if (c == '&') {
-        // Entity reference: bounded scan for ';'.
-        var j = i + 1
-        val max = Math.min(n, i + 12)
-        while (j < max && s.charAt(j) != ';') j += 1
-        var decoded = -2 // -2 = unrecognized, emit literal '&'
-        if (j < max && j > i + 1) {
-          val name = s.substring(i + 1, j)
-          if (name == "amp") decoded = '&'
-          else if (name == "lt") decoded = '<'
-          else if (name == "gt") decoded = '>'
-          else if (name == "quot") decoded = '"'
-          else if (name == "apos") decoded = '\''
-          else if (name == "nbsp") decoded = ' '
-          else if (name.length > 1 && name.charAt(0) == '#') {
-            try {
-              val cp =
-                if (name.charAt(1) == 'x' || name.charAt(1) == 'X')
-                  Integer.parseInt(name.substring(2), 16)
-                else Integer.parseInt(name.substring(1))
-              if (Character.isValidCodePoint(cp)) decoded = cp
-            } catch { case _: NumberFormatException => () }
-          }
-        }
-        if (decoded >= 0) {
-          Character.toChars(decoded).foreach(append)
-          i = j + 1
-        } else {
-          append('&')
-          i += 1
-        }
+        val packed = HtmlEntities.decodeAt(s, i)
+        val cp = HtmlEntities.cp(packed)
+        if (cp >= 0) Character.toChars(cp).foreach(append)
+        else append('&')
+        i = HtmlEntities.next(packed)
       } else {
         append(c)
         i += 1

@@ -87,10 +87,9 @@ object HtmlLinksImpl {
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
       c == '\r'
 
-  /** Decode the [[HtmlBlocks]] character-reference set in `s`
-    * (five named XML entities, `&nbsp;`, numeric references; an
-    * unrecognized `&…` stays literal). Shared by attribute values and
-    * anchor text. */
+  /** Decode the shared [[HtmlEntities]] character-reference set in
+    * `s` — used for attribute values (anchor text decodes inline in
+    * the main scan). */
   private def decodeEntities(s: String): String = {
     if (s.indexOf('&') < 0) return s
     val n = s.length
@@ -99,35 +98,10 @@ object HtmlLinksImpl {
     while (i < n) {
       val c = s.charAt(i)
       if (c == '&') {
-        var j = i + 1
-        val max = Math.min(n, i + 12)
-        while (j < max && s.charAt(j) != ';') j += 1
-        var decoded = -2
-        if (j < max && j > i + 1) {
-          val name = s.substring(i + 1, j)
-          if (name == "amp") decoded = '&'
-          else if (name == "lt") decoded = '<'
-          else if (name == "gt") decoded = '>'
-          else if (name == "quot") decoded = '"'
-          else if (name == "apos") decoded = '\''
-          else if (name == "nbsp") decoded = ' '
-          else if (name.length > 1 && name.charAt(0) == '#') {
-            try {
-              val cp =
-                if (name.charAt(1) == 'x' || name.charAt(1) == 'X')
-                  Integer.parseInt(name.substring(2), 16)
-                else Integer.parseInt(name.substring(1))
-              if (Character.isValidCodePoint(cp)) decoded = cp
-            } catch { case _: NumberFormatException => () }
-          }
-        }
-        if (decoded >= 0) {
-          out.appendCodePoint(decoded)
-          i = j + 1
-        } else {
-          out.append('&')
-          i += 1
-        }
+        val packed = HtmlEntities.decodeAt(s, i)
+        val cp = HtmlEntities.cp(packed)
+        if (cp >= 0) out.appendCodePoint(cp) else out.append('&')
+        i = HtmlEntities.next(packed)
       } else {
         out.append(c)
         i += 1
@@ -182,18 +156,23 @@ object HtmlLinksImpl {
     }
 
     /** Index just past a tag's closing '>', honoring quoted attribute
-      * values; EOF-tolerant (returns n). */
-    def tagEnd(from: Int): Int = {
+      * values; EOF-tolerant (returns n). Also reports whether the tag
+      * self-closes (trailing '/'), which matters for skip tags — an
+      * `<iframe/>` has no content to skip, and treating it as open
+      * would discard every link to EOF (same guard as HtmlBlocks). */
+    def tagEnd(from: Int): (Int, Boolean) = {
       var i = from
       var quote = 0.toChar
+      var lastNonWs = 0.toChar
       while (i < n) {
         val c = s.charAt(i)
         if (quote != 0) { if (c == quote) quote = 0 }
         else if (c == '"' || c == '\'') quote = c
-        else if (c == '>') return i + 1
+        else if (c == '>') return (i + 1, lastNonWs == '/')
+        if (!isAsciiWs(c)) lastNonWs = c
         i += 1
       }
-      n
+      (n, false)
     }
 
     /** Parse the attributes of an `<a>` tag starting at `from` (just
@@ -287,55 +266,33 @@ object HtmlLinksImpl {
           } else {
             val name = s.substring(nameStart, j)
               .toLowerCase(java.util.Locale.ROOT)
-            if (!closing && SkipTags.contains(name)) {
-              val end = tagEnd(j)
+            val (end, selfClosed) = tagEnd(j)
+            if (!closing && !selfClosed && SkipTags.contains(name)) {
               val closeAt = findClose(name, end)
-              i = if (closeAt >= n) n else tagEnd(closeAt + 2 + name.length)
+              i = if (closeAt >= n) n
+                else tagEnd(closeAt + 2 + name.length)._1
             } else if (name == "a") {
               if (closing) {
                 emitPending()
-                i = tagEnd(j)
+                i = end
               } else {
                 emitPending() // nested <a> implicitly closes the open one
                 pendHref = "" // anchor open (href may follow)
                 i = parseAnchorAttrs(j)
               }
             } else {
-              i = tagEnd(j)
+              i = end
             }
           }
         }
       } else if (c == '&') {
-        var j = i + 1
-        val max = Math.min(n, i + 12)
-        while (j < max && s.charAt(j) != ';') j += 1
-        var decoded = -2
-        if (j < max && j > i + 1) {
-          val name = s.substring(i + 1, j)
-          if (name == "amp") decoded = '&'
-          else if (name == "lt") decoded = '<'
-          else if (name == "gt") decoded = '>'
-          else if (name == "quot") decoded = '"'
-          else if (name == "apos") decoded = '\''
-          else if (name == "nbsp") decoded = ' '
-          else if (name.length > 1 && name.charAt(0) == '#') {
-            try {
-              val cp =
-                if (name.charAt(1) == 'x' || name.charAt(1) == 'X')
-                  Integer.parseInt(name.substring(2), 16)
-                else Integer.parseInt(name.substring(1))
-              if (Character.isValidCodePoint(cp)) decoded = cp
-            } catch { case _: NumberFormatException => () }
-          }
+        val packed = HtmlEntities.decodeAt(s, i)
+        val cp = HtmlEntities.cp(packed)
+        if (pendHref != null) {
+          if (cp >= 0) Character.toChars(cp).foreach(anchorBuf.append)
+          else anchorBuf.append('&')
         }
-        if (decoded >= 0) {
-          if (pendHref != null)
-            Character.toChars(decoded).foreach(anchorBuf.append)
-          i = j + 1
-        } else {
-          if (pendHref != null) anchorBuf.append('&')
-          i += 1
-        }
+        i = HtmlEntities.next(packed)
       } else {
         if (pendHref != null) anchorBuf.append(c)
         i += 1

@@ -276,17 +276,28 @@ object Domains {
   /** Target HOST of one outlink `href` on a page at `pageUrl`:
     * absolute (`scheme://…`) hrefs resolve to their own host,
     * protocol-relative (`//host/…`) to their host with the scheme
-    * irrelevant, and everything else (path-relative, root-relative,
-    * query/fragment-only) stays on the PAGE's host. Host-level
-    * resolution only, deliberately: a domain graph needs the target
-    * registrable domain, and RFC 3986 path merging cannot change the
-    * host. `<base href>` overrides are out of scope (rare, and
-    * base-relative links stay same-site in the overwhelming case). */
-  def linkTargetHost(pageUrl: Column, href: Column): Column =
-    when(href.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), host(href))
-      .when(href.startsWith("//"),
-        host(concat(lit("http:"), href)))
+    * irrelevant, NON-HIERARCHICAL schemes (`mailto:`, `javascript:`,
+    * `tel:`, `data:` — a scheme with no `//`) resolve to NULL (they
+    * address no host; resolving them to the page would fabricate
+    * self-edges), and everything else (path-relative, root-relative,
+    * query/fragment-only) stays on the PAGE's host. The href is
+    * whitespace-trimmed first — browsers strip surrounding whitespace
+    * per the URL spec, and an untrimmed `" https://…"` would
+    * misclassify as page-relative and silently drop the external
+    * edge. Host-level resolution only, deliberately: a domain graph
+    * needs the target registrable domain, and RFC 3986 path merging
+    * cannot change the host. `<base href>` overrides are out of scope
+    * (rare, and base-relative links stay same-site in the
+    * overwhelming case). */
+  def linkTargetHost(pageUrl: Column, href: Column): Column = {
+    val h = regexp_replace(href,
+      "^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$", "")
+    when(h.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), host(h))
+      .when(h.startsWith("//"), host(concat(lit("http:"), h)))
+      .when(h.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"),
+        lit(null).cast("string"))
       .otherwise(host(pageUrl))
+  }
 
   /** The registrable-domain LINK GRAPH of an HTML page corpus:
     * `(src_domain, dst_domain, n_links)` aggregated over every

@@ -190,16 +190,26 @@ object Warc {
       b.getField("link_density") <= maxLinkDensity
     val shortClean = (b: Column) => b.getField("n_words") < minWords &&
       b.getField("link_density") <= maxLinkDensity
-    // element_at is 1-based; the when() guards keep out-of-range
-    // probes unevaluated (ANSI element_at throws on index 0).
-    val kept = filter(blocks, (b: Column, i: Column) => {
-      val prevGood = when(i >= 1,
-        good(element_at(blocks, i))).otherwise(lit(false))
-      val nextGood = when(i < size(blocks) - 1,
-        good(element_at(blocks, i + 2))).otherwise(lit(false))
-      good(b) || (shortClean(b) && prevGood && nextGood)
-    })
-    array_join(transform(kept, b => b.getField("text")), "\n")
+    // The neighbor probes reference the block ARRAY inside lambdas;
+    // higher-order functions exclude lambda bodies from subexpression
+    // elimination, so referencing `blocks` (possibly a whole
+    // html_blocks parse) directly would re-run it per probe. Binding
+    // it to a lambda VARIABLE via transform(array(blocks), bs => …)
+    // evaluates it exactly once per row — every inner reference reads
+    // the variable.
+    val smoothOne = (bs: Column) => {
+      // element_at is 1-based; the when() guards keep out-of-range
+      // probes unevaluated (ANSI element_at throws on index 0).
+      val kept = filter(bs, (b: Column, i: Column) => {
+        val prevGood = when(i >= 1,
+          good(element_at(bs, i))).otherwise(lit(false))
+        val nextGood = when(i < size(bs) - 1,
+          good(element_at(bs, i + 2))).otherwise(lit(false))
+        good(b) || (shortClean(b) && prevGood && nextGood)
+      })
+      array_join(transform(kept, b => b.getField("text")), "\n")
+    }
+    element_at(transform(array(blocks), smoothOne), 1)
   }
 
   /** DECLARED language of an HTML document (the `<html lang="…">`
@@ -254,13 +264,22 @@ object Warc {
     // `rel=canonical href=…` that one space was the boundary itself.
     // `href` must still sit right after a whitespace/quote (the
     // optional group ends in ws), so `data-href` never matches.
-    val relFirst = regexp_extract(html,
-      s"(?i)<link[^>]*${ws}rel[ ]*=[ ]*[\"']?canonical[\"' \\t\\n\\x0B\\f\\r]" +
-        s"(?:[^>]*$ws)?href[ ]*=[ ]*[\"']?([^\"'> \\t\\n\\x0B\\f\\r]+)", 1)
-    val hrefFirst = regexp_extract(html,
-      s"(?i)<link[^>]*${ws}href[ ]*=[ ]*[\"']?([^\"'> \\t\\n\\x0B\\f\\r]+)[\"']?" +
-        s"[^>]*${ws}rel[ ]*=[ ]*[\"']?canonical[\"' \\t\\n\\x0B\\f\\r>]", 1)
-    decodeAttr(coalesce(nullif(relFirst, lit("")), nullif(hrefFirst, lit(""))))
+    val relFirst =
+      s"<link[^>]*${ws}rel[ ]*=[ ]*[\"']?canonical[\"' \\t\\n\\x0B\\f\\r]" +
+        s"(?:[^>]*$ws)?href[ ]*=[ ]*[\"']?([^\"'> \\t\\n\\x0B\\f\\r]+)"
+    val hrefFirst =
+      s"<link[^>]*${ws}href[ ]*=[ ]*[\"']?([^\"'> \\t\\n\\x0B\\f\\r]+)[\"']?" +
+        s"[^>]*${ws}rel[ ]*=[ ]*[\"']?canonical[\"' \\t\\n\\x0B\\f\\r>]"
+    // ONE alternation so the FIRST matching tag wins regardless of its
+    // attribute order (two coalesced regexps would let the rel-first
+    // pattern beat an earlier href-first tag): group 1 fills for a
+    // rel-first tag, group 2 for an href-first tag — leftmost match
+    // semantics are identical in Java regex and RE2. At one tag only
+    // one branch can match, so exactly one group is non-empty.
+    val both = s"(?i)(?:$relFirst)|(?:$hrefFirst)"
+    decodeAttr(coalesce(
+      nullif(regexp_extract(html, both, 1), lit("")),
+      nullif(regexp_extract(html, both, 2), lit(""))))
   }
 
   /** The robots META directive of an HTML document (`<meta
@@ -274,15 +293,19 @@ object Warc {
     val ws = "[ \\t\\n\\x0B\\f\\r]"
     // Same consumed-boundary structure as htmlCanonicalUrl's relFirst:
     // `name=robots content=…` has one space, which the boundary class
-    // consumes — the span to `content` is optional.
-    val nameFirst = regexp_extract(html,
-      s"(?i)<meta[^>]*${ws}name[ ]*=[ ]*[\"']?robots[\"' \\t\\n\\x0B\\f\\r]" +
-        s"(?:[^>]*$ws)?content[ ]*=[ ]*[\"']([^\"'>]*)", 1)
-    val contentFirst = regexp_extract(html,
-      s"(?i)<meta[^>]*${ws}content[ ]*=[ ]*[\"']([^\"'>]*)[\"']" +
-        s"[^>]*${ws}name[ ]*=[ ]*[\"']?robots[\"' \\t\\n\\x0B\\f\\r>]", 1)
-    lower(trim(coalesce(nullif(nameFirst, lit("")),
-      nullif(contentFirst, lit("")))))
+    // consumes — the span to `content` is optional. One alternation so
+    // the first matching tag wins regardless of attribute order (see
+    // htmlCanonicalUrl).
+    val nameFirst =
+      s"<meta[^>]*${ws}name[ ]*=[ ]*[\"']?robots[\"' \\t\\n\\x0B\\f\\r]" +
+        s"(?:[^>]*$ws)?content[ ]*=[ ]*[\"']([^\"'>]*)"
+    val contentFirst =
+      s"<meta[^>]*${ws}content[ ]*=[ ]*[\"']([^\"'>]*)[\"']" +
+        s"[^>]*${ws}name[ ]*=[ ]*[\"']?robots[\"' \\t\\n\\x0B\\f\\r>]"
+    val both = s"(?i)(?:$nameFirst)|(?:$contentFirst)"
+    lower(trim(coalesce(
+      nullif(regexp_extract(html, both, 1), lit("")),
+      nullif(regexp_extract(html, both, 2), lit("")))))
   }
 
   /** True when [[htmlMetaRobots]] declares `noindex` (token match —

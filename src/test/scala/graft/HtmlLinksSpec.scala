@@ -73,6 +73,50 @@ class HtmlLinksSpec extends AnyFunSuite {
     assert(got == Seq(("/first", "", "dup"), ("", "", "self")))
   }
 
+  test("html_links: self-closing skip tags do not swallow the rest of the document") {
+    // <iframe/> / <svg .../> have no content to skip — treating them
+    // as open skip tags would discard every link to EOF.
+    val got = links(
+      """<iframe src="ad"/><a href="/after-iframe">kept</a>
+        |<svg width="10"/><a href="/after-svg">also kept</a>
+        |<script>var x = 1;</script><a href="/after-script">still kept</a>""".stripMargin)
+    assert(got.map(_._1) == Seq("/after-iframe", "/after-svg", "/after-script"))
+  }
+
+  test("linkTargetHost: whitespace-padded absolute hrefs resolve externally; non-hierarchical schemes resolve to no host") {
+    val pages = Seq(
+      (1L, "http://www.site.example.com/a",
+        """<a href=" https://partner.other.org/x">padded absolute</a>
+          |<a href="mailto:team@example.com">mail</a>
+          |<a href="javascript:void(0)">js</a>
+          |<a href="tel:+15551234567">tel</a>""".stripMargin))
+      .toDF("doc_id", "url", "html")
+    val edges = graft.ops.Domains.outlinkDomainEdges(pages, col("url"),
+        col("html"), includeInternal = true)
+      .as[(String, String, Long)].collect().toSeq
+    // The padded absolute link is the ONLY edge: external (not
+    // misread as page-relative), and the mailto/javascript/tel hrefs
+    // yield null hosts, never fabricated self-edges.
+    assert(edges == Seq(("example.com", "other.org", 1L)))
+  }
+
+  test("htmlCanonicalUrl: the first canonical tag wins across mixed attribute orders") {
+    def canon(html: String): Option[String] =
+      Seq(html).toDF("html")
+        .select(Warc.htmlCanonicalUrl(col("html")).as("c"))
+        .collect().headOption.flatMap(r => Option(r.getString(0)))
+    // href-first tag BEFORE a rel-first tag: the earlier tag must win
+    // (two coalesced regexps would let the rel-first pattern beat it).
+    assert(canon(
+      """<link href="https://a.example.com/x" rel="canonical">
+        |<link rel="canonical" href="https://b.example.com/y">""".stripMargin)
+      .contains("https://a.example.com/x"))
+    assert(canon(
+      """<link rel="canonical" href="https://b.example.com/y">
+        |<link href="https://a.example.com/x" rel="canonical">""".stripMargin)
+      .contains("https://b.example.com/y"))
+  }
+
   test("htmlCanonicalUrl: both attribute orders, quote styles, entity decode, first tag wins") {
     def canon(html: String): Option[String] =
       Seq(html).toDF("html")
