@@ -195,23 +195,10 @@ object HtmlBlocksImpl {
       linkNonWs = 0
     }
 
-    /** Index just past a tag's closing '>', honoring quoted attribute
-      * values; EOF-tolerant (returns n). Also reports whether the tag
-      * self-closes (trailing '/'). */
-    def tagEnd(from: Int): (Int, Boolean) = {
-      var i = from
-      var quote = 0.toChar
-      var lastNonWs = 0.toChar
-      while (i < n) {
-        val c = s.charAt(i)
-        if (quote != 0) { if (c == quote) quote = 0 }
-        else if (c == '"' || c == '\'') quote = c
-        else if (c == '>') return (i + 1, lastNonWs == '/')
-        if (!isAsciiWs(c)) lastNonWs = c
-        i += 1
-      }
-      (n, false)
-    }
+    /** Index just past a tag's closing '>' plus the self-close flag;
+      * shared scanner — see [[HtmlScan.tagEnd]] for the unquoted-
+      * attribute-value subtlety. */
+    def tagEnd(from: Int): (Int, Boolean) = HtmlScan.tagEnd(s, n, from)
 
     /** Case-insensitive index of "</name" followed by ws/'>'/EOF,
       * starting at `from`; n if absent. */

@@ -155,25 +155,12 @@ object HtmlLinksImpl {
       }
     }
 
-    /** Index just past a tag's closing '>', honoring quoted attribute
-      * values; EOF-tolerant (returns n). Also reports whether the tag
-      * self-closes (trailing '/'), which matters for skip tags — an
-      * `<iframe/>` has no content to skip, and treating it as open
-      * would discard every link to EOF (same guard as HtmlBlocks). */
-    def tagEnd(from: Int): (Int, Boolean) = {
-      var i = from
-      var quote = 0.toChar
-      var lastNonWs = 0.toChar
-      while (i < n) {
-        val c = s.charAt(i)
-        if (quote != 0) { if (c == quote) quote = 0 }
-        else if (c == '"' || c == '\'') quote = c
-        else if (c == '>') return (i + 1, lastNonWs == '/')
-        if (!isAsciiWs(c)) lastNonWs = c
-        i += 1
-      }
-      (n, false)
-    }
+    /** Index just past a tag's closing '>' plus the self-close flag
+      * (matters for skip tags — an `<iframe/>` has no content to skip,
+      * and treating it as open would discard every link to EOF; same
+      * guard as HtmlBlocks). Shared scanner: see [[HtmlScan.tagEnd]]
+      * for the unquoted-attribute-value subtlety. */
+    def tagEnd(from: Int): (Int, Boolean) = HtmlScan.tagEnd(s, n, from)
 
     /** Parse the attributes of an `<a>` tag starting at `from` (just
       * past the tag name); returns the index past '>'. Sets the

@@ -358,16 +358,23 @@ object Domains {
     * re-keyed aggregation, localCheckpoint'ed so lineage stays flat
     * at any iteration count. Overflow is GUARDED, not hoped: the rank
     * invariant Σr_t ≤ N·scale means per-node ranks never exceed
-    * N·scale, so the guard requires N·scale·dampNum to fit a long —
-    * lower `scale` for planet-scale graphs. */
+    * N·scale, so the guard requires N·scale·dampNum to fit a long.
+    *
+    * `scale = 0` (the default) AUTO-DERIVES the largest safe
+    * power-of-ten from the measured node count
+    * (≤ Long.MaxValue / dampNum / N / 4, ADVICE r12) so planet-scale
+    * graphs work out of the box; pass an explicit scale when an
+    * external replay (e.g. an oracle) must use a known constant — an
+    * unsafe explicit value still refuses loudly, with the recommended
+    * value for the measured N in the message. */
   def pageRankFixedPoint(edges: DataFrame, iterations: Int = 3,
-      scale: Long = 1000000000000L, dampNum: Long = 85,
+      scale: Long = 0L, dampNum: Long = 85,
       dampDen: Long = 100): DataFrame = {
     require(iterations >= 1 && iterations <= 100,
       s"iterations must be in [1, 100], got $iterations")
     require(dampNum > 0 && dampDen > dampNum,
       s"need 0 < dampNum < dampDen, got $dampNum/$dampDen")
-    require(scale >= 1, s"scale must be >= 1, got $scale")
+    require(scale >= 0, s"scale must be >= 1 (or 0 = auto), got $scale")
     // Materialize the derived GRAPH once: edges feed every iteration
     // (and outdeg, and nodes) — without the checkpoint each iteration
     // re-runs the whole upstream edge-building plan (HTML extraction,
@@ -379,14 +386,27 @@ object Domains {
       .union(e.select(col("dst").as("domain"))).distinct()
       .localCheckpoint()
     val nNodes = nodes.count()
+    // Largest safe power-of-ten for this graph: per-node ranks never
+    // exceed N*scale, and the guard needs N*scale*dampNum to fit a
+    // long with 4x headroom. 10^0..10^12 keeps precision digits where
+    // small graphs can use them (at 10^8 nodes this lands on 10^4 —
+    // four rank digits, plenty for a drop/keep quality gate).
+    val safeBound = Long.MaxValue / dampNum / math.max(nNodes, 1L) / 4
+    val eff =
+      if (scale > 0) scale
+      else math.min(1000000000000L,
+        math.max(1L, math.pow(10, math.log10(safeBound.toDouble).floor)
+          .toLong))
     require(nNodes == 0 ||
-      scale <= Long.MaxValue / dampNum / math.max(nNodes, 1L),
-      s"fixed-point overflow bound: n_domains($nNodes) * scale($scale) " +
-        s"* dampNum($dampNum) must fit a long — lower scale")
+      eff <= Long.MaxValue / dampNum / math.max(nNodes, 1L),
+      s"fixed-point overflow bound: n_domains($nNodes) * scale($eff) " +
+        s"* dampNum($dampNum) must fit a long — lower scale (for this " +
+        s"graph any scale <= $safeBound is safe; scale = 0 auto-derives " +
+        s"one)")
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("_outdeg"))
       .localCheckpoint()
-    val base = (dampDen - dampNum) * scale / dampDen
-    var ranks = nodes.withColumn("rank_fp", lit(scale))
+    val base = (dampDen - dampNum) * eff / dampDen
+    var ranks = nodes.withColumn("rank_fp", lit(eff))
     for (_ <- 1 to iterations) {
       val contrib = e
         .join(ranks.withColumnRenamed("domain", "src"), Seq("src"))

@@ -337,8 +337,11 @@ object Warc {
     * an identity body; BOTH Content-Lengths are UTF-8 OCTET counts
     * (the envelope's covers the whole HTTP message), so multibyte
     * pages round-trip exactly through [[readWarc]] (`warc_roundtrip`
-    * gate). Same header-value contract as [[Wet.writeWet]]: uri/date
-    * must not contain CR/LF (WARC headers are single-line). */
+    * gate). Each record carries the spec-mandated WARC-Record-ID
+    * (deterministic `urn:uuid` from md5(uri, date), so strict
+    * external validators accept the stream and reruns stay
+    * byte-identical). Same header-value contract as [[Wet.writeWet]]:
+    * uri/date must not contain CR/LF (WARC headers are single-line). */
   def writeWarc(records: DataFrame, path: String): Unit = {
     val crlf = "\r\n"
     val http = concat(
@@ -354,7 +357,17 @@ object Warc {
           "WARC-Target-URI: "),
         col("uri"),
         lit(crlf + "WARC-Date: "), col("date"),
-        lit(crlf + "Content-Type: application/http; msgtype=response" +
+        // WARC/1.0 §5.2 mandates a globally-unique WARC-Record-ID on
+        // every record (ADVICE r12). Derived deterministically from
+        // (uri, date) — md5's 128 bits reshaped into RFC 4122 v4
+        // uuid-hex layout — so reruns are byte-identical and the
+        // writer stays a pure projection (no per-row RNG).
+        lit(crlf + "WARC-Record-ID: <urn:uuid:"),
+        regexp_replace(
+          md5(concat(col("uri"), lit("\n"), col("date"))),
+          "^(.{8})(.{4}).(.{3}).(.{3})(.{12})$", "$1-$2-4$3-8$4-$5"),
+        lit(">" +
+          crlf + "Content-Type: application/http; msgtype=response" +
           crlf + "Content-Length: "),
         octet_length(col("_http")).cast("string"),
         lit(crlf + crlf), col("_http"), lit(crlf)).as("value"))

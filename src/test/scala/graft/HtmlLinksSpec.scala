@@ -83,6 +83,18 @@ class HtmlLinksSpec extends AnyFunSuite {
     assert(got.map(_._1) == Seq("/after-iframe", "/after-svg", "/after-script"))
   }
 
+  test("html_links: '/' ending an unquoted attribute value is NOT self-closing (ADVICE r12)") {
+    // Per the HTML5 unquoted grammar, in <iframe src=/ads/> the final
+    // '/' belongs to the value /ads/ — the tag is OPEN, its fallback
+    // content must be skipped. A standalone '/' (src=x /) still
+    // self-closes.
+    val got = links(
+      """<iframe src=/ads/><a href="/inside-iframe">hidden</a></iframe>
+        |<a href="/after-close">kept</a>
+        |<iframe src=x /><a href="/after-standalone">also kept</a>""".stripMargin)
+    assert(got.map(_._1) == Seq("/after-close", "/after-standalone"))
+  }
+
   test("linkTargetHost: whitespace-padded absolute hrefs resolve externally; non-hierarchical schemes resolve to no host") {
     val pages = Seq(
       (1L, "http://www.site.example.com/a",
@@ -212,13 +224,29 @@ class HtmlLinksSpec extends AnyFunSuite {
     assert(r == Map("a.com" -> 150000L, "d.com" -> 1000000L))
   }
 
-  test("pageRankFixedPoint: overflow guard trips on planet-scale scale") {
+  test("pageRankFixedPoint: overflow guard trips on planet-scale scale and recommends a safe one") {
     val edges = Seq(("a.com", "b.com")).toDF("src_domain", "dst_domain")
     val e = intercept[IllegalArgumentException] {
       graft.ops.Domains.pageRankFixedPoint(edges, iterations = 1,
         scale = Long.MaxValue / 10)
     }
     assert(e.getMessage.contains("overflow"))
+    assert(e.getMessage.contains("scale = 0 auto-derives"))
+  }
+
+  test("pageRankFixedPoint: default scale auto-derives from node count (ADVICE r12)") {
+    // Small graphs land on the 1e12 cap (same ranks as the old fixed
+    // default); the point is that the default can no longer refuse a
+    // large graph — the derived bound always fits the guard.
+    val edges = Seq(("a.com", "b.com"), ("a.com", "c.com"),
+      ("b.com", "c.com"), ("c.com", "a.com"))
+      .toDF("src_domain", "dst_domain")
+    val auto = graft.ops.Domains.pageRankFixedPoint(edges, iterations = 1)
+      .as[(String, Long)].collect().toMap
+    val explicit = graft.ops.Domains.pageRankFixedPoint(edges,
+      iterations = 1, scale = 1000000000000L)
+      .as[(String, Long)].collect().toMap
+    assert(auto == explicit)
   }
 
   test("dedupByDeclaredCanonical: absolute declared canonical merges; relative falls back to page URL") {

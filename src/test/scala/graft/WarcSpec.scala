@@ -121,6 +121,13 @@ class WarcSpec extends AnyFunSuite {
     assert(blocksOf("<p>x<br/>y</p>") == Seq(("x", 1, 0.0), ("y", 1, 0.0)))
     // Whitespace collapse covers the full ASCII class.
     assert(blocksOf("<p>a \t\r\n\fb</p>") == Seq(("a b", 2, 0.0)))
+    // '/' ending an UNQUOTED attribute value is value content, not a
+    // self-close mark (ADVICE r12): <iframe src=/ads/> is OPEN, its
+    // fallback content skipped until </iframe>; a standalone '/'
+    // (src=x /) still self-closes, so following text is kept.
+    assert(blocksOf("<iframe src=/ads/>hidden</iframe><p>kept</p>")
+      == Seq(("kept", 1, 0.0)))
+    assert(blocksOf("<iframe src=x />kept too") == Seq(("kept too", 2, 0.0)))
   }
 
   test("extractText stopword-density gate drops same-language keyword chrome that beats the other signals") {
@@ -366,5 +373,32 @@ class WarcSpec extends AnyFunSuite {
       "<html><body>\r\nWARC/1.0\r\n\r\n<p>trap body</p></body></html>")
     assert(back(2)._4 == "<html><body><p>深度学習 😀 café</p></body></html>")
     assert(back(3)._4 == "")
+  }
+
+  test("writeWarc: every record carries a deterministic spec-shaped WARC-Record-ID (ADVICE r12)") {
+    import spark.implicits._
+    def writeAndReadIds(suffix: String): Seq[String] = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_warc_id" + suffix).toString + "/out"
+      val pages = Seq((1L, "<p>a</p>"), (2L, "<p>b</p>"))
+        .toDF("doc_id", "html")
+        .select(
+          concat(lit("http://graft.test/doc/"), col("doc_id")).as("uri"),
+          lit("2026-02-02T00:00:00Z").as("date"), col("html"))
+      Warc.writeWarc(pages, dir)
+      val raw = spark.read.option("lineSep", "\r\n").text(dir)
+        .as[String].collect()
+      raw.filter(_.startsWith("WARC-Record-ID:")).toSeq.sorted
+    }
+    val ids = writeAndReadIds("a")
+    // WARC/1.0 mandates one per record, shaped <urn:uuid:...> with
+    // RFC 4122 hex layout (version nibble 4, variant nibble 8).
+    assert(ids.size == 2 && ids.distinct.size == 2)
+    val uuidRe =
+      ("^WARC-Record-ID: <urn:uuid:[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}" +
+        "-8[0-9a-f]{3}-[0-9a-f]{12}>$").r
+    ids.foreach(id => assert(uuidRe.findFirstIn(id).isDefined, id))
+    // Deterministic: a rerun produces byte-identical ids.
+    assert(writeAndReadIds("b") == ids)
   }
 }
