@@ -1104,7 +1104,7 @@ object SparkEntry {
       graft.ops.Domains.pageRankFixedPoint(
         graft.ops.Domains.outlinkDomainEdges(
           linkGraphPages(s, d), col("url"), col("html")),
-        iterations = 3)),
+        iterations = 3, scale = 1000000000000L)),
     // Domain-graph connected components (site-family detection:
     // mirror networks and link farms span many registrable domains
     // but one component): a literal edge fixture with a chain, a
@@ -1139,6 +1139,66 @@ object SparkEntry {
       urls.select(col("doc_id"), col("url"),
         graft.ops.Domains.urlSpamScore(col("url")).as("spam_hits"),
         (graft.ops.Domains.urlSpamScore(col("url")) <= 0).as("kept"))
+    }),
+    // Crawl politeness (RFC 9309): per-host robots.txt applied to a
+    // URL corpus — group selection (exact beats *, zero-rule exact
+    // group still wins), longest-match / allow-wins-tie /
+    // trailing-$ anchor, path+query match target, missing-robots and
+    // no-applicable-group defaults, host-case normalization, and
+    // path case-sensitivity all in ONE decision table. Literal
+    // fixture; the oracle carries the HAND-PARSED rules (the parse
+    // itself is spec-pinned in RobotsSpec) and replays the matching
+    // with LIKE-translated patterns (* → %, trailing $ → drop the
+    // trailing %; LIKE is a full-string match, so prefix semantics
+    // fall out) + the longest/allow/document-order window.
+    "curation_robots" -> ((s, _) => {
+      import s.implicits._
+      val robots = Seq(
+        ("a.example.com",
+          "# crawl policy\nUser-agent: *\nDisallow: /private/   # c\n" +
+            "Allow: /private/public/\n\n" +
+            "Sitemap: https://a.example.com/sitemap.xml\n" +
+            "Disallow: /*.pdf$\n"),
+        ("b.example.com",
+          "User-agent: graftbot\nUser-agent: otherbot\nDisallow: /\n" +
+            "Allow: /docs/*\n\nUser-agent: *\nDisallow: /tmp/\n"),
+        ("d.example.com",
+          "User-agent: megabot\nDisallow: /\nCrawl-delay: 10\n"),
+        ("e.example.com",
+          "User-agent: GraftBot\nAllow: /a$\nDisallow: /a\nDisallow:\n"))
+        .toDF("host", "body")
+      val urls = Seq(
+        (1L, "http://a.example.com/public/index.html"),
+        (2L, "http://a.example.com/private/x.html"),
+        (3L, "http://a.example.com/private/public/x"),
+        (4L, "http://a.example.com/files/report.pdf"),
+        (5L, "http://a.example.com/files/report.pdf?dl=1"),
+        (6L, "https://b.example.com/docs/guide"),
+        (7L, "https://b.example.com/secret"),
+        (8L, "https://c.example.com/anything"),
+        (9L, "https://d.example.com/whatever"),
+        (10L, "http://e.example.com/a"),
+        (11L, "http://e.example.com/ab"),
+        (12L, "HTTP://B.EXAMPLE.COM/Docs/guide"),
+        (13L, "https://b.example.com"),
+        (14L, "not a url"))
+        .toDF("doc_id", "url")
+      graft.ops.Robots.decisions(urls, col("url"), robots, "graftbot")
+        .select("doc_id", "url", "allowed", "matched")
+    }),
+    // Z-order (Morton) key arithmetic over two bucketized dimensions
+    // of the orders table — the data-skipping layout projection
+    // (bit i of dim j lands at output bit i*2+j). The layout HALF
+    // (range repartition -> compact per-file z-ranges -> pruning on
+    // both dimensions) is pinned in OpsSpec; this gate pins the key
+    // arithmetic the oracle replays with shift/mask SQL.
+    "curation_zorder" -> ((s, d) => {
+      val o = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"),
+          (col("o_custkey") % 256).as("x"),
+          (col("o_orderkey") % 256).as("y"))
+      o.select(col("o_orderkey"), col("x"), col("y"),
+        graft.ops.Layout.zOrderKey(Seq(col("x"), col("y")), 8).as("zkey"))
     }),
     // Declared-canonical keep-one dedup: mirrors and parameterized
     // variants declaring the same <link rel=canonical> target merge
@@ -1244,6 +1304,45 @@ object SparkEntry {
       graft.ops.Domains.dedupByDeclaredCanonical(
           extracted, col("url"), col("html"), col("doc_id"))
         .select(col("doc_id"), col("url"), md5(col("text")).as("text_md5"))
+    }),
+    // Composed politeness pipeline over raw WARC: write -> read ->
+    // robots decisions (per-host snapshot; group selection incl. the
+    // exact-empty-group-beats-* nuance and a $-anchored allow) ->
+    // boilerplate extraction for the fetchable pages, all ONE
+    // oracle-replayed query (verdicts + matched patterns from doc_id
+    // arithmetic, text md5 from raw text).
+    "e2e_warc_politeness" -> ((s, d) => {
+      import s.implicits._
+      val dir = scratchDir("graft_warc_polite", d) + "/corpus"
+      val id = col("doc_id")
+      val url = concat(lit("http://www.site"), id % 5,
+        lit("-example.org/p/"), id)
+      val esc = replace(replace(replace(col("text"),
+        lit("&"), lit("&amp;")), lit("<"), lit("&lt;")),
+        lit(">"), lit("&gt;"))
+      val html = concat(
+        lit("<html><head><title>Doc "), id,
+        lit("</title></head><body><nav><a href=\"/\">Home</a>" +
+          "</nav><div><p>"),
+        esc, lit("</p></div></body></html>"))
+      graft.sources.Warc.writeWarc(
+        documents(s, d).select(url.as("uri"),
+          lit("2026-01-01T00:00:00Z").as("date"), html.as("html")), dir)
+      val docs = graft.sources.Warc.warcHtmlDocuments(
+        graft.sources.Warc.readWarc(s, dir))
+      val robots = Seq(
+        ("www.site0-example.org", "User-agent: *\nDisallow: /\n"),
+        ("www.site1-example.org",
+          "User-agent: graftbot\nDisallow: /p/\nAllow: /p/*1$\n"),
+        ("www.site3-example.org", "User-agent: otherbot\nDisallow: /\n"),
+        ("www.site4-example.org",
+          "User-agent: *\nDisallow: /p/\n\n" +
+            "User-agent: graftbot\nDisallow:\n"))
+        .toDF("host", "body")
+      graft.ops.Robots.decisions(docs, col("url"), robots, "graftbot")
+        .withColumn("text", graft.sources.Warc.extractText(col("html")))
+        .select(col("doc_id"), col("url"), col("allowed"), col("matched"),
+          when(col("allowed"), md5(col("text"))).as("text_md5"))
     }),
     "wet_roundtrip" -> ((s, d) => {
       val dir = scratchDir("graft_wet", d) + "/corpus"
@@ -1963,6 +2062,17 @@ object SparkEntry {
     "text_source_terms" -> ((s, d) =>
       graft.ops.TextAnalysis.groupTfidf(
         documents(s, d), col("source"), k = 5, rationalIdf = true)),
+    // Exact token-sequence phrase search (positional inverted index):
+    // candidate votes from a broadcast phrase-token join, one
+    // count-shuffle keeps starts where every offset aligned.
+    // Overlapping occurrences count ("batch batch" twice inside
+    // three batches); the absent phrase returns no rows; matching is
+    // token-boundary exact. The oracle replays it with list_slice
+    // over every start position.
+    "text_phrase_search" -> ((s, d) =>
+      graft.ops.TextAnalysis.phraseSearch(documents(s, d), Seq(
+        "batch batch", "key order", "slow fast",
+        "quantum flux capacitor"))),
     // Per-doc n-gram novelty (inverse duplication signal): exact
     // distinct-gram and corpus-unique-gram counts + one division.
     "text_novelty" -> ((s, d) =>
@@ -2735,6 +2845,68 @@ object SparkEntry {
         |       CAST(spam_hits AS INT) AS spam_hits,
         |       (spam_hits <= 0) AS kept
         |FROM h""".stripMargin,
+    // The same URL fixture as the Spark side; the rules VALUES are
+    // the HAND-PARSED per-host rule lists for agent 'graftbot'
+    // (host d parses to zero rules — megabot-only group; the parse
+    // itself is RobotsSpec-pinned), each carrying its LIKE
+    // translation (* → %, trailing $ anchors by DROPPING the
+    // trailing % — LIKE full-string semantics). Matching replays
+    // longest-pattern / allow-wins-tie / document-order via one
+    // window; missing robots rows and no-match rows coalesce to
+    // allowed; an unparseable URL (NULL path) is NOT allowed.
+    "curation_robots" ->
+      """WITH u(doc_id, url) AS (VALUES
+        |  (1, 'http://a.example.com/public/index.html'),
+        |  (2, 'http://a.example.com/private/x.html'),
+        |  (3, 'http://a.example.com/private/public/x'),
+        |  (4, 'http://a.example.com/files/report.pdf'),
+        |  (5, 'http://a.example.com/files/report.pdf?dl=1'),
+        |  (6, 'https://b.example.com/docs/guide'),
+        |  (7, 'https://b.example.com/secret'),
+        |  (8, 'https://c.example.com/anything'),
+        |  (9, 'https://d.example.com/whatever'),
+        |  (10, 'http://e.example.com/a'),
+        |  (11, 'http://e.example.com/ab'),
+        |  (12, 'HTTP://B.EXAMPLE.COM/Docs/guide'),
+        |  (13, 'https://b.example.com'),
+        |  (14, 'not a url')),
+        |r(host, ord, allow, pattern, lp) AS (VALUES
+        |  ('a.example.com', 1, FALSE, '/private/',        '/private/%'),
+        |  ('a.example.com', 2, TRUE,  '/private/public/', '/private/public/%'),
+        |  ('a.example.com', 3, FALSE, '/*.pdf$',          '/%.pdf'),
+        |  ('b.example.com', 1, FALSE, '/',                '/%'),
+        |  ('b.example.com', 2, TRUE,  '/docs/*',          '/docs/%'),
+        |  ('e.example.com', 1, TRUE,  '/a$',              '/a'),
+        |  ('e.example.com', 2, FALSE, '/a',               '/a%')),
+        |p AS (SELECT doc_id, url,
+        |    lower(nullif(regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+).*', 1),
+        |      '')) AS host,
+        |    CASE WHEN lower(nullif(regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+).*', 1),
+        |      '')) IS NULL THEN NULL
+        |    ELSE coalesce(nullif(regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1), ''), '/')
+        |    END AS path
+        |  FROM u),
+        |m AS (SELECT p.doc_id, r.allow, r.pattern,
+        |    ROW_NUMBER() OVER (PARTITION BY p.doc_id
+        |      ORDER BY len(r.pattern) DESC, r.allow DESC, r.ord ASC) rn
+        |  FROM p JOIN r ON p.host = r.host AND p.path LIKE r.lp)
+        |SELECT CAST(p.doc_id AS BIGINT) AS doc_id, p.url,
+        |  CASE WHEN p.path IS NULL THEN FALSE
+        |       ELSE coalesce(m.allow, TRUE) END AS allowed,
+        |  m.pattern AS matched
+        |FROM p LEFT JOIN (SELECT doc_id, allow, pattern FROM m
+        |                  WHERE rn = 1) m ON p.doc_id = m.doc_id""".stripMargin,
+    // Morton interleave replayed as 16 shift/mask terms (disjoint
+    // target bits, so SUM == OR).
+    "curation_zorder" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey % 256 AS x,
+        |                  o_orderkey % 256 AS y FROM orders)
+        |SELECT o_orderkey, x, y,
+        |  CAST((((x >> 0) & 1) << 0) + (((x >> 1) & 1) << 2) + (((x >> 2) & 1) << 4) + (((x >> 3) & 1) << 6) + (((x >> 4) & 1) << 8) + (((x >> 5) & 1) << 10) + (((x >> 6) & 1) << 12) + (((x >> 7) & 1) << 14) + (((y >> 0) & 1) << 1) + (((y >> 1) & 1) << 3) + (((y >> 2) & 1) << 5) + (((y >> 3) & 1) << 7) + (((y >> 4) & 1) << 9) + (((y >> 5) & 1) << 11) + (((y >> 6) & 1) << 13) + (((y >> 7) & 1) << 15) AS BIGINT) AS zkey
+        |FROM t""".stripMargin,
     // Literal fixture with the hand-derived effective canonical key
     // per row (docs 1/2/3/6 merge — utm strip, declared canonical,
     // scheme/host case + default port + fragment; doc 4's RELATIVE
@@ -2802,6 +2974,38 @@ object SparkEntry {
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, url,
         |       md5(norm) AS text_md5
         |FROM win WHERE rn = 1""".stripMargin,
+    // Politeness verdicts from doc_id arithmetic (host = id % 5:
+    // site0 disallow-all; site1 graftbot-denied except the $-anchored
+    // allow for ids ending in 1; site2 no robots; site3 no applicable
+    // group; site4 exact-empty-group overrides the * disallow), text
+    // md5 from raw text for fetchable pages (extraction keeps the
+    // normalized paragraph when it clears the ten-word gate, else
+    // empty text).
+    "e2e_warc_politeness" ->
+      """WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))
+        |      AS norm
+        |  FROM documents),
+        |b AS (SELECT doc_id, norm, doc_id % 5 AS h,
+        |    'http://www.site' || (doc_id % 5) || '-example.org/p/' ||
+        |      doc_id AS url,
+        |    CASE WHEN norm = '' THEN 0
+        |         ELSE len(string_split(norm, ' ')) END AS nw
+        |  FROM n),
+        |v AS (SELECT doc_id, url, norm, nw,
+        |    CASE WHEN h = 0 THEN FALSE
+        |         WHEN h = 1 AND doc_id % 10 <> 1 THEN FALSE
+        |         ELSE TRUE END AS allowed,
+        |    CASE WHEN h = 0 THEN '/'
+        |         WHEN h = 1 AND doc_id % 10 = 1 THEN '/p/*1$'
+        |         WHEN h = 1 THEN '/p/'
+        |         ELSE NULL END AS matched
+        |  FROM b)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, url, allowed, matched,
+        |  CASE WHEN allowed THEN
+        |    (CASE WHEN nw >= 10 THEN md5(norm) ELSE md5('') END)
+        |  END AS text_md5
+        |FROM v""".stripMargin,
     // The raw-WARC round trip re-derived from raw text: the page
     // (same escape chain), the HTTP message (fixed head +
     // octet-counted body), and the envelope length as octets of that
@@ -3361,6 +3565,18 @@ object SparkEntry {
         |SELECT doc_id, sent_idx, md5(sentence) AS sent_md5,
         |  length(sentence) AS n_chars
         |FROM e WHERE length(trim(sentence)) > 0""".stripMargin,
+    "text_phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, $dToks toks FROM documents),
+         |p(phrase) AS (VALUES ('batch batch'), ('key order'),
+         |  ('slow fast'), ('quantum flux capacitor')),
+         |pt AS (SELECT phrase, string_split(phrase, ' ') ptoks FROM p),
+         |m AS (SELECT t.doc_id, pt.phrase, i AS start
+         |      FROM t, pt,
+         |           unnest(range(1, len(t.toks) - len(pt.ptoks) + 2)) AS u(i)
+         |      WHERE list_slice(t.toks, i, i + len(pt.ptoks) - 1) = pt.ptoks)
+         |SELECT doc_id, phrase, count(*) AS n_matches,
+         |       CAST(min(start) AS BIGINT) AS first_pos
+         |FROM m GROUP BY 1, 2""".stripMargin,
     "text_novelty" ->
       s"""WITH t AS (SELECT doc_id, $dToks w FROM documents),
          |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),

@@ -138,6 +138,13 @@ object GraftFunctions {
     },
     "html_links" -> { args =>
       expectArgs("html_links", args, 1); HtmlLinks(args(0))
+    },
+    "robots_rules" -> { args =>
+      expectArgs("robots_rules", args, 2); RobotsRules(args(0), args(1))
+    },
+    "robots_decision" -> { args =>
+      expectArgs("robots_decision", args, 2)
+      RobotsDecision(args(0), args(1))
     })
 
   private def info(name: String): ExpressionInfo =

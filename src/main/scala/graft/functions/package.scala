@@ -288,4 +288,16 @@ package object functions {
   def psl_registrable_domain(host: Column,
       rules: org.apache.spark.sql.graft.PslRules): Column =
     org.apache.spark.sql.graft.PslDomainColumns.pslRegistrableDomain(host, rules)
+
+  /** Ordered robots.txt rules applying to one crawler product token
+    * (ARRAY<STRUCT<allow, pattern>>, RFC 9309 group selection) — see
+    * [[org.apache.spark.sql.graft.RobotsRules]]. */
+  def robots_rules(body: Column, agent: Column): Column =
+    org.apache.spark.sql.graft.RobotsColumns.robotsRules(body, agent)
+
+  /** Politeness decision of a [[robots_rules]] array against one URL
+    * path (STRUCT<allowed, matched>, longest-match / allow-wins-tie) —
+    * see [[org.apache.spark.sql.graft.RobotsDecision]]. */
+  def robots_decision(rules: Column, path: Column): Column =
+    org.apache.spark.sql.graft.RobotsColumns.robotsDecision(rules, path)
 }

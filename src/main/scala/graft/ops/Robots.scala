@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Crawl POLITENESS over a corpus: apply each host's robots.txt to its
+  * URLs (RFC 9309) — the screen a responsible crawl pipeline runs
+  * before anything else in the WARC front door (reference scope note:
+  * the reference engine has no crawl layer; this is the LLM-pipeline
+  * brief's raw-web ingestion completed — meta-robots `noindex`
+  * [[graft.sources.Warc.htmlMetaRobots]] governs INDEXING the fetched
+  * page, robots.txt governs FETCHING it at all).
+  *
+  * Execution shape at 100 TB: robots.txt bodies are PER-HOST (one row
+  * per host — millions of rows, kilobytes each), the corpus is
+  * per-URL (billions). So rules parse ONCE per host on the small side
+  * ([[graft.functions.robots_rules]], the cold path), then a
+  * broadcast-eligible equi-join on host ships the parsed rule arrays
+  * to the corpus and the per-URL decision
+  * ([[graft.functions.robots_decision]], the hot path) runs as a
+  * zero-shuffle codegen'd projection. No regex compilation per URL,
+  * no robots re-parse per URL. Hosts missing from the robots frame
+  * decide `allowed` (a missing robots.txt permits crawling, RFC 9309
+  * §2.3.1.2) with a NULL matched pattern — same verdict shape as a
+  * present-but-unmatched rule set, distinguishable by joining the
+  * robots frame back if an audit needs it.
+  *
+  * Works UNCHANGED on a streaming corpus against a static robots
+  * snapshot (stream-static left join + stateless projection), the
+  * same deployment stance as [[Domains.filterByDomainList]]. */
+object Robots {
+
+  /** Path-plus-query of a URL (the RFC 9309 match target): everything
+    * from the first `/` after the authority up to the fragment, `/`
+    * when the URL has no path (`http://h` → `/`). Unparseable URLs
+    * (no scheme) → NULL — countable, never silently allowed; same
+    * stance as [[Domains.host]]. One RE2-safe regexp, zero UDFs, so
+    * the DuckDB oracle replays it verbatim. */
+  def urlPathQuery(url: Column): Column =
+    when(Domains.host(url).isNull, lit(null).cast("string"))
+      .otherwise(coalesce(nullif(
+        regexp_extract(url,
+          "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1),
+        lit("")), lit("/")))
+
+  /** `docs` plus the politeness verdict: `allowed` (boolean) and
+    * `matched` (the winning rule pattern, NULL when no rule applied).
+    * `robots` is one row per host: `(host, body)` with `host`
+    * lowercase (the [[Domains.host]] convention) and `body` the raw
+    * robots.txt text. `agent` is the crawler product token. NULL
+    * paths (unparseable URLs) decide NOT allowed — a URL we cannot
+    * even parse is not one we can politely fetch. */
+  def decisions(docs: DataFrame, urlCol: Column, robots: DataFrame,
+      agent: String): DataFrame = {
+    require(!docs.columns.contains("allowed") &&
+      !docs.columns.contains("matched"),
+      "decisions writes 'allowed'/'matched' — rename the caller's " +
+        "columns of those names first (refusing to silently overwrite)")
+    val taken = docs.columns.toSet ++ Seq("allowed", "matched")
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => s"_${base}_$i").find(!taken(_)).get
+    val hcol = fresh("host")
+    val rcol = fresh("rules")
+    val dcol = fresh("dec")
+    val parsed = robots.select(
+      lower(col("host")).as(hcol),
+      graft.functions.robots_rules(col("body"), lit(agent)).as(rcol))
+    docs
+      .withColumn(hcol, Domains.host(urlCol))
+      .join(parsed, Seq(hcol), "left_outer")
+      .withColumn(dcol,
+        graft.functions.robots_decision(col(rcol), urlPathQuery(urlCol)))
+      .withColumn("allowed",
+        when(urlPathQuery(urlCol).isNull, lit(false))
+          .otherwise(coalesce(col(dcol)("allowed"), lit(true))))
+      .withColumn("matched", col(dcol)("matched"))
+      .drop(hcol, rcol, dcol)
+  }
+
+  /** Keep only the rows `agent` may fetch per each host's robots.txt
+    * ([[decisions]]' `allowed = true`), original columns unchanged. */
+  def filterByRobots(docs: DataFrame, urlCol: Column, robots: DataFrame,
+      agent: String): DataFrame = {
+    val original = docs.columns
+    decisions(docs, urlCol, robots, agent)
+      .filter(col("allowed"))
+      .select(original.map(col).toIndexedSeq: _*)
+  }
+}

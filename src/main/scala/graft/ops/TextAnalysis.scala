@@ -1503,4 +1503,67 @@ object TextAnalysis {
       .withColumn("chars_per_token",
         when(col("n_tokens") > 0, col("n_codepoints").cast("double") / col("n_tokens")))
   }
+
+  /** Exact token-sequence PHRASE SEARCH over the corpus — the
+    * positional-inverted-index spelling of "which documents contain
+    * this eval question verbatim", the retrieval primitive behind
+    * span-level decontamination audits and quote tracing. Returns one
+    * row per `(doc_id, phrase)` WITH at least one match: `n_matches`
+    * (every start position, overlapping occurrences included —
+    * "batch batch batch batch" contains "batch batch batch" twice)
+    * and `first_pos` (1-based token index of the earliest match).
+    *
+    * Phrases and documents tokenize identically ([[TextOps.tokens]]:
+    * lowercase, trim, whitespace split), so matching is
+    * token-boundary exact, not substring (no "cat" inside
+    * "concatenate").
+    *
+    * Execution shape at 100 TB — NO full-text scan joins, NO
+    * per-phrase passes: the corpus token stream is position-exploded
+    * once and immediately FILTERED to the phrase vocabulary (a plan
+    * literal, map-side — a token outside every phrase never reaches a
+    * shuffle), then one broadcast join against the exploded
+    * `(phrase, offset, token)` table turns each surviving token into
+    * candidate `(doc_id, phrase, start = pos − offset)` votes, and
+    * one count-shuffle keeps starts where EVERY offset voted
+    * (`count == phrase length` — positions are distinct per doc, so
+    * the count can only reach the length when all offsets align;
+    * repeated tokens inside a phrase are handled by the same
+    * arithmetic). Wire volume is candidate-proportional: phrase-
+    * vocabulary hits, not corpus tokens. Phrase sets are eval-set
+    * sized (thousands) — the broadcast is bounded by total phrase
+    * tokens. */
+  def phraseSearch(docs: DataFrame, phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "phraseSearch needs at least one phrase")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // Duplicate phrase strings would double their candidate votes and
+    // break the count == length test — one row per distinct phrase.
+    val phraseToks: Seq[(String, Seq[String])] = phrases.distinct.map { p =>
+      val t = p.trim.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").toSeq.filter(_.nonEmpty)
+      require(t.nonEmpty, s"phrase tokenizes to nothing: '$p'")
+      (p, t)
+    }
+    val vocab = phraseToks.flatMap(_._2).distinct
+    val pt = phraseToks
+      .flatMap { case (p, t) =>
+        t.zipWithIndex.map { case (tok, off) => (p, t.length, off, tok) }
+      }
+      .toDF("phrase", "plen", "off", "tok")
+    docs
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(vocab: _*))
+      .join(broadcast(pt), Seq("tok"))
+      .select(col("doc_id"), col("phrase"), col("plen"),
+        (col("pos") - col("off")).as("start"))
+      .filter(col("start") >= 0)
+      .groupBy(col("doc_id"), col("phrase"), col("plen"), col("start"))
+      .agg(count(lit(1)).as("_hits"))
+      .filter(col("_hits") === col("plen"))
+      .groupBy(col("doc_id"), col("phrase"))
+      .agg(count(lit(1)).as("n_matches"),
+        (min(col("start")) + 1).cast("long").as("first_pos"))
+  }
 }

@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Domains, Robots}
+
+/** Crawl politeness (RFC 9309): robots.txt group selection, rule
+  * parsing, path-pattern matching (longest-match / allow-wins-tie /
+  * trailing-$ anchor), the path+query match target, and the host-join
+  * decision layer. */
+class RobotsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def rulesOf(body: String, agent: String): Seq[(Boolean, String)] =
+    Seq(body).toDF("body")
+      .select(explode(graft.functions.robots_rules(col("body"),
+        lit(agent))).as("r"))
+      .select("r.allow", "r.pattern")
+      .as[(Boolean, String)].collect().toSeq
+
+  test("robots_rules: groups, comments, unknown fields, group selection") {
+    val body =
+      """# a comment line
+        |User-agent: *
+        |Disallow: /private/   # trailing comment
+        |Allow: /private/public/
+        |
+        |Sitemap: https://ex.com/sitemap.xml
+        |Crawl-delay: 10
+        |Disallow: /*.pdf$
+        |
+        |User-agent: megabot
+        |Disallow: /
+        |""".stripMargin
+    // graftbot has no exact group -> the * group's three rules apply
+    // (the blank line and interleaved sitemap/crawl-delay do not end
+    // the group).
+    assert(rulesOf(body, "graftbot") == Seq(
+      (false, "/private/"), (true, "/private/public/"),
+      (false, "/*.pdf$")))
+    // megabot HAS an exact group -> only its rule applies.
+    assert(rulesOf(body, "megabot") == Seq((false, "/")))
+  }
+
+  test("robots_rules: multi-UA groups, exact beats star, UA case-insensitive, rule order kept") {
+    val body =
+      """User-agent: graftbot
+        |User-agent: otherbot
+        |Disallow: /
+        |Allow: /docs/*
+        |
+        |User-agent: *
+        |Disallow: /tmp/
+        |""".stripMargin
+    assert(rulesOf(body, "GraftBot") == Seq(
+      (false, "/"), (true, "/docs/*")))
+    assert(rulesOf(body, "thirdbot") == Seq((false, "/tmp/")))
+  }
+
+  test("robots_rules: exact group with zero rules still wins over *; empty-value rules ignored; rules before any UA dropped") {
+    val body =
+      """Disallow: /orphan-rule-ignored
+        |User-agent: graftbot
+        |Disallow:
+        |User-agent: *
+        |Disallow: /all/
+        |""".stripMargin
+    // The empty Disallow ends graftbot's UA run, so the following
+    // User-agent: * starts a NEW group — graftbot's exact group has
+    // zero rules and that zero-rule set is what applies (allow all).
+    assert(rulesOf(body, "graftbot") == Seq.empty)
+    assert(rulesOf(body, "anyone") == Seq((false, "/all/")))
+  }
+
+  test("pattern matching: prefix, *, trailing-$ anchor, literal mid-$, case-sensitivity") {
+    import org.apache.spark.sql.graft.RobotsImpl.matches
+    assert(matches("/private/", "/private/x.html"))
+    assert(!matches("/private/", "/Private/x.html")) // case-sensitive
+    assert(matches("/", "/anything"))
+    assert(matches("/*.pdf$", "/files/report.pdf"))
+    assert(!matches("/*.pdf$", "/files/report.pdf?dl=1")) // anchored
+    assert(matches("/*.pdf", "/files/report.pdf?dl=1")) // unanchored
+    assert(matches("/a*b*c", "/aXbYc-and-more"))
+    assert(!matches("/a*b*c", "/aXcYb")) // segments in order
+    assert(matches("/a$b", "/a$bcd")) // mid-$ is literal
+    assert(matches("/a$", "/a"))
+    assert(!matches("/a$", "/ab"))
+    assert(matches("*", "/whatever")) // bare star
+    assert(matches("*.pdf$", "/x.pdf")) // no leading slash, tolerated
+  }
+
+  test("decisions: longest-match wins, allow wins ties, missing robots allows, no-group allows, null URL denies") {
+    val robots = Seq(
+      ("a.example.com",
+        "User-agent: *\nDisallow: /private/\nAllow: /private/public/\n"),
+      ("e.example.com",
+        "User-agent: graftbot\nAllow: /a$\nDisallow: /a\n"),
+      ("d.example.com", "User-agent: megabot\nDisallow: /\n"))
+      .toDF("host", "body")
+    val docs = Seq(
+      (1L, "http://a.example.com/private/secret"),
+      (2L, "http://a.example.com/private/public/ok"),
+      (3L, "http://a.example.com/open"),
+      (4L, "http://e.example.com/a"),   // /a$ (len 3) beats /a (len 2)
+      (5L, "http://e.example.com/ab"),  // only /a matches
+      (6L, "http://c.example.com/x"),   // no robots row
+      (7L, "http://d.example.com/x"),   // no applicable group
+      (8L, "not a url"))
+      .toDF("doc_id", "url")
+    val got = Robots.decisions(docs, col("url"), robots, "graftbot")
+      .select("doc_id", "allowed", "matched")
+      .as[(Long, Boolean, Option[String])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, false, Some("/private/")),
+      (2L, true, Some("/private/public/")),
+      (3L, true, None),
+      (4L, true, Some("/a$")),
+      (5L, false, Some("/a")),
+      (6L, true, None),
+      (7L, true, None),
+      (8L, false, None)))
+    val kept = Robots.filterByRobots(docs, col("url"), robots, "graftbot")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 3L, 4L, 6L, 7L))
+    // filterByRobots preserves the caller's schema exactly.
+    assert(Robots.filterByRobots(docs, col("url"), robots, "graftbot")
+      .columns.toSeq == Seq("doc_id", "url"))
+  }
+
+  test("urlPathQuery: path+query, no-path default, fragment dropped, unparseable null") {
+    val got = Seq(
+      "http://h.ex/",
+      "http://h.ex",
+      "http://h.ex/p/q?x=1&y=2",
+      "http://h.ex/p#frag",
+      "http://h.ex/p?x=1#frag",
+      "HTTPS://H.EX:8443/Case/Sensitive",
+      "garbage")
+      .toDF("url").select(Robots.urlPathQuery(col("url")))
+      .as[Option[String]].collect().toSeq
+    assert(got == Seq(Some("/"), Some("/"), Some("/p/q?x=1&y=2"),
+      Some("/p"), Some("/p?x=1"), Some("/Case/Sensitive"), None))
+  }
+
+  test("decisions refuses to overwrite caller 'allowed'/'matched' columns") {
+    val robots = Seq(("h.ex", "User-agent: *\nDisallow: /\n"))
+      .toDF("host", "body")
+    val docs = Seq((1L, "http://h.ex/", true))
+      .toDF("doc_id", "url", "allowed")
+    val e = intercept[IllegalArgumentException] {
+      Robots.decisions(docs, col("url"), robots, "graftbot")
+    }
+    assert(e.getMessage.contains("allowed"))
+  }
+
+  test("streaming politeness parity: WET stream -> robots filter equals the batch chain") {
+    // The crawl-ingest deployment: shards stream in, the robots
+    // snapshot is a static per-host frame, the politeness screen is a
+    // stream-static left join + stateless projection — batch ≡ stream
+    // by construction, pinned here end-to-end. doc_id % 2 == 0 lands
+    // under a disallowed prefix.
+    val dir = java.nio.file.Files.createTempDirectory("robots_stream")
+      .toString
+    val ckpt = java.nio.file.Files.createTempDirectory("robots_ckpt")
+      .toString
+    try {
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(40).select(col("doc_id"), col("text"))
+      graft.sources.Wet.writeWet(docs.select(
+        concat(lit("https://crawl.example.com/"),
+          when(col("doc_id") % 2 === 0, lit("private/"))
+            .otherwise(lit("public/")),
+          col("doc_id")).as("uri"),
+        lit("2026-01-01T00:00:00Z").as("date"), col("text")), dir)
+      val robots = Seq(("crawl.example.com",
+        "User-agent: *\nDisallow: /private/\n")).toDF("host", "body")
+      def chain(wet: org.apache.spark.sql.DataFrame) =
+        Robots.filterByRobots(
+          graft.sources.Wet.wetDocuments(wet), col("url"), robots,
+          "graftbot")
+      val q = chain(graft.sources.Wet.readWetStream(spark, dir))
+        .writeStream.format("memory").queryName("robots_stream_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      val streamed = spark.table("robots_stream_out")
+        .select("doc_id").as[Long].collect().toSet
+      val batch = chain(graft.sources.Wet.readWet(spark, dir))
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty && batch.forall(_ % 2 != 0))
+      assert(batch == docs.select("doc_id").as[Long].collect()
+        .filter(_ % 2 != 0).toSet)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS robots_stream_out")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(dir)); rm(new java.io.File(ckpt))
+    }
+  }
+
+  test("robots_decision registered for SQL use") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val got = spark.sql(
+      """SELECT robots_decision(
+        |  robots_rules('User-agent: *
+        |Disallow: /no/', 'graftbot'), '/no/x').allowed""".stripMargin)
+      .collect()(0).getBoolean(0)
+    assert(!got)
+  }
+}
