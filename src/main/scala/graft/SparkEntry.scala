@@ -1100,6 +1100,17 @@ object SparkEntry {
     // identical iteration in DuckDB integer SQL and the result
     // hash-matches exactly (float PageRank could never gate this
     // way).
+    // Anchor-text profile of link targets: top-k inbound anchor terms
+    // per registrable target domain (deterministic row_number ties).
+    // Same shared fixture as the link graph, so the oracle re-derives
+    // the terms from doc_id arithmetic; the internal links drop, the
+    // nofollow link counts (skipNofollow default false, matching the
+    // edge gate), and each fixture target has one term -> rank 1
+    // everywhere (ranking itself is spec-pinned on multi-anchor HTML).
+    "curation_anchor_text" -> ((s, d) =>
+      graft.ops.Domains.anchorTermsByDomain(
+        linkGraphPages(s, d), col("url"), col("html"), k = 10)
+        .withColumnRenamed("rank", "term_rank")),
     "curation_domain_rank" -> ((s, d) =>
       graft.ops.Domains.pageRankFixedPoint(
         graft.ops.Domains.outlinkDomainEdges(
@@ -2767,6 +2778,17 @@ object SparkEntry {
         |  FROM documents)
         |SELECT src_domain, dst_domain,
         |       CAST(count(*) AS BIGINT) AS n_links
+        |FROM e GROUP BY 1, 2""".stripMargin,
+    "curation_anchor_text" ->
+      """WITH e AS (
+        |  SELECT 'hub' || (doc_id % 3) || '.org' AS domain,
+        |         'story' AS term FROM documents
+        |  UNION ALL
+        |  SELECT 'assets' || (doc_id % 2) || '.net', 'img' FROM documents
+        |  UNION ALL
+        |  SELECT 'tracker.biz', 'spam' FROM documents)
+        |SELECT domain, term, CAST(count(*) AS BIGINT) AS n_links,
+        |       CAST(1 AS BIGINT) AS term_rank
         |FROM e GROUP BY 1, 2""".stripMargin,
     // The identical fixed-point iteration in DuckDB integer SQL:
     // // is BIGINT floor division (all values non-negative, so it

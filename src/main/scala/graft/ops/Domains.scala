@@ -439,6 +439,57 @@ object Domains {
         col("dst_domain").as("id_b")))
       .select(col("doc_id").as("domain"), col("component_id"))
 
+  /** ANCHOR-TEXT profile of each link TARGET domain: the classic
+    * web-corpus description signal — what the rest of the web calls a
+    * site is often a better topical/quality signal than the site's
+    * own text (link farms self-describe as anything; their inbound
+    * anchors say "casino"). Returns `(domain, term, n_links, rank)`:
+    * for each registrable TARGET domain, the top `k` anchor terms by
+    * inbound-link count (rank is `row_number` by count desc, term asc
+    * — deterministic, oracle-portable tie-break), counting one
+    * occurrence per term per link.
+    *
+    * Same link semantics as [[outlinkDomainEdges]] (one native
+    * `html_links` scan, [[linkTargetHost]] resolution, internal links
+    * dropped by default, `skipNofollow` opt-in with the same rel
+    * grammar); anchors tokenize via [[TextOps.tokens]]. Scale shape:
+    * the map side emits only (target-domain, term) pairs — anchor
+    * text is a few tokens per link, so wire volume is edge-bounded,
+    * never page-bounded; one count shuffle + one rank window
+    * partitioned by domain (hot mega-domains bound each task at the
+    * per-domain term vocabulary, zipfian-small). */
+  def anchorTermsByDomain(pages: DataFrame, urlCol: Column,
+      htmlCol: Column, k: Int = 10,
+      includeInternal: Boolean = false, skipNofollow: Boolean = false,
+      multiPartSuffixes: Seq[String] = DefaultMultiPartSuffixes): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val l = pages.select(urlCol.as("_page_url"),
+      explode(graft.functions.html_links(htmlCol)).as("_l"))
+    val l2 = if (skipNofollow)
+      l.filter(!col("_l.rel").rlike("(^|[ \\t])nofollow([ \\t]|$)"))
+    else l
+    val pairs = l2.select(
+        registrableDomain(host(col("_page_url")), multiPartSuffixes)
+          .as("_src"),
+        registrableDomain(
+          linkTargetHost(col("_page_url"), col("_l.href")),
+          multiPartSuffixes).as("domain"),
+        col("_l.anchor").as("_anchor"))
+      .filter(col("_src").isNotNull && col("domain").isNotNull)
+    val external = if (includeInternal) pairs
+      else pairs.filter(col("_src") =!= col("domain"))
+    val terms = external
+      .select(col("domain"), explode(graft.ops.TextOps.tokens(col("_anchor")))
+        .as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("domain", "term").agg(count(lit(1)).as("n_links"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain"))
+      .orderBy(col("n_links").desc, col("term").asc)
+    terms.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Substrings whose presence in a URL marks it spam/adult — the
     * crawl-standard URL-level quality prefilter (soft keyword matching
     * over the full URL, applied BEFORE any content is fetched or

@@ -86,4 +86,26 @@ object Robots {
       .filter(col("allowed"))
       .select(original.map(col).toIndexedSeq: _*)
   }
+
+  /** Build the `(host, body)` robots frame straight FROM a crawl — a
+    * real crawl archives its `/robots.txt` fetches as ordinary
+    * response records, so the politeness snapshot is derivable from
+    * the WARC itself (no side channel). Takes a
+    * [[graft.sources.Warc.readWarc]] frame; keeps successful (2xx)
+    * decodable fetches whose path is exactly `/robots.txt` (media
+    * type is NOT screened — servers mislabel robots.txt constantly,
+    * and the parser is grammar-tolerant by design). One row per host:
+    * when a crawl holds several fetches of the same host's robots.txt
+    * the EARLIEST `warc_date` wins deterministically (min-struct,
+    * body as tie-break) — the snapshot that governed the crawl. */
+  def robotsFromCrawl(warc: DataFrame): DataFrame =
+    warc.filter(col("warc_type") === "response" &&
+        col("http_status") >= 200 && col("http_status") <= 299 &&
+        col("content_encoding").isin("", "identity", "gzip", "x-gzip") &&
+        urlPathQuery(col("target_uri")) === "/robots.txt")
+      .select(Domains.host(col("target_uri")).as("host"),
+        struct(col("warc_date"), col("html")).as("_pick"))
+      .filter(col("host").isNotNull)
+      .groupBy("host")
+      .agg(min(col("_pick")).getField("html").as("body"))
 }

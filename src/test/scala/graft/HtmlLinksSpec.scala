@@ -249,6 +249,34 @@ class HtmlLinksSpec extends AnyFunSuite {
     assert(auto == explicit)
   }
 
+  test("anchorTermsByDomain: counts, top-k cutoff, deterministic tie-break, internal drop, nofollow policy") {
+    val pages = Seq((
+      "http://www.src-site.com/a",
+      """<a href="http://t1-ex.org/x">great casino deal</a>
+        |<a href="http://t1-ex.org/y">casino bonus</a>
+        |<a href="/internal">home</a>
+        |<a href="http://www.src-site.com/z">self</a>
+        |<a href="http://t2-ex.net/s" rel="nofollow">spamword</a>"""
+        .stripMargin))
+      .toDF("url", "html")
+    val got = graft.ops.Domains.anchorTermsByDomain(
+        pages, col("url"), col("html"), k = 2)
+      .as[(String, String, Long, Long)].collect()
+      .sortBy(r => (r._1, r._4)).toSeq
+    // t1-ex.org: casino x2 wins; the 1-count tie (bonus/deal/great)
+    // breaks alphabetically -> bonus at rank 2; k=2 cuts the rest.
+    // Internal links (page-relative and same-registrable) dropped;
+    // nofollow counts by default.
+    assert(got == Seq(
+      ("t1-ex.org", "casino", 2L, 1L),
+      ("t1-ex.org", "bonus", 1L, 2L),
+      ("t2-ex.net", "spamword", 1L, 1L)))
+    val noFollow = graft.ops.Domains.anchorTermsByDomain(
+        pages, col("url"), col("html"), k = 2, skipNofollow = true)
+      .select("domain").as[String].collect().toSet
+    assert(noFollow == Set("t1-ex.org"))
+  }
+
   test("dedupByDeclaredCanonical: absolute declared canonical merges; relative falls back to page URL") {
     val docs = Seq(
       (1L, "https://ex.com/article", "<p>original</p>"),

@@ -204,6 +204,41 @@ class RobotsSpec extends AnyFunSuite {
     }
   }
 
+  test("robotsFromCrawl: /robots.txt responses become the per-host frame; earliest fetch wins; composes with filterByRobots") {
+    val dir = java.nio.file.Files.createTempDirectory("robots_crawl")
+      .toString + "/out"
+    val records = Seq(
+      // Two robots fetches for h1 — the EARLIER (stricter) one wins.
+      ("http://h1.example.com/robots.txt", "2026-01-01T00:00:00Z",
+        "User-agent: *\nDisallow: /private/\n"),
+      ("http://h1.example.com/robots.txt", "2026-02-01T00:00:00Z",
+        "User-agent: *\nDisallow:\n"),
+      ("http://h1.example.com/private/1", "2026-01-02T00:00:00Z",
+        "<p>secret</p>"),
+      ("http://h1.example.com/public/2", "2026-01-02T00:00:00Z",
+        "<p>open</p>"),
+      ("http://h2.example.com/public/3", "2026-01-02T00:00:00Z",
+        "<p>no robots host</p>"))
+      .toDF("uri", "date", "html")
+    graft.sources.Warc.writeWarc(records, dir)
+    val warc = graft.sources.Warc.readWarc(spark, dir)
+    val robots = Robots.robotsFromCrawl(warc)
+      .as[(String, String)].collect().toMap
+    assert(robots.keySet == Set("h1.example.com", "h2.example.com") ||
+      robots.keySet == Set("h1.example.com"))
+    // h2's /public/3 page is NOT a robots.txt; only h1 has one.
+    assert(robots.keySet == Set("h1.example.com"))
+    assert(robots("h1.example.com").contains("Disallow: /private/"))
+    val pages = warc.filter(
+      !col("target_uri").endsWith("/robots.txt"))
+    val kept = Robots.filterByRobots(
+      graft.sources.Warc.warcHtmlDocuments(pages), col("url"),
+      Robots.robotsFromCrawl(warc), "graftbot")
+      .select("url").as[String].collect().toSet
+    assert(kept == Set("http://h1.example.com/public/2",
+      "http://h2.example.com/public/3"))
+  }
+
   test("robots_decision registered for SQL use") {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     val got = spark.sql(
