@@ -242,6 +242,37 @@ object ScaleSlope {
         Domains.pageRankFixedPoint(
           Domains.outlinkDomainEdges(slopeLinkPages(df, k),
             col("url"), col("html")), iterations = 3)),
+      // Round-13: politeness on the URL axis — hosts (5k) AND urls
+      // (corpus rows) both grow ~k, so the cold half (one parse per
+      // host) and the hot half (one decision per URL off the host
+      // join) are both on the measured axis.
+      "curation_robots" -> ((df, k) => {
+        val urls = df.select(col("doc_id"),
+          concat(lit("http://www.site"), col("doc_id") % (5 * k),
+            lit("-example.org/"),
+            when(col("doc_id") % 2 === 0, lit("private/"))
+              .otherwise(lit("public/")),
+            col("doc_id")).as("url"))
+        val hosts = urls.select(Domains.host(col("url")).as("host"))
+          .distinct()
+          .withColumn("body", lit("User-agent: *\nDisallow: /private/\n" +
+            "Allow: /private/public/\nDisallow: /*.pdf$\n"))
+        Robots.decisions(urls, col("url"), hosts, "graftbot")
+      }),
+      // Round-13: phrase search on the corpus axis — the scan and the
+      // map-side vocabulary filter grow ~k while candidates stay
+      // bounded (replica tokens are qq-salted, so only replica 0 can
+      // match): the 100 TB shape is exactly "corpus grows, phrase-hit
+      // volume doesn't".
+      "text_phrase_search" -> ((df, _) =>
+        TextAnalysis.phraseSearch(df, Seq(
+          "batch batch", "key order", "slow fast",
+          "quantum flux capacitor"))),
+      // Round-13: anchor-text profile on the GRAPH axis (same
+      // k-scaled link fixture as the edge/rank rows).
+      "curation_anchor_text" -> ((df, k) =>
+        Domains.anchorTermsByDomain(slopeLinkPages(df, k),
+          col("url"), col("html"), k = 10)),
       // Round-8 additions: trainer + encoder (driver merge loop is
       // vocab-capped, distributed pass corpus-sized), the tf/df family,
       // and the S-bounded-fan-out source audit.
