@@ -2080,6 +2080,31 @@ object SparkEntry {
     // three batches); the absent phrase returns no rows; matching is
     // token-boundary exact. The oracle replays it with list_slice
     // over every start position.
+    // Asymmetric near-dup: containment = common / min(|A|,|B|) —
+    // catches a document quoted whole inside a larger wrapper, where
+    // jaccard (common/union) stays low. Exact pair replay in SQL.
+    "dedup_containment" -> ((s, d) =>
+      graft.ops.Dedup.ngramContainmentPairs(documents(s, d), 3, 0.8)),
+    // Mixed-language profile at sentence granularity: per-sentence
+    // marker language ID rolled up to counts + majority + the
+    // disagreeing fraction; documents with no sentences survive with
+    // zeros and 'und'.
+    "text_lang_spans" -> ((s, d) =>
+      graft.ops.TextAnalysis.langSpans(documents(s, d))),
+    // Unicode NFC normalization (native java.text.Normalizer wrapper
+    // with the isNormalized fast path): a decomposed suffix (two
+    // combining acutes) is glued onto every document, NFC composes it
+    // back — md5 + codepoint counts replayed via DuckDB's
+    // nfc_normalize.
+    "text_unicode_nfc" -> ((s, d) => {
+      val suffixed = concat(col("text"), lit(" cafe\u0301 ae\u0301iou"))
+      documents(s, d).select(col("doc_id"),
+        md5(graft.functions.unicode_normalize(suffixed, "NFC"))
+          .as("nfc_md5"),
+        length(suffixed).cast("long").as("n_before"),
+        length(graft.functions.unicode_normalize(suffixed, "NFC"))
+          .cast("long").as("n_after"))
+    }),
     "text_phrase_search" -> ((s, d) =>
       graft.ops.TextAnalysis.phraseSearch(documents(s, d), Seq(
         "batch batch", "key order", "slow fast",
@@ -3587,6 +3612,64 @@ object SparkEntry {
         |SELECT doc_id, sent_idx, md5(sentence) AS sent_md5,
         |  length(sentence) AS n_chars
         |FROM e WHERE length(trim(sentence)) > 0""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH t AS (SELECT doc_id, $dToks w FROM documents),
+         |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),
+         |sh AS (SELECT DISTINCT a.doc_id, a.tk || ' ' || b.tk || ' ' || c.tk AS s
+         |       FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.i=a.i+1
+         |                  JOIN tok c ON a.doc_id=c.doc_id AND c.i=a.i+2),
+         |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         |common AS (SELECT x.doc_id id_a, y.doc_id id_b, count(*) c
+         |           FROM sh x JOIN sh y ON x.s=y.s AND x.doc_id<y.doc_id GROUP BY 1,2)
+         |SELECT id_a, id_b, c*1.0/least(na.n, nb.n) AS containment
+         |FROM common JOIN sizes na ON na.doc_id=id_a JOIN sizes nb ON nb.doc_id=id_b
+         |WHERE c*1.0/least(na.n, nb.n) >= 0.8""".stripMargin,
+    "text_lang_spans" ->
+      """WITH m AS (SELECT doc_id,
+        |    string_split(regexp_replace(replace(text, chr(1), ''),
+        |      '([.!?]+)\s+', '\1' || chr(1), 'g'), chr(1)) AS parts
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(parts) AS sentence FROM m),
+        |sents AS (SELECT doc_id, sentence FROM e
+        |          WHERE length(trim(sentence)) > 0),
+        |c AS (SELECT doc_id, len(list_filter(string_split_regex(lower(trim(sentence)), '\s+'), x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS en, len(list_filter(string_split_regex(lower(trim(sentence)), '\s+'), x -> list_contains(['der','die','das','und','nicht','ein','zu','ist','mit','von'], x))) AS de, len(list_filter(string_split_regex(lower(trim(sentence)), '\s+'), x -> list_contains(['le','la','les','et','ne','un','une','est','avec','de'], x))) AS fr
+        |      FROM sents),
+        |tagged AS (SELECT doc_id,
+        |    CASE WHEN greatest(en,de,fr) = 0 THEN 'und'
+        |         WHEN de = greatest(en,de,fr) THEN 'de'
+        |         WHEN en = greatest(en,de,fr) THEN 'en'
+        |         ELSE 'fr' END AS slang
+        |  FROM c),
+        |counts AS (SELECT doc_id, count(*) AS n_sents,
+        |    CAST(sum(CASE WHEN slang='en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        |    CAST(sum(CASE WHEN slang='de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+        |    CAST(sum(CASE WHEN slang='fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+        |    CAST(sum(CASE WHEN slang='und' THEN 1 ELSE 0 END) AS BIGINT) AS n_und
+        |  FROM tagged GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(n_sents, 0) AS n_sents,
+        |  coalesce(n_en, 0) AS n_en, coalesce(n_de, 0) AS n_de,
+        |  coalesce(n_fr, 0) AS n_fr, coalesce(n_und, 0) AS n_und,
+        |  CASE WHEN coalesce(n_en,0)+coalesce(n_de,0)+coalesce(n_fr,0) = 0
+        |         THEN 'und'
+        |       WHEN n_de = greatest(n_en,n_de,n_fr) THEN 'de'
+        |       WHEN n_en = greatest(n_en,n_de,n_fr) THEN 'en'
+        |       ELSE 'fr' END AS lang_majority,
+        |  CASE WHEN coalesce(n_en,0)+coalesce(n_de,0)+coalesce(n_fr,0) = 0
+        |         THEN 0.0
+        |       ELSE CAST(n_en+n_de+n_fr - greatest(n_en,n_de,n_fr)
+        |              AS DOUBLE) / CAST(n_en+n_de+n_fr AS DOUBLE)
+        |  END AS mixed_frac
+        |FROM documents d LEFT JOIN counts ON counts.doc_id = d.doc_id""".stripMargin,
+    "text_unicode_nfc" ->
+      """SELECT doc_id,
+        |  md5(nfc_normalize(text || ' cafe' || chr(769) || ' ae' ||
+        |    chr(769) || 'iou')) AS nfc_md5,
+        |  length(text || ' cafe' || chr(769) || ' ae' || chr(769) ||
+        |    'iou') AS n_before,
+        |  length(nfc_normalize(text || ' cafe' || chr(769) || ' ae' ||
+        |    chr(769) || 'iou')) AS n_after
+        |FROM documents""".stripMargin,
     "text_phrase_search" ->
       s"""WITH t AS (SELECT doc_id, $dToks toks FROM documents),
          |p(phrase) AS (VALUES ('batch batch'), ('key order'),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{BooleanType, IntegerType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
 
 /** SQL-facing registration of graft's native expressions, so every
   * operator is reachable from pure `spark.sql(...)` text as well as
@@ -145,6 +145,15 @@ object GraftFunctions {
     "robots_decision" -> { args =>
       expectArgs("robots_decision", args, 2)
       RobotsDecision(args(0), args(1))
+    },
+    "unicode_normalize" -> { args =>
+      expectArgs("unicode_normalize", args, 2)
+      UnicodeNormalize(args(0), args(1) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String,
+          StringType) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"form must be a string literal, got: $other")
+      })
     })
 
   private def info(name: String): ExpressionInfo =

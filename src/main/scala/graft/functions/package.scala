@@ -300,4 +300,10 @@ package object functions {
     * see [[org.apache.spark.sql.graft.RobotsDecision]]. */
   def robots_decision(rules: Column, path: Column): Column =
     org.apache.spark.sql.graft.RobotsColumns.robotsDecision(rules, path)
+
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD, `form` a literal) with
+    * the isNormalized fast path — see
+    * [[org.apache.spark.sql.graft.UnicodeNormalize]]. */
+  def unicode_normalize(text: Column, form: String): Column =
+    org.apache.spark.sql.graft.UnicodeNormColumns.unicodeNormalize(text, form)
 }

@@ -287,6 +287,59 @@ object Dedup {
       maxBroadcastHotShingles)
   }
 
+  /** N-gram CONTAINMENT pairs — the asymmetric near-dup test Jaccard
+    * structurally misses: a document quoted whole inside a much
+    * larger wrapper (boilerplate-expanded mirrors, digest pages,
+    * quote-the-article spam) shares nearly all of the SMALLER side's
+    * grams while the union is dominated by the wrapper, so
+    * `jaccard = common/union` stays low but
+    * `containment = common / min(|A|, |B|)` is ~1. Returns
+    * `(id_a, id_b, containment)` for pairs at or above `threshold`
+    * (`id_a < id_b`; gram sets are distinct-shingle sets at the same
+    * hash widths / shingler modes as [[ngramJaccardPairs]]).
+    *
+    * `maxShingleDf` caps candidate fan-out exactly as in the Jaccard
+    * family: grams seen in more than `maxShingleDf` docs are dropped
+    * from the INTERSECTION count while denominators keep the full
+    * distinct-gram counts — containment can only be UNDER-stated by
+    * the cap (safe direction), and a gate spells the cap into its
+    * oracle. Scale shape: one distinct-gram index, one df-capped
+    * self-join, one count aggregation — candidate-bounded, no
+    * all-pairs. */
+  def ngramContainmentPairs(docs: DataFrame, n: Int, threshold: Double,
+      maxShingleDf: Int = Int.MaxValue,
+      persist: Persistence = Persistence.Local,
+      hashBits: Int = 64,
+      shingler: Shingler = Shingler.Word): DataFrame = {
+    val sh = shingleIndexWithSize(docs, n, persist, hashBits, shingler)
+    val joinable =
+      if (maxShingleDf == Int.MaxValue) sh
+      else {
+        val hot = sh.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > maxShingleDf)
+          .select(col("shingle"))
+        // left_outer + null filter (not left_anti): identical
+        // semantics on the deduplicated hot list, stream-safe spelling
+        // kept consistent with the rest of the family.
+        sh.join(hot.withColumn("_hot", lit(true)), Seq("shingle"),
+            "left_outer")
+          .filter(col("_hot").isNull)
+          .select(col("doc_id"), col("shingle"), col("n_sh"))
+      }
+    joinable.as("x")
+      .join(joinable.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"),
+        first(col("x.n_sh")).as("n_a"), first(col("y.n_sh")).as("n_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_common").cast("double") /
+          least(col("n_a"), col("n_b"))).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   private def pairsFromIndex(sh: DataFrame, threshold: Double,
       maxShingleDf: Int, persist: Persistence,
       maxBroadcastHotShingles: Long): DataFrame = {

@@ -1504,6 +1504,65 @@ object TextAnalysis {
         when(col("n_tokens") > 0, col("n_codepoints").cast("double") / col("n_tokens")))
   }
 
+  /** MIXED-LANGUAGE profile at sentence granularity: documents that
+    * flip language mid-text (translation pairs glued together,
+    * boilerplate in one language wrapping content in another,
+    * code-switching forums) pass document-level language ID with a
+    * confident majority vote while being exactly what a monolingual
+    * training mix must screen. Splits each document into sentences
+    * ([[chunkSentences]]' boundary rule), language-IDs each sentence
+    * with the [[langId]] marker heuristic, and rolls up per document:
+    * sentence counts per language (+ `und`), the majority language
+    * among classified sentences (ties de < en < fr, the [[langId]]
+    * order; no classified sentences → `und`), and `mixed_frac` — the
+    * fraction of classified sentences disagreeing with the majority
+    * (0.0 for pure documents and for documents with no classified
+    * sentences). Documents with no sentences at all survive with
+    * zeros. Zero-shuffle per-sentence work (one native marker pass
+    * per sentence), one count roll-up per doc. */
+  def langSpans(docs: DataFrame): DataFrame = {
+    val sents = docs.select(col("doc_id"),
+        explode(sentenceSplitCol(col("text"))).as("sentence"))
+      .filter(length(trim(col("sentence"))) > 0)
+    val mc = graft.functions.marker_counts(col("sentence"),
+      Seq(stopwordsEn, stopwordsDe, stopwordsFr))
+    val en = element_at(col("mc"), 1).cast("int")
+    val de = element_at(col("mc"), 2).cast("int")
+    val fr = element_at(col("mc"), 3).cast("int")
+    val best = greatest(en, de, fr)
+    val tagged = sents.select(col("doc_id"), mc.as("mc"))
+      .select(col("doc_id"),
+        when(best === 0, "und")
+          .when(de === best, "de")
+          .when(en === best, "en")
+          .otherwise("fr").as("slang"))
+    val counts = tagged.groupBy("doc_id").agg(
+      count(lit(1)).as("n_sents"),
+      sum(when(col("slang") === "en", 1L).otherwise(0L)).as("n_en"),
+      sum(when(col("slang") === "de", 1L).otherwise(0L)).as("n_de"),
+      sum(when(col("slang") === "fr", 1L).otherwise(0L)).as("n_fr"),
+      sum(when(col("slang") === "und", 1L).otherwise(0L)).as("n_und"))
+    val cBest = greatest(col("n_en"), col("n_de"), col("n_fr"))
+    val classified = col("n_en") + col("n_de") + col("n_fr")
+    docs.select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_sents"), lit(0L)).as("n_sents"),
+        coalesce(col("n_en"), lit(0L)).as("n_en"),
+        coalesce(col("n_de"), lit(0L)).as("n_de"),
+        coalesce(col("n_fr"), lit(0L)).as("n_fr"),
+        coalesce(col("n_und"), lit(0L)).as("n_und"))
+      .select(col("doc_id"), col("n_sents"), col("n_en"), col("n_de"),
+        col("n_fr"), col("n_und"),
+        when(classified === 0, "und")
+          .when(col("n_de") === cBest, "de")
+          .when(col("n_en") === cBest, "en")
+          .otherwise("fr").as("lang_majority"),
+        when(classified === 0, lit(0.0))
+          .otherwise((classified - cBest).cast("double") /
+            classified.cast("double")).as("mixed_frac"))
+  }
+
   /** Exact token-sequence PHRASE SEARCH over the corpus — the
     * positional-inverted-index spelling of "which documents contain
     * this eval question verbatim", the retrieval primitive behind

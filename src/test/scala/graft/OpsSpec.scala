@@ -4947,6 +4947,79 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("tokenizes to nothing"))
   }
 
+  test("ngramContainmentPairs: a doc quoted whole inside a big wrapper scores ~1 where jaccard stays low; df cap only under-states") {
+    val core = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val wrapper = ("lorem ipsum dolor sit amet consectetur adipiscing elit " +
+      core +
+      " sed do eiusmod tempor incididunt ut labore et dolore magna aliqua " +
+      "ut enim ad minim veniam quis nostrud exercitation ullamco laboris")
+    val docs = Seq((1L, core), (2L, wrapper),
+      (3L, "totally unrelated words nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(docs, 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSeq
+    // core has 8 trigrams, all present in wrapper -> containment 1.0.
+    assert(cont == Seq((1L, 2L, 1.0)))
+    // Jaccard on the same pair is low — the asymmetry is the point.
+    val jac = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(jac.isEmpty)
+    // df cap: with a cap of 1, shared trigrams (df=2) drop from the
+    // intersection -> containment can only fall (under-statement).
+    val capped = Dedup.ngramContainmentPairs(docs, 3, 0.01,
+        maxShingleDf = 1)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(capped.isEmpty)
+  }
+
+  test("langSpans: mixed-language docs profiled per sentence; majority + disagreeing fraction; no-sentence docs survive") {
+    val docs = Seq(
+      (1L, "the cat is in the house. the dog is in the garden. " +
+        "der hund ist nicht zu haus."),
+      (2L, "der hund und die katze. le chat est avec le chien. " +
+        "der mann ist mit von."),
+      (3L, "xyzzy plugh."),   // one sentence, no markers -> und
+      (4L, ""))               // no sentences at all
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.langSpans(docs)
+      .as[(Long, Long, Long, Long, Long, Long, String, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, 1L, 0L, 0L, "en", 1.0 / 3.0),
+      (2L, 3L, 0L, 2L, 1L, 0L, "de", 1.0 / 3.0),
+      (3L, 1L, 0L, 0L, 0L, 1L, "und", 0.0),
+      (4L, 0L, 0L, 0L, 0L, 0L, "und", 0.0)))
+  }
+
+  test("unicode_normalize: NFC composes, NFKC folds compatibility forms, fast path is identity, bad form refuses") {
+    def norm(form: String, v: String): String =
+      Seq(v).toDF("t").select(
+        graft.functions.unicode_normalize(col("t"), form))
+        .as[String].collect()(0)
+    // Decomposed e + combining acute (2 codepoints) -> composed
+    // U+00E9 (1 codepoint).
+    assert(norm("NFC", "e\u0301cole") == "\u00e9cole")
+    // Already-normal input comes back unchanged (fast path).
+    assert(norm("NFC", "\u00e9cole") == "\u00e9cole")
+    // NFD is the inverse direction.
+    assert(norm("NFD", "\u00e9") == "e\u0301")
+    // NFKC folds compatibility forms: fi-ligature U+FB01, full-width
+    // letters U+FF28/U+FF29; NFC keeps them.
+    assert(norm("NFKC", "\ufb01le") == "file")
+    assert(norm("NFKC", "\uff28\uff29") == "HI")
+    assert(norm("NFC", "\ufb01le") == "\ufb01le")
+    val e = intercept[IllegalArgumentException] {
+      Seq("x").toDF("t").select(
+        graft.functions.unicode_normalize(col("t"), "NFX"))
+    }
+    assert(e.getMessage.contains("unknown form"))
+    // SQL registration.
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    assert(spark.sql(
+      "SELECT unicode_normalize('e\u0301', 'NFC')")
+      .as[String].collect()(0) == "\u00e9")
+  }
+
   test("zOrderKey: matches an independent Morton reference; out-of-range refuses per row") {
     val pts = for (x <- 0 until 8; y <- 0 until 8) yield (x.toLong, y.toLong)
     val got = pts.toDF("x", "y")
