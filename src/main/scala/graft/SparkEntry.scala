@@ -1192,7 +1192,8 @@ object SparkEntry {
         (11L, "http://e.example.com/ab"),
         (12L, "HTTP://B.EXAMPLE.COM/Docs/guide"),
         (13L, "https://b.example.com"),
-        (14L, "not a url"))
+        (14L, "not a url"),
+        (15L, "http://b.example.com?x=1"))
         .toDF("doc_id", "url")
       graft.ops.Robots.decisions(urls, col("url"), robots, "graftbot")
         .select("doc_id", "url", "allowed", "matched")
@@ -2916,7 +2917,8 @@ object SparkEntry {
         |  (11, 'http://e.example.com/ab'),
         |  (12, 'HTTP://B.EXAMPLE.COM/Docs/guide'),
         |  (13, 'https://b.example.com'),
-        |  (14, 'not a url')),
+        |  (14, 'not a url'),
+        |  (15, 'http://b.example.com?x=1')),
         |r(host, ord, allow, pattern, lp) AS (VALUES
         |  ('a.example.com', 1, FALSE, '/private/',        '/private/%'),
         |  ('a.example.com', 2, TRUE,  '/private/public/', '/private/public/%'),
@@ -2932,8 +2934,13 @@ object SparkEntry {
         |    CASE WHEN lower(nullif(regexp_extract(url,
         |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+).*', 1),
         |      '')) IS NULL THEN NULL
-        |    ELSE coalesce(nullif(regexp_extract(url,
-        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1), ''), '/')
+        |    WHEN starts_with(coalesce(nullif(regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1), ''), '/'),
+        |      '/')
+        |      THEN coalesce(nullif(regexp_extract(url,
+        |        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1), ''), '/')
+        |    ELSE '/' || regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1)
         |    END AS path
         |  FROM u),
         |m AS (SELECT p.doc_id, r.allow, r.pattern,

@@ -75,12 +75,13 @@ case class RobotsRules(left: Expression, right: Expression)
   * (including the query string, excluding the fragment) starts with
   * it, with `*` matching any character run and a TRAILING `$`
   * anchoring the match at the end of the path (`$` anywhere else is a
-  * literal). Among matching rules the LONGEST pattern (raw octet
-  * length as written, `*`/`$` included — both engines and the oracle
-  * count the same string) wins; on a length tie `allow` wins (least
-  * restrictive, §2.2.2); on a full tie the first rule in document
-  * order is reported. Paths are case-sensitive (URL paths are), hosts
-  * are the join key and normalized upstream. */
+  * literal). Among matching rules the LONGEST pattern wins, length
+  * counted in UTF-8 OCTETS as the RFC specifies (`*`/`$` included;
+  * `UTF8String.numBytes`, so non-ASCII patterns tie-break exactly as
+  * an octet-counting crawler would — spec-pinned); on a length tie
+  * `allow` wins (least restrictive, §2.2.2); on a full tie the first
+  * rule in document order is reported. Paths are case-sensitive (URL
+  * paths are), hosts are the join key and normalized upstream. */
 case class RobotsDecision(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
@@ -189,14 +190,16 @@ object RobotsImpl {
     var i = 0
     while (i < n) {
       val row = rules.getStruct(i, 2)
-      val pattern = row.getUTF8String(1).toString
+      val patternU = row.getUTF8String(1)
+      val pattern = patternU.toString
       if (matches(pattern, path)) {
         val allow = row.getBoolean(0)
-        if (pattern.length > bestLen ||
-            (pattern.length == bestLen && allow && !bestAllow)) {
-          bestLen = pattern.length
+        // RFC 9309 counts pattern length in OCTETS, not UTF-16 chars.
+        val plen = patternU.numBytes
+        if (plen > bestLen || (plen == bestLen && allow && !bestAllow)) {
+          bestLen = plen
           bestAllow = allow
-          bestPattern = row.getUTF8String(1)
+          bestPattern = patternU
         }
       }
       i += 1

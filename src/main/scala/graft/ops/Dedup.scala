@@ -315,10 +315,17 @@ object Dedup {
     val joinable =
       if (maxShingleDf == Int.MaxValue) sh
       else {
-        val hot = sh.groupBy(col("shingle"))
+        // Materialized once (persist.lazily) — the hot list is
+        // referenced by BOTH sides of the self-join below; an
+        // unpersisted subtree would re-aggregate the whole index
+        // twice. (Deliberately the simple exact spelling: the Jaccard
+        // path's broadcast dispatch + upper-bound pruning machinery
+        // stays single-copy over there; this filter is a plain
+        // left_outer either way.)
+        val hot = persist.lazily(sh.groupBy(col("shingle"))
           .agg(count(lit(1)).as("_df"))
           .filter(col("_df") > maxShingleDf)
-          .select(col("shingle"))
+          .select(col("shingle")))
         // left_outer + null filter (not left_anti): identical
         // semantics on the deduplicated hot list, stream-safe spelling
         // kept consistent with the rest of the family.

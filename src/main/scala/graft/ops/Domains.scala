@@ -389,8 +389,9 @@ object Domains {
     // Largest safe power-of-ten for this graph: per-node ranks never
     // exceed N*scale, and the guard needs N*scale*dampNum to fit a
     // long with 4x headroom. 10^0..10^12 keeps precision digits where
-    // small graphs can use them (at 10^8 nodes this lands on 10^4 —
-    // four rank digits, plenty for a drop/keep quality gate).
+    // small graphs can use them (at 10^8 nodes safeBound is ~2.7e8,
+    // so this lands on 10^8 — eight rank digits; the cap only binds
+    // below ~100k nodes where the full 10^12 is safe).
     val safeBound = Long.MaxValue / dampNum / math.max(nNodes, 1L) / 4
     val eff =
       if (scale > 0) scale
@@ -478,9 +479,14 @@ object Domains {
       .filter(col("_src").isNotNull && col("domain").isNotNull)
     val external = if (includeInternal) pairs
       else pairs.filter(col("_src") =!= col("domain"))
+    // array_distinct BEFORE the explode: one occurrence per term per
+    // link, so a keyword-stuffed anchor ("casino casino casino")
+    // counts once — n_links counts LINKS carrying the term, never raw
+    // token repetitions.
     val terms = external
-      .select(col("domain"), explode(graft.ops.TextOps.tokens(col("_anchor")))
-        .as("term"))
+      .select(col("domain"),
+        explode(array_distinct(graft.ops.TextOps.tokens(col("_anchor"))))
+          .as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("domain", "term").agg(count(lit(1)).as("n_links"))
     val w = org.apache.spark.sql.expressions.Window

@@ -32,16 +32,23 @@ object Robots {
 
   /** Path-plus-query of a URL (the RFC 9309 match target): everything
     * from the first `/` after the authority up to the fragment, `/`
-    * when the URL has no path (`http://h` → `/`). Unparseable URLs
-    * (no scheme) → NULL — countable, never silently allowed; same
-    * stance as [[Domains.host]]. One RE2-safe regexp, zero UDFs, so
-    * the DuckDB oracle replays it verbatim. */
-  def urlPathQuery(url: Column): Column =
+    * when the URL has no path (`http://h` → `/`), and a leading `/`
+    * PREPENDED when the URL jumps straight from authority to query
+    * (`http://h?x=1` → `/?x=1` — without it no `/`-rooted rule could
+    * ever match and a disallow-all robots.txt would be silently
+    * bypassed). Unparseable URLs (no scheme) → NULL — countable,
+    * never silently allowed; same stance as [[Domains.host]]. One
+    * RE2-safe regexp + one prefix fix-up, zero UDFs, so the DuckDB
+    * oracle replays it verbatim. */
+  def urlPathQuery(url: Column): Column = {
+    val raw = coalesce(nullif(
+      regexp_extract(url,
+        "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1),
+      lit("")), lit("/"))
     when(Domains.host(url).isNull, lit(null).cast("string"))
-      .otherwise(coalesce(nullif(
-        regexp_extract(url,
-          "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1),
-        lit("")), lit("/")))
+      .otherwise(when(raw.startsWith("/"), raw)
+        .otherwise(concat(lit("/"), raw)))
+  }
 
   /** `docs` plus the politeness verdict: `allowed` (boolean) and
     * `matched` (the winning rule pattern, NULL when no rule applied).

@@ -338,9 +338,9 @@ object Warc {
     * (the envelope's covers the whole HTTP message), so multibyte
     * pages round-trip exactly through [[readWarc]] (`warc_roundtrip`
     * gate). Each record carries the spec-mandated WARC-Record-ID
-    * (deterministic `urn:uuid` from md5(uri, date), so strict
-    * external validators accept the stream and reruns stay
-    * byte-identical). Same header-value contract as [[Wet.writeWet]]:
+    * (deterministic `urn:uuid` from md5(uri, date, body) — distinct
+    * for every distinct record content, byte-identical across
+    * reruns). Same header-value contract as [[Wet.writeWet]]:
     * uri/date must not contain CR/LF (WARC headers are single-line). */
   def writeWarc(records: DataFrame, path: String): Unit = {
     val crlf = "\r\n"
@@ -359,12 +359,16 @@ object Warc {
         lit(crlf + "WARC-Date: "), col("date"),
         // WARC/1.0 §5.2 mandates a globally-unique WARC-Record-ID on
         // every record (ADVICE r12). Derived deterministically from
-        // (uri, date) — md5's 128 bits reshaped into RFC 4122 v4
-        // uuid-hex layout — so reruns are byte-identical and the
-        // writer stays a pure projection (no per-row RNG).
+        // (uri, date, body) — md5's 128 bits reshaped into RFC 4122
+        // v4 uuid-hex layout — so reruns are byte-identical and the
+        // writer stays a pure projection (no per-row RNG). Two rows
+        // collide only when they are the SAME record content
+        // (uri+date+body); dedup such rows upstream (dedupUrls) if a
+        // strict validator must see every ID distinct.
         lit(crlf + "WARC-Record-ID: <urn:uuid:"),
         regexp_replace(
-          md5(concat(col("uri"), lit("\n"), col("date"))),
+          md5(concat(col("uri"), lit("\n"), col("date"), lit("\n"),
+            col("_http"))),
           "^(.{8})(.{4}).(.{3}).(.{3})(.{12})$", "$1-$2-4$3-8$4-$5"),
         lit(">" +
           crlf + "Content-Type: application/http; msgtype=response" +

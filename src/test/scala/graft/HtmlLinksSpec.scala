@@ -254,6 +254,7 @@ class HtmlLinksSpec extends AnyFunSuite {
       "http://www.src-site.com/a",
       """<a href="http://t1-ex.org/x">great casino deal</a>
         |<a href="http://t1-ex.org/y">casino bonus</a>
+        |<a href="http://t1-ex.org/z">casino casino casino</a>
         |<a href="/internal">home</a>
         |<a href="http://www.src-site.com/z">self</a>
         |<a href="http://t2-ex.net/s" rel="nofollow">spamword</a>"""
@@ -263,12 +264,15 @@ class HtmlLinksSpec extends AnyFunSuite {
         pages, col("url"), col("html"), k = 2)
       .as[(String, String, Long, Long)].collect()
       .sortBy(r => (r._1, r._4)).toSeq
-    // t1-ex.org: casino x2 wins; the 1-count tie (bonus/deal/great)
-    // breaks alphabetically -> bonus at rank 2; k=2 cuts the rest.
-    // Internal links (page-relative and same-registrable) dropped;
-    // nofollow counts by default.
+    // t1-ex.org: casino appears in 3 LINKS and counts once per link —
+    // the keyword-stuffed third anchor ("casino casino casino")
+    // contributes ONE, not three (n_links counts links, not token
+    // repetitions); the 1-count tie (bonus/deal/great) breaks
+    // alphabetically -> bonus at rank 2; k=2 cuts the rest. Internal
+    // links (page-relative and same-registrable) dropped; nofollow
+    // counts by default.
     assert(got == Seq(
-      ("t1-ex.org", "casino", 2L, 1L),
+      ("t1-ex.org", "casino", 3L, 1L),
       ("t1-ex.org", "bonus", 1L, 2L),
       ("t2-ex.net", "spamword", 1L, 1L)))
     val noFollow = graft.ops.Domains.anchorTermsByDomain(

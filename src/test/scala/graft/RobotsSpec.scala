@@ -128,7 +128,7 @@ class RobotsSpec extends AnyFunSuite {
       .columns.toSeq == Seq("doc_id", "url"))
   }
 
-  test("urlPathQuery: path+query, no-path default, fragment dropped, unparseable null") {
+  test("urlPathQuery: path+query, no-path default, query-only gets a leading slash, fragment dropped, unparseable null") {
     val got = Seq(
       "http://h.ex/",
       "http://h.ex",
@@ -136,11 +136,37 @@ class RobotsSpec extends AnyFunSuite {
       "http://h.ex/p#frag",
       "http://h.ex/p?x=1#frag",
       "HTTPS://H.EX:8443/Case/Sensitive",
+      // Authority straight to query: the RFC match target is /?x=1 —
+      // without the prepended slash a Disallow: / would be bypassed.
+      "http://h.ex?x=1",
       "garbage")
       .toDF("url").select(Robots.urlPathQuery(col("url")))
       .as[Option[String]].collect().toSeq
     assert(got == Seq(Some("/"), Some("/"), Some("/p/q?x=1&y=2"),
-      Some("/p"), Some("/p?x=1"), Some("/Case/Sensitive"), None))
+      Some("/p"), Some("/p?x=1"), Some("/Case/Sensitive"),
+      Some("/?x=1"), None))
+    // And the decision layer enforces it end-to-end.
+    val robots = Seq(("h.ex", "User-agent: *\nDisallow: /\n"))
+      .toDF("host", "body")
+    val urls = Seq((1L, "http://h.ex?x=1")).toDF("doc_id", "url")
+    val d = Robots.decisions(urls, col("url"), robots, "graftbot")
+      .select("allowed").as[Boolean].collect()
+    assert(d.toSeq == Seq(false))
+  }
+
+  test("robots_decision: longest-match tie-break counts UTF-8 octets, not UTF-16 chars") {
+    // Allow '/café' is 5 chars but 6 octets; Disallow '/caf*1'
+    // is 6 of both. Against '/café1' both match and RFC octet
+    // counting TIES at 6 -> allow wins. Char counting (5 < 6) would
+    // let the Disallow win.
+    val rules = Seq((true, "/café"), (false, "/caf*1"))
+      .toDF("allow", "pattern")
+      .agg(collect_list(struct(col("allow"), col("pattern"))).as("rules"))
+    val got = rules.select(
+      graft.functions.robots_decision(col("rules"),
+        lit("/café1")).getField("allowed"))
+      .as[Boolean].collect()
+    assert(got.toSeq == Seq(true))
   }
 
   test("decisions refuses to overwrite caller 'allowed'/'matched' columns") {

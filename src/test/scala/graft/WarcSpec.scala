@@ -380,7 +380,9 @@ class WarcSpec extends AnyFunSuite {
     def writeAndReadIds(suffix: String): Seq[String] = {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_warc_id" + suffix).toString + "/out"
-      val pages = Seq((1L, "<p>a</p>"), (2L, "<p>b</p>"))
+      // Two DIFFERENT bodies under the SAME (uri, date): ids must
+      // still be distinct (the id hashes the body too).
+      val pages = Seq((1L, "<p>a</p>"), (1L, "<p>b</p>"))
         .toDF("doc_id", "html")
         .select(
           concat(lit("http://graft.test/doc/"), col("doc_id")).as("uri"),
