@@ -406,6 +406,32 @@ object SparkEntry {
     docs.select(url.as("url"), html.as("html"))
   }
 
+  /** The shared robots.txt fixture for the three curation_robots*
+    * gates (decisions, crawl-delays, sitemaps) — ONE fixture, so the
+    * gates cannot drift apart. The crawl-delay and sitemap lines are
+    * non-rule fields, invisible to the decisions gate by design. */
+  private def robotsFixture(
+      s: org.apache.spark.sql.SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("a.example.com",
+        "# crawl policy\nUser-agent: *\nDisallow: /private/   # c\n" +
+          "Allow: /private/public/\n\n" +
+          "Sitemap: https://a.example.com/sitemap.xml\n" +
+          "Disallow: /*.pdf$\nCrawl-delay: 2.5\n"),
+      ("b.example.com",
+        "Sitemap: https://b.example.com/sm1.xml\n" +
+          "sitemap: https://b.example.com/sm2.xml   # lowercase field\n" +
+          "User-agent: graftbot\nUser-agent: otherbot\nDisallow: /\n" +
+          "Allow: /docs/*\n\n" +
+          "User-agent: *\nDisallow: /tmp/\nCrawl-delay: 7\n"),
+      ("d.example.com",
+        "User-agent: megabot\nDisallow: /\nCrawl-delay: 10\n"),
+      ("e.example.com",
+        "User-agent: GraftBot\nAllow: /a$\nDisallow: /a\nDisallow:\n"))
+      .toDF("host", "body")
+  }
+
   /** DuckDB spelling of TextOps.normalized / TextOps.tokens. */
   private val dNorm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
   private val dToks = """string_split_regex(lower(trim(text)), '\s+')"""
@@ -1164,20 +1190,7 @@ object SparkEntry {
     // fall out) + the longest/allow/document-order window.
     "curation_robots" -> ((s, _) => {
       import s.implicits._
-      val robots = Seq(
-        ("a.example.com",
-          "# crawl policy\nUser-agent: *\nDisallow: /private/   # c\n" +
-            "Allow: /private/public/\n\n" +
-            "Sitemap: https://a.example.com/sitemap.xml\n" +
-            "Disallow: /*.pdf$\n"),
-        ("b.example.com",
-          "User-agent: graftbot\nUser-agent: otherbot\nDisallow: /\n" +
-            "Allow: /docs/*\n\nUser-agent: *\nDisallow: /tmp/\n"),
-        ("d.example.com",
-          "User-agent: megabot\nDisallow: /\nCrawl-delay: 10\n"),
-        ("e.example.com",
-          "User-agent: GraftBot\nAllow: /a$\nDisallow: /a\nDisallow:\n"))
-        .toDF("host", "body")
+      val robots = robotsFixture(s)
       val urls = Seq(
         (1L, "http://a.example.com/public/index.html"),
         (2L, "http://a.example.com/private/x.html"),
@@ -1198,6 +1211,23 @@ object SparkEntry {
       graft.ops.Robots.decisions(urls, col("url"), robots, "graftbot")
         .select("doc_id", "url", "allowed", "matched")
     }),
+    // Group-scoped Crawl-delay under the same group selection as the
+    // rules: exact groups SHADOW * (host b declares 7 in its * group
+    // but graftbot's exact group has none -> NULL), document-order
+    // first-wins, absent -> NULL. Hand-derived oracle; the parse is
+    // RobotsSpec-pinned.
+    "curation_robots_delay" -> ((s, _) => {
+      val robots = robotsFixture(s)
+      Seq("graftbot", "megabot", "thirdbot").map { agent =>
+        graft.ops.Robots.crawlDelays(robots, agent)
+          .withColumn("agent", lit(agent))
+      }.reduce(_.unionByName(_))
+        .select(col("host"), col("agent"), col("crawl_delay"))
+    }),
+    // Global (non-group-scoped) Sitemap lines, case-insensitive field,
+    // comments stripped; hosts declaring none contribute no rows.
+    "curation_robots_sitemaps" -> ((s, _) =>
+      graft.ops.Robots.sitemapsOf(robotsFixture(s))),
     // Z-order (Morton) key arithmetic over two bucketized dimensions
     // of the orders table — the data-skipping layout projection
     // (bit i of dim j lands at output bit i*2+j). The layout HALF
@@ -2953,6 +2983,33 @@ object SparkEntry {
         |  m.pattern AS matched
         |FROM p LEFT JOIN (SELECT doc_id, allow, pattern FROM m
         |                  WHERE rn = 1) m ON p.doc_id = m.doc_id""".stripMargin,
+    // Hand-derived per-(host, agent) delays: a's * group 2.5 applies
+    // to everyone; b's graftbot exact group shadows the * group's 7
+    // (otherbot likewise) while thirdbot/megabot fall through to 7;
+    // d's megabot-only group gives megabot 10 and nobody else
+    // anything; e declares none.
+    "curation_robots_delay" ->
+      """SELECT host, agent, CAST(delay AS DOUBLE) AS crawl_delay
+        |FROM (VALUES
+        |  ('a.example.com', 'graftbot', 2.5),
+        |  ('a.example.com', 'megabot', 2.5),
+        |  ('a.example.com', 'thirdbot', 2.5),
+        |  ('b.example.com', 'graftbot', NULL),
+        |  ('b.example.com', 'megabot', 7.0),
+        |  ('b.example.com', 'thirdbot', 7.0),
+        |  ('d.example.com', 'graftbot', NULL),
+        |  ('d.example.com', 'megabot', 10.0),
+        |  ('d.example.com', 'thirdbot', NULL),
+        |  ('e.example.com', 'graftbot', NULL),
+        |  ('e.example.com', 'megabot', NULL),
+        |  ('e.example.com', 'thirdbot', NULL))
+        |  AS t(host, agent, delay)""".stripMargin,
+    "curation_robots_sitemaps" ->
+      """SELECT host, sitemap FROM (VALUES
+        |  ('a.example.com', 'https://a.example.com/sitemap.xml'),
+        |  ('b.example.com', 'https://b.example.com/sm1.xml'),
+        |  ('b.example.com', 'https://b.example.com/sm2.xml'))
+        |  AS t(host, sitemap)""".stripMargin,
     // Morton interleave replayed as 16 shift/mask terms (disjoint
     // target bits, so SUM == OR).
     "curation_zorder" ->

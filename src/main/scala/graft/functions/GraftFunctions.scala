@@ -146,6 +146,10 @@ object GraftFunctions {
       expectArgs("robots_decision", args, 2)
       RobotsDecision(args(0), args(1))
     },
+    "robots_crawl_delay" -> { args =>
+      expectArgs("robots_crawl_delay", args, 2)
+      RobotsCrawlDelay(args(0), args(1))
+    },
     "unicode_normalize" -> { args =>
       expectArgs("unicode_normalize", args, 2)
       UnicodeNormalize(args(0), args(1) match {

@@ -104,6 +104,40 @@ case class RobotsDecision(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Group-scoped `Crawl-delay` of a robots.txt for one crawler token
+  * (nonstandard but ubiquitous): the first parseable value among the
+  * applicable groups under the same RFC 9309 group selection as
+  * [[RobotsRules]] — exact groups fully shadow `*` groups (an exact
+  * group WITHOUT a delay yields NULL even when a `*` group has one,
+  * mirroring rule selection). NULL when absent/unparseable — the
+  * caller's scheduler picks its own default. */
+case class RobotsCrawlDelay(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "robots_crawl_delay"
+
+  override protected def nullSafeEval(body: Any, agent: Any): Any =
+    RobotsImpl.crawlDelay(body.asInstanceOf[UTF8String],
+      agent.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, a) => {
+      val d = ctx.freshName("delay")
+      s"""java.lang.Double $d =
+         |  org.apache.spark.sql.graft.RobotsImpl.crawlDelay($b, $a);
+         |if ($d == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $d.doubleValue(); }""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RobotsCrawlDelay =
+    copy(left = newLeft, right = newRight)
+}
+
 object RobotsImpl {
   val ruleSchema: StructType = StructType(Seq(
     StructField("allow", BooleanType, nullable = false),
@@ -114,13 +148,25 @@ object RobotsImpl {
     StructField("matched", StringType, nullable = true)))
 
   /** See [[RobotsRules]]. Static for codegen. */
-  def rules(bodyU: UTF8String, agentU: UTF8String): GenericArrayData = {
+  def rules(bodyU: UTF8String, agentU: UTF8String): GenericArrayData =
+    parse(bodyU, agentU)._1
+
+  /** See [[RobotsCrawlDelay]]. Static for codegen; null when the
+    * applicable groups declare no (parseable) delay. */
+  def crawlDelay(bodyU: UTF8String, agentU: UTF8String): java.lang.Double =
+    parse(bodyU, agentU)._2
+
+  /** One group walk feeding both [[rules]] and [[crawlDelay]]. */
+  private def parse(bodyU: UTF8String,
+      agentU: UTF8String): (GenericArrayData, java.lang.Double) = {
     val body = bodyU.toString
     val agent = agentU.toString.trim.toLowerCase(java.util.Locale.ROOT)
     // (allow, pattern) per applicable rule; exact-group rules and
     // star-group rules collected separately, exact preferred.
     val exact = new java.util.ArrayList[(Boolean, String)]()
     val star = new java.util.ArrayList[(Boolean, String)]()
+    var exactDelay: java.lang.Double = null
+    var starDelay: java.lang.Double = null
     var sawExactGroup = false
     // Current group state: which buckets it feeds, and whether we're
     // past its user-agent run (a rule line seen).
@@ -160,9 +206,22 @@ object RobotsImpl {
               else if (groupStar) star.add(rule)
             }
           }
+        } else if (field == "crawl-delay") {
+          // Nonstandard but ubiquitous; group-scoped like rules, and
+          // like other non-rule fields it neither ends the user-agent
+          // run nor closes the group. First parseable value per
+          // bucket wins (document order); malformed values ignored.
+          if (groupOpen && value.nonEmpty) {
+            try {
+              val d = java.lang.Double.parseDouble(value)
+              if (groupExact && exactDelay == null) exactDelay = d
+              else if (groupStar && !groupExact && starDelay == null)
+                starDelay = d
+            } catch { case _: NumberFormatException => () }
+          }
         }
-        // Other fields (sitemap, crawl-delay, …): ignored, and they
-        // neither end the user-agent run nor close the group.
+        // Other fields (sitemap, …): ignored, and they neither end
+        // the user-agent run nor close the group.
       }
       i = j + 1
     }
@@ -177,7 +236,8 @@ object RobotsImpl {
       out(k) = row
       k += 1
     }
-    new GenericArrayData(out)
+    (new GenericArrayData(out),
+      if (sawExactGroup) exactDelay else starDelay)
   }
 
   /** See [[RobotsDecision]]. Static for codegen. */
@@ -245,6 +305,9 @@ object RobotsImpl {
 object RobotsColumns {
   def robotsRules(body: Column, agent: Column): Column =
     ExpressionUtils.column(RobotsRules(
+      ExpressionUtils.expression(body), ExpressionUtils.expression(agent)))
+  def robotsCrawlDelay(body: Column, agent: Column): Column =
+    ExpressionUtils.column(RobotsCrawlDelay(
       ExpressionUtils.expression(body), ExpressionUtils.expression(agent)))
   def robotsDecision(rules: Column, path: Column): Column =
     ExpressionUtils.column(RobotsDecision(

@@ -301,6 +301,12 @@ package object functions {
   def robots_decision(rules: Column, path: Column): Column =
     org.apache.spark.sql.graft.RobotsColumns.robotsDecision(rules, path)
 
+  /** Group-scoped Crawl-delay for one crawler token (NULL when the
+    * applicable groups declare none) — see
+    * [[org.apache.spark.sql.graft.RobotsCrawlDelay]]. */
+  def robots_crawl_delay(body: Column, agent: Column): Column =
+    org.apache.spark.sql.graft.RobotsColumns.robotsCrawlDelay(body, agent)
+
   /** Unicode normalization (NFC/NFD/NFKC/NFKD, `form` a literal) with
     * the isNormalized fast path — see
     * [[org.apache.spark.sql.graft.UnicodeNormalize]]. */

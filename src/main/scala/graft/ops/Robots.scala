@@ -94,6 +94,34 @@ object Robots {
       .select(original.map(col).toIndexedSeq: _*)
   }
 
+  /** Per-host crawl-delay snapshot for `agent`:
+    * `(host, crawl_delay)` with NULL where the applicable groups
+    * declare none (exact groups fully shadow `*`, mirroring rule
+    * selection) — the politeness SCHEDULER input, one row per host
+    * like [[decisions]]' rules. */
+  def crawlDelays(robots: DataFrame, agent: String): DataFrame =
+    robots.select(lower(col("host")).as("host"),
+      graft.functions.robots_crawl_delay(col("body"), lit(agent))
+        .as("crawl_delay"))
+
+  /** Sitemap URLs declared in a robots.txt BODY (global lines, not
+    * group-scoped per the sitemaps.org protocol): `ARRAY<STRING>` in
+    * document order, case-insensitive field name, `#` comments
+    * stripped. Pure declarative per-line extraction — zero UDFs, the
+    * oracle replays it with the same per-line regexp. */
+  def sitemaps(body: Column): Column =
+    filter(
+      transform(split(body, "\r?\n"),
+        l => regexp_extract(l,
+          "(?i)^[ \t]*sitemap[ \t]*:[ \t]*([^#\\s]+)", 1)),
+      x => x =!= "")
+
+  /** Exploded [[sitemaps]] over a `(host, body)` robots frame:
+    * `(host, sitemap)` — hosts declaring none contribute no rows. */
+  def sitemapsOf(robots: DataFrame): DataFrame =
+    robots.select(lower(col("host")).as("host"),
+      explode(sitemaps(col("body"))).as("sitemap"))
+
   /** Build the `(host, body)` robots frame straight FROM a crawl — a
     * real crawl archives its `/robots.txt` fetches as ordinary
     * response records, so the politeness snapshot is derivable from

@@ -230,6 +230,34 @@ class RobotsSpec extends AnyFunSuite {
     }
   }
 
+  test("crawlDelays: group selection, exact shadows *, first-wins, malformed ignored") {
+    val robots = Seq(
+      ("a.ex", "User-agent: *\nDisallow: /x\nCrawl-delay: 2.5\n" +
+        "Crawl-delay: 9\n"),                       // first wins
+      ("b.ex", "User-agent: graftbot\nDisallow: /\n\n" +
+        "User-agent: *\nCrawl-delay: 7\n"),        // exact shadows *
+      ("c.ex", "User-agent: *\nCrawl-delay: soon\n"), // malformed
+      ("d.ex", "User-agent: graftbot\nCrawl-delay: 1\n"))
+      .toDF("host", "body")
+    val got = Robots.crawlDelays(robots, "graftbot")
+      .as[(String, Option[Double])].collect().toMap
+    assert(got == Map("a.ex" -> Some(2.5), "b.ex" -> None,
+      "c.ex" -> None, "d.ex" -> Some(1.0)))
+  }
+
+  test("sitemaps: global lines, case-insensitive field, comments stripped, document order") {
+    val body = "Sitemap: https://h.ex/a.xml\n" +
+      "User-agent: *\nDisallow: /\n" +
+      "sitemap: https://h.ex/b.xml   # comment\n" +
+      "SiteMap:https://h.ex/c.xml\n" +
+      "Sitemap:\n" + // empty value -> nothing
+      "NotASitemap: https://h.ex/d.xml\n"
+    val got = Seq(("h.ex", body)).toDF("host", "body")
+    assert(Robots.sitemapsOf(got).as[(String, String)].collect().toSeq ==
+      Seq(("h.ex", "https://h.ex/a.xml"), ("h.ex", "https://h.ex/b.xml"),
+        ("h.ex", "https://h.ex/c.xml")))
+  }
+
   test("robotsFromCrawl: /robots.txt responses become the per-host frame; earliest fetch wins; composes with filterByRobots") {
     val dir = java.nio.file.Files.createTempDirectory("robots_crawl")
       .toString + "/out"
