@@ -273,6 +273,11 @@ object ScaleSlope {
       "curation_anchor_text" -> ((df, k) =>
         Domains.anchorTermsByDomain(slopeLinkPages(df, k),
           col("url"), col("html"), k = 10)),
+      // Round-13: containment pairs on the corpus axis — replica
+      // token spaces are disjoint, so pair counts scale ~k and the
+      // distinct-gram self-join's candidate volume stays linear.
+      "dedup_containment" -> ((df, _) =>
+        Dedup.ngramContainmentPairs(df, 3, 0.8)),
       // Round-8 additions: trainer + encoder (driver merge loop is
       // vocab-capped, distributed pass corpus-sized), the tf/df family,
       // and the S-bounded-fan-out source audit.

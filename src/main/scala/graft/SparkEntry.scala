@@ -1228,6 +1228,22 @@ object SparkEntry {
     // comments stripped; hosts declaring none contribute no rows.
     "curation_robots_sitemaps" -> ((s, _) =>
       graft.ops.Robots.sitemapsOf(robotsFixture(s))),
+    // Sitemap XML parsing: a urlset synthesized from doc_id
+    // arithmetic (two <loc> entries per doc, one with an &amp;
+    // entity and padding whitespace) parsed back into the frontier —
+    // loc extraction + XML entity decode replayed in SQL.
+    "curation_sitemap_urls" -> ((s, d) => {
+      val id = col("doc_id")
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?>\n<urlset>\n  <url><loc>  https://ex"),
+        id % 7, lit(".org/p/"), id,
+        lit("  </loc></url>\n  <url><loc>https://ex"), id % 7,
+        lit(".org/q/"), id, lit("?a=1&amp;b=2</loc></url>\n</urlset>"))
+      documents(s, d).select(id, xml.as("xml"))
+        .select(id, posexplode(graft.ops.Robots.sitemapLocs(col("xml")))
+          .as(Seq("loc_idx", "loc")))
+        .select(id, col("loc_idx").cast("long").as("loc_idx"), col("loc"))
+    }),
     // Z-order (Morton) key arithmetic over two bucketized dimensions
     // of the orders table — the data-skipping layout projection
     // (bit i of dim j lands at output bit i*2+j). The layout HALF
@@ -3010,6 +3026,14 @@ object SparkEntry {
         |  ('b.example.com', 'https://b.example.com/sm1.xml'),
         |  ('b.example.com', 'https://b.example.com/sm2.xml'))
         |  AS t(host, sitemap)""".stripMargin,
+    "curation_sitemap_urls" ->
+      """SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS loc_idx,
+        |  CASE u.i
+        |    WHEN 1 THEN 'https://ex' || (doc_id % 7) || '.org/p/' || doc_id
+        |    ELSE 'https://ex' || (doc_id % 7) || '.org/q/' || doc_id ||
+        |      '?a=1&b=2'
+        |  END AS loc
+        |FROM documents, (VALUES (1), (2)) AS u(i)""".stripMargin,
     // Morton interleave replayed as 16 shift/mask terms (disjoint
     // target bits, so SUM == OR).
     "curation_zorder" ->

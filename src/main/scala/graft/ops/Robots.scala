@@ -122,6 +122,26 @@ object Robots {
     robots.select(lower(col("host")).as("host"),
       explode(sitemaps(col("body"))).as("sitemap"))
 
+  /** `<loc>` values of a SITEMAP XML document (urlset OR
+    * sitemapindex — both wrap their entries' URL in `<loc>`, so one
+    * extractor serves page-URL discovery and index recursion):
+    * `ARRAY<STRING>` in document order, surrounding whitespace
+    * trimmed, the five XML character entities decoded (`&amp;` LAST,
+    * so `&amp;lt;` decodes to the literal `&lt;` exactly once — the
+    * XML rule). Declarative `regexp_extract_all` + a replace chain —
+    * zero UDFs, the DuckDB oracle replays it verbatim. Completes the
+    * URL-discovery loop: [[sitemapsOf]] finds the sitemap URLs in
+    * robots.txt, the crawl fetches them, this parses the fetched
+    * bodies into the frontier. */
+  def sitemapLocs(xml: Column): Column =
+    transform(
+      regexp_extract_all(xml,
+        lit("(?is)<loc>[ \t\r\n]*([^<]*?)[ \t\r\n]*</loc>"), lit(1)),
+      l => replace(replace(replace(replace(replace(l,
+        lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+        lit("&quot;"), lit("\"")), lit("&apos;"), lit("'")),
+        lit("&amp;"), lit("&")))
+
   /** Build the `(host, body)` robots frame straight FROM a crawl — a
     * real crawl archives its `/robots.txt` fetches as ordinary
     * response records, so the politeness snapshot is derivable from

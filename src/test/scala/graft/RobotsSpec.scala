@@ -258,6 +258,26 @@ class RobotsSpec extends AnyFunSuite {
         ("h.ex", "https://h.ex/c.xml")))
   }
 
+  test("sitemapLocs: urlset and sitemapindex, entity decode, whitespace trim, case-insensitive tags, no-loc docs") {
+    def locs(xml: String): Seq[String] =
+      Seq(xml).toDF("xml")
+        .select(explode(Robots.sitemapLocs(col("xml"))))
+        .as[String].collect().toSeq
+    assert(locs(
+      "<urlset><url><loc> https://h.ex/a </loc></url>" +
+        "<url><LOC>https://h.ex/b?x=1&amp;y=2</LOC></url></urlset>") ==
+      Seq("https://h.ex/a", "https://h.ex/b?x=1&y=2"))
+    // sitemapindex recursion uses the same <loc> wrapper.
+    assert(locs(
+      "<sitemapindex><sitemap><loc>https://h.ex/sm1.xml</loc></sitemap>" +
+        "</sitemapindex>") == Seq("https://h.ex/sm1.xml"))
+    // Double-escaped entity decodes exactly once (&amp;lt; -> &lt;).
+    assert(locs("<urlset><loc>https://h.ex/?q=&amp;lt;tag&amp;gt;</loc>" +
+      "</urlset>") == Seq("https://h.ex/?q=&lt;tag&gt;"))
+    assert(locs("<urlset><url><priority>0.5</priority></url></urlset>")
+      == Seq.empty)
+  }
+
   test("robotsFromCrawl: /robots.txt responses become the per-host frame; earliest fetch wins; composes with filterByRobots") {
     val dir = java.nio.file.Files.createTempDirectory("robots_crawl")
       .toString + "/out"
