@@ -2127,6 +2127,20 @@ object SparkEntry {
     // three batches); the absent phrase returns no rows; matching is
     // token-boundary exact. The oracle replays it with list_slice
     // over every start position.
+    // Unicode-normalizing exact dedup: composed/decomposed twins of
+    // every document (synthesized: even ids get " café" composed,
+    // odd ids the decomposed spelling) merge under the NFC
+    // fingerprint — byte-level exact dedup can never see them. The
+    // oracle replays the fold with DuckDB's nfc_normalize.
+    "dedup_nfc_exact" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = documents(s, d).select(id, col("text"))
+      val variants = docs.select((id * 2).as("doc_id"),
+          concat(col("text"), lit(" caf\u00e9")).as("text"))
+        .unionByName(docs.select((id * 2 + 1).as("doc_id"),
+          concat(col("text"), lit(" cafe\u0301")).as("text")))
+      graft.ops.Dedup.exactUnicode(variants, "NFC")
+    }),
     // Asymmetric near-dup: containment = common / min(|A|,|B|) —
     // catches a document quoted whole inside a larger wrapper, where
     // jaccard (common/union) stays low. Exact pair replay in SQL.
@@ -3700,6 +3714,20 @@ object SparkEntry {
         |SELECT doc_id, sent_idx, md5(sentence) AS sent_md5,
         |  length(sentence) AS n_chars
         |FROM e WHERE length(trim(sentence)) > 0""".stripMargin,
+    "dedup_nfc_exact" ->
+      """WITH v AS (
+        |  SELECT doc_id * 2 AS doc_id,
+        |         text || ' caf' || chr(233) AS text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1,
+        |         text || ' cafe' || chr(769) FROM documents),
+        |f AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(nfc_normalize(text))),
+        |      '\s+', ' ', 'g')) AS fp
+        |  FROM v)
+        |SELECT min(doc_id) AS doc_id, fp,
+        |       count(*) AS n_copies
+        |FROM f GROUP BY fp""".stripMargin,
     "dedup_containment" ->
       s"""WITH t AS (SELECT doc_id, $dToks w FROM documents),
          |tok AS (SELECT doc_id, generate_subscripts(w,1) i, unnest(w) tk FROM t),

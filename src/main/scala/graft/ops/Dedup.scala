@@ -30,6 +30,23 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("fp"), col("n_copies"))
 
+  /** [[exact]] with UNICODE normalization folded into the
+    * fingerprint: crawls spell the same text in composed and
+    * decomposed forms (and, with `form = "NFKC"`, full-width /
+    * ligature presentation variants) that byte-level exact dedup can
+    * never merge. NFC is the lossless default; NFKC is the
+    * aggressive dedup-canonicalization choice. Same plan shape as
+    * [[exact]] — the normalization is one more codegen'd projection
+    * step before the md5, zero extra cost on already-normal text
+    * (the isNormalized fast path). */
+  def exactUnicode(docs: DataFrame, form: String = "NFC"): DataFrame =
+    docs
+      .select(col("doc_id"), md5(TextOps.normalized(
+        graft.functions.unicode_normalize(col("text"), form))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("fp"), col("n_copies"))
+
   /** Streaming twin of [[exact]] for ingest-time dedup of a document
     * firehose: emit the FIRST occurrence of each normalized-content
     * fingerprint, drop duplicates arriving within the watermark

@@ -5020,6 +5020,23 @@ class OpsSpec extends AnyFunSuite {
       .as[String].collect()(0) == "\u00e9")
   }
 
+  test("exactUnicode: composed/decomposed merge under NFC; full-width variants merge only under NFKC") {
+    val docs = Seq(
+      (1L, "café menu"),     // composed
+      (2L, "café menu"),    // decomposed -> same under NFC
+      (3L, "ｃａｆｅ́ menu"), // full-width cafe + acute
+      (4L, "other text"))
+      .toDF("doc_id", "text")
+    val nfc = Dedup.exactUnicode(docs, "NFC")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(nfc == Seq(1L, 3L, 4L)) // 2 merged into 1; 3 stays distinct
+    val nfkc = Dedup.exactUnicode(docs, "NFKC")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(nfkc == Seq(1L, 4L)) // full-width folds too
+    // Plain exact would keep all four.
+    assert(Dedup.exact(docs).count() == 4)
+  }
+
   test("zOrderKey: matches an independent Morton reference; out-of-range refuses per row") {
     val pts = for (x <- 0 until 8; y <- 0 until 8) yield (x.toLong, y.toLong)
     val got = pts.toDF("x", "y")

@@ -199,6 +199,36 @@ class PlanShapeSpec extends AnyFunSuite {
       "canonical dedup must not use a window over the canonical key")
   }
 
+  test("round-13 plans: zero-shuffle projections, broadcast politeness join, map-side combines") {
+    // Z-order keys and unicode normalization are pure codegen'd
+    // projections — zero Exchange.
+    for (q <- Seq("curation_zorder", "text_unicode_nfc")) {
+      val n = "Exchange".r.findAllIn(plans(q)).size
+      assert(n == 0, s"$q plans $n Exchange nodes; expected a pure projection")
+    }
+    // The politeness decision: rules parse rides the BUILD side of a
+    // broadcast host join (per-host, small); the per-URL decision is
+    // projection work after it — no shuffle exchange anywhere.
+    val r = plans("curation_robots")
+    assert(r.contains("BroadcastHashJoin"),
+      s"curation_robots: expected a broadcast host join in:\n$r")
+    assert(!r.contains("Exchange hashpartitioning"),
+      s"curation_robots must not shuffle:\n$r")
+    // Phrase search: the phrase table broadcasts; both aggregations
+    // (candidate votes, per-doc rollup) partial-aggregate map-side.
+    val p = plans("text_phrase_search")
+    assert(p.contains("BroadcastExchange"),
+      s"text_phrase_search: phrase table must broadcast:\n$p")
+    assert(p.contains("partial_count"),
+      s"text_phrase_search: expected map-side partial counts:\n$p")
+    // Anchor terms + containment: count aggregations combine map-side
+    // (zipfian term/gram heads pre-combine per task).
+    for (q <- Seq("curation_anchor_text", "dedup_containment")) {
+      assert(plans(q).contains("partial_count"),
+        s"$q: expected map-side partial_count in:\n${plans(q)}")
+    }
+  }
+
   test("near-dup verification's selective path is candidate-proportional end to end (ADVICE r11 pin)") {
     // verifyJaccard's broadcast branch: candidates broadcast into the
     // first index join, and the SECOND join's index side semi-
