@@ -1402,6 +1402,42 @@ object SparkEntry {
         .select(col("doc_id"), col("url"), col("allowed"), col("matched"),
           when(col("allowed"), md5(col("text"))).as("text_md5"))
     }),
+    // The crawl-PLANNING capstone: politeness (robots on the site
+    // hosts; hub hosts have no robots.txt), URL spam screening, and
+    // link-graph authority (one fixed-point PageRank iteration over
+    // the shared link fixture) composed into ONE prioritized frontier
+    // table — every verdict and the integer rank replayed in SQL.
+    // Path precedence: casino (id%7==3) before private (id%2==0);
+    // only SITE hosts deny /private/ (hub candidates stay allowed —
+    // the missing-robots default inside a composition).
+    "e2e_crawl_frontier" -> ((s, d) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val chost = when(id % 11 === 5,
+          concat(lit("hub"), id % 3, lit(".org")))
+        .otherwise(concat(lit("www.site"), id % 5, lit("-example.org")))
+      val cpath = when(id % 7 === 3, concat(lit("/casino/"), id))
+        .when(id % 2 === 0, concat(lit("/private/"), id))
+        .otherwise(concat(lit("/p/"), id))
+      val urls = documents(s, d).select(id,
+        concat(lit("http://"), chost, cpath).as("url"))
+      val robots = (0 until 5).map(k =>
+        (s"www.site$k-example.org",
+          "User-agent: *\nDisallow: /private/\n")).toDF("host", "body")
+      val ranks = graft.ops.Domains.pageRankFixedPoint(
+        graft.ops.Domains.outlinkDomainEdges(
+          linkGraphPages(s, d), col("url"), col("html")),
+        iterations = 1, scale = 1000000000000L)
+      graft.ops.Robots.decisions(urls, col("url"), robots, "graftbot")
+        .withColumn("spam_hits",
+          graft.ops.Domains.urlSpamScore(col("url")))
+        .withColumn("domain", graft.ops.Domains.registrableDomain(
+          graft.ops.Domains.host(col("url"))))
+        .join(ranks, Seq("domain"), "left_outer")
+        .select(col("doc_id"), col("url"), col("allowed"),
+          col("spam_hits"), col("rank_fp"),
+          (col("allowed") && col("spam_hits") <= 0).as("eligible"))
+    }),
     "wet_roundtrip" -> ((s, d) => {
       val dir = scratchDir("graft_wet", d) + "/corpus"
       graft.sources.Wet.writeWet(
@@ -3123,6 +3159,53 @@ object SparkEntry {
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, url,
         |       md5(norm) AS text_md5
         |FROM win WHERE rn = 1""".stripMargin,
+    // Frontier replay: candidate host/path/verdicts from doc_id
+    // arithmetic, the one-iteration integer rank from the shared
+    // link-fixture CTE (same replay as curation_domain_rank, stopped
+    // at r1).
+    "e2e_crawl_frontier" ->
+      """WITH e0 AS (
+        |  SELECT 'site' || (doc_id % 5) || '-example.org' AS src,
+        |         'hub' || (doc_id % 3) || '.org' AS dst FROM documents
+        |  UNION ALL
+        |  SELECT 'site' || (doc_id % 5) || '-example.org',
+        |         'assets' || (doc_id % 2) || '.net' FROM documents
+        |  UNION ALL
+        |  SELECT 'site' || (doc_id % 5) || '-example.org', 'tracker.biz'
+        |  FROM documents),
+        |e AS (SELECT DISTINCT src, dst FROM e0),
+        |nodes AS (SELECT src AS domain FROM e
+        |          UNION SELECT dst FROM e),
+        |outdeg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        |r0 AS (SELECT domain, CAST(1000000000000 AS BIGINT) AS r
+        |       FROM nodes),
+        |c1 AS (SELECT e.dst AS domain,
+        |              SUM((r0.r * 85) // (o.d * 100)) AS cin
+        |       FROM e JOIN r0 ON r0.domain = e.src
+        |              JOIN outdeg o ON o.src = e.src GROUP BY 1),
+        |r1 AS (SELECT n.domain, 150000000000 + COALESCE(c1.cin, 0) AS r
+        |       FROM nodes n LEFT JOIN c1 ON c1.domain = n.domain),
+        |cand AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 5 THEN 'hub' || (doc_id % 3) || '.org'
+        |         ELSE 'www.site' || (doc_id % 5) || '-example.org'
+        |    END AS chost,
+        |    CASE WHEN doc_id % 11 = 5 THEN 'hub' || (doc_id % 3) || '.org'
+        |         ELSE 'site' || (doc_id % 5) || '-example.org'
+        |    END AS cdomain,
+        |    CASE WHEN doc_id % 7 = 3 THEN '/casino/' || doc_id
+        |         WHEN doc_id % 2 = 0 THEN '/private/' || doc_id
+        |         ELSE '/p/' || doc_id END AS cpath
+        |  FROM documents),
+        |v AS (SELECT doc_id, 'http://' || chost || cpath AS url, cdomain,
+        |    NOT (doc_id % 11 <> 5 AND doc_id % 7 <> 3
+        |         AND doc_id % 2 = 0) AS allowed,
+        |    CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END AS spam_hits
+        |  FROM cand)
+        |SELECT v.doc_id, v.url, v.allowed,
+        |  CAST(v.spam_hits AS INT) AS spam_hits,
+        |  r1.r AS rank_fp,
+        |  (v.allowed AND v.spam_hits <= 0) AS eligible
+        |FROM v LEFT JOIN r1 ON r1.domain = v.cdomain""".stripMargin,
     // Politeness verdicts from doc_id arithmetic (host = id % 5:
     // site0 disallow-all; site1 graftbot-denied except the $-anchored
     // allow for ids ending in 1; site2 no robots; site3 no applicable
