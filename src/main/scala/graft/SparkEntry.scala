@@ -406,6 +406,34 @@ object SparkEntry {
     docs.select(url.as("url"), html.as("html"))
   }
 
+  /** Base-href companion pages for `curation_link_graph` ONLY (the
+    * other link gates replay the base-free [[linkGraphPages]] — this
+    * union keeps their oracles untouched): every doc gets a second
+    * page whose relative links must resolve against `<base href>`
+    * per the HTML spec (VERDICT r12 #2). Even doc_ids declare an
+    * ABSOLUTE base (`static.based{id%3}.net` — path-relative and
+    * root-relative links become external edges to the base's
+    * registrable domain); odd doc_ids declare a PATH-ONLY base
+    * (`/en/` — rebases the path but cannot change the host, so the
+    * relative links stay internal and vanish). The absolute link is
+    * unaffected by any base (RFC 3986 §5.2.2), pinning that the base
+    * applies to relative references only. */
+  private def baseHrefPages(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val url = concat(lit("http://www.site"), id % 5,
+      lit("-example.org/b/"), id)
+    val base = when(id % 2 === 0,
+      concat(lit("https://static.based"), id % 3, lit(".net/dir/")))
+      .otherwise(lit("/en/"))
+    val html = concat(
+      lit("<html><head><base target=\"_blank\" href=\""), base,
+      lit("\"></head><body><a href=\"rel/"), id,
+      lit("\">r</a> <a href=\"/root\">t</a> <a href=\"https://news.hub"),
+      id % 3, lit(".org/z/"), id,
+      lit("\">abs</a></body></html>"))
+    documents(spark, dir).select(url.as("url"), html.as("html"))
+  }
+
   /** The shared robots.txt fixture for the three curation_robots*
     * gates (decisions, crawl-delays, sitemaps) — ONE fixture, so the
     * gates cannot drift apart. The crawl-delay and sitemap lines are
@@ -1110,15 +1138,18 @@ object SparkEntry {
     }),
     // The registrable-domain link graph over the synthesized crawl
     // pages: html_links extraction → host-level target resolution
-    // (absolute / protocol-relative / page-relative) → registrable
-    // domains → internal-edge drop → counted edges. The oracle
-    // re-derives the three surviving edges per doc (external hub,
-    // assets CDN, nofollow'd tracker — the root-relative and
-    // same-domain links are internal and must vanish) from doc_id
-    // arithmetic.
+    // (absolute / protocol-relative / page-relative / <base href>
+    // override) → registrable domains → internal-edge drop → counted
+    // edges. The oracle re-derives the three surviving edges per doc
+    // (external hub, assets CDN, nofollow'd tracker — the
+    // root-relative and same-domain links are internal and must
+    // vanish) plus the base-href companion pages' edges (absolute
+    // base flips relative links external; path-only base leaves them
+    // internal) from doc_id arithmetic.
     "curation_link_graph" -> ((s, d) =>
       graft.ops.Domains.outlinkDomainEdges(
-        linkGraphPages(s, d), col("url"), col("html"))),
+        linkGraphPages(s, d).unionAll(baseHrefPages(s, d)),
+        col("url"), col("html"))),
     // Fixed-point PageRank over that domain graph (3 iterations,
     // damping 85/100, scale 1e12): every step is long integer
     // arithmetic — (r*85) div (outdeg*100) per edge, long sums,
@@ -2884,9 +2915,14 @@ object SparkEntry {
         |                  ELSE NULL END AS robots,
         |  (doc_id % 4 = 0) AS noindex
         |FROM documents""".stripMargin,
-    // Three surviving edges per doc (the root-relative and
-    // same-registrable-domain links are internal and vanish),
-    // re-derived from doc_id arithmetic.
+    // Three surviving edges per doc from the base-free pages (the
+    // root-relative and same-registrable-domain links are internal
+    // and vanish), plus the base-href companion pages: even docs'
+    // TWO relative links resolve to the absolute <base> host (an
+    // external 'based' edge each), odd docs' path-only base leaves
+    // them internal (dropped), and every base page's absolute link
+    // lands on the hub regardless of base — all re-derived from
+    // doc_id arithmetic.
     "curation_link_graph" ->
       """WITH e AS (
         |  SELECT 'site' || (doc_id % 5) || '-example.org' AS src_domain,
@@ -2897,7 +2933,18 @@ object SparkEntry {
         |         'assets' || (doc_id % 2) || '.net' FROM documents
         |  UNION ALL
         |  SELECT 'site' || (doc_id % 5) || '-example.org', 'tracker.biz'
-        |  FROM documents)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'site' || (doc_id % 5) || '-example.org',
+        |         'hub' || (doc_id % 3) || '.org' FROM documents
+        |  UNION ALL
+        |  SELECT 'site' || (doc_id % 5) || '-example.org',
+        |         'based' || (doc_id % 3) || '.net' FROM documents
+        |  WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'site' || (doc_id % 5) || '-example.org',
+        |         'based' || (doc_id % 3) || '.net' FROM documents
+        |  WHERE doc_id % 2 = 0)
         |SELECT src_domain, dst_domain,
         |       CAST(count(*) AS BIGINT) AS n_links
         |FROM e GROUP BY 1, 2""".stripMargin,
@@ -3203,7 +3250,7 @@ object SparkEntry {
         |  FROM cand)
         |SELECT v.doc_id, v.url, v.allowed,
         |  CAST(v.spam_hits AS INT) AS spam_hits,
-        |  r1.r AS rank_fp,
+        |  CAST(r1.r AS BIGINT) AS rank_fp,
         |  (v.allowed AND v.spam_hits <= 0) AS eligible
         |FROM v LEFT JOIN r1 ON r1.domain = v.cdomain""".stripMargin,
     // Politeness verdicts from doc_id arithmetic (host = id % 5:

@@ -286,16 +286,34 @@ object Domains {
     * misclassify as page-relative and silently drop the external
     * edge. Host-level resolution only, deliberately: a domain graph
     * needs the target registrable domain, and RFC 3986 path merging
-    * cannot change the host. `<base href>` overrides are out of scope
-    * (rare, and base-relative links stay same-site in the
-    * overwhelming case). */
-  def linkTargetHost(pageUrl: Column, href: Column): Column = {
-    val h = regexp_replace(href,
-      "^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$", "")
+    * cannot change the host. For pages declaring `<base href>` use
+    * the three-argument overload — relative hrefs then resolve
+    * against the BASE's host, the HTML-spec behavior. */
+  def linkTargetHost(pageUrl: Column, href: Column): Column =
+    linkTargetHost(pageUrl, href, lit(null).cast("string"))
+
+  /** [[linkTargetHost]] honoring a page's `<base href>` declaration
+    * (VERDICT r12 #2): when `baseHref` is non-null and carries a host
+    * of its own (absolute `scheme://…` or protocol-relative `//…`),
+    * RELATIVE hrefs resolve to the base's host instead of the page's
+    * — the HTML-spec resolution order. A host-less base (path-only,
+    * e.g. `<base href="/en/">`) rebases the path but cannot change
+    * the host, so relative hrefs correctly stay on the page host; a
+    * null base degrades to the two-argument behavior. Absolute,
+    * protocol-relative, and non-hierarchical hrefs are unaffected by
+    * any base, per RFC 3986 §5.2.2. */
+  def linkTargetHost(pageUrl: Column, href: Column,
+      baseHref: Column): Column = {
+    val ws = "^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$"
+    val h = regexp_replace(href, ws, "")
+    val b = regexp_replace(baseHref, ws, "")
     when(h.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), host(h))
       .when(h.startsWith("//"), host(concat(lit("http:"), h)))
       .when(h.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"),
         lit(null).cast("string"))
+      .when(b.isNotNull && b.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), host(b))
+      .when(b.isNotNull && b.startsWith("//"),
+        host(concat(lit("http:"), b)))
       .otherwise(host(pageUrl))
   }
 
@@ -307,7 +325,11 @@ object Domains {
     * whose `rel` carries the `nofollow` token (publishers' "don't
     * count this endorsement" signal — the standard choice when the
     * graph feeds a ranking). Rows with an unparseable page URL or
-    * link target (null domain on either side) are dropped.
+    * link target (null domain on either side) are dropped. Pages
+    * declaring `<base href>` resolve their RELATIVE links against
+    * the base, per the HTML spec (`honorBaseHref = false` restores
+    * page-host resolution for corpora known base-free — it saves the
+    * one extra regexp per page, nothing else).
     *
     * Shape at 100 TB: link extraction is the zero-shuffle html_links
     * scan; the single shuffle is the (src, dst)-keyed count with
@@ -315,8 +337,12 @@ object Domains {
     * sized (orders of magnitude below the page corpus). */
   def outlinkDomainEdges(pages: DataFrame, urlCol: Column, htmlCol: Column,
       includeInternal: Boolean = false, skipNofollow: Boolean = false,
-      multiPartSuffixes: Seq[String] = DefaultMultiPartSuffixes): DataFrame = {
-    val l = pages.select(urlCol.as("_page_url"),
+      multiPartSuffixes: Seq[String] = DefaultMultiPartSuffixes,
+      honorBaseHref: Boolean = true): DataFrame = {
+    val base =
+      if (honorBaseHref) graft.sources.Warc.htmlBaseHref(htmlCol)
+      else lit(null).cast("string")
+    val l = pages.select(urlCol.as("_page_url"), base.as("_base"),
       explode(graft.functions.html_links(htmlCol)).as("_l"))
     val l2 = if (skipNofollow)
       l.filter(!col("_l.rel").rlike("(^|[ \\t])nofollow([ \\t]|$)"))
@@ -325,7 +351,7 @@ object Domains {
         registrableDomain(host(col("_page_url")), multiPartSuffixes)
           .as("src_domain"),
         registrableDomain(
-          linkTargetHost(col("_page_url"), col("_l.href")),
+          linkTargetHost(col("_page_url"), col("_l.href"), col("_base")),
           multiPartSuffixes).as("dst_domain"))
       .filter(col("src_domain").isNotNull && col("dst_domain").isNotNull)
     val e = if (includeInternal) edges

@@ -57,8 +57,10 @@ final case class WarcHtmlRecord(
   * by word count + link density (jusText/trafilatura-style), entirely
   * inside whole-stage codegen. Contract closure mirrors Wet: an
   * in-repo binary fixture (`fixture.warc.gz`: chunked, gzip'd,
-  * latin-1, 404, non-HTML, adversarial HTML incl. an embedded
-  * "WARC/1.0" body line) pins the wire format in WarcSpec, and the
+  * deflate'd (zlib-wrapped AND raw — the RFC 9110 vs wild-server
+  * ambiguity), latin-1, 404, non-HTML, adversarial HTML incl. an
+  * embedded "WARC/1.0" body line) pins the wire format in WarcSpec,
+  * and the
   * `warc_html_extract` oracle gate pins the extractor against a
   * DuckDB replay on synthesized HTML over the documents table. */
 object Warc {
@@ -111,9 +113,12 @@ object Warc {
         col("http_status") >= 200 && col("http_status") <= 299 &&
         (col("http_content_type").startsWith("text/html") ||
           col("http_content_type").startsWith("application/xhtml")) &&
-        // Undecoded codings (br, deflate…) carry no text — excluded
-        // here, countable upstream via the content_encoding column.
-        col("content_encoding").isin("", "identity", "gzip", "x-gzip"))
+        // Undecoded codings (br…) carry no text — excluded here,
+        // countable upstream via the content_encoding column. The
+        // decoded set must stay in lockstep with parseHttpResponse's
+        // dispatch (deflate decodes as of r14).
+        col("content_encoding").isin("", "identity", "gzip", "x-gzip",
+          "deflate", "x-deflate"))
       .select(
         coalesce(
           nullif(regexp_extract(col("target_uri"),
@@ -282,6 +287,30 @@ object Warc {
       nullif(regexp_extract(html, both, 2), lit(""))))
   }
 
+  /** The DECLARED base URL of an HTML document (`<base href="…">`,
+    * null when absent) — the HTML spec's override for relative-link
+    * resolution: pages using `<base>` would otherwise mis-resolve
+    * relative outlinks to the PAGE host in the link graph
+    * (VERDICT r12 #2). Per spec only the FIRST `base` element with an
+    * `href` counts — leftmost-match `regexp_extract` gives exactly
+    * that. Same RE2-safe shape as [[htmlCanonicalUrl]]: whitespace
+    * required before the attribute name (`data-href` never matches),
+    * `[^>]*` spans cannot cross a tag boundary, named character
+    * references in the value are decoded. The value may itself be
+    * RELATIVE (legal; resolved against the page URL downstream —
+    * [[graft.ops.Domains.linkTargetHost]] treats a host-less base as
+    * not changing the host, which is exact at host granularity). */
+  def htmlBaseHref(html: Column): Column = {
+    val ws = "[ \\t\\n\\x0B\\f\\r]"
+    // Whitespace is required IMMEDIATELY after the tag name (so
+    // `<basefont>` never matches — `base` has no valid attribute-less
+    // `<base>` worth extracting anyway) and again before `href` (so
+    // `data-href` never matches), both RE2-safe.
+    val re = s"(?i)<base${ws}(?:[^>]*${ws})?" +
+      s"href[ ]*=[ ]*[\"']?([^\"'> \\t\\n\\x0B\\f\\r]+)"
+    decodeAttr(nullif(regexp_extract(html, re, 1), lit("")))
+  }
+
   /** The robots META directive of an HTML document (`<meta
     * name="robots" content="…">`, either attribute order, lowercased
     * and trimmed; null when absent). The `content` value must be
@@ -360,16 +389,19 @@ object Warc {
         // WARC/1.0 §5.2 mandates a globally-unique WARC-Record-ID on
         // every record (ADVICE r12). Derived deterministically from
         // (uri, date, body) — md5's 128 bits reshaped into RFC 4122
-        // v4 uuid-hex layout — so reruns are byte-identical and the
-        // writer stays a pure projection (no per-row RNG). Two rows
-        // collide only when they are the SAME record content
-        // (uri+date+body); dedup such rows upstream (dedupUrls) if a
-        // strict validator must see every ID distinct.
+        // uuid-hex layout with version nibble 3 (the md5 NAME-BASED
+        // layout, matching the actual derivation; v4 would falsely
+        // advertise randomness — ADVICE r13) — so reruns are
+        // byte-identical and the writer stays a pure projection (no
+        // per-row RNG). Two rows collide only when they are the SAME
+        // record content (uri+date+body); dedup such rows upstream
+        // (dedupUrls) if a strict validator must see every ID
+        // distinct.
         lit(crlf + "WARC-Record-ID: <urn:uuid:"),
         regexp_replace(
           md5(concat(col("uri"), lit("\n"), col("date"), lit("\n"),
             col("_http"))),
-          "^(.{8})(.{4}).(.{3}).(.{3})(.{12})$", "$1-$2-4$3-8$4-$5"),
+          "^(.{8})(.{4}).(.{3}).(.{3})(.{12})$", "$1-$2-3$3-8$4-$5"),
         lit(">" +
           crlf + "Content-Type: application/http; msgtype=response" +
           crlf + "Content-Length: "),
@@ -441,8 +473,9 @@ object Warc {
     val decodable = contentEncoding match {
       case "" | "identity" => true
       case "gzip" | "x-gzip" => body = gunzip(body, where); true
-      // Legal-but-unsupported coding (br, deflate…): body stays
-      // undecoded, content_encoding is the countable signal.
+      case "deflate" | "x-deflate" => body = inflate(body, where); true
+      // Legal-but-unsupported coding (br…): body stays undecoded,
+      // content_encoding is the countable signal.
       case _ => false
     }
     val mediaType = contentTypeRaw.split(";")(0).trim
@@ -544,5 +577,43 @@ object Warc {
           "silently skipping the body would drop the document", e)
     } finally if (in != null) in.close()
     out.toByteArray
+  }
+
+  /** Inflate a `deflate` content coding. RFC 9110 defines it as the
+    * zlib container (RFC 1950), but real servers famously send raw
+    * DEFLATE (RFC 1951) under the same name — so try zlib first and
+    * fall back to raw on a bad header, the standard browser behavior.
+    * Loud when neither variant parses (a silently-skipped body would
+    * drop the document, same contract as [[gunzip]]). */
+  private[graft] def inflate(b: Array[Byte], where: String): Array[Byte] = {
+    def run(raw: Boolean): Array[Byte] = {
+      val inf = new java.util.zip.Inflater(raw)
+      try {
+        inf.setInput(b)
+        val out = new java.io.ByteArrayOutputStream(b.length * 4)
+        val buf = new Array[Byte](1 << 16)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0) {
+            if (inf.needsInput() || inf.needsDictionary())
+              throw new java.util.zip.DataFormatException(
+                "truncated deflate stream")
+          } else out.write(buf, 0, n)
+        }
+        out.toByteArray
+      } finally inf.end()
+    }
+    try run(raw = false)
+    catch {
+      case _: java.util.zip.DataFormatException =>
+        try run(raw = true)
+        catch {
+          case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(
+              s"$where: corrupt deflate content coding " +
+                s"(${e.getMessage}; both zlib-wrapped and raw tried) — " +
+                "silently skipping the body would drop the document", e)
+        }
+    }
   }
 }

@@ -112,6 +112,63 @@ class HtmlLinksSpec extends AnyFunSuite {
     assert(edges == Seq(("example.com", "other.org", 1L)))
   }
 
+  test("htmlBaseHref: first tag wins, both quote styles, entity decode, data-href never matches") {
+    def base(html: String): Option[String] =
+      Seq(html).toDF("html")
+        .select(Warc.htmlBaseHref(col("html")).as("b"))
+        .collect().headOption.flatMap(r => Option(r.getString(0)))
+    assert(base("""<base href="https://cdn.example.org/dir/">""")
+      .contains("https://cdn.example.org/dir/"))
+    // target attribute before href; single quotes; entity decode.
+    assert(base("""<base target='_blank' href='/en/?a=1&amp;b=2'>""")
+      .contains("/en/?a=1&b=2"))
+    // HTML spec: only the FIRST base element counts.
+    assert(base(
+      """<base href="https://first.example.org/">
+        |<base href="https://second.example.org/">""".stripMargin)
+      .contains("https://first.example.org/"))
+    // A look-alike attribute or tag never matches.
+    assert(base("""<base data-href="https://no.example.org/">""").isEmpty)
+    assert(base("""<basefont href="https://no.example.org/">""").isEmpty)
+    assert(base("<p>no base here</p>").isEmpty)
+  }
+
+  test("outlinkDomainEdges honors <base href>: absolute base flips relative links external; path-only base does not; absolute hrefs unaffected") {
+    val pages = Seq(
+      // Absolute base: both relative links resolve to the base host;
+      // the absolute link ignores the base.
+      (1L, "http://www.site.example.com/a",
+        """<head><base href="https://static.cdnhost.net/dir/"></head>
+          |<a href="rel/x">r</a><a href="/root">t</a>
+          |<a href="https://news.bbc.co.uk/z">abs</a>""".stripMargin),
+      // Path-only base: rebases the path, cannot change the host —
+      // the relative link stays internal and vanishes.
+      (2L, "http://www.site.example.com/b",
+        """<head><base href="/en/"></head>
+          |<a href="rel/y">r</a>
+          |<a href="https://news.bbc.co.uk/w">abs</a>""".stripMargin),
+      // Protocol-relative base resolves to its own host too.
+      (3L, "http://www.site.example.com/c",
+        """<head><base href="//img.assets.org/i/"></head>
+          |<a href="pic.png">p</a>""".stripMargin))
+      .toDF("doc_id", "url", "html")
+    val edges = graft.ops.Domains.outlinkDomainEdges(pages, col("url"),
+        col("html"))
+      .orderBy("src_domain", "dst_domain")
+      .as[(String, String, Long)].collect().toSeq
+    assert(edges == Seq(
+      ("example.com", "assets.org", 1L),
+      ("example.com", "bbc.co.uk", 2L),
+      ("example.com", "cdnhost.net", 2L)))
+    // honorBaseHref = false restores page-host resolution: only the
+    // absolute links survive the internal-edge drop.
+    val off = graft.ops.Domains.outlinkDomainEdges(pages, col("url"),
+        col("html"), honorBaseHref = false)
+      .orderBy("src_domain", "dst_domain")
+      .as[(String, String, Long)].collect().toSeq
+    assert(off == Seq(("example.com", "bbc.co.uk", 2L)))
+  }
+
   test("htmlCanonicalUrl: the first canonical tag wins across mixed attribute orders") {
     def canon(html: String): Option[String] =
       Seq(html).toDF("html")

@@ -24,18 +24,20 @@ class WarcSpec extends AnyFunSuite {
   private val p2 = "WARC/1.0 looks like a record boundary but is body " +
     "text, padded past ten words."
 
-  test("fixture parses byte-exactly: 10 records, HTTP layer, chunked + gzip codings, charsets") {
+  test("fixture parses byte-exactly: 12 records, HTTP layer, chunked + gzip + deflate codings, charsets") {
     val rows = Warc.readWarc(spark, fixturePath)
       .orderBy("record_idx").collect()
-    assert(rows.length == 10)
+    assert(rows.length == 12)
     assert(rows.map(_.getAs[String]("warc_type")).toSeq == Seq(
       "warcinfo", "response", "response", "response", "response",
-      "response", "response", "request", "response", "response"))
+      "response", "response", "request", "response", "response",
+      "response", "response"))
     assert(rows.map(_.getAs[Int]("http_status")).toSeq ==
-      Seq(0, 200, 200, 200, 200, 404, 200, 0, 200, 200))
+      Seq(0, 200, 200, 200, 200, 404, 200, 0, 200, 200, 200, 200))
     assert(rows.map(_.getAs[String]("http_content_type")).toSeq == Seq(
       "", "text/html", "text/html", "text/html", "text/html",
-      "text/html", "application/pdf", "", "text/html", "text/html"))
+      "text/html", "application/pdf", "", "text/html", "text/html",
+      "text/html", "text/html"))
     // Legal-but-unsupported coding: lenient — status kept, body
     // undecoded, the coding surfaced as the countable signal.
     assert(rows(9).getAs[String]("content_encoding") == "br" &&
@@ -56,15 +58,25 @@ class WarcSpec extends AnyFunSuite {
     assert(rows(8).getAs[String]("html").contains(
       "深度学習") &&
       rows(8).getAs[String]("html").contains("😀"))
+    // Deflate content coding, both wire variants (RFC 9110 says
+    // zlib-wrapped; wild servers send raw RFC 1951 under the same
+    // name — the reader falls back).
+    assert(rows(10).getAs[String]("content_encoding") == "deflate" &&
+      rows(10).getAs[String]("html").contains(
+        "Zlib wrapped deflate content coding"))
+    assert(rows(11).getAs[String]("content_encoding") == "deflate" &&
+      rows(11).getAs[String]("html").contains(
+        "Raw deflate content coding from a noncompliant server"))
   }
 
   test("warcHtmlDocuments keeps 2xx HTML only; warcTextDocuments extracts boilerplate-stripped text") {
     val docs = Warc.warcHtmlDocuments(Warc.readWarc(spark, fixturePath))
       .orderBy("doc_id").collect()
     // 404 (205), pdf (206), undecodable br (209), request, warcinfo
-    // are all excluded.
+    // are all excluded; the deflate pages (210 zlib, 211 raw) decode
+    // and stay in.
     assert(docs.map(_.getAs[Long]("doc_id")).toSeq ==
-      Seq(201L, 202L, 203L, 204L, 208L))
+      Seq(201L, 202L, 203L, 204L, 208L, 210L, 211L))
     val text = Warc.warcTextDocuments(Warc.readWarc(spark, fixturePath))
       .orderBy("doc_id")
       .select("doc_id", "text").as[(Long, String)].collect().toMap
@@ -82,6 +94,10 @@ class WarcSpec extends AnyFunSuite {
       "of exactly eleven words total.")
     assert(text(208L) == "深度学習 multibyte paragraph " +
       "with emoji 😀 needs ten or more words to be kept.")
+    assert(text(210L) == "Zlib wrapped deflate content coding " +
+      "delivered this paragraph of exactly twelve words.")
+    assert(text(211L) == "Raw deflate content coding from a " +
+      "noncompliant server still delivered this twelve word paragraph.")
   }
 
   test("html_blocks: adversarial segmentation — quoted '>', script traps, entities, inline vs block tags") {
@@ -173,7 +189,7 @@ class WarcSpec extends AnyFunSuite {
           r.getInt(3), r.getString(4))).toSet
       val streamed = key(spark.table("warc_stream_out"))
       val batch = key(Warc.readWarc(spark, dir + "/*.warc.gz"))
-      assert(batch.size == 10 && streamed == batch)
+      assert(batch.size == 12 && streamed == batch)
     } finally {
       spark.sql("DROP TABLE IF EXISTS warc_stream_out")
       def rm(f: java.io.File): Unit = {
@@ -216,13 +232,13 @@ class WarcSpec extends AnyFunSuite {
       // Every fixture URL is on the blocked registrable domain —
       // the chain must drain to empty, proving the block actually
       // composed (not that the stream produced nothing: parity above
-      // already pinned the stream against the 5-doc batch view).
+      // already pinned the stream against the 7-doc batch view).
       assert(batch.isEmpty)
       val unblocked = chain(Warc.readWarc(spark, dir + "/*.warc.gz"))
       val open = graft.ops.Domains.filterByDomainList(
         Warc.warcTextDocuments(Warc.readWarc(spark, dir + "/*.warc.gz")),
         col("url"), Seq("other.test").toDF("domain"), allow = false)
-      assert(open.count() == 5 && unblocked.count() == 0)
+      assert(open.count() == 7 && unblocked.count() == 0)
     } finally {
       spark.sql("DROP TABLE IF EXISTS warc_curated_out")
       def rm(f: java.io.File): Unit = {
@@ -299,6 +315,28 @@ class WarcSpec extends AnyFunSuite {
       Warc.gunzip("not gzip at all".getBytes("UTF-8"), "t")
     }
     assert(exGz.getMessage.contains("corrupt gzip"))
+    // Deflate: zlib-wrapped and raw variants both inflate; neither
+    // variant parsing is loud.
+    val plain = "deflate roundtrip payload".getBytes("UTF-8")
+    locally {
+      val d = new java.util.zip.Deflater()
+      d.setInput(plain); d.finish()
+      val buf = new Array[Byte](256)
+      val n = d.deflate(buf); d.end()
+      assert(Warc.inflate(buf.take(n), "t").sameElements(plain))
+    }
+    locally {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true) // raw
+      d.setInput(plain); d.finish()
+      val buf = new Array[Byte](256)
+      val n = d.deflate(buf); d.end()
+      assert(Warc.inflate(buf.take(n), "t").sameElements(plain))
+    }
+    val exDf = intercept[IllegalArgumentException] {
+      Warc.inflate("certainly not deflate data  ".getBytes("UTF-8"), "t")
+    }
+    assert(exDf.getMessage.contains("corrupt deflate"))
     // Lenient paths: an unsupported-but-legal content coding keeps
     // the record (html empty, coding surfaced); unknown charset falls
     // back to UTF-8; a payload that is not HTTP reports status 0.
@@ -394,10 +432,14 @@ class WarcSpec extends AnyFunSuite {
     }
     val ids = writeAndReadIds("a")
     // WARC/1.0 mandates one per record, shaped <urn:uuid:...> with
-    // RFC 4122 hex layout (version nibble 4, variant nibble 8).
+    // RFC 4122 hex layout. Version nibble 3 (md5 name-based), not 4
+    // (random): the id IS content-derived, and a strict consumer
+    // reading v4 semantics would wrongly assume per-mint uniqueness
+    // where identical record content intentionally shares an id
+    // (ADVICE r13).
     assert(ids.size == 2 && ids.distinct.size == 2)
     val uuidRe =
-      ("^WARC-Record-ID: <urn:uuid:[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}" +
+      ("^WARC-Record-ID: <urn:uuid:[0-9a-f]{8}-[0-9a-f]{4}-3[0-9a-f]{3}" +
         "-8[0-9a-f]{3}-[0-9a-f]{12}>$").r
     ids.foreach(id => assert(uuidRe.findFirstIn(id).isDefined, id))
     // Deterministic: a rerun produces byte-identical ids.

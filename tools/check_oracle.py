@@ -33,6 +33,29 @@ def table_rows(rel):
     return cols, sorted(rows)
 
 
+# The driver's hash is type-sensitive where this checker str-normalizes:
+# a DuckDB type with no Spark analogue (HUGEINT from SUM over BIGINT,
+# UHUGEINT, unparameterized DECIMAL widening) hash-mismatches even when
+# every value agrees (r13's e2e_crawl_frontier). Flag them up front so
+# the value diff below can't mask a typing bug.
+BAD_ORACLE_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def type_sweep(con, oracle):
+    bad = []
+    for name, sql in sorted(oracle.items()):
+        try:
+            desc = con.sql(f"DESCRIBE ({sql})").fetchall()
+        except Exception:
+            continue  # SQL errors surface in the main loop
+        for col, typ, *_ in desc:
+            if any(t in typ.upper() for t in BAD_ORACLE_TYPES):
+                print(f"TYPE {name}: column {col} is {typ} "
+                      f"(cast to BIGINT/DOUBLE in the oracle SQL)")
+                bad.append(name)
+    return bad
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -40,7 +63,7 @@ def main():
               "lineitem", "events", "documents", "embeddings"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    failed = []
+    failed = list(type_sweep(con, oracle))
     for name, sql in sorted(oracle.items()):
         try:
             got_cols, got = table_rows(
@@ -69,6 +92,7 @@ def main():
             failed.append(name)
         else:
             print(f"OK   {name}: {len(got)} rows")
+    failed = sorted(set(failed))
     print(f"\n{len(oracle) - len(failed)}/{len(oracle)} queries match")
     sys.exit(1 if failed else 0)
 

@@ -14,6 +14,7 @@ concatenated members). Deterministic output (gzip mtime=0).
 import gzip
 import io
 import os
+import zlib
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 OUT = os.path.join(HERE, "..", "src", "test", "resources", "fixture.warc.gz")
@@ -71,6 +72,19 @@ HTML4_GZIP = ("<html><body><p>Gzip content coding delivered this paragraph "
 HTML8_UTF8 = ("<html><body><p>深度学習 multibyte paragraph "
               "with emoji \U0001F600 needs ten or more words to be kept."
               "</p></body></html>")
+
+HTML10_DEFLATE_ZLIB = ("<html><body><p>Zlib wrapped deflate content "
+                       "coding delivered this paragraph of exactly "
+                       "twelve words.</p></body></html>")
+
+HTML11_DEFLATE_RAW = ("<html><body><p>Raw deflate content coding from a "
+                      "noncompliant server still delivered this twelve "
+                      "word paragraph.</p></body></html>")
+
+
+def raw_deflate(data: bytes) -> bytes:
+    c = zlib.compressobj(wbits=-15)  # negative wbits = no zlib header
+    return c.compress(data) + c.flush()
 
 
 def chunk(body: bytes) -> bytes:
@@ -154,6 +168,23 @@ records_b = [
                      [("Content-Type", "text/html"),
                       ("Content-Encoding", "br")],
                      b"\x1b\x03\x00fake brotli bytes")),
+    # Deflate content coding, spec-compliant variant: zlib-wrapped
+    # (RFC 1950) per RFC 9110.
+    warc_record("response", "http://fixture.test/html/210",
+                "2026-08-15T01:00:10Z",
+                http("HTTP/1.1 200 OK",
+                     [("Content-Type", "text/html; charset=utf-8"),
+                      ("Content-Encoding", "deflate")],
+                     zlib.compress(HTML10_DEFLATE_ZLIB.encode("utf-8")))),
+    # Deflate content coding, wild-server variant: raw DEFLATE
+    # (RFC 1951, no zlib header) under the same coding name — the
+    # documented server ambiguity the reader must fall back on.
+    warc_record("response", "http://fixture.test/html/211",
+                "2026-08-15T01:00:11Z",
+                http("HTTP/1.1 200 OK",
+                     [("Content-Type", "text/html; charset=utf-8"),
+                      ("Content-Encoding", "deflate")],
+                     raw_deflate(HTML11_DEFLATE_RAW.encode("utf-8")))),
 ]
 
 # Two gzip members: the reader must consume concatenated members.
