@@ -762,18 +762,30 @@ object SparkEntry {
        |    + length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))*1.0/length(text)*0.3 AS quality_score
        |FROM documents""".stripMargin
 
+  /** DuckDB marker-hit count for one language's stopword list
+    * (mirrors `marker_counts` on whitespace tokens). */
+  private def dLangHits(words: Seq[String]): String =
+    s"len(list_filter($dToks, x -> list_contains([${words.map("'" + _ + "'").mkString(",")}], x)))"
+
+  /** DuckDB replay of the langId decision (zero hits → und; ties
+    * break de, en, fr — TextAnalysis.langId's order). */
+  private val dLangPredicted: String = {
+    val en = dLangHits(graft.ops.TextAnalysis.stopwordsEn)
+    val de = dLangHits(graft.ops.TextAnalysis.stopwordsDe)
+    val fr = dLangHits(graft.ops.TextAnalysis.stopwordsFr)
+    s"""CASE WHEN greatest($en,$de,$fr) = 0 THEN 'und'
+       |     WHEN $de = greatest($en,$de,$fr) THEN 'de'
+       |     WHEN $en = greatest($en,$de,$fr) THEN 'en'
+       |     ELSE 'fr' END""".stripMargin
+  }
+
   private val langIdOracle: String = {
-    def hits(words: Seq[String]) =
-      s"len(list_filter($dToks, x -> list_contains([${words.map("'" + _ + "'").mkString(",")}], x)))"
-    val en = hits(graft.ops.TextAnalysis.stopwordsEn)
-    val de = hits(graft.ops.TextAnalysis.stopwordsDe)
-    val fr = hits(graft.ops.TextAnalysis.stopwordsFr)
+    val en = dLangHits(graft.ops.TextAnalysis.stopwordsEn)
+    val de = dLangHits(graft.ops.TextAnalysis.stopwordsDe)
+    val fr = dLangHits(graft.ops.TextAnalysis.stopwordsFr)
     s"""SELECT doc_id, lang AS lang_declared,
        |  $en AS en_hits, $de AS de_hits, $fr AS fr_hits,
-       |  CASE WHEN greatest($en,$de,$fr) = 0 THEN 'und'
-       |       WHEN $de = greatest($en,$de,$fr) THEN 'de'
-       |       WHEN $en = greatest($en,$de,$fr) THEN 'en'
-       |       ELSE 'fr' END AS lang_predicted
+       |  $dLangPredicted AS lang_predicted
        |FROM documents""".stripMargin
   }
 
@@ -1003,6 +1015,28 @@ object SparkEntry {
         .toDF("doc_id", "url")
       graft.ops.Domains.dedupUrls(urls, col("url"), col("doc_id"))
     }),
+    // Per-domain tracking-param MINING (VERDICT r12 #5): four URL
+    // variants per doc — utm_source ∈ {news, mail} × page ∈ {0, 1} on
+    // the doc's own path — where the content fingerprint depends on
+    // `page` but never on `utm_source`. The miner must report
+    // utm_source content-invariant (safe to strip) and page
+    // content-bearing on every domain, with 2·n_docs evidence groups
+    // each; the oracle re-derives the whole decision table from
+    // doc_id arithmetic (md5(text) ≠ md5(text||'p1') by
+    // construction).
+    "curation_param_mining" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = documents(s, d)
+      def v(utm: String, page: Int) = docs.select(
+        concat(lit("http://www.site"), id % 3, lit("-example.org/p/"),
+          id, lit(s"?utm_source=$utm&page=$page")).as("url"),
+        (if (page == 0) md5(col("text"))
+         else md5(concat(col("text"), lit("p1")))).as("fp"))
+      graft.ops.Domains.mineTrackingParams(
+        v("news", 0).unionAll(v("mail", 0))
+          .unionAll(v("news", 1)).unionAll(v("mail", 1)),
+        col("url"), col("fp"))
+    }),
     // Raw-web ingestion contract (the corpus front door): serialize
     // the documents table as gzipped WET shards (writeWet), parse them
     // back with the Content-Length-driven record walker (readWet), and
@@ -1079,6 +1113,23 @@ object SparkEntry {
       documents(s, d).select(col("doc_id"),
         graft.sources.Warc.htmlLang(html).as("lang"),
         graft.sources.Warc.htmlTitle(html).as("title"))
+    }),
+    // Declared-vs-detected language conflict audit (VERDICT r12 #4):
+    // the same synthesized lang attributes as warc_html_meta — so a
+    // third of the corpus DECLARES de while the text is whatever the
+    // documents fixture actually is (the deliberate lang-attr lie) —
+    // joined against marker-count detection into the per-source
+    // decision table. The oracle replays declared (doc_id % 3) and
+    // detection (stopword hits) independently.
+    "warc_lang_conflict" -> ((s, d) => {
+      val langAttr = when(col("doc_id") % 3 === 0, lit(" lang=\"EN-gb\""))
+        .when(col("doc_id") % 3 === 1, lit(" lang=de"))
+        .otherwise(lit(""))
+      val html = concat(lit("<html"), langAttr,
+        lit("><head><title>x</title></head><body><p>x</p></body></html>"))
+      graft.ops.TextAnalysis.langConflictAudit(
+        documents(s, d), graft.sources.Warc.htmlLang(html),
+        col("text"), col("source"))
     }),
     // HTML outlink extraction (the link layer of the WARC front
     // door): pages synthesized per doc with four href-carrying
@@ -2391,6 +2442,24 @@ object SparkEntry {
       graft.ops.TextAnalysis.langIdNgram(documents(s, d))),
     "text_fingerprint" -> ((s, d) =>
       graft.ops.TextAnalysis.fingerprint(documents(s, d)).select("doc_id", "md5_fp")),
+    // PII redaction over PLANTED PII (VERDICT r12 #3 / r13 #4: the
+    // raw corpus contains none, so the identity transform would gate
+    // vacuously): every doc gets an email, URL, phone, and IPv4
+    // synthesized from doc_id arithmetic appended to its real text —
+    // ≥ 4 guaranteed redactions per row (OpsSpec pins the planted
+    // forms match) — and the oracle replays the ordered regex chain
+    // with DuckDB regexp_replace on the same synthesized input.
+    "text_redact" -> ((s, d) => {
+      val id = col("doc_id")
+      graft.ops.TextAnalysis.redact(documents(s, d).select(id,
+        concat(col("text"),
+          lit(" Contact user"), id, lit("@mail"), id % 7,
+          lit(".example.com via https://track"), id % 5,
+          lit(".example.org/u/"), id,
+          lit(" or +1888"), id % 1000000 + 1000000,
+          lit(" from 10."), id % 200, lit("."), id % 100,
+          lit("."), id % 250, lit(".")).as("text")))
+    }),
     "mm_features" -> ((s, d) =>
       graft.ops.Multimodal.extractFeaturesSql(
         graft.ops.Multimodal.mediaFromDocuments(documents(s, d)))),
@@ -2823,6 +2892,19 @@ object SparkEntry {
         |  FROM canon)
         |SELECT canonical_url, CAST(doc_id AS BIGINT) AS doc_id, url
         |FROM win WHERE rn = 1""".stripMargin,
+    // The whole param-mining decision table from doc_id arithmetic:
+    // utm_source varies across 2 residual groups per doc (page=0 /
+    // page=1) with one fingerprint each → invariant + safe; page
+    // varies across 2 groups per doc (utm=news / utm=mail) with two
+    // fingerprints each → content-bearing.
+    "curation_param_mining" ->
+      """WITH c AS (SELECT 'site' || (doc_id % 3) || '-example.org'
+        |    AS domain, CAST(2 * count(*) AS BIGINT) AS nv
+        |  FROM documents GROUP BY 1)
+        |SELECT domain, 'utm_source' AS param, nv AS n_varied_groups,
+        |  TRUE AS content_invariant, TRUE AS safe_to_strip FROM c
+        |UNION ALL
+        |SELECT domain, 'page', nv, FALSE, FALSE FROM c""".stripMargin,
     // The extractor must return exactly the whitespace-collapsed
     // document text for >= 10-word documents (entities and chrome
     // stripped) and '' otherwise; the synthesized page yields 4
@@ -2878,6 +2960,21 @@ object SparkEntry {
          |    regexp_extract(html, '(?i)<title[^>]*>([^<]*)', 1),
          |    '[ \t\n\x0B\f\r]+', ' ', 'g')), '') AS title
          |FROM h""".stripMargin,
+    // Declared lang from doc_id % 3 (primary subtag of the
+    // synthesized attr), detection replayed from stopword hits, both
+    // independent of the engine's extractors.
+    "warc_lang_conflict" ->
+      s"""WITH t AS (SELECT source,
+         |    CASE WHEN doc_id % 3 = 0 THEN 'en'
+         |         WHEN doc_id % 3 = 1 THEN 'de'
+         |         ELSE NULL END AS lang_declared,
+         |    $dLangPredicted AS lang_predicted
+         |  FROM documents)
+         |SELECT source, lang_declared, lang_predicted,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  (lang_declared IS NOT NULL AND lang_predicted <> 'und'
+         |   AND lang_declared <> lang_predicted) AS conflict
+         |FROM t GROUP BY 1, 2, 3""".stripMargin,
     // Four links per doc, re-derived from doc_id arithmetic alone —
     // the named anchor and the script trap must not appear, entity
     // escapes must come back decoded, rel lowercased.
@@ -4733,6 +4830,40 @@ object SparkEntry {
     "text_langid_ngram" -> langIdNgramOracle,
     "text_fingerprint" ->
       s"SELECT doc_id, md5($dNorm) AS md5_fp FROM documents",
+    // The ordered redaction chain replayed in DuckDB RE2 (patterns
+    // chosen to parse identically under Java regex and RE2 —
+    // TextAnalysis.redactionPatterns): each pattern counts on the
+    // text state it actually sees, URL before EMAIL before IP before
+    // PHONE, on the same planted-PII input the gate synthesizes.
+    "text_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |    text || ' Contact user' || doc_id || '@mail' ||
+        |    (doc_id % 7) || '.example.com via https://track' ||
+        |    (doc_id % 5) || '.example.org/u/' || doc_id ||
+        |    ' or +1888' || (doc_id % 1000000 + 1000000) ||
+        |    ' from 10.' || (doc_id % 200) || '.' || (doc_id % 100) ||
+        |    '.' || (doc_id % 250) || '.' AS t0
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, t0,
+        |    regexp_replace(t0, 'https?://[^\s]+', '<URL>', 'g') AS t1
+        |  FROM p),
+        |s2 AS (SELECT *, regexp_replace(t1,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g') AS t2 FROM s1),
+        |s3 AS (SELECT *, regexp_replace(t2,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+        |    '<IP>', 'g') AS t3 FROM s2),
+        |s4 AS (SELECT *, regexp_replace(t3,
+        |    '\+?\d[\d().-]{6,13}\d', '<PHONE>', 'g') AS t4 FROM s3)
+        |SELECT doc_id, t4 AS text,
+        |  CAST(len(regexp_extract_all(t0, 'https?://[^\s]+')) +
+        |    len(regexp_extract_all(t1,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+        |    len(regexp_extract_all(t2,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) +
+        |    len(regexp_extract_all(t3,
+        |      '\+?\d[\d().-]{6,13}\d')) AS INT) AS n_redactions
+        |FROM s4""".stripMargin,
     "mm_features" ->
       """SELECT doc_id AS media_id, 'text/plain' AS mime, source,
         |  octet_length(encode(text)) AS n_bytes,
@@ -5181,10 +5312,6 @@ object SparkEntry {
     "text_compress_ratio" -> ((s, d) =>
       documents(s, d).select(col("doc_id"),
         graft.functions.compress_ratio(col("text")).as("compress_ratio"))),
-    // PII redaction projection (gate corpus contains no PII, so the
-    // oracle would be the identity transform; spec'd on planted PII).
-    "text_redact" -> ((s, d) =>
-      graft.ops.TextAnalysis.redact(documents(s, d))),
     // Production tf-idf (smoothed log idf) and BM25 — libm ln in the
     // score, so benched + spec'd; the rational-idf twin is the
     // text_tfidf oracle gate.

@@ -204,6 +204,79 @@ object Domains {
       when(keptQuery === "", lit("")).otherwise(concat(lit("?"), keptQuery))))
   }
 
+  /** PER-DOMAIN TRACKING-PARAMETER MINING (VERDICT r12 #5): learn
+    * which query parameters a domain uses for tracking — params whose
+    * removal NEVER changes page content — instead of relying on the
+    * caller-supplied [[DefaultTrackingParams]] list. For every
+    * (domain, param): group the domain's URLs by their RESIDUAL (the
+    * URL with that param's pairs removed, other params kept in
+    * order); a residual group where the param takes ≥ 2 distinct
+    * values is A/B EVIDENCE, and the param is content-invariant when
+    * every evidence group carries exactly one distinct content
+    * fingerprint. `safe_to_strip` additionally requires at least
+    * `minSupport` evidence groups (one lucky pair proves nothing).
+    * Fragments are stripped before parsing (they never reach the
+    * server); a repeated param (`a=1&a=2`) is treated as one combined
+    * value signature — conservatively, reordering across copies
+    * counts as variation.
+    *
+    * Output: `(domain, param, n_varied_groups, content_invariant,
+    * safe_to_strip)` — feed `filter(safe_to_strip)` params into
+    * [[canonicalUrl]]'s `dropNames` (see [[safeParamNames]]).
+    *
+    * Shape at 100 TB: the explode is per-(URL, distinct param name) —
+    * a small constant factor over the URL table; both aggregations
+    * partial-aggregate map-side, and the final output is bounded by
+    * domains × param vocabulary. Everything is RE2-safe regexp +
+    * array functions, so the whole pipeline replays in the
+    * `curation_param_mining` DuckDB oracle. */
+  def mineTrackingParams(pages: DataFrame, urlCol: Column,
+      fingerprintCol: Column, minSupport: Long = 2,
+      multiPartSuffixes: Seq[String] = DefaultMultiPartSuffixes): DataFrame = {
+    val noFrag = regexp_replace(urlCol, "#.*$", "")
+    val base = regexp_replace(noFrag, "\\?.*$", "")
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val params = filter(split(query, "&"), p => p =!= "")
+    def nameOf(p: Column) = element_at(split(p, "="), 1)
+    val names = array_distinct(transform(params, nameOf(_)))
+    pages
+      .select(
+        registrableDomain(host(urlCol), multiPartSuffixes).as("domain"),
+        base.as("_base"), params.as("_params"),
+        fingerprintCol.as("_fp"), explode(names).as("param"))
+      .filter(col("domain").isNotNull && col("param") =!= "")
+      .select(col("domain"), col("param"),
+        concat(col("_base"), lit("?"),
+          array_join(filter(col("_params"),
+            p => nameOf(p) =!= col("param")), "&")).as("_residual"),
+        array_join(filter(col("_params"),
+          p => nameOf(p) === col("param")), "&").as("_value"),
+        col("_fp"))
+      .groupBy("domain", "param", "_residual")
+      .agg(countDistinct(col("_value")).as("_nv"),
+        countDistinct(col("_fp")).as("_nf"))
+      .groupBy("domain", "param")
+      .agg(
+        sum(when(col("_nv") >= 2, 1L).otherwise(0L)).as("n_varied_groups"),
+        max(when(col("_nv") >= 2, col("_nf")).otherwise(0L)).as("_maxf"))
+      .select(col("domain"), col("param"), col("n_varied_groups"),
+        (col("_maxf") <= 1).as("content_invariant"),
+        (col("_maxf") <= 1 && col("n_varied_groups") >= minSupport)
+          .as("safe_to_strip"))
+  }
+
+  /** The mined safe-to-strip parameter NAMES as a driver-side list —
+    * the bounded-model-artifact pattern (domains × params, orders of
+    * magnitude below the corpus): pass the result to
+    * [[canonicalUrl]] / [[dedupUrls]] `dropNames`. Names safe on one
+    * domain but content-bearing on another are EXCLUDED (a global
+    * drop list must hold everywhere it is applied). */
+  def safeParamNames(mined: DataFrame): Seq[String] =
+    mined.groupBy("param")
+      .agg(min(col("safe_to_strip").cast("int")).as("_all_safe"))
+      .filter(col("_all_safe") === 1)
+      .select("param").collect().map(_.getString(0)).toSeq.sorted
+
   /** URL-level keep-one dedup: rows sharing a [[canonicalUrl]] keep
     * only the winner (smallest `idCol` — to keep the LATEST fetch of
     * a recrawled URL instead, pass a descending key such as a negated

@@ -338,6 +338,43 @@ class HtmlLinksSpec extends AnyFunSuite {
     assert(noFollow == Set("t1-ex.org"))
   }
 
+  test("mineTrackingParams: invariant params mined per domain, support threshold, content-bearing params rejected; safeParamNames is cross-domain conservative") {
+    val rows = Seq(
+      // d1: utm is tracking (content invariant across 2 evidence
+      // groups); page is content-bearing.
+      ("http://a.d1.com/p/1?utm=x&page=0", "A0"),
+      ("http://a.d1.com/p/1?utm=y&page=0", "A0"),
+      ("http://a.d1.com/p/1?utm=x&page=1", "A1"),
+      ("http://a.d1.com/p/1?utm=y&page=1", "A1"),
+      // d2: the SAME name utm changes content here (one evidence
+      // group, two fingerprints).
+      ("http://b.d2.com/q?utm=x", "B0"),
+      ("http://b.d2.com/q?utm=y", "B1"),
+      // d2: sid is invariant with 2 evidence groups; x is bearing.
+      ("http://b.d2.com/s?sid=1&x=0", "D0"),
+      ("http://b.d2.com/s?sid=2&x=0", "D0"),
+      ("http://b.d2.com/s?sid=1&x=1", "D1"),
+      ("http://b.d2.com/s?sid=2&x=1", "D1"),
+      // d1: a single-valued param — zero evidence groups, so
+      // vacuously invariant but NOT safe (support threshold).
+      ("http://a.d1.com/r?once=1", "C0"))
+      .toDF("url", "fp")
+    val minedDf = graft.ops.Domains.mineTrackingParams(
+      rows, col("url"), col("fp"))
+    val mined = minedDf
+      .as[(String, String, Long, Boolean, Boolean)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5))).toMap
+    assert(mined(("d1.com", "utm")) == ((2L, true, true)))
+    assert(mined(("d1.com", "page")) == ((2L, false, false)))
+    assert(mined(("d2.com", "utm")) == ((1L, false, false)))
+    assert(mined(("d2.com", "sid")) == ((2L, true, true)))
+    assert(mined(("d2.com", "x")) == ((2L, false, false)))
+    assert(mined(("d1.com", "once")) == ((0L, true, false)))
+    // utm is safe on d1 but content-bearing on d2 — a global drop
+    // list must exclude it; sid is safe everywhere it appears.
+    assert(graft.ops.Domains.safeParamNames(minedDf) == Seq("sid"))
+  }
+
   test("dedupByDeclaredCanonical: absolute declared canonical merges; relative falls back to page URL") {
     val docs = Seq(
       (1L, "https://ex.com/article", "<p>original</p>"),

@@ -2016,6 +2016,18 @@ class OpsSpec extends AnyFunSuite {
     assert(r(2L)._2 == "see <URL> and host <IP> ok")
     assert(r(2L)._3 == 2)
     assert(r(3L)._2 == "no pii here at all" && r(3L)._3 == 0)
+    // The text_redact gate's planted forms (synthesized from doc_id
+    // arithmetic) each match their pattern — the non-vacuity
+    // guarantee: the gate can never pass with zero redactions.
+    val planted = Seq((42L, "base Contact user42@mail0.example.com " +
+      "via https://track2.example.org/u/42 or +18881000042 " +
+      "from 10.42.42.42."))
+      .toDF("doc_id", "text")
+    val pr = TextAnalysis.redact(planted)
+      .as[(Long, String, Int)].collect().head
+    assert(pr._2 == "base Contact <EMAIL> via <URL> or <PHONE> " +
+      "from <IP>.")
+    assert(pr._3 == 4)
   }
 
   test("compress ratio: repetitive < prose < random; deterministic; empty = 1.0") {
