@@ -1224,6 +1224,17 @@ object SparkEntry {
         graft.ops.Domains.outlinkDomainEdges(
           linkGraphPages(s, d), col("url"), col("html")),
         iterations = 3, scale = 1000000000000L)),
+    // The mass-conserving variant (VERDICT r12 #7): the fixture
+    // graph's six target-only domains are all dangling, so every
+    // iteration redistributes real mass — the oracle replays the
+    // per-iteration dangling sum (exact HUGEINT) and the same integer
+    // share division.
+    "curation_domain_rank_dangling" -> ((s, d) =>
+      graft.ops.Domains.pageRankFixedPoint(
+        graft.ops.Domains.outlinkDomainEdges(
+          linkGraphPages(s, d), col("url"), col("html")),
+        iterations = 2, scale = 1000000000000L,
+        redistributeDangling = true)),
     // Domain-graph connected components (site-family detection:
     // mirror networks and link farms span many registrable domains
     // but one component): a literal edge fixture with a chain, a
@@ -1305,6 +1316,35 @@ object SparkEntry {
           .withColumn("agent", lit(agent))
       }.reduce(_.unionByName(_))
         .select(col("host"), col("agent"), col("crawl_delay"))
+    }),
+    // The politeness SCHEDULER hook (VERDICT r13 #8): crawl-delays
+    // composed into the frontier — per-host queue positions
+    // (deterministic doc_id order) × the host's delay give every URL
+    // its earliest polite fetch offset. Hosts by doc_id % 5: site0
+    // declares 2.5 s, site1 declares 7 s in graftbot's exact group,
+    // site2's robots has no delay and site3's group doesn't apply and
+    // site4 has no robots row at all — all three fall to the 1 s
+    // default. All integer once delay_ms is floored; the oracle
+    // replays positions with row_number.
+    "curation_frontier_schedule" -> ((s, d) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val urls = documents(s, d).select(id,
+        concat(lit("http://www.site"), id % 5, lit("-example.org/p/"),
+          id).as("url"))
+      val robots = Seq(
+        ("www.site0-example.org",
+          "User-agent: *\nDisallow: /x\nCrawl-delay: 2.5\n"),
+        ("www.site1-example.org",
+          "User-agent: graftbot\nCrawl-delay: 7\n"),
+        ("www.site2-example.org", "User-agent: *\nDisallow: /y\n"),
+        ("www.site3-example.org",
+          "User-agent: otherbot\nCrawl-delay: 9\n"))
+        .toDF("host", "body")
+      graft.ops.Robots.scheduleFrontier(urls, col("url"), col("doc_id"),
+          robots, "graftbot", defaultDelaySecs = 1.0)
+        .select("doc_id", "url", "host", "delay_ms", "queue_pos",
+          "fetch_after_ms")
     }),
     // Global (non-group-scoped) Sitemap lines, case-insensitive field,
     // comments stripped; hosts declaring none contribute no rows.
@@ -3094,6 +3134,50 @@ object SparkEntry {
         |r3 AS (SELECT n.domain, 150000000000 + COALESCE(c3.cin, 0) AS r
         |       FROM nodes n LEFT JOIN c3 ON c3.domain = n.domain)
         |SELECT domain, CAST(r AS BIGINT) AS rank_fp FROM r3""".stripMargin,
+    // Same graph, 2 iterations, dangling mass redistributed: share_t
+    // = (Σ r_t(dangling) · 85) // (100 · N) added uniformly — all
+    // integer, replayed exactly (the intermediate sums widen to
+    // HUGEINT; the output casts back).
+    "curation_domain_rank_dangling" ->
+      """WITH e0 AS (
+        |  SELECT 'site' || (doc_id % 5) || '-example.org' AS src,
+        |         'hub' || (doc_id % 3) || '.org' AS dst FROM documents
+        |  UNION ALL
+        |  SELECT 'site' || (doc_id % 5) || '-example.org',
+        |         'assets' || (doc_id % 2) || '.net' FROM documents
+        |  UNION ALL
+        |  SELECT 'site' || (doc_id % 5) || '-example.org', 'tracker.biz'
+        |  FROM documents),
+        |e AS (SELECT DISTINCT src, dst FROM e0),
+        |nodes AS (SELECT src AS domain FROM e
+        |          UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |outdeg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        |r0 AS (SELECT domain, CAST(1000000000000 AS BIGINT) AS r
+        |       FROM nodes),
+        |s1 AS (SELECT (SUM(r) * 85) // (100 * (SELECT n FROM nn)) AS sh
+        |       FROM r0
+        |       WHERE domain NOT IN (SELECT src FROM outdeg)),
+        |c1 AS (SELECT e.dst AS domain,
+        |              SUM((r0.r * 85) // (o.d * 100)) AS cin
+        |       FROM e JOIN r0 ON r0.domain = e.src
+        |              JOIN outdeg o ON o.src = e.src GROUP BY 1),
+        |r1 AS (SELECT n.domain,
+        |         150000000000 + (SELECT sh FROM s1) + COALESCE(c1.cin, 0)
+        |           AS r
+        |       FROM nodes n LEFT JOIN c1 ON c1.domain = n.domain),
+        |s2 AS (SELECT (SUM(r) * 85) // (100 * (SELECT n FROM nn)) AS sh
+        |       FROM r1
+        |       WHERE domain NOT IN (SELECT src FROM outdeg)),
+        |c2 AS (SELECT e.dst AS domain,
+        |              SUM((r1.r * 85) // (o.d * 100)) AS cin
+        |       FROM e JOIN r1 ON r1.domain = e.src
+        |              JOIN outdeg o ON o.src = e.src GROUP BY 1),
+        |r2 AS (SELECT n.domain,
+        |         150000000000 + (SELECT sh FROM s2) + COALESCE(c2.cin, 0)
+        |           AS r
+        |       FROM nodes n LEFT JOIN c2 ON c2.domain = n.domain)
+        |SELECT domain, CAST(r AS BIGINT) AS rank_fp FROM r2""".stripMargin,
     // Undirected transitive closure over the literal edge fixture —
     // same component convention as dedup_clusters (least reachable).
     "curation_domain_components" ->
@@ -3220,6 +3304,24 @@ object SparkEntry {
         |  ('b.example.com', 'https://b.example.com/sm1.xml'),
         |  ('b.example.com', 'https://b.example.com/sm2.xml'))
         |  AS t(host, sitemap)""".stripMargin,
+    // Queue positions replayed with row_number over the same
+    // deterministic (doc_id) order; delays from doc_id % 5 alone.
+    "curation_frontier_schedule" ->
+      """WITH u AS (SELECT doc_id,
+        |    'http://www.site' || (doc_id % 5) || '-example.org/p/' ||
+        |      doc_id AS url,
+        |    'www.site' || (doc_id % 5) || '-example.org' AS host,
+        |    CASE doc_id % 5 WHEN 0 THEN 2500 WHEN 1 THEN 7000
+        |         ELSE 1000 END AS delay_ms
+        |  FROM documents),
+        |q AS (SELECT *,
+        |    row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1
+        |      AS queue_pos
+        |  FROM u)
+        |SELECT doc_id, url, host, CAST(delay_ms AS BIGINT) AS delay_ms,
+        |  CAST(queue_pos AS BIGINT) AS queue_pos,
+        |  CAST(queue_pos * delay_ms AS BIGINT) AS fetch_after_ms
+        |FROM q""".stripMargin,
     "curation_sitemap_urls" ->
       """SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS loc_idx,
         |  CASE u.i

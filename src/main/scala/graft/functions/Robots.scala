@@ -174,6 +174,19 @@ object RobotsImpl {
     var groupStar = false
     var groupOpen = false
     var inRules = false
+    // A crawl-delay seen INSIDE the user-agent run is buffered until
+    // the run completes (first rule line / next group / EOF): the
+    // group's agent set is not final until then, and bucketing early
+    // would drop the delay for an agent named by a LATER UA line of
+    // the same run (ADVICE r13). First pending line wins, preserving
+    // document order.
+    var pendingDelay: java.lang.Double = null
+    def flushPendingDelay(): Unit = if (pendingDelay != null) {
+      if (groupExact && exactDelay == null) exactDelay = pendingDelay
+      else if (groupStar && !groupExact && starDelay == null)
+        starDelay = pendingDelay
+      pendingDelay = null
+    }
     var i = 0
     val n = body.length
     while (i <= n) {
@@ -190,7 +203,9 @@ object RobotsImpl {
         val value = line.substring(colon + 1).trim
         if (field == "user-agent") {
           if (!groupOpen || inRules) {
-            // New group starts.
+            // New group starts; the previous group's agent set is
+            // final, so its buffered delay can bucket now.
+            flushPendingDelay()
             groupExact = false; groupStar = false
             groupOpen = true; inRules = false
           }
@@ -200,6 +215,9 @@ object RobotsImpl {
         } else if (field == "allow" || field == "disallow") {
           if (groupOpen) {
             inRules = true
+            // First rule line: the user-agent run is complete, the
+            // group's buckets are final — flush any mid-run delay.
+            flushPendingDelay()
             if (value.nonEmpty) {
               val rule = (field == "allow", value)
               if (groupExact) exact.add(rule)
@@ -211,10 +229,14 @@ object RobotsImpl {
           // like other non-rule fields it neither ends the user-agent
           // run nor closes the group. First parseable value per
           // bucket wins (document order); malformed values ignored.
+          // Inside the UA run the delay is BUFFERED (agent set not
+          // final yet — ADVICE r13); after it, bucketed directly.
           if (groupOpen && value.nonEmpty) {
             try {
               val d = java.lang.Double.parseDouble(value)
-              if (groupExact && exactDelay == null) exactDelay = d
+              if (!inRules) {
+                if (pendingDelay == null) pendingDelay = d
+              } else if (groupExact && exactDelay == null) exactDelay = d
               else if (groupStar && !groupExact && starDelay == null)
                 starDelay = d
             } catch { case _: NumberFormatException => () }
@@ -225,6 +247,9 @@ object RobotsImpl {
       }
       i = j + 1
     }
+    // EOF ends the last group's run (a rule-less trailing group can
+    // still carry a buffered delay).
+    flushPendingDelay()
     val picked = if (sawExactGroup) exact else star
     val out = new Array[Any](picked.size())
     var k = 0

@@ -19,16 +19,23 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** The shared exact-dedup pipeline: group by a caller-supplied
+    * 128-bit fingerprint column so the shuffle key is fixed-width
+    * regardless of document length (both spellings below must stay on
+    * ONE plan — ADVICE r13). */
+  private def exactByFingerprint(docs: DataFrame, fp: Column): DataFrame =
+    docs
+      .select(col("doc_id"), fp.as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("fp"), col("n_copies"))
+
   /** Exact duplicates after whitespace/case normalization. Groups by a
     * 128-bit md5 fingerprint of the normalized text so the shuffle key
     * is fixed-width regardless of document length. Output: one row per
     * distinct content — keeper id (min), copy count, fingerprint. */
   def exact(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), md5(TextOps.normalized(col("text"))).as("fp"))
-      .groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
-      .select(col("doc_id"), col("fp"), col("n_copies"))
+    exactByFingerprint(docs, md5(TextOps.normalized(col("text"))))
 
   /** [[exact]] with UNICODE normalization folded into the
     * fingerprint: crawls spell the same text in composed and
@@ -40,12 +47,8 @@ object Dedup {
     * step before the md5, zero extra cost on already-normal text
     * (the isNormalized fast path). */
   def exactUnicode(docs: DataFrame, form: String = "NFC"): DataFrame =
-    docs
-      .select(col("doc_id"), md5(TextOps.normalized(
-        graft.functions.unicode_normalize(col("text"), form))).as("fp"))
-      .groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
-      .select(col("doc_id"), col("fp"), col("n_copies"))
+    exactByFingerprint(docs, md5(TextOps.normalized(
+      graft.functions.unicode_normalize(col("text"), form))))
 
   /** Streaming twin of [[exact]] for ingest-time dedup of a document
     * firehose: emit the FIRST occurrence of each normalized-content

@@ -445,10 +445,17 @@ object Domains {
     * commute exactly; float PageRank differs run-to-run with shuffle
     * order) and ENGINE-PORTABLE — the `curation_domain_rank` oracle
     * replays the identical iteration in DuckDB integer SQL. Dangling
-    * mass (domains with no outlinks) evaporates rather than being
-    * redistributed — the original simplified iteration; ranks then
-    * UNDER-state rather than over-state, the safe direction for a
-    * quality gate. Default damping 85/100, the published constant.
+    * mass (domains with no outlinks) EVAPORATES by default — the
+    * original simplified iteration; ranks then UNDER-state rather
+    * than over-state, the safe direction for a quality gate.
+    * `redistributeDangling = true` opts into the textbook
+    * mass-conserving variant instead (VERDICT r12 #7): each
+    * iteration's dangling mass `D_t = Σ r_t(dangling)` is added
+    * uniformly as `(D_t · dampNum) div (dampDen · N)` per node —
+    * still pure integer arithmetic, still order-independent (D_t is
+    * one exact long sum, computed as a per-iteration driver scalar —
+    * graph-sized, same cost class as the node count the auto-scale
+    * already takes). Default damping 85/100, the published constant.
     *
     * Shape at 100 TB: the input is the domain graph (bounded by
     * distinct registrable domains squared in the worst case, in
@@ -468,7 +475,7 @@ object Domains {
     * value for the measured N in the message. */
   def pageRankFixedPoint(edges: DataFrame, iterations: Int = 3,
       scale: Long = 0L, dampNum: Long = 85,
-      dampDen: Long = 100): DataFrame = {
+      dampDen: Long = 100, redistributeDangling: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 100,
       s"iterations must be in [1, 100], got $iterations")
     require(dampNum > 0 && dampDen > dampNum,
@@ -508,6 +515,19 @@ object Domains {
     val base = (dampDen - dampNum) * eff / dampDen
     var ranks = nodes.withColumn("rank_fp", lit(eff))
     for (_ <- 1 to iterations) {
+      // Mass-conserving variant: the iteration's dangling mass is one
+      // exact long sum (order-independent), taken as a driver scalar
+      // — the rank invariant Σr ≤ N·scale keeps D_t·dampNum inside
+      // the same overflow guard as the per-edge term.
+      val danglingShare =
+        if (!redistributeDangling || nNodes == 0) 0L
+        else {
+          val d = ranks
+            .join(outdeg, ranks("domain") === outdeg("src"), "left_anti")
+            .agg(coalesce(sum("rank_fp"), lit(0L)))
+            .collect()(0).getLong(0)
+          d * dampNum / (dampDen * nNodes)
+        }
       val contrib = e
         .join(ranks.withColumnRenamed("domain", "src"), Seq("src"))
         .join(outdeg, Seq("src"))
@@ -517,7 +537,8 @@ object Domains {
       ranks = nodes
         .join(contrib, Seq("domain"), "left_outer")
         .select(col("domain"),
-          (lit(base) + coalesce(col("_in"), lit(0L))).as("rank_fp"))
+          (lit(base + danglingShare) + coalesce(col("_in"), lit(0L)))
+            .as("rank_fp"))
         .localCheckpoint()
     }
     ranks

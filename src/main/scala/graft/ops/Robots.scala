@@ -52,13 +52,24 @@ object Robots {
 
   /** `docs` plus the politeness verdict: `allowed` (boolean) and
     * `matched` (the winning rule pattern, NULL when no rule applied).
-    * `robots` is one row per host: `(host, body)` with `host`
-    * lowercase (the [[Domains.host]] convention) and `body` the raw
-    * robots.txt text. `agent` is the crawler product token. NULL
-    * paths (unparseable URLs) decide NOT allowed — a URL we cannot
-    * even parse is not one we can politely fetch. */
+    * `robots` is `(host, body)` rows with `host` lowercase (the
+    * [[Domains.host]] convention) and `body` the raw robots.txt
+    * text. `agent` is the crawler product token. NULL paths
+    * (unparseable URLs) decide NOT allowed — a URL we cannot even
+    * parse is not one we can politely fetch.
+    *
+    * DUPLICATE-HOST GUARD (ADVICE r13): the verdict join is a left
+    * join on host, so a robots frame carrying two rows for one host
+    * would silently FAN OUT every matching corpus row — duplicated
+    * documents downstream. By default the frame is collapsed to one
+    * row per host first (deterministic min-body winner; a host-sized
+    * shuffle on the small build side, map-side combined). Callers
+    * whose frame is one-per-host BY CONSTRUCTION
+    * ([[robotsFromCrawl]]'s earliest-fetch winner) pass
+    * `assumeUniqueHosts = true` to keep the decision entirely
+    * shuffle-free. */
   def decisions(docs: DataFrame, urlCol: Column, robots: DataFrame,
-      agent: String): DataFrame = {
+      agent: String, assumeUniqueHosts: Boolean = false): DataFrame = {
     require(!docs.columns.contains("allowed") &&
       !docs.columns.contains("matched"),
       "decisions writes 'allowed'/'matched' — rename the caller's " +
@@ -69,9 +80,13 @@ object Robots {
     val hcol = fresh("host")
     val rcol = fresh("rules")
     val dcol = fresh("dec")
-    val parsed = robots.select(
-      lower(col("host")).as(hcol),
-      graft.functions.robots_rules(col("body"), lit(agent)).as(rcol))
+    val bcol = fresh("body")
+    val oneBody = robots.select(lower(col("host")).as(hcol),
+      col("body").as(bcol))
+    val one = if (assumeUniqueHosts) oneBody
+      else oneBody.groupBy(hcol).agg(min(col(bcol)).as(bcol))
+    val parsed = one.select(col(hcol),
+      graft.functions.robots_rules(col(bcol), lit(agent)).as(rcol))
     docs
       .withColumn(hcol, Domains.host(urlCol))
       .join(parsed, Seq(hcol), "left_outer")
@@ -87,9 +102,9 @@ object Robots {
   /** Keep only the rows `agent` may fetch per each host's robots.txt
     * ([[decisions]]' `allowed = true`), original columns unchanged. */
   def filterByRobots(docs: DataFrame, urlCol: Column, robots: DataFrame,
-      agent: String): DataFrame = {
+      agent: String, assumeUniqueHosts: Boolean = false): DataFrame = {
     val original = docs.columns
-    decisions(docs, urlCol, robots, agent)
+    decisions(docs, urlCol, robots, agent, assumeUniqueHosts)
       .filter(col("allowed"))
       .select(original.map(col).toIndexedSeq: _*)
   }
@@ -103,6 +118,52 @@ object Robots {
     robots.select(lower(col("host")).as("host"),
       graft.functions.robots_crawl_delay(col("body"), lit(agent))
         .as("crawl_delay"))
+
+  /** POLITE FETCH SCHEDULE for a crawl frontier (the r13 politeness
+    * layer's scheduler hook — VERDICT r13 #8): each URL gets its
+    * host's queue position (deterministic: `orderCol`, ties broken by
+    * URL) and `fetch_after_ms = queue_pos × delay_ms`, where the
+    * delay is the host's [[crawlDelays]] value for `agent`
+    * (`defaultDelaySecs` where robots declare none — every crawler
+    * self-throttles even without a Crawl-delay line). Position 0
+    * fetches immediately; a host's k-th URL waits k delays — the
+    * one-fetch-per-delay-window contract as pure integer arithmetic
+    * (`delay_ms = floor(delay · 1000)`, an exact IEEE op both engines
+    * replay; the `curation_frontier_schedule` oracle re-derives every
+    * value). URLs whose host cannot be parsed get NULL schedule
+    * columns — countable, never silently fetchable.
+    *
+    * Shape at 100 TB: one broadcast-sized join on the per-host delay
+    * frame plus one window shuffle keyed by host. The window is the
+    * honest spelling — a polite queue IS per-host serial, so the
+    * hottest host's URLs colocating on one task mirrors the real
+    * constraint (that host is fetch-rate-bound anyway, not
+    * compute-bound). */
+  def scheduleFrontier(frontier: DataFrame, urlCol: Column,
+      orderCol: Column, robots: DataFrame, agent: String,
+      defaultDelaySecs: Double = 1.0): DataFrame = {
+    val out =
+      Seq("host", "crawl_delay", "delay_ms", "queue_pos", "fetch_after_ms")
+    require(!out.exists(frontier.columns.contains),
+      "scheduleFrontier writes host/crawl_delay/delay_ms/queue_pos/" +
+        "fetch_after_ms — rename the caller's columns of those names first")
+    val delays = crawlDelays(robots, agent)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(orderCol, urlCol)
+    frontier
+      .withColumn("host", Domains.host(urlCol))
+      .join(delays, Seq("host"), "left_outer")
+      .withColumn("delay_ms",
+        when(col("host").isNull, lit(null).cast("long"))
+          .otherwise(floor(
+            coalesce(col("crawl_delay"), lit(defaultDelaySecs)) * 1000)
+            .cast("long")))
+      .drop("crawl_delay")
+      .withColumn("queue_pos",
+        when(col("host").isNull, lit(null).cast("long"))
+          .otherwise((row_number().over(w) - 1).cast("long")))
+      .withColumn("fetch_after_ms", col("queue_pos") * col("delay_ms"))
+  }
 
   /** Sitemap URLs declared in a robots.txt BODY (global lines, not
     * group-scoped per the sitemaps.org protocol): `ARRAY<STRING>` in

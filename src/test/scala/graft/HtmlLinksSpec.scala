@@ -281,6 +281,28 @@ class HtmlLinksSpec extends AnyFunSuite {
     assert(r == Map("a.com" -> 150000L, "d.com" -> 1000000L))
   }
 
+  test("pageRankFixedPoint: redistributeDangling conserves mass with exact integers (VERDICT r12 #7)") {
+    val edges = Seq(("a.com", "d.com")).toDF("src_domain", "dst_domain")
+    def run(redistribute: Boolean, iters: Int = 1) =
+      graft.ops.Domains.pageRankFixedPoint(edges, iterations = iters,
+        scale = 1000000L, redistributeDangling = redistribute)
+        .as[(String, Long)].collect().toMap
+    // Hand-computed, N = 2, r0 = 1e6 each, damp 85/100:
+    // dangling d holds 1e6 → share = (1e6·85) div (100·2) = 425000.
+    // a: base 150000 + share; d: base + a's damped mass 850000 + share.
+    assert(run(redistribute = true) ==
+      Map("a.com" -> 575000L, "d.com" -> 1425000L))
+    // Mass is conserved exactly (Σ = N·scale); evaporation loses it.
+    assert(run(redistribute = true).values.sum == 2000000L)
+    assert(run(redistribute = false).values.sum == 1150000L)
+    // Second iteration redistributes the NEW dangling mass:
+    // d now holds 1425000 → share = (1425000·85) div 200 = 605625.
+    // a: 150000 + 605625 = 755625;
+    // d: 150000 + (575000·85) div 100 + 605625 = 1244375.
+    assert(run(redistribute = true, iters = 2) ==
+      Map("a.com" -> 755625L, "d.com" -> 1244375L))
+  }
+
   test("pageRankFixedPoint: overflow guard trips on planet-scale scale and recommends a safe one") {
     val edges = Seq(("a.com", "b.com")).toDF("src_domain", "dst_domain")
     val e = intercept[IllegalArgumentException] {

@@ -208,12 +208,18 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     // The politeness decision: rules parse rides the BUILD side of a
     // broadcast host join (per-host, small); the per-URL decision is
-    // projection work after it — no shuffle exchange anywhere.
+    // projection work after it. The ONLY shuffle allowed is the
+    // duplicate-host guard's min-body groupBy on that small build
+    // side (ADVICE r13), map-side combined — the corpus side must
+    // stay shuffle-free (a second hashpartitioning exchange would be
+    // the regression this pin exists to catch).
     val r = plans("curation_robots")
     assert(r.contains("BroadcastHashJoin"),
       s"curation_robots: expected a broadcast host join in:\n$r")
-    assert(!r.contains("Exchange hashpartitioning"),
-      s"curation_robots must not shuffle:\n$r")
+    assert("Exchange hashpartitioning".r.findAllIn(r).size == 1,
+      s"curation_robots: exactly one (build-side host-dedup) shuffle expected:\n$r")
+    assert(r.contains("partial_min"),
+      s"curation_robots: host-dedup must partial-aggregate map-side:\n$r")
     // Phrase search: the phrase table broadcasts; both aggregations
     // (candidate votes, per-doc rollup) partial-aggregate map-side.
     val p = plans("text_phrase_search")

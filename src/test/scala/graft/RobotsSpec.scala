@@ -180,6 +180,28 @@ class RobotsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("allowed"))
   }
 
+  test("decisions duplicate-host guard: conflicting robots rows never fan out corpus rows (ADVICE r13)") {
+    // Two rows for one host with OPPOSITE verdicts: without the
+    // guard the left join would emit the doc twice (once allowed,
+    // once denied) — silent corpus duplication.
+    val robots = Seq(
+      ("h.ex", "User-agent: *\nDisallow: /\n"),
+      ("h.ex", "User-agent: *\nDisallow:\n"))
+      .toDF("host", "body")
+    val docs = Seq((1L, "http://h.ex/page")).toDF("doc_id", "url")
+    val got = Robots.decisions(docs, col("url"), robots, "graftbot")
+      .select("doc_id", "allowed").as[(Long, Boolean)].collect().toSeq
+    // Exactly ONE verdict row, and deterministic: the min-body winner
+    // is "User-agent: *\nDisallow:\n" ('\n' 0x0A sorts before ' '
+    // 0x20 right after the shared "Disallow:" prefix) — empty-value
+    // Disallow = no rules = allowed.
+    assert(got == Seq((1L, true)))
+    // The bypass is for frames unique BY CONSTRUCTION; on this frame
+    // it would fan out — demonstrating exactly what the guard stops.
+    assert(Robots.decisions(docs, col("url"), robots, "graftbot",
+      assumeUniqueHosts = true).count() == 2)
+  }
+
   test("streaming politeness parity: WET stream -> robots filter equals the batch chain") {
     // The crawl-ingest deployment: shards stream in, the robots
     // snapshot is a static per-host frame, the politeness screen is a
@@ -243,6 +265,35 @@ class RobotsSpec extends AnyFunSuite {
       .as[(String, Option[Double])].collect().toMap
     assert(got == Map("a.ex" -> Some(2.5), "b.ex" -> None,
       "c.ex" -> None, "d.ex" -> Some(1.0)))
+  }
+
+  test("crawlDelays: delay between two UA lines of one run buckets on the run's FINAL agent set (ADVICE r13)") {
+    val robots = Seq(
+      // The agent is named by the LATER UA line of the same run —
+      // the mid-run delay must still reach the exact bucket.
+      ("a.ex", "User-agent: otherbot\nCrawl-delay: 5\n" +
+        "User-agent: graftbot\nDisallow: /x\n"),
+      // Mid-run delay, run ends at EOF with no rules — still scoped.
+      ("b.ex", "User-agent: otherbot\nCrawl-delay: 4\n" +
+        "User-agent: graftbot\n"),
+      // Mid-run THEN post-run delay: document order, first wins.
+      ("c.ex", "User-agent: otherbot\nCrawl-delay: 3\n" +
+        "User-agent: graftbot\nDisallow: /x\nCrawl-delay: 8\n"),
+      // A mid-run delay in a group NOT naming the agent is dropped at
+      // that group's first rule line and must not leak into the next
+      // group.
+      ("d.ex", "User-agent: otherbot\nCrawl-delay: 2\nDisallow: /y\n\n" +
+        "User-agent: graftbot\nDisallow: /x\n"),
+      // A rule-less group is CONTINUED by the next UA line (RFC 9309
+      // group merging — a blank line does not close it), so its
+      // mid-run delay applies to the merged agent set.
+      ("e.ex", "User-agent: otherbot\nCrawl-delay: 2\n\n" +
+        "User-agent: graftbot\nDisallow: /x\n"))
+      .toDF("host", "body")
+    val got = Robots.crawlDelays(robots, "graftbot")
+      .as[(String, Option[Double])].collect().toMap
+    assert(got == Map("a.ex" -> Some(5.0), "b.ex" -> Some(4.0),
+      "c.ex" -> Some(3.0), "d.ex" -> None, "e.ex" -> Some(2.0)))
   }
 
   test("sitemaps: global lines, case-insensitive field, comments stripped, document order") {
@@ -311,6 +362,38 @@ class RobotsSpec extends AnyFunSuite {
       .select("url").as[String].collect().toSet
     assert(kept == Set("http://h1.example.com/public/2",
       "http://h2.example.com/public/3"))
+  }
+
+  test("scheduleFrontier: per-host queue positions x crawl delay, default delay, null host unschedulable") {
+    val robots = Seq(("h1.ex", "User-agent: *\nCrawl-delay: 2.5\n"))
+      .toDF("host", "body")
+    val f = Seq(
+      (3L, "http://h1.ex/c"),
+      (1L, "http://h1.ex/a"),
+      (2L, "http://h1.ex/b"),
+      (4L, "http://h2.ex/x"),
+      (5L, "not a url"))
+      .toDF("doc_id", "url")
+    val got = graft.ops.Robots.scheduleFrontier(f, col("url"),
+        col("doc_id"), robots, "graftbot")
+      .select("doc_id", "delay_ms", "queue_pos", "fetch_after_ms")
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // h1 queue in doc_id order at 2500 ms spacing; h2 falls to the
+    // 1 s default; the unparseable URL is never schedulable.
+    assert(got(1L) == ((Some(2500L), Some(0L), Some(0L))))
+    assert(got(2L) == ((Some(2500L), Some(1L), Some(2500L))))
+    assert(got(3L) == ((Some(2500L), Some(2L), Some(5000L))))
+    assert(got(4L) == ((Some(1000L), Some(0L), Some(0L))))
+    assert(got(5L) == ((None, None, None)))
+    // The caller's columns survive untouched and the guard refuses
+    // collisions loudly.
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Robots.scheduleFrontier(
+        f.withColumn("queue_pos", lit(1)), col("url"), col("doc_id"),
+        robots, "graftbot")
+    }
+    assert(e.getMessage.contains("queue_pos"))
   }
 
   test("robots_decision registered for SQL use") {
