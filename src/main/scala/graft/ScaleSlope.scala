@@ -257,7 +257,11 @@ object ScaleSlope {
           .distinct()
           .withColumn("body", lit("User-agent: *\nDisallow: /private/\n" +
             "Allow: /private/public/\nDisallow: /*.pdf$\n"))
-        Robots.decisions(urls, col("url"), hosts, "graftbot")
+        // hosts is .distinct() — unique by construction, so skip the
+        // duplicate-host guard and keep the benched plan on the
+        // pinned zero-extra-shuffle shape.
+        Robots.decisions(urls, col("url"), hosts, "graftbot",
+          assumeUniqueHosts = true)
       }),
       // Round-13: phrase search on the corpus axis — the scan and the
       // map-side vocabulary filter grow ~k while candidates stay

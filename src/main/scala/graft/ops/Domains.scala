@@ -571,9 +571,12 @@ object Domains {
     * occurrence per term per link.
     *
     * Same link semantics as [[outlinkDomainEdges]] (one native
-    * `html_links` scan, [[linkTargetHost]] resolution, internal links
-    * dropped by default, `skipNofollow` opt-in with the same rel
-    * grammar); anchors tokenize via [[TextOps.tokens]]. Scale shape:
+    * `html_links` scan, [[linkTargetHost]] resolution INCLUDING the
+    * `<base href>` override — the edge graph and the anchor profile
+    * built from one corpus must agree on which domain a link
+    * describes — internal links dropped by default, `skipNofollow`
+    * opt-in with the same rel grammar); anchors tokenize via
+    * [[TextOps.tokens]]. Scale shape:
     * the map side emits only (target-domain, term) pairs — anchor
     * text is a few tokens per link, so wire volume is edge-bounded,
     * never page-bounded; one count shuffle + one rank window
@@ -582,9 +585,13 @@ object Domains {
   def anchorTermsByDomain(pages: DataFrame, urlCol: Column,
       htmlCol: Column, k: Int = 10,
       includeInternal: Boolean = false, skipNofollow: Boolean = false,
-      multiPartSuffixes: Seq[String] = DefaultMultiPartSuffixes): DataFrame = {
+      multiPartSuffixes: Seq[String] = DefaultMultiPartSuffixes,
+      honorBaseHref: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val l = pages.select(urlCol.as("_page_url"),
+    val base =
+      if (honorBaseHref) graft.sources.Warc.htmlBaseHref(htmlCol)
+      else lit(null).cast("string")
+    val l = pages.select(urlCol.as("_page_url"), base.as("_base"),
       explode(graft.functions.html_links(htmlCol)).as("_l"))
     val l2 = if (skipNofollow)
       l.filter(!col("_l.rel").rlike("(^|[ \\t])nofollow([ \\t]|$)"))
@@ -593,7 +600,7 @@ object Domains {
         registrableDomain(host(col("_page_url")), multiPartSuffixes)
           .as("_src"),
         registrableDomain(
-          linkTargetHost(col("_page_url"), col("_l.href")),
+          linkTargetHost(col("_page_url"), col("_l.href"), col("_base")),
           multiPartSuffixes).as("domain"),
         col("_l.anchor").as("_anchor"))
       .filter(col("_src").isNotNull && col("domain").isNotNull)

@@ -138,16 +138,27 @@ object Robots {
     * honest spelling — a polite queue IS per-host serial, so the
     * hottest host's URLs colocating on one task mirrors the real
     * constraint (that host is fetch-rate-bound anyway, not
-    * compute-bound). */
+    * compute-bound).
+    *
+    * Same duplicate-host guard as [[decisions]] (a twice-fetched
+    * robots.txt would otherwise fan out every frontier URL of that
+    * host through the delay join AND corrupt its queue positions):
+    * the robots frame collapses to the deterministic min-body winner
+    * per host unless `assumeUniqueHosts = true`. */
   def scheduleFrontier(frontier: DataFrame, urlCol: Column,
       orderCol: Column, robots: DataFrame, agent: String,
-      defaultDelaySecs: Double = 1.0): DataFrame = {
+      defaultDelaySecs: Double = 1.0,
+      assumeUniqueHosts: Boolean = false): DataFrame = {
     val out =
       Seq("host", "crawl_delay", "delay_ms", "queue_pos", "fetch_after_ms")
     require(!out.exists(frontier.columns.contains),
       "scheduleFrontier writes host/crawl_delay/delay_ms/queue_pos/" +
         "fetch_after_ms — rename the caller's columns of those names first")
-    val delays = crawlDelays(robots, agent)
+    val oneBody = robots.select(lower(col("host")).as("host"),
+      col("body").as("body"))
+    val one = if (assumeUniqueHosts) oneBody
+      else oneBody.groupBy("host").agg(min(col("body")).as("body"))
+    val delays = crawlDelays(one, agent)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("host")).orderBy(orderCol, urlCol)
     frontier

@@ -299,16 +299,28 @@ object Warc {
     * references in the value are decoded. The value may itself be
     * RELATIVE (legal; resolved against the page URL downstream —
     * [[graft.ops.Domains.linkTargetHost]] treats a host-less base as
-    * not changing the host, which is exact at host granularity). */
+    * not changing the host, which is exact at host granularity).
+    *
+    * Comments and script bodies are STRIPPED before the scan: a base
+    * override rewrites EVERY relative link on the page, so a spoofed
+    * `<base>` string inside `<!-- -->` or a script literal would be a
+    * link-graph poisoning vector (one planted string redirects the
+    * whole page's edges) — a strictly worse failure mode than the
+    * single-link traps `html_links` already defends against. Two
+    * RE2-safe non-greedy passes; an UNCLOSED comment/script truncates
+    * to nothing matched, the conservative direction. */
   def htmlBaseHref(html: Column): Column = {
     val ws = "[ \\t\\n\\x0B\\f\\r]"
+    val cleaned = regexp_replace(
+      regexp_replace(html, "(?s)<!--.*?-->", " "),
+      "(?is)<script[^>]*>.*?</script>", " ")
     // Whitespace is required IMMEDIATELY after the tag name (so
     // `<basefont>` never matches — `base` has no valid attribute-less
     // `<base>` worth extracting anyway) and again before `href` (so
     // `data-href` never matches), both RE2-safe.
     val re = s"(?i)<base${ws}(?:[^>]*${ws})?" +
       s"href[ ]*=[ ]*[\"']?([^\"'> \\t\\n\\x0B\\f\\r]+)"
-    decodeAttr(nullif(regexp_extract(html, re, 1), lit("")))
+    decodeAttr(nullif(regexp_extract(cleaned, re, 1), lit("")))
   }
 
   /** The robots META directive of an HTML document (`<meta

@@ -131,6 +131,18 @@ class HtmlLinksSpec extends AnyFunSuite {
     assert(base("""<base data-href="https://no.example.org/">""").isEmpty)
     assert(base("""<basefont href="https://no.example.org/">""").isEmpty)
     assert(base("<p>no base here</p>").isEmpty)
+    // Link-graph poisoning defense: a base inside a comment or a
+    // script string must NOT override resolution (one planted string
+    // would redirect every relative link on the page), and a real
+    // base after the trap still wins.
+    assert(base("""<!-- <base href="https://attacker.example/"> -->""")
+      .isEmpty)
+    assert(base("<script>document.write('<base href=\"https://" +
+      "attacker.example/\">');</script>").isEmpty)
+    assert(base(
+      """<!-- <base href="https://attacker.example/"> -->
+        |<base href="https://real.example.org/">""".stripMargin)
+      .contains("https://real.example.org/"))
   }
 
   test("outlinkDomainEdges honors <base href>: absolute base flips relative links external; path-only base does not; absolute hrefs unaffected") {
