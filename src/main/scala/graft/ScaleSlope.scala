@@ -282,6 +282,39 @@ object ScaleSlope {
       // distinct-gram self-join's candidate volume stays linear.
       "dedup_containment" -> ((df, _) =>
         Dedup.ngramContainmentPairs(df, 3, 0.8)),
+      // Round-14: param mining on the URL axis — 4 URL variants per
+      // doc and 5k domains both grow ~k while the param vocabulary
+      // stays constant; the two countDistinct aggregations must stay
+      // linear in the exploded (url, param) volume.
+      "curation_param_mining" -> ((df, k) => {
+        val id = col("doc_id")
+        def v(utm: String, page: Int) = df.select(
+          concat(lit("http://www.site"), id % (5 * k),
+            lit("-example.org/p/"), id,
+            lit(s"?utm_source=$utm&page=$page")).as("url"),
+          (if (page == 0) md5(col("text"))
+           else md5(concat(col("text"), lit("p1")))).as("fp"))
+        Domains.mineTrackingParams(
+          v("news", 0).unionAll(v("mail", 0))
+            .unionAll(v("news", 1)).unionAll(v("mail", 1)),
+          col("url"), col("fp"))
+      }),
+      // Round-14: frontier scheduling on the URL axis — urls AND
+      // hosts (5k) grow ~k, so per-host queue length stays ~constant:
+      // the window shuffle's partition sizes must not grow with the
+      // corpus.
+      "curation_frontier_schedule" -> ((df, k) => {
+        val id = col("doc_id")
+        val urls = df.select(id,
+          concat(lit("http://www.site"), id % (5 * k),
+            lit("-example.org/p/"), id).as("url"))
+        val robots = urls
+          .select(Domains.host(col("url")).as("host")).distinct()
+          .withColumn("body",
+            lit("User-agent: *\nCrawl-delay: 2.5\n"))
+        Robots.scheduleFrontier(urls, col("url"), col("doc_id"),
+          robots, "graftbot", assumeUniqueHosts = true)
+      }),
       // Round-8 additions: trainer + encoder (driver merge loop is
       // vocab-capped, distributed pass corpus-sized), the tf/df family,
       // and the S-bounded-fan-out source audit.
