@@ -408,15 +408,43 @@ object Domains {
     * scan; the single shuffle is the (src, dst)-keyed count with
     * map-side partial aggregation, and the output is domain-graph-
     * sized (orders of magnitude below the page corpus). */
+  /** One row per (page, link): `(_page_url, _l, _base)`. The base
+    * extraction MUST ride inside the generator expression: a plain
+    * `select(url, base, explode(links))` lets Catalyst float the
+    * base projection ABOVE the Generate, re-evaluating the (rlike
+    * guard + extraction) regexes once per LINK instead of once per
+    * page — measured 2.5× on every link-family bench row (PERF_r14).
+    * Making the base a generator argument forces it to evaluate once
+    * per page row below the explode. The link array must ALSO bind
+    * once: a naive `zip_with(links, array_repeat(base, size(links)))`
+    * evaluates `html_links` twice per page (generator args get no
+    * subexpression elimination — measured +40%), so the array is
+    * wrapped in a one-element outer array and everything downstream
+    * references the LAMBDA VARIABLE, which is free:
+    * `flatten(transform(array(links), ls -> zip_with(ls,
+    * array_repeat(base, size(ls)), (l, b) -> struct(l, b))))`. */
+  private def linkBaseRows(pages: DataFrame, urlCol: Column,
+      htmlCol: Column, honorBaseHref: Boolean): DataFrame =
+    if (!honorBaseHref)
+      pages.select(urlCol.as("_page_url"),
+        lit(null).cast("string").as("_base"),
+        explode(graft.functions.html_links(htmlCol)).as("_l"))
+    else {
+      val links = graft.functions.html_links(htmlCol)
+      val base = graft.sources.Warc.htmlBaseHref(htmlCol)
+      val zipped = flatten(transform(array(links), ls =>
+        zip_with(ls, array_repeat(base, size(ls)),
+          (l, b) => struct(l.as("link"), b.as("base")))))
+      pages.select(urlCol.as("_page_url"), explode(zipped).as("_lb"))
+        .select(col("_page_url"), col("_lb.link").as("_l"),
+          col("_lb.base").as("_base"))
+    }
+
   def outlinkDomainEdges(pages: DataFrame, urlCol: Column, htmlCol: Column,
       includeInternal: Boolean = false, skipNofollow: Boolean = false,
       multiPartSuffixes: Seq[String] = DefaultMultiPartSuffixes,
       honorBaseHref: Boolean = true): DataFrame = {
-    val base =
-      if (honorBaseHref) graft.sources.Warc.htmlBaseHref(htmlCol)
-      else lit(null).cast("string")
-    val l = pages.select(urlCol.as("_page_url"), base.as("_base"),
-      explode(graft.functions.html_links(htmlCol)).as("_l"))
+    val l = linkBaseRows(pages, urlCol, htmlCol, honorBaseHref)
     val l2 = if (skipNofollow)
       l.filter(!col("_l.rel").rlike("(^|[ \\t])nofollow([ \\t]|$)"))
     else l
@@ -588,11 +616,7 @@ object Domains {
       multiPartSuffixes: Seq[String] = DefaultMultiPartSuffixes,
       honorBaseHref: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val base =
-      if (honorBaseHref) graft.sources.Warc.htmlBaseHref(htmlCol)
-      else lit(null).cast("string")
-    val l = pages.select(urlCol.as("_page_url"), base.as("_base"),
-      explode(graft.functions.html_links(htmlCol)).as("_l"))
+    val l = linkBaseRows(pages, urlCol, htmlCol, honorBaseHref)
     val l2 = if (skipNofollow)
       l.filter(!col("_l.rel").rlike("(^|[ \\t])nofollow([ \\t]|$)"))
     else l

@@ -308,19 +308,30 @@ object Warc {
     * whole page's edges) — a strictly worse failure mode than the
     * single-link traps `html_links` already defends against. Two
     * RE2-safe non-greedy passes; an UNCLOSED comment/script truncates
-    * to nothing matched, the conservative direction. */
+    * to nothing matched, the conservative direction.
+    *
+    * FAST PATH: the overwhelming majority of real pages carry no
+    * `<base` substring at all, and this extractor sits on every
+    * link-layer path (`outlinkDomainEdges` / `anchorTermsByDomain`
+    * default it on) — so the three regex passes only run behind one
+    * cheap case-insensitive containment scan. Measured: without the
+    * guard the r14 link-family bench rows read ~2× their r13 values;
+    * with it they return to baseline (PERF_r14). */
   def htmlBaseHref(html: Column): Column = {
     val ws = "[ \\t\\n\\x0B\\f\\r]"
-    val cleaned = regexp_replace(
-      regexp_replace(html, "(?s)<!--.*?-->", " "),
-      "(?is)<script[^>]*>.*?</script>", " ")
     // Whitespace is required IMMEDIATELY after the tag name (so
     // `<basefont>` never matches — `base` has no valid attribute-less
     // `<base>` worth extracting anyway) and again before `href` (so
     // `data-href` never matches), both RE2-safe.
     val re = s"(?i)<base${ws}(?:[^>]*${ws})?" +
       s"href[ ]*=[ ]*[\"']?([^\"'> \\t\\n\\x0B\\f\\r]+)"
-    decodeAttr(nullif(regexp_extract(cleaned, re, 1), lit("")))
+    def extract(c: Column): Column =
+      decodeAttr(nullif(regexp_extract(c, re, 1), lit("")))
+    val cleaned = regexp_replace(
+      regexp_replace(html, "(?s)<!--.*?-->", " "),
+      "(?is)<script[^>]*>.*?</script>", " ")
+    when(html.rlike("(?i)<base"), extract(cleaned))
+      .otherwise(lit(null).cast("string"))
   }
 
   /** The robots META directive of an HTML document (`<meta
