@@ -315,6 +315,51 @@ object ScaleSlope {
         Robots.scheduleFrontier(urls, col("url"), col("doc_id"),
           robots, "graftbot", assumeUniqueHosts = true)
       }),
+      // Round-14 additions: the quality-rule batteries (zero-shuffle
+      // projections — the slope IS the scan-speed claim) and the
+      // recrawl scheduler (url-keyed window + groupBy on ONE shared
+      // exchange; urls grow with the corpus, history depth stays 1–4).
+      "text_c4_filter" -> ((df, _) => {
+        val id = col("doc_id")
+        TextAnalysis.c4Filter(df.select(id, concat_ws("\n",
+          concat(col("text"), lit(".")),
+          lit("Short line"),
+          lit("Please enable JavaScript to continue viewing."),
+          concat(lit("This generated sentence number "), id,
+            lit(" contains plenty of words.")),
+          when(id % 11 === 0, lit("function f() { return 0; }"))
+            .otherwise(
+              lit("Yet another well formed line of prose ends cleanly.")))
+          .as("text")))
+      }),
+      "text_gopher_quality" -> ((df, _) =>
+        TextAnalysis.gopherQuality(df.select(col("doc_id"),
+          concat(col("text"), lit(" and that was all of it.")).as("text")))),
+      "text_line_repetition" -> ((df, _) => {
+        val id = col("doc_id")
+        TextAnalysis.lineRepetitionStats(df.select(id, concat_ws("\n",
+          col("text"),
+          lit("A repeated boilerplate footer line."),
+          when(id % 3 === 0, lit("A repeated boilerplate footer line."))
+            .otherwise(concat(lit("Unique line "), id, lit(" one."))))
+          .as("text")))
+      }),
+      "curation_recrawl" -> ((df, _) => {
+        val id = col("doc_id")
+        val hist = df
+          .select(id,
+            explode(sequence(lit(0), (id % 4).cast("int"))).as("i"))
+          .select(
+            concat(lit("http://site"), id % 50, lit(".example.com/p/"), id)
+              .as("url"),
+            (lit(1700000000000L) + id * 1000 + col("i") * lit(86400000L))
+              .as("fetch_ts"),
+            md5(concat(lit("c"), id, lit("_"),
+              expr("CAST((doc_id*31 + i) DIV 3 AS LONG)")))
+              .as("content_md5"))
+        Robots.recrawlSchedule(hist, col("url"), col("fetch_ts"),
+          col("content_md5"))
+      }),
       // Round-8 additions: trainer + encoder (driver merge loop is
       // vocab-capped, distributed pass corpus-sized), the tf/df family,
       // and the S-bounded-fan-out source audit.

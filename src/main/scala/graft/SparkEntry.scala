@@ -1346,6 +1346,52 @@ object SparkEntry {
         .select("doc_id", "url", "host", "delay_ms", "queue_pos",
           "fetch_after_ms")
     }),
+    // Adaptive recrawl scheduling over a synthesized fetch history:
+    // each doc's URL gets 1–4 fetches a day apart whose content
+    // fingerprint is md5 of (doc_id*31 + i) DIV 3 — consecutive
+    // fetches share content two times out of three with the change
+    // positions varying by residue, so unchanged streaks of 0–3 all
+    // occur and the doubled interval hits the 24 h cap. The oracle
+    // replays the lag-compare, the streak arithmetic, and the shift
+    // with DuckDB windows.
+    "curation_recrawl" -> ((s, d) => {
+      val id = col("doc_id")
+      val hist = documents(s, d)
+        .select(id, explode(sequence(lit(0), (id % 4).cast("int"))).as("i"))
+        .select(
+          concat(lit("http://site"), id % 50, lit(".example.com/p/"), id)
+            .as("url"),
+          (lit(1700000000000L) + id * 1000 + col("i") * lit(86400000L))
+            .as("fetch_ts"),
+          md5(concat(lit("c"), id, lit("_"),
+            expr("CAST((doc_id*31 + i) DIV 3 AS LONG)"))).as("content_md5"))
+      graft.ops.Robots.recrawlSchedule(hist, col("url"), col("fetch_ts"),
+        col("content_md5"), baseIntervalMs = 3600000L,
+        maxIntervalMs = 86400000L)
+    }),
+    // SURT urlkey normalization: five URL shapes per corpus —
+    // uppercase scheme/host with default port + unsorted query +
+    // tracking param + fragment, a deep subdomain with :443, a
+    // userinfo + www2 + empty-valued param page, a RELATIVE string
+    // (no authority → NULL key), and a non-default port that must
+    // attach to the reversed key. Values replay in DuckDB with the
+    // same regexp/list spellings.
+    "curation_surt" -> ((s, d) => {
+      val id = col("doc_id")
+      val url =
+        when(id % 5 === 0, concat(lit("HTTP://WWW.Site"), id % 7,
+          lit(".Example.COM:80/Path/"), id, lit("?b=2&a="), id,
+          lit("&utm_source=x#frag")))
+          .when(id % 5 === 1, concat(lit("https://sub"), id % 3,
+            lit(".site"), id % 7, lit(".example.com:443/p/"), id))
+          .when(id % 5 === 2, concat(lit("http://user:pw@www2.example.org/"),
+            id, lit("?z=1&y=")))
+          .when(id % 5 === 3, concat(lit("relative/path/"), id))
+          .otherwise(concat(lit("http://example.net:8080/q?only="), id))
+      documents(s, d).select(id, url.as("url"))
+        .select(col("doc_id"), col("url"),
+          graft.ops.Domains.surtKey(col("url")).as("urlkey"))
+    }),
     // Global (non-group-scoped) Sitemap lines, case-insensitive field,
     // comments stripped; hosts declaring none contribute no rows.
     "curation_robots_sitemaps" -> ((s, _) =>
@@ -1365,6 +1411,26 @@ object SparkEntry {
         .select(id, posexplode(graft.ops.Robots.sitemapLocs(col("xml")))
           .as(Seq("loc_idx", "loc")))
         .select(id, col("loc_idx").cast("long").as("loc_idx"), col("loc"))
+    }),
+    // Sitemap ENTRY pairs (loc + optional lastmod): first entry
+    // carries a lastmod, the second only a padded entity-bearing loc
+    // (NULL lastmod), and a third loc-less block must be dropped —
+    // the freshness feed for recrawlSchedule.
+    "curation_sitemap_lastmod" -> ((s, d) => {
+      val id = col("doc_id")
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?>\n<urlset>\n <url><loc>https://ex"),
+        id % 7, lit(".org/p/"), id,
+        lit("</loc><lastmod>2026-0"), id % 9 + 1, lit("-1"), id % 10,
+        lit("</lastmod></url>\n <url><loc> https://ex"), id % 7,
+        lit(".org/q/"), id, lit("?a=1&amp;b=2 </loc></url>\n"),
+        lit(" <url><lastmod>2026-01-01</lastmod></url>\n</urlset>"))
+      documents(s, d).select(id, xml.as("xml"))
+        .select(id,
+          posexplode(graft.ops.Robots.sitemapEntries(col("xml")))
+            .as(Seq("entry_idx", "e")))
+        .select(id, col("entry_idx").cast("long").as("entry_idx"),
+          col("e.loc").as("loc"), col("e.lastmod").as("lastmod"))
     }),
     // Z-order (Morton) key arithmetic over two bucketized dimensions
     // of the orders table — the data-skipping layout projection
@@ -1430,6 +1496,51 @@ object SparkEntry {
             .as("doc_id"),
           col("http_status"), col("http_content_type"),
           col("content_length"), md5(col("html")).as("text_md5"))
+    }),
+    // CDX capture index over a written-and-reread WARC: URIs carry
+    // case, a www. prefix, an unsorted query, and a per-doc capture
+    // second, so the urlkey exercises the full SURT normalization
+    // (lowercase, www-strip, label reversal, param sort) and the
+    // timestamp the date digits. `filename`/`record_idx` are shard-
+    // layout-dependent (partitioning chooses them) and are dropped
+    // from the GATE, not the op — the oracle re-derives every kept
+    // column from doc_id arithmetic, never seeing the WARC bytes.
+    "warc_cdx" -> ((s, d) => {
+      val dir = scratchDir("graft_warc_cdx", d) + "/corpus"
+      val id = col("doc_id")
+      val esc = replace(replace(replace(col("text"),
+        lit("&"), lit("&amp;")), lit("<"), lit("&lt;")),
+        lit(">"), lit("&gt;"))
+      val html = concat(lit("<html><head><title>Doc "), id,
+        lit("</title></head><body><p>"), esc, lit("</p></body></html>"))
+      val uri = concat(lit("http://www.Graft.test/doc/"), id,
+        lit("?utm=x&b="), id % 3, lit("&a="), id % 5)
+      val date = concat(lit("2026-01-01T00:00:"),
+        lpad((id % 60).cast("string"), 2, "0"), lit("Z"))
+      graft.sources.Warc.writeWarc(
+        documents(s, d).select(uri.as("uri"), date.as("date"),
+          html.as("html")), dir)
+      graft.sources.Warc.cdxIndex(graft.sources.Warc.readWarc(s, dir))
+        .drop("filename", "record_idx")
+    }),
+    // WARC revisit-record dedup: bodies are shared within doc_id
+    // triples (3k, 3k+1, 3k+2 all carry the base doc's page), capture
+    // dates ascend WITHIN each triple, so the digest window must keep
+    // exactly the base capture as `response` and demote the other two
+    // to `revisit` records pointing at it. The oracle replays the
+    // whole profile with a row_number window over the re-derived
+    // digest.
+    "warc_revisit" -> ((s, d) => {
+      val dir = scratchDir("graft_warc_rev", d) + "/corpus"
+      val id = col("doc_id")
+      val html = concat(lit("<html><body><p>Shared body "), id - id % 3,
+        lit("</p></body></html>"))
+      val uri = concat(lit("http://graft.test/doc/"), id)
+      val date = concat(lit("2026-02-0"), id % 3 + 1, lit("T00:00:00Z"))
+      graft.sources.Warc.writeWarc(
+        documents(s, d).select(uri.as("uri"), date.as("date"),
+          html.as("html")), dir)
+      graft.sources.Warc.revisitDedup(graft.sources.Warc.readWarc(s, dir))
     }),
     // The COMPOSED raw-HTML pipeline as one gate (the e2e_wet_to_pack
     // counterpart for the WARC front door): pages with chrome,
@@ -2500,6 +2611,100 @@ object SparkEntry {
           lit(" from 10."), id % 200, lit("."), id % 100,
           lit("."), id % 250, lit(".")).as("text")))
     }),
+    // C4-style line/page cleaning over SYNTHESIZED multi-line pages
+    // (the raw corpus is single-line word soup — zero newlines,
+    // braces, or punctuation, so every rule fires only on planted
+    // material): each page interleaves prose keepers with a
+    // no-terminal-punct line, a javascript banner, and a 2-word line;
+    // residue cohorts plant the page-level drops (11 | id → a brace
+    // code line, id % 13 = 5 → a Lorem Ipsum filler — capitalized, so
+    // the case-insensitive match is exercised) and a
+    // too-few-kept-lines cohort (id % 17 = 2 swaps two keepers for
+    // junk, 4 < 5 survivors). The oracle rebuilds the same page and
+    // replays every line rule with DuckDB list_filter lambdas.
+    "text_c4_filter" -> ((s, d) => {
+      val id = col("doc_id")
+      val synth = concat_ws("\n",
+        concat(col("text"), lit(".")),
+        lit("Short line"),
+        lit("Please enable JavaScript to continue viewing."),
+        when(id % 17 === 2, lit("nope"))
+          .otherwise(concat(lit("This generated sentence number "), id,
+            lit(" contains plenty of words."))),
+        lit("Too few."),
+        lit("Another perfectly fine sentence appears right here."),
+        when(id % 11 === 0, lit("function f() { return 0; }"))
+          .otherwise(
+            lit("Yet another well formed line of prose ends cleanly.")),
+        when(id % 13 === 5,
+          lit("Lorem Ipsum dolor sit amet, consectetur adipiscing elit."))
+          .otherwise(lit("The closing sentence finishes the page properly.")),
+        when(id % 17 === 2, lit("also not a sentence"))
+          .otherwise(concat(lit("Document "), id,
+            lit(" ends with its numeric signature."))))
+      graft.ops.TextAnalysis.c4Filter(
+        documents(s, d).select(id, synth.as("text")))
+    }),
+    // Gopher-style quality rules over residue-planted pathologies
+    // (disjoint-by-order CASE cohorts; maxWords lowered to 400 so the
+    // too-long rule is plantable at gate scale): tiny page, stopword
+    // desert (the raw soup carries at most 'the'), symbol spam,
+    // bullet wall, ellipsis trail, single-letter flood (mean word
+    // length low), long-word flood (high), numeric flood (alpha
+    // ratio), 600-word filler (too long). The base page appends one
+    // stopword-bearing clause so healthy docs PASS the stopword rule.
+    // Each cohort may first trip the word-count rule on short docs —
+    // first_fail is the ORDERED verdict and the oracle replays the
+    // same rule order.
+    "text_gopher_quality" -> ((s, d) => {
+      val id = col("doc_id")
+      val base = concat(col("text"), lit(" and that was all of it."))
+      val synth =
+        when(id % 17 === 3, lit("tiny doc here"))
+          .when(id % 19 === 4, col("text"))
+          .when(id % 7 === 0, concat(base, lit(" ############### ... ...")))
+          .when(id % 9 === 2, concat_ws("\n",
+            lit("- alpha item"), lit("* beta item"), lit("• gamma item"),
+            lit("- delta item"), lit("- epsilon item"), lit("- zeta item"),
+            lit("- eta item"), lit("- theta item"), lit("- iota item"),
+            lit("- kappa item"), base))
+          .when(id % 23 === 7, concat_ws("\n", base,
+            lit("and so it goes on..."), lit("more to come..."),
+            lit("wait for it..."), lit("loading..."),
+            lit("still loading..."), lit("almost there..."),
+            lit("to be continued...")))
+          .when(id % 29 === 11,
+            concat(base, lit(" " + Seq.fill(120)("a").mkString(" "))))
+          .when(id % 31 === 13, concat(base, lit(" " +
+            Seq.fill(60)("abcdefghijklmnopqrstuvwxyzabcd").mkString(" "))))
+          .when(id % 37 === 17,
+            concat(base, lit(" " + Seq.fill(300)("12345").mkString(" "))))
+          .when(id % 41 === 19,
+            concat(base, lit(" " + Seq.fill(600)("data").mkString(" "))))
+          .otherwise(base)
+      graft.ops.TextAnalysis.gopherQuality(
+        documents(s, d).select(id, synth.as("text")), maxWords = 400)
+    }),
+    // Line-level repetition signals over planted boilerplate: every
+    // page carries one footer line; residue cohorts repeat it once or
+    // twice more and one cohort duplicates the page's own body line,
+    // so dup fractions span zero to several-of-five with overlapping
+    // cohorts. The oracle replays the distinct/char-sum arithmetic
+    // with DuckDB list functions.
+    "text_line_repetition" -> ((s, d) => {
+      val id = col("doc_id")
+      val synth = concat_ws("\n",
+        col("text"),
+        lit("A repeated boilerplate footer line."),
+        when(id % 3 === 0, lit("A repeated boilerplate footer line."))
+          .otherwise(concat(lit("Unique line "), id, lit(" one."))),
+        when(id % 4 === 1, lit("A repeated boilerplate footer line."))
+          .otherwise(concat(lit("Unique line "), id, lit(" two."))),
+        when(id % 5 === 2, col("text"))
+          .otherwise(concat(lit("Unique line "), id, lit(" three."))))
+      graft.ops.TextAnalysis.lineRepetitionStats(
+        documents(s, d).select(id, synth.as("text")))
+    }),
     "mm_features" -> ((s, d) =>
       graft.ops.Multimodal.extractFeaturesSql(
         graft.ops.Multimodal.mediaFromDocuments(documents(s, d)))),
@@ -3322,6 +3527,83 @@ object SparkEntry {
         |  CAST(queue_pos AS BIGINT) AS queue_pos,
         |  CAST(queue_pos * delay_ms AS BIGINT) AS fetch_after_ms
         |FROM q""".stripMargin,
+    // Recrawl-policy replay: same fetch synthesis, lag-compare for
+    // changes, trailing-streak arithmetic (max pos minus last changed
+    // pos), and the shifted-and-capped interval. Every aggregate is
+    // CAST (the r13 HUGEINT lesson).
+    "curation_recrawl" ->
+      """WITH f AS (SELECT doc_id, unnest(range(0, doc_id % 4 + 1)) AS i
+        |  FROM documents),
+        |h AS (SELECT
+        |    'http://site' || (doc_id % 50) || '.example.com/p/' || doc_id
+        |      AS url,
+        |    1700000000000 + doc_id * 1000 + i * 86400000 AS ts,
+        |    md5('c' || doc_id || '_' || ((doc_id * 31 + i) // 3)) AS fp
+        |  FROM f),
+        |p AS (SELECT url, ts, fp, row_number() OVER w AS pos,
+        |    CASE WHEN lag(fp) OVER w IS NULL OR fp <> lag(fp) OVER w
+        |         THEN 1 ELSE 0 END AS changed
+        |  FROM h WINDOW w AS (PARTITION BY url ORDER BY ts, fp)),
+        |g AS (SELECT url,
+        |    CAST(count(*) AS BIGINT) AS n_fetches,
+        |    CAST(sum(changed) AS BIGINT) AS n_changes,
+        |    CAST(max(ts) AS BIGINT) AS last_fetch_ms,
+        |    CAST(max(pos) - max(CASE WHEN changed = 1 THEN pos END)
+        |      AS BIGINT) AS unchanged_streak
+        |  FROM p GROUP BY url),
+        |iv AS (SELECT *,
+        |    least(CAST(3600000 AS BIGINT)
+        |        << CAST(least(unchanged_streak, 20) AS INT),
+        |      CAST(86400000 AS BIGINT)) AS interval_ms
+        |  FROM g)
+        |SELECT url, n_fetches, n_changes, last_fetch_ms, unchanged_streak,
+        |  interval_ms, last_fetch_ms + interval_ms AS next_fetch_ms
+        |FROM iv""".stripMargin,
+    // SURT replay with the same regexp/list spellings the Column
+    // expression uses (lowercase -> strip fragment/scheme/userinfo ->
+    // port split -> www-strip -> label reversal -> param sort);
+    // relative rows key to NULL.
+    "curation_surt" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'HTTP://WWW.Site' || (doc_id % 7)
+        |        || '.Example.COM:80/Path/' || doc_id || '?b=2&a='
+        |        || doc_id || '&utm_source=x#frag'
+        |       WHEN doc_id % 5 = 1 THEN 'https://sub' || (doc_id % 3)
+        |        || '.site' || (doc_id % 7) || '.example.com:443/p/'
+        |        || doc_id
+        |       WHEN doc_id % 5 = 2 THEN 'http://user:pw@www2.example.org/'
+        |        || doc_id || '?z=1&y='
+        |       WHEN doc_id % 5 = 3 THEN 'relative/path/' || doc_id
+        |       ELSE 'http://example.net:8080/q?only=' || doc_id
+        |  END AS url FROM documents),
+        |n AS (SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(lower(url), '#.*$', ''),
+        |      '\?.*$', '') AS base,
+        |    regexp_extract(regexp_replace(lower(url), '#.*$', ''),
+        |      '\?(.*)$', 1) AS query FROM u),
+        |a AS (SELECT doc_id, url, query,
+        |    regexp_extract(base, '^([a-z][a-z0-9+.-]*)://.*', 1) AS scheme,
+        |    regexp_replace(regexp_extract(base,
+        |      '^[a-z][a-z0-9+.-]*://([^/?#]*).*', 1), '^.*@', '')
+        |      AS hostport,
+        |    regexp_extract(base, '^[a-z][a-z0-9+.-]*://[^/?#]*(.*)$', 1)
+        |      AS path FROM n),
+        |h AS (SELECT doc_id, url, query, scheme, path,
+        |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        |    regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
+        |      '^www[0-9]*\.', '') AS host FROM a),
+        |q AS (SELECT *, coalesce(array_to_string(list_sort(list_filter(
+        |    string_split(query, '&'), x -> x <> '')), '&'), '') AS sq
+        |  FROM h)
+        |SELECT doc_id, url,
+        |  CASE WHEN scheme = '' THEN NULL
+        |    ELSE array_to_string(list_reverse(string_split(host, '.')), ',')
+        |      || (CASE WHEN port IN ('', '80', '443') THEN ''
+        |           ELSE ':' || port END)
+        |      || ')' || (CASE WHEN path = '' THEN '/' ELSE path END)
+        |      || (CASE WHEN sq = '' THEN '' ELSE '?' || sq END)
+        |  END AS urlkey
+        |FROM q""".stripMargin,
     "curation_sitemap_urls" ->
       """SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS loc_idx,
         |  CASE u.i
@@ -3329,6 +3611,22 @@ object SparkEntry {
         |    ELSE 'https://ex' || (doc_id % 7) || '.org/q/' || doc_id ||
         |      '?a=1&b=2'
         |  END AS loc
+        |FROM documents, (VALUES (1), (2)) AS u(i)""".stripMargin,
+    // Entry pairs: the loc-less third block never surfaces, the
+    // second entry's lastmod is NULL, the first's is re-derived from
+    // the same residue arithmetic.
+    "curation_sitemap_lastmod" ->
+      """SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS entry_idx,
+        |  CASE u.i
+        |    WHEN 1 THEN 'https://ex' || (doc_id % 7) || '.org/p/' || doc_id
+        |    ELSE 'https://ex' || (doc_id % 7) || '.org/q/' || doc_id ||
+        |      '?a=1&b=2'
+        |  END AS loc,
+        |  CASE u.i
+        |    WHEN 1 THEN '2026-0' || (doc_id % 9 + 1) || '-1' ||
+        |      (doc_id % 10)
+        |    ELSE NULL
+        |  END AS lastmod
         |FROM documents, (VALUES (1), (2)) AS u(i)""".stripMargin,
     // Morton interleave replayed as 16 shift/mask terms (disjoint
     // target bits, so SUM == OR).
@@ -3508,6 +3806,70 @@ object SparkEntry {
         |  CAST(octet_length(encode(http)) AS BIGINT) AS content_length,
         |  md5(html) AS text_md5
         |FROM m""".stripMargin,
+    // CDX replay: the urlkey is HAND-DERIVED (host labels reversed,
+    // www stripped, params sorted — written out literally, not
+    // re-run through the algorithm), the timestamp from the date
+    // digits, the digest/length from the same page + HTTP-message
+    // arithmetic as warc_roundtrip.
+    "warc_cdx" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id ||
+        |    '</title></head><body><p>' ||
+        |    replace(replace(replace(text, '&', '&amp;'),
+        |      '<', '&lt;'), '>', '&gt;') ||
+        |    '</p></body></html>' AS html,
+        |    'http://www.Graft.test/doc/' || doc_id || '?utm=x&b=' ||
+        |      (doc_id % 3) || '&a=' || (doc_id % 5) AS uri
+        |  FROM documents),
+        |m AS (SELECT *,
+        |    'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+        |    'Content-Type: text/html; charset=utf-8' ||
+        |    chr(13) || chr(10) ||
+        |    'Content-Length: ' || octet_length(encode(html)) ||
+        |    chr(13) || chr(10) || chr(13) || chr(10) || html AS http
+        |  FROM h)
+        |SELECT
+        |  'test,graft)/doc/' || doc_id || '?a=' || (doc_id % 5) ||
+        |    '&b=' || (doc_id % 3) || '&utm=x' AS urlkey,
+        |  '202601010000' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+        |    AS timestamp,
+        |  uri AS original,
+        |  'text/html' AS mime,
+        |  CAST(200 AS INT) AS status,
+        |  md5(html) AS digest,
+        |  CAST(octet_length(encode(http)) AS BIGINT) AS length
+        |FROM m""".stripMargin,
+    // Revisit-profile replay: digest re-derived from the shared-body
+    // arithmetic, the keep/demote decision from a row_number window
+    // ordered exactly like the op (date, then uri).
+    "warc_revisit" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<html><body><p>Shared body ' || (doc_id - doc_id % 3) ||
+        |      '</p></body></html>' AS html,
+        |    'http://graft.test/doc/' || doc_id AS uri,
+        |    '2026-02-0' || (doc_id % 3 + 1) || 'T00:00:00Z' AS date
+        |  FROM documents),
+        |m AS (SELECT uri, date, md5(html) AS digest,
+        |    'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+        |    'Content-Type: text/html; charset=utf-8' ||
+        |    chr(13) || chr(10) ||
+        |    'Content-Length: ' || octet_length(encode(html)) ||
+        |    chr(13) || chr(10) || chr(13) || chr(10) || html AS http
+        |  FROM h),
+        |w AS (SELECT uri, date, digest,
+        |    CAST(octet_length(encode(http)) AS BIGINT) AS cl,
+        |    row_number() OVER win AS rn,
+        |    first_value(uri) OVER win AS fu,
+        |    first_value(date) OVER win AS fd
+        |  FROM m WINDOW win AS (PARTITION BY digest ORDER BY date, uri))
+        |SELECT uri AS target_uri, date AS warc_date, digest,
+        |  CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END
+        |    AS warc_type_out,
+        |  CASE WHEN rn = 1 THEN cl ELSE CAST(0 AS BIGINT) END
+        |    AS payload_length,
+        |  CASE WHEN rn = 1 THEN NULL ELSE fu END AS refers_to_uri,
+        |  CASE WHEN rn = 1 THEN NULL ELSE fd END AS refers_to_date
+        |FROM w""".stripMargin,
     // The WET round-trip must hand back exactly the parquet corpus:
     // ids from the URI tail, Content-Length as UTF-8 octets, md5 over
     // the same bytes.
@@ -4966,6 +5328,152 @@ object SparkEntry {
         |    len(regexp_extract_all(t3,
         |      '\+?\d[\d().-]{6,13}\d')) AS INT) AS n_redactions
         |FROM s4""".stripMargin,
+    // The C4 page rebuilt line-for-line, then every line rule
+    // replayed inside a list_filter lambda and the ordered page
+    // verdict as a CASE.
+    "text_c4_filter" ->
+      """WITH p AS (SELECT doc_id, concat_ws(chr(10),
+        |    text || '.',
+        |    'Short line',
+        |    'Please enable JavaScript to continue viewing.',
+        |    CASE WHEN doc_id % 17 = 2 THEN 'nope'
+        |         ELSE 'This generated sentence number ' || doc_id ||
+        |           ' contains plenty of words.' END,
+        |    'Too few.',
+        |    'Another perfectly fine sentence appears right here.',
+        |    CASE WHEN doc_id % 11 = 0 THEN 'function f() { return 0; }'
+        |         ELSE 'Yet another well formed line of prose ends cleanly.'
+        |         END,
+        |    CASE WHEN doc_id % 13 = 5 THEN
+        |           'Lorem Ipsum dolor sit amet, consectetur adipiscing elit.'
+        |         ELSE 'The closing sentence finishes the page properly.'
+        |         END,
+        |    CASE WHEN doc_id % 17 = 2 THEN 'also not a sentence'
+        |         ELSE 'Document ' || doc_id ||
+        |           ' ends with its numeric signature.' END) AS t
+        |  FROM documents),
+        |k AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls,
+        |    list_filter(string_split(t, chr(10)), x ->
+        |      regexp_matches(trim(x), '[.!?"]$')
+        |      AND len(string_split_regex(trim(x), '\s+')) >= 3
+        |      AND NOT contains(lower(x), 'javascript')) AS ks
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(len(ls) AS INT) AS n_lines,
+        |  CAST(len(ks) AS INT) AS n_lines_kept,
+        |  (NOT contains(t, '{') AND NOT contains(lower(t), 'lorem ipsum')
+        |    AND len(ks) >= 5) AS kept,
+        |  CASE WHEN contains(t, '{') THEN 'brace'
+        |       WHEN contains(lower(t), 'lorem ipsum') THEN 'lorem_ipsum'
+        |       WHEN len(ks) < 5 THEN 'too_few_lines' END AS drop_reason,
+        |  CASE WHEN NOT contains(t, '{')
+        |        AND NOT contains(lower(t), 'lorem ipsum')
+        |        AND len(ks) >= 5
+        |       THEN array_to_string(ks, chr(10)) END AS text_clean
+        |FROM k""".stripMargin,
+    // Gopher signals replayed: same synthesized page, same token /
+    // line / occurrence arithmetic (the `*1.0/` double spellings the
+    // other ratio oracles use), same ordered rule verdict.
+    "text_gopher_quality" ->
+      """WITH b AS (SELECT doc_id, text,
+        |    text || ' and that was all of it.' AS base FROM documents),
+        |p AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 17 = 3 THEN 'tiny doc here'
+        |       WHEN doc_id % 19 = 4 THEN text
+        |       WHEN doc_id % 7 = 0 THEN base || ' ############### ... ...'
+        |       WHEN doc_id % 9 = 2 THEN concat_ws(chr(10),
+        |         '- alpha item', '* beta item', '• gamma item',
+        |         '- delta item', '- epsilon item', '- zeta item',
+        |         '- eta item', '- theta item', '- iota item',
+        |         '- kappa item', base)
+        |       WHEN doc_id % 23 = 7 THEN concat_ws(chr(10), base,
+        |         'and so it goes on...', 'more to come...',
+        |         'wait for it...', 'loading...', 'still loading...',
+        |         'almost there...', 'to be continued...')
+        |       WHEN doc_id % 29 = 11 THEN base || ' ' ||
+        |         trim(repeat('a ', 120))
+        |       WHEN doc_id % 31 = 13 THEN base || ' ' ||
+        |         trim(repeat('abcdefghijklmnopqrstuvwxyzabcd ', 60))
+        |       WHEN doc_id % 37 = 17 THEN base || ' ' ||
+        |         trim(repeat('12345 ', 300))
+        |       WHEN doc_id % 41 = 19 THEN base || ' ' ||
+        |         trim(repeat('data ', 600))
+        |       ELSE base END AS t
+        |  FROM b),
+        |s AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(t)), '\s+') AS toks,
+        |    string_split(t, chr(10)) AS ls,
+        |    length(regexp_replace(t, '\s', '', 'g')) AS nws,
+        |    length(t) - length(replace(t, '#', '')) AS nhash,
+        |    (length(t) - length(replace(t, '...', ''))) // 3 AS nell
+        |  FROM p),
+        |g AS (SELECT doc_id,
+        |    CAST(len(toks) AS INT) AS n_words,
+        |    nws*1.0/len(toks) AS mean_word_len,
+        |    (nhash + nell)*1.0/len(toks) AS symbol_ratio,
+        |    len(list_filter(ls, x -> substring(trim(x), 1, 1) = '-'
+        |      OR substring(trim(x), 1, 1) = '*'
+        |      OR substring(trim(x), 1, 1) = '•'))*1.0/len(ls)
+        |      AS bullet_ratio,
+        |    len(list_filter(ls, x -> right(trim(x), 3) = '...'))*1.0
+        |      /len(ls) AS ellipsis_line_ratio,
+        |    len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))*1.0
+        |      /len(toks) AS alpha_word_ratio,
+        |    CAST(list_contains(toks, 'the') AS INT)
+        |      + CAST(list_contains(toks, 'be') AS INT)
+        |      + CAST(list_contains(toks, 'to') AS INT)
+        |      + CAST(list_contains(toks, 'of') AS INT)
+        |      + CAST(list_contains(toks, 'and') AS INT)
+        |      + CAST(list_contains(toks, 'that') AS INT)
+        |      + CAST(list_contains(toks, 'have') AS INT)
+        |      + CAST(list_contains(toks, 'with') AS INT) AS stop_hits
+        |  FROM s)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+        |  ellipsis_line_ratio, alpha_word_ratio, stop_hits,
+        |  (n_words >= 50 AND n_words <= 400 AND mean_word_len >= 3.0
+        |    AND mean_word_len <= 10.0 AND symbol_ratio <= 0.1
+        |    AND bullet_ratio <= 0.9 AND ellipsis_line_ratio <= 0.3
+        |    AND alpha_word_ratio >= 0.8 AND stop_hits >= 2) AS passes,
+        |  CASE WHEN n_words < 50 THEN 'n_words_low'
+        |       WHEN n_words > 400 THEN 'n_words_high'
+        |       WHEN mean_word_len < 3.0 THEN 'mean_word_len_low'
+        |       WHEN mean_word_len > 10.0 THEN 'mean_word_len_high'
+        |       WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+        |       WHEN bullet_ratio > 0.9 THEN 'bullet_ratio'
+        |       WHEN ellipsis_line_ratio > 0.3 THEN 'ellipsis_ratio'
+        |       WHEN alpha_word_ratio < 0.8 THEN 'alpha_ratio'
+        |       WHEN stop_hits < 2 THEN 'stopwords' END AS first_fail
+        |FROM g""".stripMargin,
+    // Line-repetition replay: same planted page, distinct + char-sum
+    // arithmetic with list functions (sums stay internal — only
+    // ratios reach the output).
+    "text_line_repetition" ->
+      """WITH p AS (SELECT doc_id, concat_ws(chr(10),
+        |    text,
+        |    'A repeated boilerplate footer line.',
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN 'A repeated boilerplate footer line.'
+        |         ELSE 'Unique line ' || doc_id || ' one.' END,
+        |    CASE WHEN doc_id % 4 = 1
+        |         THEN 'A repeated boilerplate footer line.'
+        |         ELSE 'Unique line ' || doc_id || ' two.' END,
+        |    CASE WHEN doc_id % 5 = 2 THEN text
+        |         ELSE 'Unique line ' || doc_id || ' three.' END) AS t
+        |  FROM documents),
+        |l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM p),
+        |s AS (SELECT doc_id,
+        |    CAST(len(ls) AS INT) AS n_lines,
+        |    CAST(len(list_distinct(ls)) AS INT) AS n_distinct_lines,
+        |    CAST(list_aggregate(list_transform(ls, x -> length(x)),
+        |      'sum') AS BIGINT) AS total,
+        |    CAST(list_aggregate(list_transform(list_distinct(ls),
+        |      x -> length(x)), 'sum') AS BIGINT) AS dtotal
+        |  FROM l)
+        |SELECT doc_id, n_lines, n_distinct_lines,
+        |  (n_lines - n_distinct_lines)*1.0/n_lines AS dup_line_frac,
+        |  CASE WHEN total = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE (total - dtotal)*1.0/total END AS dup_line_char_frac
+        |FROM s""".stripMargin,
     "mm_features" ->
       """SELECT doc_id AS media_id, 'text/plain' AS mime, source,
         |  octet_length(encode(text)) AS n_bytes,

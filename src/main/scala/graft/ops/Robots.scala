@@ -176,6 +176,57 @@ object Robots {
       .withColumn("fetch_after_ms", col("queue_pos") * col("delay_ms"))
   }
 
+  /** ADAPTIVE RECRAWL SCHEDULING from fetch history — the revisit
+    * policy half of the politeness layer ([[scheduleFrontier]] spaces
+    * a host's queue; this decides WHEN a known URL earns another
+    * fetch). Classic binary-backoff change-rate estimation: per URL,
+    * order its fetches by timestamp; a fetch COUNTS AS A CHANGE when
+    * its content fingerprint differs from the previous fetch's (the
+    * first fetch is always a change — new content). The UNCHANGED
+    * STREAK is the number of fetches since the last change; the next
+    * interval doubles per unchanged observation,
+    * `min(baseIntervalMs << min(streak, 20), maxIntervalMs)` — stable
+    * pages decay toward `maxIntervalMs`, churning pages snap back to
+    * `baseIntervalMs` (streak 0). All integer arithmetic; the
+    * `curation_recrawl` DuckDB oracle replays every column.
+    *
+    * Output: (url, n_fetches, n_changes, unchanged_streak,
+    * last_fetch_ms, interval_ms, next_fetch_ms).
+    *
+    * Shape at 100 TB: one hash shuffle on url; the groupBy reuses the
+    * window's partitioning (no second exchange — plan-pinned), and
+    * per-URL state is the fetch history a crawl store already keys
+    * this way. */
+  def recrawlSchedule(history: DataFrame, urlCol: Column, tsCol: Column,
+      fingerprintCol: Column, baseIntervalMs: Long = 86400000L,
+      maxIntervalMs: Long = 32L * 86400000L): DataFrame = {
+    require(baseIntervalMs > 0 && maxIntervalMs >= baseIntervalMs,
+      s"recrawlSchedule needs 0 < base <= max, got $baseIntervalMs/$maxIntervalMs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_url")).orderBy(col("_ts"), col("_fp"))
+    history
+      .select(urlCol.as("_url"), tsCol.cast("long").as("_ts"),
+        fingerprintCol.as("_fp"))
+      .withColumn("_pos", row_number().over(w))
+      .withColumn("_changed",
+        (col("_pos") === 1 ||
+          col("_fp") =!= lag(col("_fp"), 1).over(w)).cast("int"))
+      .groupBy(col("_url"))
+      .agg(
+        count(lit(1)).as("n_fetches"),
+        sum(col("_changed")).cast("long").as("n_changes"),
+        max(col("_ts")).as("last_fetch_ms"),
+        (max(col("_pos")) -
+          max(when(col("_changed") === 1, col("_pos"))))
+          .cast("long").as("unchanged_streak"))
+      .withColumn("interval_ms", least(
+        expr(s"shiftleft(CAST($baseIntervalMs AS BIGINT), " +
+          "CAST(least(unchanged_streak, 20) AS INT))"),
+        lit(maxIntervalMs)))
+      .withColumn("next_fetch_ms", col("last_fetch_ms") + col("interval_ms"))
+      .withColumnRenamed("_url", "url")
+  }
+
   /** Sitemap URLs declared in a robots.txt BODY (global lines, not
     * group-scoped per the sitemaps.org protocol): `ARRAY<STRING>` in
     * document order, case-insensitive field name, `#` comments
@@ -213,6 +264,38 @@ object Robots {
         lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
         lit("&quot;"), lit("\"")), lit("&apos;"), lit("'")),
         lit("&amp;"), lit("&")))
+
+  /** `(loc, lastmod)` ENTRY pairs of a sitemap urlset — the
+    * freshness-aware extension of [[sitemapLocs]] (sitemaps.org:
+    * `<lastmod>` is the change hint a recrawl scheduler consumes, cf.
+    * [[recrawlSchedule]]). Per `<url>` block, in document order: the
+    * entity-decoded `<loc>` plus the trimmed `<lastmod>` string (NULL
+    * when the block declares none — most don't). Blocks without a
+    * `<loc>` are dropped (an entry is keyed by its URL). The lastmod
+    * stays a STRING — W3C datetime allows date-only through full
+    * timestamps with zone offsets; parsing is the consumer's choice
+    * of precision. Declarative regexp + transform — zero UDFs, the
+    * `curation_sitemap_lastmod` oracle replays it. */
+  def sitemapEntries(xml: Column): Column = {
+    def decode(c: Column): Column =
+      replace(replace(replace(replace(replace(c,
+        lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+        lit("&quot;"), lit("\"")), lit("&apos;"), lit("'")),
+        lit("&amp;"), lit("&"))
+    val blocks = regexp_extract_all(xml,
+      lit("(?is)<url>(.*?)</url>"), lit(1))
+    filter(
+      transform(blocks, b => struct(
+        decode(regexp_extract(b,
+          "(?is)<loc>[ \t\r\n]*([^<]*?)[ \t\r\n]*</loc>", 1)).as("loc"),
+        when(regexp_extract(b,
+            "(?is)<lastmod>[ \t\r\n]*([^<]*?)[ \t\r\n]*</lastmod>", 1)
+            === "", lit(null).cast("string"))
+          .otherwise(regexp_extract(b,
+            "(?is)<lastmod>[ \t\r\n]*([^<]*?)[ \t\r\n]*</lastmod>", 1))
+          .as("lastmod"))),
+      e => e.getField("loc") =!= "")
+  }
 
   /** Build the `(host, body)` robots frame straight FROM a crawl — a
     * real crawl archives its `/robots.txt` fetches as ordinary

@@ -1669,4 +1669,168 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_matches"),
         (min(col("start")) + 1).cast("long").as("first_pos"))
   }
+
+  /** Line-level repetition signals — the LINE half of the published
+    * repetition battery ([[repetitionStats]] / `gram_stats` is the
+    * n-gram half): boilerplate-heavy pages repeat whole lines
+    * (footers, nav crumbs, cookie banners), which n-gram fractions
+    * under-read on long pages. Per document:
+    *
+    *  - `n_lines`, `n_distinct_lines`
+    *  - `dup_line_frac` — (n_lines − n_distinct) / n_lines: the
+    *    fraction of line OCCURRENCES beyond each line's first
+    *  - `dup_line_char_frac` — the same excess mass in CHARACTERS
+    *    (repeat occurrences' chars / all line chars; 0.0 for an
+    *    all-empty page). Excess-occurrence counting (not
+    *    all-occurrences-of-duplicated-lines) so a page of N distinct
+    *    lines scores exactly 0 — documented choice, test-pinned.
+    *
+    * Zero-shuffle codegen'd projection (array_distinct + aggregate
+    * over the page's own split) like the other screens — the whole
+    * quality battery composes at scan speed. */
+  def lineRepetitionStats(docs: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines)
+    val distinctLines = array_distinct(lines)
+    val nDistinct = size(distinctLines)
+    def charSum(a: Column): Column =
+      aggregate(a, lit(0L), (acc, x) => acc + char_length(x))
+    val total = charSum(lines)
+    val dupChars = total - charSum(distinctLines)
+    docs.select(col("doc_id"),
+      nLines.as("n_lines"),
+      nDistinct.as("n_distinct_lines"),
+      ((nLines - nDistinct) * lit(1.0) / nLines).as("dup_line_frac"),
+      when(total === 0, lit(0.0))
+        .otherwise(dupChars * lit(1.0) / total).as("dup_line_char_frac"))
+  }
+
+  /** Stopword set behind [[gopherQuality]]'s "document uses common
+    * function words" rule (a small fixed list, per the published
+    * heuristic — presence of at least `minStopwordHits` DISTINCT
+    * members is the signal, not their frequency). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** C4-style line/page cleaning (the published web-corpus recipe:
+    * keep only lines that read like prose, drop pages that look like
+    * code or boilerplate). Line KEEP rules — a line survives iff ALL
+    * hold after trimming: ends with a terminal punctuation mark
+    * (`.` `!` `?` `"`), has at least `minWordsPerLine` whitespace
+    * words, and does not contain "javascript" (case-insensitive, the
+    * classic cookie/JS-warning banner tell). Page DROP rules, checked
+    * in this order on the RAW text: contains `{` (code page),
+    * contains "lorem ipsum" (template filler), fewer than
+    * `minKeptLines` surviving lines (too little prose to keep).
+    *
+    * Output: (doc_id, n_lines, n_lines_kept, kept, drop_reason,
+    * text_clean) — `text_clean` is the kept lines rejoined with
+    * `\n` for kept pages, NULL for dropped ones; `drop_reason` ∈
+    * {brace, lorem_ipsum, too_few_lines, NULL}.
+    *
+    * Shape at 100 TB: one zero-shuffle projection — every rule is a
+    * codegen'd string/array expression over the page's own bytes, so
+    * the filter runs at scan speed and composes with any downstream
+    * shuffle for free. */
+  def c4Filter(docs: DataFrame, minWordsPerLine: Int = 3,
+      minKeptLines: Int = 5): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val keptLines = filter(lines, l =>
+      trim(l).rlike("[.!?\"]$") &&
+        size(split(trim(l), "\\s+")) >= minWordsPerLine &&
+        !lower(l).contains("javascript"))
+    val hasBrace = col("text").contains("{")
+    val hasLorem = lower(col("text")).contains("lorem ipsum")
+    val nKept = size(keptLines)
+    val kept = !hasBrace && !hasLorem && nKept >= minKeptLines
+    docs.select(
+      col("doc_id"),
+      size(lines).as("n_lines"),
+      nKept.as("n_lines_kept"),
+      kept.as("kept"),
+      when(hasBrace, "brace")
+        .when(hasLorem, "lorem_ipsum")
+        .when(nKept < minKeptLines, "too_few_lines")
+        .as("drop_reason"),
+      when(kept, array_join(keptLines, "\n")).as("text_clean"))
+  }
+
+  /** Gopher-style document quality rules (the published heuristic
+    * battery: cheap surface statistics that screen a web corpus
+    * before any model-based scoring). Signals per document:
+    *
+    *  - `n_words` — whitespace tokens; pass iff in
+    *    [`minWords`, `maxWords`]
+    *  - `mean_word_len` — non-whitespace chars / words; pass iff in
+    *    [`minMeanWordLen`, `maxMeanWordLen`]
+    *  - `symbol_ratio` — (`#` chars + non-overlapping `...`
+    *    occurrences) / words; pass iff ≤ `maxSymbolRatio`
+    *  - `bullet_ratio` — fraction of lines whose first char is a
+    *    bullet (`-` `*` `•`); pass iff ≤ `maxBulletRatio`
+    *  - `ellipsis_line_ratio` — fraction of lines ending in `...`;
+    *    pass iff ≤ `maxEllipsisLineRatio`
+    *  - `alpha_word_ratio` — fraction of words containing a letter;
+    *    pass iff ≥ `minAlphaWordRatio`
+    *  - `stop_hits` — DISTINCT [[gopherStopwords]] members present
+    *    as whole tokens; pass iff ≥ `minStopwordHits`
+    *
+    * `passes` is the conjunction; `first_fail` names the first failed
+    * rule in the fixed order (n_words_low, n_words_high,
+    * mean_word_len_low, mean_word_len_high, symbol_ratio,
+    * bullet_ratio, ellipsis_ratio, alpha_ratio, stopwords) or NULL.
+    *
+    * Shape at 100 TB: zero-shuffle codegen'd projection, exactly like
+    * [[c4Filter]] — the two compose into one scan-speed screen. */
+  def gopherQuality(docs: DataFrame,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletRatio: Double = 0.9,
+      maxEllipsisLineRatio: Double = 0.3, minAlphaWordRatio: Double = 0.8,
+      minStopwordHits: Int = 2): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val nWords = size(toks)
+    val nonWsChars = char_length(regexp_replace(col("text"), "\\s", ""))
+    val meanWordLen = nonWsChars * lit(1.0) / nWords
+    val nSymbols =
+      countOccurrences(col("text"), "#") + countOccurrences(col("text"), "...")
+    val symbolRatio = nSymbols * lit(1.0) / nWords
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines)
+    val bulletRatio = size(filter(lines, l => {
+      val c0 = substring(trim(l), 1, 1)
+      c0 === "-" || c0 === "*" || c0 === "•"
+    })) * lit(1.0) / nLines
+    val ellipsisLineRatio =
+      size(filter(lines, l => trim(l).endsWith("..."))) * lit(1.0) / nLines
+    val alphaRatio =
+      size(filter(toks, t => t.rlike("[a-z]"))) * lit(1.0) / nWords
+    val stopHits = gopherStopwords
+      .map(w => array_contains(toks, w).cast("int"))
+      .reduce(_ + _)
+    val passes = nWords >= minWords && nWords <= maxWords &&
+      meanWordLen >= minMeanWordLen && meanWordLen <= maxMeanWordLen &&
+      symbolRatio <= maxSymbolRatio && bulletRatio <= maxBulletRatio &&
+      ellipsisLineRatio <= maxEllipsisLineRatio &&
+      alphaRatio >= minAlphaWordRatio && stopHits >= minStopwordHits
+    docs.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      meanWordLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      bulletRatio.as("bullet_ratio"),
+      ellipsisLineRatio.as("ellipsis_line_ratio"),
+      alphaRatio.as("alpha_word_ratio"),
+      stopHits.as("stop_hits"),
+      passes.as("passes"),
+      when(nWords < minWords, "n_words_low")
+        .when(nWords > maxWords, "n_words_high")
+        .when(meanWordLen < minMeanWordLen, "mean_word_len_low")
+        .when(meanWordLen > maxMeanWordLen, "mean_word_len_high")
+        .when(symbolRatio > maxSymbolRatio, "symbol_ratio")
+        .when(bulletRatio > maxBulletRatio, "bullet_ratio")
+        .when(ellipsisLineRatio > maxEllipsisLineRatio, "ellipsis_ratio")
+        .when(alphaRatio < minAlphaWordRatio, "alpha_ratio")
+        .when(stopHits < minStopwordHits, "stopwords")
+        .as("first_fail"))
+  }
 }

@@ -379,6 +379,86 @@ object Warc {
       .withColumn("text", extractText(col("html"), minWords, maxLinkDensity))
       .drop("html")
 
+  /** CDX-style capture index over a parsed WARC frame ([[readWarc]]
+    * output) — the web-archive lookup surface: one row per `response`
+    * record, keyed by ([[graft.ops.Domains.surtKey]] urlkey,
+    * 14-digit capture timestamp) and RANGE-SORTED on that key, which
+    * is the whole point of a CDX file (binary-searchable; one
+    * domain's captures are one contiguous scan). Columns: urlkey,
+    * timestamp (yyyyMMddHHmmss digits of WARC-Date), original
+    * (the unmodified target URI), mime, status, digest, length
+    * (envelope Content-Length), filename (shard basename), record_idx
+    * (record ordinal within the shard — this reader walks logical
+    * records, so the ordinal is the locator where classic CDX carries
+    * a byte offset; a byte-offset writer would thread it through
+    * [[WarcWalker]]).
+    *
+    * Deviation from classic CDX, documented: `digest` is md5-hex of
+    * the DECODED body (empty string for non-HTML/unsupported-coding
+    * records) rather than SHA1-Base32 of the raw payload — md5 is the
+    * digest primitive every other gate in this repo (and the DuckDB
+    * oracle) shares.
+    *
+    * Shape at 100 TB: a projection over the scan plus exactly one
+    * range shuffle for the global sort — the same cost any sorted
+    * index pays; downstream prefix lookups ride the sorted layout. */
+  def cdxIndex(warc: DataFrame): DataFrame =
+    warc.filter(col("warc_type") === "response")
+      .select(
+        graft.ops.Domains.surtKey(col("target_uri")).as("urlkey"),
+        substring(regexp_replace(col("warc_date"), "[^0-9]", ""), 1, 14)
+          .as("timestamp"),
+        col("target_uri").as("original"),
+        col("http_content_type").as("mime"),
+        col("http_status").as("status"),
+        md5(col("html")).as("digest"),
+        col("content_length").as("length"),
+        regexp_extract(col("file"), "[^/]*$", 0).as("filename"),
+        col("record_idx"))
+      .orderBy(col("urlkey"), col("timestamp"), col("original"),
+        col("filename"), col("record_idx"))
+
+  /** WARC `revisit`-record dedup by payload digest (the WARC/1.0
+    * identical-payload-digest profile: an archive stores each
+    * distinct payload ONCE; later captures of the same bytes become
+    * lightweight `revisit` records pointing at the original). Per
+    * digest group — md5 of the decoded body, the same deviation
+    * [[cdxIndex]] documents — the FIRST capture by (WARC-Date,
+    * target URI, shard, ordinal) keeps `response` and its payload
+    * length; every other capture becomes `revisit` with
+    * `payload_length` 0 and `refers_to_uri`/`refers_to_date` naming
+    * the kept original (NULL on the original itself).
+    *
+    * Output: (target_uri, warc_date, digest, warc_type_out,
+    * payload_length, refers_to_uri, refers_to_date).
+    *
+    * Shape at 100 TB: one hash shuffle on digest (the same key a
+    * storage dedup would bucket by); group sizes are duplicate
+    * multiplicities — heavy hitters are exactly the pages worth
+    * deduplicating, and the window carries no payload bytes, only
+    * header-sized rows. */
+  def revisitDedup(warc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("digest"))
+      .orderBy(col("warc_date"), col("target_uri"), col("file"),
+        col("record_idx"))
+    warc.filter(col("warc_type") === "response")
+      .withColumn("digest", md5(col("html")))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_first_uri", first(col("target_uri")).over(w))
+      .withColumn("_first_date", first(col("warc_date")).over(w))
+      .select(
+        col("target_uri"), col("warc_date"), col("digest"),
+        when(col("_rn") === 1, "response").otherwise("revisit")
+          .as("warc_type_out"),
+        when(col("_rn") === 1, col("content_length")).otherwise(0L)
+          .as("payload_length"),
+        when(col("_rn") === 1, lit(null).cast("string"))
+          .otherwise(col("_first_uri")).as("refers_to_uri"),
+        when(col("_rn") === 1, lit(null).cast("string"))
+          .otherwise(col("_first_date")).as("refers_to_date"))
+  }
+
   /** Serialize a `(uri, date, html)` frame as raw-WARC `response`
     * shards under `path` — the write half of the raw-HTML front door
     * ([[Wet.writeWet]]'s counterpart for un-extracted pages: curated

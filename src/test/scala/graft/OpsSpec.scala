@@ -5107,4 +5107,146 @@ class OpsSpec extends AnyFunSuite {
       s"z-order touched $zTouched partitions, x-sort $xTouched")
     assert(zTouched <= 2L)
   }
+
+  test("c4Filter: every line rule and every ordered page-drop reason") {
+    val rows = Seq(
+      // 1: clean page — 5 prose keepers + 3 droppers (no punct, too
+      //    few words, javascript banner)
+      (1L, Seq(
+        "A first proper sentence ends with a period.",
+        "no terminal punctuation here",
+        "Too few.",
+        "Please enable JavaScript to proceed.",
+        "A second proper sentence also ends well!",
+        "Does a question count as terminal?",
+        "\"A quoted ending counts too.\"",
+        "The fifth keeper closes the page.").mkString("\n")),
+      // 2: brace page — would otherwise keep 5
+      (2L, Seq(
+        "A first proper sentence ends with a period.",
+        "if (x) { return; }",
+        "A second proper sentence also ends well!",
+        "Does a question count as terminal?",
+        "\"A quoted ending counts too.\"",
+        "The fifth keeper closes the page.").mkString("\n")),
+      // 3: lorem page (capitalized — case-insensitive match)
+      (3L, "Lorem Ipsum dolor sit amet and more words here."),
+      // 4: too few kept lines (2 < 5)
+      (4L, "Only one good sentence lives here.\nAnd a second one does too."))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.c4Filter(rows)
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "n_lines_kept", "kept", "drop_reason",
+        "text_clean")
+      .collect()
+    assert(out(0).getInt(1) == 8 && out(0).getInt(2) == 5 &&
+      out(0).getBoolean(3) && out(0).isNullAt(4))
+    assert(out(0).getString(5).linesIterator.size == 5 &&
+      !out(0).getString(5).contains("JavaScript"))
+    assert(!out(1).getBoolean(3) && out(1).getString(4) == "brace")
+    assert(!out(2).getBoolean(3) && out(2).getString(4) == "lorem_ipsum")
+    assert(!out(3).getBoolean(3) && out(3).getString(4) == "too_few_lines")
+    assert(out(1).isNullAt(5) && out(3).isNullAt(5)) // dropped → NULL text
+  }
+
+  test("gopherQuality: hand-computed signals and the ordered first_fail") {
+    // 10 words, all alphabetic, 41 non-ws chars → mean 4.1; 'the' and
+    // 'of' present → 2 stopword hits; one line, no bullets/ellipses.
+    val good = "the quick brown foxes jump over most of those dogs"
+    val rows = Seq(
+      (1L, good),
+      (2L, ("word " * 3).trim),                  // 3 words → n_words_low
+      (3L, good + " ## ..."),                    // symbols 3 / 12 words
+      (4L, Seq.fill(10)("- alphabet item").appended(good)
+        .mkString("\n")),                        // 10/11 bullets > 0.9
+      // ellipsis lines count as symbols too — 22 words keep the
+      // symbol ratio at 2/22 ≤ 0.1 so the ELLIPSIS rule is what fires
+      (5L, Seq(good + " " + good, "wait...", "more...").mkString("\n")),
+      (6L, good + " " + ("12345 " * 40).trim))   // alpha 10/50 < 0.8
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQuality(rows, minWords = 5)
+      .orderBy("doc_id").collect()
+    val g = out(0)
+    assert(g.getAs[Int]("n_words") == 10)
+    assert(g.getAs[Double]("mean_word_len") == 4.1) // 41 chars / 10
+    assert(g.getAs[Double]("symbol_ratio") == 0.0)
+    assert(g.getAs[Int]("stop_hits") == 2)
+    assert(g.getAs[Boolean]("passes") && g.isNullAt(g.fieldIndex("first_fail")))
+    assert(out(1).getAs[String]("first_fail") == "n_words_low")
+    assert(out(2).getAs[String]("first_fail") == "symbol_ratio")
+    assert(out(2).getAs[Double]("symbol_ratio") == 3.0 / 12)
+    assert(out(3).getAs[String]("first_fail") == "bullet_ratio")
+    assert(out(3).getAs[Double]("bullet_ratio") == 10.0 / 11)
+    assert(out(4).getAs[String]("first_fail") == "ellipsis_ratio")
+    assert(out(4).getAs[Double]("ellipsis_line_ratio") == 2.0 / 3)
+    assert(out(5).getAs[String]("first_fail") == "alpha_ratio")
+    assert(out(5).getAs[Double]("alpha_word_ratio") == 10.0 / 50)
+  }
+
+  test("lineRepetitionStats: excess-occurrence line and char fractions, hand-computed") {
+    val rows = Seq(
+      (1L, "a\nb\nc"),               // all distinct → 0 / 0
+      (2L, "foot\nbody line\nfoot"), // chars 17 total, 13 distinct
+      (3L, "x\nx\nx\nx"),            // one distinct line
+      (4L, ""))                      // split("") = [""] → total chars 0
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lineRepetitionStats(rows)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Double]("dup_line_frac") == 0.0 &&
+      out(0).getAs[Double]("dup_line_char_frac") == 0.0)
+    assert(out(1).getAs[Int]("n_lines") == 3 &&
+      out(1).getAs[Int]("n_distinct_lines") == 2)
+    assert(out(1).getAs[Double]("dup_line_frac") == 1.0 / 3)
+    assert(out(1).getAs[Double]("dup_line_char_frac") == 4.0 / 17)
+    assert(out(2).getAs[Double]("dup_line_frac") == 3.0 / 4 &&
+      out(2).getAs[Double]("dup_line_char_frac") == 3.0 / 4)
+    assert(out(3).getAs[Int]("n_lines") == 1 &&
+      out(3).getAs[Double]("dup_line_char_frac") == 0.0)
+  }
+
+  test("surtKey: normalization table (case, www, ports, params, userinfo)") {
+    val rows = Seq(
+      "HTTP://WWW.Example.COM:80/Path/One?b=2&a=1&utm_source=x#frag",
+      "https://sub.example.co.uk:443/p",
+      "http://user:pw@www2.example.org/x?z=1&y=",
+      "relative/path/only",
+      "http://example.net:8080/q?only=1",
+      "http://example.org",
+      "ftp://Files.example.org:21/pub")
+      .toDF("url")
+    val keys = rows.select(Domains.surtKey(col("url"))).as[String].collect()
+    assert(keys(0) == "com,example)/path/one?a=1&b=2&utm_source=x")
+    assert(keys(1) == "uk,co,example,sub)/p")
+    assert(keys(2) == "org,example)/x?y=&z=1")
+    assert(keys(3) == null)
+    assert(keys(4) == "net,example:8080)/q?only=1")
+    assert(keys(5) == "org,example)/")
+    assert(keys(6) == "org,example,files:21)/pub")
+  }
+
+  test("recrawlSchedule: change streaks, doubling, and the cap — hand-computed") {
+    val hist = Seq(
+      // u1: fingerprints A A A A — changes only at fetch 1 → streak 3
+      ("u1", 1000L, "A"), ("u1", 2000L, "A"), ("u1", 3000L, "A"),
+      ("u1", 4000L, "A"),
+      // u2: A B B A — changed at 1,2,4 → streak 0
+      ("u2", 1000L, "A"), ("u2", 2000L, "B"), ("u2", 3000L, "B"),
+      ("u2", 4000L, "A"),
+      // u3: single fetch → streak 0
+      ("u3", 9000L, "C"),
+      // u4: A A ... with a huge streak hitting the max cap
+      ("u4", 1000L, "A"), ("u4", 2000L, "A"), ("u4", 3000L, "A"),
+      ("u4", 4000L, "A"), ("u4", 5000L, "A"), ("u4", 6000L, "A"))
+      .toDF("url", "ts", "fp")
+    val out = Robots.recrawlSchedule(hist, col("url"), col("ts"), col("fp"),
+        baseIntervalMs = 100L, maxIntervalMs = 800L)
+      .orderBy("url")
+      .select("url", "n_fetches", "n_changes", "unchanged_streak",
+        "interval_ms", "next_fetch_ms")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(out(0) == (("u1", 4L, 1L, 3L, 800L, 4800L))) // 100<<3 = 800 = cap
+    assert(out(1) == (("u2", 4L, 3L, 0L, 100L, 4100L))) // change at last
+    assert(out(2) == (("u3", 1L, 1L, 0L, 100L, 9100L))) // first is a change
+    assert(out(3) == (("u4", 6L, 1L, 5L, 800L, 6800L))) // 100<<5 capped at 800
+  }
 }

@@ -412,4 +412,24 @@ class PlanShapeSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("round-14 plans: scan-speed quality screens, one-exchange recrawl") {
+    // The C4/Gopher/line-repetition screens and the SURT/sitemap
+    // extractors are the quality battery's scale claim: pure
+    // codegen'd projections, zero Exchange. An explode→groupBy
+    // spelling sneaking in here would shuffle every line/gram of a
+    // 100 TB corpus.
+    for (q <- Seq("text_c4_filter", "text_gopher_quality",
+        "text_line_repetition", "curation_surt",
+        "curation_sitemap_lastmod")) {
+      val n = "Exchange".r.findAllIn(plans(q)).size
+      assert(n == 0, s"$q plans $n Exchange nodes; expected a pure projection")
+    }
+    // recrawlSchedule: the window (lag/row_number) and the groupBy
+    // share ONE hashpartitioning exchange on url — a second exchange
+    // would double the shuffle of a URL-cardinality table.
+    val r = plans("curation_recrawl")
+    assert("Exchange hashpartitioning".r.findAllIn(r).size == 1,
+      s"curation_recrawl: window + groupBy must share one url shuffle:\n$r")
+  }
 }

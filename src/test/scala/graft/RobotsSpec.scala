@@ -405,4 +405,22 @@ class RobotsSpec extends AnyFunSuite {
       .collect()(0).getBoolean(0)
     assert(!got)
   }
+
+  test("sitemapEntries: loc+lastmod pairs in block order, entity decode, loc-less block dropped, lastmod-first order tolerated") {
+    val xml =
+      """<?xml version="1.0"?>
+        |<urlset>
+        | <url><loc> https://ex.org/a?x=1&amp;y=2 </loc><lastmod>2026-03-04</lastmod></url>
+        | <url><loc>https://ex.org/b</loc></url>
+        | <url><lastmod>2026-01-01</lastmod></url>
+        | <url><lastmod>2026-05-06T07:08:09+00:00</lastmod><loc>https://ex.org/c</loc></url>
+        |</urlset>""".stripMargin
+    val out = Seq(xml).toDF("xml")
+      .select(explode(Robots.sitemapEntries(col("xml"))).as("e"))
+      .select("e.loc", "e.lastmod").as[(String, String)].collect().toSeq
+    assert(out == Seq(
+      ("https://ex.org/a?x=1&y=2", "2026-03-04"),
+      ("https://ex.org/b", null),
+      ("https://ex.org/c", "2026-05-06T07:08:09+00:00")))
+  }
 }

@@ -445,4 +445,56 @@ class WarcSpec extends AnyFunSuite {
     // Deterministic: a rerun produces byte-identical ids.
     assert(writeAndReadIds("b") == ids)
   }
+
+  test("cdxIndex: SURT urlkey + timestamp ordering over the binary fixture") {
+    val cdx = Warc.cdxIndex(Warc.readWarc(spark, fixturePath)).collect()
+    // 10 response records (warcinfo + request excluded).
+    assert(cdx.length == 10)
+    // The index is urlkey-sorted — one domain's captures adjacent.
+    val keys = cdx.map(_.getAs[String]("urlkey")).toSeq
+    assert(keys == keys.sorted)
+    keys.foreach(k => assert(k.contains(")/"), k))
+    // Timestamps are exactly 14 digits of the WARC-Date.
+    cdx.foreach { r =>
+      assert(r.getAs[String]("timestamp").matches("[0-9]{14}"))
+    }
+    // Digest is md5 of the DECODED body: empty-body records (the 404
+    // has a body but the brotli one decodes to "") share md5("").
+    val emptyMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.emptyByteArray)
+      .map("%02x".format(_)).mkString
+    val br = cdx.filter(_.getAs[String]("original").endsWith("/209"))
+    assert(br.length == 1 && br.forall(_.getAs[String]("digest") == emptyMd5))
+  }
+
+  test("revisitDedup: identical payloads demote to revisit records pointing at the first capture") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_warc_revisit").toString + "/out"
+    val pages = Seq(
+      ("http://a.test/1", "2026-01-01T00:00:00Z", "<p>same body</p>"),
+      ("http://a.test/2", "2026-01-02T00:00:00Z", "<p>same body</p>"),
+      ("http://b.test/1", "2026-01-01T12:00:00Z", "<p>same body</p>"),
+      ("http://c.test/1", "2026-01-03T00:00:00Z", "<p>unique body</p>"))
+      .toDF("uri", "date", "html")
+    Warc.writeWarc(pages, dir)
+    val out = Warc.revisitDedup(Warc.readWarc(spark, dir))
+      .orderBy("target_uri")
+      .select("target_uri", "warc_type_out", "payload_length",
+        "refers_to_uri", "refers_to_date")
+      .collect()
+    // Earliest capture of the shared body is the kept response …
+    assert(out(0).getString(0) == "http://a.test/1" &&
+      out(0).getString(1) == "response" && out(0).getLong(2) > 0 &&
+      out(0).isNullAt(3))
+    // … later captures demote, pointing at it (date order, not uri).
+    assert(out(1).getString(1) == "revisit" && out(1).getLong(2) == 0 &&
+      out(1).getString(3) == "http://a.test/1" &&
+      out(1).getString(4) == "2026-01-01T00:00:00Z")
+    assert(out(2).getString(0) == "http://b.test/1" &&
+      out(2).getString(1) == "revisit" &&
+      out(2).getString(3) == "http://a.test/1")
+    // A unique payload stays a plain response.
+    assert(out(3).getString(0) == "http://c.test/1" &&
+      out(3).getString(1) == "response" && out(3).isNullAt(3))
+  }
 }
