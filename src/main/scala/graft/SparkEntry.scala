@@ -1131,6 +1131,38 @@ object SparkEntry {
         documents(s, d), graft.sources.Warc.htmlLang(html),
         col("text"), col("source"))
     }),
+    // Declared publication time + freshness profile: cohorts plant
+    // the three extraction sources (Open Graph meta in property-first
+    // order, name=date meta in CONTENT-first order, a <time> element)
+    // with dates from doc_id arithmetic, one undated cohort, and one
+    // page carrying BOTH an earlier <time> and the Open Graph meta —
+    // priority must pick the meta. The oracle re-derives the dates,
+    // replays the leading-10-char parse, and buckets age against the
+    // same fixed as-of date.
+    "warc_publish_date" -> ((s, d) => {
+      val id = col("doc_id")
+      val y = (id % 14 + 2010).cast("string")
+      val iso = concat(y, lit("-"),
+        lpad((id % 12 + 1).cast("string"), 2, "0"), lit("-"),
+        lpad((id % 28 + 1).cast("string"), 2, "0"))
+      val m5 = id % 5
+      val tag = when(m5 === 0, concat(
+          lit("<meta property=\"article:published_time\" content=\""),
+          iso, lit("T08:30:00Z\">")))
+        .when(m5 === 1, concat(
+          lit("<meta content=\""), iso, lit("\" name=\"date\">")))
+        .when(m5 === 2, concat(
+          lit("<time datetime=\""), iso, lit("\">then</time>")))
+        .when(m5 === 3, lit("<p>undated page</p>"))
+        .otherwise(concat(
+          lit("<time datetime=\"1999-09-09\">old</time>" +
+            "<meta property=\"article:published_time\" content=\""),
+          iso, lit("\">")))
+      val html = concat(lit("<html><head>"), tag,
+        lit("</head><body>x</body></html>"))
+      graft.sources.Warc.publishDates(
+        documents(s, d).select(id, html.as("html")))
+    }),
     // HTML outlink extraction (the link layer of the WARC front
     // door): pages synthesized per doc with four href-carrying
     // anchors (quoted/single-quoted/unquoted, entity-escaped hrefs
@@ -2611,6 +2643,78 @@ object SparkEntry {
           lit(" from 10."), id % 200, lit("."), id % 100,
           lit("."), id % 250, lit(".")).as("text")))
     }),
+    // Mojibake repair over planted encoding damage: disjoint cohorts
+    // append single-encoded latin runs, cp1252-special punctuation,
+    // a double-encoded run, and healthy-non-ASCII negative controls
+    // (a real é, a → outside cp1252's image) to the ASCII corpus
+    // text. The oracle replays the repair as an ordered replace chain
+    // (deepest damage first — the double-encoded form CONTAINS the
+    // single-encoded copyright pair) and counts runs by occurrence
+    // arithmetic on each chain stage.
+    "text_fix_encoding" -> ((s, d) => {
+      val id = col("doc_id")
+      val suffix = when(id % 5 === 0, lit(" single cafÃ© rÃ©sumÃ© end"))
+        .when(id % 5 === 1, lit(" punct donâ€™t â€” â‚¬99 end"))
+        .when(id % 5 === 2, lit(" double cafÃƒÂ© end"))
+        .when(id % 5 === 3, lit(" healthy café → end"))
+        .otherwise(lit(" plain ascii end"))
+      graft.ops.TextAnalysis.fixEncoding(
+        documents(s, d).select(id, concat(col("text"), suffix).as("text")))
+    }),
+    // Code-vs-prose detection over synthesized multi-line pages (the
+    // raw corpus is single-line word soup, so every signal fires only
+    // on planted material): cohorts append a Python-shaped block
+    // (indents + assignments + def/import/return), a C-shaped block
+    // (brace/semicolon line ends), a fenced markdown block, and a
+    // single assignment-shaped line that must NOT flip the verdict.
+    // The oracle replays the line lambdas, fence arithmetic, and
+    // whole-identifier keyword hits in DuckDB.
+    "text_code_detect" -> ((s, d) => {
+      val id = col("doc_id")
+      val m7 = id % 7
+      val synth = concat_ws("\n",
+        col("text"),
+        when(m7 === 0, concat_ws("\n",
+            lit("import os"),
+            concat(lit("def job"), id, lit("(files):")),
+            lit("    total = 0"),
+            lit("    return total")))
+          .when(m7 === 1, concat_ws("\n",
+            lit("#include <stdio.h>"),
+            lit("int main(void) {"),
+            concat(lit("    printf(\"page "), id, lit("\");")),
+            lit("    return 0;"),
+            lit("}")))
+          .when(m7 === 2, concat_ws("\n",
+            lit("Intro prose explains the snippet."),
+            lit("```"),
+            concat(lit("x = "), id),
+            lit("```"),
+            lit("Closing prose wraps the page up.")))
+          .when(m7 === 3, concat_ws("\n",
+            concat(lit("weather"), id, lit(" = mostly sunny today")),
+            lit("The rest of the page is a plain narrative paragraph."),
+            lit("It continues in complete sentences."),
+            lit("And it ends without any code at all.")))
+          .otherwise(lit("A plain closing paragraph of ordinary prose.")))
+      graft.ops.TextAnalysis.codeProfile(
+        documents(s, d).select(id, synth.as("text")))
+    }),
+    // Word-blocklist screen (C4's bad-words page drop) over planted
+    // list members: whole-token hits only — one cohort carries a
+    // SUBSTRING of a listed word and must stay kept.
+    "text_blocklist" -> ((s, d) => {
+      val id = col("doc_id")
+      val synth = concat(col("text"),
+        when(id % 7 === 0, lit(" blockaaa midword blockaaa"))
+          .when(id % 7 === 1, lit(" blockbbb"))
+          .when(id % 7 === 2, lit(" blockaaa and blockbbb"))
+          .when(id % 7 === 3, lit(" blockaaabet unrelated"))
+          .otherwise(lit(" clean tail")))
+      graft.ops.TextAnalysis.blocklistScreen(
+        documents(s, d).select(id, synth.as("text")),
+        Seq("blockaaa", "blockbbb"))
+    }),
     // C4-style line/page cleaning over SYNTHESIZED multi-line pages
     // (the raw corpus is single-line word soup — zero newlines,
     // braces, or punctuation, so every rule fires only on planted
@@ -3220,6 +3324,33 @@ object SparkEntry {
          |  (lang_declared IS NOT NULL AND lang_predicted <> 'und'
          |   AND lang_declared <> lang_predicted) AS conflict
          |FROM t GROUP BY 1, 2, 3""".stripMargin,
+    // Dates re-derived from doc_id arithmetic; the both-sources
+    // cohort (m5=4) must resolve to the Open Graph meta, not the
+    // earlier <time> — the oracle encodes the priority directly.
+    "warc_publish_date" ->
+      """WITH p AS (SELECT doc_id, doc_id % 5 AS m5,
+        |    CAST(doc_id % 14 + 2010 AS VARCHAR) || '-' ||
+        |      lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-' ||
+        |      lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS iso
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    CASE WHEN m5 = 0 THEN iso || 'T08:30:00Z'
+        |         WHEN m5 = 3 THEN NULL
+        |         ELSE iso END AS published_raw
+        |  FROM p),
+        |d AS (SELECT doc_id, published_raw,
+        |    try_cast(substring(published_raw, 1, 10) AS DATE)
+        |      AS published_date
+        |  FROM r),
+        |a AS (SELECT *, CAST(date_diff('day', published_date,
+        |      DATE '2026-01-01') AS INT) AS age_days FROM d)
+        |SELECT doc_id, published_raw, published_date, age_days,
+        |  CASE WHEN age_days IS NULL THEN 'unknown'
+        |       WHEN age_days < 0 THEN 'future'
+        |       WHEN age_days < 1460 THEN 'fresh'
+        |       WHEN age_days < 2920 THEN 'recent'
+        |       ELSE 'stale' END AS freshness
+        |FROM a""".stripMargin,
     // Four links per doc, re-derived from doc_id arithmetic alone —
     // the named anchor and the script trap must not appear, entity
     // escapes must come back decoded, rel lowercased.
@@ -5328,6 +5459,110 @@ object SparkEntry {
         |    len(regexp_extract_all(t3,
         |      '\+?\d[\d().-]{6,13}\d')) AS INT) AS n_redactions
         |FROM s4""".stripMargin,
+    // The repair replayed as an ordered replace chain: the
+    // double-encoded form first (it CONTAINS the single-encoded
+    // Â© pair), then each single-encoded sequence; run counts by
+    // per-stage occurrence arithmetic. Exact because the corpus text
+    // is ASCII — every non-ASCII char is planted.
+    "text_fix_encoding" ->
+      """WITH p AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' single cafÃ© rÃ©sumÃ© end'
+        |         WHEN doc_id % 5 = 1 THEN ' punct donâ€™t â€” â‚¬99 end'
+        |         WHEN doc_id % 5 = 2 THEN ' double cafÃƒÂ© end'
+        |         WHEN doc_id % 5 = 3 THEN ' healthy café → end'
+        |         ELSE ' plain ascii end' END AS t0
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, t0,
+        |    (len(t0) - len(replace(t0, 'ÃƒÂ©', ''))) // 4 AS c1,
+        |    replace(t0, 'ÃƒÂ©', 'é') AS t1 FROM p),
+        |s2 AS (SELECT *, (len(t1) - len(replace(t1, 'Ã©', ''))) // 2 AS c2,
+        |    replace(t1, 'Ã©', 'é') AS t2 FROM s1),
+        |s3 AS (SELECT *, (len(t2) - len(replace(t2, 'â€™', ''))) // 3 AS c3,
+        |    replace(t2, 'â€™', '’') AS t3 FROM s2),
+        |s4 AS (SELECT *, (len(t3) - len(replace(t3, 'â€”', ''))) // 3 AS c4,
+        |    replace(t3, 'â€”', '—') AS t4 FROM s3),
+        |s5 AS (SELECT *, (len(t4) - len(replace(t4, 'â‚¬', ''))) // 3 AS c5,
+        |    replace(t4, 'â‚¬', '€') AS t5 FROM s4)
+        |SELECT doc_id, t5 AS text_fixed,
+        |  CAST(c1 + c2 + c3 + c4 + c5 AS INT) AS n_fixed,
+        |  (c1 + c2 + c3 + c4 + c5) > 0 AS changed
+        |FROM s5""".stripMargin,
+    // The page rebuilt from the same cohort arithmetic, then every
+    // signal replayed: line lambdas for code shape and brace density,
+    // fence-pair floor arithmetic, whole-identifier keyword hits.
+    "text_code_detect" ->
+      ("""WITH p AS (SELECT doc_id, text || chr(10) ||
+        |    CASE WHEN doc_id % 7 = 0 THEN
+        |           'import os' || chr(10) || 'def job' || doc_id ||
+        |           '(files):' || chr(10) || '    total = 0' || chr(10) ||
+        |           '    return total'
+        |         WHEN doc_id % 7 = 1 THEN
+        |           '#include <stdio.h>' || chr(10) || 'int main(void) {' ||
+        |           chr(10) || '    printf("page ' || doc_id || '");' ||
+        |           chr(10) || '    return 0;' || chr(10) || '}'
+        |         WHEN doc_id % 7 = 2 THEN
+        |           'Intro prose explains the snippet.' || chr(10) ||
+        |           '```' || chr(10) || 'x = ' || doc_id || chr(10) ||
+        |           '```' || chr(10) || 'Closing prose wraps the page up.'
+        |         WHEN doc_id % 7 = 3 THEN
+        |           'weather' || doc_id || ' = mostly sunny today' ||
+        |           chr(10) ||
+        |           'The rest of the page is a plain narrative paragraph.' ||
+        |           chr(10) || 'It continues in complete sentences.' ||
+        |           chr(10) || 'And it ends without any code at all.'
+        |         ELSE 'A plain closing paragraph of ordinary prose.'
+        |    END AS t
+        |  FROM documents),
+        |sig AS (SELECT doc_id,
+        |    string_split(t, chr(10)) AS lines,
+        |    string_split_regex(t, '[^A-Za-z0-9_]+') AS ids,
+        |    (len(t) - len(replace(t, '```', ''))) // 3 AS fences
+        |  FROM p),
+        |agg AS (SELECT doc_id,
+        |    CAST(fences // 2 AS INT) AS fenced_blocks,
+        |    CAST(len(list_filter(lines, l ->
+        |        regexp_matches(trim(l), '[;{}]$') OR
+        |        regexp_matches(l, '^(\t|    ) *\S') OR
+        |        regexp_matches(trim(l),
+        |          '^[A-Za-z_][A-Za-z0-9_]* ?:?= [^=]')))
+        |      AS DOUBLE) / CAST(len(lines) AS DOUBLE) AS code_line_ratio,
+        |    """.stripMargin +
+        graft.ops.TextAnalysis.codeKeywords
+          .map(w => s"CAST(list_contains(ids, '$w') AS INT)")
+          .mkString(" +\n      ") +
+        """ AS keyword_hits,
+        |    CAST(len(list_filter(lines, l ->
+        |        regexp_matches(l, '[{};]|=>|->|::')))
+        |      AS DOUBLE) / CAST(len(lines) AS DOUBLE) AS symbol_line_ratio
+        |  FROM sig)
+        |SELECT doc_id, fenced_blocks, code_line_ratio, keyword_hits,
+        |  symbol_line_ratio,
+        |  fenced_blocks >= 1 OR (code_line_ratio >= CAST(0.3 AS DOUBLE)
+        |    AND keyword_hits >= 2) AS is_code,
+        |  CASE WHEN fenced_blocks >= 1 THEN 'fenced'
+        |       WHEN code_line_ratio >= CAST(0.3 AS DOUBLE)
+        |         AND keyword_hits >= 2 THEN 'line_shape'
+        |       ELSE NULL END AS reason
+        |FROM agg""".stripMargin),
+    // Whole-token blocklist hits; the substring cohort must stay kept.
+    "text_blocklist" ->
+      """WITH p AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' blockaaa midword blockaaa'
+        |         WHEN doc_id % 7 = 1 THEN ' blockbbb'
+        |         WHEN doc_id % 7 = 2 THEN ' blockaaa and blockbbb'
+        |         WHEN doc_id % 7 = 3 THEN ' blockaaabet unrelated'
+        |         ELSE ' clean tail' END AS t
+        |  FROM documents),
+        |k AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(t)), '\s+') AS toks FROM p)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(toks,
+        |    x -> x IN ('blockaaa', 'blockbbb'))) AS INT) AS hits_total,
+        |  CAST(list_contains(toks, 'blockaaa') AS INT) +
+        |    CAST(list_contains(toks, 'blockbbb') AS INT) AS hits_distinct,
+        |  len(list_filter(toks, x -> x IN ('blockaaa', 'blockbbb'))) = 0
+        |    AS kept
+        |FROM k""".stripMargin,
     // The C4 page rebuilt line-for-line, then every line rule
     // replayed inside a list_filter lambda and the ordered page
     // verdict as a CASE.

@@ -150,6 +150,13 @@ object GraftFunctions {
       expectArgs("robots_crawl_delay", args, 2)
       RobotsCrawlDelay(args(0), args(1))
     },
+    "mojibake_repair" -> { args =>
+      expectArgs("mojibake_repair", args, 1); MojibakeRepair(args(0))
+    },
+    "mojibake_repair_count" -> { args =>
+      expectArgs("mojibake_repair_count", args, 1)
+      MojibakeRepairCount(args(0))
+    },
     "unicode_normalize" -> { args =>
       expectArgs("unicode_normalize", args, 2)
       UnicodeNormalize(args(0), args(1) match {

@@ -312,4 +312,15 @@ package object functions {
     * [[org.apache.spark.sql.graft.UnicodeNormalize]]. */
   def unicode_normalize(text: Column, form: String): Column =
     org.apache.spark.sql.graft.UnicodeNormColumns.unicodeNormalize(text, form)
+
+  /** Mojibake (UTF-8-as-cp1252 damage) repair of provably
+    * round-tripping non-ASCII runs, up to 3 passes — see
+    * [[org.apache.spark.sql.graft.MojibakeRepair]]. */
+  def mojibake_repair(text: Column): Column =
+    org.apache.spark.sql.graft.MojibakeColumns.mojibakeRepair(text)
+
+  /** How many non-ASCII runs [[mojibake_repair]] changes — see
+    * [[org.apache.spark.sql.graft.MojibakeRepairCount]]. */
+  def mojibake_repair_count(text: Column): Column =
+    org.apache.spark.sql.graft.MojibakeColumns.mojibakeRepairCount(text)
 }

@@ -348,6 +348,27 @@ object TextAnalysis {
       counts.reduce(_ + _).as("n_redactions"))
   }
 
+  /** Encoding-damage (mojibake) repair: UTF-8 text that was at some
+    * point decoded as Windows-1252 ("cafÃ©", "donâ€™t", double-encoded
+    * "cafÃƒÂ©") restored by re-encoding each provably round-tripping
+    * non-ASCII run, up to 3 passes — the ftfy-class fix a raw web
+    * corpus needs BEFORE token counts, language ID, or any dedup
+    * fingerprint (damaged and healthy spellings of the same sentence
+    * hash apart). Healthy text is untouchable by construction: a
+    * legitimate "é" re-encodes to one byte that is not valid UTF-8,
+    * and characters outside cp1252's image are not encodable at all.
+    *
+    * Output: `text_fixed`, `n_fixed` (runs changed — the per-source
+    * corpus-health signal), `changed`. Zero-shuffle codegen'd
+    * projection ([[graft.functions.mojibake_repair]]); ASCII rows
+    * cost one byte scan. */
+  def fixEncoding(docs: DataFrame): DataFrame = {
+    val n = graft.functions.mojibake_repair_count(col("text"))
+    docs.select(col("doc_id"),
+      graft.functions.mojibake_repair(col("text")).as("text_fixed"),
+      n.as("n_fixed"), (n > 0).as("changed"))
+  }
+
   /** Content fingerprints: md5 of the normalized text (128-bit, hex),
     * xxhash64 (cheap 64-bit engine-side key), and winnowed rolling-hash
     * fingerprints (ARRAY<BIGINT>, MOSS scheme — robust to local edits,
@@ -1832,5 +1853,109 @@ object TextAnalysis {
         .when(alphaRatio < minAlphaWordRatio, "alpha_ratio")
         .when(stopHits < minStopwordHits, "stopwords")
         .as("first_fail"))
+  }
+
+  /** Identifier-shaped keywords whose whole-token presence marks
+    * source code across the mainstream languages (Python/JS/Java/
+    * C-family/Rust/Go/Scala) without firing on prose — "for"/"if"/
+    * "while" are deliberately absent (common English). */
+  val codeKeywords: Seq[String] = Seq(
+    "def", "class", "import", "return", "function", "var", "let",
+    "const", "void", "public", "static", "struct", "elif", "fn",
+    "println", "printf", "include", "typedef", "lambda", "impl")
+
+  /** Code-vs-prose detection — the signal that routes documents into
+    * the right LLM data mix (code belongs in the code split at its
+    * own sampling weight, and code-shaped pages fail prose quality
+    * screens like [[gopherQuality]] for the wrong reason). Surface
+    * signals per document, all cheap and oracle-replayable:
+    *
+    *  - `fenced_blocks` — complete ``` fence pairs (markdown/forum
+    *    code blocks; one pair is already decisive)
+    *  - `code_line_ratio` — fraction of lines that are code-shaped:
+    *    trimmed line ends in `;`/`{`/`}`, raw line starts with a tab
+    *    or 4+ spaces (indentation blocks), or the line is an
+    *    assignment (`ident = …` / `ident := …`)
+    *  - `keyword_hits` — DISTINCT [[codeKeywords]] present as whole
+    *    identifier tokens (split on non-identifier chars)
+    *  - `symbol_line_ratio` — fraction of lines containing any of
+    *    `{ } ; => -> ::` (brace-language density)
+    *
+    * `is_code` = `fenced_blocks ≥ 1` OR (`code_line_ratio ≥
+    * minCodeLineRatio` AND `keyword_hits ≥ minKeywordHits`);
+    * `reason` names the rule that fired (`fenced`, `line_shape`) or
+    * NULL. Thresholds conservative by default: prose with one planted
+    * snippet should profile, not flip.
+    *
+    * Shape at 100 TB: zero-shuffle codegen'd projection — composes
+    * with [[c4Filter]]/[[gopherQuality]] into the one-scan screen. */
+  def codeProfile(docs: DataFrame, minCodeLineRatio: Double = 0.3,
+      minKeywordHits: Int = 2): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines)
+    // Non-overlapping ``` occurrences via length arithmetic (the diff
+    // is always a multiple of 3), then complete pairs via explicit
+    // floor — Spark truncates double→int casts where DuckDB ROUNDS,
+    // so the halving must be floor() on both engines.
+    val fenceMarks = ((char_length(col("text")) -
+      char_length(regexp_replace(col("text"), "```", ""))) / 3).cast("int")
+    val fenced = floor(fenceMarks / lit(2)).cast("int")
+    val codeLine = (l: Column) => {
+      val t = trim(l)
+      t.rlike("[;{}]$") || l.rlike("^(\t|    ) *\\S") ||
+        t.rlike("^[A-Za-z_][A-Za-z0-9_]* ?:?= [^=]")
+    }
+    val symbolLine = (l: Column) =>
+      l.rlike("[{};]|=>|->|::")
+    val codeLineRatio = size(filter(lines, codeLine)) * lit(1.0) / nLines
+    val symbolLineRatio = size(filter(lines, symbolLine)) * lit(1.0) / nLines
+    val idTokens = split(col("text"), "[^A-Za-z0-9_]+")
+    val keywordHits = codeKeywords
+      .map(w => array_contains(idTokens, w).cast("int"))
+      .reduce(_ + _)
+    val fencedRule = fenced >= 1
+    val lineRule = codeLineRatio >= minCodeLineRatio &&
+      keywordHits >= minKeywordHits
+    docs.select(
+      col("doc_id"),
+      fenced.as("fenced_blocks"),
+      codeLineRatio.as("code_line_ratio"),
+      keywordHits.as("keyword_hits"),
+      symbolLineRatio.as("symbol_line_ratio"),
+      (fencedRule || lineRule).as("is_code"),
+      when(fencedRule, "fenced")
+        .when(lineRule, "line_shape")
+        .as("reason"))
+  }
+
+  /** Word-blocklist screen — C4's "bad words" page drop, the one rule
+    * of its published battery [[c4Filter]] does not carry (the list
+    * itself is deployment policy, so it is caller-supplied here;
+    * matching is the operator). Whole-token matches against the
+    * lowercased whitespace tokens:
+    *
+    *  - `hits_total` — total blocklisted token occurrences
+    *  - `hits_distinct` — distinct blocklist members present
+    *  - `kept` — C4 semantics: ANY hit drops the page
+    *
+    * Zero-shuffle codegen'd projection; the list is a plan literal
+    * (policy lists are a few thousand words — well under expression
+    * size limits, and a bigger list belongs in a broadcast join
+    * variant, not here). */
+  def blocklistScreen(docs: DataFrame, words: Seq[String]): DataFrame = {
+    require(words.nonEmpty, "blocklistScreen: empty blocklist")
+    val lowered = words.map(_.toLowerCase(java.util.Locale.ROOT))
+    val toks = TextOps.tokens(col("text"))
+    val isBlocked = (t: Column) =>
+      lowered.map(w => t === w).reduce(_ || _)
+    val hitsTotal = size(filter(toks, isBlocked))
+    val hitsDistinct = lowered
+      .map(w => array_contains(toks, w).cast("int"))
+      .reduce(_ + _)
+    docs.select(
+      col("doc_id"),
+      hitsTotal.as("hits_total"),
+      hitsDistinct.as("hits_distinct"),
+      (hitsTotal === 0).as("kept"))
   }
 }

@@ -341,23 +341,78 @@ object Warc {
     * content is out of scope, documented). Pair with [[hasNoindex]]:
     * a corpus builder drops noindex pages — the publisher asked not
     * to be indexed, and the same flag marks thin/duplicate chrome. */
-  def htmlMetaRobots(html: Column): Column = {
+  def htmlMetaRobots(html: Column): Column =
+    lower(trim(metaContent(html, "name", "robots")))
+
+  /** The DECLARED publication time of an HTML document — the
+    * freshness signal a corpus curator weights by (recency-aware
+    * mixtures, recrawl scheduling, news-vs-evergreen splits).
+    * Ordered by trustworthiness, first present wins:
+    *
+    *  1. `<meta property="article:published_time" content="…">`
+    *     (Open Graph — the de-facto standard on article pages)
+    *  2. `<meta name="date" content="…">` (legacy HTML meta)
+    *  3. `<time datetime="…">` (the first dated `<time>` element)
+    *
+    * Raw attribute string (typically ISO 8601; parse downstream with
+    * `try_cast` — a lying or garbled value must not kill the scan).
+    * Each meta pattern matches either attribute order via the same
+    * consumed-boundary alternation as [[htmlMetaRobots]]; `<time>`
+    * requires whitespace before `datetime` so `data-datetime` never
+    * matches. Null when no source is present. */
+  def htmlPublishedTime(html: Column): Column = {
     val ws = "[ \\t\\n\\x0B\\f\\r]"
-    // Same consumed-boundary structure as htmlCanonicalUrl's relFirst:
-    // `name=robots content=…` has one space, which the boundary class
-    // consumes — the span to `content` is optional. One alternation so
-    // the first matching tag wins regardless of attribute order (see
-    // htmlCanonicalUrl).
+    val timeTag = nullif(regexp_extract(html,
+      s"(?i)<time[^>]*${ws}datetime[ ]*=[ ]*[\"']([^\"'>]*)", 1), lit(""))
+    coalesce(
+      metaContent(html, "property", "article:published_time"),
+      metaContent(html, "name", "date"),
+      timeTag)
+  }
+
+  /** Freshness profile of an HTML page frame (`doc_id`, `html`):
+    * [[htmlPublishedTime]] raw value, the parsed date (leading
+    * `YYYY-MM-DD` of the attribute via `try_cast` — a lying or
+    * garbled value yields null, never a scan abort), age in days
+    * against `asOf` (a fixed date, so the profile is deterministic
+    * and cacheable — pass the crawl date), and the curation bucket:
+    * `fresh` (< 4 years), `recent` (< 8), `stale` (older), `unknown`
+    * (no parseable declaration). Recency-aware mixtures and recrawl
+    * scheduling read this table; zero-shuffle projection. */
+  def publishDates(pages: DataFrame, asOf: String = "2026-01-01",
+      freshDays: Int = 1460, recentDays: Int = 2920): DataFrame =
+    pages
+      .select(col("doc_id"),
+        htmlPublishedTime(col("html")).as("published_raw"))
+      .withColumn("published_date",
+        substring(col("published_raw"), 1, 10).try_cast("date"))
+      .withColumn("age_days",
+        datediff(to_date(lit(asOf)), col("published_date")))
+      .withColumn("freshness",
+        when(col("age_days").isNull, "unknown")
+          .when(col("age_days") < 0, "future") // lying clock/date — flag, don't weight
+          .when(col("age_days") < freshDays, "fresh")
+          .when(col("age_days") < recentDays, "recent")
+          .otherwise("stale"))
+
+  /** `<meta ATTR="VALUE" content="…">` extraction, either attribute
+    * order, first matching tag wins (the [[htmlCanonicalUrl]]
+    * consumed-boundary alternation); null when absent/empty. `value`
+    * is a literal name (regex metacharacters not supported). The
+    * `content` value must be quoted — directive lists and dates
+    * contain `,`/`:` — same documented scope as [[htmlMetaRobots]]. */
+  private def metaContent(html: Column, attr: String, value: String): Column = {
+    val ws = "[ \\t\\n\\x0B\\f\\r]"
     val nameFirst =
-      s"<meta[^>]*${ws}name[ ]*=[ ]*[\"']?robots[\"' \\t\\n\\x0B\\f\\r]" +
+      s"<meta[^>]*${ws}$attr[ ]*=[ ]*[\"']?$value[\"' \\t\\n\\x0B\\f\\r]" +
         s"(?:[^>]*$ws)?content[ ]*=[ ]*[\"']([^\"'>]*)"
     val contentFirst =
       s"<meta[^>]*${ws}content[ ]*=[ ]*[\"']([^\"'>]*)[\"']" +
-        s"[^>]*${ws}name[ ]*=[ ]*[\"']?robots[\"' \\t\\n\\x0B\\f\\r>]"
+        s"[^>]*${ws}$attr[ ]*=[ ]*[\"']?$value[\"' \\t\\n\\x0B\\f\\r>]"
     val both = s"(?i)(?:$nameFirst)|(?:$contentFirst)"
-    lower(trim(coalesce(
+    coalesce(
       nullif(regexp_extract(html, both, 1), lit("")),
-      nullif(regexp_extract(html, both, 2), lit("")))))
+      nullif(regexp_extract(html, both, 2), lit("")))
   }
 
   /** True when [[htmlMetaRobots]] declares `noindex` (token match —

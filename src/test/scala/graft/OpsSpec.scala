@@ -5032,6 +5032,107 @@ class OpsSpec extends AnyFunSuite {
       .as[String].collect()(0) == "\u00e9")
   }
 
+  test("mojibake repair: single/double/triple-encoded runs restored, healthy and unrepairable text untouched") {
+    val d = Seq(
+      // Single-encoded latin: caf<C3><A9>.
+      (1L, "one caf\u00c3\u00a9 here"),
+      // cp1252 specials: don<\u00e2\u20ac\u2122>t <\u00e2\u20ac\u201d> yes, <\u00e2\u201a\u00ac>100.
+      (2L, "don\u00e2\u20ac\u2122t \u00e2\u20ac\u201d yes \u00e2\u201a\u00ac100"),
+      // Double-encoded \u00e9 (two repair passes).
+      (3L, "two caf\u00c3\u0192\u00c2\u00a9 deep"),
+      // Triple-encoded \u00e9 (three passes \u2014 MaxPasses boundary).
+      (4L, "three caf\u00c3\u0192\u00c6\u2019\u00c3\u201a\u00c2\u00a9 deep"),
+      // Healthy non-ASCII: \u00e9 alone is NOT valid UTF-8 when re-encoded;
+      // \u2192 is not cp1252-encodable at all. Both untouched.
+      (5L, "caf\u00e9 na\u00efve \u2192 ok"),
+      // One run mixing healthy + mojibake bytes: strict decode fails,
+      // the WHOLE run is conservatively left alone.
+      (6L, "stuck \u00e9\u00c3\u00a9 run"),
+      // Mixed doc: the damaged run fixes, the healthy one stays.
+      (7L, "ok \u00c3\u00a9 and \u00e9 end"),
+      (8L, "plain ascii only")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.fixEncoding(d)
+      .as[(Long, String, Int, Boolean)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L)._2 == "one caf\u00e9 here" && r(1L)._3 == 1)
+    assert(r(2L)._2 == "don\u2019t \u2014 yes \u20ac100" && r(2L)._3 == 3)
+    assert(r(3L)._2 == "two caf\u00e9 deep" && r(3L)._3 == 1)
+    assert(r(4L)._2 == "three caf\u00e9 deep" && r(4L)._3 == 1)
+    assert(r(5L)._2 == "caf\u00e9 na\u00efve \u2192 ok" && r(5L)._3 == 0)
+    assert(r(6L)._2 == "stuck \u00e9\u00c3\u00a9 run" && r(6L)._3 == 0)
+    assert(r(7L)._2 == "ok \u00e9 and \u00e9 end" && r(7L)._3 == 1
+      && r(7L)._4)
+    assert(r(8L)._2 == "plain ascii only" && r(8L)._3 == 0 && !r(8L)._4)
+    // Null propagates (nullIntolerant), not NPE.
+    val nulls = Seq((9L, null: String)).toDF("doc_id", "text")
+    val nr = TextAnalysis.fixEncoding(nulls).collect().head
+    assert(nr.isNullAt(1) && nr.isNullAt(2) && nr.isNullAt(3))
+    // SQL registration.
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT mojibake_repair('caf\u00c3\u00a9'), " +
+      "mojibake_repair_count('caf\u00c3\u00a9')")
+      .as[(String, Int)].collect()(0) == ("caf\u00e9", 1))
+  }
+
+  test("codeProfile: fenced markdown and keyword+shape code flag, prose with one assignment does not") {
+    val python = Seq(
+      "import os",
+      "def main(files):",
+      "    total = 0",
+      "    for f in files:",
+      "        total = total + len(f)",
+      "    return total").mkString("\n")
+    val cish = Seq(
+      "#include <stdio.h>",
+      "int main(void) {",
+      "    printf(\"hi\");",
+      "    return 0;",
+      "}").mkString("\n")
+    val fencedDoc = "Intro prose explains the idea.\n```\nx = 1\n```\n" +
+      "Closing prose wraps it up."
+    val prose = "This is a long paragraph of ordinary prose. " +
+      "It keeps going with several sentences and no code at all."
+    val proseAssign = "weather = mostly sunny today\n" +
+      "The rest of this page is a plain narrative paragraph.\n" +
+      "It continues in full sentences.\nAnd ends without any code."
+    val d = Seq((1L, python), (2L, cish), (3L, fencedDoc), (4L, prose),
+      (5L, proseAssign)).toDF("doc_id", "text")
+    val r = TextAnalysis.codeProfile(d)
+      .as[(Long, Int, Double, Int, Double, Boolean, String)]
+      .collect().map(t => t._1 -> t).toMap
+    // Python: indented lines + assignments; def/import/return hit.
+    assert(r(1L)._6 && r(1L)._7 == "line_shape" && r(1L)._4 >= 3)
+    // C: brace/semicolon line endings; include/void/return/printf hit.
+    assert(r(2L)._6 && r(2L)._7 == "line_shape")
+    // One complete fence pair is decisive regardless of ratios.
+    assert(r(3L)._2 == 1 && r(3L)._6 && r(3L)._7 == "fenced")
+    // Prose stays prose.
+    assert(!r(4L)._6 && r(4L)._7 == null && r(4L)._3 == 0.0)
+    // A single assignment-shaped line (1/4 lines, no keywords) does
+    // not flip the conservative thresholds.
+    assert(!r(5L)._6 && r(5L)._3 == 0.25)
+  }
+
+  test("blocklistScreen: whole-token hits counted, any hit drops, substrings never match") {
+    val d = Seq(
+      (1L, "clean text with nothing listed"),
+      (2L, "one badalpha here"),
+      (3L, "badalpha twice badalpha and badbeta once"),
+      (4L, "substring badalphabet does not count")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis
+      .blocklistScreen(d, Seq("BadAlpha", "badbeta"))
+      .as[(Long, Int, Int, Boolean)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L) == ((1L, 0, 0, true)))
+    assert(r(2L) == ((2L, 1, 1, false)))
+    assert(r(3L) == ((3L, 3, 2, false)))
+    assert(r(4L) == ((4L, 0, 0, true)))
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistScreen(d, Seq.empty)
+    }
+    assert(e.getMessage.contains("empty blocklist"))
+  }
+
   test("exactUnicode: composed/decomposed merge under NFC; full-width variants merge only under NFKC") {
     val docs = Seq(
       (1L, "café menu"),     // composed

@@ -432,4 +432,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(r).size == 1,
       s"curation_recrawl: window + groupBy must share one url shuffle:\n$r")
   }
+
+  test("round-14 wave 2 plans: mojibake/code/blocklist/publish-date are pure projections") {
+    // Encoding repair, code detection, the blocklist screen, and
+    // publish-date extraction all sit on the same one-scan screen as
+    // the quality batteries — zero Exchange, whole-stage codegen.
+    for (q <- Seq("text_fix_encoding", "text_code_detect",
+        "text_blocklist", "warc_publish_date")) {
+      val n = "Exchange".r.findAllIn(plans(q)).size
+      assert(n == 0, s"$q plans $n Exchange nodes; expected a pure projection")
+    }
+  }
 }

@@ -497,4 +497,36 @@ class WarcSpec extends AnyFunSuite {
     assert(out(3).getString(0) == "http://c.test/1" &&
       out(3).getString(1) == "response" && out(3).isNullAt(3))
   }
+
+  test("htmlPublishedTime: source priority, both attribute orders, data-datetime never matches") {
+    def pub(html: String): Option[String] =
+      Seq(html).toDF("h")
+        .select(Warc.htmlPublishedTime(col("h"))).as[String]
+        .collect().headOption.flatMap(Option(_))
+    // Open Graph meta, property-first and content-first orders.
+    assert(pub("""<meta property="article:published_time" content="2021-03-04T05:06:07Z">""")
+      .contains("2021-03-04T05:06:07Z"))
+    assert(pub("""<meta content="2021-03-04" property="article:published_time">""")
+      .contains("2021-03-04"))
+    // Legacy name=date meta.
+    assert(pub("""<meta name="date" content="2019-12-31">""")
+      .contains("2019-12-31"))
+    // time element; datetime must follow whitespace (data-datetime is
+    // a different attribute and never matches).
+    assert(pub("""<time datetime="2020-01-02">Jan 2</time>""")
+      .contains("2020-01-02"))
+    assert(pub("""<time data-datetime="2020-01-02">Jan 2</time>""").isEmpty)
+    // Priority: article meta beats an EARLIER time element and a
+    // name=date meta.
+    assert(pub("""<time datetime="1999-01-01"></time>
+      <meta name="date" content="2000-01-01">
+      <meta property="article:published_time" content="2021-06-01">""")
+      .contains("2021-06-01"))
+    // First matching tag of one source wins.
+    assert(pub("""<meta name="date" content="2001-01-01">
+      <meta name="date" content="2002-02-02">""").contains("2001-01-01"))
+    // Absent or empty -> null.
+    assert(pub("<html><body>undated</body></html>").isEmpty)
+    assert(pub("""<meta name="date" content="">""").isEmpty)
+  }
 }
