@@ -370,6 +370,18 @@ object ScaleSlope {
             .as("roundtrip_md5"))
       }),
       "text_tfidf" -> ((df, _) => TextAnalysis.tfidf(df, k = 5)),
+      // Sketch family: wall time should track the token volume (one
+      // scan each) while sketch state stays fixed — KMV buffers are
+      // k longs per source at every replication, the CMS matrix d×w.
+      // Replication grows the vocabulary ~k× (disjoint token spaces),
+      // so the KMV __all__ estimate must grow with it.
+      "profile_distinct_kmv" -> ((df, _) =>
+        Profiling.distinctKmv(
+          df.select(col("source"),
+            explode(graft.functions.word_tokens(col("text"))).as("tk")),
+          col("tk"), col("source"), k = 64)),
+      "profile_heavy_cms" -> ((df, _) =>
+        Profiling.heavyCms(df, d = 3, w = 512, k = 20)),
       "profile_source_overlap" -> ((df, _) => Profiling.sourceOverlap(df, 3)),
       "text_sentence_dedup" -> ((df, _) => Dedup.dedupSentences(df)),
       "text_novelty" -> ((df, _) => TextAnalysis.noveltyScores(df, 3)),

@@ -2549,6 +2549,40 @@ object SparkEntry {
     // TakeOrderedAndProject.
     "profile_heavy_grams" -> ((s, d) =>
       graft.ops.Profiling.heavyGrams(documents(s, d), n = 3, k = 20)),
+    // Bounded-memory sketch family — the 100 TB spellings of the two
+    // exact profiles above. KMV: per-source vocabulary cardinality
+    // with O(k) state per source + an __all__ row merged from the
+    // per-source sketches (never re-reading the data).
+    "profile_distinct_kmv" -> ((s, d) =>
+      graft.ops.Profiling.distinctKmv(
+        documents(s, d).select(col("source"),
+          explode(graft.functions.word_tokens(col("text"))).as("tk")),
+        col("tk"), col("source"), k = 64)),
+    // Incremental KMV: half the corpus sketched and SAVED (groups×k
+    // longs), the other half merged against the index without
+    // re-reading history — and the lossless-union law makes the
+    // result IDENTICAL to the direct sketch over everything, which is
+    // why this gate shares profile_distinct_kmv's oracle verbatim.
+    "profile_distinct_kmv_append" -> ((s, d) => {
+      val dir = scratchDir("graft_kmv_idx", d)
+      val toks = documents(s, d).select(col("doc_id"), col("source"),
+        explode(graft.functions.word_tokens(col("text"))).as("tk"))
+      graft.ops.Profiling.saveKmvSketches(
+        toks.filter(col("doc_id") % 2 === 0), col("tk"), col("source"), dir)
+      graft.ops.Profiling.distinctKmvAppend(s, dir,
+        toks.filter(col("doc_id") % 2 === 1), col("tk"), col("source"))
+    }),
+    // Count-min: token-frequency upper bounds from a d×w matrix whose
+    // shuffle is bounded per map task; probed on the exact top-20.
+    "profile_heavy_cms" -> ((s, d) =>
+      graft.ops.Profiling.heavyCms(documents(s, d), d = 3, w = 512, k = 20)),
+    // Additive fixed-bin histogram → approximate per-source token-
+    // length quantiles (bin lower bounds, error ≤ binWidth).
+    "profile_hist_quantiles" -> ((s, d) =>
+      graft.ops.Profiling.histQuantiles(
+        documents(s, d).select(col("source"),
+          size(graft.functions.word_tokens(col("text"))).as("n_tokens")),
+        col("n_tokens"), col("source"), binWidth = 16L, bins = 128)),
     // Per-source exact interpolated quantiles (PERCENTILE_CONT
     // semantics) off the distinct-rank frame — no per-group sort task,
     // no per-group value map; explicit fixed-order IEEE interpolation
@@ -4776,6 +4810,64 @@ object SparkEntry {
          |SELECT rank, gram, n_docs, n_occ,
          |  CAST(n_docs AS DOUBLE) / (SELECT nd FROM tt) AS doc_share
          |FROM k WHERE rank <= 20""".stripMargin,
+    // KMV distinct sketch: k=64 smallest distinct token hashes per
+    // source (+ global), exact-integer estimator (k-1)*2^32 // kth.
+    "profile_distinct_kmv" ->
+      s"""WITH t AS (SELECT source, $dToks w FROM documents),
+         |tok AS (SELECT source, unnest(w) tk FROM t),
+         |h AS (SELECT DISTINCT source,
+         |        CAST(('0x'||substring(md5(tk||':kmv'),1,8)) AS BIGINT) AS hv
+         |      FROM tok),
+         |r AS (SELECT source, hv,
+         |        row_number() OVER (PARTITION BY source ORDER BY hv) rn FROM h),
+         |ps AS (SELECT source AS scope, CAST(count(*) AS INT) n_kept,
+         |         CAST(max(hv) AS BIGINT) kth_min
+         |       FROM r WHERE rn <= 64 GROUP BY 1),
+         |ra AS (SELECT hv, row_number() OVER (ORDER BY hv) rn
+         |       FROM (SELECT DISTINCT hv FROM h)),
+         |pa AS (SELECT '__all__' AS scope, CAST(count(*) AS INT) n_kept,
+         |         CAST(max(hv) AS BIGINT) kth_min FROM ra WHERE rn <= 64),
+         |u AS (SELECT * FROM ps UNION ALL SELECT * FROM pa)
+         |SELECT scope, n_kept, kth_min,
+         |  CAST(CASE WHEN n_kept < 64 THEN n_kept
+         |       ELSE (63 * 4294967296) // kth_min END AS BIGINT) AS est_distinct
+         |FROM u""".stripMargin,
+    // Count-min sketch: 3x512 bucket sums, probe = exact top-20
+    // tokens, estimate = min over the probe's 3 buckets.
+    "profile_heavy_cms" ->
+      s"""WITH t AS (SELECT $dToks w FROM documents),
+         |tok AS (SELECT unnest(w) tk FROM t),
+         |e AS (SELECT tk, unnest([0,1,2]) AS j FROM tok),
+         |b AS (SELECT j AS depth,
+         |        CAST(('0x'||substring(md5(tk||':cms'||CAST(j AS VARCHAR)),1,8))
+         |          AS BIGINT) % 512 AS bucket FROM e),
+         |sk AS (SELECT depth, bucket, CAST(count(*) AS BIGINT) cnt
+         |       FROM b GROUP BY 1,2),
+         |c AS (SELECT tk, CAST(count(*) AS BIGINT) true_cnt FROM tok GROUP BY 1),
+         |pk AS (SELECT * FROM (SELECT tk, true_cnt, CAST(row_number() OVER
+         |         (ORDER BY true_cnt DESC, tk ASC) AS INT) rank FROM c)
+         |       WHERE rank <= 20),
+         |pb AS (SELECT rank, tk, true_cnt, j AS depth,
+         |        CAST(('0x'||substring(md5(tk||':cms'||CAST(j AS VARCHAR)),1,8))
+         |          AS BIGINT) % 512 AS bucket
+         |       FROM (SELECT rank, tk, true_cnt, unnest([0,1,2]) AS j FROM pk))
+         |SELECT rank, tk, true_cnt, CAST(min(cnt) AS BIGINT) AS est_cnt
+         |FROM pb JOIN sk USING (depth, bucket)
+         |GROUP BY 1, 2, 3""".stripMargin,
+    // Histogram sketch: 128 bins x 16 tokens, quantile = lower bound
+    // of the first bin where cum*qd >= n*qn (integer, no ceil).
+    "profile_hist_quantiles" ->
+      s"""WITH t AS (SELECT source, len($dToks) AS v FROM documents),
+         |b AS (SELECT source AS scope, least(v // 16, 127) AS bin FROM t),
+         |c AS (SELECT scope, bin, count(*) c FROM b GROUP BY 1,2),
+         |w AS (SELECT scope, bin, c,
+         |        sum(c) OVER (PARTITION BY scope ORDER BY bin) cum,
+         |        sum(c) OVER (PARTITION BY scope) n FROM c)
+         |SELECT scope, CAST(max(n) AS BIGINT) n,
+         |  CAST(min(CASE WHEN cum*2 >= n*1 THEN bin END)*16 AS BIGINT) p50_lo,
+         |  CAST(min(CASE WHEN cum*10 >= n*9 THEN bin END)*16 AS BIGINT) p90_lo,
+         |  CAST(min(CASE WHEN cum*100 >= n*99 THEN bin END)*16 AS BIGINT) p99_lo
+         |FROM w GROUP BY 1""".stripMargin,
     // Inventory aggregate + CASE shares + floor/least arithmetic.
     "curation_mixture_plan" ->
       s"""WITH s AS (SELECT source, count(*) AS n_docs,
@@ -6299,7 +6391,11 @@ object SparkEntry {
     * md5-hash twins whose full pipelines ARE re-expressed in SQL. */
   def oracleSql: Map[String, String] = {
     val base = oracleSqlBase
-    base + ("text_span_cut_verify" -> base("text_span_cut"))
+    base +
+      ("text_span_cut_verify" -> base("text_span_cut")) +
+      // Lossless sketch union: append-over-index ≡ direct sketch of
+      // the whole corpus, so the append gate replays the SAME oracle.
+      ("profile_distinct_kmv_append" -> base("profile_distinct_kmv"))
   }
 
   private def oracleSqlBase: Map[String, String] =

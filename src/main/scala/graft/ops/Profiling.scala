@@ -271,4 +271,182 @@ object Profiling {
         (col("n_docs_overlap").cast("double") / col("n_docs_a"))
           .as("overlap_frac"))
   }
+
+  /** The portable 32-bit hash the sketch family runs on — the integer
+    * numerator of [[Sampling.hashUniform]] (first 8 md5 hex chars),
+    * so DuckDB derives identical values. */
+  private def hash32(key: Column, seed: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(":" + seed))), 1, 8),
+      16, 10).cast("long")
+
+  /** Per-group distinct-cardinality estimation via the KMV sketch
+    * ([[graft.functions.KmvSketch]]) — `count_distinct` with O(k)
+    * per-group state instead of a distinct-key-sized shuffle. The
+    * motivating 100 TB question: "how big is each source's
+    * vocabulary?" — exact `count_distinct(token)` shuffles every
+    * distinct token per source; this shuffles one ≤k-long buffer per
+    * source (map-side partials combine inside the Aggregator).
+    *
+    * Emits one row per group plus an `__all__` row whose sketch is
+    * the UNION of the per-group sketches — merged in plain SQL over
+    * the (groups × k)-bounded buffers, never re-reading the data:
+    * exactly how per-day / per-shard sketches roll up to corpus
+    * totals in production. Estimator (exact long arithmetic, oracle-
+    * replayable): `n_kept < k` → the buffer saw every distinct hash,
+    * estimate is exact; else `(k−1)·2³² div kth_min`.
+    *
+    * Output: (scope, n_kept, kth_min, est_distinct). */
+  def distinctKmv(df: DataFrame, key: Column, group: Column, k: Int = 64,
+      seed: String = "kmv"): DataFrame =
+    kmvEstimate(kmvSketches(df, key, group, k, seed), k)
+
+  /** The per-group sketch frame: (scope, mins) with `mins` sorted
+    * distinct, length ≤ k. */
+  private def kmvSketches(df: DataFrame, key: Column, group: Column,
+      k: Int, seed: String): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.select(group.as("scope"), hash32(key, seed).as("h"))
+      .filter(col("h").isNotNull)
+      .groupBy(col("scope"))
+      .agg(graft.functions.KmvSketch.kmv_min_hashes(col("h"), k).as("mins"))
+  }
+
+  /** Per-group estimates + the `__all__` union row from a sketch
+    * frame. The corpus-level merge is the k smallest DISTINCT values
+    * across all buffers — groups×k longs, a bounded second job that
+    * never touches the raw data. */
+  private def kmvEstimate(sketches: DataFrame, k: Int): DataFrame = {
+    // (k−1)·2³² fits a long (k ≤ 2³¹); the DIV must be true integer
+    // division — a double divide + floor can cross an integer
+    // boundary by one ulp and disagree with DuckDB's `//`.
+    val full = (k - 1).toLong * 4294967296L
+    val merged = sketches
+      .select(explode(col("mins")).as("h")).distinct()
+      .agg(graft.functions.collect_top_k_asc(col("h"), k).as("mins"))
+      .select(lit("__all__").as("scope"), col("mins"))
+    sketches.unionByName(merged)
+      .select(col("scope"), size(col("mins")).as("n_kept"),
+        element_at(col("mins"), -1).as("kth_min"))
+      .select(col("scope"), col("n_kept"), col("kth_min"),
+        when(col("n_kept") < k, col("n_kept").cast("long"))
+          .otherwise(expr(s"CAST($full AS BIGINT) DIV kth_min"))
+          .as("est_distinct"))
+  }
+
+  /** Persist the per-group KMV sketches with their parameters — the
+    * daily-rollup artifact: tomorrow's batch merges against THIS
+    * (groups × k longs) instead of re-scanning today's corpus. */
+  def saveKmvSketches(df: DataFrame, key: Column, group: Column,
+      dir: String, k: Int = 64, seed: String = "kmv"): Unit =
+    kmvSketches(df, key, group, k, seed)
+      .select(col("scope"), col("mins"), lit(k).as("k"), lit(seed).as("seed"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** Distinct-cardinality estimates over (saved history ∪ new batch)
+    * WITHOUT re-reading history's raw data: the saved buffers re-enter
+    * the aggregation as plain hash values (KMV insertion dedups, so
+    * replaying a buffer is the lossless sketch-union — append over an
+    * index EQUALS the direct sketch of the union, spec-pinned and the
+    * gate's oracle law). k and the hash seed come FROM the index —
+    * the params-staleness hazard of a caller re-hashing with a
+    * different seed cannot arise. */
+  def distinctKmvAppend(spark: org.apache.spark.sql.SparkSession,
+      dir: String, df: DataFrame, key: Column, group: Column): DataFrame = {
+    val saved = spark.read.parquet(dir)
+    // One row of the (groups)-sized index frame — a bounded driver
+    // read, same contract as the IVF index params guard.
+    val p = saved.select(col("k"), col("seed")).limit(1).collect()
+    require(p.nonEmpty, s"empty KMV sketch index at $dir")
+    val (k, seed) = (p.head.getInt(0), p.head.getString(1))
+    val merged = saved.select(col("scope"), explode(col("mins")).as("h"))
+      .unionByName(df.select(group.as("scope"), hash32(key, seed).as("h"))
+        .filter(col("h").isNotNull))
+      .groupBy(col("scope"))
+      .agg(graft.functions.KmvSketch.kmv_min_hashes(col("h"), k).as("mins"))
+    kmvEstimate(merged, k)
+  }
+
+  /** Count-min-sketch frequency estimation over the token stream —
+    * the bounded-state sibling of [[heavyGrams]]. The sketch is a
+    * d×w integer matrix: every token increments one bucket per depth
+    * (`hash_j(tk) mod w`), and a token's estimate is the MIN of its d
+    * buckets — an upper bound on the true count (collisions only ever
+    * ADD; the ≥-truth law is spec-pinned). At 100 TB the sketch build
+    * is the only full-data pass and its shuffle is bounded at d·w
+    * rows per map task (the explode tripling is pre-combined by the
+    * partial groupBy), where [[heavyGrams]]' exact count shuffles the
+    * whole vocabulary. Sketches from disjoint shards merge by matrix
+    * addition — the same groupBy spelling over their union.
+    *
+    * The exact side here (true counts + the top-k probe set) is the
+    * gate's demonstration harness: production pairs the sketch with
+    * an externally supplied probe list (the blocklist, yesterday's
+    * heavy hitters) and never materializes exact counts.
+    *
+    * Output: (rank, tk, true_cnt, est_cnt), est_cnt ≥ true_cnt. */
+  def heavyCms(docs: DataFrame, d: Int = 3, w: Int = 512, k: Int = 20): DataFrame = {
+    require(d >= 1 && w >= 1 && k >= 1, s"bad cms params d=$d w=$w k=$k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(
+      explode(graft.functions.word_tokens(col("text"))).as("tk"))
+    def buckets(tk: Column): Column = array((0 until d).map(j =>
+      struct(lit(j).as("depth"), pmod(hash32(tk, "cms" + j), lit(w.toLong))
+        .as("bucket"))): _*)
+    val sketch = toks.select(explode(buckets(col("tk"))).as("db"))
+      .groupBy(col("db.depth").as("depth"), col("db.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val probes = toks.groupBy(col("tk"))
+      .agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("tk").asc)
+      .limit(k)
+      // k winner rows only — partition-less window benign (hotKeys).
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("true_cnt").desc, col("tk").asc)))
+    probes
+      .select(col("rank"), col("tk"), col("true_cnt"),
+        explode(buckets(col("tk"))).as("db"))
+      .join(broadcast(sketch), col("db.depth") === col("depth") &&
+        col("db.bucket") === col("bucket"))
+      .groupBy(col("rank"), col("tk"), col("true_cnt"))
+      .agg(min(col("cnt")).as("est_cnt"))
+  }
+
+  /** Mergeable fixed-bin histogram → approximate per-group quantiles,
+    * the bounded-state sibling of [[Ranking.groupQuantiles]]' exact
+    * interpolation. State per group is `bins` longs (additive across
+    * shards — merging is vector addition, i.e. the same groupBy over
+    * a union), vs. the distinct-value-sized rank frame the exact
+    * spelling shuffles. The estimate is the LOWER BOUND of the first
+    * bin whose cumulative count reaches `ceil(q·n)` — documented
+    * floor semantics, error ≤ binWidth, and every step is integer
+    * arithmetic (`cum·qd ≥ n·qn` avoids the ceil entirely), so the
+    * oracle replays it bit-for-bit. Values ≥ binWidth·(bins−1) clamp
+    * into the last bin.
+    *
+    * Output: one row per group — (scope, n, q1_lo, q2_lo, ...), one
+    * column per requested quantile `qn/qd` named `p<100·q>_lo`. */
+  def histQuantiles(df: DataFrame, value: Column, group: Column,
+      binWidth: Long = 16L, bins: Int = 128,
+      qs: Seq[(Int, Int)] = Seq((1, 2), (9, 10), (99, 100))): DataFrame = {
+    require(binWidth >= 1 && bins >= 2, s"bad hist params $binWidth/$bins")
+    require(qs.nonEmpty && qs.forall { case (n0, d0) =>
+      n0 >= 1 && n0 <= d0 }, s"quantiles must be in (0,1]: $qs")
+    import org.apache.spark.sql.expressions.Window
+    val binned = df
+      .select(group.as("scope"), value.cast("long").as("v"))
+      .select(col("scope"),
+        least(expr(s"v DIV $binWidth"), lit((bins - 1).toLong)).as("bin"))
+    val cum = binned.groupBy(col("scope"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum",
+        sum(col("c")).over(Window.partitionBy(col("scope")).orderBy(col("bin"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("scope"))))
+    val qCols = qs.map { case (qn, qd) =>
+      val name = f"p${qn * 100 / qd}%d_lo"
+      (min(when(col("cum") * qd >= col("n") * qn, col("bin"))) * binWidth)
+        .as(name)
+    }
+    cum.groupBy(col("scope"))
+      .agg(max(col("n")).as("n"), qCols: _*)
+  }
 }

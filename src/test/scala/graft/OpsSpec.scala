@@ -5350,4 +5350,118 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2) == (("u3", 1L, 1L, 0L, 100L, 9100L))) // first is a change
     assert(out(3) == (("u4", 6L, 1L, 5L, 800L, 6800L))) // 100<<5 capped at 800
   }
+
+  test("distinctKmv: small groups exact, union law, estimator accuracy on the real corpus") {
+    val toks = docs.select(col("source"),
+      explode(graft.functions.word_tokens(col("text"))).as("tk"))
+    val k = 64
+    val out = Profiling.distinctKmv(toks, col("tk"), col("source"), k = k)
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    val exact = toks.groupBy("source")
+      .agg(countDistinct(col("tk")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Every per-source sketch that is NOT full must be exact — the
+    // buffer saw every distinct hash (collisions can only lower it).
+    for ((s, (nKept, _, est)) <- out if s != "__all__" && nKept < k)
+      assert(est <= exact(s) && est >= exact(s) - 2, s"$s: $est vs ${exact(s)}")
+    // Full sketches: |est/exact - 1| within ~4/sqrt(k-2) ≈ 0.51 —
+    // loose enough to never flake, tight enough to catch a broken
+    // estimator (off-by-2^32, wrong kth) outright.
+    for ((s, (nKept, _, est)) <- out if s != "__all__" && nKept == k) {
+      val rel = math.abs(est.toDouble / exact(s) - 1.0)
+      assert(rel < 0.51, s"$s: est $est exact ${exact(s)} rel $rel")
+    }
+    // Union law: the __all__ row (merged from per-source buffers) must
+    // equal the sketch built directly over the ungrouped stream.
+    val direct = Profiling.distinctKmv(toks, col("tk"), lit("__all__"), k = k)
+      .filter(col("scope") === "__all__").collect().head
+    val all = out("__all__")
+    assert((direct.getInt(1), direct.getLong(2), direct.getLong(3)) == all)
+  }
+
+  test("KmvSketch aggregator: dedup within buffer, merge across partitions, k cap") {
+    // 1000 values with heavy duplication across 8 partitions; hashes
+    // ARE the values (identity domain) so the expectation is spelled
+    // by hand: the 16 smallest distinct values.
+    val vals = (0 until 1000).map(i => ((i * 7919) % 100).toLong)
+    val df = spark.sparkContext.parallelize(vals, 8).toDF("h")
+    val got = df.agg(
+        graft.functions.KmvSketch.kmv_min_hashes(col("h"), 16).as("mins"))
+      .collect().head.getSeq[Long](0)
+    assert(got == vals.distinct.sorted.take(16))
+    // Fewer distincts than k → buffer holds all of them.
+    val small = spark.sparkContext.parallelize(Seq(5L, 3L, 5L, 3L, 9L), 3).toDF("h")
+    val gotSmall = small.agg(
+        graft.functions.KmvSketch.kmv_min_hashes(col("h"), 16).as("mins"))
+      .collect().head.getSeq[Long](0)
+    assert(gotSmall == Seq(3L, 5L, 9L))
+  }
+
+  test("distinctKmvAppend: index + second half equals the direct sketch of everything") {
+    // The lossless-union law behind the append gate's shared oracle:
+    // replaying a saved buffer's hashes through KMV insertion is the
+    // exact sketch union, so (save half, append half) must equal the
+    // one-shot sketch — row for row, including kth_min.
+    val dir = java.nio.file.Files.createTempDirectory("kmv_idx_spec").toString
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(graft.functions.word_tokens(col("text"))).as("tk"))
+    Profiling.saveKmvSketches(toks.filter(col("doc_id") % 2 === 0),
+      col("tk"), col("source"), dir, k = 32)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))
+    val appended = Profiling.distinctKmvAppend(spark, dir,
+      toks.filter(col("doc_id") % 2 === 1), col("tk"), col("source"))
+      .collect().map(key).toSet
+    val direct = Profiling.distinctKmv(toks, col("tk"), col("source"), k = 32)
+      .collect().map(key).toSet
+    assert(appended == direct)
+    // The empty-index guard: a zero-row (but schema-valid) index must
+    // fail loudly instead of silently estimating from nothing.
+    val emptyDir =
+      java.nio.file.Files.createTempDirectory("kmv_idx_empty").toString
+    Profiling.saveKmvSketches(toks.filter(lit(false)),
+      col("tk"), col("source"), emptyDir, k = 32)
+    intercept[IllegalArgumentException] {
+      Profiling.distinctKmvAppend(spark, emptyDir,
+        toks.limit(1), col("tk"), col("source"))
+    }
+  }
+
+  test("heavyCms: estimates dominate exact counts; sketch state is d x w bounded") {
+    val out = Profiling.heavyCms(docs, d = 3, w = 512, k = 20).collect()
+    assert(out.length == 20)
+    // The count-min law: min over d buckets >= true count, always.
+    for (r <- out) {
+      val (t, e) = (r.getAs[Long]("true_cnt"), r.getAs[Long]("est_cnt"))
+      assert(e >= t, s"${r.getAs[String]("tk")}: est $e < true $t")
+    }
+    // With w=512 over a small vocab the top hitter's bucket collisions
+    // are bounded: est stays within 3x truth for rank 1 (a broken
+    // bucket hash would send it to the full token count).
+    val top = out.find(_.getAs[Int]("rank") == 1).get
+    assert(top.getAs[Long]("est_cnt") < top.getAs[Long]("true_cnt") * 3)
+  }
+
+  test("histQuantiles: each estimate brackets the exact quantile within one bin") {
+    val lens = docs.select(col("source"),
+      size(graft.functions.word_tokens(col("text"))).as("n_tokens"))
+    val out = Profiling.histQuantiles(lens, col("n_tokens"), col("source"),
+      binWidth = 16L, bins = 128).collect()
+    val exact = lens.collect().map(r => (r.getString(0), r.getInt(1)))
+      .groupBy(_._1).map { case (s, rows) => s -> rows.map(_._2).sorted }
+    for (r <- out) {
+      val vs = exact(r.getString(0))
+      for ((q, col0) <- Seq(0.5 -> "p50_lo", 0.9 -> "p90_lo", 0.99 -> "p99_lo")) {
+        // ceil(q*n)-th value (1-based) — the same rank the bin search
+        // targets; it must land inside [lo, lo+binWidth) unless the
+        // overflow bin clamped it.
+        val vq = vs(math.ceil(q * vs.length).toInt - 1)
+        val lo = r.getAs[Long](col0)
+        if (lo < 127L * 16L) // not the clamp bin
+          assert(lo <= vq && vq < lo + 16, s"${r.getString(0)} $col0: $lo vs $vq")
+        else assert(vq >= 127 * 16)
+      }
+    }
+  }
 }

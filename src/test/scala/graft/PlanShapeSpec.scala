@@ -443,4 +443,40 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(n == 0, s"$q plans $n Exchange nodes; expected a pure projection")
     }
   }
+
+  test("round-14 sketch family: map-side partials, bounded joins, reused scan") {
+    // KMV: the shuffle must carry ≤k-long buffers, i.e. a
+    // partial_kmvagg below the exchange — without it every (scope,
+    // hash) row crosses the wire and the sketch is pointless.
+    assert(plans("profile_distinct_kmv").contains("partial_kmvagg"),
+      "KMV aggregation lost its map-side partial")
+    // CMS: the probe side joins the d×w sketch as a broadcast HASH
+    // join (equi-keys), and the top-k probe cut is
+    // TakeOrderedAndProject — the token space is never globally
+    // sorted.
+    val cms = plans("profile_heavy_cms")
+    assert(cms.contains("BroadcastHashJoin"), "CMS probe join not broadcast")
+    assert(cms.contains("TakeOrderedAndProject"), "CMS probe cut sorts globally")
+    // Histogram: groupBy(scope,bin) + the scope-partitioned window;
+    // the final per-scope aggregate must reuse the window's
+    // partitioning instead of adding a third exchange.
+    val hq = "Exchange".r.findAllIn(plans("profile_hist_quantiles")).size
+    assert(hq <= 2, s"profile_hist_quantiles plans $hq Exchanges; expected <= 2")
+  }
+
+  test("distinctKmv's __all__ merge reuses the per-scope sketch exchange (one corpus pass)") {
+    // The merged row is built FROM the per-source buffers; the final
+    // adaptive plan must show the second consumer on a ReusedExchange,
+    // not a second tokenize-and-aggregate of the corpus (static plans
+    // show two scans — only execution proves the reuse).
+    import org.apache.spark.sql.functions.{col, explode}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val toks = docs.select(col("source"),
+      explode(graft.functions.word_tokens(col("text"))).as("tk"))
+    val qe = graft.ops.Profiling.distinctKmv(toks, col("tk"), col("source"))
+      .queryExecution
+    qe.toRdd.count()
+    assert(qe.executedPlan.toString.contains("ReusedExchange"),
+      s"KMV __all__ branch re-scans the corpus:\n${qe.executedPlan}")
+  }
 }
