@@ -5428,6 +5428,33 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming KMV monitor: micro-batches converge to the batch sketch across restarts of state") {
+    // The ingest-time cardinality monitor: the same typed Aggregator
+    // runs as a streaming aggregation (complete mode), its ≤k-long
+    // buffer IS the per-group state, and cross-batch re-delivery of a
+    // hash changes nothing (KMV insertion dedups) — so after any
+    // number of micro-batches the sink must equal the batch sketch of
+    // everything seen. Values overlap across the two feeds on
+    // purpose; hashes are the identity domain so the expectation is
+    // hand-spellable.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(("a", 5L), ("a", 3L), ("b", 7L), ("a", 5L))
+    val b2 = Seq(("a", 5L), ("a", 1L), ("b", 7L), ("b", 2L))
+    val mem = MemoryStream[(String, Long)]
+    val q = mem.toDF().toDF("scope", "h").groupBy(col("scope"))
+      .agg(graft.functions.KmvSketch.kmv_min_hashes(col("h"), 3).as("mins"))
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("kmv_stream").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got == Map("a" -> Seq(1L, 3L, 5L), "b" -> Seq(2L, 7L)))
+  }
+
   test("heavyCms: estimates dominate exact counts; sketch state is d x w bounded") {
     val out = Profiling.heavyCms(docs, d = 3, w = 512, k = 20).collect()
     assert(out.length == 20)
