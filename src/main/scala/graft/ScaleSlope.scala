@@ -382,6 +382,11 @@ object ScaleSlope {
           col("tk"), col("source"), k = 64)),
       "profile_heavy_cms" -> ((df, _) =>
         Profiling.heavyCms(df, d = 3, w = 512, k = 20)),
+      "profile_hist_quantiles" -> ((df, _) =>
+        Profiling.histQuantiles(
+          df.select(col("source"),
+            size(graft.functions.word_tokens(col("text"))).as("n_tokens")),
+          col("n_tokens"), col("source"), binWidth = 16L, bins = 128)),
       "profile_source_overlap" -> ((df, _) => Profiling.sourceOverlap(df, 3)),
       "text_sentence_dedup" -> ((df, _) => Dedup.dedupSentences(df)),
       "text_novelty" -> ((df, _) => TextAnalysis.noveltyScores(df, 3)),
