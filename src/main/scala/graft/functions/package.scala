@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.graft.{AsciiClassCountsColumns, AudioFpColumns, BpeEncodeColumns, BpeTokenCountColumns, DhashColumns, HashedTokenCountsColumns, CepExprColumns, CompressRatioColumns, GramStatsColumns, LshBucketsColumns, MarkerCountsColumns, MatrixMaxCosColumns, MatrixRowDotColumns, MetricRouteColumns, MinhashColumns, RollingHashColumns, SimhashColumns, TopKColumns, TrigramScoresColumns, VecDotColumns, VecUnitColumns, WordShinglesColumns}
+import org.apache.spark.sql.graft.{AsciiClassCountsColumns, AudioFpColumns, BpeEncodeColumns, BpeTokenCountColumns, DhashColumns, HashedTokenCountsColumns, CepExprColumns, CompressRatioColumns, GramStatsColumns, LshBucketsColumns, MarkerCountsColumns, MatrixMaxCosColumns, MatrixRowDotColumns, MetricRouteColumns, MinhashColumns, RollingHashColumns, SimhashColumns, SparseLongDotColumns, TopKColumns, TrigramScoresColumns, VecDotColumns, VecUnitColumns, WordShinglesColumns}
 
 /** Public column-function surface for graft's native Catalyst
   * expressions (implementations under org.apache.spark.sql.graft). */
@@ -244,6 +244,14 @@ package object functions {
     * recompute; `false` the faster xxhash64. */
   def simhash_bands(tokens: Column, portable: Boolean = false): Column =
     SimhashColumns.simhashBands(tokens, portable)
+
+  /** Exact sparse long dot of a classifier item array against a
+    * literal long weight vector (`Σ weights[bk+1]·c`, loud on
+    * signed-64 overflow) — the codegen'd twin of the interpreted
+    * `aggregate(items, 0L, …element_at…)` HOF fold; see
+    * [[org.apache.spark.sql.graft.SparseLongDot]]. */
+  def sparse_long_dot(items: Column, weights: Array[Long]): Column =
+    SparseLongDotColumns.sparseLongDot(items, weights)
 
   /** Bounded top-k aggregation: the k SMALLEST values per group,
     * ascending — element-identical to

@@ -61,7 +61,7 @@ object Curation {
     // consumer and materializes the token index inside ITS job — one
     // serial barrier instead of two; quality/decontamination then read
     // the cached blocks.
-    val base = persist.lazily(docs.repartition(col("doc_id"))
+    val base = persist.lazily(Spread.keyed(docs, col("doc_id"))
       .select(col("doc_id"),
         graft.functions.word_tokens(col("text")).as("toks")))
     val quality = TextAnalysis.qualityFilterFromTokens(base, minTokens,

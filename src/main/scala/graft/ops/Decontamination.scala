@@ -49,7 +49,7 @@ object Decontamination {
       docs
         // Shingling is the CPU-dense stage — spread it across all cores
         // rather than inherit file-split parallelism.
-        .repartition(col("doc_id"))
+        .transform(d => Spread.keyed(d, col("doc_id")))
         .select(col("doc_id"),
           explode(array_distinct(gramHashes(n, shingler))).as("g")),
       evalDocs, n, broadcastEval, shingler)
@@ -92,8 +92,7 @@ object Decontamination {
     val bloom = evalGrams.stat.bloomFilter("g", nGrams, fpp)
     val bloomBc = docs.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((g: Long) => bloomBc.value.mightContainLong(g))
-    docs
-      .repartition(col("doc_id"))
+    Spread.keyed(docs, col("doc_id"))
       .select(col("doc_id"),
         explode(array_distinct(gramHashes(n, shingler))).as("g"))
       .filter(mightContain(col("g")))
@@ -269,8 +268,7 @@ object Decontamination {
         explode(array_distinct(gramHashes(n, shingler))).as("g"))
       .distinct()
     val ev = if (broadcastEval) broadcast(evalGrams) else evalGrams
-    docs
-      .repartition(col("doc_id"))
+    Spread.keyed(docs, col("doc_id"))
       .select(col("doc_id"),
         explode(array_distinct(gramHashes(n, shingler))).as("g"))
       .join(ev, "g")

@@ -198,7 +198,7 @@ object Dedup {
   private def shingleIndexWithSize(docs: DataFrame, n: Int,
       persist: Persistence, hashBits: Int = 64,
       shingler: Shingler = Shingler.Word): DataFrame =
-    persist(docs.repartition(col("doc_id"))
+    persist(Spread.keyed(docs, col("doc_id"))
       .select(col("doc_id"),
         shingleKeyArray(col("text"), n, hashBits, shingler).as("sh_arr"))
       .select(col("doc_id"), explode(col("sh_arr")).as("shingle"),
@@ -783,7 +783,7 @@ object Dedup {
       case Shingler.Word => graft.functions.word_shingles(col("text"), n)
       case Shingler.Char => graft.functions.char_shingles(col("text"), n)
     }
-    docs.repartition(col("doc_id"))
+    Spread.keyed(docs, col("doc_id"))
       .select(col("doc_id"),
         graft.functions.minhash_signature(array_distinct(grams), numHashes)
           .as("sig"))
@@ -883,15 +883,41 @@ object Dedup {
   private[graft] def indexArtifactFrames(docs: DataFrame, n: Int,
       numHashes: Int, bands: Int, bandBuckets: Int,
       shingler: Shingler = Shingler.Word): (DataFrame, DataFrame, DataFrame) = {
-    val hashes = shingler match {
-      case Shingler.Word => graft.functions.word_shingle_hashes(col("text"), n)
-      case Shingler.Char => graft.functions.char_shingle_hashes(col("text"), n)
+    // ONE CPU-dense shingling pass feeds all three artifacts (r14
+    // optimization: the shingle/sig/band write jobs each re-scanned
+    // the corpus and re-tokenized it — the most expensive stage of an
+    // index build ran three times). The checkpointed distinct-GRAM
+    // array is the shared intermediate; each artifact hashes it
+    // exactly as its former standalone derivation did
+    // (word_shingle_hashes ≡ transform(word_shingles, xxhash64),
+    // spec-pinned; distinct-by-gram-then-by-hash keeps the same first
+    // occurrence per hash value), so all three frames stay
+    // bit-identical. Signatures are checkpointed too: the band write
+    // would otherwise recompute the full MinHash pass sigs already
+    // paid.
+    val grams = shingler match {
+      case Shingler.Word => graft.functions.word_shingles(col("text"), n)
+      case Shingler.Char => graft.functions.char_shingles(col("text"), n)
     }
-    val shingles = docs.repartition(col("doc_id"))
-      .select(col("doc_id"), array_distinct(hashes).as("sh_arr"))
+    // Plain keyed repartition, deliberately NOT Spread.keyed: the
+    // index build is write-bound, not compute-bound (A/B measured:
+    // pinning 32 partitions cost 12–37% on the incremental rows —
+    // more tasks and 32× the artifact files per write), so the
+    // AQE-coalesced width is the right one here.
+    val gramsF = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), array_distinct(grams).as("grams"))
+      .localCheckpoint()
+    val shingles = gramsF
+      .select(col("doc_id"),
+        array_distinct(transform(col("grams"), g => xxhash64(g)))
+          .as("sh_arr"))
       .select(col("doc_id"), explode(col("sh_arr")).as("shingle"),
         size(col("sh_arr")).as("n_sh"))
-    val sig = minhashSignatures(docs, n, numHashes, shingler)
+    val sig = gramsF
+      .select(col("doc_id"),
+        graft.functions.minhash_signature(col("grams"), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+      .localCheckpoint()
     val banded = bandedFrame(sig, numHashes, bands)
       .withColumn("bucket", pmod(col("band_hash"), lit(bandBuckets)).cast("int"))
     (shingles, sig, banded)
@@ -907,7 +933,16 @@ object Dedup {
       indexArtifactFrames(docs, n, numHashes, bands, bandBuckets, shingler)
     shingles.write.mode(mode).parquet(s"$path/shingles")
     sig.write.mode(mode).parquet(s"$path/sigs")
-    banded.write.mode(mode).partitionBy("bucket").parquet(s"$path/bands")
+    // Cluster the band rows by their partition value before the
+    // partitioned write (r14 optimization, guide §6): without it
+    // every write task holds rows of ~every bucket, emitting up to
+    // tasks×buckets tiny files per build — paid again by every probe
+    // that lists and opens bands/. After the repartition each bucket's
+    // rows sit in one task, so a build writes exactly one file per
+    // bucket. The shuffle moves band KEYS (doc_id + two longs), never
+    // text — metadata-sized at any corpus scale.
+    banded.repartition(col("bucket"))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$path/bands")
   }
 
   /** Loud params check shared by the probe and the rolling append:
@@ -966,7 +1001,21 @@ object Dedup {
     val spark = newDocs.sparkSession
     validateIndexParams(spark, indexPath, n, numHashes, bands, bandBuckets,
       shingler)
-    val sig = persist(minhashSignatures(newDocs, n, numHashes, shingler))
+    // The batch is shingled ONCE (lazily persisted distinct-gram
+    // arrays; the sig materialization below also materializes it):
+    // signatures and the exact-verify probe index both derive from
+    // it, where they previously re-tokenized the batch separately —
+    // same bit-exact hash spelling as [[indexArtifactFrames]].
+    val probeGrams = shingler match {
+      case Shingler.Word => graft.functions.word_shingles(col("text"), n)
+      case Shingler.Char => graft.functions.char_shingles(col("text"), n)
+    }
+    val gramsF = persist.lazily(newDocs.repartition(col("doc_id"))
+      .select(col("doc_id"), array_distinct(probeGrams).as("grams")))
+    val sig = persist(gramsF
+      .select(col("doc_id"),
+        graft.functions.minhash_signature(col("grams"), numHashes).as("sig"))
+      .filter(col("sig").isNotNull))
     val cand = bandedFrame(sig, numHashes, bands)
       .withColumn("bucket", pmod(col("band_hash"), lit(bandBuckets)).cast("int"))
       .as("x")
@@ -977,14 +1026,10 @@ object Dedup {
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("dup_of"))
       .distinct()
     if (exactVerify) {
-      val probeHashes = shingler match {
-        case Shingler.Word =>
-          graft.functions.word_shingle_hashes(col("text"), n)
-        case Shingler.Char =>
-          graft.functions.char_shingle_hashes(col("text"), n)
-      }
-      val newIdx = newDocs.repartition(col("doc_id"))
-        .select(col("doc_id"), array_distinct(probeHashes).as("sh_arr"))
+      val newIdx = gramsF
+        .select(col("doc_id"),
+          array_distinct(transform(col("grams"), g => xxhash64(g)))
+            .as("sh_arr"))
         .select(col("doc_id"), explode(col("sh_arr")).as("shingle"),
           size(col("sh_arr")).as("n_sh"))
       cand
@@ -1044,7 +1089,7 @@ object Dedup {
       winnow: Int = 8,
       threshold: Double = 0.5,
       persist: Persistence = Persistence.Local): DataFrame =
-    containmentPairs(docs.repartition(col("doc_id"))
+    containmentPairs(Spread.keyed(docs, col("doc_id"))
       .select(col("doc_id"),
         explode(array_distinct(graft.functions.rolling_fingerprint(
           TextOps.normalized(col("text")), window, winnow))).as("fp")),
@@ -1110,7 +1155,7 @@ object Dedup {
     * (corpora often arrive as few large files); null-text docs drop,
     * matching the old explode behavior. */
   private def simhashBandCols(docs: DataFrame, portable: Boolean): DataFrame =
-    docs.repartition(col("doc_id"))
+    Spread.keyed(docs, col("doc_id"))
       .select(col("doc_id"),
         graft.functions.simhash_bands(TextOps.tokens(col("text")), portable)
           .as("bands"))
@@ -1151,7 +1196,7 @@ object Dedup {
       winnow: Int = 8,
       threshold: Double = 0.5,
       persist: Persistence = Persistence.Local): DataFrame =
-    containmentPairs(docs.repartition(col("doc_id"))
+    containmentPairs(Spread.keyed(docs, col("doc_id"))
       .select(col("doc_id"),
         explode(array_distinct(graft.functions.md5_winnow_fingerprint(
           TextOps.normalized(col("text")), window, winnow))).as("fp")),
@@ -1207,8 +1252,7 @@ object Dedup {
     // the whole corpus twice. Under Shingler.Char, `pos`/span bounds
     // are CODEPOINT offsets into the normalized text (n_words counts
     // codepoints) — the unit CJK span dedup needs.
-    val pos = persist(docs
-      .repartition(col("doc_id"))
+    val pos = persist(Spread.keyed(docs, col("doc_id"))
       .select(col("doc_id"), posexplode(gramHash).as(Seq("pos", "g"))))
     // maxGramOcc is the zipfian insurance (ngramJaccardPairs'
     // maxShingleDf analogue): a boilerplate gram occurring everywhere
@@ -1307,8 +1351,7 @@ object Dedup {
       units: Column => Column = graft.functions.word_tokens(_),
       sep: String = " "): DataFrame = {
     require(n >= 1, s"gram length must be positive, got $n")
-    val pos = persist(docs
-      .repartition(col("doc_id"))
+    val pos = persist(Spread.keyed(docs, col("doc_id"))
       .select(col("doc_id"), posexplode(
         gramHash(col("text"), n)).as(Seq("pos", "g"))))
     val owners = pos

@@ -471,9 +471,16 @@ object Domains {
     * `flatten(transform(array(links), ls -> zip_with(ls,
     * array_repeat(base, size(ls)), (l, b) -> struct(l, b))))`. */
   private def linkBaseRows(pages: DataFrame, urlCol: Column,
-      htmlCol: Column, honorBaseHref: Boolean): DataFrame =
+      htmlCol: Column, honorBaseHref: Boolean): DataFrame = {
+    // Spread a narrow pages scan first (r14 optimization,
+    // [[Similarity.spreadIfNarrow]]): link extraction + per-link
+    // domain resolution is the CPU-dense stage of every link-layer
+    // query, and a sub-split-size corpus would otherwise run it all
+    // in one task. No-op at scale (the scan already has more splits
+    // than cores).
+    val p = Similarity.spreadIfNarrow(pages, urlCol)
     if (!honorBaseHref)
-      pages.select(urlCol.as("_page_url"),
+      p.select(urlCol.as("_page_url"),
         lit(null).cast("string").as("_base"),
         explode(graft.functions.html_links(htmlCol)).as("_l"))
     else {
@@ -482,10 +489,11 @@ object Domains {
       val zipped = flatten(transform(array(links), ls =>
         zip_with(ls, array_repeat(base, size(ls)),
           (l, b) => struct(l.as("link"), b.as("base")))))
-      pages.select(urlCol.as("_page_url"), explode(zipped).as("_lb"))
+      p.select(urlCol.as("_page_url"), explode(zipped).as("_lb"))
         .select(col("_page_url"), col("_lb.link").as("_l"),
           col("_lb.base").as("_base"))
     }
+  }
 
   def outlinkDomainEdges(pages: DataFrame, urlCol: Column, htmlCol: Column,
       includeInternal: Boolean = false, skipNofollow: Boolean = false,

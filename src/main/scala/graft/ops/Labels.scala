@@ -48,7 +48,7 @@ object Labels {
   def contrastiveMine(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be positive, got $k")
-    val scored = withNorm(emb).as("n")
+    val scored = withNorm(Similarity.spreadIfNarrow(emb)).as("n")
       .join(broadcast(withNorm(queries).as("q")),
         col("q.vec_id") =!= col("n.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("q.label").as("query_label"),
@@ -79,7 +79,8 @@ object Labels {
       tables: Int = 16, planesPerTable: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be positive, got $k")
-    val corpusB = Similarity.lshBuckets(emb, tables, planesPerTable, dim)
+    val corpusB = Similarity.lshBuckets(Similarity.spreadIfNarrow(emb),
+      tables, planesPerTable, dim)
     val queryB = Similarity.lshBuckets(queries, tables, planesPerTable, dim)
     val cand = queryB.as("qb")
       .join(corpusB.as("nb"),
@@ -135,7 +136,11 @@ object Labels {
     * no second shuffle. */
   def knnPropagate(emb: DataFrame, labeled: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
-    val corpus = withNorm(emb)
+    // Spread the corpus before the broadcast join: a narrow scan
+    // would otherwise score ALL |corpus|·|seeds| candidate pairs in
+    // one task (the measured shape of this gate at sf0.1 — see
+    // Similarity.spreadIfNarrow).
+    val corpus = withNorm(Similarity.spreadIfNarrow(emb))
     val seeds = withNorm(labeled).select(col("vec_id").as("nid"),
       col("label").as("nlabel"), col("embedding").as("n_emb"),
       col("norm").as("n_norm"))
@@ -185,7 +190,7 @@ object Labels {
     require(centroids.nonEmpty, "empty IVF index")
     require(nProbe >= 1 && nProbe <= centroids.length,
       s"nProbe must be in [1, ${centroids.length}], got $nProbe")
-    val corpus = withNorm(emb)
+    val corpus = withNorm(Similarity.spreadIfNarrow(emb))
       .withColumn("cid", Similarity.nearestCentroid(
         graft.functions.VecMath.vec_unit(col("embedding")), centroids))
     // Seed side: nProbe nearest centroids per seed (the ivfProbe

@@ -33,6 +33,20 @@ object Similarity {
     emb.select(col("vec_id"), col("embedding"),
       graft.functions.VecMath.vec_norm(col("embedding")).as("norm"))
 
+  /** Hash-spread a NARROW scan before a CPU-dense stage — see
+    * [[Spread.ifNarrow]] for the full rationale (single-split small
+    * scans + AQE byte-targeted coalescing both serialize CPU-dense
+    * stages; a no-op at scale). Every downstream aggregate in this
+    * family is order-free and ranks break ties on distinct ids, so
+    * the spread cannot change a result bit. */
+  private[ops] def spreadIfNarrow(df: DataFrame,
+      key: String = "vec_id"): DataFrame = Spread.ifNarrow(df, col(key))
+
+  /** Column-keyed variant (frames whose spread key is an expression,
+    * e.g. a URL column on a pages frame). */
+  private[ops] def spreadIfNarrow(df: DataFrame, key: Column): DataFrame =
+    Spread.ifNarrow(df, key)
+
   /** (vec_id, embedding, e): unit-normalized double copy of the
     * embedding — one native pass ([[graft.functions.VecMath.vec_unit]],
     * bit-identical to the norm-then-transform HOF spelling it
@@ -46,7 +60,7 @@ object Similarity {
     * corpus×corpus — the verification baseline; use the LSH path to
     * generate candidates at scale). Output: (id_a, id_b, cos_sim). */
   def cosineDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val e = withNorm(emb)
+    val e = withNorm(spreadIfNarrow(emb))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         round(dot(col("a.embedding"), col("b.embedding")) /
@@ -60,7 +74,7 @@ object Similarity {
     * Output: (query_id, neighbor_id, rank, cos_sim). */
   def cosineTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = withNorm(emb).as("n")
+    val scored = withNorm(spreadIfNarrow(emb)).as("n")
       .join(broadcast(withNorm(queries).as("q")),
         col("q.vec_id") =!= col("n.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("n.vec_id").as("neighbor_id"),
@@ -108,7 +122,8 @@ object Similarity {
     // Materialized once: both self-join sides reuse the bucket frame,
     // which otherwise re-hashes every vector against all hyperplanes
     // per side.
-    val b = persist(lshBuckets(emb, tables, planesPerTable, dim))
+    val b = persist(lshBuckets(spreadIfNarrow(emb), tables, planesPerTable,
+      dim))
     val cand = b.as("x")
       .join(b.as("y"),
         col("x.table_idx") === col("y.table_idx") &&
@@ -208,7 +223,7 @@ object Similarity {
     * equivalent assigned frame with a frozen model through this. */
   private[graft] def assignToCentroids(
       emb: DataFrame, centroids: Array[Array[Double]]): DataFrame =
-    unitized(emb)
+    unitized(spreadIfNarrow(emb))
       .withColumn("cid", nearestCentroid(col("e"), centroids))
       .drop("e")
 
@@ -267,7 +282,11 @@ object Similarity {
       .toDF("cid", "centroid")
       .repartition(1) // k×dim doubles: one tiny file
       .write.mode("overwrite").parquet(path + "/centroids")
-    index.assigned
+    // Cluster by the partition value before the partitioned write
+    // (guide §6): each cid's rows land in one task, so a save emits
+    // one file per cluster instead of tasks×clusters small files that
+    // every later probe lists and opens.
+    index.assigned.repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(path + "/assigned")
     // Params LAST: the commit marker (the saveDedupIndex protocol). A
     // rebuild that dies mid-write leaves stale (or no) params over
@@ -304,7 +323,7 @@ object Similarity {
   def appendToIvfIndex(emb: DataFrame, path: String): Unit = {
     val spark = emb.sparkSession
     val centroids = readCentroidModel(spark, path)
-    assignToCentroids(emb, centroids)
+    assignToCentroids(emb, centroids).repartition(col("cid"))
       .write.mode("append").partitionBy("cid").parquet(path + "/assigned")
   }
 
@@ -396,6 +415,7 @@ object Similarity {
       struct(dot(col("e"), array(c.map(lit).toIndexedSeq: _*)).as("d"),
         lit(-i).as("negid"))
     }
+    val spreadCorpus = spreadIfNarrow(corpus)
     val probed = unitized(queries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         explode(transform(
@@ -404,7 +424,7 @@ object Similarity {
           x => -x.getField("negid"))).as("cid"))
     val qn = graft.functions.VecMath.vec_norm(col("q_emb"))
     val nn = graft.functions.VecMath.vec_norm(col("embedding"))
-    probed.join(corpus, Seq("cid"))
+    probed.join(spreadCorpus, Seq("cid"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("q_emb"), col("embedding")) / (qn * nn), 6).as("cos_sim"))
@@ -444,7 +464,7 @@ object Similarity {
   def annTopK(emb: DataFrame, queries: DataFrame, k: Int, dim: Int,
       tables: Int = 16, planesPerTable: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val corpusB = lshBuckets(emb, tables, planesPerTable, dim)
+    val corpusB = lshBuckets(spreadIfNarrow(emb), tables, planesPerTable, dim)
     val queryB = lshBuckets(queries, tables, planesPerTable, dim)
     val cand = queryB.as("qb")
       .join(corpusB.as("nb"),
@@ -552,7 +572,7 @@ object Similarity {
           (col("norm") * lit(sn)), 6).as("d"),
         lit(-i).as("negid"))
     }
-    persist(withNorm(emb)
+    persist(withNorm(spreadIfNarrow(emb))
       .withColumn("_best", array_max(array(scored.toIndexedSeq: _*)))
       .withColumn("cid", (-col("_best").getField("negid")).cast("int"))
       // Cosine to the OWN centroid (the argmax d) — free here, and

@@ -564,8 +564,13 @@ object TextAnalysis {
     * joined, or re-partitioned. */
   def classifierScore(docs: DataFrame, weights: Seq[Double],
       bias: Double = 0.0, wordNgrams: Int = 2): DataFrame =
+    // Spread.ifNarrow (r14): the tokenize + per-gram md5 fold is this
+    // operator's entire cost and runs upstream of every exchange — a
+    // narrow scan serializes it. At scale the helper is a no-op, so
+    // the zero-shuffle posture above still holds where it matters.
     classifierScoreFromTokens(
-      docs.withColumn("toks", graft.functions.word_tokens(col("text"))),
+      Spread.ifNarrow(docs, col("doc_id"))
+        .withColumn("toks", graft.functions.word_tokens(col("text"))),
       weights, bias, wordNgrams)
 
   /** [[classifierScore]] over a materialized TOKEN INDEX (a frame
@@ -974,11 +979,14 @@ object TextAnalysis {
     * dispatch are gone — there is nothing corpus-shaped to ship).
     * The only shuffle is the gradient's map-side-combined groupBy
     * bounded by `dim`, not the corpus. Driver state is O(dim).
-    * Magnitude bounds (documented, not checked): per-row gradient
-    * terms are ≤ 1e12 by construction; margins need
-    * |w|·n_doc < 9.2e6 in real units to stay in signed-64 partials
-    * before the DECIMAL cast — satisfied for |w| ≤ 10 up to ~900k
-    * grams per document. */
+    * Magnitude bounds: per-row gradient terms are ≤ 1e12 by
+    * construction; margins need |w|·n_doc < 9.2e6 in real units to
+    * stay in signed-64 partials — satisfied for |w| ≤ 10 up to ~900k
+    * grams per document. The margin fold runs in primitive LONG
+    * arithmetic (exact and order-free within the bound; ANSI mode
+    * turns an overflow into a loud failure rather than a silent
+    * widening — the gradient sums stay DECIMAL(38,0), which no
+    * corpus size can overflow). */
   def classifierTrain(docs: DataFrame, labelCol: String, dim: Int,
       wordNgrams: Int = 2, iters: Int = 12,
       lrNum: Long = 1L, lrDen: Long = 2L,
@@ -999,7 +1007,13 @@ object TextAnalysis {
         transform(sequence(lit(0), size(toks) - k),
           i => array_join(slice(toks, i + 1, lit(k)), " ")))
         .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
-    val bk0 = docs
+    // Spread BEFORE the feature build (r14 optimization): the
+    // tokenize + gram + md5-bucket projection is the row's most
+    // expensive stage (measured ~10 s single-task per lap at sf0.1 —
+    // the per-gram md5 runs in the SCAN stage, upstream of every
+    // exchange, so a narrow input serializes it). No-op at scale.
+    val docsSpread = Spread.ifNarrow(docs, col("doc_id"))
+    val bk0 = docsSpread
       .withColumn("toks", graft.functions.word_tokens(col("text")))
       .withColumn("grams",
         concat((1 to wordNgrams).map(k => gramsOf(col("toks"), k)): _*))
@@ -1019,17 +1033,27 @@ object TextAnalysis {
       } else counts.select(
         col("doc_id"), col("y"), col("bk"),
         lit(1L).as("c"), lit(1L).as("nd"))
-    val intercept = docs.select(col("doc_id"),
+    val intercept = docsSpread.select(col("doc_id"),
       col(labelCol).cast("long").as("y"),
       lit(-1).as("bk"), lit(1L).as("c"), lit(1L).as("nd"))
     // ONE row per doc: label + the (bk, c, nd) item array. Grouping
     // happens ONCE here, not once per iteration; the per-doc buffer is
     // bounded by min(dim, grams-in-doc) items.
+    // NOTE deliberately NOT Spread.keyed: the 12-iteration loop over
+    // featDoc is task-overhead-bound, not compute-bound (measured:
+    // pinning 32 partitions tripled the per-iteration stage wall at
+    // sf0.1); the AQE-coalesced width is the right one here, and at
+    // scale repartition(col) widens on its own.
+    // `ndoc` (the per-doc gram total driving the meanPool divisor) is
+    // ITERATION-INVARIANT — computed once here rather than as a
+    // per-iteration interpreted HOF over every doc's item array
+    // (r14 optimization; 12 iterations re-derived it before).
     val featDoc = persist(content.unionByName(intercept)
       .repartition(col("doc_id"))
       .groupBy(col("doc_id"))
       .agg(max(col("y")).as("y"),
-        collect_list(struct(col("bk"), col("c"), col("nd"))).as("items")))
+        collect_list(struct(col("bk"), col("c"), col("nd"))).as("items"),
+        max(col("nd")).as("ndoc")))
 
     val nDocs = docs.count()
     // Warm start: `init` is a prior classifierTrain OUTPUT frame
@@ -1051,37 +1075,50 @@ object TextAnalysis {
     def divHalf(a: BigInt, d: BigInt): BigInt =
       BigInt(a.signum) * ((a.abs * 2 + d) / (d * 2))
 
+    // The per-iteration gradient query is a fixed two-stage shape
+    // (persisted scan → dim-bounded exchange → collect): AQE has
+    // nothing to re-plan there, but its stage-by-stage
+    // materialization adds a driver round-trip per iteration — at 12
+    // iterations that is pure latency (r14 optimization; physical
+    // scheduling only, results unchanged). Restored afterwards.
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     var it = 0
     while (it < iters) {
-      // The model is a dim+1-entry array LITERAL indexed bk+2 (slot 1
-      // = the intercept bucket −1): one object in the plan, one O(1)
-      // codegen'd lookup per row — no join, no per-iteration broadcast
-      // build job. Unobserved buckets read 0, matching the former
-      // left-join coalesce.
-      val wLit = typedlit((-1 until dim).map(b => ws.getOrElse(b, 0L)))
+      // The model is a dim+1-entry long array riding the native
+      // sparse-dot expression (slot 0 = the intercept bucket −1): one
+      // object in the plan, one O(1) lookup per item — no join, no
+      // per-iteration broadcast build job. Unobserved buckets read 0,
+      // matching the former left-join coalesce.
+      val wArr = (-1 until dim).map(b => ws.getOrElse(b, 0L)).toArray
       // ONE narrow pipeline per iteration over the per-doc cached
       // frame, zero joins, zero corpus-wide aggregation: margins are
-      // HOF folds over each doc's item array against the weight
-      // literal (exact DECIMAL(38,0) integer sums — fold order cannot
-      // change a bit), the residual derives per row, and the item
+      // ONE native long fold over each doc's item array against the
+      // weight table, the residual derives per row, and the item
       // explode flows straight into the gradient groupBy — the
       // iteration's only shuffle, bounded by `dim`. The former
       // per-doc residual frame and its broadcast-vs-join dispatch no
       // longer exist.
-      val zeroDec = lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")
-      val wOf = (x: Column) =>
-        element_at(wLit, x.getField("bk") + 2).cast("decimal(38,0)") *
-          x.getField("c")
+      //
+      // The fold is the codegen'd [[graft.functions.sparse_long_dot]]
+      // in primitive LONG arithmetic, not the old DECIMAL(38,0) HOF
+      // (r14 optimization: HOFs interpret their lambda per item and
+      // the decimal fold additionally allocated a BigDecimal per
+      // item — together the row's dominant CPU). Exactness is
+      // unchanged where the documented magnitude bound holds
+      // (|w|·n_doc < 9.2e6 real units keeps every partial in signed
+      // 64 bits; long addition is order-free), and an overflow now
+      // fails LOUDLY (Math.addExact, the ANSI posture) instead of
+      // silently widening. The intercept term needs no per-item
+      // branch either: every doc carries exactly one intercept item
+      // (bk = −1, c = 1), so its contribution is the CONSTANT ws(−1)
+      // and one fold over ALL items yields ms = total − ws(−1).
+      val w0 = ws.getOrElse(-1, 0L)
       val margins = featDoc
-        .withColumn("i0", aggregate(col("items"), zeroDec,
-          (acc, x) => (acc + when(x.getField("bk") === -1, wOf(x))
-            .otherwise(zeroDec)).cast("decimal(38,0)")))
-        .withColumn("ms", aggregate(col("items"), zeroDec,
-          (acc, x) => (acc + when(x.getField("bk") =!= -1, wOf(x))
-            .otherwise(zeroDec)).cast("decimal(38,0)")))
-        .withColumn("ndoc", array_max(transform(col("items"),
-          x => x.getField("nd"))))
-      val md = (col("i0").cast("double") / lit(1e12)) +
+        .withColumn("ms",
+          graft.functions.sparse_long_dot(col("items"), wArr) - lit(w0))
+      val md = (lit(w0).cast("double") / lit(1e12)) +
         (col("ms").cast("double") / lit(1e12)) / col("ndoc").cast("double")
       val p = lit(0.5) + (lit(0.5) * md) / (lit(1.0) + abs(md))
       val resid = (col("y") * lit(1000000L)) -
@@ -1105,6 +1142,7 @@ object TextAnalysis {
       }
       it += 1
     }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
     buckets.toSeq.map(b => (b.toLong, ws(b), ws(b).toDouble / 1e12))
       .toDF("bucket", "w_scaled", "weight")
   }

@@ -3439,6 +3439,32 @@ class OpsSpec extends AnyFunSuite {
       s"train->score transfer failed: good min ${gs.min} <= bad max ${bs.max}")
   }
 
+  test("sparse_long_dot equals the interpreted HOF fold (classifier margin law)") {
+    // The r14 native margin fold must be bit-identical to the
+    // aggregate-HOF spelling it replaced, including the intercept
+    // bucket −1 at weight slot 0 and multi-count items.
+    val rnd = new scala.util.Random(77)
+    val dim = 16
+    val rows = (0 until 40).flatMap { i =>
+      val n = 1 + rnd.nextInt(12)
+      Seq.tabulate(n)(_ => (i.toLong, rnd.nextInt(dim + 1) - 1,
+        1L + rnd.nextInt(3), 1L + rnd.nextInt(5)))
+    }
+    val df = rows.toDF("doc_id", "bk", "c", "nd")
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("bk"), col("c"), col("nd"))).as("items"))
+    val weights = Array.fill(dim + 1)(rnd.nextLong() % 1000000000000L)
+    val wLit = typedlit(weights.toSeq)
+    val hof = df.withColumn("m", aggregate(col("items"), lit(0L),
+        (acc, x) => acc + element_at(wLit, x.getField("bk") + 2) *
+          x.getField("c")))
+      .select("doc_id", "m").as[(Long, Long)].collect().toMap
+    val nat = df.withColumn("m",
+        graft.functions.sparse_long_dot(col("items"), weights))
+      .select("doc_id", "m").as[(Long, Long)].collect().toMap
+    assert(nat == hof)
+  }
+
   test("randomized: classifierTrain agrees with a brute-force exact reference model") {
     val rnd = new scala.util.Random(4242)
     val vocabulary = Vector("alpha", "beta", "gamma", "delta", "epsilon",
