@@ -203,7 +203,7 @@ object Multimodal {
   def dhashPairs(media: DataFrame, maxHamming: Int = 8,
       persist: Persistence = Persistence.Local): DataFrame =
     Dedup.bandedHammingPairs(
-      Spread.keyed(media, col("media_id"))
+      media.repartition(col("media_id"))
         .select(col("media_id").as("doc_id"),
           graft.functions.dhash_bands(col("payload").cast("string")).as("bands"))
         .filter(col("bands").isNotNull)
@@ -282,7 +282,7 @@ object Multimodal {
           }
         }
       }.toDF("doc_id", "band0", "band1", "band2", "band3")
-    Dedup.bandedHammingPairs(Spread.keyed(bands, col("doc_id")), maxHamming, persist)
+    Dedup.bandedHammingPairs(bands.repartition(col("doc_id")), maxHamming, persist)
   }
 
   /** The 72-cell (8 rows × 9 cols, row-major) point-sampled luma grid
@@ -335,7 +335,7 @@ object Multimodal {
   def audioPairs(media: DataFrame, maxHamming: Int = 8,
       persist: Persistence = Persistence.Local): DataFrame =
     Dedup.bandedHammingPairs(
-      Spread.keyed(media, col("media_id"))
+      media.repartition(col("media_id"))
         .select(col("media_id").as("doc_id"),
           graft.functions.audio_fp_bands(col("payload").cast("string")).as("bands"))
         .filter(col("bands").isNotNull)
@@ -375,7 +375,7 @@ object Multimodal {
           }
         }
       }.toDF("doc_id", "band0", "band1", "band2", "band3")
-    Dedup.bandedHammingPairs(Spread.keyed(bands, col("doc_id")), maxHamming, persist)
+    Dedup.bandedHammingPairs(bands.repartition(col("doc_id")), maxHamming, persist)
   }
 
   /** The 140-slot point-sampled signed-16-bit PCM signal grid of an

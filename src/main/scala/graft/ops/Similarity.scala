@@ -74,7 +74,11 @@ object Similarity {
     * Output: (query_id, neighbor_id, rank, cos_sim). */
   def cosineTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = withNorm(spreadIfNarrow(emb)).as("n")
+    // No spread here, deliberately: the scored volume is |corpus|·|Q|
+    // with a BOUNDED query batch — at gate scale the exchange costs
+    // more than the single-task scoring it parallelizes (bench:
+    // sim_topk 0.34→0.63 s with the spread; reverted).
+    val scored = withNorm(emb).as("n")
       .join(broadcast(withNorm(queries).as("q")),
         col("q.vec_id") =!= col("n.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("n.vec_id").as("neighbor_id"),
