@@ -54,6 +54,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.local.dir", SessionTuning.localDir)
+      .config("spark.sql.optimizer.excludedRules", SessionTuning.excludedRules)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -150,7 +151,19 @@ object Bench {
       s""""lap_ratios":${fmtArr(lapRatios)},""" +
       s""""clean_laps":${useIdx.mkString("[", ",", "]")},""" +
       s""""steal_filtered":$stealFiltered}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"laps":$lapJson,"calib":$calibJson,"errors":$errs,"sf":"$sfDir"}""")
+    // `cpus`/`default_parallelism` echo what the session actually ran
+    // with (r15, PERF_r14 scaling finding: the driver could not
+    // confirm SPARK_GRAFT_CPUS took effect — now the JSON line proves
+    // it). The line is built as ONE string and written with an
+    // explicit flush: round 13's bench line reached the driver
+    // truncated (parsed: null), which silently cost that round its
+    // performance baseline — never let stream buffering interleave or
+    // clip the one-line contract output again.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""cpus":$cpus,"default_parallelism":${spark.sparkContext.defaultParallelism},""" +
+      s""""queries":$qs,"laps":$lapJson,"calib":$calibJson,"errors":$errs,"sf":"$sfDir"}"""
+    System.out.println(line)
+    System.out.flush()
     if (results.exists(_._3.isDefined)) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

@@ -12,6 +12,7 @@ object Smoke {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.local.dir", SessionTuning.localDir)
+      .config("spark.sql.optimizer.excludedRules", SessionTuning.excludedRules)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -290,12 +290,20 @@ object SparkEntry {
     * reference's Integer.parseInt ingest), parse with the key-routing
     * parser, and flatten back to columns. */
   private def parseMetricQuery(spark: SparkSession, dir: String): DataFrame = {
-    val lines = events(spark, dir).select(
-      to_json(struct(
-        unix_millis(col("ts")).as("eventTime"),
-        col("event_type").as("t_type"),
-        (col("user_id") * 10 + col("event_id") % 7).as("cpu"),
-        col("event_id").as("seq"))).as("line"))
+    // Spread the narrow events scan before the JSON round-trip (r15):
+    // serialize + key-routing parse is this query's entire cost and is
+    // pure per-row projection (bit-identical under any partitioning;
+    // no aggregation anywhere downstream), so unlike the CEP WINDOW
+    // queries — whose float sums must keep their deterministic
+    // single-exchange input order — it is safe to parallelize. No-op
+    // at scale (Spread.ifNarrow).
+    val lines = graft.ops.Spread.ifNarrow(events(spark, dir), col("event_id"))
+      .select(
+        to_json(struct(
+          unix_millis(col("ts")).as("eventTime"),
+          col("event_type").as("t_type"),
+          (col("user_id") * 10 + col("event_id") % 7).as("cpu"),
+          col("event_id").as("seq"))).as("line"))
     Parsers.parseMetrics(lines)
       .select(
         element_at(col("metrics"), "seq").cast("long").as("seq"),
@@ -2241,9 +2249,17 @@ object SparkEntry {
     // iterations as staged materialized CTEs and must reproduce every
     // trained weight EXACTLY (integer w_scaled hash-compared).
     "text_classifier_train" -> ((s, d) => {
-      val docs = documents(s, d).withColumn("label",
-        array_contains(graft.functions.word_tokens(col("text")), "spark")
-          .cast("int"))
+      // Spread BEFORE deriving the label (r15): the label projection
+      // is a full word_tokens pass, and Catalyst evaluates it where it
+      // is defined — below classifierTrain's internal spread exchange,
+      // i.e. single-task on a narrow scan (measured 6.3 s of the 7.7 s
+      // lap at sf0.1). Spreading the scan first parallelizes the label
+      // tokenize too; per-row projection, bit-identical results, no-op
+      // at scale.
+      val docs = graft.ops.Spread.ifNarrow(documents(s, d), col("doc_id"))
+        .withColumn("label",
+          array_contains(graft.functions.word_tokens(col("text")), "spark")
+            .cast("int"))
       graft.ops.TextAnalysis.classifierTrain(docs, "label", dim = 256,
         wordNgrams = 2, iters = 12, lrNum = 1L, lrDen = 2L)
     }),

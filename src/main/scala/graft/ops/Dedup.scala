@@ -19,6 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Join-strategy hint for the shingle-keyed candidate SELF-joins
+    * (r15 optimization, guide §3.1): a shuffled-HASH join skips the
+    * per-partition sort a sort-merge join pays on BOTH sides of the
+    * candidate generation — the family's largest shuffle — and its
+    * build side is one AQE-sized post-shuffle partition of the shingle
+    * index (advisory-bytes bounded, skew-split still applies to SHJ),
+    * so the build fits task memory at any corpus size. Measured on the
+    * alternated-JVM A/B (see OPTIMIZATION_r15.md): ngram-family rows
+    * improve double-digit percent with no incremental/e2e regression —
+    * the r14 GLOBAL preferSortMergeJoin experiment was mixed precisely
+    * because it also rewrote the write-bound rows, which this per-site
+    * hint leaves alone. `SPARK_GRAFT_SHJ=off` restores the sort-merge
+    * plans (the A/B knob). */
+  private def shjHint(df: DataFrame): DataFrame =
+    if (sys.env.getOrElse("SPARK_GRAFT_SHJ", "on") != "off")
+      df.hint("SHUFFLE_HASH")
+    else df
+
   /** The shared exact-dedup pipeline: group by a caller-supplied
     * 128-bit fingerprint column so the shuffle key is fixed-width
     * regardless of document length (both spellings below must stay on
@@ -354,6 +372,11 @@ object Dedup {
           .filter(col("_hot").isNull)
           .select(col("doc_id"), col("shingle"), col("n_sh"))
       }
+    // Deliberately NOT shjHint (r15 A/B, alternated JVMs): forcing the
+    // shuffled-hash join here measured 1.25× SLOWER (0.55 → 0.69 s at
+    // sf0.1) — this self-join's downstream aggregation benefits from
+    // the sort-merge join's sorted output, unlike the Jaccard
+    // candidate joins, which improved 0.77–0.92×. Sort-merge kept.
     joinable.as("x")
       .join(joinable.as("y"),
         col("x.shingle") === col("y.shingle") &&
@@ -372,7 +395,7 @@ object Dedup {
       maxBroadcastHotShingles: Long): DataFrame = {
     if (maxShingleDf == Int.MaxValue) {
       sh.as("x")
-        .join(sh.as("y"),
+        .join(shjHint(sh.as("y")),
           col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
         .agg(count(lit(1)).as("n_common"),
@@ -438,7 +461,7 @@ object Dedup {
       // exact verification join; survivors are verified on the FULL
       // index, so reported Jaccard stays exact.
       val scored = candIdx.as("x")
-        .join(candIdx.as("y"),
+        .join(shjHint(candIdx.as("y")),
           col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
         .agg(count(lit(1)).as("cc"),
@@ -826,7 +849,8 @@ object Dedup {
     * nothing, the inverted failure direction for a dedup guard. */
   def saveDedupIndex(docs: DataFrame, path: String, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16, bandBuckets: Int = 64,
-      shingler: Shingler = Shingler.Word): Unit = {
+      shingler: Shingler = Shingler.Word,
+      persist: Persistence = Persistence.Local): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     // Params FIRST-deleted, LAST-written. Params-last alone only
@@ -840,7 +864,7 @@ object Dedup {
     val fs = paramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(paramsPath)) fs.delete(paramsPath, true)
     writeIndexArtifacts(docs, path, n, numHashes, bands, bandBuckets,
-      mode = "overwrite", shingler)
+      mode = "overwrite", shingler, persist)
     Seq((n, numHashes, bands, bandBuckets, shinglerName(shingler)))
       .toDF("n", "num_hashes", "bands", "band_buckets", "shingler")
       .write.mode("overwrite").parquet(s"$path/params")
@@ -869,11 +893,12 @@ object Dedup {
     * against the index again). */
   def appendToDedupIndex(docs: DataFrame, path: String, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16, bandBuckets: Int = 64,
-      shingler: Shingler = Shingler.Word): Unit = {
+      shingler: Shingler = Shingler.Word,
+      persist: Persistence = Persistence.Local): Unit = {
     validateIndexParams(docs.sparkSession, path, n, numHashes, bands,
       bandBuckets, shingler)
     writeIndexArtifacts(docs, path, n, numHashes, bands, bandBuckets,
-      mode = "append", shingler)
+      mode = "append", shingler, persist)
   }
 
   /** The three index-artifact frames (shingles / sigs / banded keys)
@@ -882,7 +907,8 @@ object Dedup {
     * only index read in the append path is the one-row params guard). */
   private[graft] def indexArtifactFrames(docs: DataFrame, n: Int,
       numHashes: Int, bands: Int, bandBuckets: Int,
-      shingler: Shingler = Shingler.Word): (DataFrame, DataFrame, DataFrame) = {
+      shingler: Shingler = Shingler.Word,
+      persist: Persistence = Persistence.Local): (DataFrame, DataFrame, DataFrame) = {
     // ONE CPU-dense shingling pass feeds all three artifacts (r14
     // optimization: the shingle/sig/band write jobs each re-scanned
     // the corpus and re-tokenized it — the most expensive stage of an
@@ -904,20 +930,27 @@ object Dedup {
     // pinning 32 partitions cost 12–37% on the incremental rows —
     // more tasks and 32× the artifact files per write), so the
     // AQE-coalesced width is the right one here.
-    val gramsF = docs.repartition(col("doc_id"))
-      .select(col("doc_id"), array_distinct(grams).as("grams"))
-      .localCheckpoint()
+    // `persist` picks where the shared intermediates live (r15,
+    // advisor finding): Local (default) is executor-local
+    // localCheckpoint — fast, right for single-node/gate runs, but its
+    // blocks are unreplicated with lineage truncated, so at 100 TB an
+    // executor loss makes the index build unrecoverable. Cluster
+    // builds should pass Persistence.Reliable (checkpoint dir on
+    // HDFS/object store) — the index IS the artifact you would persist
+    // to reliable storage anyway. Results are identical either way
+    // (spec-pinned).
+    val gramsF = persist(docs.repartition(col("doc_id"))
+      .select(col("doc_id"), array_distinct(grams).as("grams")))
     val shingles = gramsF
       .select(col("doc_id"),
         array_distinct(transform(col("grams"), g => xxhash64(g)))
           .as("sh_arr"))
       .select(col("doc_id"), explode(col("sh_arr")).as("shingle"),
         size(col("sh_arr")).as("n_sh"))
-    val sig = gramsF
+    val sig = persist(gramsF
       .select(col("doc_id"),
         graft.functions.minhash_signature(col("grams"), numHashes).as("sig"))
-      .filter(col("sig").isNotNull)
-      .localCheckpoint()
+      .filter(col("sig").isNotNull))
     val banded = bandedFrame(sig, numHashes, bands)
       .withColumn("bucket", pmod(col("band_hash"), lit(bandBuckets)).cast("int"))
     (shingles, sig, banded)
@@ -928,9 +961,11 @@ object Dedup {
     * `append` for a rolling delta. */
   private def writeIndexArtifacts(docs: DataFrame, path: String, n: Int,
       numHashes: Int, bands: Int, bandBuckets: Int, mode: String,
-      shingler: Shingler = Shingler.Word): Unit = {
+      shingler: Shingler = Shingler.Word,
+      persist: Persistence = Persistence.Local): Unit = {
     val (shingles, sig, banded) =
-      indexArtifactFrames(docs, n, numHashes, bands, bandBuckets, shingler)
+      indexArtifactFrames(docs, n, numHashes, bands, bandBuckets, shingler,
+        persist)
     shingles.write.mode(mode).parquet(s"$path/shingles")
     sig.write.mode(mode).parquet(s"$path/sigs")
     // Cluster the band rows by their partition value before the

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.plans.logical._
 
 /** Parallelism-preserving spreads for CPU-dense stages (r14
   * optimization round).
@@ -39,12 +40,35 @@ object Spread {
   private def parallelismOf(df: DataFrame): Int =
     df.sparkSession.sparkContext.defaultParallelism
 
+  /** Narrow-transformation logical nodes: a plan made only of these
+    * (over leaves) contains no Exchange, so building its RDD is
+    * plan-side work only — `toRdd` can be probed for the partition
+    * count without running anything. Everything else (joins,
+    * aggregates, windows, repartitions, limits, unions, …) is treated
+    * as NOT narrow-eligible: its parallelism is already
+    * shuffle/AQE-determined, and — the r15 fix — probing `toRdd` on
+    * such a plan under AQE MATERIALIZES every upstream shuffle stage,
+    * i.e. the old probe fired real Spark jobs at plan-construction
+    * time inside otherwise-lazy plan builders, and those probe stages
+    * belong to a separate QueryExecution so the actual query could
+    * not even reuse them (composed inputs paid their upstream work
+    * twice). */
+  private def narrowNode(p: LogicalPlan): Boolean = p match {
+    case _: Project | _: Filter | _: Generate | _: SubqueryAlias |
+        _: LocalLimit | _: Sample | _: Expand => true
+    case _: LeafNode => true
+    case _ => false
+  }
+
   /** Streaming frames never count as narrow: probing their planned
     * parallelism would build a batch plan (illegal on a stream), and
     * micro-batch sources size their own partitioning. Both helpers
     * then keep the stream-safe pre-r14 spelling. */
   private def isNarrow(df: DataFrame): Boolean =
     enabled && !df.isStreaming &&
+      df.queryExecution.optimizedPlan.collectFirst {
+        case p if !narrowNode(p) => p
+      }.isEmpty &&
       df.queryExecution.toRdd.getNumPartitions < parallelismOf(df)
 
   /** Spread `df` across the cluster only when its planned parallelism

@@ -947,8 +947,9 @@ object TextAnalysis {
     *     divide, one `floor(p·1e6 + 0.5)`: every step is a single
     *     correctly-rounded IEEE op, identical across engines (no
     *     libm transcendental anywhere),
-    *   - gradients are exact integer sums accumulated in
-    *     DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — no overflow, no
+    *   - gradients are exact integer sums — accumulated in signed
+    *     128-bit partials here (covers the full DECIMAL(38,0) /
+    *     HUGEINT domain the oracle replay uses) — no overflow, no
     *     order dependence,
     *   - the learning-rate step is half-away-from-zero integer
     *     division by `lrDen·N` with rate `lrNum/lrDen`.
@@ -965,20 +966,16 @@ object TextAnalysis {
     * Scale posture: the corpus-sized feature frame is built once
     * (one tokenize pass + one (doc,bucket) map-side-combined groupBy),
     * hash-partitioned by doc_id, and persisted; each iteration is
-    * then ONE linear pipeline over ONE scan of that cached frame with
-    * NO corpus-sized shuffle and NO join at all. The model rides the
-    * plan as a single dim+1-entry array LITERAL
-    * (`element_at(weights, bk + 2)` — one O(1) codegen'd lookup per
-    * row, one object per plan, no per-iteration broadcast build job),
-    * the margins groupBy rides the persisted doc_id partitioning (no
-    * exchange) and CARRIES each doc's (bk, c, nd) items through as a
-    * collect_list — per-doc buffer bounded by min(dim, grams-in-doc)
-    * — so the residual, re-derived per doc from the aggregated sums,
-    * flows straight into the gradient explode without a join-back
-    * (the former per-doc residual frame and its broadcast-vs-join
-    * dispatch are gone — there is nothing corpus-shaped to ship).
-    * The only shuffle is the gradient's map-side-combined groupBy
-    * bounded by `dim`, not the corpus. Driver state is O(dim).
+    * then ONE fused job over ONE scan of that cached frame with NO
+    * shuffle and NO join at all (the MLlib gradient-aggregate shape):
+    * the model rides the task closure as a dim+1-entry long array
+    * (one O(1) lookup per item, no per-iteration broadcast build
+    * job), each partition folds margin → residual → per-bucket
+    * gradient terms in a single pass into a dim+1-slot exact 128-bit
+    * accumulator, and the per-partition partials — two long arrays
+    * each — are merged on the driver. featDoc CARRIES each doc's
+    * (bk, c, nd) items as a collect_list — per-doc buffer bounded by
+    * min(dim, grams-in-doc). Driver state is O(dim) per partial.
     * Magnitude bounds: per-row gradient terms are ≤ 1e12 by
     * construction; margins need |w|·n_doc < 9.2e6 in real units to
     * stay in signed-64 partials — satisfied for |w| ≤ 10 up to ~900k
@@ -1075,74 +1072,132 @@ object TextAnalysis {
     def divHalf(a: BigInt, d: BigInt): BigInt =
       BigInt(a.signum) * ((a.abs * 2 + d) / (d * 2))
 
-    // The per-iteration gradient query is a fixed two-stage shape
-    // (persisted scan → dim-bounded exchange → collect): AQE has
-    // nothing to re-plan there, but its stage-by-stage
-    // materialization adds a driver round-trip per iteration — at 12
-    // iterations that is pure latency (r14 optimization; physical
-    // scheduling only, results unchanged). Restored afterwards.
-    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    // FUSED per-iteration gradient (r15 optimization): each iteration
+    // is ONE job over the persisted featDoc rows — the margin fold,
+    // the residual, and the per-bucket gradient sums all happen in a
+    // single pass per partition, and the partial gradient arrays are
+    // merged on the driver (driver state O(dim·partials), the same
+    // bound the former dim-keyed groupBy().collect() carried through
+    // its map-side partials). The r14 shape planned a Catalyst query
+    // per iteration (fold projection → item explode → dim-bounded
+    // exchange → final aggregate → collect): two stages and
+    // `shuffle.partitions` reduce tasks of scheduling latency per
+    // iteration — which is also why r14 disabled AQE session-wide
+    // around the loop. The fused pass has NO exchange at all, so that
+    // session-global conf mutation is gone (it silently stripped AQE
+    // — including skew-join handling — from any concurrent query on
+    // the shared session), and the per-iteration "plan" is literally
+    // the same RDD, planned once and run `iters` times: the MLlib
+    // gradient-aggregate shape.
+    //
+    // Exactness is UNCHANGED. Per row, the integer/IEEE-754 chain
+    // below reproduces the retired Catalyst projection operation for
+    // operation (same fold via SparseLongDotImpl, same double
+    // divide/add/abs sequence for p — each step one correctly-rounded
+    // IEEE op — same floor quantization, same sign-split rounding
+    // division for rq). Per bucket, gradient partials are exact
+    // integer sums accumulated in signed 128-bit (hi/lo long pairs):
+    // integer addition is order-free, and 2¹²⁷ exceeds the
+    // DECIMAL(38,0) domain (10³⁸) the former sum used, so no corpus
+    // that the old spelling survived can overflow this one. Per-item
+    // products keep the loud Math.multiplyExact ANSI posture of the
+    // r14 fold. The randomized BigInt-exact reference-model spec and
+    // the DuckDB oracle (which replays all 12 iterations as staged
+    // CTEs and hash-compares every weight) gate the rewrite.
+    val schemaF = featDoc.schema
+    val yIdx = schemaF.fieldIndex("y")
+    val itemsIdx = schemaF.fieldIndex("items")
+    val ndocIdx = schemaF.fieldIndex("ndoc")
+    // featDoc is already materialized (persist above), so building its
+    // RDD runs no job; the SAME RDD backs every iteration.
+    val featRdd = featDoc.queryExecution.toRdd
+    val den = BigInt(lrDen) * BigInt(nDocs)
+    val lowMask = (BigInt(1) << 64) - 1
     var it = 0
     while (it < iters) {
-      // The model is a dim+1-entry long array riding the native
-      // sparse-dot expression (slot 0 = the intercept bucket −1): one
-      // object in the plan, one O(1) lookup per item — no join, no
-      // per-iteration broadcast build job. Unobserved buckets read 0,
-      // matching the former left-join coalesce.
+      // The model is a dim+1-entry long array shipped in the task
+      // closure (slot 0 = the intercept bucket −1): one O(1) lookup
+      // per item, no join, no per-iteration broadcast build job.
+      // Unobserved buckets read 0, matching the former left-join
+      // coalesce. The intercept needs no per-item branch: every doc
+      // carries exactly one intercept item (bk = −1, c = 1), so its
+      // contribution is the CONSTANT ws(−1) and one fold over ALL
+      // items yields ms = total − ws(−1).
       val wArr = (-1 until dim).map(b => ws.getOrElse(b, 0L)).toArray
-      // ONE narrow pipeline per iteration over the per-doc cached
-      // frame, zero joins, zero corpus-wide aggregation: margins are
-      // ONE native long fold over each doc's item array against the
-      // weight table, the residual derives per row, and the item
-      // explode flows straight into the gradient groupBy — the
-      // iteration's only shuffle, bounded by `dim`. The former
-      // per-doc residual frame and its broadcast-vs-join dispatch no
-      // longer exist.
-      //
-      // The fold is the codegen'd [[graft.functions.sparse_long_dot]]
-      // in primitive LONG arithmetic, not the old DECIMAL(38,0) HOF
-      // (r14 optimization: HOFs interpret their lambda per item and
-      // the decimal fold additionally allocated a BigDecimal per
-      // item — together the row's dominant CPU). Exactness is
-      // unchanged where the documented magnitude bound holds
-      // (|w|·n_doc < 9.2e6 real units keeps every partial in signed
-      // 64 bits; long addition is order-free), and an overflow now
-      // fails LOUDLY (Math.addExact, the ANSI posture) instead of
-      // silently widening. The intercept term needs no per-item
-      // branch either: every doc carries exactly one intercept item
-      // (bk = −1, c = 1), so its contribution is the CONSTANT ws(−1)
-      // and one fold over ALL items yields ms = total − ws(−1).
       val w0 = ws.getOrElse(-1, 0L)
-      val margins = featDoc
-        .withColumn("ms",
-          graft.functions.sparse_long_dot(col("items"), wArr) - lit(w0))
-      val md = (lit(w0).cast("double") / lit(1e12)) +
-        (col("ms").cast("double") / lit(1e12)) / col("ndoc").cast("double")
-      val p = lit(0.5) + (lit(0.5) * md) / (lit(1.0) + abs(md))
-      val resid = (col("y") * lit(1000000L)) -
-        floor(p * lit(1000000.0) + lit(0.5)).cast("long")
-      val gradRows = margins
-        .select(resid.as("resid"), explode(col("items")).as("item"))
-        .select(col("resid"), col("item.bk").as("bk"),
-          col("item.c").as("c"), col("item.nd").as("nd"))
-        .withColumn("rqNum", col("resid") * lit(1000000L))
-        .withColumn("rq", when(col("rqNum") >= 0,
-            expr("(2*rqNum + nd) div (2*nd)"))
-          .otherwise(-expr("(2*(-rqNum) + nd) div (2*nd)")))
-        .withColumn("term", (col("rq") * col("c")).cast("decimal(38,0)"))
-        .groupBy(col("bk")).agg(sum(col("term")).as("grad"))
-        .collect()
-      val den = BigInt(lrDen) * BigInt(nDocs)
-      gradRows.foreach { r =>
-        val b = r.getInt(0)
-        val g = BigInt(r.getDecimal(1).toBigInteger)
-        ws(b) = ws(b) + divHalf(g * lrNum, den).toLong
+      val partials = featRdd.mapPartitions { rows =>
+        val hi = new Array[Long](dim + 1)
+        val lo = new Array[Long](dim + 1)
+        rows.foreach { row =>
+          val y = row.getLong(yIdx)
+          val items = row.getArray(itemsIdx)
+          val ndoc = row.getLong(ndocIdx)
+          val ms = org.apache.spark.sql.graft.SparseLongDotImpl
+            .dot(items, wArr) - w0
+          // Same IEEE chain as the retired Catalyst projection:
+          // md = w0/1e12 + (ms/1e12)/ndoc; fast sigmoid; fixed-point
+          // residual in integer units of 1e-6.
+          val md = (w0.toDouble / 1e12) + ((ms.toDouble / 1e12) / ndoc.toDouble)
+          val p = 0.5 + (0.5 * md) / (1.0 + math.abs(md))
+          val resid = y * 1000000L - math.floor(p * 1000000.0 + 0.5).toLong
+          val rqNum = resid * 1000000L // |resid| ≤ 1e6 ⇒ |rqNum| ≤ 1e12
+          val n = items.numElements()
+          var i = 0
+          while (i < n) {
+            val item = items.getStruct(i, 3)
+            val slot = item.getInt(0) + 1 // bk ∈ [−1, dim)
+            val c = item.getLong(1)
+            val nd = item.getLong(2)
+            // Half-away-from-zero division folded into the gradient
+            // term, sign-split exactly like the retired `div` spelling
+            // (both branches divide non-negative longs).
+            val rq =
+              if (rqNum >= 0) (2 * rqNum + nd) / (2 * nd)
+              else -((2 * -rqNum + nd) / (2 * nd))
+            val t = Math.multiplyExact(rq, c)
+            // 128-bit accumulate of the signed term: two's-complement
+            // add with the standard carry-out bit trick, sign-extended
+            // into the high word.
+            val oldLo = lo(slot)
+            val sumLo = oldLo + t
+            lo(slot) = sumLo
+            hi(slot) = hi(slot) + (t >> 63) +
+              (((oldLo & t) | ((oldLo | t) & ~sumLo)) >>> 63)
+            i += 1
+          }
+        }
+        Iterator.single((hi, lo))
+      }.collect()
+      // Exact 128-bit merge of the per-partition partials, then the
+      // same half-away-from-zero learning-rate step as before. A slot
+      // whose gradient is zero is skipped — identical to the former
+      // groupBy, where an absent bucket produced no row and a present
+      // zero-sum row added divHalf(0) = 0.
+      val gHi = new Array[Long](dim + 1)
+      val gLo = new Array[Long](dim + 1)
+      partials.foreach { case (phi, plo) =>
+        var s = 0
+        while (s <= dim) {
+          val oldLo = gLo(s)
+          val t = plo(s)
+          val sumLo = oldLo + t
+          gLo(s) = sumLo
+          gHi(s) = gHi(s) + phi(s) +
+            (((oldLo & t) | ((oldLo | t) & ~sumLo)) >>> 63)
+          s += 1
+        }
+      }
+      var s = 0
+      while (s <= dim) {
+        val g = (BigInt(gHi(s)) << 64) + (BigInt(gLo(s)) & lowMask)
+        if (g != 0) {
+          val b = s - 1
+          ws(b) = ws(b) + divHalf(g * lrNum, den).toLong
+        }
+        s += 1
       }
       it += 1
     }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
     buckets.toSeq.map(b => (b.toLong, ws(b), ws(b).toDouble / 1e12))
       .toDF("bucket", "w_scaled", "weight")
   }

@@ -1426,6 +1426,35 @@ class OpsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("mismatched"))
   }
 
+  test("dedup index built with Persistence.Reliable is bit-identical to the Local build") {
+    // The documented 100 TB posture (r15): Local's localCheckpoint
+    // blocks are executor-local and unreplicated — an executor loss
+    // kills a cluster-scale index build — so saveDedupIndex /
+    // appendToDedupIndex accept Persistence.Reliable (HDFS/object-store
+    // checkpoint dir). The artifacts must not depend on the choice.
+    def tmp(tag: String): java.nio.file.Path = {
+      val p = java.nio.file.Files.createTempDirectory(tag)
+      p.toFile.deleteOnExit(); p
+    }
+    val ckpt = tmp("graft_idx_ckpt").toString
+    val dirLoc = tmp("graft_idx_loc").toString
+    val dirRel = tmp("graft_idx_rel").toString
+    val base = docs.select(col("doc_id"), col("text"))
+    val savedCkpt = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try {
+      Dedup.saveDedupIndex(base, dirLoc, 3, 64, 16,
+        persist = Persistence.Local)
+      Dedup.saveDedupIndex(base, dirRel, 3, 64, 16,
+        persist = Persistence.Reliable)
+    } finally savedCkpt.foreach(spark.sparkContext.setCheckpointDir)
+    for (art <- Seq("shingles", "sigs", "bands", "params")) {
+      val l = spark.read.parquet(s"$dirLoc/$art").collect().toSet
+      val r = spark.read.parquet(s"$dirRel/$art").collect().toSet
+      assert(l == r, s"artifact $art differs between Local and Reliable")
+    }
+  }
+
   test("index rebuild that crashes mid-write leaves a params-less artifact the guards refuse") {
     // ADVICE r11 (medium): params-LAST alone only protects first-time
     // builds — a REBUILD over an existing index that dies between the

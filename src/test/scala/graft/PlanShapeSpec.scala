@@ -112,7 +112,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // regression, not a tuning choice.
     // The r14 Spread exchange (REPARTITION_BY_NUM, planned only on a
     // narrow test-scale input, absent at scale) is not a data
-    // shuffle; the pin counts everything else.
+    // shuffle; the pin counts everything else — and (r15, tightened
+    // per ADVICE) the exemption is no longer a blanket pass for the
+    // origin: at most ONE spread exchange, sitting directly on the
+    // scan side (nothing heavier than projections/filters below it),
+    // so an accidental repartition(n, …) mid-pipeline — a genuine
+    // full data shuffle — cannot hide behind the tag.
     val zeroShuffle = Seq("text_repetition", "curation_filter",
       "text_quality", "text_tokens", "text_langid", "text_langid_ngram",
       "text_fingerprint", "text_redact", "text_compress_ratio",
@@ -122,6 +127,26 @@ class PlanShapeSpec extends AnyFunSuite {
       val n = "Exchange [^\n]*".r.findAllIn(plans(q))
         .count(!_.contains("REPARTITION_BY_NUM"))
       assert(n == 0, s"$q plans $n Exchange nodes; expected a pure projection")
+      assertSpreadOnScanOnly(q)
+    }
+  }
+
+  /** The Spread-shape invariant (r15): at most one REPARTITION_BY_NUM
+    * exchange, and everything BELOW it is scan-side (no Exchange, no
+    * Join, no Aggregate, no Generate — i.e. the spread repartitions
+    * raw scanned rows, not mid-pipeline data). */
+  private def assertSpreadOnScanOnly(q: String): Unit = {
+    val plan = plans(q)
+    val spreads = "Exchange [^\n]*REPARTITION_BY_NUM[^\n]*".r
+      .findAllIn(plan).size
+    assert(spreads <= 1, s"$q plans $spreads spread exchanges; expected <= 1")
+    if (spreads == 1) {
+      val below = plan.substring(plan.indexOf("REPARTITION_BY_NUM"))
+      for (node <- Seq("Exchange hashpartitioning", "Join", "HashAggregate",
+          "ObjectHashAggregate", "SortAggregate", "Generate"))
+        assert(!below.contains(node),
+          s"$q: $node below the spread exchange — the spread is not " +
+            s"sitting on the scan:\n$plan")
     }
   }
 
@@ -355,12 +380,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"join_asof: ${exchanges("join_asof")} exchanges")
   }
 
-  test("CEP plans shuffle exactly once (parse queries: zero)") {
+  test("CEP plans shuffle exactly once (parse queries: zero data shuffles)") {
+    // r15: cep_parse_metric spreads its narrow scan (pure per-row
+    // JSON round-trip — partitioning-independent), so parse queries
+    // may carry ONE REPARTITION_BY_NUM exchange directly on the scan.
+    // The WINDOW queries must NOT gain a spread: their double sums
+    // ride the single aggregation exchange's deterministic input
+    // order, and an upstream repartition would make the float
+    // summation order run-dependent (oracle hash compare).
     val shuffleCounts = plans.view.filterKeys(_.startsWith("cep_")).mapValues(p =>
-      "Exchange hashpartitioning".r.findAllIn(p).size).toMap
+      "Exchange hashpartitioning[^\n]*".r.findAllIn(p)
+        .count(!_.contains("REPARTITION_BY_NUM"))).toMap
     shuffleCounts.foreach { case (name, n) =>
       val expected = if (name.startsWith("cep_parse")) 0 else 1
       assert(n == expected, s"$name: $n shuffle exchanges, expected $expected")
+    }
+    plans.keys.filter(_.startsWith("cep_")).foreach { name =>
+      if (name.startsWith("cep_parse")) assertSpreadOnScanOnly(name)
+      else assert(!plans(name).contains("REPARTITION_BY_NUM"),
+        s"$name: a spread exchange appeared upstream of a float-sum " +
+          s"window aggregation — float summation order would become " +
+          s"run-dependent:\n${plans(name)}")
     }
   }
 

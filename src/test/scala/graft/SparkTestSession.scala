@@ -9,6 +9,9 @@ object SparkTestSession {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // Same optimizer posture as the mains (SessionTuning): the plan
+      // pins must gate the plans the driver actually runs.
+      .config("spark.sql.optimizer.excludedRules", SessionTuning.excludedRules)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
