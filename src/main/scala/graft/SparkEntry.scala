@@ -1968,10 +1968,19 @@ object SparkEntry {
         graft.sources.Wet.readWet(s, dir))
       // The list carries REGISTRABLE domains (filterByDomainList's
       // contract): blocking example.org drops the spam host.
+      // Materialized ONCE (r15): four plan branches consume the parsed
+      // corpus (the pipeline's token base, its evalDocs slice, the
+      // decontamination gram side, and the kept-join), and the WET
+      // gzip parse is unsplittable per shard — unpersisted, every
+      // branch re-ran the whole parse (4 binaryFile scans per lap in
+      // the stage dumps). One parse, one checkpoint, same results;
+      // at cluster scale this is exactly the "land the parsed corpus
+      // once, derive everything from the materialized form" posture.
       val unblocked = graft.ops.Domains.filterByDomainList(
         ingested, col("url"), Seq("example.org").toDF("domain"),
         allow = false)
         .select(col("doc_id"), col("text"))
+        .localCheckpoint()
       val verdicts = graft.ops.Curation.pipeline(
         unblocked, unblocked.filter(col("doc_id") < 10),
         shingleN = 3, jaccard = 0.8, maxShingleDf = 10, decontamN = 5,

@@ -56,6 +56,17 @@ object Spread {
   private def narrowNode(p: LogicalPlan): Boolean = p match {
     case _: Project | _: Filter | _: Generate | _: SubqueryAlias |
         _: LocalLimit | _: Sample | _: Expand => true
+    // Typed object pipelines (the WET/WARC parse path: wholestage
+    // MapPartitions between Deserialize/Serialize) are one-to-one over
+    // partitions — narrow.
+    case _: DeserializeToObject | _: SerializeFromObject |
+        _: MapPartitions | _: MapElements | _: TypedFilter => true
+    // A Union of narrow subtrees is itself shuffle-free (partitions
+    // concatenate), so probing it is safe — and link-layer inputs are
+    // unions of synthesized outlink branches (the r15 regression that
+    // added this line: excluding Union silently un-spread
+    // curation_link_graph's extraction back to 2 tasks).
+    case _: Union => true
     case _: LeafNode => true
     case _ => false
   }
