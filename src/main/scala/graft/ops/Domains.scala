@@ -558,7 +558,8 @@ object Domains {
     * value for the measured N in the message. */
   def pageRankFixedPoint(edges: DataFrame, iterations: Int = 3,
       scale: Long = 0L, dampNum: Long = 85,
-      dampDen: Long = 100, redistributeDangling: Boolean = false): DataFrame = {
+      dampDen: Long = 100, redistributeDangling: Boolean = false,
+      maxDriverEdges: Long = 1L << 20): DataFrame = {
     require(iterations >= 1 && iterations <= 100,
       s"iterations must be in [1, 100], got $iterations")
     require(dampNum > 0 && dampDen > dampNum,
@@ -571,6 +572,23 @@ object Domains {
     val e = edges.select(col("src_domain").cast("string").as("src"),
       col("dst_domain").cast("string").as("dst")).distinct()
       .localCheckpoint()
+    // SMALL-GRAPH FAST PATH (r15, the [[Dedup.components]] trade): a
+    // domain graph at or under `maxDriverEdges` rows — known from a
+    // count over the materialized edge list, not a plan-time guess —
+    // iterates on the driver: one collect job plus an O(E·iters)
+    // integer loop instead of iterations × (checkpoint job [+ dangling
+    // collect]) of serial shuffle-stage latency. The arithmetic is the
+    // IDENTICAL exact integer recurrence (same auto-scale derivation,
+    // same overflow guard, same div order), so the fixed point is
+    // bit-equal to the distributed loop — spec-pinned by running both
+    // paths. Graphs above the bound take the distributed loop
+    // automatically; `maxDriverEdges = 0` forces it. The default (1M
+    // edges) budgets real driver footprint: collected string-pair rows
+    // (~60–120 B each), the node index, and the rank/outdeg arrays —
+    // ~150–250 MB peak, transient, safe on a default driver heap.
+    if (maxDriverEdges > 0 && e.count() <= maxDriverEdges)
+      return driverPageRank(e, iterations, scale, dampNum, dampDen,
+        redistributeDangling)
     val nodes = e.select(col("src").as("domain"))
       .union(e.select(col("dst").as("domain"))).distinct()
       .localCheckpoint()
@@ -625,6 +643,68 @@ object Domains {
         .localCheckpoint()
     }
     ranks
+  }
+
+  /** See [[pageRankFixedPoint]]'s small-graph fast path: the same
+    * integer recurrence, iterated over collected (src, dst) string
+    * edges. Every formula below mirrors the distributed spelling
+    * line for line — auto-scale from the measured node count, the
+    * loud overflow guard, `(dampDen − dampNum)·scale div dampDen`
+    * base, per-edge `(r·dampNum) div (outdeg·dampDen)` contributions
+    * (all operands non-negative, so Scala `/` ≡ SQL `div`), and the
+    * mass-conserving dangling share `(D_t·dampNum) div (dampDen·N)`.
+    * Long sums commute exactly, so accumulation order is free. */
+  private def driverPageRank(e: DataFrame, iterations: Int, scale: Long,
+      dampNum: Long, dampDen: Long,
+      redistributeDangling: Boolean): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val eArr = e.as[(String, String)].collect()
+    val idx = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def id(s: String): Int = idx.getOrElseUpdate(s, idx.size)
+    val es = eArr.map { case (s, d) => (id(s), id(d)) }
+    val n = idx.size
+    val nNodes = n.toLong
+    val safeBound = Long.MaxValue / dampNum / math.max(nNodes, 1L) / 4
+    val eff =
+      if (scale > 0) scale
+      else math.min(1000000000000L,
+        math.max(1L, math.pow(10, math.log10(safeBound.toDouble).floor)
+          .toLong))
+    require(nNodes == 0 ||
+      eff <= Long.MaxValue / dampNum / math.max(nNodes, 1L),
+      s"fixed-point overflow bound: n_domains($nNodes) * scale($eff) " +
+        s"* dampNum($dampNum) must fit a long — lower scale (for this " +
+        s"graph any scale <= $safeBound is safe; scale = 0 auto-derives " +
+        s"one)")
+    val outdeg = new Array[Long](math.max(n, 1))
+    es.foreach { case (s, _) => outdeg(s) += 1 }
+    val base = (dampDen - dampNum) * eff / dampDen
+    var r = Array.fill(n)(eff)
+    var it = 0
+    while (it < iterations) {
+      val danglingShare =
+        if (!redistributeDangling || nNodes == 0) 0L
+        else {
+          var d = 0L
+          var i = 0
+          while (i < n) { if (outdeg(i) == 0) d += r(i); i += 1 }
+          d * dampNum / (dampDen * nNodes)
+        }
+      val in = new Array[Long](math.max(n, 1))
+      es.foreach { case (s, d) =>
+        in(d) += r(s) * dampNum / (outdeg(s) * dampDen)
+      }
+      val next = new Array[Long](n)
+      var i = 0
+      while (i < n) { next(i) = base + danglingShare + in(i); i += 1 }
+      r = next
+      it += 1
+    }
+    val names = idx.keysIterator.toArray
+    spark.createDataset(
+        names.indices.map(i => (names(i), r(i))).toIndexedSeq)
+      .toDF("domain", "rank_fp")
   }
 
   /** Connected components of the domain graph (the UNDIRECTED view of

@@ -340,6 +340,30 @@ class HtmlLinksSpec extends AnyFunSuite {
     assert(auto == explicit)
   }
 
+  test("pageRankFixedPoint: the driver fast path equals the distributed loop bit-for-bit") {
+    // r15: graphs at or under maxDriverEdges iterate on the driver —
+    // the same exact integer recurrence, so ranks must be identical.
+    // Randomized graph with dangling nodes; both dangling policies;
+    // maxDriverEdges = 0 forces the distributed loop.
+    val rnd = new scala.util.Random(4242)
+    val nodes = (0 until 24).map(i => s"d$i.com")
+    val edges = Seq.fill(70)(
+        (nodes(rnd.nextInt(18)), nodes(rnd.nextInt(24))))
+      .filter { case (a, b) => a != b }
+      .toDF("src_domain", "dst_domain")
+    for (redistribute <- Seq(false, true); iters <- Seq(1, 3)) {
+      val fast = graft.ops.Domains.pageRankFixedPoint(edges,
+        iterations = iters, redistributeDangling = redistribute)
+        .as[(String, Long)].collect().toMap
+      val dist = graft.ops.Domains.pageRankFixedPoint(edges,
+        iterations = iters, redistributeDangling = redistribute,
+        maxDriverEdges = 0L)
+        .as[(String, Long)].collect().toMap
+      assert(fast == dist,
+        s"driver/distributed divergence at redistribute=$redistribute iters=$iters")
+    }
+  }
+
   test("anchorTermsByDomain: counts, top-k cutoff, deterministic tie-break, internal drop, nofollow policy") {
     val pages = Seq((
       "http://www.src-site.com/a",
